@@ -1,0 +1,61 @@
+"""Query registry: single source of truth for the correctness gate.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) registers here with
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` (the engine path), and
+- optionally a DuckDB-runnable ANSI SQL string (the oracle path).
+
+``__spark_entry__.py`` and ``tests/test_oracle.py`` both consume this
+registry, so the local test suite checks exactly what the driver checks.
+
+Determinism rules (both sides MUST follow them, see tests/test_oracle.py):
+- alias every computed column identically in Spark and SQL;
+- round floating aggregates (sums/avgs/cosines) so double reassociation
+  noise cannot flip the value hash;
+- DuckDB ``CAST(double AS INT)`` rounds while Spark truncates — always use
+  explicit ``floor``/``trunc``;
+- deterministic tie-breaks on every top-k / limit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, doc: str = "", tags: tuple = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = Query(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules (side-effect: fills REGISTRY) and return it."""
+    from . import relational  # noqa: F401
+    from . import metadata_plane  # noqa: F401
+    from . import text  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import temporal  # noqa: F401
+    from . import raster  # noqa: F401
+
+    return REGISTRY

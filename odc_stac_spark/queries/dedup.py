@@ -1,0 +1,317 @@
+"""Deduplication operators (training-data pipeline surface).
+
+Four families, each scale-shaped differently:
+
+- **exact** — hash-groupBy; shuffles one digest per doc. 100 TB: trivially
+  scalable (digest is computed map-side, group keys are uniform).
+- **n-gram Jaccard** — inverted-index self-join on shingles (the classic
+  similarity-join). Exact answer; at 100 TB you bound fan-out with LSH
+  (below) or prefix filtering.
+- **MinHash + LSH** — signature → band → bucket equi-join. Candidate
+  generation touches only docs sharing a band bucket, so cost follows the
+  (tiny) collision count, not the pair count. This is the 100 TB path.
+- **SimHash** — 32-bit fingerprints; bucket by fingerprint for blocking.
+
+Everything is deterministic cross-engine: shingle hashes come from
+``md5`` (identical in Spark and DuckDB) mapped to a 32-bit integer, and the
+MinHash permutations are fixed ``(a*h + b) mod p`` with ``a·h`` kept below
+2^53 so no overflow ambiguity exists — the DuckDB oracle reproduces the
+LSH output bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import register
+
+# MinHash parameters: 16 permutations → 4 bands × 4 rows.
+# P is prime (2^31-1); A_j < 2^21 keeps a*h < 2^53 (h < 2^32): exact in
+# int64 AND in float64, so every engine agrees.
+MINHASH_P = 2147483647
+MINHASH_A = [1000003, 999983, 824633, 756839, 524287, 432109, 216091, 131071,
+             110503, 86243, 23209, 19937, 9941, 4423, 2281, 1279]
+MINHASH_B = [12345, 54321, 98765, 13579, 24680, 11111, 77777, 31415,
+             27182, 16180, 14142, 17320, 22360, 26457, 30000, 33166]
+N_BANDS, ROWS_PER_BAND = 4, 4
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), " +")
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct token 3-grams per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    d = d.select("doc_id", toks.alias("ts")).where(F.size("ts") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ts", i + 1),
+            F.element_at("ts", i + 2),
+            F.element_at("ts", i + 3),
+        ),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def _hash32(col):
+    """md5-derived 32-bit integer hash — bit-identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(ts, i, i + 2), ' ') AS shingle
+    FROM (SELECT doc_id, ts, UNNEST(generate_series(1, len(ts) - 2)) AS i
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), ' +') AS ts
+                FROM documents)
+          WHERE len(ts) >= 3)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT fingerprint, keep_doc_id, n_copies FROM (
+        SELECT md5(trim(lower(text))) AS fingerprint,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    )
+    """,
+    doc="exact dedup: normalize → digest → hash-groupBy, keep min doc_id.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.trim(F.lower(F.col("text")))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (ca.n + cb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-dup: inverted-index similarity self-join on "
+    "token 3-gram shingles (exact answer).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15) MinHash signature — one groupBy pass, all JVM."""
+    sh = _shingles_df(spark, sf_dir).select("doc_id", _hash32(F.col("shingle")).alias("h"))
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(
+            f"m{j}"
+        )
+        for j in range(16)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS m{j}"
+        for j in range(16)
+    )
+    return f"""
+    SELECT doc_id,
+           {mins}
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh)
+    GROUP BY doc_id
+    """
+
+
+def _band_cols_sql() -> str:
+    selects = []
+    for band in range(N_BANDS):
+        ms = " || ',' || ".join(
+            f"CAST(m{band * ROWS_PER_BAND + j} AS VARCHAR)" for j in range(ROWS_PER_BAND)
+        )
+        selects.append(f"SELECT doc_id, {band} AS band_idx, md5({ms}) AS bh FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_band_cols_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                     AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared), 4) AS jaccard
+    FROM shared s
+    JOIN cnt ca ON ca.doc_id = s.doc_a
+    JOIN cnt cb ON cb.doc_id = s.doc_b
+    WHERE s.shared * 1.0 / (ca.n + cb.n - s.shared) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dup: shingle→minhash(16)→4×4 bands→bucket "
+    "equi-join→exact-Jaccard verify. The 100 TB dedup path: candidate "
+    "generation cost follows bucket collisions, not O(n²) pairs.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    sig = _minhash_sig(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
+                            for j in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("shared")
+        )
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _simhash_sql() -> str:
+    return """
+    SELECT doc_id,
+           -- CAST: DuckDB SUM(int) yields HUGEINT which pandas turns into
+           -- float; Spark yields BIGINT — keep both engines on int64
+           CAST(SUM(CASE WHEN vote > 0 THEN CAST(power(2, pos) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash32
+    FROM (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN (h // CAST(power(2, pos) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM (SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+              FROM (SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), ' +')) AS tok
+                    FROM documents)),
+             (SELECT UNNEST(generate_series(0, 31)) AS pos)
+        GROUP BY doc_id, pos
+    )
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    doc="SimHash: 32-bit bit-vote fingerprint over distinct tokens; equal "
+    "fingerprints (or low Hamming distance via banding) ⇒ near-dup.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    th = d.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", _hash32(F.col("tok")).alias("h")
+    ).distinct()
+    pos = spark.range(32).select(F.col("id").cast("int").alias("pos"))
+    votes = (
+        th.crossJoin(F.broadcast(pos))
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> pos) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << pos")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash32")
+    )

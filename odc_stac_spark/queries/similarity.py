@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- brute-force cosine top-k: the correctness baseline. Queries are tiny →
+  broadcast; the scan side streams once. Dot products run JVM-side via
+  ``zip_with``/``aggregate`` in whole-stage codegen (no Python).
+- IVF-style ANN (see :func:`ann_ivf_topk`): coarse-quantize every vector to
+  its nearest of K centroids (one broadcast join), probe only the
+  ``NPROBE`` closest clusters per query. At 100 TB this turns a full scan
+  per query into a fraction ``NPROBE/K`` of the data, and the cluster
+  assignment is a one-off write (bucketed/partitioned by cluster id).
+
+Determinism: all arithmetic is float64 left-fold (Spark ``aggregate`` and
+DuckDB ``list_dot_product`` over ``DOUBLE[]`` both reduce sequentially), so
+scores match the oracle bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from . import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+NEARDUP_COS = 0.45  # synthetic data max-cos ≈ 0.51; real corpora use ~0.95
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def _vecd(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos, rn FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="brute-force cosine top-k ANN baseline: broadcast queries × scan, "
+    "JVM zip_with/aggregate dot products, per-query window top-k.",
+    tags=("similarity",),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("eemb"))
+    cos = _dot(F.col("qemb"), F.col("eemb")) / (_norm(F.col("qemb")) * _norm(F.col("eemb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= {NEARDUP_COS}
+    """,
+    doc="embedding-cosine near-dup pairs (brute force; LSH/IVF blocking is "
+    "the scale path — see ann_ivf_topk).",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .where(F.col("cos_raw") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # non-SQL-friendly multi-stage plan; rows-only check +
+    # recall asserted against the brute-force oracle in tests/test_similarity.py
+    doc="IVF-style ANN: centroids = first IVF_K vectors; assign every vector "
+    "to nearest centroid (broadcast join); per query probe IVF_NPROBE "
+    "clusters then exact top-k within them. Scale path: assignment is a "
+    "materialized bucketed table; probing reads NPROBE/K of the data.",
+    tags=("similarity",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    # assign: nearest centroid per vector (broadcast IVF_K × n)
+    sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", "cent_id")
+    )
+    # probe: per query, IVF_NPROBE nearest centroids
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    qsim = _dot(F.col("qemb"), F.col("cemb")) / (_norm(F.col("qemb")) * _norm(F.col("cemb")))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qemb", "cent_id", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qemb", "cent_id")
+    )
+    # search only probed clusters
+    cos = _dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb")))
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw")
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
+    )

@@ -1,0 +1,154 @@
+"""Temporal / event-stream operators (SURVEY §2.9, build plan M3).
+
+These are the batch images of the streaming surface: the same expressions
+run under Structured Streaming (``readStream`` + ``withWatermark``), which
+is covered in odc_stac_spark/streaming and tests/test_streaming.py. Keeping
+batch/stream parity on one expression set is the Spark-idiomatic version of
+the reference's lazy iterator pipeline (_mdtools.py:705-723).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from . import register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "t_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 10-min window agg (streaming-ready: same expr under "
+    "readStream + watermark).",
+    tags=("temporal", "window"),
+)
+def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "t_sliding_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT time_bucket(INTERVAL '5 minutes', ts)
+                   - to_minutes(5 * CAST(UNNEST([0, 1]) AS BIGINT)) AS ws,
+               ts
+        FROM events
+    )
+    WHERE ts >= ws AND ts < ws + to_minutes(10)
+    GROUP BY 1
+    """,
+    doc="sliding window (10 min window, 5 min slide) — one row per window an "
+    "event falls into.",
+    tags=("temporal", "window"),
+)
+def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "t_session_windows",
+    oracle=f"""
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_GAP_US} OR
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                   THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30-min inactivity) via lag + running sum; "
+    "streaming analog is session_window()/applyInPandasWithState.",
+    tags=("temporal", "window"),
+)
+def t_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        lag_us.isNull() | ((F.unix_micros("ts") - lag_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "t_asof_last_signup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), '%Y-%m-%d %H:%M:%S.%f') AS last_signup_ts
+    FROM events
+    """,
+    doc="as-of join (each event ⋈ most recent signup ≤ ts, same user) via "
+    "carry-forward max window — no range-join explosion at scale.",
+    tags=("temporal", "join"),
+)
+def t_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(last_signup, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_signup_ts"),
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All hot-path expressions are JVM-side built-ins (split/regexp/array
+lambdas) — no Python UDFs — so they run inside whole-stage codegen and
+scale linearly with the documents table. At 100 TB the same plans apply;
+the only knob is input split size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import register
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "on", "for", "with"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+    doc="token counting: whitespace tokens + BPE-ish regex pre-tokens.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stop_ratio, avg_token_len,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.4 * LEAST(stop_ratio * 4, 1.0)
+               + 0.2 * LEAST(avg_token_len / 8.0, 1.0), 4) AS quality
+    FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))
+                     * 1.0 / len(toks), 4) AS stop_ratio,
+               ROUND(length(array_to_string(toks, '')) * 1.0 / len(toks), 4)
+                   AS avg_token_len
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) > 0
+    )
+    """,
+    doc="quality scoring: length / stopword-ratio / token-length heuristics "
+    "(training-data filtering, e.g. C4-style).",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size("toks")
+    stop_ratio = F.round(
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))) / n_tokens, 4
+    )
+    avg_len = F.round(F.length(F.concat_ws("", F.col("toks"))) / n_tokens, 4)
+    d = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+        + 0.2 * F.least(F.col("avg_token_len") / 8.0, F.lit(1.0)),
+        4,
+    )
+    return d.withColumn("quality", quality)
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN vr < 0.34 THEN 'consonantal'
+                WHEN vr < 0.38 THEN 'balanced'
+                ELSE 'vocalic' END AS char_class,
+           vr AS vowel_ratio
+    FROM (
+        SELECT doc_id, lang,
+               ROUND(len(regexp_extract_all(lower(text), '[aeiou]')) * 1.0
+                     / GREATEST(len(regexp_extract_all(lower(text), '[a-z]')), 1), 4) AS vr
+        FROM documents
+    )
+    """,
+    doc="language-ID n-gram/charclass heuristic (deterministic char-stat "
+    "classifier; real models plug in as pandas_udf at the same slot).",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    vowels = F.size(F.regexp_extract_all(low, F.lit("[aeiou]"), 0))
+    letters = F.greatest(F.size(F.regexp_extract_all(low, F.lit("[a-z]"), 0)), F.lit(1))
+    vr = F.round(vowels * F.lit(1.0) / letters, 4)
+    return d.select("doc_id", "lang", vr.alias("vr")).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("vr") < 0.34, "consonantal")
+        .when(F.col("vr") < 0.38, "balanced")
+        .otherwise("vocalic")
+        .alias("char_class"),
+        F.col("vr").alias("vowel_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprint: digest over sorted distinct token set "
+    "(word-order-insensitive near-exact dedup key).",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )
