@@ -1,0 +1,204 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed via Arrow-batched ``mapInPandas`` (SURVEY north
+star: multimodal training-data pipeline).
+
+The container has no image/audio codecs (no PIL/ffmpeg), so *decode* of
+real formats is stubbed behind a clear error (``decode_real_image``) while
+everything Spark owns is real and tested: schema, binary payload transport
+through Arrow batches, header parsing, vectorized per-record numpy work,
+batch shapes, and partitioning. A deterministic in-house raster format
+("SIMG") stands in for JPEG/PNG so tests can verify byte-exact behavior.
+
+SIMG layout: b"SIMG" | ver:u8 | width:u16le | height:u16le | channels:u8 |
+payload (width*height*channels bytes, row-major).
+
+Scale notes: records stay (id, binary) rows — Spark shuffles/spills binary
+columns natively; mapInPandas streams Arrow record batches so executor
+memory is bounded by batch size (spark.sql.execution.arrow.maxRecordsPerBatch),
+not partition size. Feature extraction emits narrow numeric rows, so the
+wide binary column is pruned from downstream plans.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"SIMG"
+HEADER_FMT = "<4sBHHB"  # magic, ver, w, h, c
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+
+def encode_simg(arr: np.ndarray) -> bytes:
+    """(h, w, c) uint8 → SIMG bytes."""
+    h, w, c = arr.shape
+    return struct.pack(HEADER_FMT, MAGIC, 1, w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_simg(data: bytes) -> np.ndarray:
+    magic, ver, w, h, c = struct.unpack_from(HEADER_FMT, data)
+    if magic != MAGIC:
+        raise ValueError("not a SIMG payload")
+    return np.frombuffer(data, np.uint8, count=w * h * c, offset=HEADER_SIZE).reshape(h, w, c)
+
+
+def decode_real_image(data: bytes):  # pragma: no cover - env lacks codecs
+    """Real-format decode slot (JPEG/PNG via PIL, frames via ffmpeg).
+    STUB: image/audio libraries are not installed in this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires Pillow, which is not installed; "
+            "the SIMG path exercises identical Spark plumbing"
+        ) from e
+    raise NotImplementedError("unreachable in this environment")
+
+
+def synth_image(seed: int, w: int = 16, h: int = 16, c: int = 3) -> np.ndarray:
+    """Deterministic fake image (stands in for decoded media)."""
+    y, x = np.mgrid[0:h, 0:w]
+    chans = [((seed * 37 + k * 11 + y * 5 + x * 3) % 256).astype(np.uint8) for k in range(c)]
+    return np.stack(chans, axis=-1)
+
+
+def demo_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media BINARY, media_type) demo table. At scale
+    this column comes straight from parquet/webdataset."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        encode_simg(synth_image(int(i), 16 + int(i) % 8, 16, 3))
+                        for i in pdf["doc_id"]
+                    ],
+                    "media_type": "image/x-simg",
+                }
+            )
+            yield out
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("payload_bytes", LongType()),
+    ]
+)
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Header-only parse — no payload copy (cheap scan over binary rows)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [struct.unpack_from(HEADER_FMT, b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m[2] for m in metas],
+                    "height": [m[3] for m in metas],
+                    "channels": [m[4] for m in metas],
+                    "payload_bytes": [len(b) - HEADER_SIZE for b in pdf["media"]],
+                }
+            )
+
+    return media.mapInPandas(parse, _META_SCHEMA)
+
+
+_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+        StructField("p_min", IntegerType()),
+        StructField("p_max", IntegerType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Feature extraction: per-image pixel stats (the 'embed this image'
+    slot — a model forward pass drops into the same mapInPandas body)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                px = decode_simg(bytes(blob)).astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "mean": round(float(px.mean()), 6),
+                        "std": round(float(px.std()), 6),
+                        "p_min": int(px.min()),
+                        "p_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(stats, _STATS_SCHEMA)
+
+
+def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize inside the executor; emits SIMG again."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["media"]:
+                px = decode_simg(bytes(blob))
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                out.append(encode_simg(px[np.ix_(yi, xi)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out, "media_type": "image/x-simg"})
+
+    return media.mapInPandas(rz, media.schema)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Video-style frame sampling: treat each image row as a 'frame' strip
+    and keep every k-th row — the plumbing a real video pipeline uses
+    (decode → sample → re-encode), minus the codec."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["media"]:
+                px = decode_simg(bytes(blob))
+                out.append(encode_simg(px[::every]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out, "media_type": "image/x-simg"})
+
+    return media.mapInPandas(fs, media.schema)

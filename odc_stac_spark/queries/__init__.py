@@ -57,5 +57,6 @@ def load_all() -> dict[str, Query]:
     from . import similarity  # noqa: F401
     from . import temporal  # noqa: F401
     from . import raster  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,358 @@
+"""STAC metadata plane as DataFrames (SURVEY §2.1 S1-S7, §2.2 P1-P5).
+
+The reference parses pystac Items one at a time on the driver
+(_mdtools.py:705-723). Here the item stream IS a DataFrame with an
+explicit nested schema, so at catalog scale (10⁸ items / STAC-geoparquet)
+parsing, raster-asset detection, band-metadata extraction, alias mapping
+and collection-schema inference are all Catalyst-planned jobs — filters
+push into the scan, and only the tiny inferred collection record is
+collected (SURVEY §1.2 "Spark mapping").
+
+Citations map each transform to the reference behavior it reproduces
+(semantics only — independent implementation):
+
+- ``is_raster_data``  → _mdtools.py:182-238 (media types :66-91)
+- ``band_metadata``   → _mdtools.py:101-136
+- ``asset_geobox``    → _mdtools.py:270-303
+- ``alias_map``       → _mdtools.py:400-442
+- ``band2grid``       → _mdtools.py:334-397
+- ``collection_id``   → _mdtools.py:471-479
+- ``parse_items``     → _mdtools.py:642-723
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..model import (
+    GeoBox,
+    RasterBandMetadata,
+    RasterCollectionMetadata,
+    RasterSource,
+)
+
+# ---- schema for raw STAC items (S1 scan) ---------------------------------
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("href", StringType()),
+        StructField("type", StringType()),  # media type
+        StructField("roles", ArrayType(StringType())),
+        StructField("gsd", DoubleType()),
+        StructField("proj_shape", ArrayType(IntegerType())),
+        StructField("proj_transform", ArrayType(DoubleType())),
+        StructField("proj_epsg", IntegerType()),
+        StructField(
+            "eo_bands",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField("common_name", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "raster_bands",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("data_type", StringType()),
+                        StructField("nodata", DoubleType()),
+                        StructField("unit", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+ITEM_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("collection", StringType()),
+        StructField("odc_product", StringType()),
+        StructField("datetime", TimestampType()),
+        StructField("start_datetime", TimestampType()),
+        StructField("end_datetime", TimestampType()),
+        StructField("href", StringType()),
+        StructField("bbox", ArrayType(DoubleType())),
+        StructField("assets", MapType(StringType(), ASSET_SCHEMA)),
+        StructField("properties", MapType(StringType(), StringType())),
+    ]
+)
+
+# media types treated as raster data (reference RASTER_FILE_EXTENSIONS /
+# media-type sets, _mdtools.py:66-91)
+_RASTER_EXTS = ("tif", "tiff", "jpeg", "jpg", "png", "jp2", "img", "nc", "hdf", "h5", "zarr")
+_NON_DATA_ROLES = ("thumbnail", "overview", "metadata")
+
+
+def items_df(spark: SparkSession, items: Iterable[dict]) -> DataFrame:
+    """S1: item dicts → typed nested DataFrame. At scale, replace with
+    ``spark.read.json(..., schema=ITEM_SCHEMA)`` or a STAC-geoparquet scan
+    — the downstream transforms are identical."""
+    return spark.createDataFrame(list(items), schema=ITEM_SCHEMA)
+
+
+def is_raster_data_col(asset: F.Column) -> F.Column:
+    """S4 heuristic as a boolean expression (reference _mdtools.py:182-238):
+    media type image/* or raster container formats; roles must not be
+    thumbnail/overview/metadata; no media type → file extension."""
+    media = F.lower(F.coalesce(asset["type"], F.lit("")))
+    roles = F.coalesce(asset["roles"], F.array())
+    href = F.lower(F.coalesce(asset["href"], F.lit("")))
+    bad_role = F.arrays_overlap(roles, F.array(*[F.lit(r) for r in _NON_DATA_ROLES]))
+    is_media_raster = (
+        media.startswith("image/")
+        | media.contains("geotiff")
+        | media.contains("netcdf")
+        | media.contains("hdf")
+        | media.contains("zarr")
+    )
+    ext = F.element_at(F.split(F.split(href, r"\?").getItem(0), r"\."), -1)
+    is_ext_raster = ext.isin(*_RASTER_EXTS)
+    has_data_role = F.array_contains(roles, "data")
+    return ~bad_role & (
+        is_media_raster
+        | has_data_role
+        | ((media == "") & is_ext_raster)
+    )
+
+
+def assets_df(items: DataFrame) -> DataFrame:
+    """Explode items → one row per (item, asset) with raster flag."""
+    ex = items.select(
+        "id",
+        "collection",
+        "odc_product",
+        "datetime",
+        "start_datetime",
+        "end_datetime",
+        F.explode("assets").alias("asset_name", "asset"),
+    )
+    return ex.withColumn("is_raster", is_raster_data_col(F.col("asset")))
+
+
+def raster_assets_df(items: DataFrame) -> DataFrame:
+    """S4/P7: keep only pixel-bearing assets, attach band metadata (S5) and
+    geobox struct (S6)."""
+    a = assets_df(items).where("is_raster")
+    # S5 band metadata: raster:bands extension else defaults
+    # (float32/None/"1" — reference BAND_DEFAULTS loader/types.py:160)
+    rb = F.coalesce(
+        F.col("asset.raster_bands"),
+        F.array(
+            F.struct(
+                F.lit(None).cast(StringType()).alias("data_type"),
+                F.lit(None).cast(DoubleType()).alias("nodata"),
+                F.lit(None).cast(StringType()).alias("unit"),
+            )
+        ),
+    )
+    a = a.select(
+        "*",
+        F.posexplode(rb).alias("band_idx0", "band_meta"),
+    ).withColumn("band_idx", F.col("band_idx0") + 1)
+    # S6 asset geobox: proj shape+transform; 9-element affine accepted iff
+    # tail == [0,0,1] (reference _mdtools.py:296-301)
+    tr = F.col("asset.proj_transform")
+    valid_tr = tr.isNotNull() & (
+        (F.size(tr) == 6)
+        | ((F.size(tr) == 9)
+           & (tr.getItem(6) == 0.0) & (tr.getItem(7) == 0.0) & (tr.getItem(8) == 1.0))
+    )
+    has_gbox = valid_tr & F.col("asset.proj_shape").isNotNull() & F.col(
+        "asset.proj_epsg"
+    ).isNotNull()
+    return a.select(
+        "id",
+        "collection",
+        "odc_product",
+        "datetime",
+        "start_datetime",
+        "end_datetime",
+        "asset_name",
+        "band_idx",
+        F.col("asset.href").alias("href"),
+        F.col("band_meta.data_type").alias("data_type"),
+        F.col("band_meta.nodata").alias("nodata"),
+        F.coalesce(F.col("band_meta.unit"), F.lit("1")).alias("unit"),
+        F.col("asset.gsd").alias("gsd"),
+        F.when(has_gbox, F.col("asset.proj_shape")).alias("g_shape"),
+        F.when(has_gbox, F.slice(tr, 1, 6)).alias("g_transform"),
+        F.when(has_gbox, F.concat(F.lit("EPSG:"), F.col("asset.proj_epsg"))).alias("g_crs"),
+        F.col("asset.eo_bands").alias("eo_bands"),
+    )
+
+
+def alias_map_df(items: DataFrame) -> DataFrame:
+    """S7: eo:bands name/common_name → candidate asset list ordered by
+    (band count asc, asset name) — 1-band assets win aliases
+    (reference _mdtools.py:400-442, priority :437-442)."""
+    a = assets_df(items).where("is_raster")
+    eo = a.select(
+        "collection",
+        "asset_name",
+        F.size(F.coalesce(F.col("asset.eo_bands"), F.array())).alias("n_bands"),
+        F.posexplode(F.coalesce(F.col("asset.eo_bands"), F.array())).alias("idx0", "eo"),
+    )
+    names = eo.select(
+        "collection",
+        "asset_name",
+        "n_bands",
+        (F.col("idx0") + 1).alias("band_idx"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.array(F.col("eo.name"), F.col("eo.common_name")),
+                    lambda x: x.isNotNull(),
+                )
+            )
+        ).alias("alias"),
+    ).distinct()
+    # drop aliases that shadow a real asset name (reference skips those,
+    # _mdtools.py:430-432)
+    asset_names = a.select("collection", F.col("asset_name").alias("alias")).distinct()
+    names = names.join(asset_names, ["collection", "alias"], "left_anti")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("n_bands", "asset_name", "band_idx"))
+    )
+    return names.groupBy("collection", "alias").agg(
+        F.transform(ordered, lambda x: F.struct(x["asset_name"], x["band_idx"])).alias(
+            "candidates"
+        )
+    )
+
+
+def collection_id_col() -> F.Column:
+    """collection → odc:product → '_' (reference _mdtools.py:471-479)."""
+    return F.coalesce(F.col("collection"), F.col("odc_product"), F.lit("_"))
+
+
+def extract_collection_metadata(
+    spark: SparkSession, items: DataFrame
+) -> Dict[str, RasterCollectionMetadata]:
+    """S3: one-pass aggregation → per-collection schema records. Only the
+    tiny inferred records are collected (items stay distributed).
+
+    Consistency assumption as in the reference (loader/types.py:16-19):
+    same-named assets share dtype/nodata across items → ``first()``."""
+    ra = raster_assets_df(items).withColumn("cid", collection_id_col())
+    per_band = (
+        ra.groupBy("cid", "asset_name", "band_idx")
+        .agg(
+            F.first("data_type", ignorenulls=True).alias("data_type"),
+            F.first("nodata", ignorenulls=True).alias("nodata"),
+            F.first("unit", ignorenulls=True).alias("unit"),
+            F.first("gsd", ignorenulls=True).alias("gsd"),
+            F.first("g_transform", ignorenulls=True).alias("g_transform"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        .collect()
+    )
+    aliases = alias_map_df(items.withColumn("collection", collection_id_col())).collect()
+
+    out: Dict[str, RasterCollectionMetadata] = {}
+    for r in per_band:
+        md = out.setdefault(
+            r.cid, RasterCollectionMetadata(name=r.cid, bands={}, aliases={}, band2grid={})
+        )
+        md.bands[(r.asset_name, int(r.band_idx))] = RasterBandMetadata(
+            data_type=r.data_type or "float32",
+            nodata=r.nodata,
+            unit=r.unit or "1",
+        )
+        # A9 band→grid: group by resolution; named by gsd rank (default =
+        # most-common handled below)
+        res = abs(r.g_transform[0]) if r.g_transform else (r.gsd or 0.0)
+        md.band2grid[r.asset_name] = res
+    for r in aliases:
+        if r.collection in out:
+            out[r.collection].aliases[r.alias] = [
+                (c[0], int(c[1])) for c in r.candidates
+            ]
+    # grid naming: most-common resolution = "default", others g<res>
+    # (reference _group_geoboxes naming _mdtools.py:353-374)
+    for md in out.values():
+        from collections import Counter
+
+        votes = Counter(md.band2grid.values())
+        if not votes:
+            continue
+        top = max(votes.values())
+        default_res = min(res for res, c in votes.items() if c == top)
+        md.band2grid = {
+            band: ("default" if res == default_res else f"g{res:g}")
+            for band, res in md.band2grid.items()
+        }
+    return out
+
+
+def parse_items(
+    spark: SparkSession,
+    items: DataFrame,
+    collections: Optional[Dict[str, RasterCollectionMetadata]] = None,
+) -> DataFrame:
+    """S2: parsed-item rows — (item, band) with source URI, geobox, meta;
+    the DataFrame image of ``Iterator[ParsedItem]``. Feed to
+    ``to_load_items`` for the pixel plane, or query it relationally."""
+    ra = raster_assets_df(items).withColumn("cid", collection_id_col())
+    return ra.select(
+        "cid",
+        "id",
+        "datetime",
+        "start_datetime",
+        "end_datetime",
+        "asset_name",
+        "band_idx",
+        "href",
+        "data_type",
+        "nodata",
+        "unit",
+        "g_shape",
+        "g_transform",
+        "g_crs",
+    )
+
+
+def to_load_items(parsed: DataFrame, band: Optional[Sequence[str]] = None) -> List:
+    """Driver-side bridge: parsed rows → plans.load.Item list (small AOIs;
+    the pixel pipeline consumes the DataFrame form directly at scale)."""
+    from ..plans.load import Item
+
+    rows = parsed.collect()
+    by_item: Dict[str, Item] = {}
+    for r in rows:
+        if band is not None and r.asset_name not in band:
+            continue
+        it = by_item.get(r.id)
+        if it is None:
+            it = Item(id=r.id, datetime=r.datetime, bands={})
+            by_item[r.id] = it
+        gbox = None
+        if r.g_shape is not None and r.g_transform is not None:
+            t = r.g_transform
+            gbox = GeoBox((r.g_shape[0], r.g_shape[1]), (t[0], t[1], t[2], t[3], t[4], t[5]), r.g_crs)
+        it.bands[r.asset_name] = RasterSource(
+            uri=r.href,
+            band=int(r.band_idx),
+            geobox=gbox,
+            meta=RasterBandMetadata(r.data_type or "float32", r.nodata, r.unit or "1"),
+        )
+    return [by_item[k] for k in sorted(by_item)]

@@ -1,0 +1,59 @@
+"""Multimodal binary-column plumbing: byte-exact round trips through
+Arrow/mapInPandas vs direct numpy computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from odc_stac_spark.operators.multimodal import (
+    decode_metadata,
+    decode_real_image,
+    decode_simg,
+    demo_media_df,
+    encode_simg,
+    frame_sample,
+    image_stats,
+    resize_nearest,
+    synth_image,
+)
+
+
+def test_simg_roundtrip():
+    img = synth_image(7, w=20, h=12, c=3)
+    assert img.shape == (12, 20, 3)
+    back = decode_simg(encode_simg(img))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_decode_metadata_and_stats(spark, sf_dir):
+    media = demo_media_df(spark, sf_dir).where("doc_id < 20")
+    meta = {r.doc_id: r for r in decode_metadata(media).collect()}
+    stats = {r.doc_id: r for r in image_stats(media).collect()}
+    for doc_id in meta:
+        w = 16 + doc_id % 8
+        img = synth_image(doc_id, w, 16, 3)
+        m = meta[doc_id]
+        assert (m.width, m.height, m.channels) == (w, 16, 3)
+        assert m.payload_bytes == w * 16 * 3
+        s = stats[doc_id]
+        assert s.mean == round(float(img.astype("float64").mean()), 6)
+        assert s.p_min == int(img.min()) and s.p_max == int(img.max())
+
+
+def test_resize_and_frame_sample(spark, sf_dir):
+    media = demo_media_df(spark, sf_dir).where("doc_id < 8")
+    rz = {r.doc_id: bytes(r.media) for r in resize_nearest(media, 8, 8).collect()}
+    fs = {r.doc_id: bytes(r.media) for r in frame_sample(media, every=4).collect()}
+    for doc_id in rz:
+        w = 16 + doc_id % 8
+        img = synth_image(doc_id, w, 16, 3)
+        yi = (np.arange(8) * 16 // 8).astype(int)
+        xi = (np.arange(8) * w // 8).astype(int)
+        np.testing.assert_array_equal(decode_simg(rz[doc_id]), img[np.ix_(yi, xi)])
+        np.testing.assert_array_equal(decode_simg(fs[doc_id]), img[::4])
+
+
+def test_real_decode_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_real_image(b"\x89PNG...")

@@ -1,0 +1,107 @@
+"""Structured Streaming tests: file-source micro-batches, watermarked
+window aggs matching the batch result, and stateful incremental schema
+inference (the _CMDAssembler analog)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from odc_stac_spark.sources.tables import load_table
+from odc_stac_spark.streaming import (
+    infer_collections_stateful,
+    stream_events,
+    stream_tumbling_counts,
+)
+from odc_stac_spark.streaming.events import ASSET_STREAM_SCHEMA
+
+
+def _run_stream_to_memory(q_df, name, mode="update"):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    # stage the real events table as a stream input dir in two chunks
+    ev = load_table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "stream_in")
+    ev.where("event_id % 2 = 0").write.parquet(in_dir)
+    ev.where("event_id % 2 = 1").write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = stream_tumbling_counts(stream)
+    _run_stream_to_memory(agg, "tumbling_counts", mode="append")
+
+    got = (
+        spark.sql("SELECT * FROM tumbling_counts")
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    want = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    # availableNow processes everything; append emits only below-watermark
+    # windows — so got ⊆ want with equal counts where present
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    w = {(r.window_start, r.event_type): r.n_events for r in want.collect()}
+    assert g, "stream produced no finalized windows"
+    for k, v in g.items():
+        assert w[k] == v, f"window {k}: stream {v} != batch {w[k]}"
+
+
+def test_stateful_schema_inference_evolves(spark, tmp_path):
+    in_dir = tmp_path / "assets_in"
+    in_dir.mkdir()
+    t0 = datetime(2024, 1, 1)
+    batch1 = pd.DataFrame(
+        [
+            {"collection": "s2", "asset_name": "B02", "data_type": "uint16", "nodata": "0", "seen_ts": t0},
+            {"collection": "s2", "asset_name": "B03", "data_type": "uint16", "nodata": "0", "seen_ts": t0},
+            {"collection": "ls", "asset_name": "red", "data_type": "float32", "nodata": None, "seen_ts": t0},
+        ]
+    )
+    batch2 = pd.DataFrame(
+        [
+            # B02 repeats (no change), SCL is new → s2 schema evolves
+            {"collection": "s2", "asset_name": "B02", "data_type": "uint16", "nodata": "0", "seen_ts": t0 + timedelta(minutes=1)},
+            {"collection": "s2", "asset_name": "SCL", "data_type": "uint8", "nodata": None, "seen_ts": t0 + timedelta(minutes=1)},
+        ]
+    )
+    spark.createDataFrame(batch1, ASSET_STREAM_SCHEMA).write.parquet(str(in_dir), mode="append")
+    spark.createDataFrame(batch2, ASSET_STREAM_SCHEMA).write.parquet(str(in_dir), mode="append")
+
+    stream = spark.readStream.schema(ASSET_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(in_dir))
+    out = infer_collections_stateful(stream)
+    _run_stream_to_memory(out, "schema_updates", mode="update")
+
+    rows = spark.sql(
+        "SELECT * FROM schema_updates ORDER BY collection, n_assets"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[r.collection] = r
+    assert latest["ls"].assets == "red"
+    assert latest["s2"].n_assets == 3
+    assert latest["s2"].assets == "B02,B03,SCL"
+    # schema must have EVOLVED (bootstrap emit + update emit), not one-shot
+    s2_rows = [r for r in rows if r.collection == "s2"]
+    assert len(s2_rows) >= 2
+    assert s2_rows[0].n_assets < s2_rows[-1].n_assets
