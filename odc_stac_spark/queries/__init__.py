@@ -58,5 +58,6 @@ def load_all() -> dict[str, Query]:
     from . import temporal  # noqa: F401
     from . import raster  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import scalars  # noqa: F401
 
     return REGISTRY

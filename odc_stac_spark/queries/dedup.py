@@ -120,7 +120,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
+    # persist: the shingle table feeds the self-join twice plus the count
+    # side — at scale this is a materialized intermediate, not a recompute
+    sh = _shingles_df(spark, sf_dir).persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -140,9 +142,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m15) MinHash signature — one groupBy pass, all JVM."""
-    sh = _shingles_df(spark, sf_dir).select("doc_id", _hash32(F.col("shingle")).alias("h"))
+    sh = sh.select("doc_id", _hash32(F.col("shingle")).alias("h"))
     mins = [
         F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(
             f"m{j}"
@@ -210,8 +212,9 @@ def _band_cols_sql() -> str:
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
-    sig = _minhash_sig(spark, sf_dir)
+    # one shingle materialization feeds signature, verify join and counts
+    sh = _shingles_df(spark, sf_dir).persist()
+    sig = _minhash_sig(sh)
     band_structs = F.array(
         *[
             F.struct(
