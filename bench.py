@@ -60,6 +60,11 @@ def main() -> None:
         q.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # raster-path throughput (BASELINE sanity anchor: reference does
+    # 4.1-4.8 Mpx/s/thread on the s2-ms-mosaic load)
+    mpx_s, raster_sec = raster_throughput(spark)
+    timings["r_mosaic_load"] = raster_sec
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -69,10 +74,58 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "raster_mpx_per_sec": mpx_s,
             }
         )
     )
     spark.stop()
+
+
+def raster_throughput(spark):
+    """Time a s2-ms-mosaic-shaped load: 9 overlapping items x 2 bands into
+    a 4096x1408 grid (~46 Mpx of output) through the full tile pipeline."""
+    from datetime import datetime, timedelta
+
+    from odc_stac_spark.model import GeoBox, RasterBandMetadata, RasterSource
+    from odc_stac_spark.plans.load import Item, load
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+
+    def mk_items(n, ny, nx, dy):
+        out = []
+        for i in range(n):
+            origin = (0.0, 10.0 * (ny + (n - 1) * dy) - i * dy * 10.0)
+            gbox = GeoBox((ny, nx), (10.0, 0.0, origin[0], 0.0, -10.0, origin[1]), "EPSG:32735")
+            out.append(
+                Item(
+                    id=f"bench-{i:03d}",
+                    datetime=t0 + timedelta(minutes=i),
+                    bands={
+                        b: RasterSource(
+                            f"synth://{b}{i}?seed={i}&nodata_every=5",
+                            geobox=gbox,
+                            meta=RasterBandMetadata("uint16", 0),
+                        )
+                        for b in ("red", "nir")
+                    },
+                    lon=27.4,
+                )
+            )
+        return out
+
+    # warm the applyInPandas/Arrow python-worker path (reference times its
+    # warm run the same way, docs/benchmarking.rst:234-237)
+    wt, _ = load(spark, mk_items(2, 256, 256, 128), groupby="solar_day", chunks=(256, 256))
+    wt.write.mode("overwrite").format("noop").save()
+
+    # 9 overlapping scenes → ~10000x2816 grid ≈ 28 Mpx x 2 bands
+    items = mk_items(9, 2000, 2816, 1000)
+    start = time.perf_counter()
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(1024, 1024))
+    tiles_df.write.mode("overwrite").format("noop").save()
+    elapsed = time.perf_counter() - start
+    npix = len(plan.bands) * len(plan.group_keys) * plan.gbox.shape[0] * plan.gbox.shape[1]
+    return round(npix / elapsed / 1e6, 3), round(elapsed, 3)
 
 
 if __name__ == "__main__":
