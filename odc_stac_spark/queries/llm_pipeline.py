@@ -1,0 +1,167 @@
+"""Higher-order training-data pipeline operators.
+
+- **dedup clustering**: near-dup pairs → connected components via
+  iterative min-label propagation (the step after LSH in a real dedup
+  pipeline: pick one survivor per duplicate cluster). Genuinely iterative
+  DataFrame algorithm — loop on the driver, joins in the cluster,
+  persist+localCheckpoint each round to cut lineage. The DuckDB oracle is
+  a recursive CTE computing the same min-reachable-id labels.
+- **stratified sampling**: deterministic md5-hash gate per document with
+  per-language rates — reproducible sampling (no rand()), exactly what a
+  data mixer uses; hash arithmetic matches DuckDB bit-for-bit.
+- **token stats**: per-language top-k tokens (explode → count → window) —
+  the vocabulary/frequency pass of corpus analysis.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from .dedup import JACCARD_THRESHOLD, _hash32, _SHINGLES_SQL, dedup_ngram_jaccard
+from . import register
+
+SAMPLE_RATES = {"es": 50, "zh": 20}  # percent; default below
+SAMPLE_DEFAULT = 10
+
+
+def _pairs_sql() -> str:
+    return f"""
+        SELECT doc_a, doc_b FROM (
+            WITH sh AS ({_SHINGLES_SQL}),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b
+            FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
+                       JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_THRESHOLD}
+        )
+    """
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_pairs_sql()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    )
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+    doc="dedup clustering: connected components over near-dup pairs via "
+    "iterative min-label propagation (survivor selection after LSH).",
+    tags=("dedup", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct().withColumn("component", F.col("doc_id"))
+    ).persist()
+    # min-label propagation to fixpoint; components here are tiny (dup
+    # clusters), so few rounds. localCheckpoint truncates lineage so the
+    # plan doesn't grow with iterations (the Spark-idiomatic Pregel loop).
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component")
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, bucket
+    FROM (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 AS bucket
+          FROM documents)
+    WHERE bucket < CASE lang WHEN 'es' THEN {SAMPLE_RATES['es']}
+                             WHEN 'zh' THEN {SAMPLE_RATES['zh']}
+                             ELSE {SAMPLE_DEFAULT} END
+    """,
+    doc="stratified sampling: deterministic md5-hash gate with per-language "
+    "rates (reproducible data mixing — no rand()).",
+    tags=("text", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash32(F.col("doc_id").cast("string")) % 100
+    rate = (
+        F.when(F.col("lang") == "es", SAMPLE_RATES["es"])
+        .when(F.col("lang") == "zh", SAMPLE_RATES["zh"])
+        .otherwise(SAMPLE_DEFAULT)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "text_top_tokens_per_lang",
+    oracle="""
+    SELECT lang, tok, n, rn FROM (
+        SELECT lang, tok, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        FROM (SELECT lang, tok, COUNT(*) AS n
+              FROM (SELECT lang,
+                           UNNEST(string_split_regex(trim(lower(text)), ' +')) AS tok
+                    FROM documents)
+              GROUP BY 1, 2)
+    ) WHERE rn <= 5
+    """,
+    doc="corpus vocabulary: top-5 tokens per language (explode → count → "
+    "ranked window).",
+    tags=("text",),
+)
+def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    counts = (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
