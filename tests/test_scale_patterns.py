@@ -1,0 +1,122 @@
+"""Executable evidence for the 100 TB design claims: pushdown reaches the
+scan, dimension joins broadcast, bucketing removes the co-located join
+shuffle, AQE is active, salting preserves results."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from odc_stac_spark.operators.skew import salted_sum
+from odc_stac_spark.queries import load_all
+from odc_stac_spark.sources.tables import load_table
+
+REGISTRY = load_all()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _executed_plan(REGISTRY["q6_revenue_forecast"].spark_fn(spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # filters pushed into the parquet scan (toString truncates the full
+    # list — l_shipdate visibly pushed, l_discount present as DataFilter)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan_line
+    assert "l_discount" in scan_line.split("DataFilters:")[1].split("Format:")[0]
+    # column pruning: scan reads only the 4 needed columns
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan_line).group(1)
+    assert "l_extendedprice" in cols and "l_returnflag" not in cols
+    assert cols.count(",") == 3
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _executed_plan(REGISTRY["q5_local_supplier_volume"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Co-located fact-fact join: both sides bucketed by the join key →
+    SortMergeJoin with NO Exchange (at 100 TB this is the difference
+    between shuffling two fact tables and shuffling nothing)."""
+    warehouse = str(tmp_path / "wh")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{warehouse}/orders_b").mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{warehouse}/lineitem_b").mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    try:
+        joined = (
+            spark.table("orders_b")
+            .hint("merge")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _executed_plan(joined)
+        join_section = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
+        assert "SortMergeJoin" in plan
+        # no Exchange feeding the join (the only exchange allowed is the
+        # final groupBy's)
+        pre_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # and results match the unbucketed join
+        plain = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        got = {r.o_orderpriority: r.q for r in joined.collect()}
+        want = {r.o_orderpriority: r.q for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_aqe_enabled_and_coalescing(spark, sf_dir):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = _executed_plan(df)
+    assert "AQEShuffleRead" in plan  # runtime partition coalescing active
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_sum(ev, ["event_type"], "value", salt_on="event_id", n_salt=8)
+    plain = ev.groupBy("event_type").agg(F.sum("value").alias("total"))
+    got = {r.event_type: round(r.total, 6) for r in salted.collect()}
+    want = {r.event_type: round(r.total, 6) for r in plain.collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_dir):
+    """Hot-path queries stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    in any oracle-gated relational/text/dedup plan."""
+    for name in ["q1_pricing_summary", "text_quality_score", "dedup_minhash_lsh",
+                 "a2_solar_day", "knn_bruteforce_cosine"]:
+        plan = _executed_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
