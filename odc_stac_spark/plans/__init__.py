@@ -1,3 +1,3 @@
-from .load import LoadPlan, assemble_numpy, load, plan_load
+from .load import Dataset, LoadPlan, assemble_dataset, assemble_numpy, load, plan_load
 
-__all__ = ["LoadPlan", "assemble_numpy", "load", "plan_load"]
+__all__ = ["Dataset", "LoadPlan", "assemble_dataset", "assemble_numpy", "load", "plan_load"]

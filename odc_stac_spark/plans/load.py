@@ -137,6 +137,12 @@ def plan_load(
     temporal grouping (A1-A5), tiling (F13)."""
     if not items:
         raise ValueError("no items")
+    # P3 mutual-exclusion validation (reference output_geobox arg checks,
+    # _mdtools.py:874-886: conflicting spatial specs raise, not override)
+    if geobox is not None and any(v is not None for v in (bbox, resolution, crs)):
+        raise ValueError(
+            "geobox= is mutually exclusive with bbox=/resolution=/crs="
+        )
 
     # band resolution: requested or union across items (P1/P2 tolerance)
     all_bands: List[str] = []
@@ -385,6 +391,56 @@ def load(
 
     tiles_df = tasks.groupBy("band", "t", "iy", "ix").applyInPandas(run_tile, _TILE_SCHEMA)
     return tiles_df, plan
+
+
+@dataclass
+class Dataset:
+    """Lightweight xarray.Dataset stand-in (sink S13 parity: dims
+    (time, y, x), spatial coords from the geobox, per-band nodata attrs —
+    reference mk_dataset, loader/_builder.py:215-243). xarray itself is
+    not installed in this container; ``to_xarray()`` upgrades when it is."""
+
+    bands: Dict[str, np.ndarray]  # (time, y, x) each
+    time: List
+    y: np.ndarray
+    x: np.ndarray
+    crs: str
+    nodata: Dict[str, Optional[float]]
+
+    def to_xarray(self):  # pragma: no cover - xarray absent here
+        try:
+            import xarray as xr
+        except ImportError as e:
+            raise NotImplementedError("xarray not installed") from e
+        coords = {"time": self.time, "y": self.y, "x": self.x}
+        data_vars = {
+            b: xr.DataArray(a, dims=("time", "y", "x"), attrs={"nodata": self.nodata.get(b)})
+            for b, a in self.bands.items()
+        }
+        ds = xr.Dataset(data_vars, coords=coords)
+        ds.attrs["crs"] = self.crs
+        return ds
+
+
+def assemble_dataset(tiles_df: DataFrame, plan: LoadPlan) -> Dataset:
+    """S13: tiles → Dataset with coordinates (pixel-center convention)."""
+    bands = assemble_numpy(tiles_df, plan)
+    sx, _, x0, _, sy, y0 = plan.gbox.transform
+    x = x0 + (np.arange(plan.gbox.width) + 0.5) * sx
+    y = y0 + (np.arange(plan.gbox.height) + 0.5) * sy
+    nod = {}
+    for b, c in plan.cfg.items():
+        src_nodata = resolve_src_nodata(None, c)
+        dt = bands[b].dtype if b in bands else np.dtype(c.dtype or "float32")
+        nod[b] = resolve_dst_nodata(dt, c, src_nodata)
+    return Dataset(
+        bands=bands,
+        time=[pd.Timestamp(t) for t in plan.group_ts],
+        y=y,
+        x=x,
+        crs=plan.gbox.crs,
+        nodata=nod,
+    )
 
 
 def assemble_numpy(tiles_df: DataFrame, plan: LoadPlan) -> Dict[str, np.ndarray]:

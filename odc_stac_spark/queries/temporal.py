@@ -126,6 +126,68 @@ def t_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="REAL Structured Streaming run: events parquet as a file-source "
+    "stream (availableNow) → watermarked tumbling windows → memory sink; "
+    "final update per window must equal the batch answer (stream/batch "
+    "parity through the same expressions).",
+    tags=("temporal", "streaming"),
+)
+def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import tempfile
+
+    name = "t_stream_tumbling_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # the file-stream source wants a directory: stage a symlink
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    # schema must match the physical file: ts is TIMESTAMP(NANOS) → bigint
+    # under nanosAsLong (the raw batch-read schema, pre-conversion)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    # events.parquet stores ns timestamps → arrives as bigint (nanosAsLong)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode table holds every state update; counts are monotone so
+    # the final value per key is the max
+    return (
+        spark.table(name)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@register(
     "t_asof_last_signup",
     oracle="""
     SELECT event_id, user_id, event_type,

@@ -258,3 +258,32 @@ def test_tiles_df_is_lazy_and_partitioned(spark):
     n_tiles = tiles_df.count()
     nty, ntx = plan.tiles.chunk_counts
     assert n_tiles == nty * ntx
+
+
+def test_geobox_conflicts_raise(spark):
+    items = [mk_item(0)]
+    gbox = GeoBox.from_bbox((0, 0, 1200, 1000), 10.0, CRS)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        plan_load(items, geobox=gbox, resolution=20.0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        plan_load(items, geobox=gbox, bbox=(0, 0, 10, 10))
+    with pytest.raises(ValueError, match="unknown bands"):
+        plan_load(items, bands=["nope"])
+
+
+def test_assemble_dataset_coords(spark):
+    from odc_stac_spark.plans.load import assemble_dataset
+
+    items = [mk_item(0, nodata=-1)]
+    plan = plan_load(items, chunks=(32, 32))
+    tiles_df, _ = load(spark, items, plan=plan)
+    ds = assemble_dataset(tiles_df, plan)
+    assert set(ds.bands) == {"red"}
+    assert len(ds.time) == 1 and ds.time[0] == items[0].datetime
+    assert ds.crs == CRS
+    # pixel-center coords: first x = x0 + res/2, first y = y0 - res/2
+    assert ds.x[0] == 5.0 and ds.x[1] - ds.x[0] == 10.0
+    assert ds.y[0] == 995.0 and ds.y[1] - ds.y[0] == -10.0
+    assert ds.bands["red"].shape == (1, 100, 120)
+    with pytest.raises(NotImplementedError, match="xarray"):
+        ds.to_xarray()

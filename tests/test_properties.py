@@ -1,0 +1,84 @@
+"""Property-based round-trip tests (reference strategy SURVEY §5.3 —
+upgraded from fixed parametrization to hypothesis)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from odc_stac_spark.model import (
+    GeoBox,
+    GeoboxTiles,
+    band_display_name,
+    norm_key,
+    pick_overview,
+    solar_offset_seconds,
+)
+
+res_st = st.sampled_from([0.25, 1.0, 10.0, 30.0, 60.0])
+size_st = st.integers(min_value=1, max_value=500)
+
+
+@given(
+    name=st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True),
+    idx=st.integers(min_value=1, max_value=99),
+)
+def test_norm_key_display_roundtrip(name, idx):
+    key = (name, idx)
+    assert norm_key(band_display_name(key)) == key
+
+
+@settings(max_examples=200)
+@given(
+    x0=st.floats(-1e6, 1e6, allow_nan=False),
+    y0=st.floats(-1e6, 1e6, allow_nan=False),
+    res=res_st,
+    ny=size_st,
+    nx=size_st,
+    iy=st.integers(0, 499),
+    ix=st.integers(0, 499),
+)
+def test_pixel_world_roundtrip(x0, y0, res, ny, nx, iy, ix):
+    g = GeoBox((ny, nx), (res, 0.0, x0, 0.0, -res, y0), "EPSG:32735")
+    iy, ix = iy % ny, ix % nx
+    # pixel center maps back to the same pixel
+    x, y = g.world_of(iy, ix)
+    assert g.pixel_of(x + res / 2, y - res / 2) == (iy, ix)
+
+
+@settings(max_examples=100)
+@given(ny=size_st, nx=size_st, ty=st.integers(1, 64), tx=st.integers(1, 64))
+def test_tiles_partition_exactly(ny, nx, ty, tx):
+    g = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 0.0), "EPSG:32735")
+    tiles = GeoboxTiles(g, (ty, tx))
+    nty, ntx = tiles.chunk_counts
+    # tile shapes sum back to the base shape on each axis, none empty
+    heights = [tiles.tile_geobox(i, 0).shape[0] for i in range(nty)]
+    widths = [tiles.tile_geobox(0, j).shape[1] for j in range(ntx)]
+    assert sum(heights) == ny and sum(widths) == nx
+    assert all(h > 0 for h in heights) and all(w > 0 for w in widths)
+    # whole-extent query touches every tile
+    hits = set(tiles.tiles_overlapping_bbox(g.bbox()))
+    assert hits == {(i, j) for i in range(nty) for j in range(ntx)}
+
+
+@given(lon=st.floats(-180.0, 180.0, allow_nan=False))
+def test_solar_offset_bounds_and_truncation(lon):
+    off = solar_offset_seconds(lon)
+    assert off == int(lon / 15) * 3600  # trunc toward zero
+    assert abs(off) <= 12 * 3600
+
+
+@given(
+    shrink=st.integers(1, 64),
+    overviews=st.lists(st.integers(2, 32).map(lambda x: x), min_size=0, max_size=5),
+)
+def test_pick_overview_is_largest_leq(shrink, overviews):
+    overviews = sorted(set(overviews))
+    i = pick_overview(shrink, overviews)
+    if i is None:
+        assert all(o > shrink for o in overviews)
+    else:
+        assert overviews[i] <= shrink
+        assert all(o > shrink for o in overviews[i + 1 :])
