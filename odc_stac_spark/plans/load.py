@@ -6,11 +6,11 @@ mosaic tasks. Here every stage is a DataFrame transform, and the physical
 plan the reference hand-builds as a Dask graph (loader/_builder.py:99-155)
 falls out of ``explode`` + ``groupBy`` + ``applyInPandas``:
 
-    items_df
+    sources_df (from a list OR any DataFrame — load_from_sources)
       → group keys (A1/A2: id | time | solar_day)            [expressions]
       → tile explode (P6/J1: bbox → tile-index ranges)       [sequence+explode]
-      → seq numbers (A4: (time, id) precedence order)        [window]
-      → groupBy(band, t, iy, ix).applyInPandas(tile task)    [S8+A6]
+      → groupBy(band, t, iy, ix).applyInPandas(tile task)    [S8+A6;
+          (time, id) precedence sorted inside the task — A4]
       → tiles DataFrame (band, t, iy, ix, …, data BINARY)
 
 Scale properties the reference had to build by hand and Spark gives us:
@@ -280,7 +280,22 @@ def load(
     if not rows:
         raise ValueError("no sources for requested bands")
     items_df = spark.createDataFrame(pd.DataFrame(rows))
+    return load_from_sources(
+        items_df, plan, preserve_original_order=preserve_original_order
+    ), plan
 
+
+def load_from_sources(
+    sources_df: DataFrame,
+    plan: LoadPlan,
+    preserve_original_order: bool = False,
+) -> DataFrame:
+    """The 100 TB ingestion path: sources as a DataFrame (e.g. from
+    sources/stac_items.parse_items over a STAC-geoparquet catalog) — the
+    item table never lives on the driver. ``load()`` is the list-input
+    convenience wrapper. Expected columns: item_idx, item_id, ts, t, band,
+    uri, src_band, g_ny, g_nx, g_sx, g_x0, g_sy, g_y0, g_crs, dtype,
+    nodata."""
     # --- J1: tile explode. Source bbox → tile index ranges, pure SQL math
     # (only intersecting tiles are generated: spatial partition pruning).
     gb = plan.gbox
@@ -298,7 +313,7 @@ def load(
     py0 = F.greatest(F.lit(0), F.floor((symax - dy0) / dsy))
     py1 = F.least(F.lit(gb.height), F.ceil((symin - dy0) / dsy))
     src_tiles = (
-        items_df.withColumn("px0", px0)
+        sources_df.withColumn("px0", px0)
         .withColumn("px1", px1)
         .withColumn("py0", py0)
         .withColumn("py1", py1)
@@ -314,19 +329,26 @@ def load(
     )
 
     # --- A4: precedence order within each tile cell: (time, id) asc, or
-    # original input order (preserve_original_order, _stac_load.py:552-557)
-    order_cols = (
-        [F.col("item_idx")] if preserve_original_order else [F.col("ts"), F.col("item_id")]
-    )
-    w = Window.partitionBy("band", "t", "iy", "ix").orderBy(*order_cols)
-    tasks = src_tiles.withColumn("seq", F.row_number().over(w))
+    # original input order (preserve_original_order, _stac_load.py:552-557).
+    # Sorted INSIDE the tile task (groups are small) — Spark aggregation is
+    # unordered, so order must never depend on shuffle arrival; sorting in
+    # the task avoids a whole extra window pass over the exploded rows.
+    order_cols = ["item_idx"] if preserve_original_order else ["ts", "item_id"]
+    # Explicit task partitioning: AQE would coalesce this shuffle to ~1
+    # partition (the task *rows* are tiny metadata), but each row expands
+    # into megabytes of pixel work inside the UDF — cost is invisible to
+    # the optimizer. Pin partitions to the tile-task count so every task
+    # can run in parallel; the groupBy below reuses this hash partitioning
+    # (same keys), adding no second exchange.
+    n_tasks = len(plan.bands) * max(len(plan.group_keys), 1) * nty * ntx
+    tasks = src_tiles.repartition(min(max(n_tasks, 1), 20000), "band", "t", "iy", "ix")
 
     # --- S8 + A6: the tile task. Plan scalars ship via closure broadcast.
     cfg = plan.cfg
     crs = gb.crs
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
         band = pdf["band"].iloc[0]
         t = int(pdf["t"].iloc[0])
         iy = int(pdf["iy"].iloc[0])
@@ -389,8 +411,7 @@ def load(
             ]
         )
 
-    tiles_df = tasks.groupBy("band", "t", "iy", "ix").applyInPandas(run_tile, _TILE_SCHEMA)
-    return tiles_df, plan
+    return tasks.groupBy("band", "t", "iy", "ix").applyInPandas(run_tile, _TILE_SCHEMA)
 
 
 @dataclass

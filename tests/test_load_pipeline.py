@@ -287,3 +287,31 @@ def test_assemble_dataset_coords(spark):
     assert ds.bands["red"].shape == (1, 100, 120)
     with pytest.raises(NotImplementedError, match="xarray"):
         ds.to_xarray()
+
+
+def test_load_from_sources_dataframe_path(spark):
+    """The 100 TB ingestion path: sources arrive as a DataFrame (never a
+    driver list) and produce identical pixels."""
+    import pandas as pd
+
+    from odc_stac_spark.plans.load import load_from_sources
+
+    items = [mk_item(0, nodata=-1, nodata_every=3), mk_item(1, origin=(300.0, 1000.0), nodata=-1)]
+    plan = plan_load(items, groupby="solar_day", chunks=(48, 48))
+    rows = []
+    for idx, it in enumerate(items):
+        src = it.bands["red"]
+        g = src.geobox
+        rows.append(
+            {
+                "item_idx": idx, "item_id": it.id, "ts": pd.Timestamp(it.datetime),
+                "t": 0, "band": "red", "uri": src.uri, "src_band": 1,
+                "g_ny": g.shape[0], "g_nx": g.shape[1], "g_sx": g.transform[0],
+                "g_x0": g.transform[2], "g_sy": g.transform[4], "g_y0": g.transform[5],
+                "g_crs": g.crs, "dtype": src.meta.data_type, "nodata": src.meta.nodata,
+            }
+        )
+    sources_df = spark.createDataFrame(pd.DataFrame(rows))
+    got = assemble_numpy(load_from_sources(sources_df, plan), plan)
+    want = oracle_load(items, plan, groupby="solar_day")
+    assert_same(got, want)
