@@ -51,6 +51,7 @@ def register(name: str, oracle: Optional[str] = None, doc: str = "", tags: tuple
 def load_all() -> dict[str, Query]:
     """Import all query modules (side-effect: fills REGISTRY) and return it."""
     from . import relational  # noqa: F401
+    from . import relational_deep  # noqa: F401
     from . import metadata_plane  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401

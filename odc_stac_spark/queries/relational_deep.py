@@ -1,0 +1,525 @@
+"""Deep relational coverage: the remaining TPC-H query *shapes*, adapted
+to the reduced synthetic schema (no partsupp / comment / phone / shipmode
+columns — see TESTDATA.md). What matters for the engine is the plan shape
+each query forces, not the literal TPC-H text:
+
+- q2/q15/q17: correlated scalar subqueries → decorrelated into an
+  aggregate + (broadcast) join, never a per-row subquery execution;
+- q7/q8/q9: many-way join trees where Catalyst must reorder and
+  broadcast every dimension (only lineitem⋈orders shuffles);
+- q11/q22: scalar-aggregate thresholds → one tiny 1-row broadcast
+  cross-join, not a recomputation per row;
+- q12/q14: conditional aggregation (CASE inside SUM) — single pass;
+- q13: outer join + two-level aggregation (count distribution);
+- q19: disjunctive pushdown — an OR of conjuncts over a broadcast join;
+- q21: fact-fact EXISTS + NOT EXISTS → left-semi + left-anti joins on
+  the same shuffle key (orderkey), so AQE can reuse the exchange.
+
+At 100 TB the only shuffles in this file are on l_orderkey / l_partkey /
+l_suppkey — natural cluster keys a production layout would bucket by;
+everything else is broadcast. Reference has no relational layer
+(SURVEY.md §2.3: "not present"); these are engine-provided obligations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from ..sources.tables import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q2_cheapest_part_per_type",
+    oracle="""
+    SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+    doc="TPC-H Q2 shape: correlated MIN subquery decorrelated to agg+join.",
+    tags=("relational", "subquery"),
+)
+def q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    # Decorrelation by hand mirrors what Catalyst does for the SQL form:
+    # one aggregate over part, broadcast back onto part.
+    mins = p.groupBy(F.col("p_type").alias("mt")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            broadcast(mins),
+            (p.p_type == mins.mt) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "q7_nation_pair_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o    ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c  ON c.c_custkey   = o.o_custkey
+      JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+      JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+      JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+      WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: nation-pair volume, two aliased dim joins.",
+    tags=("relational", "join", "agg"),
+)
+def q7_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey   = p.p_partkey
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c ON c.c_custkey   = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey  = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: market share — conditional agg over an 8-way join.",
+    tags=("relational", "join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(broadcast(r), F.col("nc_region") == r.r_regionkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT ns.n_name AS nation,
+             EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey   = l.l_partkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      WHERE p.p_name LIKE 'red%'
+    )
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation × year, LIKE filter.",
+    tags=("relational", "join", "agg"),
+)
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH partval AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(val, 2) AS val
+    FROM partval
+    WHERE val > (SELECT SUM(val) * 0.001 FROM partval)
+    """,
+    doc="TPC-H Q11 shape: HAVING vs a scalar global-aggregate threshold.",
+    tags=("relational", "subquery", "agg"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    partval = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    # Scalar threshold = 1-row aggregate, broadcast cross join — the
+    # partval aggregation is NOT recomputed per row.
+    thresh = partval.agg((F.sum("val") * 0.001).alias("thresh"))
+    return (
+        partval.crossJoin(broadcast(thresh))
+        .where(F.col("val") > F.col("thresh"))
+        .select("l_partkey", F.round("val", 2).alias("val"))
+    )
+
+
+@register(
+    "q12_priority_by_ship_month",
+    oracle="""
+    SELECT EXTRACT(MONTH FROM l.l_shipdate) AS ship_month,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_month
+    """,
+    doc="TPC-H Q12 shape: conditional counts (CASE in SUM), single pass.",
+    tags=("relational", "agg"),
+)
+def q12_priority_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join + two-level aggregation.",
+    tags=("relational", "join", "agg"),
+)
+def q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: view + scalar MAX subquery over the same view.",
+    tags=("relational", "subquery", "topk"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        revenue.crossJoin(broadcast(best))
+        .where(F.col("total_revenue") == F.col("best_rev"))
+        .join(broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 9, 19, 29, 39, 49)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape: COUNT DISTINCT per group after a dim filter "
+    "(partsupp absent — supplier relationships derived from lineitem).",
+    tags=("relational", "agg"),
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (SELECT ROUND(0.2 * AVG(l2.l_quantity), 6)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated AVG subquery decorrelated to a "
+    "per-part aggregate joined back (threshold rounded so double "
+    "reassociation noise cannot flip the comparison).",
+    tags=("relational", "subquery", "agg"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thresh")
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avgq, li.l_partkey == F.col("ap"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjuncts over a broadcast join.",
+    tags=("relational", "join"),
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q21_exclusive_return_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: fact-fact EXISTS (left-semi) + NOT EXISTS "
+    "(left-anti) on the same shuffle key; adapted to returnflag "
+    "(no receipt/commit dates in schema).",
+    tags=("relational", "join", "subquery"),
+)
+def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
+    # Both the semi and the anti join shuffle on l_orderkey — one exchange
+    # of l1 reused for both probes.
+    semi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_customer_balance",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT c.c_nationkey % 10 AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: scalar AVG threshold + NOT EXISTS anti join.",
+    tags=("relational", "subquery", "join"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avgbal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(broadcast(avgbal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
