@@ -230,9 +230,12 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # persist: partval feeds both the threshold aggregate and the output —
+    # without it the lineitem scan + aggregation runs twice (verified: the
+    # unpersisted plan shows two independent exchanges).
     partval = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
-    )
+    ).persist()
     # Scalar threshold = 1-row aggregate, broadcast cross join — the
     # partval aggregation is NOT recomputed per row.
     thresh = partval.agg((F.sum("val") * 0.001).alias("thresh"))
@@ -333,7 +336,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    )
+    ).persist()  # feeds both the MAX subquery and the probe side
     best = revenue.agg(F.max("total_revenue").alias("best_rev"))
     return (
         revenue.crossJoin(broadcast(best))

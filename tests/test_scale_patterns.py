@@ -112,6 +112,31 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         assert abs(got[k] - want[k]) < 1e-6
 
 
+def test_deep_relational_plan_shapes(spark, sf_dir):
+    """Plan evidence for the TPC-H-shape queries in relational_deep.py:
+    dimensions broadcast, EXISTS/NOT EXISTS become semi/anti joins, scalar
+    thresholds become 1-row broadcast joins — never per-row subqueries."""
+    plan = _executed_plan(REGISTRY["q7_nation_pair_volume"].spark_fn(spark, sf_dir))
+    # nation(x2)/customer/supplier all broadcast; at most the fact-fact
+    # join and the final groupBy shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    plan = _executed_plan(
+        REGISTRY["q21_exclusive_return_suppliers"].spark_fn(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    # scalar-aggregate thresholds: exactly one 1-row broadcast (nested-loop
+    # cross join), and the shared base aggregate is cached, not recomputed
+    plan = _executed_plan(REGISTRY["q11_important_parts"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "InMemoryTableScan" in plan
+
+    plan = _executed_plan(REGISTRY["q22_idle_customer_balance"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
 def test_no_python_udfs_in_relational_queries(spark, sf_dir):
     """Hot-path queries stay JVM-side: no BatchEvalPython / ArrowEvalPython
     in any oracle-gated relational/text/dedup plan."""
