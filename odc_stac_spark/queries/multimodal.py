@@ -1,5 +1,12 @@
-"""Multimodal queries surfaced through the driver contract (rows-only —
-binary payload semantics are byte-exact-tested in tests/test_multimodal.py).
+"""Multimodal queries surfaced through the driver contract.
+
+The demo media column is a deterministic SIMG image per doc_id
+(operators/multimodal.py: width 16+doc_id%8, height 16, 3 channels, pixel
+value (doc_id*37 + k*11 + y*5 + x*3) % 256) — so the *results* of the real
+binary pipeline (encode → Arrow transport → executor decode → numpy stats)
+have an exact relational image DuckDB can compute from first principles.
+The hash match therefore gates the whole binary path end-to-end; byte
+layout is additionally tested in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -12,7 +19,14 @@ from . import register
 
 @register(
     "mm_image_metadata",
-    oracle=None,
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 8 AS INT) AS width,
+           16 AS height,
+           3 AS channels,
+           CAST((16 + doc_id % 8) * 16 * 3 AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
     doc="multimodal: binary media column → typed metadata via header-only "
     "mapInPandas parse (no payload copy).",
     tags=("multimodal",),
@@ -23,7 +37,22 @@ def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_image_stats",
-    oracle=None,
+    oracle="""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_POP(v), 6) AS std,
+           MIN(v) AS p_min,
+           MAX(v) AS p_max
+    FROM (
+      SELECT d.doc_id, (d.doc_id * 37 + k.k * 11 + y.y * 5 + x.x * 3) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS k) k
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS x) x
+      WHERE x.x < 16 + d.doc_id % 8
+    )
+    GROUP BY doc_id
+    """,
     doc="multimodal: per-image feature extraction (decode + numpy stats) "
     "over Arrow batches — the model-forward-pass slot.",
     tags=("multimodal",),

@@ -120,8 +120,50 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # non-SQL-friendly multi-stage plan; rows-only check +
-    # recall asserted against the brute-force oracle in tests/test_similarity.py
+    # Every stage is deterministic (fixed centroids, tie-broken windows,
+    # sequential float64 folds) — so the whole IVF plan has an exact SQL
+    # image. Recall vs brute force additionally asserted in tests.
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
+    assigned AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT vec_id, emb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM emb
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, qemb, cent_id FROM (
+        SELECT query_id, qemb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qsim DESC, cent_id) AS rn
+        FROM (SELECT q.query_id, q.qemb, c.cent_id,
+                     list_dot_product(q.qemb, c.cemb)
+                     / (sqrt(list_dot_product(q.qemb, q.qemb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS qsim
+              FROM q CROSS JOIN cent c)
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, rn FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rn
+      FROM (SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_dot_product(p.qemb, a.emb)
+                   / (sqrt(list_dot_product(p.qemb, p.qemb))
+                      * sqrt(list_dot_product(a.emb, a.emb))) AS cos_raw
+            FROM probes p JOIN assigned a USING (cent_id)
+            WHERE a.vec_id <> p.query_id)
+    ) WHERE rn <= {TOP_K}
+    """,
     doc="IVF-style ANN: centroids = first IVF_K vectors; assign every vector "
     "to nearest centroid (broadcast join); per query probe IVF_NPROBE "
     "clusters then exact top-k within them. Scale path: assignment is a "
