@@ -131,8 +131,9 @@ class SynthReader:
             raise ValueError(f"source {src.uri} has no geobox")
         if sgb.crs != dst_geobox.crs:
             raise NotImplementedError(
-                "cross-CRS warp requires the rasterio driver (RioReader); "
-                "SynthReader implements the aligned paste path only"
+                "cross-CRS warp needs a projection library (pyproj/rasterio, "
+                "absent in this container) — RioReader is the slot for it; "
+                "SynthReader covers every same-CRS grid geometry"
             )
 
         src_dtype = src.meta.data_type if src.meta and src.meta.data_type else "int32"
@@ -141,13 +142,27 @@ class SynthReader:
         dst_dtype = resolve_dst_dtype(src_dtype, cfg)
         dst_nodata = resolve_dst_nodata(dst_dtype, cfg, src_nodata)
 
-        # shrink factor between src and dst grids; reads at shrink>1 sample
-        # the decimated grid — the overview predicate-pushdown path
-        # (pick_overview itself is unit-tested in tests/test_model.py)
-        shrink = max(1, int(round(abs(dst_geobox.transform[0]) / abs(sgb.transform[0]))))
-        if shrink == 1 and not sgb.aligned_with(dst_geobox):
-            raise NotImplementedError(
-                "sub-pixel misaligned grids need resampling (RioReader warp path)"
+        # paste-vs-warp choice (reference loader/_rio.py:350-368, :445-447):
+        # integer shrink on an aligned grid → decimated windowed read
+        # (the overview predicate-pushdown path); anything else —
+        # sub-pixel offsets, non-integer scale ratios, upsampling, or an
+        # explicit non-nearest resampling — takes the warp path below.
+        ssx, _, sx0, _, ssy, sy0 = sgb.transform
+        dsx, _, dx0, _, dsy, dy0 = dst_geobox.transform
+        shrink_f = abs(dsx) / abs(ssx)
+        shrink = max(1, int(round(shrink_f)))
+        fx = (dx0 - sx0) / ssx
+        fy = (dy0 - sy0) / ssy
+        aligned = (
+            abs(dsx - ssx * shrink) < 1e-6 * abs(dsx)
+            and abs(dsy - ssy * shrink) < 1e-6 * abs(dsy)
+            and abs(fx - round(fx)) < 1e-6
+            and abs(fy - round(fy)) < 1e-6
+        )
+        resampling = cfg.resampling or "nearest"
+        if not (aligned and resampling == "nearest"):
+            return self._warp(
+                src, dst_geobox, resampling, src_dtype, src_nodata, dst_dtype, dst_nodata
             )
 
         # overlap in world space → dst pixel roi and src window
@@ -193,6 +208,155 @@ class SynthReader:
         pix = raw.astype(dst_dtype)
         if dst_nodata is not None:
             pix = np.where(missing, np.asarray(dst_nodata, dtype=dst_dtype), pix)
+        return ReadResult((ry0, ry1), (rx0, rx1), pix)
+
+    def _warp(
+        self,
+        src: RasterSource,
+        dst_geobox: GeoBox,
+        resampling: str,
+        src_dtype: str,
+        src_nodata: Optional[float],
+        dst_dtype: str,
+        dst_nodata: Optional[float],
+    ) -> Optional[ReadResult]:
+        """Same-CRS warp between arbitrary affine grids (the reference's
+        rasterio.warp path, loader/_rio.py:361-369, minus CRS transforms):
+        sub-pixel offsets, non-integer scale ratios, up/downsampling.
+
+        Resampling semantics (deterministic, mask-aware):
+        - ``nearest``  — dst pixel center → containing src pixel;
+        - ``bilinear`` — center-based 4-neighbor interpolation; any missing
+          or out-of-bounds neighbor → nodata (no partial-weight blending);
+        - ``average``  — mean of valid src pixels whose centers fall inside
+          the dst pixel footprint; empty footprint → nodata. Integer output
+          is rounded half-to-even (numpy rint).
+        """
+        if resampling not in ("nearest", "bilinear", "average"):
+            raise NotImplementedError(
+                f"resampling {resampling!r}: SynthReader implements "
+                "nearest/bilinear/average (cubic/lanczos/... need rasterio)"
+            )
+        sgb = src.geobox
+        ssx, _, sx0, _, ssy, sy0 = sgb.transform
+        dsx, _, dx0, _, dsy, dy0 = dst_geobox.transform
+
+        # dst ROI covered by the source extent (empty-ROI short-circuit)
+        sxmin, symin, sxmax, symax = sgb.bbox()
+        dxmin, dymin, dxmax, dymax = dst_geobox.bbox()
+        xmin, xmax = max(sxmin, dxmin), min(sxmax, dxmax)
+        ymin, ymax = max(symin, dymin), min(symax, dymax)
+        if xmin >= xmax or ymin >= ymax:
+            return None
+        ry0 = max(0, int(round((ymax - dy0) / dsy)))
+        ry1 = min(dst_geobox.height, int(round((ymin - dy0) / dsy)))
+        rx0 = max(0, int(round((xmin - dx0) / dsx)))
+        rx1 = min(dst_geobox.width, int(round((xmax - dx0) / dsx)))
+        if ry0 >= ry1 or rx0 >= rx1:
+            return None
+        n_y, n_x = ry1 - ry0, rx1 - rx0
+        out = np.full((n_y, n_x), True)  # "missing" mask, filled below
+        vals = np.zeros((n_y, n_x), dtype=np.float64)
+
+        if resampling == "average":
+            # bin src pixel centers into dst cells; vectorized scatter-add
+            iy0 = max(0, int(math.floor((dy0 + ry0 * dsy - sy0) / ssy)) - 1)
+            iy1 = min(sgb.height, int(math.ceil((dy0 + ry1 * dsy - sy0) / ssy)) + 1)
+            ix0 = max(0, int(math.floor((dx0 + rx0 * dsx - sx0) / ssx)) - 1)
+            ix1 = min(sgb.width, int(math.ceil((dx0 + rx1 * dsx - sx0) / ssx)) + 1)
+            if iy0 >= iy1 or ix0 >= ix1:
+                return None
+            win = SynthReader.gen_window(
+                src.uri, src_nodata, src_dtype, iy0, iy1, ix0, ix1
+            ).astype(np.float64)
+            valid = ~nodata_mask(win, src_nodata)
+            scy = sy0 + (np.arange(iy0, iy1) + 0.5) * ssy
+            scx = sx0 + (np.arange(ix0, ix1) + 0.5) * ssx
+            by = np.floor((scy - dy0) / dsy).astype(np.int64) - ry0
+            bx = np.floor((scx - dx0) / dsx).astype(np.int64) - rx0
+            in_y = (by >= 0) & (by < n_y)
+            in_x = (bx >= 0) & (bx < n_x)
+            sel = in_y[:, None] & in_x[None, :] & valid
+            flat = by.clip(0, n_y - 1)[:, None] * n_x + bx.clip(0, n_x - 1)[None, :]
+            sums = np.bincount(flat[sel], weights=win[sel], minlength=n_y * n_x)
+            cnts = np.bincount(flat[sel], minlength=n_y * n_x)
+            filled = cnts > 0
+            vals.ravel()[filled] = sums[filled] / cnts[filled]
+            out = ~filled.reshape(n_y, n_x)
+        else:
+            # dst pixel centers in fractional src pixel coords
+            fy = (dy0 + (np.arange(ry0, ry1) + 0.5) * dsy - sy0) / ssy
+            fx = (dx0 + (np.arange(rx0, rx1) + 0.5) * dsx - sx0) / ssx
+            if resampling == "nearest":
+                iy = np.floor(fy).astype(np.int64)
+                ix = np.floor(fx).astype(np.int64)
+                ok_y = (iy >= 0) & (iy < sgb.height)
+                ok_x = (ix >= 0) & (ix < sgb.width)
+                if not ok_y.any() or not ok_x.any():
+                    return None
+                iy0, iy1 = int(iy[ok_y].min()), int(iy[ok_y].max()) + 1
+                ix0, ix1 = int(ix[ok_x].min()), int(ix[ok_x].max()) + 1
+                win = SynthReader.gen_window(
+                    src.uri, src_nodata, src_dtype, iy0, iy1, ix0, ix1
+                ).astype(np.float64)
+                samp = win[(iy - iy0).clip(0, iy1 - iy0 - 1)][
+                    :, (ix - ix0).clip(0, ix1 - ix0 - 1)
+                ]
+                inb = ok_y[:, None] & ok_x[None, :]
+                miss = nodata_mask(samp, src_nodata) | ~inb
+                vals, out = samp, miss
+            else:  # bilinear: center-based, p = f - 0.5
+                py, px_ = fy - 0.5, fx - 0.5
+                jy0 = np.floor(py).astype(np.int64)
+                jx0 = np.floor(px_).astype(np.int64)
+                ay = (py - jy0)[:, None]
+                ax = (px_ - jx0)[None, :]
+                iy0 = max(0, int(jy0.min()))
+                iy1 = min(sgb.height, int(jy0.max()) + 2)
+                ix0 = max(0, int(jx0.min()))
+                ix1 = min(sgb.width, int(jx0.max()) + 2)
+                if iy0 >= iy1 or ix0 >= ix1:
+                    return None
+                win = SynthReader.gen_window(
+                    src.uri, src_nodata, src_dtype, iy0, iy1, ix0, ix1
+                ).astype(np.float64)
+                winmiss = nodata_mask(win, src_nodata)
+                wny, wnx = win.shape
+
+                def gather(dy_, dx_):
+                    yy = (jy0 + dy_ - iy0)
+                    xx = (jx0 + dx_ - ix0)
+                    okk = ((yy >= 0) & (yy < wny))[:, None] & ((xx >= 0) & (xx < wnx))[None, :]
+                    v = win[yy.clip(0, wny - 1)][:, xx.clip(0, wnx - 1)]
+                    m = winmiss[yy.clip(0, wny - 1)][:, xx.clip(0, wnx - 1)] | ~okk
+                    # out-of-src-extent neighbors (not just window) are
+                    # already excluded: window covers [jy0, jy0+1] clipped
+                    # to the src grid, so okk==False ⇔ outside the grid
+                    return v, m
+                # a neighbor only poisons the output if its weight is
+                # nonzero (an exactly-aligned axis has weight 0 on the +1
+                # neighbor — it must not matter whether that pixel exists)
+                vals = np.zeros((n_y, n_x), dtype=np.float64)
+                out = np.zeros((n_y, n_x), dtype=bool)
+                for dy_, dx_, w in (
+                    (0, 0, (1 - ay) * (1 - ax)),
+                    (0, 1, (1 - ay) * ax),
+                    (1, 0, ay * (1 - ax)),
+                    (1, 1, ay * ax),
+                ):
+                    v, m = gather(dy_, dx_)
+                    vals += np.where(m, 0.0, v) * w
+                    out |= m & (w > 0)
+
+        if np.issubdtype(np.dtype(dst_dtype), np.integer):
+            vals = np.rint(vals)
+        pix = vals.astype(dst_dtype)
+        if dst_nodata is not None:
+            pix = np.where(out, np.asarray(dst_nodata, dtype=dst_dtype), pix)
+        elif out.any():
+            # float dst without explicit nodata → NaN (reference
+            # resolve_dst_nodata semantics, loader/_reader.py:84-101)
+            pix = np.where(out, np.asarray(np.nan, dtype=dst_dtype), pix)
         return ReadResult((ry0, ry1), (rx0, rx1), pix)
 
 
