@@ -188,6 +188,53 @@ def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_stream_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, ROUND(p.value, 2) AS amount
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+                 AND c.event_type = 'click' AND p.event_type = 'purchase'
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="REAL stream-stream interval join (streaming/events.py::"
+    "stream_click_attribution): purchases ⋈ same-user clicks within 30 min, "
+    "watermarks on both sides bound the join state; availableNow inner "
+    "join must emit exactly the batch interval-join row set.",
+    tags=("temporal", "streaming", "join"),
+)
+def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming import stream_click_attribution
+
+    name = "t_stream_attr_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stage = tempfile.mkdtemp(prefix="events_attr_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = stream_click_attribution(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "click_id", "purchase_id", "user_id", F.round("amount", 2).alias("amount")
+    )
+
+
+@register(
     "t_asof_last_signup",
     oracle="""
     SELECT event_id, user_id, event_type,

@@ -70,6 +70,79 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> 
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state —
+    the streaming image of queries/dedup.dedup_exact. At 100 TB/day the
+    watermark is what keeps dedup state finite: only ids within the
+    watermark horizon are retained, so state size follows ingest rate x
+    horizon, not total history."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_click_attribution(
+    events: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    clicks within [click_ts, click_ts + max_delay]. Both sides carry
+    watermarks so the join state is bounded (unmatched rows age out once
+    the watermark passes the interval) — the canonical funnel/attribution
+    shape of an event pipeline."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").cast("double").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization: per-user session_window with a gap —
+    the streaming image of queries/temporal.t_session_windows (whose batch
+    form builds sessions from a lag/cumsum window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 # ---- stateful incremental schema inference -------------------------------
 
 ASSET_STREAM_SCHEMA = StructType(

@@ -17,7 +17,10 @@ import pyspark.sql.functions as F
 from odc_stac_spark.sources.tables import load_table
 from odc_stac_spark.streaming import (
     infer_collections_stateful,
+    stream_click_attribution,
+    stream_dedup,
     stream_events,
+    stream_session_windows,
     stream_tumbling_counts,
 )
 from odc_stac_spark.streaming.events import ASSET_STREAM_SCHEMA
@@ -63,6 +66,90 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert g, "stream produced no finalized windows"
     for k, v in g.items():
         assert w[k] == v, f"window {k}: stream {v} != batch {w[k]}"
+
+
+def test_stream_dedup_drops_watermark_window_duplicates(spark, sf_dir, tmp_path):
+    """The same file staged twice: every event is a duplicate; streaming
+    dedup must emit each event_id exactly once."""
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    in_dir = str(tmp_path / "dup_in")
+    ev.write.parquet(in_dir)
+    ev.write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    out = stream_dedup(stream)
+    _run_stream_to_memory(out, "deduped", mode="append")
+    got = spark.sql("SELECT event_id FROM deduped")
+    assert got.count() == 500
+    assert got.distinct().count() == 500
+
+
+def test_stream_click_attribution_matches_batch_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (availableNow processes everything, so
+    the inner join must emit exactly the batch join's row set)."""
+    ev = load_table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "attr_in")
+    ev.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    out = stream_click_attribution(stream)
+    _run_stream_to_memory(out, "attributed", mode="append")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT click_id, purchase_id FROM attributed").collect()
+    }
+
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert want, "fixture produced no click→purchase pairs"
+    assert got == want
+
+
+def test_stream_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """Streaming session_window == batch session_window on the same data."""
+    ev = load_table(spark, sf_dir, "events").where("user_id < 50")
+    in_dir = str(tmp_path / "sess_in")
+    ev.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    out = stream_session_windows(stream)
+    _run_stream_to_memory(out, "sessions", mode="append")
+    got = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    want_df = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    want = {
+        (r.session_start, r.session_end, r.user_id): r.n_events for r in want_df.collect()
+    }
+    assert got, "stream produced no finalized sessions"
+    for k, v in got.items():
+        assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
 
 
 def test_stateful_schema_inference_evolves(spark, tmp_path):
