@@ -1,0 +1,209 @@
+"""Catalog-native planning: the 100 TB ingestion path end to end.
+
+``plans.load.plan_load`` takes a driver-resident item list — fine for the
+reference's scenarios (≤10⁴ items, _stac_load.py:351-352) but not for a
+catalog of 10⁸ items. Here every planning aggregation from SURVEY §2.4
+runs as a DataFrame job over the ``parse_items`` output (itself a
+DataFrame transform over a STAC-geoparquet-style catalog), and only the
+tiny election results are collected (SURVEY §7.3 "100 TB scale deltas"):
+
+- A7 resolution/CRS election  → groupBy + count, top-1 collected
+- A8 bbox union               → min/max aggregate, 1 row collected
+- A1/A3/A5 temporal grouping  → distinct group keys + first-member ts,
+                                #groups rows collected (bounded by time
+                                range, not item count)
+- band meta (S3)              → first() per band, #bands rows collected
+
+The item stream itself never leaves the cluster:
+``sources_from_parsed`` maps parsed rows straight onto the
+``load_from_sources`` input columns (a broadcast join against the
+#groups-sized key→t map), so catalog → plan → tiles is DataFrame-only.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import GeoBox, GeoboxTiles, RasterBandMetadata, RasterLoadParams
+from .load import DEFAULT_CHUNK, LoadPlan, load_from_sources, resolve_load_cfg
+
+
+def _with_geom_cols(parsed: DataFrame) -> DataFrame:
+    """Per-row grid geometry scalars from the parsed g_* struct columns."""
+    t = F.col("g_transform")
+    nx = F.col("g_shape")[1].cast("double")
+    ny = F.col("g_shape")[0].cast("double")
+    x_a = t[2]
+    x_b = t[2] + t[0] * nx
+    y_a = t[5]
+    y_b = t[5] + t[4] * ny
+    return (
+        parsed.where(F.col("g_shape").isNotNull() & F.col("g_transform").isNotNull())
+        .withColumn("gsd", F.least(F.abs(t[0]), F.abs(t[4])))
+        .withColumn("bb_xmin", F.least(x_a, x_b))
+        .withColumn("bb_xmax", F.greatest(x_a, x_b))
+        .withColumn("bb_ymin", F.least(y_a, y_b))
+        .withColumn("bb_ymax", F.greatest(y_a, y_b))
+        .withColumn("ts", F.coalesce("datetime", "start_datetime", "end_datetime"))
+    )
+
+
+def _group_key_col(groupby: str) -> F.Column:
+    """A1 group key as an expression (id-groupby needs no key: the catalog
+    path orders within groups by (ts, item_id), see sources_from_parsed)."""
+    if groupby == "time":
+        return F.col("ts")
+    if groupby == "solar_day":
+        # A2: date after the longitude-derived whole-hour offset
+        # (model.solar_offset_seconds: int(lon/15)*3600, trunc toward 0).
+        # Longitude = grid centroid x — valid for geographic CRS only.
+        lon = (F.col("bb_xmin") + F.col("bb_xmax")) / 2.0
+        off = (lon / F.lit(15.0)).cast("int") * 3600
+        return F.to_date(F.col("ts") + F.make_interval(secs=off.cast("double")))
+    raise ValueError(f"groupby={groupby!r}: catalog path supports time|solar_day")
+
+
+def plan_load_df(
+    spark: SparkSession,
+    parsed: DataFrame,
+    bands: Optional[Sequence[str]] = None,
+    geobox: Optional[GeoBox] = None,
+    bbox: Optional[Tuple[float, float, float, float]] = None,
+    resolution: Optional[float] = None,
+    crs: Optional[str] = None,
+    groupby: str = "time",
+    chunks: Tuple[int, int] = (DEFAULT_CHUNK, DEFAULT_CHUNK),
+    cfg: Optional[Dict[str, RasterLoadParams]] = None,
+) -> LoadPlan:
+    """Stages 1-6 of the load lifecycle with all aggregations distributed."""
+    if geobox is not None and any(v is not None for v in (bbox, resolution, crs)):
+        raise ValueError("geobox= is mutually exclusive with bbox=/resolution=/crs=")
+    base = _with_geom_cols(parsed)
+    if bands is not None:
+        base = base.where(F.col("asset_name").isin(list(bands)))
+
+    # band list + per-band metadata: #bands rows
+    meta_rows = (
+        base.groupBy("asset_name")
+        .agg(
+            F.first("data_type", ignorenulls=True).alias("data_type"),
+            F.first("nodata", ignorenulls=True).alias("nodata"),
+            F.first("unit", ignorenulls=True).alias("unit"),
+        )
+        .collect()
+    )
+    if not meta_rows:
+        raise ValueError("no raster sources in catalog (after band filter)")
+    meta = {
+        r.asset_name: RasterBandMetadata(r.data_type or "float32", r.nodata, r.unit or "1")
+        for r in meta_rows
+    }
+    use_bands = list(bands) if bands is not None else sorted(meta)
+    unknown = [b for b in use_bands if b not in meta]
+    if unknown:
+        raise ValueError(f"unknown bands: {unknown}")
+
+    if geobox is None:
+        if crs is None:
+            # A7 majority vote (reference _most_common_gbox _mdtools.py:726-749)
+            crs = (
+                base.groupBy("g_crs")
+                .count()
+                .orderBy(F.desc("count"), F.asc("g_crs"))
+                .first()
+                .g_crs
+            )
+        if resolution is None:
+            r = (
+                base.groupBy("gsd")
+                .count()
+                .orderBy(F.desc("count"), F.asc("gsd"))  # tie → finest
+                .first()
+            )
+            resolution = float(r.gsd)
+        if bbox is None:
+            # A8 bbox union, 1 row
+            bb = base.where(F.col("g_crs") == crs).agg(
+                F.min("bb_xmin").alias("x0"),
+                F.min("bb_ymin").alias("y0"),
+                F.max("bb_xmax").alias("x1"),
+                F.max("bb_ymax").alias("y1"),
+            ).first()
+            bbox = (bb.x0, bb.y0, bb.x1, bb.y1)
+        geobox = GeoBox.from_bbox(bbox, resolution, crs)
+
+    # temporal grouping: #groups rows (A1/A3/A5)
+    key = _group_key_col(groupby)
+    groups = (
+        base.select(key.alias("k"), F.struct("ts", "id").alias("m"))
+        .groupBy("k")
+        .agg(F.min("m").alias("first_m"))
+        .orderBy("k")
+        .collect()
+    )
+    group_keys = [r.k for r in groups]
+    group_ts = [r.first_m.ts for r in groups]
+
+    return LoadPlan(
+        gbox=geobox,
+        tiles=GeoboxTiles(geobox, chunks),
+        bands=use_bands,
+        cfg=resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg),
+        group_keys=group_keys,
+        group_ts=group_ts,
+    )
+
+
+def sources_from_parsed(
+    spark: SparkSession, parsed: DataFrame, plan: LoadPlan, groupby: str = "time"
+) -> DataFrame:
+    """parsed rows → load_from_sources input columns; the only non-map
+    operation is a broadcast join against the #groups-sized key→t map."""
+    base = _with_geom_cols(parsed).where(F.col("asset_name").isin(plan.bands))
+    key_map = spark.createDataFrame(
+        [(k, t) for t, k in enumerate(plan.group_keys)], ["k", "t"]
+    )
+    t = F.col("g_transform")
+    return (
+        base.withColumn("k", _group_key_col(groupby))
+        .join(F.broadcast(key_map), "k")
+        .select(
+            # catalog path orders within a group by (ts, item_id) — the
+            # default precedence; preserve_original_order needs an input
+            # index the catalog itself must carry
+            F.lit(0).alias("item_idx"),
+            F.col("id").alias("item_id"),
+            "ts",
+            "t",
+            F.col("asset_name").alias("band"),
+            F.col("href").alias("uri"),
+            F.col("band_idx").alias("src_band"),
+            F.col("g_shape")[0].alias("g_ny"),
+            F.col("g_shape")[1].alias("g_nx"),
+            t[0].alias("g_sx"),
+            t[2].alias("g_x0"),
+            t[4].alias("g_sy"),
+            t[5].alias("g_y0"),
+            "g_crs",
+            F.col("data_type").alias("dtype"),
+            "nodata",
+        )
+    )
+
+
+def load_from_catalog(
+    spark: SparkSession,
+    parsed: DataFrame,
+    groupby: str = "time",
+    plan: Optional[LoadPlan] = None,
+    **plan_kwargs,
+) -> Tuple[DataFrame, LoadPlan]:
+    """catalog → plan → tiles, DataFrame-only (the item table never lives
+    on the driver)."""
+    if plan is None:
+        plan = plan_load_df(spark, parsed, groupby=groupby, **plan_kwargs)
+    sources = sources_from_parsed(spark, parsed, plan, groupby=groupby)
+    return load_from_sources(sources, plan), plan

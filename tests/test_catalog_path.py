@@ -1,0 +1,137 @@
+"""The 100 TB ingestion path end-to-end: STAC catalog at rest (parquet)
+→ parse_items (DataFrame transform) → plan_load_df (distributed planning
+aggregations, only elections collected) → sources_from_parsed (broadcast
+key-map join) → load_from_sources (tile pipeline). Pixels must equal the
+driver-list path on the same logical items."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from odc_stac_spark.model import GeoBox, RasterBandMetadata, RasterSource
+from odc_stac_spark.plans.catalog import (
+    load_from_catalog,
+    plan_load_df,
+    sources_from_parsed,
+)
+from odc_stac_spark.plans.load import Item, assemble_numpy, load
+from odc_stac_spark.sources.stac_items import items_df, parse_items
+
+COG = "image/tiff; application=geotiff; profile=cloud-optimized"
+T0 = datetime(2020, 6, 6, 8, 30)
+EPSG = 32735
+
+
+def synth_asset(name, seed, origin, shape=(100, 120), res=10.0, dtype="int32", nodata=-1.0):
+    return {
+        "href": f"synth://{name}{seed}?seed={seed}&nodata_every=4",
+        "type": COG,
+        "roles": ["data"],
+        "gsd": res,
+        "proj_shape": list(shape),
+        "proj_transform": [res, 0.0, origin[0], 0.0, -res, origin[1]],
+        "proj_epsg": EPSG,
+        "eo_bands": [{"name": name, "common_name": None}],
+        "raster_bands": [{"data_type": dtype, "nodata": nodata, "unit": "1"}],
+    }
+
+
+def catalog_item(idx, origin, ts=None):
+    return {
+        "id": f"cat-{idx:03d}",
+        "collection": "synth-col",
+        "odc_product": None,
+        "datetime": ts or (T0 + timedelta(hours=idx)),
+        "start_datetime": None,
+        "end_datetime": None,
+        "href": None,
+        "bbox": None,
+        "assets": {
+            "red": synth_asset("red", idx, origin),
+            "nir": synth_asset("nir", 100 + idx, origin),
+        },
+        "properties": {},
+    }
+
+
+def equivalent_items(n, origins):
+    out = []
+    for i, origin in enumerate(origins):
+        gbox = GeoBox((100, 120), (10.0, 0.0, origin[0], 0.0, -10.0, origin[1]), f"EPSG:{EPSG}")
+        out.append(
+            Item(
+                id=f"cat-{i:03d}",
+                datetime=T0 + timedelta(hours=i),
+                bands={
+                    "red": RasterSource(
+                        f"synth://red{i}?seed={i}&nodata_every=4",
+                        geobox=gbox,
+                        meta=RasterBandMetadata("int32", -1.0),
+                    ),
+                    "nir": RasterSource(
+                        f"synth://nir{100 + i}?seed={100 + i}&nodata_every=4",
+                        geobox=gbox,
+                        meta=RasterBandMetadata("int32", -1.0),
+                    ),
+                },
+            )
+        )
+    return out
+
+
+@pytest.fixture()
+def parsed_catalog(spark, tmp_path):
+    origins = [(0.0, 1000.0), (400.0, 800.0), (200.0, 1200.0)]
+    raw = items_df(spark, [catalog_item(i, o) for i, o in enumerate(origins)])
+    # catalog at rest: parquet roundtrip (STAC-geoparquet analog)
+    path = str(tmp_path / "catalog.parquet")
+    raw.write.parquet(path)
+    return parse_items(spark, spark.read.parquet(path)), origins
+
+
+def test_plan_from_catalog_matches_list_plan(spark, parsed_catalog):
+    parsed, origins = parsed_catalog
+    plan = plan_load_df(spark, parsed, groupby="time", chunks=(48, 48))
+    assert plan.bands == ["nir", "red"]
+    assert plan.gbox.crs == f"EPSG:{EPSG}"
+    assert plan.gbox.resolution == (10.0, -10.0)
+    # bbox union of the three offset grids: x [0, 1600], y [-200, 1200]
+    assert plan.gbox.bbox() == (0.0, -200.0, 1600.0, 1200.0)
+    assert len(plan.group_keys) == 3  # one group per distinct timestamp
+    assert plan.group_ts == [T0 + timedelta(hours=i) for i in range(3)]
+
+
+def test_catalog_pixels_equal_list_path(spark, parsed_catalog):
+    parsed, origins = parsed_catalog
+    tiles_df, plan = load_from_catalog(spark, parsed, groupby="time", chunks=(64, 64))
+    got = assemble_numpy(tiles_df, plan)
+
+    items = equivalent_items(3, origins)
+    tiles2, plan2 = load(spark, items, groupby="time", chunks=(64, 64))
+    want = assemble_numpy(tiles2, plan2)
+
+    assert plan.gbox == plan2.gbox
+    assert set(got) == set(want) == {"red", "nir"}
+    for b in got:
+        np.testing.assert_array_equal(got[b], want[b])
+
+
+def test_sources_frame_never_collects_items(spark, parsed_catalog):
+    """The bridge output is a plain DataFrame with the load_from_sources
+    contract columns — no driver materialization of the item table."""
+    parsed, _ = parsed_catalog
+    plan = plan_load_df(spark, parsed, groupby="time", chunks=(64, 64))
+    src = sources_from_parsed(spark, parsed, plan, groupby="time")
+    expect = {
+        "item_idx", "item_id", "ts", "t", "band", "uri", "src_band",
+        "g_ny", "g_nx", "g_sx", "g_x0", "g_sy", "g_y0", "g_crs",
+        "dtype", "nodata",
+    }
+    assert set(src.columns) == expect
+    # 3 items x 2 bands
+    assert src.count() == 6
+    # group indices cover all 3 time groups
+    assert {r.t for r in src.select("t").distinct().collect()} == {0, 1, 2}
