@@ -1,0 +1,99 @@
+"""Unit tests for the pure-Python tiled COG writer/reader
+(sources/geotiff.py): dtype matrix, tile-edge padding, overview IFDs,
+georeferencing tags, nodata tag, COG layout invariant (all IFDs before
+any tile data)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from odc_stac_spark.model import GeoBox
+from odc_stac_spark.sources.geotiff import read_cog_file, write_cog_file
+
+GBOX = GeoBox((70, 90), (10.0, 0.0, 1200.0, 0.0, -10.0, 98000.0), "EPSG:32735")
+
+
+def rand(shape, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        return rng.random(shape).astype(dtype)
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, info.max, size=shape, dtype=dtype)
+
+
+@pytest.mark.parametrize(
+    "dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"]
+)
+def test_roundtrip_dtypes(tmp_path, dtype):
+    arr = rand((70, 90), dtype)
+    p = str(tmp_path / f"x_{dtype}.tif")
+    write_cog_file(p, arr, GBOX, tile=64)
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], arr)
+    assert got["data"].dtype == np.dtype(dtype)
+
+
+def test_tile_edges_and_multi_tile(tmp_path):
+    """Non-multiple-of-tile shape: edge tiles are zero-padded in the file
+    but the read crops back exactly."""
+    arr = rand((300, 530), "uint16", seed=3)
+    p = str(tmp_path / "big.tif")
+    write_cog_file(p, arr, GBOX, tile=256)
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], arr)
+
+
+def test_overviews_nearest_decimation(tmp_path):
+    arr = rand((600, 600), "uint8", seed=1)
+    p = str(tmp_path / "ovr.tif")
+    write_cog_file(p, arr, GBOX, tile=256, overview_levels=[2, 4])
+    got = read_cog_file(p)
+    assert len(got["overviews"]) == 2
+    np.testing.assert_array_equal(got["overviews"][0], arr[::2, ::2])
+    np.testing.assert_array_equal(got["overviews"][1], arr[::4, ::4])
+
+
+def test_geo_tags_and_nodata(tmp_path):
+    arr = rand((70, 90), "int32", seed=2)
+    p = str(tmp_path / "geo.tif")
+    write_cog_file(p, arr, GBOX, nodata=-99)
+    got = read_cog_file(p)
+    assert got["epsg"] == 32735
+    assert got["transform"] == GBOX.transform
+    assert got["nodata"] == -99.0
+
+    g4326 = GeoBox((10, 10), (0.1, 0.0, 27.0, 0.0, -0.1, -14.0), "EPSG:4326")
+    p2 = str(tmp_path / "geo4326.tif")
+    write_cog_file(p2, rand((10, 10), "uint8"), g4326, nodata=0.5)
+    got2 = read_cog_file(p2)
+    assert got2["epsg"] == 4326
+    assert got2["nodata"] == 0.5
+
+
+def test_cog_layout_ifds_before_data(tmp_path):
+    """The COG invariant: every IFD (incl. overviews) sits before all tile
+    data, so a range reader can plan from one header fetch."""
+    arr = rand((600, 600), "uint16", seed=4)
+    p = str(tmp_path / "layout.tif")
+    write_cog_file(p, arr, GBOX, tile=256, overview_levels=[2])
+    buf = open(p, "rb").read()
+    _, _, ifd_off = struct.unpack_from("<2sHI", buf, 0)
+    ifd_ends = []
+    tile_offsets = []
+    while ifd_off:
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        for i in range(n):
+            tag, typ, count, raw = struct.unpack_from("<HHII", buf, ifd_off + 2 + 12 * i)
+            if tag == 324:  # TileOffsets
+                offs = (
+                    [raw]
+                    if count == 1
+                    else list(struct.unpack_from(f"<{count}I", buf, raw))
+                )
+                tile_offsets.extend(offs)
+        ifd_ends.append(ifd_off + 2 + 12 * n + 4)
+        (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
+    assert min(tile_offsets) > max(ifd_ends)

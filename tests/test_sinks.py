@@ -27,6 +27,21 @@ def test_tiles_parquet_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(a["red"], b["red"])
 
 
-def test_cog_sink_clearly_stubbed(spark):
-    with pytest.raises(NotImplementedError, match="rasterio"):
-        write_cog(None, "/tmp/x.tif")
+def test_cog_sink_roundtrip(spark, tmp_path):
+    """S14: load → COG files; bytes parse back to the same pixels, grid
+    and nodata through the independent reader."""
+    from odc_stac_spark.sources.geotiff import read_cog_file
+
+    from .test_load_pipeline import mk_item
+
+    items = [mk_item(0, nodata=-1, nodata_every=5), mk_item(1, origin=(300.0, 1000.0), nodata=-1)]
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(48, 48))
+    paths = write_cog(tiles_df, plan, str(tmp_path / "cogs"))
+    assert [p.split("/")[-1] for p in paths] == ["red_t0.tif"]
+
+    cube = assemble_numpy(tiles_df, plan)["red"]
+    got = read_cog_file(paths[0])
+    np.testing.assert_array_equal(got["data"], cube[0])
+    assert got["epsg"] == 32735
+    sx, _, x0, _, sy, y0 = plan.gbox.transform
+    assert got["transform"] == (sx, 0.0, x0, 0.0, sy, y0)
