@@ -149,11 +149,14 @@ class SynthReader:
         if sgb is None:
             raise ValueError(f"source {src.uri} has no geobox")
         if sgb.crs != dst_geobox.crs:
-            raise NotImplementedError(
-                "cross-CRS warp needs a projection library (pyproj/rasterio, "
-                "absent in this container) — RioReader is the slot for it; "
-                "SynthReader covers every same-CRS grid geometry"
-            )
+            from ..functions.proj import can_transform
+
+            if not can_transform(sgb.crs, dst_geobox.crs):
+                raise NotImplementedError(
+                    f"cross-CRS warp {sgb.crs}→{dst_geobox.crs}: only "
+                    "WGS84↔UTM is built in (functions/proj.py); other CRS "
+                    "pairs need pyproj/rasterio (RioReader slot)"
+                )
 
         src_dtype = src.meta.data_type if src.meta and src.meta.data_type else "int32"
         file_nodata = src.meta.nodata if src.meta else None
@@ -173,7 +176,8 @@ class SynthReader:
         fx = (dx0 - sx0) / ssx
         fy = (dy0 - sy0) / ssy
         aligned = (
-            abs(dsx - ssx * shrink) < 1e-6 * abs(dsx)
+            sgb.crs == dst_geobox.crs
+            and abs(dsx - ssx * shrink) < 1e-6 * abs(dsx)
             and abs(dsy - ssy * shrink) < 1e-6 * abs(dsy)
             and abs(fx - round(fx)) < 1e-6
             and abs(fy - round(fy)) < 1e-6
@@ -239,14 +243,16 @@ class SynthReader:
         dst_dtype: str,
         dst_nodata: Optional[float],
     ) -> Optional[ReadResult]:
-        """Same-CRS warp between arbitrary affine grids (the reference's
-        rasterio.warp path, loader/_rio.py:361-369, minus CRS transforms):
-        sub-pixel offsets, non-integer scale ratios, up/downsampling.
+        """Warp between arbitrary affine grids (the reference's
+        rasterio.warp path, loader/_rio.py:361-369): sub-pixel offsets,
+        non-integer scale ratios, up/downsampling — and cross-CRS when
+        both ends are WGS84/UTM (functions/proj.py Krüger series; other
+        CRS pairs are the pyproj/rasterio slot).
 
         Resampling semantics (deterministic, mask-aware):
         - ``nearest``  — dst pixel center → containing src pixel;
         - ``bilinear`` — center-based 4-neighbor interpolation; any missing
-          or out-of-bounds neighbor → nodata (no partial-weight blending);
+          or out-of-bounds neighbor with nonzero weight → nodata;
         - ``average``  — mean of valid src pixels whose centers fall inside
           the dst pixel footprint; empty footprint → nodata. Integer output
           is rounded half-to-even (numpy rint).
@@ -257,11 +263,38 @@ class SynthReader:
                 "nearest/bilinear/average (cubic/lanczos/... need rasterio)"
             )
         sgb = src.geobox
+        cross = sgb.crs != dst_geobox.crs
+        if cross:
+            from ..functions import proj
         ssx, _, sx0, _, ssy, sy0 = sgb.transform
         dsx, _, dx0, _, dsy, dy0 = dst_geobox.transform
 
-        # dst ROI covered by the source extent (empty-ROI short-circuit)
+        # dst ROI covered by the source extent (empty-ROI short-circuit).
+        # Cross-CRS: densified src-bbox boundary transformed into dst CRS
+        # (the reference densifies footprints the same way before
+        # reprojection, model.py:271-299).
         sxmin, symin, sxmax, symax = sgb.bbox()
+        if cross:
+            t01 = np.linspace(0.0, 1.0, 25)
+            edge_x = np.concatenate(
+                [
+                    sxmin + (sxmax - sxmin) * t01,
+                    np.full_like(t01, sxmax),
+                    sxmax + (sxmin - sxmax) * t01,
+                    np.full_like(t01, sxmin),
+                ]
+            )
+            edge_y = np.concatenate(
+                [
+                    np.full_like(t01, symin),
+                    symin + (symax - symin) * t01,
+                    np.full_like(t01, symax),
+                    symax + (symin - symax) * t01,
+                ]
+            )
+            tx, ty = proj.transform(edge_x, edge_y, sgb.crs, dst_geobox.crs)
+            sxmin, sxmax = float(tx.min()), float(tx.max())
+            symin, symax = float(ty.min()), float(ty.max())
         dxmin, dymin, dxmax, dymax = dst_geobox.bbox()
         xmin, xmax = max(sxmin, dxmin), min(sxmax, dxmax)
         ymin, ymax = max(symin, dymin), min(symax, dymax)
@@ -278,11 +311,41 @@ class SynthReader:
         vals = np.zeros((n_y, n_x), dtype=np.float64)
 
         if resampling == "average":
-            # bin src pixel centers into dst cells; vectorized scatter-add
-            iy0 = max(0, int(math.floor((dy0 + ry0 * dsy - sy0) / ssy)) - 1)
-            iy1 = min(sgb.height, int(math.ceil((dy0 + ry1 * dsy - sy0) / ssy)) + 1)
-            ix0 = max(0, int(math.floor((dx0 + rx0 * dsx - sx0) / ssx)) - 1)
-            ix1 = min(sgb.width, int(math.ceil((dx0 + rx1 * dsx - sx0) / ssx)) + 1)
+            # bin src pixel centers into dst cells; vectorized scatter-add.
+            # src window bounding the ROI: inverse affine (same CRS) or the
+            # densified ROI boundary transformed dst→src (cross-CRS).
+            if cross:
+                t01 = np.linspace(0.0, 1.0, 25)
+                rxmin, rxmax = dx0 + rx0 * dsx, dx0 + rx1 * dsx
+                rymin, rymax = dy0 + ry1 * dsy, dy0 + ry0 * dsy
+                ex = np.concatenate(
+                    [
+                        rxmin + (rxmax - rxmin) * t01,
+                        np.full_like(t01, rxmax),
+                        rxmax + (rxmin - rxmax) * t01,
+                        np.full_like(t01, rxmin),
+                    ]
+                )
+                ey = np.concatenate(
+                    [
+                        np.full_like(t01, rymin),
+                        rymin + (rymax - rymin) * t01,
+                        np.full_like(t01, rymax),
+                        rymax + (rymin - rymax) * t01,
+                    ]
+                )
+                sx_b, sy_b = proj.transform(ex, ey, dst_geobox.crs, sgb.crs)
+                fy_b = (sy_b - sy0) / ssy
+                fx_b = (sx_b - sx0) / ssx
+                iy0 = max(0, int(math.floor(fy_b.min())) - 1)
+                iy1 = min(sgb.height, int(math.ceil(fy_b.max())) + 1)
+                ix0 = max(0, int(math.floor(fx_b.min())) - 1)
+                ix1 = min(sgb.width, int(math.ceil(fx_b.max())) + 1)
+            else:
+                iy0 = max(0, int(math.floor((dy0 + ry0 * dsy - sy0) / ssy)) - 1)
+                iy1 = min(sgb.height, int(math.ceil((dy0 + ry1 * dsy - sy0) / ssy)) + 1)
+                ix0 = max(0, int(math.floor((dx0 + rx0 * dsx - sx0) / ssx)) - 1)
+                ix1 = min(sgb.width, int(math.ceil((dx0 + rx1 * dsx - sx0) / ssx)) + 1)
             if iy0 >= iy1 or ix0 >= ix1:
                 return None
             win = self._window(
@@ -291,49 +354,63 @@ class SynthReader:
             valid = ~nodata_mask(win, src_nodata)
             scy = sy0 + (np.arange(iy0, iy1) + 0.5) * ssy
             scx = sx0 + (np.arange(ix0, ix1) + 0.5) * ssx
-            by = np.floor((scy - dy0) / dsy).astype(np.int64) - ry0
-            bx = np.floor((scx - dx0) / dsx).astype(np.int64) - rx0
-            in_y = (by >= 0) & (by < n_y)
-            in_x = (bx >= 0) & (bx < n_x)
-            sel = in_y[:, None] & in_x[None, :] & valid
-            flat = by.clip(0, n_y - 1)[:, None] * n_x + bx.clip(0, n_x - 1)[None, :]
+            if cross:
+                scx2, scy2 = np.meshgrid(scx, scy)
+                wxx, wyy = proj.transform(scx2, scy2, sgb.crs, dst_geobox.crs)
+                by = np.floor((wyy - dy0) / dsy).astype(np.int64) - ry0
+                bx = np.floor((wxx - dx0) / dsx).astype(np.int64) - rx0
+            else:
+                by1 = np.floor((scy - dy0) / dsy).astype(np.int64) - ry0
+                bx1 = np.floor((scx - dx0) / dsx).astype(np.int64) - rx0
+                by = np.broadcast_to(by1[:, None], win.shape)
+                bx = np.broadcast_to(bx1[None, :], win.shape)
+            sel = (by >= 0) & (by < n_y) & (bx >= 0) & (bx < n_x) & valid
+            flat = by.clip(0, n_y - 1) * n_x + bx.clip(0, n_x - 1)
             sums = np.bincount(flat[sel], weights=win[sel], minlength=n_y * n_x)
             cnts = np.bincount(flat[sel], minlength=n_y * n_x)
             filled = cnts > 0
             vals.ravel()[filled] = sums[filled] / cnts[filled]
             out = ~filled.reshape(n_y, n_x)
         else:
-            # dst pixel centers in fractional src pixel coords
-            fy = (dy0 + (np.arange(ry0, ry1) + 0.5) * dsy - sy0) / ssy
-            fx = (dx0 + (np.arange(rx0, rx1) + 0.5) * dsx - sx0) / ssx
+            # dst pixel centers in fractional src pixel coords — 2-D
+            # fields so the same sampling code serves affine (separable,
+            # broadcast views: no copy) and cross-CRS (dense transform)
+            cy = dy0 + (np.arange(ry0, ry1) + 0.5) * dsy
+            cx = dx0 + (np.arange(rx0, rx1) + 0.5) * dsx
+            if cross:
+                cx2, cy2 = np.meshgrid(cx, cy)
+                sxw, syw = proj.transform(cx2, cy2, dst_geobox.crs, sgb.crs)
+                FY = (syw - sy0) / ssy
+                FX = (sxw - sx0) / ssx
+            else:
+                FY = np.broadcast_to(((cy - sy0) / ssy)[:, None], (n_y, n_x))
+                FX = np.broadcast_to(((cx - sx0) / ssx)[None, :], (n_y, n_x))
             if resampling == "nearest":
-                iy = np.floor(fy).astype(np.int64)
-                ix = np.floor(fx).astype(np.int64)
-                ok_y = (iy >= 0) & (iy < sgb.height)
-                ok_x = (ix >= 0) & (ix < sgb.width)
-                if not ok_y.any() or not ok_x.any():
+                IY = np.floor(FY).astype(np.int64)
+                IX = np.floor(FX).astype(np.int64)
+                ok = (IY >= 0) & (IY < sgb.height) & (IX >= 0) & (IX < sgb.width)
+                if not ok.any():
                     return None
-                iy0, iy1 = int(iy[ok_y].min()), int(iy[ok_y].max()) + 1
-                ix0, ix1 = int(ix[ok_x].min()), int(ix[ok_x].max()) + 1
+                iy0, iy1 = int(IY[ok].min()), int(IY[ok].max()) + 1
+                ix0, ix1 = int(IX[ok].min()), int(IX[ok].max()) + 1
                 win = self._window(
                     src.uri, src_nodata, src_dtype, iy0, iy1, ix0, ix1
                 ).astype(np.float64)
-                samp = win[(iy - iy0).clip(0, iy1 - iy0 - 1)][
-                    :, (ix - ix0).clip(0, ix1 - ix0 - 1)
+                samp = win[
+                    (IY - iy0).clip(0, iy1 - iy0 - 1), (IX - ix0).clip(0, ix1 - ix0 - 1)
                 ]
-                inb = ok_y[:, None] & ok_x[None, :]
-                miss = nodata_mask(samp, src_nodata) | ~inb
+                miss = nodata_mask(samp, src_nodata) | ~ok
                 vals, out = samp, miss
             else:  # bilinear: center-based, p = f - 0.5
-                py, px_ = fy - 0.5, fx - 0.5
-                jy0 = np.floor(py).astype(np.int64)
-                jx0 = np.floor(px_).astype(np.int64)
-                ay = (py - jy0)[:, None]
-                ax = (px_ - jx0)[None, :]
-                iy0 = max(0, int(jy0.min()))
-                iy1 = min(sgb.height, int(jy0.max()) + 2)
-                ix0 = max(0, int(jx0.min()))
-                ix1 = min(sgb.width, int(jx0.max()) + 2)
+                PY, PX = FY - 0.5, FX - 0.5
+                JY = np.floor(PY).astype(np.int64)
+                JX = np.floor(PX).astype(np.int64)
+                AY = PY - JY
+                AX = PX - JX
+                iy0 = max(0, int(JY.min()))
+                iy1 = min(sgb.height, int(JY.max()) + 2)
+                ix0 = max(0, int(JX.min()))
+                ix1 = min(sgb.width, int(JX.max()) + 2)
                 if iy0 >= iy1 or ix0 >= ix1:
                     return None
                 win = self._window(
@@ -343,25 +420,25 @@ class SynthReader:
                 wny, wnx = win.shape
 
                 def gather(dy_, dx_):
-                    yy = (jy0 + dy_ - iy0)
-                    xx = (jx0 + dx_ - ix0)
-                    okk = ((yy >= 0) & (yy < wny))[:, None] & ((xx >= 0) & (xx < wnx))[None, :]
-                    v = win[yy.clip(0, wny - 1)][:, xx.clip(0, wnx - 1)]
-                    m = winmiss[yy.clip(0, wny - 1)][:, xx.clip(0, wnx - 1)] | ~okk
-                    # out-of-src-extent neighbors (not just window) are
-                    # already excluded: window covers [jy0, jy0+1] clipped
-                    # to the src grid, so okk==False ⇔ outside the grid
-                    return v, m
+                    yy = JY + dy_ - iy0
+                    xx = JX + dx_ - ix0
+                    # window is the src grid clipped to [JY, JY+1] range,
+                    # so out-of-window ⇔ out-of-src-extent
+                    okk = (yy >= 0) & (yy < wny) & (xx >= 0) & (xx < wnx)
+                    yc = yy.clip(0, wny - 1)
+                    xc = xx.clip(0, wnx - 1)
+                    return win[yc, xc], winmiss[yc, xc] | ~okk
+
                 # a neighbor only poisons the output if its weight is
                 # nonzero (an exactly-aligned axis has weight 0 on the +1
                 # neighbor — it must not matter whether that pixel exists)
                 vals = np.zeros((n_y, n_x), dtype=np.float64)
                 out = np.zeros((n_y, n_x), dtype=bool)
                 for dy_, dx_, w in (
-                    (0, 0, (1 - ay) * (1 - ax)),
-                    (0, 1, (1 - ay) * ax),
-                    (1, 0, ay * (1 - ax)),
-                    (1, 1, ay * ax),
+                    (0, 0, (1 - AY) * (1 - AX)),
+                    (0, 1, (1 - AY) * AX),
+                    (1, 0, AY * (1 - AX)),
+                    (1, 1, AY * AX),
                 ):
                     v, m = gather(dy_, dx_)
                     vals += np.where(m, 0.0, v) * w
@@ -373,9 +450,11 @@ class SynthReader:
         if dst_nodata is not None:
             pix = np.where(out, np.asarray(dst_nodata, dtype=dst_dtype), pix)
         elif out.any():
-            # float dst without explicit nodata → NaN (reference
-            # resolve_dst_nodata semantics, loader/_reader.py:84-101)
-            pix = np.where(out, np.asarray(np.nan, dtype=dst_dtype), pix)
+            # no explicit nodata: NaN for float dst, 0 for int dst —
+            # the reference's empty-fill rule (loader/_builder.py:188-194,
+            # resolve_dst_nodata loader/_reader.py:84-101)
+            fill = 0 if np.issubdtype(np.dtype(dst_dtype), np.integer) else np.nan
+            pix = np.where(out, np.asarray(fill, dtype=dst_dtype), pix)
         return ReadResult((ry0, ry1), (rx0, rx1), pix)
 
 
