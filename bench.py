@@ -28,6 +28,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_pair_volume",
+    "q13_customer_order_distribution",
+    "q19_disjunctive_revenue",
     "a2_solar_day",
     "a4_group_sort_bucketize",
     "j1_tyx_bins",
@@ -69,6 +72,8 @@ def main() -> None:
     # 4.1-4.8 Mpx/s/thread on the s2-ms-mosaic load)
     mpx_s, raster_sec = raster_throughput(spark)
     timings["r_mosaic_load"] = raster_sec
+    warp_mpx_s, warp_sec = warp_throughput(spark)
+    timings["r_warp_load"] = warp_sec
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +85,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "raster_mpx_per_sec": mpx_s,
+                "warp_mpx_per_sec": warp_mpx_s,
             }
         )
     )
@@ -133,6 +139,54 @@ def raster_throughput(spark):
     for _ in range(2):
         start = time.perf_counter()
         tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(1024, 1024))
+        tiles_df.write.mode("overwrite").format("noop").save()
+        elapsed = min(elapsed, time.perf_counter() - start)
+    npix = len(plan.bands) * len(plan.group_keys) * plan.gbox.shape[0] * plan.gbox.shape[1]
+    return round(npix / elapsed / 1e6, 3), round(elapsed, 3)
+
+
+def warp_throughput(spark):
+    """F16 resampling-path throughput: the same mosaic shape but every
+    source half-a-pixel offset from the output grid with bilinear
+    resampling — forces the dense warp path in every tile task (the
+    reference's rasterio.warp slow path, loader/_rio.py:361-369)."""
+    from datetime import datetime, timedelta
+
+    from odc_stac_spark.model import GeoBox, RasterBandMetadata, RasterLoadParams, RasterSource
+    from odc_stac_spark.plans.load import Item, load
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    items = []
+    n, ny, nx, dy = 6, 2000, 2816, 1000
+    for i in range(n):
+        origin = (5.0, 10.0 * (ny + (n - 1) * dy) - i * dy * 10.0 + 5.0)
+        gbox = GeoBox((ny, nx), (10.0, 0.0, origin[0], 0.0, -10.0, origin[1]), "EPSG:32735")
+        items.append(
+            Item(
+                id=f"warp-{i:03d}",
+                datetime=t0 + timedelta(minutes=i),
+                bands={
+                    "red": RasterSource(
+                        f"synth://w{i}?seed={i}",
+                        geobox=gbox,
+                        meta=RasterBandMetadata("uint16", 0),
+                    )
+                },
+                lon=27.4,
+            )
+        )
+    out_gbox = GeoBox(
+        (ny + (n - 1) * dy, nx),
+        (10.0, 0.0, 0.0, 0.0, -10.0, 10.0 * (ny + (n - 1) * dy)),
+        "EPSG:32735",
+    )
+    cfg = {"*": RasterLoadParams(dtype="uint16", fill_value=0, resampling="bilinear")}
+    elapsed = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        tiles_df, plan = load(
+            spark, items, groupby="solar_day", geobox=out_gbox, chunks=(1024, 1024), cfg=cfg
+        )
         tiles_df.write.mode("overwrite").format("noop").save()
         elapsed = min(elapsed, time.perf_counter() - start)
     npix = len(plan.bands) * len(plan.group_keys) * plan.gbox.shape[0] * plan.gbox.shape[1]

@@ -177,7 +177,9 @@ def plan_load(
             top = max(votes.values())
             resolution = min(r for r, c in votes.items() if c == top)
         if bbox is None:
-            bbs = [g.bbox() for g in geoms]
+            # A8 bbox union in the OUTPUT CRS (cross-CRS sources go through
+            # the densified-footprint transform)
+            bbs = [_footprint_in(g, out_crs) for g in geoms]
             bbox = (
                 min(b[0] for b in bbs),
                 min(b[1] for b in bbs),
@@ -257,8 +259,17 @@ def load(
                 continue  # P2: missing band tolerated
             g = src.geobox
             m = src.meta or RasterBandMetadata()
+            # P5: source footprint in the OUTPUT CRS — for cross-CRS
+            # sources the tile binning (J1) must see the reprojected
+            # bounds (densified boundary, reference safe_geometry
+            # model.py:271-299); same-CRS sources use the affine bbox
+            fp = _footprint_in(g, plan.gbox.crs)
             rows.append(
                 {
+                    "fp_xmin": fp[0],
+                    "fp_ymin": fp[1],
+                    "fp_xmax": fp[2],
+                    "fp_ymax": fp[3],
                     "item_idx": idx,
                     "item_id": it.id,
                     "ts": pd.Timestamp(it.datetime),
@@ -285,6 +296,32 @@ def load(
     ), plan
 
 
+def _footprint_in(gbox: GeoBox, dst_crs: str):
+    """Source bbox expressed in dst_crs: identity for same CRS, else a
+    densified boundary transformed through functions/proj (the reference's
+    N=100 perimeter densification, model.py:271-299 — 25 points/edge is
+    ample for the mm-accurate Krüger transform)."""
+    bb = gbox.bbox()
+    if gbox.crs == dst_crs:
+        return bb
+    import numpy as np
+
+    from ..functions import proj
+
+    xmin, ymin, xmax, ymax = bb
+    t01 = np.linspace(0.0, 1.0, 25)
+    ex = np.concatenate(
+        [xmin + (xmax - xmin) * t01, np.full_like(t01, xmax),
+         xmax + (xmin - xmax) * t01, np.full_like(t01, xmin)]
+    )
+    ey = np.concatenate(
+        [np.full_like(t01, ymin), ymin + (ymax - ymin) * t01,
+         np.full_like(t01, ymax), ymax + (ymin - ymax) * t01]
+    )
+    tx, ty = proj.transform(ex, ey, gbox.crs, dst_crs)
+    return (float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max()))
+
+
 def load_from_sources(
     sources_df: DataFrame,
     plan: LoadPlan,
@@ -302,11 +339,17 @@ def load_from_sources(
     ty, tx = plan.tiles.tile_shape
     nty, ntx = plan.tiles.chunk_counts
     dsx, _, dx0, _, dsy, dy0 = gb.transform
-    # source world bbox (sy<0: y0 is top edge)
-    sxmin = F.col("g_x0")
-    sxmax = F.col("g_x0") + F.col("g_sx") * F.col("g_nx")
-    symax = F.col("g_y0")
-    symin = F.col("g_y0") + F.col("g_sy") * F.col("g_ny")
+    # source footprint in output-CRS world coords: precomputed fp_*
+    # columns when provided (cross-CRS capable), else the affine bbox of
+    # the source grid (sy<0: y0 is top edge)
+    if "fp_xmin" in sources_df.columns:
+        sxmin, symin = F.col("fp_xmin"), F.col("fp_ymin")
+        sxmax, symax = F.col("fp_xmax"), F.col("fp_ymax")
+    else:
+        sxmin = F.col("g_x0")
+        sxmax = F.col("g_x0") + F.col("g_sx") * F.col("g_nx")
+        symax = F.col("g_y0")
+        symin = F.col("g_y0") + F.col("g_sy") * F.col("g_ny")
     # dst pixel ranges [px0,px1), [py0,py1), clamped
     px0 = F.greatest(F.lit(0), F.floor((sxmin - dx0) / dsx))
     px1 = F.least(F.lit(gb.width), F.ceil((sxmax - dx0) / dsx))

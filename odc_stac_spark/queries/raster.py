@@ -57,3 +57,44 @@ def r_load_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_df.select(
         "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
     ).orderBy("band", "t", "iy", "ix")
+
+
+@register(
+    "r_load_warp_crosscrs",
+    oracle=None,
+    doc="F16 end-to-end: UTM sources loaded into a WGS84 geographic output "
+    "grid (Krüger-series cross-CRS warp, bilinear) through the full tile "
+    "pipeline; returns per-tile stats (transform math invariant-tested in "
+    "tests/test_proj.py, sampling in tests/test_warp.py).",
+    tags=("raster", "warp"),
+)
+def r_load_warp_crosscrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..model import RasterLoadParams
+
+    # realistic UTM 35S scene positions (~26.2E, 15S — the reference's
+    # bench-site neighborhood) reprojected onto a lat/lon output grid
+    t0 = datetime(2020, 6, 6, 8, 30)
+    items = []
+    for i in range(4):
+        origin = (400000.0, 8350000.0 - i * 5000.0)
+        gbox = GeoBox((100, 150), (100.0, 0.0, origin[0], 0.0, -100.0, origin[1]), _CRS)
+        items.append(
+            Item(
+                id=f"warp-{i:03d}",
+                datetime=t0 + timedelta(minutes=i),
+                bands={
+                    "red": RasterSource(
+                        f"synth://wr{i}?seed={i}&nodata_every=5",
+                        geobox=gbox,
+                        meta=RasterBandMetadata("int16", -1),
+                    )
+                },
+                lon=26.2,
+            )
+        )
+    out = GeoBox((220, 160), (0.001, 0.0, 26.06, 0.0, -0.001, -14.92), "EPSG:4326")
+    cfg = {"*": RasterLoadParams(dtype="float64", fill_value=float("nan"), resampling="bilinear")}
+    tiles_df, _ = load(spark, items, groupby="solar_day", geobox=out, chunks=(64, 64), cfg=cfg)
+    return tiles_df.select(
+        "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
+    ).orderBy("band", "t", "iy", "ix")
