@@ -21,6 +21,54 @@ Pandas UDFs only where built-ins cannot express the semantics.
 
 __version__ = "0.1.0"
 
+from .model import (
+    GeoBox,
+    GeoboxTiles,
+    RasterBandMetadata,
+    RasterCollectionMetadata,
+    RasterLoadParams,
+    RasterSource,
+)
+from .plans.catalog import load_from_catalog, plan_load_df
+from .plans.load import LoadPlan, load, load_from_sources, plan_load
 from .session import get_spark
+from .sources.aws import configure_s3_access
+from .sources.eo3 import stac2ds
+from .sources.stac_items import extract_collection_metadata, items_df, parse_items
 
-__all__ = ["get_spark", "__version__"]
+# reference public-API parity (odc/stac/__init__.py:20-36): `load` is also
+# exported as `stac_load`; `output_geobox` resolves the output grid alone
+stac_load = load
+
+
+def output_geobox(items, bands=None, geobox=None, bbox=None, resolution=None, crs=None):
+    """Output-grid resolution without loading (reference ``output_geobox``,
+    _mdtools.py:823-981): precedence geobox > bbox+res > auto election."""
+    return plan_load(
+        items, bands=bands, geobox=geobox, bbox=bbox, resolution=resolution, crs=crs
+    ).gbox
+
+
+__all__ = [
+    "GeoBox",
+    "GeoboxTiles",
+    "LoadPlan",
+    "RasterBandMetadata",
+    "RasterCollectionMetadata",
+    "RasterLoadParams",
+    "RasterSource",
+    "configure_s3_access",
+    "extract_collection_metadata",
+    "get_spark",
+    "items_df",
+    "load",
+    "load_from_catalog",
+    "load_from_sources",
+    "output_geobox",
+    "parse_items",
+    "plan_load",
+    "plan_load_df",
+    "stac2ds",
+    "stac_load",
+    "__version__",
+]

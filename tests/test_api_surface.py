@@ -1,0 +1,38 @@
+"""Public-API parity with the reference (odc/stac/__init__.py:20-36):
+a user of odc-stac finds the same top-level names here, Spark-flavored."""
+
+from __future__ import annotations
+
+import odc_stac_spark as api
+
+
+def test_reference_public_names_exist():
+    # reference exports: load (alias stac_load), parse_item/parse_items,
+    # extract_collection_metadata, output_geobox, configure_s3_access,
+    # model classes, stac2ds
+    for name in (
+        "load",
+        "stac_load",
+        "parse_items",
+        "extract_collection_metadata",
+        "output_geobox",
+        "configure_s3_access",
+        "stac2ds",
+        "RasterBandMetadata",
+        "RasterCollectionMetadata",
+        "RasterLoadParams",
+        "RasterSource",
+        "GeoBox",
+    ):
+        assert hasattr(api, name), name
+    assert api.stac_load is api.load
+
+
+def test_output_geobox_resolves_grid():
+    from .test_load_pipeline import mk_item
+
+    gbox = api.output_geobox([mk_item(0), mk_item(1, origin=(300.0, 1000.0))])
+    assert gbox.crs == "EPSG:32735"
+    assert gbox.resolution == (10.0, -10.0)
+    # union of the two 100x120 grids offset by (300, 0)
+    assert gbox.bbox() == (0.0, 0.0, 1500.0, 1000.0)
