@@ -445,6 +445,65 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_heavy_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey, 0.1 * AVG(l_quantity) * COUNT(*) AS half_vol
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      JOIN per_part pp ON pp.l_partkey = sh.l_partkey
+      WHERE sh.qty > pp.half_vol
+    )
+    """,
+    doc="TPC-H Q20 shape (partsupp-free): suppliers who moved more than "
+    "a tenth of the total volume of a filtered part — nested IN subquery over "
+    "a grouped HAVING with a correlated scalar aggregate, decorrelated "
+    "into two aggregations + a broadcast semi-join.",
+    tags=("relational", "subquery", "join"),
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    in_window = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        in_window.join(broadcast(p), in_window.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    # correlated threshold → per-part aggregate joined back (the same
+    # decorrelation Catalyst performs for the SQL form)
+    per_part = li.groupBy(F.col("l_partkey").alias("tp")).agg(
+        (0.1 * F.avg("l_quantity") * F.count(F.lit(1))).alias("half_vol")
+    )
+    heavy = (
+        shipped.join(per_part, shipped.l_partkey == F.col("tp"))
+        .where(F.col("qty") > F.col("half_vol"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
     "q21_exclusive_return_suppliers",
     oracle="""
     SELECT s.s_name, COUNT(*) AS numwait
