@@ -82,3 +82,76 @@ def test_pick_overview_is_largest_leq(shrink, overviews):
     else:
         assert overviews[i] <= shrink
         assert all(o > shrink for o in overviews[i + 1 :])
+
+
+@settings(max_examples=200)
+@given(
+    zone=st.integers(1, 60),
+    north=st.booleans(),
+    dlon=st.floats(-3.4, 3.4, allow_nan=False),
+    lat=st.floats(-80.0, 84.0, allow_nan=False),
+)
+def test_proj_roundtrip_closure(zone, north, dlon, lat):
+    """UTM forward∘inverse is the identity to ≈1 mm anywhere in a zone."""
+    from odc_stac_spark.functions.proj import geographic_to_utm, utm_to_geographic
+
+    lon = (zone * 6 - 183) + dlon
+    x, y = geographic_to_utm(lon, lat, zone, north)
+    lon2, lat2 = utm_to_geographic(x, y, zone, north)
+    assert abs(float(lon2) - lon) < 1e-8
+    assert abs(float(lat2) - lat) < 1e-8
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    off_x=st.floats(-55.0, 55.0, allow_nan=False),
+    off_y=st.floats(-55.0, 55.0, allow_nan=False),
+    seed=st.integers(0, 99),
+)
+def test_warp_nearest_matches_direct_sampling(off_x, off_y, seed):
+    """For ANY grid offset, nearest-warp output equals sampling the synth
+    value field at the containing src pixel of each dst center."""
+    import numpy as np
+
+    from odc_stac_spark.model import GeoBox, RasterBandMetadata, RasterLoadParams, RasterSource
+    from odc_stac_spark.sources.synth import SynthReader
+
+    src_g = GeoBox((40, 40), (10.0, 0.0, off_x, 0.0, -10.0, 400.0 + off_y), "EPSG:32735")
+    src = RasterSource(f"synth://p?seed={seed}", geobox=src_g, meta=RasterBandMetadata("int32", None))
+    dst = GeoBox((40, 40), (10.0, 0.0, 0.0, 0.0, -10.0, 400.0), "EPSG:32735")
+    rr = SynthReader().read(src, RasterLoadParams(), dst)
+    if rr is None:
+        return
+    ys, xs = np.mgrid[rr.roi_y[0] : rr.roi_y[1], rr.roi_x[0] : rr.roi_x[1]]
+    wx = (xs + 0.5) * 10.0
+    wy = 400.0 - (ys + 0.5) * 10.0
+    spy = np.floor((wy - (400.0 + off_y)) / -10.0).astype(int)
+    spx = np.floor((wx - off_x) / 10.0).astype(int)
+    inb = (spy >= 0) & (spy < 40) & (spx >= 0) & (spx < 40)
+    want = (seed * 7919 + spy * 8191 + spx * 127) % 10007
+    assert (rr.pix[inb] == want[inb].astype(rr.pix.dtype)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ny=st.integers(1, 200),
+    nx=st.integers(1, 200),
+    tile=st.sampled_from([16, 64, 256]),
+    dtype=st.sampled_from(["uint8", "uint16", "int32", "float32"]),
+)
+def test_geotiff_roundtrip_any_shape(tmp_path_factory, ny, nx, tile, dtype):
+    import numpy as np
+
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.sources.geotiff import read_cog_file, write_cog_file
+
+    rng = np.random.default_rng(ny * 1000 + nx)
+    if np.dtype(dtype).kind == "f":
+        arr = rng.random((ny, nx)).astype(dtype)
+    else:
+        arr = rng.integers(0, np.iinfo(dtype).max, size=(ny, nx), dtype=dtype)
+    g = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, ny * 10.0), "EPSG:32735")
+    p = str(tmp_path_factory.mktemp("tif") / "x.tif")
+    write_cog_file(p, arr, g, tile=tile)
+    got = read_cog_file(p)
+    assert (got["data"] == arr).all()
