@@ -32,7 +32,7 @@ from .model import (
 from .plans.catalog import load_from_catalog, plan_load_df
 from .plans.load import LoadPlan, load, load_from_sources, plan_load
 from .session import get_spark
-from .sources.aws import configure_s3_access
+from .sources.aws import configure_rio, configure_s3_access
 from .sources.eo3 import stac2ds
 from .sources.stac_items import extract_collection_metadata, items_df, parse_items
 
@@ -57,6 +57,7 @@ __all__ = [
     "RasterCollectionMetadata",
     "RasterLoadParams",
     "RasterSource",
+    "configure_rio",
     "configure_s3_access",
     "extract_collection_metadata",
     "get_spark",

@@ -145,6 +145,19 @@ def get_aws_settings(
     )
 
 
+def configure_rio(**env) -> dict:
+    """Public API parity with the reference's ``configure_rio``
+    (odc/stac/__init__.py:20-36; _rio.py GDAL env management): install
+    reader-environment key/values (GDAL-style options, cloud defaults)
+    into the executor-side env singleton. With no rasterio in this
+    container the values are held and shipped verbatim; the RioReader
+    slot consumes them when present."""
+    from .synth import _ENV
+
+    _ENV.setdefault("rio", {}).update(env)
+    return dict(_ENV["rio"])
+
+
 def configure_s3_access(
     profile: Optional[str] = None,
     region_name: str = "auto",

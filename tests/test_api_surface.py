@@ -17,6 +17,7 @@ def test_reference_public_names_exist():
         "extract_collection_metadata",
         "output_geobox",
         "configure_s3_access",
+        "configure_rio",
         "stac2ds",
         "RasterBandMetadata",
         "RasterCollectionMetadata",
