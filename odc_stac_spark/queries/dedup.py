@@ -232,9 +232,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(N_BANDS)
         ]
     )
+    # persist: both sides of the bucket self-join read this — without the
+    # cache the 16-min signature aggregation runs twice (verified: two
+    # identical exchanges in the unpersisted plan)
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh")
-    )
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -254,7 +257,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("shared")
         )
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
