@@ -123,7 +123,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingle table feeds the self-join twice plus the count
     # side — at scale this is a materialized intermediate, not a recompute
     sh = _shingles_df(spark, sf_dir).persist()
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

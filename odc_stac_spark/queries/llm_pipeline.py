@@ -109,6 +109,83 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_training_prep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_tokens,
+             ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.4 * LEAST(stop_ratio * 4, 1.0)
+                 + 0.2 * LEAST(avg_token_len / 8.0, 1.0), 4) AS quality
+      FROM (
+        SELECT doc_id, lang, text,
+               len(toks) AS n_tokens,
+               ROUND(len(list_filter(toks, t -> list_contains(
+                   ['the', 'and', 'of', 'to', 'a', 'in', 'is', 'on', 'for', 'with'], t)))
+                     * 1.0 / len(toks), 4) AS stop_ratio,
+               ROUND(length(array_to_string(toks, '')) * 1.0 / len(toks), 4)
+                   AS avg_token_len
+        FROM (SELECT doc_id, lang, text,
+                     string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) > 0
+      )
+    ),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM filtered
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered
+                       GROUP BY md5(trim(lower(text))))
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < 50
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY lang
+    """,
+    doc="END-TO-END training-data prep: quality filter (C4-style "
+    "heuristics) → exact dedup keep-min → deterministic 50% sample → "
+    "per-language corpus stats. One declarative plan — Catalyst fuses "
+    "the stages; every intermediate is also an individually-gated query "
+    "(text_quality_score / dedup_exact / sample_stratified).",
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    d = d.select("doc_id", "lang", "text", toks.alias("toks")).where(F.size("toks") > 0)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size("toks")
+    stop_ratio = F.round(
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))) / n_tokens, 4
+    )
+    avg_len = F.round(F.length(F.concat_ws("", F.col("toks"))) / n_tokens, 4)
+    quality = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.2 * F.least(avg_len / 8.0, F.lit(1.0)),
+        4,
+    )
+    scored = d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"), quality.alias("quality"))
+    filtered = scored.where(F.col("quality") >= 0.5)
+    keep = filtered.groupBy(F.md5(F.trim(F.lower(F.col("text")))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = filtered.join(keep.select("doc_id"), "doc_id", "left_semi")
+    sampled = deduped.where(_hash32(F.col("doc_id").cast("string")) % 100 < 50)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
     "sample_stratified",
     oracle=f"""
     SELECT doc_id, lang, bucket
