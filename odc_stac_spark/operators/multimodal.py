@@ -202,3 +202,107 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out, "media_type": "image/x-simg"})
 
     return media.mapInPandas(fs, media.schema)
+
+
+# ---- audio modality -------------------------------------------------------
+# SAUD layout: b"SAUD" | ver:u8 | sample_rate:u32le | channels:u8 |
+# n_samples:u32le | samples (int16le, interleaved). Stands in for
+# wav/flac/mp3 the way SIMG stands in for JPEG/PNG — deterministic, so the
+# whole decode→feature path has an exact relational oracle.
+
+AUDIO_MAGIC = b"SAUD"
+AUDIO_HEADER_FMT = "<4sBIBI"
+AUDIO_HEADER_SIZE = struct.calcsize(AUDIO_HEADER_FMT)
+
+
+def encode_saud(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 mono samples → SAUD bytes."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    return (
+        struct.pack(AUDIO_HEADER_FMT, AUDIO_MAGIC, 1, sample_rate, 1, s.size)
+        + s.tobytes()
+    )
+
+
+def decode_saud(data: bytes):
+    magic, ver, rate, channels, n = struct.unpack_from(AUDIO_HEADER_FMT, data)
+    if magic != AUDIO_MAGIC:
+        raise ValueError("not a SAUD payload")
+    samples = np.frombuffer(data, np.int16, count=n, offset=AUDIO_HEADER_SIZE)
+    return samples, rate
+
+
+def synth_audio(seed: int, n: int) -> np.ndarray:
+    """Deterministic fake clip: s[i] = ((seed*31 + i*7) % 201) - 100."""
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * 31 + i * 7) % 201) - 100).astype(np.int16)
+
+
+def demo_audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media BINARY, media_type) audio demo table;
+    clip length varies per doc (1000 + doc_id % 500 samples)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        encode_saud(synth_audio(int(i), 1000 + int(i) % 500))
+                        for i in pdf["doc_id"]
+                    ],
+                    "media_type": "audio/x-saud",
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+_AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip features (decode + numpy DSP over Arrow batches — the
+    'embed this audio' slot; a real encoder forward pass drops into the
+    same mapInPandas body)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                s, rate = decode_saud(bytes(blob))
+                sf = s.astype(np.float64)
+                sign = np.sign(sf)
+                zc = int(np.count_nonzero(np.diff(sign[sign != 0]) != 0))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": s.size,
+                        "sample_rate": rate,
+                        "duration_ms": round(s.size * 1000.0 / rate, 4),
+                        "rms": round(float(np.sqrt((sf**2).mean())), 6),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(feats, _AUDIO_FEAT_SCHEMA)

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import decode_metadata, demo_media_df, image_stats
+from ..operators.multimodal import (
+    audio_features,
+    decode_metadata,
+    demo_audio_df,
+    demo_media_df,
+    image_stats,
+)
 from . import register
 
 
@@ -59,3 +65,43 @@ def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(demo_media_df(spark, sf_dir))
+
+
+@register(
+    "mm_audio_features",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 7) % 201) - 100 AS s
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1498)) AS i) i
+      WHERE i.i < 1000 + d.doc_id % 500
+    ),
+    zc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE sgn <> prev_sgn) AS BIGINT)
+                 AS zero_crossings
+      FROM (SELECT doc_id, i, sign(s) AS sgn,
+                   LAG(sign(s)) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS prev_sgn
+            FROM samples WHERE s <> 0)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           16000 AS sample_rate,
+           ROUND(COUNT(*) * 1000.0 / 16000, 4) AS duration_ms,
+           ROUND(sqrt(AVG(CAST(a.s AS DOUBLE) * a.s)), 6) AS rms,
+           MIN(zc.zero_crossings) AS zero_crossings
+    FROM samples a JOIN zc ON zc.doc_id = a.doc_id
+    GROUP BY a.doc_id
+    """,
+    doc="multimodal audio: binary SAUD clips → decode + DSP features "
+    "(RMS, zero-crossing rate, duration) over Arrow batches; the demo "
+    "clips are a pure function of doc_id so DuckDB recomputes the "
+    "expected features from first principles — the hash match gates the "
+    "entire binary audio path.",
+    tags=("multimodal", "audio"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(demo_audio_df(spark, sf_dir))

@@ -57,3 +57,26 @@ def test_resize_and_frame_sample(spark, sf_dir):
 def test_real_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_real_image(b"\x89PNG...")
+
+
+def test_audio_codec_roundtrip_and_features(spark, sf_dir):
+    from odc_stac_spark.operators.multimodal import (
+        audio_features,
+        decode_saud,
+        demo_audio_df,
+        encode_saud,
+        synth_audio,
+    )
+
+    s = synth_audio(7, 1234)
+    back, rate = decode_saud(encode_saud(s, 22050))
+    np.testing.assert_array_equal(back, s)
+    assert rate == 22050
+
+    feats = {r.doc_id: r for r in audio_features(demo_audio_df(spark, sf_dir).where("doc_id < 6")).collect()}
+    for doc_id, f in feats.items():
+        clip = synth_audio(doc_id, 1000 + doc_id % 500).astype(np.float64)
+        assert f.n_samples == clip.size
+        assert f.rms == round(float(np.sqrt((clip**2).mean())), 6)
+        sign = np.sign(clip)
+        assert f.zero_crossings == int(np.count_nonzero(np.diff(sign[sign != 0]) != 0))
