@@ -128,6 +128,38 @@ def test_crosscrs_roundtrip_identity_region():
     assert np.isfinite(rr.pix).mean() > 0.9
 
 
+def test_crosscrs_average_matches_manual_binning():
+    """Cross-CRS average: mean of src pixels whose transformed centers
+    land in each dst cell — recomputed independently here by binning."""
+    src_gbox = GeoBox(
+        (120, 120), (50.0, 0.0, 420000.0, 0.0, -50.0, 8345000.0), "EPSG:32735"
+    )
+    src = RasterSource("synth://avg?seed=9", geobox=src_gbox, meta=RasterBandMetadata("float64", None))
+    dst = GeoBox((40, 40), (0.002, 0.0, 26.24, 0.0, -0.002, -14.94), "EPSG:4326")
+    rr = SynthReader().read(src, RasterLoadParams(resampling="average"), dst)
+    assert rr is not None
+
+    # manual binning over ALL src pixels
+    iy, ix = np.mgrid[0:120, 0:120]
+    vals = synth_val(9, iy, ix).astype(np.float64)
+    scx = 420000.0 + (ix + 0.5) * 50.0
+    scy = 8345000.0 - (iy + 0.5) * 50.0
+    lon, lat = utm_to_geographic(scx, scy, 35, False)
+    bx = np.floor((lon - 26.24) / 0.002).astype(int) - rr.roi_x[0]
+    by = np.floor((lat - (-14.94)) / -0.002).astype(int) - rr.roi_y[0]
+    n_y = rr.roi_y[1] - rr.roi_y[0]
+    n_x = rr.roi_x[1] - rr.roi_x[0]
+    want = np.full((n_y, n_x), np.nan)
+    cnt = np.zeros((n_y, n_x))
+    acc = np.zeros((n_y, n_x))
+    sel = (by >= 0) & (by < n_y) & (bx >= 0) & (bx < n_x)
+    np.add.at(acc, (by[sel], bx[sel]), vals[sel])
+    np.add.at(cnt, (by[sel], bx[sel]), 1)
+    filled = cnt > 0
+    want[filled] = acc[filled] / cnt[filled]
+    np.testing.assert_allclose(rr.pix, want, equal_nan=True)
+
+
 def test_crosscrs_unsupported_pair_raises():
     src_gbox = GeoBox((10, 10), (1.0, 0.0, 0.0, 0.0, -1.0, 10.0), "EPSG:3857")
     src = RasterSource("synth://z?seed=1", geobox=src_gbox, meta=RasterBandMetadata("int32", None))

@@ -101,6 +101,29 @@ def test_aqe_enabled_and_coalescing(spark, sf_dir):
     assert "AQEShuffleRead" in plan  # runtime partition coalescing active
 
 
+def test_salted_join_matches_plain(spark, sf_dir):
+    """salted_join == plain join for inner and left (skew-resistant path
+    for non-broadcastable small sides)."""
+    from odc_stac_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    for how in ("inner", "left"):
+        got = (
+            salted_join(o, c, "o_custkey", salt_on="o_orderkey", n_salt=4, how=how)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("c_acctbal").alias("bal"))
+        )
+        want = (
+            o.join(c, "o_custkey", how)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("c_acctbal").alias("bal"))
+        )
+        g = {r.o_orderpriority: (r.n, round(r.bal or 0, 4)) for r in got.collect()}
+        w = {r.o_orderpriority: (r.n, round(r.bal or 0, 4)) for r in want.collect()}
+        assert g == w, how
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     salted = salted_sum(ev, ["event_type"], "value", salt_on="event_id", n_salt=8)
