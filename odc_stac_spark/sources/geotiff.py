@@ -236,6 +236,100 @@ def _render_ifd(ifd, next_offset: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# header-only parse + single-tile range reads (the COG access pattern:
+# one head fetch plans everything, then byte-range reads per tile)
+
+
+def read_cog_header(path: str) -> Dict:
+    """Parse ONLY the IFD region (COG layout puts all IFDs before any tile
+    data, so one small head read suffices — here a single 64 KiB read
+    covers typical headers, extended if needed). Returns per-level tile
+    layout + geo tags, no pixel bytes."""
+    with open(path, "rb") as f:
+        buf = f.read(65536)
+
+        def ensure(n):
+            nonlocal buf
+            while len(buf) < n:
+                chunk = f.read(max(65536, n - len(buf)))
+                if not chunk:
+                    break
+                buf += chunk
+
+        order, magic, ifd_off = struct.unpack_from("<2sHI", buf, 0)
+        assert order == b"II" and magic == 42
+        levels = []
+        geo: Dict = {"nodata": None, "epsg": None, "transform": None}
+        while ifd_off:
+            ensure(ifd_off + 2)
+            (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+            ensure(ifd_off + 2 + 12 * n_entries + 4)
+            tags: Dict[int, Tuple[int, int, int]] = {}
+            for i in range(n_entries):
+                tag, typ, count, raw = struct.unpack_from("<HHII", buf, ifd_off + 2 + 12 * i)
+                tags[tag] = (typ, count, raw)
+            (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n_entries)
+
+            def short_val(tag):
+                typ, count, raw = tags[tag]
+                return raw & 0xFFFF if typ == _TYPE_SHORT else raw
+
+            def long_array(tag):
+                typ, count, raw = tags[tag]
+                if count == 1:
+                    return [raw]
+                ensure(raw + 4 * count)
+                return list(struct.unpack_from(f"<{count}I", buf, raw))
+
+            bits = short_val(_BITSPERSAMPLE)
+            fmt = short_val(_SAMPLEFORMAT)
+            levels.append(
+                {
+                    "nx": short_val(_WIDTH),
+                    "ny": short_val(_LENGTH),
+                    "tile_w": short_val(_TILEWIDTH),
+                    "tile_h": short_val(_TILELENGTH),
+                    "dtype": _NP_DTYPE[(fmt, bits)],
+                    "offsets": long_array(_TILEOFFSETS),
+                    "bytecounts": long_array(_TILEBYTECOUNTS),
+                }
+            )
+            if _MODELPIXELSCALE in tags:
+                typ, count, raw = tags[_MODELPIXELSCALE]
+                ensure(raw + 24)
+                sx, sy, _z = struct.unpack_from("<3d", buf, raw)
+                typ, count, raw = tags[_MODELTIEPOINT]
+                ensure(raw + 48)
+                _i, _j, _k, x0, y0, _z2 = struct.unpack_from("<6d", buf, raw)
+                geo["transform"] = (sx, 0.0, x0, 0.0, -sy, y0)
+            if _GEOKEYDIRECTORY in tags:
+                typ, count, raw = tags[_GEOKEYDIRECTORY]
+                ensure(raw + 2 * count)
+                gk = struct.unpack_from(f"<{count}H", buf, raw)
+                for i in range(4, len(gk), 4):
+                    if gk[i] in (2048, 3072):
+                        geo["epsg"] = gk[i + 3]
+            if _GDAL_NODATA in tags:
+                typ, count, raw = tags[_GDAL_NODATA]
+                ensure(raw + count)
+                geo["nodata"] = float(buf[raw : raw + count - 1].decode())
+        return {"levels": levels, **geo}
+
+
+def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndarray:
+    """One tile via seek + byte-range read (the executor-side access
+    pattern; over object storage this becomes an HTTP range request)."""
+    lv = header["levels"][level]
+    off = lv["offsets"][tile_idx]
+    cnt = lv["bytecounts"][tile_idx]
+    with open(path, "rb") as f:
+        f.seek(off)
+        raw = f.read(cnt)
+    dt = np.dtype(lv["dtype"])
+    return np.frombuffer(raw, dt).reshape(lv["tile_h"], lv["tile_w"])
+
+
+# ---------------------------------------------------------------------------
 # reader (tests + range-read planning demo)
 
 _NP_DTYPE = {
