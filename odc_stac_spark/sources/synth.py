@@ -479,10 +479,12 @@ class TiffReader(SynthReader):
     "open COG/GeoTIFF by URI, read window/overview", loader/_rio.py
     rio_read equivalent for the uncompressed-COG subset).
 
-    - parsed files are cached per executor process in ``_ENV`` — the
-      session-reuse pattern of the reference's thread-local GDAL env
-      (loader/_rio.py:126-176); a worker re-reads a COG it already holds
-      from memory, not disk.
+    - only the HEADER is cached per executor process in ``_ENV`` (the
+      session-reuse pattern of the reference's thread-local GDAL env,
+      loader/_rio.py:126-176); pixel bytes are fetched per intersecting
+      tile via byte-range reads (geotiff.read_cog_tile) — executor memory
+      is bounded by the requested window, never the file size, exactly
+      how a COG is meant to be consumed over object storage.
     - decimated reads use a reduced-resolution overview IFD when one
       matches the decimation and the window is aligned to it — real
       overview pushdown on a real format (counted in
@@ -495,13 +497,47 @@ class TiffReader(SynthReader):
         u = urlparse(uri)
         return u.path if u.scheme in ("file", "") else uri
 
-    def _parsed(self, uri: str) -> dict:
-        cache = _ENV.setdefault("tif_cache", {})
+    def _header(self, uri: str) -> dict:
+        cache = _ENV.setdefault("tif_headers", {})
         if uri not in cache:
-            from .geotiff import read_cog_file
+            from .geotiff import read_cog_header
 
-            cache[uri] = read_cog_file(self._path(uri))
+            cache[uri] = read_cog_header(self._path(uri))
         return cache[uri]
+
+    def _assemble(
+        self, uri: str, level: int, py0: int, py1: int, px0: int, px1: int, fill
+    ) -> np.ndarray:
+        """Window [py0,py1)×[px0,px1) at the given level from per-tile
+        range reads; out-of-extent regions filled."""
+        from .geotiff import read_cog_tile
+
+        hdr = self._header(uri)
+        lv = hdr["levels"][level]
+        th, tw = lv["tile_h"], lv["tile_w"]
+        ny, nx = lv["ny"], lv["nx"]
+        ntx = (nx + tw - 1) // tw
+        nty = (ny + th - 1) // th
+        out = np.full((py1 - py0, px1 - px0), fill, dtype=np.dtype(lv["dtype"]))
+        ty0 = max(0, py0 // th)
+        ty1 = min(nty, (min(py1, ny) + th - 1) // th)
+        tx0 = max(0, px0 // tw)
+        tx1 = min(ntx, (min(px1, nx) + tw - 1) // tw)
+        for ty in range(ty0, ty1):
+            for tx in range(tx0, tx1):
+                tile = read_cog_tile(self._path(uri), hdr, level, ty * ntx + tx)
+                # valid (non-padding) extent of this tile, then intersect
+                # with the requested window
+                vy0, vx0 = ty * th, tx * tw
+                vy1, vx1 = min(vy0 + th, ny), min(vx0 + tw, nx)
+                iy0, iy1 = max(vy0, py0), min(vy1, py1)
+                ix0, ix1 = max(vx0, px0), min(vx1, px1)
+                if iy0 >= iy1 or ix0 >= ix1:
+                    continue
+                out[iy0 - py0 : iy1 - py0, ix0 - px0 : ix1 - px0] = tile[
+                    iy0 - vy0 : iy1 - vy0, ix0 - vx0 : ix1 - vx0
+                ]
+        return out
 
     def _window(
         self,
@@ -514,32 +550,24 @@ class TiffReader(SynthReader):
         px1: int,
         decimation: int = 1,
     ) -> np.ndarray:
-        tif = self._parsed(uri)
-        data = tif["data"]
-        step = decimation
+        hdr = self._header(uri)
+        full_ny = hdr["levels"][0]["ny"]
+        fill = src_nodata if src_nodata is not None else (hdr["nodata"] or 0)
+        step, level = decimation, 0
         if decimation > 1 and py0 % decimation == 0 and px0 % decimation == 0:
-            for ovr in tif["overviews"]:
-                level = int(round(data.shape[0] / ovr.shape[0]))
-                if level == decimation:
-                    data = ovr
+            for li, lv in enumerate(hdr["levels"][1:], start=1):
+                if int(round(full_ny / lv["ny"])) == decimation:
                     span_y, span_x = py1 - py0, px1 - px0
-                    py0, px0 = py0 // level, px0 // level
-                    py1 = py0 + (span_y + level - 1) // level
-                    px1 = px0 + (span_x + level - 1) // level
-                    step = 1
+                    py0, px0 = py0 // decimation, px0 // decimation
+                    py1 = py0 + (span_y + decimation - 1) // decimation
+                    px1 = px0 + (span_x + decimation - 1) // decimation
+                    level, step = li, 1
                     _ENV["tif_overview_reads"] = _ENV.get("tif_overview_reads", 0) + 1
                     break
-        out_ny = (py1 - py0 + step - 1) // step
-        out_nx = (px1 - px0 + step - 1) // step
-        ys = py0 + np.arange(out_ny, dtype=np.int64) * step
-        xs = px0 + np.arange(out_nx, dtype=np.int64) * step
-        ok_y = (ys >= 0) & (ys < data.shape[0])
-        ok_x = (xs >= 0) & (xs < data.shape[1])
-        fill = src_nodata if src_nodata is not None else (tif["nodata"] or 0)
-        out = np.full((out_ny, out_nx), fill, dtype=dtype)
-        if ok_y.any() and ok_x.any():
-            out[np.ix_(ok_y, ok_x)] = data[np.ix_(ys[ok_y], xs[ok_x])].astype(dtype)
-        return out
+        win = self._assemble(uri, level, py0, py1, px0, px1, fill)
+        if step > 1:
+            win = win[::step, ::step]
+        return win.astype(dtype, copy=False)
 
 
 def reader_for(uri: str):

@@ -41,8 +41,10 @@ def test_tiff_window_read_and_cache(tmp_path):
     src = RasterSource(f"file://{p}", geobox=gbox, meta=RasterBandMetadata("int32", -1))
     rr = r.read(src, RasterLoadParams(), gbox)
     np.testing.assert_array_equal(rr.pix, arr)
-    # per-process cache holds the parsed file
-    assert f"file://{p}" in S.capture_env()["tif_cache"]
+    # per-process cache holds ONLY the header (pixel bytes are fetched
+    # per-tile on demand — executor memory stays bounded by the window)
+    assert f"file://{p}" in S.capture_env()["tif_headers"]
+    assert "levels" in S.capture_env()["tif_headers"][f"file://{p}"]
 
 
 def test_tiff_overview_pushdown(tmp_path):
