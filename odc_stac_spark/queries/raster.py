@@ -60,6 +60,69 @@ def r_load_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_zonal_mean",
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y + x.x + 3) % 5 <> 0
+                  THEN (3 * 7919 + y.y * 8191 + x.x * 127) % 10007
+                  WHEN (y.y + x.x + 8) % 7 <> 0
+                  THEN (8 * 7919 + y.y * 8191 + x.x * 127) % 10007
+                  ELSE NULL END AS value
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS x) x
+    )
+    SELECT 'red' AS band, 0 AS t,
+           CAST(y // 16 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM pix
+    GROUP BY 3, 4
+    """,
+    doc="HASH-GATED pixel plane: two overlapping items (first-valid mosaic "
+    "precedence, nodata holes) through the FULL load pipeline → tiles → "
+    "zonal statistics (map-side per-tile partials, zone-key merge). The "
+    "DuckDB oracle recomputes every pixel of the mosaic from first "
+    "principles — load, tile stitching, mosaic ordering, nodata masking "
+    "and the zonal aggregation are all inside the value hash.",
+    tags=("raster", "zonal"),
+)
+def r_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zonal import zonal_stats
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    gbox = GeoBox((64, 128), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+    items = [
+        Item(
+            id="za-000",
+            datetime=t0,
+            bands={
+                "red": RasterSource(
+                    "synth://za?seed=3&nodata_every=5",
+                    geobox=gbox,
+                    meta=RasterBandMetadata("int32", -1),
+                )
+            },
+            lon=27.4,
+        ),
+        Item(
+            id="za-001",
+            datetime=t0 + timedelta(minutes=30),
+            bands={
+                "red": RasterSource(
+                    "synth://zb?seed=8&nodata_every=7",
+                    geobox=gbox,
+                    meta=RasterBandMetadata("int32", -1),
+                )
+            },
+            lon=27.4,
+        ),
+    ]
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(32, 48))
+    return zonal_stats(tiles_df, nodata=-1.0, zone_h=16, zone_w=32)
+
+
+@register(
     "r_load_warp_crosscrs",
     oracle=None,
     doc="F16 end-to-end: UTM sources loaded into a WGS84 geographic output "
