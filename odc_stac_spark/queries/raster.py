@@ -123,6 +123,64 @@ def r_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_temporal_median_zonal",
+    oracle="""
+    WITH ys AS (SELECT UNNEST(generate_series(0, 63)) AS y),
+    xs AS (SELECT UNNEST(generate_series(0, 127)) AS x),
+    vals AS (
+      SELECT y.y AS y, x.x AS x,
+             (3 * 7919 + y.y * 8191 + x.x * 127) % 10007 AS v
+      FROM ys y CROSS JOIN xs x WHERE (y.y + x.x + 3) % 5 <> 0
+      UNION ALL
+      SELECT y.y, x.x, (8 * 7919 + y.y * 8191 + x.x * 127) % 10007
+      FROM ys y CROSS JOIN xs x WHERE (y.y + x.x + 8) % 7 <> 0
+      UNION ALL
+      SELECT y.y, x.x, (11 * 7919 + y.y * 8191 + x.x * 127) % 10007
+      FROM ys y CROSS JOIN xs x
+    ),
+    med AS (SELECT y, x, MEDIAN(v) AS m FROM vals GROUP BY y, x)
+    SELECT 'red' AS band, 0 AS t,
+           CAST(y // 16 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(m) AS BIGINT) AS n_valid,
+           ROUND(AVG(m), 6) AS mean
+    FROM med
+    GROUP BY 3, 4
+    """,
+    doc="HASH-GATED temporal composite: three solar-day time slices with "
+    "nodata holes → per-pixel nodata-skipping MEDIAN over time "
+    "(operators/composite.temporal_median) → zonal means. The oracle "
+    "recomputes every pixel's median from first principles — the classic "
+    "cloud-free-mosaic op verified end-to-end through the pipeline.",
+    tags=("raster", "composite", "zonal"),
+)
+def r_temporal_median_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.composite import temporal_median
+    from ..operators.zonal import zonal_stats
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    gbox = GeoBox((64, 128), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+
+    def it(i, seed, every, day):
+        return Item(
+            id=f"tm-{i:03d}",
+            datetime=t0 + timedelta(days=day),
+            bands={
+                "red": RasterSource(
+                    f"synth://tm{i}?seed={seed}&nodata_every={every}",
+                    geobox=gbox,
+                    meta=RasterBandMetadata("int32", -1),
+                )
+            },
+            lon=27.4,
+        )
+
+    items = [it(0, 3, 5, 0), it(1, 8, 7, 1), it(2, 11, 0, 2)]
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(32, 48))
+    composite = temporal_median(tiles_df, nodata=-1.0)
+    return zonal_stats(composite, nodata=None, zone_h=16, zone_w=32)
+
+
+@register(
     "r_load_warp_crosscrs",
     oracle=None,
     doc="F16 end-to-end: UTM sources loaded into a WGS84 geographic output "
