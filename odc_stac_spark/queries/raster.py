@@ -123,6 +123,63 @@ def r_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_ndvi_zonal",
+    oracle="""
+    WITH ys AS (SELECT UNNEST(generate_series(0, 63)) AS y),
+    xs AS (SELECT UNNEST(generate_series(0, 127)) AS x),
+    pix AS (
+      SELECT y.y AS y, x.x AS x,
+             CASE WHEN (y.y + x.x + 8) % 7 = 0 OR (y.y + x.x + 3) % 5 = 0
+                  THEN NULL
+                  ELSE ((8 * 7919 + y.y * 8191 + x.x * 127) % 10007
+                        - (3 * 7919 + y.y * 8191 + x.x * 127) % 10007) * 1.0
+                       / ((8 * 7919 + y.y * 8191 + x.x * 127) % 10007
+                          + (3 * 7919 + y.y * 8191 + x.x * 127) % 10007)
+             END AS nd
+      FROM ys y CROSS JOIN xs x
+    )
+    SELECT 'nd' AS band, 0 AS t,
+           CAST(y // 16 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(nd) AS BIGINT) AS n_valid,
+           ROUND(AVG(nd), 6) AS mean
+    FROM pix
+    GROUP BY 3, 4
+    """,
+    doc="HASH-GATED band algebra: NDVI-style (nir-red)/(nir+red) over the "
+    "loaded tile pair (co-partitioned join on (t,iy,ix), mask-propagating "
+    "nodata) → zonal means; the oracle recomputes each pixel's ratio from "
+    "first principles (operators/band_math.normalized_difference).",
+    tags=("raster", "band-math", "zonal"),
+)
+def r_ndvi_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.band_math import normalized_difference
+    from ..operators.zonal import zonal_stats
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    gbox = GeoBox((64, 128), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+    item = Item(
+        id="nd-000",
+        datetime=t0,
+        bands={
+            "red": RasterSource(
+                "synth://ndr?seed=3&nodata_every=5",
+                geobox=gbox,
+                meta=RasterBandMetadata("int32", -1),
+            ),
+            "nir": RasterSource(
+                "synth://ndn?seed=8&nodata_every=7",
+                geobox=gbox,
+                meta=RasterBandMetadata("int32", -1),
+            ),
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], groupby="solar_day", chunks=(32, 48))
+    nd = normalized_difference(tiles_df, "nir", "red", nodata=-1.0)
+    return zonal_stats(nd, nodata=None, zone_h=16, zone_w=32)
+
+
+@register(
     "r_temporal_median_zonal",
     oracle="""
     WITH ys AS (SELECT UNNEST(generate_series(0, 63)) AS y),
