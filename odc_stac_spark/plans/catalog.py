@@ -85,6 +85,19 @@ def plan_load_df(
     if bands is not None:
         base = base.where(F.col("asset_name").isin(list(bands)))
 
+    # solar_day derives longitude from the grid centroid — only valid for
+    # geographic coordinates. A projected catalog would silently produce
+    # garbage day offsets (meters/15 "hours"), so validate loudly.
+    if groupby == "solar_day":
+        bad = base.where(F.col("g_crs") != "EPSG:4326").limit(1).count()
+        if bad:
+            raise ValueError(
+                "groupby='solar_day' on the catalog path requires EPSG:4326 "
+                "source grids (longitude comes from the grid centroid); "
+                "reproject the footprints or use the list path with "
+                "explicit Item.lon"
+            )
+
     # band list + per-band metadata: #bands rows
     meta_rows = (
         base.groupBy("asset_name")

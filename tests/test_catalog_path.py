@@ -119,6 +119,14 @@ def test_catalog_pixels_equal_list_path(spark, parsed_catalog):
         np.testing.assert_array_equal(got[b], want[b])
 
 
+def test_solar_day_rejects_projected_catalog(spark, parsed_catalog):
+    """solar_day needs geographic coords for the longitude offset — a UTM
+    catalog must fail loudly, not bin by meters/15 'hours'."""
+    parsed, _ = parsed_catalog  # grids are EPSG:32735
+    with pytest.raises(ValueError, match="EPSG:4326"):
+        plan_load_df(spark, parsed, groupby="solar_day")
+
+
 def test_sources_frame_never_collects_items(spark, parsed_catalog):
     """The bridge output is a plain DataFrame with the load_from_sources
     contract columns — no driver materialization of the item table."""
