@@ -167,6 +167,7 @@ def plan_load_df(
         cfg=resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg),
         group_keys=group_keys,
         group_ts=group_ts,
+        groupby=groupby,
     )
 
 

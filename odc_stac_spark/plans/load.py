@@ -86,6 +86,7 @@ class LoadPlan:
     cfg: Dict[str, RasterLoadParams]
     group_keys: List[object] = field(default_factory=list)  # t → key
     group_ts: List[datetime] = field(default_factory=list)  # t → representative ts
+    groupby: str = "id"  # the key the group_keys were computed with
 
 
 def resolve_load_cfg(
@@ -211,6 +212,7 @@ def plan_load(
         cfg=resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg),
         group_keys=group_keys,
         group_ts=group_ts,
+        groupby=groupby,
     )
 
 
@@ -246,7 +248,9 @@ def load(
     if plan is None:
         plan = plan_load(items, preserve_original_order=preserve_original_order, **plan_kwargs)
 
-    groupby = plan_kwargs.get("groupby", "id")
+    # the plan carries the groupby its group_keys were computed with — an
+    # explicitly-passed plan must not silently re-key by the default
+    groupby = plan.groupby
     key_to_t = {k: t for t, k in enumerate(plan.group_keys)}
 
     # --- items → source rows (item_idx, t, seq basis, band, source attrs)

@@ -289,6 +289,19 @@ def test_assemble_dataset_coords(spark):
         ds.to_xarray()
 
 
+def test_explicit_plan_carries_groupby(spark):
+    """A plan built with groupby='solar_day' passed to load() WITHOUT
+    repeating groupby must still key rows by solar day (regression: the
+    old code silently re-keyed by 'id' and crashed or mis-binned)."""
+    items = [mk_item(0, nodata=-1, nodata_every=3), mk_item(1, origin=(300.0, 1000.0), nodata=-1)]
+    plan = plan_load(items, groupby="solar_day", chunks=(48, 48))
+    assert plan.groupby == "solar_day"
+    tiles_df, plan_out = load(spark, items, plan=plan)  # no groupby kwarg
+    got = assemble_numpy(tiles_df, plan_out)
+    want = oracle_load(items, plan, groupby="solar_day")
+    assert_same(got, want)
+
+
 def test_load_from_sources_dataframe_path(spark):
     """The 100 TB ingestion path: sources arrive as a DataFrame (never a
     driver list) and produce identical pixels."""

@@ -47,7 +47,8 @@ def test_pixel_world_roundtrip(x0, y0, res, ny, nx, iy, ix):
     assert g.pixel_of(x + res / 2, y - res / 2) == (iy, ix)
 
 
-@settings(max_examples=100)
+@settings(max_examples=100, deadline=None)  # deadline=None: co-tenant CPU
+# load makes wall-clock deadlines flaky in the full-suite run
 @given(ny=size_st, nx=size_st, ty=st.integers(1, 64), tx=st.integers(1, 64))
 def test_tiles_partition_exactly(ny, nx, ty, tx):
     g = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 0.0), "EPSG:32735")
