@@ -177,6 +177,18 @@ def sources_from_parsed(
     """parsed rows → load_from_sources input columns; the only non-map
     operation is a broadcast join against the #groups-sized key→t map."""
     base = _with_geom_cols(parsed).where(F.col("asset_name").isin(plan.bands))
+    # tile binning (J1) uses the affine bbox in the OUTPUT CRS; a source
+    # in another CRS would bin silently wrong — fail loudly instead (the
+    # list path reprojects footprints driver-side; a cross-CRS catalog
+    # needs the same densified-footprint transform as a column transform)
+    n_foreign = base.where(F.col("g_crs") != plan.gbox.crs).limit(1).count()
+    if n_foreign:
+        raise ValueError(
+            f"catalog contains sources whose CRS differs from the output "
+            f"grid ({plan.gbox.crs}); cross-CRS catalogs need reprojected "
+            "footprints — use plans.load.load() (list path) or reproject "
+            "the catalog"
+        )
     key_map = spark.createDataFrame(
         [(k, t) for t, k in enumerate(plan.group_keys)], ["k", "t"]
     )

@@ -127,6 +127,21 @@ def test_solar_day_rejects_projected_catalog(spark, parsed_catalog):
         plan_load_df(spark, parsed, groupby="solar_day")
 
 
+def test_mixed_crs_catalog_rejected(spark, parsed_catalog):
+    """Tile binning on the catalog path is same-CRS affine math — a
+    foreign-CRS source must raise, not silently mis-bin."""
+    parsed, _ = parsed_catalog
+    plan = plan_load_df(spark, parsed, groupby="time", chunks=(64, 64))
+    import pyspark.sql.functions as F
+
+    foreign = parsed.withColumn(
+        "g_crs",
+        F.when(F.col("id") == "cat-001", F.lit("EPSG:32736")).otherwise(F.col("g_crs")),
+    )
+    with pytest.raises(ValueError, match="CRS differs"):
+        sources_from_parsed(spark, foreign, plan, groupby="time").count()
+
+
 def test_sources_frame_never_collects_items(spark, parsed_catalog):
     """The bridge output is a plain DataFrame with the load_from_sources
     contract columns — no driver materialization of the item table."""
