@@ -37,6 +37,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.parquet carries TIMESTAMP(NANOS); a vanilla SparkSession refuses
+    # it with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable, so set it
+    # here rather than relying on our own get_spark() having built the
+    # session — callers (e.g. an external harness) may hand us any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
     # nanosAsLong it arrives as int64 nanos — truncate to µs (integer

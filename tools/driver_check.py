@@ -23,7 +23,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from odc_stac_spark import get_spark  # noqa: E402
 
 sys.path.insert(0, os.path.join(REPO, "tests"))
 from oracle_compare import duckdb_conn, normalize  # noqa: E402
@@ -37,7 +36,17 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    spark = get_spark(app_name="driver-check")
+    # Deliberately a *bare* session (not our get_spark) so this check
+    # reproduces the driver harness's environment: any conf our queries
+    # need must be set at runtime by the query/load code itself.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     res = entrymod.entry(spark)
     n = res.count()
     print(json.dumps({"entry": {"rows": n, "schema": res.schema.simpleString()[:200]}}))
