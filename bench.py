@@ -136,7 +136,7 @@ def raster_throughput(spark):
     # ±30% under co-tenant load.
     items = mk_items(9, 2000, 2816, 1000)
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(1024, 1024))
         tiles_df.write.mode("overwrite").format("noop").save()
@@ -181,8 +181,14 @@ def warp_throughput(spark):
         "EPSG:32735",
     )
     cfg = {"*": RasterLoadParams(dtype="uint16", fill_value=0, resampling="bilinear")}
+    # warm the warp kernel in every python worker (first bilinear tile per
+    # worker pays numpy code-path warm-up) before the timed reps
+    wt, _ = load(
+        spark, items[:2], groupby="solar_day", chunks=(512, 512), cfg=cfg
+    )
+    wt.write.mode("overwrite").format("noop").save()
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         tiles_df, plan = load(
             spark, items, groupby="solar_day", geobox=out_gbox, chunks=(1024, 1024), cfg=cfg

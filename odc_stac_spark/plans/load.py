@@ -87,6 +87,10 @@ class LoadPlan:
     group_keys: List[object] = field(default_factory=list)  # t → key
     group_ts: List[datetime] = field(default_factory=list)  # t → representative ts
     groupby: str = "id"  # the key the group_keys were computed with
+    #: compute per-tile audit columns (checksum, crc32)? Off by default:
+    #: they cost a full extra pass over every tile (float64 sum + crc) that
+    #: pure load/mosaic consumers never read.
+    audit: bool = False
 
 
 def resolve_load_cfg(
@@ -133,6 +137,7 @@ def plan_load(
     chunks: Tuple[int, int] = (DEFAULT_CHUNK, DEFAULT_CHUNK),
     cfg: Optional[Dict[str, RasterLoadParams]] = None,
     preserve_original_order: bool = False,
+    audit: bool = False,
 ) -> LoadPlan:
     """Stages 1-6: output-grid resolution (P3/A7/A8), band resolution (P1),
     temporal grouping (A1-A5), tiling (F13)."""
@@ -213,6 +218,7 @@ def plan_load(
         group_keys=group_keys,
         group_ts=group_ts,
         groupby=groupby,
+        audit=audit,
     )
 
 
@@ -235,6 +241,79 @@ _TILE_SCHEMA = StructType(
 )
 
 
+def _tile_result(
+    band: str,
+    t: int,
+    iy: int,
+    ix: int,
+    sources: Sequence[dict],
+    gb: GeoBox,
+    tile_shape: Tuple[int, int],
+    cfg: Dict[str, RasterLoadParams],
+    audit: bool,
+) -> dict:
+    """S8 + A6: execute ONE tile task — windowed reads of every (ordered)
+    source that intersects the tile, first-valid mosaic, dtype/nodata
+    resolution. Shared by the shuffle-free packed path (``load``) and the
+    distributed groupBy path (``load_from_sources``). Sources must already
+    be in precedence order (A4)."""
+    tgb = GeoboxTiles(gb, tile_shape).tile_geobox(iy, ix)
+    c = cfg[band]
+    reads = []
+    src_dtype = None
+    src_nodata = None
+    for s in sources:
+        nod = s["nodata"]
+        if nod is not None and not (isinstance(nod, float) and nod != nod):
+            nod = float(nod)
+        else:
+            nod = None
+        src = RasterSource(
+            uri=s["uri"],
+            band=int(s["src_band"]),
+            geobox=GeoBox(
+                (int(s["g_ny"]), int(s["g_nx"])),
+                (float(s["g_sx"]), 0.0, float(s["g_x0"]), 0.0, float(s["g_sy"]), float(s["g_y0"])),
+                str(s["g_crs"]),
+            ),
+            meta=RasterBandMetadata(data_type=s["dtype"], nodata=nod),
+        )
+        if src_dtype is None:
+            src_dtype = src.meta.data_type
+            src_nodata = resolve_src_nodata(src.meta.nodata, c)
+        try:
+            reads.append(reader_for(src.uri).read(src, c, tgb))
+        except Exception:
+            if c.fail_on_error:
+                raise
+            # skip-on-error → empty ROI (reference rio_read :402-436)
+    dst_dtype = resolve_dst_dtype(src_dtype or "float32", c)
+    dst_nodata = resolve_dst_nodata(dst_dtype, c, src_nodata)
+    arr = fill_tile(tgb.shape, dst_dtype, dst_nodata, reads)
+    from ..model import nodata_mask as _mask
+
+    valid = ~_mask(arr, dst_nodata)
+    data = arr.tobytes()
+    ty, tx = tile_shape
+    return {
+        "band": band,
+        "t": t,
+        "iy": iy,
+        "ix": ix,
+        "y0": iy * ty,
+        "x0": ix * tx,
+        "height": tgb.shape[0],
+        "width": tgb.shape[1],
+        "dtype": str(arr.dtype),
+        "data": data,
+        "valid_count": int(valid.sum()),
+        "checksum": (
+            float(arr[valid].astype("float64").sum()) if valid.any() else 0.0
+        ) if audit else 0.0,
+        "crc32": zlib.crc32(data) if audit else 0,
+    }
+
+
 def load(
     spark: SparkSession,
     items: Sequence[Item],
@@ -244,7 +323,18 @@ def load(
 ) -> Tuple[DataFrame, LoadPlan]:
     """Stages 6-8: build the tiles DataFrame. Returns (tiles_df, plan);
     the DataFrame stays lazy (Dask-parity laziness = it's just a plan
-    until an action runs)."""
+    until an action runs).
+
+    The list path bins items to tiles ON THE DRIVER (the item list is
+    driver-resident by definition — the reference builds its whole Dask
+    task graph driver-side the same way, loader/_builder.py:99-155) and
+    ships pre-grouped tile tasks through a single-stage ``mapInPandas``:
+    zero shuffles, zero groupBy machinery — the only Spark stage is the
+    pixel work itself. Catalogs too big for a driver list go through
+    ``load_from_sources``, which does the same binning distributed."""
+    import json
+    import math
+
     if plan is None:
         plan = plan_load(items, preserve_original_order=preserve_original_order, **plan_kwargs)
 
@@ -253,10 +343,19 @@ def load(
     groupby = plan.groupby
     key_to_t = {k: t for t, k in enumerate(plan.group_keys)}
 
-    # --- items → source rows (item_idx, t, seq basis, band, source attrs)
-    rows = []
+    gb = plan.gbox
+    ty, tx = plan.tiles.tile_shape
+    dsx, _, dx0, _, dsy, dy0 = gb.transform
+    H, W = gb.shape
+
+    # --- J1 driver-side: source bbox → intersecting tile indices (same
+    # math as the SQL explode in load_from_sources), accumulating the
+    # ordered source list per (band, t, iy, ix) task.
+    tasks: Dict[Tuple, List[Tuple]] = {}
     for idx, it in enumerate(items):
         t = key_to_t[_group_key(it, groupby, idx)]
+        # A4 precedence basis: original input order or (time, id)
+        order = (idx,) if preserve_original_order else (pd.Timestamp(it.datetime), it.id)
         for b in plan.bands:
             src = it.bands.get(b)
             if src is None:
@@ -267,37 +366,65 @@ def load(
             # sources the tile binning (J1) must see the reprojected
             # bounds (densified boundary, reference safe_geometry
             # model.py:271-299); same-CRS sources use the affine bbox
-            fp = _footprint_in(g, plan.gbox.crs)
-            rows.append(
-                {
-                    "fp_xmin": fp[0],
-                    "fp_ymin": fp[1],
-                    "fp_xmax": fp[2],
-                    "fp_ymax": fp[3],
-                    "item_idx": idx,
-                    "item_id": it.id,
-                    "ts": pd.Timestamp(it.datetime),
-                    "t": t,
-                    "band": b,
-                    "uri": src.uri,
-                    "src_band": src.band,
-                    "g_ny": g.shape[0],
-                    "g_nx": g.shape[1],
-                    "g_sx": g.transform[0],
-                    "g_x0": g.transform[2],
-                    "g_sy": g.transform[4],
-                    "g_y0": g.transform[5],
-                    "g_crs": g.crs,
-                    "dtype": m.data_type,
-                    "nodata": m.nodata,
-                }
-            )
-    if not rows:
+            fp = _footprint_in(g, gb.crs)
+            px0 = max(0, math.floor((fp[0] - dx0) / dsx))
+            px1 = min(W, math.ceil((fp[2] - dx0) / dsx))
+            py0 = max(0, math.floor((fp[3] - dy0) / dsy))
+            py1 = min(H, math.ceil((fp[1] - dy0) / dsy))
+            if px0 >= px1 or py0 >= py1:
+                continue
+            sdict = {
+                "uri": src.uri,
+                "src_band": src.band,
+                "g_ny": g.shape[0],
+                "g_nx": g.shape[1],
+                "g_sx": g.transform[0],
+                "g_x0": g.transform[2],
+                "g_sy": g.transform[4],
+                "g_y0": g.transform[5],
+                "g_crs": g.crs,
+                "dtype": m.data_type,
+                "nodata": m.nodata,
+            }
+            for iy in range(py0 // ty, (py1 - 1) // ty + 1):
+                for ix in range(px0 // tx, (px1 - 1) // tx + 1):
+                    tasks.setdefault((b, t, iy, ix), []).append((order, sdict))
+    if not tasks:
         raise ValueError("no sources for requested bands")
-    items_df = spark.createDataFrame(pd.DataFrame(rows))
-    return load_from_sources(
-        items_df, plan, preserve_original_order=preserve_original_order
-    ), plan
+
+    task_rows = []
+    for (b, t, iy, ix), lst in sorted(tasks.items(), key=lambda kv: kv[0]):
+        lst.sort(key=lambda p: p[0])
+        task_rows.append(
+            {
+                "band": b,
+                "t": t,
+                "iy": iy,
+                "ix": ix,
+                # metadata payload is ~100 B/source — JSON keeps the task
+                # table a simple flat schema (no nested Arrow structs)
+                "sources_json": json.dumps([d for _, d in lst]),
+            }
+        )
+
+    cfg = plan.cfg
+    audit = plan.audit
+    tile_shape = (ty, tx)
+
+    def run_packed(batches):
+        for pdf in batches:
+            for r in pdf.itertuples():
+                yield pd.DataFrame(
+                    [
+                        _tile_result(
+                            r.band, int(r.t), int(r.iy), int(r.ix),
+                            json.loads(r.sources_json), gb, tile_shape, cfg, audit,
+                        )
+                    ]
+                )
+
+    tdf = spark.createDataFrame(pd.DataFrame(task_rows))
+    return tdf.mapInPandas(run_packed, _TILE_SCHEMA), plan
 
 
 def _footprint_in(gbox: GeoBox, dst_crs: str):
@@ -392,69 +519,29 @@ def load_from_sources(
 
     # --- S8 + A6: the tile task. Plan scalars ship via closure broadcast.
     cfg = plan.cfg
-    crs = gb.crs
+    audit = plan.audit
+    gb_obj = GeoBox((gb.shape[0], gb.shape[1]), gb.transform, gb.crs)
+    src_cols = [
+        "uri", "src_band", "g_ny", "g_nx", "g_sx", "g_x0", "g_sy", "g_y0",
+        "g_crs", "dtype", "nodata",
+    ]
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        band = pdf["band"].iloc[0]
-        t = int(pdf["t"].iloc[0])
-        iy = int(pdf["iy"].iloc[0])
-        ix = int(pdf["ix"].iloc[0])
-        tgb = GeoboxTiles(
-            GeoBox((gb.shape[0], gb.shape[1]), gb.transform, crs), (ty, tx)
-        ).tile_geobox(iy, ix)
-        c = cfg[band]
-        reads = []
-        src_dtype = None
-        src_nodata = None
-        for r in pdf.itertuples():
-            src = RasterSource(
-                uri=r.uri,
-                band=int(r.src_band),
-                geobox=GeoBox(
-                    (int(r.g_ny), int(r.g_nx)),
-                    (float(r.g_sx), 0.0, float(r.g_x0), 0.0, float(r.g_sy), float(r.g_y0)),
-                    str(r.g_crs),
-                ),
-                meta=RasterBandMetadata(
-                    data_type=r.dtype,
-                    nodata=None if pd.isna(r.nodata) else float(r.nodata),
-                ),
-            )
-            if src_dtype is None:
-                src_dtype = src.meta.data_type
-                src_nodata = resolve_src_nodata(src.meta.nodata, c)
-            try:
-                reads.append(reader_for(src.uri).read(src, c, tgb))
-            except Exception:
-                if c.fail_on_error:
-                    raise
-                # skip-on-error → empty ROI (reference rio_read :402-436)
-        dst_dtype = resolve_dst_dtype(src_dtype or "float32", c)
-        dst_nodata = resolve_dst_nodata(dst_dtype, c, src_nodata)
-        arr = fill_tile(tgb.shape, dst_dtype, dst_nodata, reads)
-        from ..model import nodata_mask as _mask
-
-        valid = ~_mask(arr, dst_nodata)
-        checksum = float(arr[valid].astype("float64").sum()) if valid.any() else 0.0
-        y0t, x0t = iy * ty, ix * tx
+        sources = pdf[src_cols].to_dict("records")
         return pd.DataFrame(
             [
-                {
-                    "band": band,
-                    "t": t,
-                    "iy": iy,
-                    "ix": ix,
-                    "y0": y0t,
-                    "x0": x0t,
-                    "height": tgb.shape[0],
-                    "width": tgb.shape[1],
-                    "dtype": str(arr.dtype),
-                    "data": arr.tobytes(),
-                    "valid_count": int(valid.sum()),
-                    "checksum": checksum,
-                    "crc32": zlib.crc32(arr.tobytes()),
-                }
+                _tile_result(
+                    pdf["band"].iloc[0],
+                    int(pdf["t"].iloc[0]),
+                    int(pdf["iy"].iloc[0]),
+                    int(pdf["ix"].iloc[0]),
+                    sources,
+                    gb_obj,
+                    (ty, tx),
+                    cfg,
+                    audit,
+                )
             ]
         )
 

@@ -53,7 +53,7 @@ def _demo_items(n: int = 9):
 )
 def r_load_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _demo_items()
-    tiles_df, _ = load(spark, items, groupby="solar_day", chunks=(64, 64))
+    tiles_df, _ = load(spark, items, groupby="solar_day", chunks=(64, 64), audit=True)
     return tiles_df.select(
         "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
     ).orderBy("band", "t", "iy", "ix")
@@ -272,7 +272,9 @@ def r_load_warp_crosscrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = GeoBox((220, 160), (0.001, 0.0, 26.06, 0.0, -0.001, -14.92), "EPSG:4326")
     cfg = {"*": RasterLoadParams(dtype="float64", fill_value=float("nan"), resampling="bilinear")}
-    tiles_df, _ = load(spark, items, groupby="solar_day", geobox=out, chunks=(64, 64), cfg=cfg)
+    tiles_df, _ = load(
+        spark, items, groupby="solar_day", geobox=out, chunks=(64, 64), cfg=cfg, audit=True
+    )
     return tiles_df.select(
         "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
     ).orderBy("band", "t", "iy", "ix")
