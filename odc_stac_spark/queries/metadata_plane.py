@@ -405,3 +405,105 @@ def s3_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# -- S1/S2: real STAC JSON document ingestion -------------------------------
+_STAC_DEMO_DOCS = None
+
+
+def _stac_demo_docs():
+    """Two realistic STAC item documents (nested properties, asset-level
+    proj:shape/transform with item-level proj:epsg fallback, eo:bands,
+    raster:bands, thumbnail/metadata assets that must be dropped) —
+    self-contained so the oracle can pin expected rows as literals."""
+    global _STAC_DEMO_DOCS
+    if _STAC_DEMO_DOCS is not None:
+        return _STAC_DEMO_DOCS
+
+    def asset(res, ny, nx, dtype, nodata, common):
+        return {
+            "href": f"https://example.com/{common}.tif",
+            "type": "image/tiff; application=geotiff; profile=cloud-optimized",
+            "roles": ["data"],
+            "gsd": float(res),
+            "proj:shape": [ny, nx],
+            "proj:transform": [float(res), 0.0, 399960.0, 0.0, -float(res), 6800040.0],
+            "eo:bands": [{"name": common.upper(), "common_name": common}],
+            "raster:bands": [{"data_type": dtype, "nodata": nodata}],
+        }
+
+    def doc(i):
+        d = {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "stac_extensions": [
+                "https://stac-extensions.github.io/eo/v1.0.0/schema.json",
+                "https://stac-extensions.github.io/projection/v1.0.0/schema.json",
+            ],
+            "id": f"demo-{i:03d}",
+            "collection": "demo-s2",
+            "properties": {
+                "datetime": f"2020-06-{6 + i:02d}T08:30:00Z",
+                "proj:epsg": 32606,
+                "gsd": 10.0,
+            },
+            "assets": {
+                "B02": asset(10, 10980, 10980, "uint16", 0, "blue"),
+                "B05": asset(20, 5490, 5490, "uint16", 0, "rededge"),
+                "SCL": asset(20, 5490, 5490, "uint8", 0, "scl"),
+                "thumbnail": {
+                    "href": "https://example.com/thumb.png",
+                    "type": "image/png",
+                    "roles": ["thumbnail"],
+                },
+                "meta": {
+                    "href": "https://example.com/meta.xml",
+                    "type": "application/xml",
+                    "roles": ["metadata"],
+                },
+            },
+            "links": [],
+        }
+        if i == 1:
+            del d["assets"]["B05"]  # P2: band missing from one item
+        return d
+
+    _STAC_DEMO_DOCS = [doc(0), doc(1)]
+    return _STAC_DEMO_DOCS
+
+
+@register(
+    "s1_stac_json_parse",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('demo-000', 'B02', 1, 'uint16', 0.0, 10980, 10980, 10.0, 'EPSG:32606'),
+      ('demo-000', 'B05', 1, 'uint16', 0.0, 5490, 5490, 20.0, 'EPSG:32606'),
+      ('demo-000', 'SCL', 1, 'uint8',  0.0, 5490, 5490, 20.0, 'EPSG:32606'),
+      ('demo-001', 'B02', 1, 'uint16', 0.0, 10980, 10980, 10.0, 'EPSG:32606'),
+      ('demo-001', 'SCL', 1, 'uint8',  0.0, 5490, 5490, 20.0, 'EPSG:32606')
+    ) AS t(id, asset_name, band_idx, data_type, nodata, ny, nx, sx, g_crs)
+    """,
+    doc="S1/S2 real STAC ingestion: raw item documents (nested properties, "
+    "asset proj:shape + ITEM-level proj:epsg fallback, eo:bands, "
+    "raster:bands, thumbnail/metadata exclusion, missing-band tolerance) "
+    "through the Catalyst from_json pipeline (sources/stac_items.py "
+    "stac_json_to_items; reference parse_item _mdtools.py:642-702). "
+    "Oracle pins the expected parsed rows as literals.",
+    tags=("metadata", "stac"),
+)
+def s1_stac_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.stac_items import raster_assets_df, stac_dicts_to_items
+
+    items = stac_dicts_to_items(spark, _stac_demo_docs())
+    ra = raster_assets_df(items)
+    return ra.select(
+        "id",
+        "asset_name",
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "data_type",
+        "nodata",
+        F.col("g_shape").getItem(0).alias("ny"),
+        F.col("g_shape").getItem(1).alias("nx"),
+        F.col("g_transform").getItem(0).alias("sx"),
+        "g_crs",
+    )

@@ -94,8 +94,139 @@ ITEM_SCHEMA = StructType(
         StructField("bbox", ArrayType(DoubleType())),
         StructField("assets", MapType(StringType(), ASSET_SCHEMA)),
         StructField("properties", MapType(StringType(), StringType())),
+        # item carries the STAC projection extension? gates the reference's
+        # check_proj asset filter (_mdtools.py:199-205)
+        StructField("has_proj", BooleanType()),
     ]
 )
+
+# ---- raw STAC JSON → ITEM_SCHEMA (real-item ingestion) -------------------
+
+#: typed view of the fields we consume from a raw STAC item document.
+#: Colon-named extension fields (proj:shape, eo:bands, …) are addressed
+#: with backticks; everything else in the document is ignored by this
+#: parse and preserved stringified in the generic ``properties`` map.
+_STAC_JSON_ASSET_DDL = (
+    "struct<"
+    "href:string,type:string,title:string,roles:array<string>,gsd:double,"
+    "`proj:shape`:array<int>,`proj:transform`:array<double>,`proj:epsg`:int,"
+    "`eo:bands`:array<struct<name:string,common_name:string>>,"
+    "`raster:bands`:array<struct<data_type:string,nodata:double,unit:string>>"
+    ">"
+)
+STAC_JSON_DDL = (
+    "struct<"
+    "id:string,collection:string,stac_extensions:array<string>,"
+    "bbox:array<double>,"
+    "properties:struct<"
+    "datetime:string,start_datetime:string,end_datetime:string,"
+    "`odc:product`:string,gsd:double,"
+    "`proj:shape`:array<int>,`proj:transform`:array<double>,`proj:epsg`:int"
+    ">,"
+    f"assets:map<string,{_STAC_JSON_ASSET_DDL}>,"
+    "links:array<struct<rel:string,href:string>>"
+    ">"
+)
+
+
+def stac_json_to_items(raw: DataFrame, column: str = "value") -> DataFrame:
+    """Real STAC item JSON documents → ITEM_SCHEMA rows, entirely as
+    Catalyst expressions (``from_json`` + map/array transforms — no Python
+    in the loop, so a 10⁸-item catalog parses as a distributed scan).
+
+    Reproduces the reference's pystac-mediated field access
+    (``parse_item``/``asset_geobox``, _mdtools.py:270-303, 642-702):
+
+    - asset-level ``proj:shape`` / ``proj:transform`` / ``proj:epsg`` fall
+      back to item-level properties (pystac's owner-fallback semantics);
+    - proj fields are only honored when the item declares the projection
+      extension (URL form, or the legacy short name used by early ODC
+      items);
+    - ``datetime``/``start_datetime``/``end_datetime`` parse from ISO8601;
+    - item self-href from ``links[rel=self]``;
+    - every property is additionally preserved stringified in the generic
+      ``properties`` map (numbers → literals, objects → raw JSON) for
+      ``groupby=<property name>`` and ad-hoc predicates.
+    """
+    j = F.from_json(F.col(column), STAC_JSON_DDL)
+    props = j.getField("properties")
+    has_proj = F.exists(
+        F.coalesce(j.getField("stac_extensions"), F.array()),
+        lambda e: (e == "projection")
+        | (e == "proj")
+        | e.startswith("https://stac-extensions.github.io/projection/"),
+    )
+    it_shape = props.getField("proj:shape")
+    it_tr = props.getField("proj:transform")
+    it_epsg = props.getField("proj:epsg")
+
+    def mk_asset(a: F.Column) -> F.Column:
+        return F.struct(
+            a.getField("href").alias("href"),
+            a.getField("type").alias("type"),
+            a.getField("roles").alias("roles"),
+            F.coalesce(a.getField("gsd"), props.getField("gsd")).alias("gsd"),
+            F.when(has_proj, F.coalesce(a.getField("proj:shape"), it_shape)).alias(
+                "proj_shape"
+            ),
+            F.when(
+                has_proj, F.coalesce(a.getField("proj:transform"), it_tr)
+            ).alias("proj_transform"),
+            F.when(has_proj, F.coalesce(a.getField("proj:epsg"), it_epsg)).alias(
+                "proj_epsg"
+            ),
+            a.getField("eo:bands").alias("eo_bands"),
+            a.getField("raster:bands").alias("raster_bands"),
+        )
+
+    self_href = F.element_at(
+        F.filter(
+            F.coalesce(j.getField("links"), F.array()), lambda l: l["rel"] == "self"
+        ),
+        1,
+    )["href"]
+    # generic properties map: stringified values (objects keep raw JSON)
+    props_map = F.from_json(
+        F.get_json_object(F.col(column), "$.properties"), "map<string,string>"
+    )
+    return raw.select(
+        j.getField("id").alias("id"),
+        j.getField("collection").alias("collection"),
+        props.getField("odc:product").alias("odc_product"),
+        F.to_timestamp(props.getField("datetime")).alias("datetime"),
+        F.to_timestamp(props.getField("start_datetime")).alias("start_datetime"),
+        F.to_timestamp(props.getField("end_datetime")).alias("end_datetime"),
+        self_href.alias("href"),
+        j.getField("bbox").alias("bbox"),
+        F.transform_values(
+            F.coalesce(j.getField("assets"), F.create_map().cast(
+                "map<string," + _STAC_JSON_ASSET_DDL + ">"
+            )),
+            lambda _, a: mk_asset(a),
+        ).alias("assets"),
+        props_map.alias("properties"),
+        has_proj.alias("has_proj"),
+    )
+
+
+def read_stac_json(spark: SparkSession, paths) -> DataFrame:
+    """S1 at scale: newline-delimited STAC JSON (or one document per file
+    via ``wholetext``) → ITEM_SCHEMA. For STAC-geoparquet catalogs, point
+    ``spark.read.parquet`` at the catalog and apply the same transforms."""
+    raw = spark.read.text(paths, wholetext=True)
+    return stac_json_to_items(raw)
+
+
+def stac_dicts_to_items(spark: SparkSession, docs: Iterable[dict]) -> DataFrame:
+    """Driver-side convenience: raw STAC item dicts (e.g. from pystac
+    ``Item.to_dict()`` or a search dump) → ITEM_SCHEMA rows, through the
+    SAME column pipeline as the at-scale JSON path (one code path)."""
+    import json as _json
+
+    raw = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], schema="value string"
+    )
+    return stac_json_to_items(raw)
 
 # media types treated as raster data (reference RASTER_FILE_EXTENSIONS /
 # media-type sets, _mdtools.py:66-91)
@@ -136,7 +267,18 @@ def is_raster_data_col(asset: F.Column) -> F.Column:
 
 
 def assets_df(items: DataFrame) -> DataFrame:
-    """Explode items → one row per (item, asset) with raster flag."""
+    """Explode items → one row per (item, asset) with raster flag.
+
+    check_proj semantics (reference _mdtools.py:199-205 + the bootstrap
+    retry :536-541): when the item declares the projection extension,
+    assets without proj data are not raster data — unless that filter
+    leaves the item with ZERO data bands, in which case it is waived for
+    the whole item (per-item window, no driver round-trip)."""
+    has_proj_col = (
+        F.coalesce(F.col("has_proj"), F.lit(False))
+        if "has_proj" in items.columns
+        else F.lit(False)
+    )
     ex = items.select(
         "id",
         "collection",
@@ -144,9 +286,19 @@ def assets_df(items: DataFrame) -> DataFrame:
         "datetime",
         "start_datetime",
         "end_datetime",
+        has_proj_col.alias("has_proj"),
         F.explode("assets").alias("asset_name", "asset"),
     )
-    return ex.withColumn("is_raster", is_raster_data_col(F.col("asset")))
+    loose = is_raster_data_col(F.col("asset"))
+    has_proj_data = (
+        F.col("asset.proj_shape").isNotNull()
+        & F.col("asset.proj_transform").isNotNull()
+    )
+    strict = loose & (~F.col("has_proj") | has_proj_data)
+    from pyspark.sql import Window
+
+    any_strict = F.max(strict.cast("int")).over(Window.partitionBy("id")) == 1
+    return ex.withColumn("is_raster", F.when(any_strict, strict).otherwise(loose))
 
 
 def raster_assets_df(items: DataFrame) -> DataFrame:
@@ -261,7 +413,9 @@ def extract_collection_metadata(
             F.first("nodata", ignorenulls=True).alias("nodata"),
             F.first("unit", ignorenulls=True).alias("unit"),
             F.first("gsd", ignorenulls=True).alias("gsd"),
+            F.first("g_shape", ignorenulls=True).alias("g_shape"),
             F.first("g_transform", ignorenulls=True).alias("g_transform"),
+            F.first("g_crs", ignorenulls=True).alias("g_crs"),
             F.count(F.lit(1)).alias("n_seen"),
         )
         .collect()
@@ -278,29 +432,50 @@ def extract_collection_metadata(
             nodata=r.nodata,
             unit=r.unit or "1",
         )
-        # A9 band→grid: group by resolution; named by gsd rank (default =
-        # most-common handled below)
-        res = abs(r.g_transform[0]) if r.g_transform else (r.gsd or 0.0)
-        md.band2grid[r.asset_name] = res
+        # A9 band→grid: key by FULL grid identity (shape, transform, crs) —
+        # two grids sharing a gsd must not collapse (reference
+        # _group_geoboxes, _mdtools.py:334-374); no-proj items fall back
+        # to gsd buckets (band2grid_from_gsd, :377-397)
+        if r.g_transform is not None:
+            gid = (
+                tuple(r.g_shape) if r.g_shape else None,
+                tuple(r.g_transform),
+                r.g_crs,
+            )
+        else:
+            gid = float(f"{(r.gsd or 0.0):g}")
+        md.band2grid[r.asset_name] = gid
     for r in aliases:
         if r.collection in out:
             out[r.collection].aliases[r.alias] = [
                 (c[0], int(c[1])) for c in r.candidates
             ]
-    # grid naming: most-common resolution = "default", others g<res>
-    # (reference _group_geoboxes naming _mdtools.py:353-374)
+    # grid naming (reference _mdtools.py:353-374): default = grid with the
+    # most bands, tie → smallest gsd; others g<gsd>, name clash → g<gsd>-<band>
     for md in out.values():
         from collections import Counter
 
         votes = Counter(md.band2grid.values())
         if not votes:
             continue
-        top = max(votes.values())
-        default_res = min(res for res, c in votes.items() if c == top)
-        md.band2grid = {
-            band: ("default" if res == default_res else f"g{res:g}")
-            for band, res in md.band2grid.items()
-        }
+
+        def _gsd(gid):
+            if isinstance(gid, tuple):
+                return abs(gid[1][0]) if gid[1] else 0.0
+            return gid
+
+        default_gid = min(votes, key=lambda g: (-votes[g], _gsd(g)))
+        names: Dict[object, str] = {default_gid: "default"}
+        used = {"default"}
+        for band, gid in md.band2grid.items():
+            if gid in names:
+                continue
+            name = f"g{_gsd(gid):g}"
+            if name in used:
+                name = f"{name}-{band}"
+            names[gid] = name
+            used.add(name)
+        md.band2grid = {band: names[gid] for band, gid in md.band2grid.items()}
     return out
 
 
