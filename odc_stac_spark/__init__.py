@@ -30,23 +30,17 @@ from .model import (
     RasterSource,
 )
 from .plans.catalog import load_from_catalog, plan_load_df
-from .plans.load import LoadPlan, load, load_from_sources, plan_load
+from .plans.load import LoadPlan, load, load_from_sources, output_geobox, plan_load
 from .session import get_spark
 from .sources.aws import configure_rio, configure_s3_access
 from .sources.eo3 import stac2ds
 from .sources.stac_items import extract_collection_metadata, items_df, parse_items
 
 # reference public-API parity (odc/stac/__init__.py:20-36): `load` is also
-# exported as `stac_load`; `output_geobox` resolves the output grid alone
+# exported as `stac_load`; `output_geobox` (plans/load.py) resolves the
+# output grid alone with the full argument surface (like=/geopolygon=/
+# lon,lat=/x,y=/anchor/align)
 stac_load = load
-
-
-def output_geobox(items, bands=None, geobox=None, bbox=None, resolution=None, crs=None):
-    """Output-grid resolution without loading (reference ``output_geobox``,
-    _mdtools.py:823-981): precedence geobox > bbox+res > auto election."""
-    return plan_load(
-        items, bands=bands, geobox=geobox, bbox=bbox, resolution=resolution, crs=crs
-    ).gbox
 
 
 __all__ = [

@@ -107,26 +107,58 @@ def utm_to_geographic(x, y, zone: int, north: bool):
     return np.degrees(lam), np.degrees(phi)
 
 
+def geographic_to_webmercator(lon, lat):
+    """(lon, lat) degrees → EPSG:3857 spherical-Mercator metres (the
+    public web-tile formulation; sphere of radius a, lat clamped to the
+    projection's ±85.051129° validity band)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.051128779807, 85.051128779807)
+    x = _A * np.radians(lon)
+    y = _A * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_geographic(x, y):
+    """EPSG:3857 metres → (lon, lat) degrees."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _A)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _A)) - np.pi / 2)
+    return lon, lat
+
+
+def _to_geographic(x, y, crs: str):
+    if crs == "EPSG:4326":
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if crs == "EPSG:3857":
+        return webmercator_to_geographic(x, y)
+    zone, north = parse_utm(crs)
+    return utm_to_geographic(x, y, zone, north)
+
+
+def _from_geographic(lon, lat, crs: str):
+    if crs == "EPSG:4326":
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if crs == "EPSG:3857":
+        return geographic_to_webmercator(lon, lat)
+    zone, north = parse_utm(crs)
+    return geographic_to_utm(lon, lat, zone, north)
+
+
 def transform(x, y, src_crs: str, dst_crs: str):
-    """World coords src_crs → dst_crs (WGS84 geographic / UTM only)."""
+    """World coords src_crs → dst_crs (WGS84 geographic / UTM /
+    Web-Mercator), hub-and-spoke through geographic."""
     src = src_crs.upper()
     dst = dst_crs.upper()
     if src == dst:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    if src == "EPSG:4326":
-        lon, lat = x, y
-    else:
-        zone, north = parse_utm(src)
-        lon, lat = utm_to_geographic(x, y, zone, north)
-    if dst == "EPSG:4326":
-        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
-    zone, north = parse_utm(dst)
-    return geographic_to_utm(lon, lat, zone, north)
+    lon, lat = _to_geographic(x, y, src)
+    return _from_geographic(lon, lat, dst)
 
 
 def can_transform(src_crs: str, dst_crs: str) -> bool:
     for crs in (src_crs, dst_crs):
-        if crs.upper() == "EPSG:4326":
+        if crs.upper() in ("EPSG:4326", "EPSG:3857"):
             continue
         try:
             parse_utm(crs)

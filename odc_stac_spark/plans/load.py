@@ -126,6 +126,254 @@ def _group_key(item: Item, groupby: str, idx: int):
     raise ValueError(f"unsupported groupby: {groupby!r}")
 
 
+def _maybe_int(v: float, tol: float = 1e-6) -> float:
+    r = round(v)
+    return float(r) if abs(v - r) < tol else v
+
+
+def _norm_anchor(anchor, align, resolution: float):
+    """Normalize anchor/align to a pixel-fraction pair, or None (no snap).
+
+    ``anchor``: "edge" → (0,0), "center" → (0.5,0.5), or (ax, ay)
+    fractions. ``align``: offset in CRS units (old dc.load style) —
+    converted by dividing by |resolution| (reference _align2anchor,
+    _mdtools.py:806-820)."""
+    if anchor is not None:
+        if anchor == "edge":
+            return (0.0, 0.0)
+        if anchor == "center":
+            return (0.5, 0.5)
+        ax, ay = anchor
+        return (float(ax) % 1.0, float(ay) % 1.0)
+    if align is not None:
+        if isinstance(align, (int, float)):
+            align = (align, align)
+        ax, ay = align
+        if ax == 0 and ay == 0:
+            return (0.0, 0.0)
+        r = abs(resolution)
+        return ((float(ax) / r) % 1.0, (float(ay) / r) % 1.0)
+    return None
+
+
+def _snapped_geobox(
+    bbox: Tuple[float, float, float, float],
+    resolution: float,
+    crs: str,
+    anchor,
+) -> GeoBox:
+    """bbox → GeoBox; with an anchor, pixel edges snap to the global grid
+    whose edge offset is ``anchor`` pixel-fractions (odc-geo
+    ``GeoBox.from_bbox(anchor=...)`` snap-grid semantics)."""
+    import math
+
+    if anchor is None:
+        return GeoBox.from_bbox(bbox, resolution, crs)
+    xmin, ymin, xmax, ymax = bbox
+    r = abs(resolution)
+    ax, ay = anchor
+    gx0 = math.floor(_maybe_int(xmin / r - ax)) + ax
+    gx1 = math.ceil(_maybe_int(xmax / r - ax)) + ax
+    gy0 = math.floor(_maybe_int(ymin / r - ay)) + ay
+    gy1 = math.ceil(_maybe_int(ymax / r - ay)) + ay
+    nx = max(1, int(round(gx1 - gx0)))
+    ny = max(1, int(round(gy1 - gy0)))
+    return GeoBox((ny, nx), (r, 0.0, gx0 * r, 0.0, -r, gy1 * r), crs)
+
+
+def _geopolygon_bbox(geopolygon):
+    """Normalize a geopolygon argument to (bbox, crs): GeoJSON-style dict
+    or ``__geo_interface__`` object (assumed EPSG:4326 as in the
+    reference's _normalize_geometry, _mdtools.py:768-788), shapely-like
+    object with ``.bounds``, or an explicit ((xmin,ymin,xmax,ymax), crs)
+    pair."""
+    crs = "EPSG:4326"
+    if isinstance(geopolygon, tuple) and len(geopolygon) == 2 and isinstance(
+        geopolygon[1], str
+    ):
+        return tuple(geopolygon[0]), geopolygon[1]
+    geo = getattr(geopolygon, "__geo_interface__", None)
+    if geo is not None:
+        geopolygon = geo
+    if isinstance(geopolygon, dict):
+        coords = geopolygon.get("coordinates", [])
+        xs: List[float] = []
+        ys: List[float] = []
+
+        def walk(c):
+            if (
+                isinstance(c, (list, tuple))
+                and len(c) >= 2
+                and all(isinstance(v, (int, float)) for v in c[:2])
+            ):
+                xs.append(float(c[0]))
+                ys.append(float(c[1]))
+            elif isinstance(c, (list, tuple)):
+                for cc in c:
+                    walk(cc)
+
+        walk(coords)
+        if not xs:
+            raise ValueError("No geospatial info on `geopolygon=` input")
+        return (min(xs), min(ys), max(xs), max(ys)), crs
+    bounds = getattr(geopolygon, "bounds", None)
+    if bounds is not None:
+        return tuple(bounds), crs
+    raise ValueError("No geospatial info on `geopolygon=` input")
+
+
+def _bbox_to_crs(bbox, src_crs: str, dst_crs: str):
+    """bbox reprojection via densified boundary (same as _footprint_in)."""
+    if src_crs == dst_crs:
+        return tuple(bbox)
+    return _footprint_in(
+        GeoBox(
+            (1, 1),
+            (bbox[2] - bbox[0], 0.0, bbox[0], 0.0, bbox[1] - bbox[3], bbox[3]),
+            src_crs,
+        ),
+        dst_crs,
+    )
+
+
+def _elect_crs_res(geoms: Sequence[GeoBox]) -> Tuple[str, float]:
+    """Joint (crs, gsd) majority vote, tie → finest gsd (reference
+    _most_common_gbox, _mdtools.py:726-749 — voting crs and resolution
+    jointly so a meters gsd can never be elected for a degrees grid)."""
+    from collections import Counter
+
+    votes = Counter((g.crs, g.gsd) for g in geoms)
+    top = max(votes.values())
+    crs, gsd = min(
+        (k for k, c in votes.items() if c == top), key=lambda k: (k[1], k[0])
+    )
+    return crs, gsd
+
+
+def output_geobox(
+    items: Sequence[Item],
+    bands: Optional[Sequence[str]] = None,
+    *,
+    crs: Optional[str] = None,
+    resolution: Optional[float] = None,
+    anchor=None,
+    align=None,
+    geobox: Optional[GeoBox] = None,
+    like=None,
+    geopolygon=None,
+    bbox: Optional[Tuple[float, float, float, float]] = None,
+    lon: Optional[Tuple[float, float]] = None,
+    lat: Optional[Tuple[float, float]] = None,
+    x: Optional[Tuple[float, float]] = None,
+    y: Optional[Tuple[float, float]] = None,
+) -> Optional[GeoBox]:
+    """P3: full output-grid argument surface with the reference's
+    precedence ladder and mutual-exclusion validation
+    (``output_geobox``, _mdtools.py:823-981):
+
+    - ``geobox=`` / ``like=`` win outright and admit NO other spatial arg;
+    - ``lon/lat`` and ``bbox`` are EPSG:4326 queries; ``x/y`` are in
+      ``crs=`` (required); ``geopolygon`` carries its own CRS;
+      any two of these together raise;
+    - missing crs/resolution are elected from the items by joint
+      (crs, gsd) majority vote;
+    - ``anchor=`` / ``align=`` snap the grid (edge/center/fractions).
+    """
+    params = {
+        k
+        for k, v in dict(
+            x=x, y=y, lon=lon, lat=lat, crs=crs, resolution=resolution,
+            align=align, anchor=anchor, like=like, geopolygon=geopolygon,
+            bbox=bbox, geobox=geobox,
+        ).items()
+        if v is not None
+    }
+
+    def report_extra_args(primary: str, *ok_args):
+        extra = params - {primary, *ok_args}
+        if extra:
+            raise ValueError(
+                f"Too many arguments when using `{primary}=` (mutually "
+                f"exclusive): {','.join(sorted(extra))}"
+            )
+
+    if geobox is not None:
+        report_extra_args("geobox")
+        return geobox
+    if like is not None:
+        report_extra_args("like")
+        if isinstance(like, GeoBox):
+            return like
+        g = getattr(like, "gbox", None) or getattr(like, "geobox", None)
+        if isinstance(g, GeoBox):
+            return g
+        raise ValueError("No geospatial info on `like=` input")
+
+    if (x is None) != (y is None):
+        raise ValueError("Need to supply both x= and y=")
+    if (lon is None) != (lat is None):
+        raise ValueError("Need to supply both lon= and lat=")
+
+    grid_params = ("crs", "align", "anchor", "resolution")
+    query: Optional[Tuple[Tuple[float, float, float, float], str]] = None
+    if geopolygon is not None:
+        report_extra_args("geopolygon", *grid_params)
+        query = _geopolygon_bbox(geopolygon)
+    elif bbox is not None:
+        report_extra_args("bbox", *grid_params)
+        query = (tuple(bbox), "EPSG:4326")
+    elif lon is not None:
+        report_extra_args("lon,lat", "lon", "lat", *grid_params)
+        x0, x1 = sorted(lon)
+        y0, y1 = sorted(lat)
+        query = ((x0, y0, x1, y1), "EPSG:4326")
+    elif x is not None:
+        if crs is None:
+            raise ValueError("Need to supply `crs=` when using `x=`, `y=`.")
+        report_extra_args("x,y", "x", "y", *grid_params)
+        x0, x1 = sorted(x)
+        y0, y1 = sorted(y)
+        query = ((x0, y0, x1, y1), crs)
+
+    geoms = [
+        src.geobox
+        for it in items
+        for b, src in it.bands.items()
+        if (bands is None or b in bands) and src.geobox is not None
+    ]
+    if crs is None or resolution is None:
+        if not geoms:
+            if query is not None and crs is None:
+                crs = query[1]
+            if crs is None or resolution is None:
+                return None
+        else:
+            e_crs, e_res = _elect_crs_res(geoms)
+            if crs is None:
+                crs = e_crs or (query[1] if query else None)
+            if resolution is None:
+                resolution = e_res
+        if crs is None or resolution is None:
+            return None
+
+    anchor_frac = _norm_anchor(anchor, align, resolution)
+
+    if query is not None:
+        bb = _bbox_to_crs(query[0], query[1], crs)
+        return _snapped_geobox(bb, resolution, crs, anchor_frac)
+
+    if not geoms:
+        return None
+    bbs = [_footprint_in(g, crs) for g in geoms]
+    union = (
+        min(b[0] for b in bbs),
+        min(b[1] for b in bbs),
+        max(b[2] for b in bbs),
+        max(b[3] for b in bbs),
+    )
+    return _snapped_geobox(union, resolution, crs, anchor_frac)
+
+
 def plan_load(
     items: Sequence[Item],
     bands: Optional[Sequence[str]] = None,
@@ -138,17 +386,19 @@ def plan_load(
     cfg: Optional[Dict[str, RasterLoadParams]] = None,
     preserve_original_order: bool = False,
     audit: bool = False,
+    like=None,
+    geopolygon=None,
+    lon: Optional[Tuple[float, float]] = None,
+    lat: Optional[Tuple[float, float]] = None,
+    x: Optional[Tuple[float, float]] = None,
+    y: Optional[Tuple[float, float]] = None,
+    anchor=None,
+    align=None,
 ) -> LoadPlan:
     """Stages 1-6: output-grid resolution (P3/A7/A8), band resolution (P1),
     temporal grouping (A1-A5), tiling (F13)."""
     if not items:
         raise ValueError("no items")
-    # P3 mutual-exclusion validation (reference output_geobox arg checks,
-    # _mdtools.py:874-886: conflicting spatial specs raise, not override)
-    if geobox is not None and any(v is not None for v in (bbox, resolution, crs)):
-        raise ValueError(
-            "geobox= is mutually exclusive with bbox=/resolution=/crs="
-        )
 
     # band resolution: requested or union across items (P1/P2 tolerance)
     all_bands: List[str] = []
@@ -163,36 +413,24 @@ def plan_load(
     if unknown:
         raise ValueError(f"unknown bands: {unknown}")
 
-    # output grid: explicit geobox > bbox+resolution > auto (A7 mode
-    # resolution + A8 bbox union over item geoboxes)
+    geobox = output_geobox(
+        items,
+        bands=use_bands,
+        crs=crs,
+        resolution=resolution,
+        anchor=anchor,
+        align=align,
+        geobox=geobox,
+        like=like,
+        geopolygon=geopolygon,
+        bbox=bbox,
+        lon=lon,
+        lat=lat,
+        x=x,
+        y=y,
+    )
     if geobox is None:
-        geoms = [
-            src.geobox
-            for it in items
-            for b, src in it.bands.items()
-            if b in use_bands and src.geobox is not None
-        ]
-        if not geoms:
-            raise ValueError("cannot resolve output geobox: no source geoboxes")
-        out_crs = crs or geoms[0].crs
-        if resolution is None:
-            # majority vote, tie → finest (reference _mdtools.py:726-765)
-            from collections import Counter
-
-            votes = Counter(g.gsd for g in geoms)
-            top = max(votes.values())
-            resolution = min(r for r, c in votes.items() if c == top)
-        if bbox is None:
-            # A8 bbox union in the OUTPUT CRS (cross-CRS sources go through
-            # the densified-footprint transform)
-            bbs = [_footprint_in(g, out_crs) for g in geoms]
-            bbox = (
-                min(b[0] for b in bbs),
-                min(b[1] for b in bbs),
-                max(b[2] for b in bbs),
-                max(b[3] for b in bbs),
-            )
-        geobox = GeoBox.from_bbox(bbox, resolution, out_crs)
+        raise ValueError("cannot resolve output geobox: no source geoboxes")
 
     # temporal grouping: sort groups by key; items within a group ordered
     # by (time, id) or original index (_stac_load.py:538-566)

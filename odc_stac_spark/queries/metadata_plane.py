@@ -507,3 +507,49 @@ def s1_stac_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_transform").getItem(0).alias("sx"),
         "g_crs",
     )
+
+
+# -- P3: output-grid snap (anchor/align) over a bbox union ------------------
+@register(
+    "p3_grid_snap_union",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             MIN(value) AS xmin, MAX(value) AS xmax,
+             MIN(user_id) AS ymin, MAX(user_id) AS ymax
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           FLOOR(xmin / 25.0) * 25.0 AS gx0,
+           CEIL(xmax / 25.0) * 25.0 AS gx1,
+           (FLOOR(ymin / 25.0 - 0.5) + 0.5) * 25.0 AS cy0,
+           (CEIL(ymax / 25.0 - 0.5) + 0.5) * 25.0 AS cy1,
+           CAST(CEIL(xmax / 25.0) - FLOOR(xmin / 25.0) AS BIGINT) AS nx,
+           CAST(CEIL(ymax / 25.0 - 0.5) - FLOOR(ymin / 25.0 - 0.5) AS BIGINT) AS ny
+    FROM u
+    """,
+    doc="P3 output-grid snapping: bbox union per group, then anchor=edge "
+    "snap on x (pixel edges on multiples of res) and anchor=center snap "
+    "on y (edges offset half a pixel) at res=25 — the same snap-grid "
+    "math output_geobox/_snapped_geobox applies driver-side "
+    "(reference GeoBox.from_bbox anchor semantics, _mdtools.py:806-981).",
+    tags=("metadata", "agg", "grid"),
+)
+def p3_grid_snap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = F.lit(25.0)
+    u = ev.groupBy("event_type").agg(
+        F.min("value").alias("xmin"),
+        F.max("value").alias("xmax"),
+        F.min("user_id").alias("ymin"),
+        F.max("user_id").alias("ymax"),
+    )
+    return u.select(
+        "event_type",
+        (F.floor(F.col("xmin") / res) * res).alias("gx0"),
+        (F.ceil(F.col("xmax") / res) * res).alias("gx1"),
+        ((F.floor(F.col("ymin") / res - 0.5) + 0.5) * res).alias("cy0"),
+        ((F.ceil(F.col("ymax") / res - 0.5) + 0.5) * res).alias("cy1"),
+        (F.ceil(F.col("xmax") / res) - F.floor(F.col("xmin") / res)).alias("nx"),
+        (F.ceil(F.col("ymax") / res - 0.5) - F.floor(F.col("ymin") / res - 0.5)).alias("ny"),
+    )

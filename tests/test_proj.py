@@ -30,7 +30,9 @@ def test_parse_utm():
     with pytest.raises(NotImplementedError):
         parse_utm("EPSG:3857")
     assert can_transform("EPSG:4326", "EPSG:32735")
-    assert not can_transform("EPSG:4326", "EPSG:3857")
+    assert can_transform("EPSG:4326", "EPSG:3857")
+    assert can_transform("EPSG:3857", "EPSG:32735")
+    assert not can_transform("EPSG:4326", "EPSG:3577")  # Albers: pyproj slot
 
 
 def test_central_meridian_and_equator_anchors():
@@ -161,7 +163,7 @@ def test_crosscrs_average_matches_manual_binning():
 
 
 def test_crosscrs_unsupported_pair_raises():
-    src_gbox = GeoBox((10, 10), (1.0, 0.0, 0.0, 0.0, -1.0, 10.0), "EPSG:3857")
+    src_gbox = GeoBox((10, 10), (1.0, 0.0, 0.0, 0.0, -1.0, 10.0), "EPSG:3577")
     src = RasterSource("synth://z?seed=1", geobox=src_gbox, meta=RasterBandMetadata("int32", None))
     dst = GeoBox((10, 10), (0.1, 0.0, 0.0, 0.0, -0.1, 1.0), "EPSG:4326")
     with pytest.raises(NotImplementedError, match="pyproj"):
