@@ -120,23 +120,23 @@ def plan_load_df(
         raise ValueError(f"unknown bands: {unknown}")
 
     if geobox is None:
-        if crs is None:
-            # A7 majority vote (reference _most_common_gbox _mdtools.py:726-749)
-            crs = (
-                base.groupBy("g_crs")
-                .count()
-                .orderBy(F.desc("count"), F.asc("g_crs"))
-                .first()
-                .g_crs
-            )
-        if resolution is None:
+        if crs is None or resolution is None:
+            # A7 JOINT (crs, gsd) majority vote (reference _most_common_gbox
+            # _mdtools.py:726-749; advisor finding: voting gsd over all
+            # CRSes can elect a meters resolution for a degrees grid)
+            vote = base
+            if crs is not None:
+                vote = vote.where(F.col("g_crs") == crs)
             r = (
-                base.groupBy("gsd")
+                vote.groupBy("g_crs", "gsd")
                 .count()
-                .orderBy(F.desc("count"), F.asc("gsd"))  # tie → finest
+                .orderBy(F.desc("count"), F.asc("gsd"), F.asc("g_crs"))
                 .first()
             )
-            resolution = float(r.gsd)
+            if crs is None:
+                crs = r.g_crs
+            if resolution is None:
+                resolution = float(r.gsd)
         if bbox is None:
             # A8 bbox union, 1 row
             bb = base.where(F.col("g_crs") == crs).agg(

@@ -852,7 +852,9 @@ def assemble_numpy(tiles_df: DataFrame, plan: LoadPlan) -> Dict[str, np.ndarray]
 
             c = plan.cfg[row.band]
             dst_dtype = np.dtype(row.dtype)
-            src_nodata = c.src_nodata_override or c.src_nodata_fallback
+            # resolve_src_nodata, not `override or fallback`: an override of
+            # 0.0 is falsy but present (advisor finding)
+            src_nodata = resolve_src_nodata(None, c)
             dst_nodata = resolve_dst_nodata(dst_dtype, c, src_nodata)
             out[row.band] = np.full((nt, ny, nx), empty_fill(dst_dtype, dst_nodata), dst_dtype)
         out[row.band][row.t, row.y0 : row.y0 + row.height, row.x0 : row.x0 + row.width] = arr

@@ -41,36 +41,87 @@ def _uuid5_like(col_collection: F.Column, col_id: F.Column) -> F.Column:
 def stac2ds(parsed: DataFrame) -> DataFrame:
     """parsed-item band rows (sources/stac_items.parse_items output) →
     one EO3 dataset doc per item, as (id, doc_uuid, collection, doc JSON).
-    """
-    grids = parsed.groupBy("cid", "id", "datetime").agg(
+
+    Grid naming: resolution label ``g<|sx|>`` while unique within the
+    item; two distinct grids sharing an x-resolution (different shape/
+    origin/crs) get a full-identity hash suffix instead of colliding into
+    one map key (DUPLICATED_MAP_KEY — advisor finding; reference keys
+    grids by GeoBox identity, _eo3converter.py:163-226)."""
+    label = F.concat(F.lit("g"), F.abs(F.element_at("g_transform", 1)).cast("string"))
+    identity = F.md5(
+        F.to_json(
+            F.struct(
+                F.col("g_shape").alias("shape"),
+                F.col("g_transform").alias("transform"),
+                F.col("g_crs").alias("crs"),
+            )
+        )
+    )
+    collected = parsed.groupBy("cid", "id", "datetime").agg(
+        F.collect_list(
+            F.struct(
+                F.col("asset_name"),
+                F.col("href"),
+                F.col("band_idx"),
+                label.alias("label"),
+                identity.alias("identity"),
+                F.col("g_shape").alias("shape"),
+                F.col("g_transform").alias("transform"),
+                F.col("g_crs").alias("crs"),
+            )
+        ).alias("bands"),
+    )
+    uniq = F.array_distinct(
+        F.transform(
+            F.col("bands"),
+            lambda b: F.struct(
+                b["label"].alias("label"),
+                b["identity"].alias("identity"),
+                b["shape"].alias("shape"),
+                b["transform"].alias("transform"),
+                b["crs"].alias("crs"),
+            ),
+        )
+    )
+
+    def grid_key(label_col, identity_col, uniq_col):
+        clash = (
+            F.size(F.filter(uniq_col, lambda u: u["label"] == label_col)) > 1
+        )
+        return F.when(
+            clash, F.concat(label_col, F.lit("-"), F.substring(identity_col, 1, 6))
+        ).otherwise(label_col)
+
+    grids = collected.withColumn("uniq", uniq).select(
+        "cid",
+        "id",
+        "datetime",
         F.map_from_entries(
-            F.array_distinct(
-                F.collect_list(
+            F.transform(
+                F.col("uniq"),
+                lambda g: F.struct(
+                    grid_key(g["label"], g["identity"], F.col("uniq")).alias("key"),
                     F.struct(
-                        F.concat(F.lit("g"), F.abs(F.element_at("g_transform", 1)).cast("string")).alias(
-                            "key"
-                        ),
-                        F.struct(
-                            F.col("g_shape").alias("shape"),
-                            F.col("g_transform").alias("transform"),
-                            F.col("g_crs").alias("crs"),
-                        ).alias("value"),
-                    )
-                )
+                        g["shape"].alias("shape"),
+                        g["transform"].alias("transform"),
+                        g["crs"].alias("crs"),
+                    ).alias("value"),
+                ),
             )
         ).alias("grids"),
         F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("asset_name").alias("key"),
+            F.transform(
+                F.col("bands"),
+                lambda b: F.struct(
+                    b["asset_name"].alias("key"),
                     F.struct(
-                        F.col("href").alias("path"),
-                        F.col("band_idx").alias("band"),
-                        F.concat(
-                            F.lit("g"), F.abs(F.element_at("g_transform", 1)).cast("string")
-                        ).alias("grid"),
+                        b["href"].alias("path"),
+                        b["band_idx"].alias("band"),
+                        grid_key(b["label"], b["identity"], F.col("uniq")).alias(
+                            "grid"
+                        ),
                     ).alias("value"),
-                )
+                ),
             )
         ).alias("measurements"),
     )

@@ -8,15 +8,17 @@ so an HTTP range reader can plan its reads from one head request. This
 module emits exactly that layout from scratch:
 
 - classic little-endian TIFF, tiled (TileWidth/TileLength 256 default)
-- uncompressed (Compression=1 — no codec dependencies; the layout, not
-  the codec, is what makes a COG cloud-optimized)
+- DEFLATE-compressed tiles by default (Compression=8 via stdlib zlib —
+  what virtually every real-world COG uses), or uncompressed
+  (Compression=1)
 - GeoTIFF georeferencing: ModelPixelScaleTag + ModelTiepointTag +
   GeoKeyDirectoryTag (projected EPSG or geographic EPSG:4326)
 - GDAL_NODATA ascii tag
 - overviews: nearest-decimation reduced-resolution IFDs (NewSubfileType=1)
 
-The reader exists so tests can verify the bytes without rasterio; it
-reads only what the writer emits (tiled, uncompressed, single-band).
+The readers handle tiled single-band TIFFs with Compression 1/8/32946
+(none / zlib deflate) — enough to read both this writer's output and
+typical externally-produced deflate COGs without GDAL.
 
 Scale note: one COG per (band, t) mosaic is a driver-side or
 foreachPartition finalization step over collected tiles — the distributed
@@ -27,6 +29,7 @@ this writer is the export/interchange sink.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -85,10 +88,22 @@ def write_cog_file(
     nodata: Optional[float] = None,
     tile: int = 256,
     overview_levels: Optional[List[int]] = None,
+    compression: str = "deflate",
 ) -> None:
-    """Write a single-band 2-D array as a tiled COG-layout GeoTIFF."""
+    """Write a single-band 2-D array as a tiled COG-layout GeoTIFF.
+
+    ``compression``: "deflate" (Compression=8, stdlib zlib per tile — what
+    virtually every real-world COG uses) or "none" (Compression=1)."""
     if pix.ndim != 2:
         raise ValueError("write_cog_file expects a 2-D single-band array")
+    if compression not in ("deflate", "none"):
+        raise ValueError(f"compression must be 'deflate' or 'none', got {compression!r}")
+    # south-up output would round-trip with silently flipped georeferencing
+    # (readers reconstruct -|sy| assuming north-up) — refuse it
+    if geobox.transform[4] > 0:
+        raise ValueError(
+            "write_cog_file requires a north-up geobox (sy<0); flip rows first"
+        )
     if overview_levels is None:
         # overviews until the image fits in one tile (COG convention)
         overview_levels = []
@@ -103,7 +118,9 @@ def write_cog_file(
     # ---- plan IFDs first (COG layout: all IFDs before any tile data)
     ifds = []
     for lv_idx, arr in enumerate(levels):
-        ifds.append(_plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels))
+        ifds.append(
+            _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels, compression)
+        )
 
     # layout: header(8) | IFD blocks (each: entries + next ptr + aux data)
     # | tile data
@@ -133,18 +150,20 @@ def write_cog_file(
         f.write(bytes(out))
 
 
-def _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels):
+def _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none"):
     ny, nx = arr.shape
     dt = arr.dtype
     bits = dt.itemsize * 8
     fmt = _SAMPLEFORMAT_FOR_KIND[dt.kind]
+    deflate = compression == "deflate"
     tiles: List[bytes] = []
     for ty in range(0, ny, tile):
         for tx in range(0, nx, tile):
             block = np.zeros((tile, tile), dtype=dt)
             sub = arr[ty : ty + tile, tx : tx + tile]
             block[: sub.shape[0], : sub.shape[1]] = sub
-            tiles.append(block.tobytes())
+            raw = block.tobytes()
+            tiles.append(zlib.compress(raw, 6) if deflate else raw)
 
     entries: List[Tuple[int, int, int, object]] = []
     aux: List[bytes] = []
@@ -154,7 +173,7 @@ def _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels):
         (_WIDTH, _TYPE_LONG, 1, nx),
         (_LENGTH, _TYPE_LONG, 1, ny),
         (_BITSPERSAMPLE, _TYPE_SHORT, 1, bits),
-        (_COMPRESSION, _TYPE_SHORT, 1, 1),
+        (_COMPRESSION, _TYPE_SHORT, 1, 8 if deflate else 1),
         (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
         (_SAMPLESPERPIXEL, _TYPE_SHORT, 1, 1),
         (_PLANARCONFIG, _TYPE_SHORT, 1, 1),
@@ -283,6 +302,14 @@ def read_cog_header(path: str) -> Dict:
 
             bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT)
+            comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
+            if comp not in (1, 8, 32946):
+                raise NotImplementedError(
+                    f"TIFF compression {comp}: only none(1)/deflate(8,32946) "
+                    "readable without GDAL"
+                )
+            if 317 in tags and (tags[317][2] & 0xFFFF) != 1:
+                raise NotImplementedError("TIFF predictor != 1 not supported")
             levels.append(
                 {
                     "nx": short_val(_WIDTH),
@@ -290,6 +317,7 @@ def read_cog_header(path: str) -> Dict:
                     "tile_w": short_val(_TILEWIDTH),
                     "tile_h": short_val(_TILELENGTH),
                     "dtype": _NP_DTYPE[(fmt, bits)],
+                    "compression": comp,
                     "offsets": long_array(_TILEOFFSETS),
                     "bytecounts": long_array(_TILEBYTECOUNTS),
                 }
@@ -325,6 +353,8 @@ def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndar
     with open(path, "rb") as f:
         f.seek(off)
         raw = f.read(cnt)
+    if lv.get("compression", 1) in (8, 32946):
+        raw = zlib.decompress(raw)
     dt = np.dtype(lv["dtype"])
     return np.frombuffer(raw, dt).reshape(lv["tile_h"], lv["tile_w"])
 
@@ -372,13 +402,24 @@ def read_cog_file(path: str) -> Dict:
         tw, th = _short_val(_TILEWIDTH), _short_val(_TILELENGTH)
         bits = _short_val(_BITSPERSAMPLE)
         fmt = _short_val(_SAMPLEFORMAT)
+        comp = _short_val(_COMPRESSION) if _COMPRESSION in tags else 1
+        if comp not in (1, 8, 32946):
+            raise NotImplementedError(
+                f"TIFF compression {comp}: only none(1)/deflate(8,32946) "
+                "readable without GDAL"
+            )
         dt = np.dtype(_NP_DTYPE[(fmt, bits)])
         offs = _long_array(_TILEOFFSETS)
+        cnts = _long_array(_TILEBYTECOUNTS)
         ntx = (nx + tw - 1) // tw
         arr = np.zeros((ny, nx), dtype=dt)
         for ti, off in enumerate(offs):
             ty, tx = divmod(ti, ntx)
-            block = np.frombuffer(buf, dt, count=tw * th, offset=off).reshape(th, tw)
+            if comp in (8, 32946):
+                raw = zlib.decompress(buf[off : off + cnts[ti]])
+                block = np.frombuffer(raw, dt, count=tw * th).reshape(th, tw)
+            else:
+                block = np.frombuffer(buf, dt, count=tw * th, offset=off).reshape(th, tw)
             ys, xs = min(th, ny - ty * th), min(tw, nx - tx * tw)
             arr[ty * th : ty * th + ys, tx * tw : tx * tw + xs] = block[:ys, :xs]
         levels.append(arr)

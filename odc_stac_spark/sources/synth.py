@@ -125,11 +125,14 @@ class SynthReader:
         px0: int,
         px1: int,
         decimation: int = 1,
+        use_overviews: bool = True,
     ) -> np.ndarray:
         """Driver-specific window fetch — the ONLY method a concrete
         format driver must override; the paste/warp/overview planning in
         ``read``/``_warp`` is format-agnostic (same split as the reference
-        protocol, loader/types.py:142-157)."""
+        protocol, loader/types.py:142-157). ``use_overviews=False`` forces
+        full-resolution reads (RasterLoadParams.use_overviews — matters
+        for files whose overviews were built with non-nearest resampling)."""
         return SynthReader.gen_window(
             uri, src_nodata, dtype, py0, py1, px0, px1, decimation
         )
@@ -223,6 +226,7 @@ class SynthReader:
             spx0,
             spx0 + n_x * step_x,
             decimation=step_y,
+            use_overviews=cfg.use_overviews,
         )
         raw = raw[:n_y, :n_x]
 
@@ -549,12 +553,18 @@ class TiffReader(SynthReader):
         px0: int,
         px1: int,
         decimation: int = 1,
+        use_overviews: bool = True,
     ) -> np.ndarray:
         hdr = self._header(uri)
         full_ny = hdr["levels"][0]["ny"]
         fill = src_nodata if src_nodata is not None else (hdr["nodata"] or 0)
         step, level = decimation, 0
-        if decimation > 1 and py0 % decimation == 0 and px0 % decimation == 0:
+        if (
+            use_overviews
+            and decimation > 1
+            and py0 % decimation == 0
+            and px0 % decimation == 0
+        ):
             for li, lv in enumerate(hdr["levels"][1:], start=1):
                 if int(round(full_ny / lv["ny"])) == decimation:
                     span_y, span_x = py1 - py0, px1 - px0

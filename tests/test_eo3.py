@@ -29,3 +29,25 @@ def test_stac2ds_docs(spark):
     assert docs["S2A_T35MNM_0001"].doc_uuid != s2.doc_uuid
     # landsat: collection falls back to odc:product
     assert docs["LC08_L2SP_001"].collection == "ga_ls8c_ard_3"
+
+
+def test_stac2ds_same_resolution_distinct_grids(spark):
+    """Two grids sharing x-resolution but different shape/origin must get
+    distinct map keys (hash-suffixed), not DUPLICATED_MAP_KEY (advisor
+    finding; reference keys grids by full GeoBox identity)."""
+    item = s2_item(0)
+    # give B05 a grid with the same 20 m resolution as SCL but a
+    # different shape → same "g20.0" label, different identity
+    a = dict(item["assets"]["B05"])
+    a["proj_shape"] = [2745, 2745]
+    item["assets"]["B05"] = a
+    df = items_df(spark, [item])
+    docs = {r.id: r for r in stac2ds(parse_items(spark, df)).collect()}
+    d = json.loads(docs["S2A_T35MNM_0000"].doc)
+    g20_keys = [k for k in d["grids"] if k.startswith("g20.0")]
+    assert len(g20_keys) == 2 and "g20.0" not in g20_keys  # both suffixed
+    # measurements still reference existing grid keys
+    for m in d["measurements"].values():
+        assert m["grid"] in d["grids"]
+    # unaffected grids keep their clean labels
+    assert "g10.0" in d["grids"] and "g60.0" in d["grids"]

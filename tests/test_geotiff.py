@@ -97,3 +97,96 @@ def test_cog_layout_ifds_before_data(tmp_path):
         ifd_ends.append(ifd_off + 2 + 12 * n + 4)
         (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
     assert min(tile_offsets) > max(ifd_ends)
+
+
+def test_deflate_roundtrip_and_size(tmp_path):
+    """DEFLATE (Compression=8) tiles round-trip exactly and compress a
+    low-entropy image well below the raw size."""
+    iy, ix = np.mgrid[0:500, 0:400]
+    arr = ((iy // 7 + ix // 5) % 11).astype("uint16")  # repetitive → compressible
+    p_raw = str(tmp_path / "raw.tif")
+    p_z = str(tmp_path / "z.tif")
+    write_cog_file(p_raw, arr, GBOX, nodata=0, compression="none")
+    write_cog_file(p_z, arr, GBOX, nodata=0, compression="deflate")
+    import os
+
+    assert os.path.getsize(p_z) < os.path.getsize(p_raw) / 3
+    got = read_cog_file(p_z)
+    np.testing.assert_array_equal(got["data"], arr)
+    assert got["nodata"] == 0
+    # compression tag actually says 8
+    import struct as _s
+
+    buf = open(p_z, "rb").read()
+    _, _, ifd_off = _s.unpack_from("<2sHI", buf, 0)
+    (n,) = _s.unpack_from("<H", buf, ifd_off)
+    comp = {
+        t: raw & 0xFFFF
+        for t, typ, c, raw in (
+            _s.unpack_from("<HHII", buf, ifd_off + 2 + 12 * i) for i in range(n)
+        )
+    }[259]
+    assert comp == 8
+
+
+def test_deflate_header_tile_reads(tmp_path):
+    """Range-read path: read_cog_header + read_cog_tile decompress
+    per-tile (the executor-side COG access pattern)."""
+    from odc_stac_spark.sources.geotiff import read_cog_header, read_cog_tile
+
+    arr = (np.arange(512 * 512, dtype=np.uint32) % 9973).reshape(512, 512)
+    p = str(tmp_path / "t.tif")
+    write_cog_file(p, arr.astype("int32"), GBOX, tile=256, compression="deflate")
+    hdr = read_cog_header(p)
+    assert hdr["levels"][0]["compression"] == 8
+    t0 = read_cog_tile(p, hdr, 0, 0)
+    np.testing.assert_array_equal(t0, arr[:256, :256].astype("int32"))
+    t3 = read_cog_tile(p, hdr, 0, 3)
+    np.testing.assert_array_equal(t3, arr[256:, 256:].astype("int32"))
+
+
+def test_deflate_through_tiff_reader_pipeline(spark, tmp_path):
+    """A deflate COG read through TiffReader → full load pipeline must be
+    pixel-equal to the in-memory source array."""
+    from datetime import datetime
+
+    from odc_stac_spark.model import RasterBandMetadata, RasterSource
+    from odc_stac_spark.plans.load import Item, load
+    from odc_stac_spark.plans.load import assemble_numpy
+
+    arr = ((np.arange(300 * 280) * 31) % 2003).reshape(300, 280).astype("uint16")
+    g = GeoBox((300, 280), (10.0, 0.0, 0.0, 0.0, -10.0, 3000.0), "EPSG:32735")
+    p = str(tmp_path / "pipe.tif")
+    write_cog_file(p, arr, g, nodata=0, compression="deflate")
+    item = Item(
+        id="cog-0",
+        datetime=datetime(2020, 6, 6),
+        bands={"red": RasterSource(p, geobox=g, meta=RasterBandMetadata("uint16", 0))},
+    )
+    tiles_df, plan = load(spark, [item], chunks=(128, 128))
+    got = assemble_numpy(tiles_df, plan)["red"][0]
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_south_up_geobox_rejected(tmp_path):
+    import pytest as _pytest
+
+    g_south = GeoBox((10, 10), (10.0, 0.0, 0.0, 0.0, 10.0, 0.0), "EPSG:32735")
+    with _pytest.raises(ValueError, match="north-up"):
+        write_cog_file(str(tmp_path / "s.tif"), np.zeros((10, 10), "uint8"), g_south)
+
+
+def test_cogtiles_datasource_reads_deflate(spark, tmp_path):
+    """The cogtiles Spark data source over a DEFLATE COG."""
+    arr = ((np.arange(512 * 512) * 7) % 251).reshape(512, 512).astype("uint8")
+    p = str(tmp_path / "ds.tif")
+    write_cog_file(p, arr, GBOX, tile=256, compression="deflate")
+    from odc_stac_spark.sources.datasource import CogTilesDataSource
+
+    spark.dataSource.register(CogTilesDataSource)
+    df = spark.read.format("cogtiles").load(p)
+    got = np.zeros_like(arr)
+    for r in df.where("level = 0").collect():
+        t = np.frombuffer(r.data, dtype=np.uint8).reshape(r.height, r.width)
+        got[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = t
+    np.testing.assert_array_equal(got, arr)

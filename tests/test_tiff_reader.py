@@ -95,3 +95,25 @@ def test_cog_write_read_loop_through_pipeline(spark, tmp_path):
     tiles2, plan2 = load(spark, tif_items, geobox=plan.gbox, chunks=(64, 64))
     got = assemble_numpy(tiles2, plan2)["red"]
     np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_use_overviews_false_forces_fullres(tmp_path):
+    """RasterLoadParams.use_overviews=False must bypass the overview IFD
+    even when an aligned decimation matches (advisor finding): for files
+    whose overviews were built with non-nearest resampling the overview
+    substitution would silently change pixel values."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, size=(512, 512)).astype("uint8")
+    gbox = GeoBox((512, 512), (10.0, 0.0, 0.0, 0.0, -10.0, 5120.0), CRS)
+    p = str(tmp_path / "no_ov.tif")
+    write_cog_file(p, arr, gbox, tile=256, overview_levels=[2])
+
+    S.restore_env({})
+    r = TiffReader()
+    src = RasterSource(f"file://{p}", geobox=gbox, meta=RasterBandMetadata("uint8", None))
+    dst = GeoBox((256, 256), (20.0, 0.0, 0.0, 0.0, -20.0, 5120.0), CRS)
+    rr = r.read(src, RasterLoadParams(use_overviews=False), dst)
+    # same values (writer overviews ARE nearest-decimated) but via the
+    # full-res IFD: no overview read counted
+    np.testing.assert_array_equal(rr.pix, arr[::2, ::2])
+    assert S.capture_env().get("tif_overview_reads", 0) == 0
