@@ -30,11 +30,23 @@ from .model import (
     RasterSource,
 )
 from .plans.catalog import load_from_catalog, plan_load_df
-from .plans.load import LoadPlan, load, load_from_sources, output_geobox, plan_load
+from .plans.load import (
+    LoadPlan,
+    load,
+    load_from_sources,
+    output_geobox,
+    patch_urls,
+    plan_load,
+)
 from .session import get_spark
 from .sources.aws import configure_rio, configure_s3_access
 from .sources.eo3 import stac2ds
-from .sources.stac_items import extract_collection_metadata, items_df, parse_items
+from .sources.stac_items import (
+    extract_collection_metadata,
+    items_df,
+    parse_items,
+    patch_urls_df,
+)
 
 # reference public-API parity (odc/stac/__init__.py:20-36): `load` is also
 # exported as `stac_load`; `output_geobox` (plans/load.py) resolves the
@@ -61,6 +73,8 @@ __all__ = [
     "load_from_sources",
     "output_geobox",
     "parse_items",
+    "patch_urls",
+    "patch_urls_df",
     "plan_load",
     "plan_load_df",
     "stac2ds",

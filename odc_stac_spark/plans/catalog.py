@@ -63,7 +63,12 @@ def _group_key_col(groupby: str) -> F.Column:
         lon = (F.col("bb_xmin") + F.col("bb_xmax")) / 2.0
         off = (lon / F.lit(15.0)).cast("int") * 3600
         return F.to_date(F.col("ts") + F.make_interval(secs=off.cast("double")))
-    raise ValueError(f"groupby={groupby!r}: catalog path supports time|solar_day")
+    if isinstance(groupby, str):
+        # any other string keys off the raw STAC properties map; items
+        # missing the property share the NULL group (reference
+        # _groupby_property, _stac_load.py:515-535)
+        return F.element_at(F.col("properties"), F.lit(groupby))
+    raise ValueError(f"groupby={groupby!r}: catalog path supports time|solar_day|<property>")
 
 
 def plan_load_df(
@@ -189,13 +194,18 @@ def sources_from_parsed(
             "footprints — use plans.load.load() (list path) or reproject "
             "the catalog"
         )
-    key_map = spark.createDataFrame(
-        [(k, t) for t, k in enumerate(plan.group_keys)], ["k", "t"]
-    )
+    rows = [(k, t) for t, k in enumerate(plan.group_keys)]
+    if all(k is None for k in plan.group_keys):
+        # schema inference can't type an all-NULL key column
+        key_map = spark.createDataFrame(rows, "_plan_k string, t bigint")
+    else:
+        key_map = spark.createDataFrame(rows, ["_plan_k", "t"])
     t = F.col("g_transform")
+    keyed = base.withColumn("k", _group_key_col(groupby))
     return (
-        base.withColumn("k", _group_key_col(groupby))
-        .join(F.broadcast(key_map), "k")
+        # eqNullSafe: a property-groupby's missing-property group has a
+        # NULL key, which a plain equi-join would silently drop
+        keyed.join(F.broadcast(key_map), F.col("k").eqNullSafe(F.col("_plan_k")))
         .select(
             # catalog path orders within a group by (ts, item_id) — the
             # default precedence; preserve_original_order needs an input

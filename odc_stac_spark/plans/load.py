@@ -76,6 +76,8 @@ class Item:
     datetime: datetime
     bands: Dict[str, RasterSource]
     lon: Optional[float] = None  # centroid longitude for solar_day
+    #: raw STAC properties — groupby=<property name> keys off this map
+    props: Dict[str, object] = field(default_factory=dict)
 
 
 @dataclass
@@ -123,6 +125,11 @@ def _group_key(item: Item, groupby: str, idx: int):
         return (pd.Timestamp(item.datetime) + pd.Timedelta(seconds=off)).date()
     if callable(groupby):
         return groupby(item, idx)
+    if isinstance(groupby, str):
+        # any other string is a STAC property name; items missing the
+        # property share the None group (reference _groupby_property,
+        # _stac_load.py:515-535)
+        return item.props.get(groupby)
     raise ValueError(f"unsupported groupby: {groupby!r}")
 
 
@@ -372,6 +379,32 @@ def output_geobox(
         max(b[3] for b in bbs),
     )
     return _snapped_geobox(union, resolution, crs, anchor_frac)
+
+
+def patch_urls(items, edit, bands: Optional[Sequence[str]] = None):
+    """Map ``edit`` over band-source URIs — sign or rewrite asset URLs
+    before loading (reference ``patch_urls``, _stac_load.py:60-84).
+
+    ``items``: one :class:`Item` or a sequence of them; ``edit``: str→str;
+    ``bands``: only edit these bands (default all). Returns new Item(s) —
+    inputs are not mutated. The DataFrame form for catalog-scale rewriting
+    is :func:`odc_stac_spark.sources.stac_items.patch_urls_df`."""
+    import dataclasses
+
+    def _one(item: Item) -> Item:
+        new_bands = {
+            k: (
+                dataclasses.replace(src, uri=edit(src.uri))
+                if bands is None or k in bands
+                else src
+            )
+            for k, src in item.bands.items()
+        }
+        return dataclasses.replace(item, bands=new_bands)
+
+    if isinstance(items, Item):
+        return _one(items)
+    return [_one(it) for it in items]
 
 
 def plan_load(

@@ -51,6 +51,33 @@ def a1_groupby_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A1b: groupby=<property name> ------------------------------------------
+@register(
+    "a1b_groupby_property",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS group_key,
+           COUNT(*) AS n_items,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A1b groupby=<property>: key off the raw STAC-properties map "
+    "(reference _groupby_property, _stac_load.py:515-535) — exercises the "
+    "catalog path's property-name group-key expression.",
+    tags=("metadata", "agg"),
+)
+def a1b_groupby_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.catalog import _group_key_col
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "properties", F.from_json("props", "map<string,string>")
+    )
+    return ev.groupBy(_group_key_col("k").alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # -- A2/F10: solar-day adjustment ------------------------------------------
 # Reference semantics (model.py:454-458): utc + int(lon/15) whole hours,
 # int() truncating toward zero. Longitude derived deterministically from

@@ -279,6 +279,11 @@ def assets_df(items: DataFrame) -> DataFrame:
         if "has_proj" in items.columns
         else F.lit(False)
     )
+    props_col = (
+        F.col("properties")
+        if "properties" in items.columns
+        else F.lit(None).cast(MapType(StringType(), StringType()))
+    )
     ex = items.select(
         "id",
         "collection",
@@ -286,6 +291,7 @@ def assets_df(items: DataFrame) -> DataFrame:
         "datetime",
         "start_datetime",
         "end_datetime",
+        props_col.alias("properties"),
         has_proj_col.alias("has_proj"),
         F.explode("assets").alias("asset_name", "asset"),
     )
@@ -350,6 +356,7 @@ def raster_assets_df(items: DataFrame) -> DataFrame:
         F.when(has_gbox, F.slice(tr, 1, 6)).alias("g_transform"),
         F.when(has_gbox, F.concat(F.lit("EPSG:"), F.col("asset.proj_epsg"))).alias("g_crs"),
         F.col("asset.eo_bands").alias("eo_bands"),
+        "properties",
     )
 
 
@@ -503,7 +510,39 @@ def parse_items(
         "g_shape",
         "g_transform",
         "g_crs",
+        "properties",
     )
+
+
+def patch_urls_df(
+    parsed: DataFrame, edit, bands: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Catalog-scale URL rewriting over ``parse_items`` rows (S12; the
+    DataFrame image of reference ``patch_urls``, _stac_load.py:60-84).
+
+    ``edit`` should be a Column transform (Column → Column) so the rewrite
+    stays a JVM expression — e.g. signing::
+
+        patch_urls_df(parsed, lambda c: F.concat(c, F.lit("?sig=abc")))
+
+    A plain str→str Python callable is also accepted and wrapped in a UDF
+    (fine for the metadata plane — one row per band×item, not per pixel —
+    but prefer the Column form: ``F.concat``/``F.regexp_replace`` cover
+    signing and host rewrites and keep Catalyst in charge)."""
+    try:
+        probe = edit(F.col("href"))
+    except Exception:
+        probe = None  # a str-only callable chokes on the Column probe
+    if not isinstance(probe, F.Column):
+        probe = F.udf(edit, StringType())(F.col("href"))
+    new_href = (
+        probe
+        if bands is None
+        else F.when(F.col("asset_name").isin(list(bands)), probe).otherwise(
+            F.col("href")
+        )
+    )
+    return parsed.withColumn("href", new_href)
 
 
 def to_load_items(parsed: DataFrame, band: Optional[Sequence[str]] = None) -> List:
@@ -518,7 +557,8 @@ def to_load_items(parsed: DataFrame, band: Optional[Sequence[str]] = None) -> Li
             continue
         it = by_item.get(r.id)
         if it is None:
-            it = Item(id=r.id, datetime=r.datetime, bands={})
+            props = dict(r.properties) if r.properties is not None else {}
+            it = Item(id=r.id, datetime=r.datetime, bands={}, props=props)
             by_item[r.id] = it
         gbox = None
         if r.g_shape is not None and r.g_transform is not None:

@@ -119,6 +119,36 @@ def test_catalog_pixels_equal_list_path(spark, parsed_catalog):
         np.testing.assert_array_equal(got[b], want[b])
 
 
+def test_groupby_property_catalog_equals_list_path(spark, tmp_path):
+    """groupby=<property name> (reference _groupby_property,
+    _stac_load.py:515-535): both paths key off the raw STAC properties
+    map and must produce identical pixels; items missing the property
+    share one group."""
+    origins = [(0.0, 1000.0), (400.0, 800.0), (200.0, 1200.0)]
+    docs = [catalog_item(i, o) for i, o in enumerate(origins)]
+    docs[0]["properties"] = {"platform": "sat-b"}
+    docs[1]["properties"] = {"platform": "sat-a"}
+    docs[2]["properties"] = {}  # missing → None group
+    raw = items_df(spark, docs)
+    path = str(tmp_path / "cat.parquet")
+    raw.write.parquet(path)
+    parsed = parse_items(spark, spark.read.parquet(path))
+
+    tiles_df, plan = load_from_catalog(spark, parsed, groupby="platform", chunks=(64, 64))
+    # NULL key sorts first (Spark default) = list path's type-name sort
+    assert plan.group_keys == [None, "sat-a", "sat-b"]
+    got = assemble_numpy(tiles_df, plan)
+
+    items = equivalent_items(3, origins)
+    items[0].props = {"platform": "sat-b"}
+    items[1].props = {"platform": "sat-a"}
+    tiles2, plan2 = load(spark, items, groupby="platform", chunks=(64, 64))
+    assert plan2.group_keys == plan.group_keys
+    want = assemble_numpy(tiles2, plan2)
+    for b in got:
+        np.testing.assert_array_equal(got[b], want[b])
+
+
 def test_solar_day_rejects_projected_catalog(spark, parsed_catalog):
     """solar_day needs geographic coords for the longitude offset — a UTM
     catalog must fail loudly, not bin by meters/15 'hours'."""

@@ -197,3 +197,39 @@ def test_invalid_nine_element_affine_dropped(spark):
     df2 = items_df(spark, [good])
     r2 = raster_assets_df(df2).where("asset_name = 'nbart_red'").first()
     assert r2.g_transform == [30.0, 0.0, 304185.0, 0.0, -30.0, -1258185.0]
+
+
+def test_patch_urls_item_form(spark):
+    """patch_urls signs band URIs without mutating inputs (reference
+    _stac_load.py:60-84)."""
+    from odc_stac_spark import patch_urls
+
+    df = items_df(spark, [s2_item(0)])
+    items = to_load_items(parse_items(spark, df))
+    (it,) = items
+    orig = {k: s.uri for k, s in it.bands.items()}
+    signed = patch_urls(it, lambda u: u + "?sig=tok")
+    assert all(s.uri == orig[k] + "?sig=tok" for k, s in signed.bands.items())
+    assert all(s.uri == orig[k] for k, s in it.bands.items())  # no mutation
+    # bands filter: only B02 edited; list form returns a list
+    some = patch_urls([it], lambda u: "s3://signed/" + u, bands=["B02"])[0]
+    assert some.bands["B02"].uri == "s3://signed/" + orig["B02"]
+    assert some.bands["B05"].uri == orig["B05"]
+
+
+def test_patch_urls_df_column_and_callable(spark):
+    """DataFrame form: Column transform stays JVM-side; a plain str→str
+    callable is accepted too (wrapped in a UDF)."""
+    import pyspark.sql.functions as F
+
+    from odc_stac_spark import patch_urls_df
+
+    parsed = parse_items(spark, items_df(spark, [s2_item(0)]))
+    col_form = patch_urls_df(parsed, lambda c: F.concat(c, F.lit("?sig=x")))
+    assert all(r.href.endswith(".tif?sig=x") for r in col_form.collect())
+    # no Python in the plan for the Column form
+    assert "pythonUDF" not in col_form._jdf.queryExecution().executedPlan().toString().lower().replace(" ", "")
+    py_form = patch_urls_df(parsed, lambda u: u.replace("https://", "s3://"), bands=["B02"])
+    rows = {r.asset_name: r.href for r in py_form.collect()}
+    assert rows["B02"].startswith("s3://")
+    assert rows["B05"].startswith("https://")
