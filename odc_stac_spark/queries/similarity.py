@@ -85,36 +85,81 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_NPROBE = 4  # multi-assignment width for near-dup blocking
+
+
+def _ivf_multi_assign(emb: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, emb) → (vec_id, emb, cent_id) rows, one per the vector's
+    ``nprobe`` nearest of the IVF_K fixed centroids (broadcast K×n;
+    deterministic ties → cent_id asc). Multi-assignment is the standard
+    recall lever for cell-blocked pair generation."""
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", "emb", "cent_id")
+    )
+
+
 @register(
     "embedding_neardup_pairs",
+    # oracle computes the IDENTICAL blocking (multi-assign to NEARDUP_NPROBE
+    # cells, pairs sharing a cell, exact-cosine verify) so the gate is exact
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          >= {NEARDUP_COS}
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
+    assigned AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT vec_id, emb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn <= {NEARDUP_NPROBE}
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= {NEARDUP_COS}
     """,
-    doc="embedding-cosine near-dup pairs (brute force; LSH/IVF blocking is "
-    "the scale path — see ann_ivf_topk).",
+    doc="embedding-cosine near-dup pairs, IVF-cell blocked: candidates are "
+    "pairs sharing one of their NEARDUP_NPROBE nearest centroids (equi-join "
+    "on cent_id — NO all-pairs theta join), then exact-cosine verify. At "
+    "100 TB the assignment is a materialized table bucketed by cent_id, so "
+    "the self-join is co-located; cost is sum of cell-size² not n².",
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd(F.col("embedding")).alias("emb")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    assigned = _ivf_multi_assign(emb, NEARDUP_NPROBE)
+    a = assigned.select("cent_id", F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = assigned.select("cent_id", F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["cent_id"])
+        .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_raw"))
         .where(F.col("cos_raw") >= NEARDUP_COS)
+        # a pair can share several cells; cos is deterministic so the
+        # duplicate rows are identical — dedup after the cheap filter
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+        .distinct()
     )
 
 
@@ -178,15 +223,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
     # assign: nearest centroid per vector (broadcast IVF_K × n)
-    sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "emb", "cent_id")
-    )
+    assigned = _ivf_multi_assign(emb, 1)
     # probe: per query, IVF_NPROBE nearest centroids
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")

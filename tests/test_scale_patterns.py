@@ -176,3 +176,50 @@ def test_no_python_udfs_in_relational_queries(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         checked += 1
     assert checked >= 60  # the whole relational/text/dedup/similarity surface
+
+
+def test_embedding_neardup_is_blocked_not_allpairs(spark, sf_dir):
+    """Near-dup pair generation must be an equi-join on the IVF cell id —
+    no cartesian/broadcast-nested-loop all-pairs join anywhere in the
+    plan (round-1 advisor `weak`)."""
+    df = REGISTRY["embedding_neardup_pairs"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the two IVF_K-row centroid
+    # broadcasts feeding multi-assignment — never the pair join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the pair join itself keys on the IVF cell id
+    pair_join = next(
+        l for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+    )
+    assert "[cent_id" in pair_join, pair_join
+
+
+def test_embedding_neardup_recall_vs_bruteforce(spark, sf_dir):
+    """At test scale the IVF-blocked near-dup set should recover the
+    full brute-force pair set (multi-assignment recall lever)."""
+    from odc_stac_spark.queries.similarity import NEARDUP_COS, _dot, _norm, _vecd
+    from odc_stac_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    brute = set(
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= NEARDUP_COS)
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    blocked = set(
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["embedding_neardup_pairs"].spark_fn(spark, sf_dir).collect()
+    )
+    assert blocked <= brute  # no false positives (exact verify stage)
+    assert len(brute) > 0
+    recall = len(blocked & brute) / len(brute)
+    assert recall >= 0.8, (recall, len(brute), len(blocked))
