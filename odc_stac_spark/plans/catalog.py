@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,45 @@ def _with_geom_cols(parsed: DataFrame) -> DataFrame:
         .withColumn("bb_ymin", F.least(y_a, y_b))
         .withColumn("bb_ymax", F.greatest(y_a, y_b))
         .withColumn("ts", F.coalesce("datetime", "start_datetime", "end_datetime"))
+    )
+
+
+def _with_footprints(df: DataFrame, dst_crs: str) -> DataFrame:
+    """``fp_*`` columns: source footprint bbox expressed in ``dst_crs``.
+
+    Same-CRS rows use the affine bbox already computed by
+    ``_with_geom_cols``. Foreign-CRS rows reproject a densified boundary
+    through :mod:`odc_stac_spark.functions.proj` — but only once per
+    DISTINCT grid, not per row: catalogs tile on a fixed grid set
+    (e.g. MGRS), so #grids ≪ #items, the per-grid footprints are a
+    broadcast-sized dimension, and the Python work is O(grids) while the
+    item stream itself stays JVM-side (the list path's driver-resident
+    ``_footprint_in`` loop, plans/load.py, distributed)."""
+    from .load import _footprint_in
+
+    same = F.col("g_crs") == dst_crs
+
+    @F.pandas_udf("xmin double, ymin double, xmax double, ymax double")
+    def _fp(shape: pd.Series, transform: pd.Series, crs: pd.Series) -> pd.DataFrame:
+        out = []
+        for s, t, c in zip(shape, transform, crs):
+            gbox = GeoBox((int(s[0]), int(s[1])), tuple(float(v) for v in t), str(c))
+            out.append(_footprint_in(gbox, dst_crs))
+        return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    fps = (
+        df.where(~same)
+        .select("g_shape", "g_transform", "g_crs")
+        .distinct()
+        .withColumn("_fp", _fp("g_shape", "g_transform", "g_crs"))
+    )
+    return (
+        df.join(F.broadcast(fps), ["g_shape", "g_transform", "g_crs"], "left")
+        .withColumn("fp_xmin", F.when(same, F.col("bb_xmin")).otherwise(F.col("_fp.xmin")))
+        .withColumn("fp_ymin", F.when(same, F.col("bb_ymin")).otherwise(F.col("_fp.ymin")))
+        .withColumn("fp_xmax", F.when(same, F.col("bb_xmax")).otherwise(F.col("_fp.xmax")))
+        .withColumn("fp_ymax", F.when(same, F.col("bb_ymax")).otherwise(F.col("_fp.ymax")))
+        .drop("_fp")
     )
 
 
@@ -82,6 +122,7 @@ def plan_load_df(
     groupby: str = "time",
     chunks: Tuple[int, int] = (DEFAULT_CHUNK, DEFAULT_CHUNK),
     cfg: Optional[Dict[str, RasterLoadParams]] = None,
+    preserve_original_order: bool = False,
 ) -> LoadPlan:
     """Stages 1-6 of the load lifecycle with all aggregations distributed."""
     if geobox is not None and any(v is not None for v in (bbox, resolution, crs)):
@@ -143,20 +184,27 @@ def plan_load_df(
             if resolution is None:
                 resolution = float(r.gsd)
         if bbox is None:
-            # A8 bbox union, 1 row
-            bb = base.where(F.col("g_crs") == crs).agg(
-                F.min("bb_xmin").alias("x0"),
-                F.min("bb_ymin").alias("y0"),
-                F.max("bb_xmax").alias("x1"),
-                F.max("bb_ymax").alias("y1"),
+            # A8 bbox union, 1 row — foreign-CRS grids contribute their
+            # reprojected footprints (list-path parity)
+            bb = _with_footprints(base, crs).agg(
+                F.min("fp_xmin").alias("x0"),
+                F.min("fp_ymin").alias("y0"),
+                F.max("fp_xmax").alias("x1"),
+                F.max("fp_ymax").alias("y1"),
             ).first()
             bbox = (bb.x0, bb.y0, bb.x1, bb.y1)
         geobox = GeoBox.from_bbox(bbox, resolution, crs)
 
-    # temporal grouping: #groups rows (A1/A3/A5)
+    # temporal grouping: #groups rows (A1/A3/A5); the representative ts
+    # per group follows the precedence basis — (ts, id) or input index
     key = _group_key_col(groupby)
+    if preserve_original_order:
+        _require_item_idx(base)
+        member = F.struct("item_idx", "ts")
+    else:
+        member = F.struct("ts", "id")
     groups = (
-        base.select(key.alias("k"), F.struct("ts", "id").alias("m"))
+        base.select(key.alias("k"), member.alias("m"))
         .groupBy("k")
         .agg(F.min("m").alias("first_m"))
         .orderBy("k")
@@ -182,18 +230,11 @@ def sources_from_parsed(
     """parsed rows → load_from_sources input columns; the only non-map
     operation is a broadcast join against the #groups-sized key→t map."""
     base = _with_geom_cols(parsed).where(F.col("asset_name").isin(plan.bands))
-    # tile binning (J1) uses the affine bbox in the OUTPUT CRS; a source
-    # in another CRS would bin silently wrong — fail loudly instead (the
-    # list path reprojects footprints driver-side; a cross-CRS catalog
-    # needs the same densified-footprint transform as a column transform)
-    n_foreign = base.where(F.col("g_crs") != plan.gbox.crs).limit(1).count()
-    if n_foreign:
-        raise ValueError(
-            f"catalog contains sources whose CRS differs from the output "
-            f"grid ({plan.gbox.crs}); cross-CRS catalogs need reprojected "
-            "footprints — use plans.load.load() (list path) or reproject "
-            "the catalog"
-        )
+    # tile binning (J1) needs the footprint bbox in the OUTPUT CRS:
+    # same-CRS rows use the affine bbox; foreign-CRS rows get the
+    # densified-boundary reproject (per distinct grid, broadcast back —
+    # list-path parity, reference safe_geometry model.py:271-299)
+    base = _with_footprints(base, plan.gbox.crs)
     rows = [(k, t) for t, k in enumerate(plan.group_keys)]
     if all(k is None for k in plan.group_keys):
         # schema inference can't type an all-NULL key column
@@ -207,10 +248,15 @@ def sources_from_parsed(
         # NULL key, which a plain equi-join would silently drop
         keyed.join(F.broadcast(key_map), F.col("k").eqNullSafe(F.col("_plan_k")))
         .select(
-            # catalog path orders within a group by (ts, item_id) — the
-            # default precedence; preserve_original_order needs an input
-            # index the catalog itself must carry
-            F.lit(0).alias("item_idx"),
+            # input index drives preserve_original_order precedence when
+            # the catalog carries one (items_df(..., with_idx=True) /
+            # any ordered catalog column named item_idx); default
+            # precedence is (ts, item_id)
+            (
+                F.col("item_idx")
+                if "item_idx" in keyed.columns
+                else F.lit(0).alias("item_idx")
+            ),
             F.col("id").alias("item_id"),
             "ts",
             "t",
@@ -226,8 +272,22 @@ def sources_from_parsed(
             "g_crs",
             F.col("data_type").alias("dtype"),
             "nodata",
+            "fp_xmin",
+            "fp_ymin",
+            "fp_xmax",
+            "fp_ymax",
         )
     )
+
+
+def _require_item_idx(df: DataFrame) -> None:
+    if "item_idx" not in df.columns:
+        raise ValueError(
+            "preserve_original_order on the catalog path needs an "
+            "item_idx column defining the input order (a DataFrame has no "
+            "inherent row order) — build the catalog with "
+            "items_df(..., with_idx=True) or attach your own index"
+        )
 
 
 def load_from_catalog(
@@ -235,11 +295,23 @@ def load_from_catalog(
     parsed: DataFrame,
     groupby: str = "time",
     plan: Optional[LoadPlan] = None,
+    preserve_original_order: bool = False,
     **plan_kwargs,
 ) -> Tuple[DataFrame, LoadPlan]:
     """catalog → plan → tiles, DataFrame-only (the item table never lives
     on the driver)."""
+    if preserve_original_order:
+        _require_item_idx(parsed)
     if plan is None:
-        plan = plan_load_df(spark, parsed, groupby=groupby, **plan_kwargs)
+        plan = plan_load_df(
+            spark,
+            parsed,
+            groupby=groupby,
+            preserve_original_order=preserve_original_order,
+            **plan_kwargs,
+        )
     sources = sources_from_parsed(spark, parsed, plan, groupby=groupby)
-    return load_from_sources(sources, plan), plan
+    return (
+        load_from_sources(sources, plan, preserve_original_order=preserve_original_order),
+        plan,
+    )

@@ -234,11 +234,23 @@ _RASTER_EXTS = ("tif", "tiff", "jpeg", "jpg", "png", "jp2", "img", "nc", "hdf", 
 _NON_DATA_ROLES = ("thumbnail", "overview", "metadata")
 
 
-def items_df(spark: SparkSession, items: Iterable[dict]) -> DataFrame:
+def items_df(
+    spark: SparkSession, items: Iterable[dict], with_idx: bool = False
+) -> DataFrame:
     """S1: item dicts → typed nested DataFrame. At scale, replace with
     ``spark.read.json(..., schema=ITEM_SCHEMA)`` or a STAC-geoparquet scan
-    — the downstream transforms are identical."""
-    return spark.createDataFrame(list(items), schema=ITEM_SCHEMA)
+    — the downstream transforms are identical.
+
+    ``with_idx=True`` attaches an ``item_idx`` input-order column — the
+    basis for ``preserve_original_order`` on the catalog path (a DataFrame
+    has no inherent row order, so the order must be a column)."""
+    docs = list(items)
+    if not with_idx:
+        return spark.createDataFrame(docs, schema=ITEM_SCHEMA)
+    schema = StructType(ITEM_SCHEMA.fields + [StructField("item_idx", IntegerType())])
+    return spark.createDataFrame(
+        [{**d, "item_idx": i} for i, d in enumerate(docs)], schema=schema
+    )
 
 
 def is_raster_data_col(asset: F.Column) -> F.Column:
@@ -284,6 +296,9 @@ def assets_df(items: DataFrame) -> DataFrame:
         if "properties" in items.columns
         else F.lit(None).cast(MapType(StringType(), StringType()))
     )
+    # item_idx is strictly opt-in: defaulting it to a constant would let
+    # preserve_original_order "sort" by shuffle arrival order downstream
+    idx_cols = [F.col("item_idx")] if "item_idx" in items.columns else []
     ex = items.select(
         "id",
         "collection",
@@ -292,6 +307,7 @@ def assets_df(items: DataFrame) -> DataFrame:
         "start_datetime",
         "end_datetime",
         props_col.alias("properties"),
+        *idx_cols,
         has_proj_col.alias("has_proj"),
         F.explode("assets").alias("asset_name", "asset"),
     )
@@ -357,6 +373,7 @@ def raster_assets_df(items: DataFrame) -> DataFrame:
         F.when(has_gbox, F.concat(F.lit("EPSG:"), F.col("asset.proj_epsg"))).alias("g_crs"),
         F.col("asset.eo_bands").alias("eo_bands"),
         "properties",
+        *(["item_idx"] if "item_idx" in a.columns else []),
     )
 
 
@@ -511,6 +528,7 @@ def parse_items(
         "g_transform",
         "g_crs",
         "properties",
+        *(["item_idx"] if "item_idx" in ra.columns else []),
     )
 
 

@@ -157,19 +157,114 @@ def test_solar_day_rejects_projected_catalog(spark, parsed_catalog):
         plan_load_df(spark, parsed, groupby="solar_day")
 
 
-def test_mixed_crs_catalog_rejected(spark, parsed_catalog):
-    """Tile binning on the catalog path is same-CRS affine math — a
-    foreign-CRS source must raise, not silently mis-bin."""
-    parsed, _ = parsed_catalog
-    plan = plan_load_df(spark, parsed, groupby="time", chunks=(64, 64))
-    import pyspark.sql.functions as F
+def _utm_asset(name, seed, origin, shape=(100, 150), res=100.0):
+    a = synth_asset(name, seed, origin, shape=shape, res=res)
+    a["proj_transform"] = [res, 0.0, origin[0], 0.0, -res, origin[1]]
+    return a
 
-    foreign = parsed.withColumn(
-        "g_crs",
-        F.when(F.col("id") == "cat-001", F.lit("EPSG:32736")).otherwise(F.col("g_crs")),
+
+def test_cross_crs_catalog_equals_list_path(spark, tmp_path):
+    """A catalog mixing UTM and WGS84 grids: the majority CRS is elected,
+    foreign sources contribute reprojected footprints to the bbox union
+    and bin onto the right tiles (densified-boundary transform per
+    DISTINCT grid, broadcast back) — pixels equal the list path, which
+    reprojects footprints driver-side."""
+    t0 = T0
+    utm_origins = [(400000.0, 8350000.0), (405000.0, 8348000.0)]
+    docs = []
+    for i, o in enumerate(utm_origins):
+        d = catalog_item(i, o)
+        d["assets"] = {"red": _utm_asset("red", i, o)}
+        docs.append(d)
+    # WGS84 item overlapping the same area (~26.1E..26.25E, 15.05S..14.95S)
+    g = catalog_item(2, (26.1, -14.95))
+    a = synth_asset("red", 2, (26.1, -14.95), shape=(100, 150), res=0.001)
+    a["proj_transform"] = [0.001, 0.0, 26.1, 0.0, -0.001, -14.95]
+    a["proj_epsg"] = 4326
+    a["gsd"] = 0.001
+    g["assets"] = {"red": a}
+    docs.append(g)
+    raw = items_df(spark, docs)
+    path = str(tmp_path / "xcrs.parquet")
+    raw.write.parquet(path)
+    parsed = parse_items(spark, spark.read.parquet(path))
+
+    tiles_df, plan = load_from_catalog(spark, parsed, groupby="time", chunks=(64, 64))
+    assert plan.gbox.crs == f"EPSG:{EPSG}"  # majority vote: 2 UTM vs 1 geo
+    got = assemble_numpy(tiles_df, plan)
+
+    items = []
+    for i, o in enumerate(utm_origins):
+        gb = GeoBox((100, 150), (100.0, 0.0, o[0], 0.0, -100.0, o[1]), f"EPSG:{EPSG}")
+        items.append(
+            Item(
+                id=f"cat-{i:03d}",
+                datetime=t0 + __import__("datetime").timedelta(hours=i),
+                bands={
+                    "red": RasterSource(
+                        f"synth://red{i}?seed={i}&nodata_every=4",
+                        geobox=gb,
+                        meta=RasterBandMetadata("int32", -1.0),
+                    )
+                },
+            )
+        )
+    geo_gb = GeoBox((100, 150), (0.001, 0.0, 26.1, 0.0, -0.001, -14.95), "EPSG:4326")
+    items.append(
+        Item(
+            id="cat-002",
+            datetime=t0 + __import__("datetime").timedelta(hours=2),
+            bands={
+                "red": RasterSource(
+                    "synth://red2?seed=2&nodata_every=4",
+                    geobox=geo_gb,
+                    meta=RasterBandMetadata("int32", -1.0),
+                )
+            },
+        )
     )
-    with pytest.raises(ValueError, match="CRS differs"):
-        sources_from_parsed(spark, foreign, plan, groupby="time").count()
+    tiles2, plan2 = load(spark, items, groupby="time", chunks=(64, 64))
+    assert plan.gbox == plan2.gbox
+    want = assemble_numpy(tiles2, plan2)
+    np.testing.assert_array_equal(got["red"], want["red"])
+    # the foreign item actually contributed pixels (t=2 slice not all nodata)
+    assert (got["red"][2] != -1).any()
+
+
+def test_preserve_original_order_catalog(spark, tmp_path):
+    """preserve_original_order on the catalog path: mosaic precedence
+    follows the item_idx input-order column, matching the list path; a
+    catalog without item_idx refuses loudly."""
+    origins = [(0.0, 1000.0), (40.0, 980.0), (20.0, 990.0)]
+    # identical timestamps → (ts, id) precedence can't distinguish;
+    # reversed input order must flip the winner
+    docs = [catalog_item(i, o, ts=T0) for i, o in enumerate(origins)]
+    docs = docs[::-1]
+    raw = items_df(spark, docs, with_idx=True)
+    path = str(tmp_path / "ord.parquet")
+    raw.write.parquet(path)
+    parsed = parse_items(spark, spark.read.parquet(path))
+    tiles_df, plan = load_from_catalog(
+        spark, parsed, groupby="time", chunks=(64, 64), preserve_original_order=True
+    )
+    got = assemble_numpy(tiles_df, plan)
+
+    items = equivalent_items(3, origins)
+    for it in items:
+        it.datetime = T0
+    items = items[::-1]
+    tiles2, plan2 = load(
+        spark, items, groupby="time", chunks=(64, 64), preserve_original_order=True
+    )
+    want = assemble_numpy(tiles2, plan2)
+    for b in got:
+        np.testing.assert_array_equal(got[b], want[b])
+
+    plain = parse_items(spark, items_df(spark, docs))
+    with pytest.raises(ValueError, match="item_idx"):
+        load_from_catalog(
+            spark, plain, groupby="time", chunks=(64, 64), preserve_original_order=True
+        )
 
 
 def test_sources_frame_never_collects_items(spark, parsed_catalog):
@@ -181,7 +276,7 @@ def test_sources_frame_never_collects_items(spark, parsed_catalog):
     expect = {
         "item_idx", "item_id", "ts", "t", "band", "uri", "src_band",
         "g_ny", "g_nx", "g_sx", "g_x0", "g_sy", "g_y0", "g_crs",
-        "dtype", "nodata",
+        "dtype", "nodata", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax",
     }
     assert set(src.columns) == expect
     # 3 items x 2 bands
