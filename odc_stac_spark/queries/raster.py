@@ -278,3 +278,46 @@ def r_load_warp_crosscrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_df.select(
         "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
     ).orderBy("band", "t", "iy", "ix")
+
+
+@register(
+    "r_warp_cubic_multires",
+    oracle=None,
+    doc="F16 cubic: multi-resolution sources (10 m/20 m) fused onto one "
+    "half-pixel-offset grid with Keys bicubic (a=-0.5) resampling through "
+    "the full tile pipeline; per-tile stats. Kernel math loop-oracle-"
+    "verified in tests/test_warp.py::test_cubic_halfpixel_matches_loop_oracle.",
+    tags=("raster", "warp"),
+)
+def r_warp_cubic_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..model import RasterLoadParams
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    items = []
+    for i in range(4):
+        res = 10.0 if i % 2 == 0 else 20.0
+        shape = (120, 120) if res == 10.0 else (60, 60)
+        origin = (0.0, 2000.0 - i * 150.0)
+        gbox = GeoBox(shape, (res, 0.0, origin[0], 0.0, -res, origin[1]), _CRS)
+        items.append(
+            Item(
+                id=f"cub-{i:03d}",
+                datetime=t0 + timedelta(minutes=i),
+                bands={
+                    "red": RasterSource(
+                        f"synth://cu{i}?seed={i}&nodata_every=6",
+                        geobox=gbox,
+                        meta=RasterBandMetadata("int16", -1),
+                    )
+                },
+            )
+        )
+    # half-pixel-offset output grid forces the convolution path everywhere
+    out = GeoBox((140, 130), (10.0, 0.0, 5.0, 0.0, -10.0, 2005.0), _CRS)
+    cfg = {"*": RasterLoadParams(dtype="float64", fill_value=float("nan"), resampling="cubic")}
+    tiles_df, _ = load(
+        spark, items, groupby="time", geobox=out, chunks=(64, 64), cfg=cfg, audit=True
+    )
+    return tiles_df.select(
+        "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
+    ).orderBy("band", "t", "iy", "ix")

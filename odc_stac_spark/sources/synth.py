@@ -58,6 +58,60 @@ def restore_env(env: dict) -> None:
     _ENV.update(env)
 
 
+#: statistic-over-footprint modes (share the center-binning scatter path)
+_BIN_MODES = ("average", "mode", "min", "max", "med", "q1", "q3", "sum", "rms", "gauss")
+#: full mode surface (reference: rasterio's set via odc-geo
+#: resampling_s2rio, loader/_rio.py:327; lanczos/cubic_spline excluded —
+#: wide-kernel ringing needs golden-file validation we can't do without
+#: rasterio in the container)
+RESAMPLING_MODES = ("nearest", "bilinear", "cubic") + _BIN_MODES
+
+
+def _segment_reduce(mode: str, b: np.ndarray, v: np.ndarray, n: int):
+    """Per-bin order statistics over (bin, value) pairs without a Python
+    loop over bins: lexsort once, then segment math. ``med``/``q1``/``q3``
+    use linear-interpolation quantiles; ``mode`` picks the most frequent
+    value, ties → smallest value."""
+    out = np.zeros(n)
+    filled = np.zeros(n, dtype=bool)
+    if b.size == 0:
+        return out, filled
+    o = np.lexsort((v, b))
+    bs, vs = b[o], v[o]
+    starts = np.r_[0, np.flatnonzero(bs[1:] != bs[:-1]) + 1]
+    counts = np.diff(np.r_[starts, bs.size])
+    if mode in ("med", "q1", "q3"):
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[mode]
+        pos = (counts - 1) * q
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        hi = np.minimum(lo + 1, counts - 1)
+        uniq = bs[starts]
+        res = vs[starts + lo] * (1.0 - frac) + vs[starts + hi] * frac
+    else:  # mode
+        change = np.r_[True, (bs[1:] != bs[:-1]) | (vs[1:] != vs[:-1])]
+        rs = np.flatnonzero(change)
+        rb, rv = bs[rs], vs[rs]
+        rc = np.diff(np.r_[rs, bs.size])
+        o2 = np.lexsort((rv, -rc, rb))
+        first = np.r_[True, rb[o2][1:] != rb[o2][:-1]]
+        uniq = rb[o2][first]
+        res = rv[o2][first]
+    out[uniq] = res
+    filled[uniq] = True
+    return out, filled
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic-convolution kernel (a=-0.5 — the GDAL/rasterio default)."""
+    t = np.abs(t)
+    return np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * (t**3 - 5.0 * t**2 + 8.0 * t - 4.0), 0.0),
+    )
+
+
 @dataclass
 class ReadResult:
     roi_y: Tuple[int, int]
@@ -253,18 +307,29 @@ class SynthReader:
         both ends are WGS84/UTM (functions/proj.py Krüger series; other
         CRS pairs are the pyproj/rasterio slot).
 
-        Resampling semantics (deterministic, mask-aware):
+        Resampling semantics (deterministic, mask-aware; the reference
+        exposes rasterio's full mode set, loader/_rio.py:327 via
+        odc-geo resampling_s2rio — every mode here is an independent
+        from-first-principles implementation of the same statistic):
+
         - ``nearest``  — dst pixel center → containing src pixel;
         - ``bilinear`` — center-based 4-neighbor interpolation; any missing
           or out-of-bounds neighbor with nonzero weight → nodata;
-        - ``average``  — mean of valid src pixels whose centers fall inside
-          the dst pixel footprint; empty footprint → nodata. Integer output
-          is rounded half-to-even (numpy rint).
+        - ``cubic``    — Keys bicubic convolution (a=-0.5), 4×4 taps; any
+          missing/out-of-bounds tap with nonzero weight → nodata;
+        - bin modes (``average  mode  min  max  med  q1  q3  sum  rms
+          gauss``) — statistic over the valid src pixels whose centers
+          fall inside the dst pixel footprint; empty footprint → nodata:
+          mean / most-frequent (tie → smallest) / extrema / linear-interp
+          quantiles / sum / sqrt-mean-square / Gaussian-weighted mean
+          (σ = half the dst pixel, weights from center distance).
+
+        Integer output is rounded half-to-even (numpy rint).
         """
-        if resampling not in ("nearest", "bilinear", "average"):
+        if resampling not in RESAMPLING_MODES:
             raise NotImplementedError(
-                f"resampling {resampling!r}: SynthReader implements "
-                "nearest/bilinear/average (cubic/lanczos/... need rasterio)"
+                f"resampling {resampling!r}: supported modes are "
+                f"{RESAMPLING_MODES}"
             )
         sgb = src.geobox
         cross = sgb.crs != dst_geobox.crs
@@ -314,7 +379,7 @@ class SynthReader:
         out = np.full((n_y, n_x), True)  # "missing" mask, filled below
         vals = np.zeros((n_y, n_x), dtype=np.float64)
 
-        if resampling == "average":
+        if resampling in _BIN_MODES:
             # bin src pixel centers into dst cells; vectorized scatter-add.
             # src window bounding the ROI: inverse affine (same CRS) or the
             # densified ROI boundary transformed dst→src (cross-CRS).
@@ -370,10 +435,55 @@ class SynthReader:
                 bx = np.broadcast_to(bx1[None, :], win.shape)
             sel = (by >= 0) & (by < n_y) & (bx >= 0) & (bx < n_x) & valid
             flat = by.clip(0, n_y - 1) * n_x + bx.clip(0, n_x - 1)
-            sums = np.bincount(flat[sel], weights=win[sel], minlength=n_y * n_x)
-            cnts = np.bincount(flat[sel], minlength=n_y * n_x)
-            filled = cnts > 0
-            vals.ravel()[filled] = sums[filled] / cnts[filled]
+            b = flat[sel]
+            v = win[sel]
+            n = n_y * n_x
+            if resampling in ("average", "sum", "rms"):
+                cnts = np.bincount(b, minlength=n)
+                filled = cnts > 0
+                if resampling == "sum":
+                    acc = np.bincount(b, weights=v, minlength=n)
+                    vals.ravel()[filled] = acc[filled]
+                elif resampling == "rms":
+                    acc = np.bincount(b, weights=v * v, minlength=n)
+                    vals.ravel()[filled] = np.sqrt(acc[filled] / cnts[filled])
+                else:
+                    acc = np.bincount(b, weights=v, minlength=n)
+                    vals.ravel()[filled] = acc[filled] / cnts[filled]
+            elif resampling in ("min", "max"):
+                cnts = np.bincount(b, minlength=n)
+                filled = cnts > 0
+                if resampling == "min":
+                    acc = np.full(n, np.inf)
+                    np.minimum.at(acc, b, v)
+                else:
+                    acc = np.full(n, -np.inf)
+                    np.maximum.at(acc, b, v)
+                vals.ravel()[filled] = acc[filled]
+            elif resampling == "gauss":
+                # Gaussian-weighted mean: weight each contributing src
+                # pixel by its center distance from the dst cell center
+                # (dst-CRS units), σ = half a dst pixel per axis
+                if cross:
+                    pxs, pys = wxx[sel], wyy[sel]
+                else:
+                    pxs = np.broadcast_to(scx[None, :], win.shape)[sel]
+                    pys = np.broadcast_to(scy[:, None], win.shape)[sel]
+                ccx = dx0 + ((b % n_x) + rx0 + 0.5) * dsx
+                ccy = dy0 + ((b // n_x) + ry0 + 0.5) * dsy
+                w = np.exp(
+                    -(
+                        (pxs - ccx) ** 2 / (2.0 * (dsx / 2.0) ** 2)
+                        + (pys - ccy) ** 2 / (2.0 * (dsy / 2.0) ** 2)
+                    )
+                )
+                wsum = np.bincount(b, weights=w, minlength=n)
+                vsum = np.bincount(b, weights=w * v, minlength=n)
+                filled = wsum > 0
+                vals.ravel()[filled] = vsum[filled] / wsum[filled]
+            else:  # mode / med / q1 / q3: per-bin order statistics
+                res, filled = _segment_reduce(resampling, b, v, n)
+                vals.ravel()[filled] = res[filled]
             out = ~filled.reshape(n_y, n_x)
         else:
             # dst pixel centers in fractional src pixel coords — 2-D
@@ -405,16 +515,24 @@ class SynthReader:
                 ]
                 miss = nodata_mask(samp, src_nodata) | ~ok
                 vals, out = samp, miss
-            else:  # bilinear: center-based, p = f - 0.5
+            else:  # separable convolution: bilinear (2×2) / cubic (4×4)
+                # center-based, p = f - 0.5; bilinear is the tent kernel
+                # 1-|t| on taps {0,1}, cubic the Keys kernel on {-1..2}
                 PY, PX = FY - 0.5, FX - 0.5
                 JY = np.floor(PY).astype(np.int64)
                 JX = np.floor(PX).astype(np.int64)
                 AY = PY - JY
                 AX = PX - JX
-                iy0 = max(0, int(JY.min()))
-                iy1 = min(sgb.height, int(JY.max()) + 2)
-                ix0 = max(0, int(JX.min()))
-                ix1 = min(sgb.width, int(JX.max()) + 2)
+                if resampling == "bilinear":
+                    taps = (0, 1)
+                    kern = lambda t: 1.0 - np.abs(t)  # noqa: E731
+                else:  # cubic
+                    taps = (-1, 0, 1, 2)
+                    kern = _cubic_kernel
+                iy0 = max(0, int(JY.min()) + taps[0])
+                iy1 = min(sgb.height, int(JY.max()) + taps[-1] + 1)
+                ix0 = max(0, int(JX.min()) + taps[0])
+                ix1 = min(sgb.width, int(JX.max()) + taps[-1] + 1)
                 if iy0 >= iy1 or ix0 >= ix1:
                     return None
                 win = self._window(
@@ -426,27 +544,26 @@ class SynthReader:
                 def gather(dy_, dx_):
                     yy = JY + dy_ - iy0
                     xx = JX + dx_ - ix0
-                    # window is the src grid clipped to [JY, JY+1] range,
+                    # window is the src grid clipped to the tap range,
                     # so out-of-window ⇔ out-of-src-extent
                     okk = (yy >= 0) & (yy < wny) & (xx >= 0) & (xx < wnx)
                     yc = yy.clip(0, wny - 1)
                     xc = xx.clip(0, wnx - 1)
                     return win[yc, xc], winmiss[yc, xc] | ~okk
 
-                # a neighbor only poisons the output if its weight is
-                # nonzero (an exactly-aligned axis has weight 0 on the +1
-                # neighbor — it must not matter whether that pixel exists)
+                # a tap only poisons the output if its weight is nonzero
+                # (an exactly-aligned axis has weight 0 on the other
+                # taps — it must not matter whether those pixels exist)
                 vals = np.zeros((n_y, n_x), dtype=np.float64)
                 out = np.zeros((n_y, n_x), dtype=bool)
-                for dy_, dx_, w in (
-                    (0, 0, (1 - AY) * (1 - AX)),
-                    (0, 1, (1 - AY) * AX),
-                    (1, 0, AY * (1 - AX)),
-                    (1, 1, AY * AX),
-                ):
-                    v, m = gather(dy_, dx_)
-                    vals += np.where(m, 0.0, v) * w
-                    out |= m & (w > 0)
+                wys = {dy_: kern(dy_ - AY) for dy_ in taps}
+                wxs = {dx_: kern(dx_ - AX) for dx_ in taps}
+                for dy_ in taps:
+                    for dx_ in taps:
+                        w = wys[dy_] * wxs[dx_]
+                        v, m = gather(dy_, dx_)
+                        vals += np.where(m, 0.0, v) * w
+                        out |= m & (np.abs(w) > 1e-12)
 
         if np.issubdtype(np.dtype(dst_dtype), np.integer):
             vals = np.rint(vals)

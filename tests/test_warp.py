@@ -144,8 +144,165 @@ def test_integer_output_rounds():
 def test_unsupported_resampling_raises():
     src = mk_src("synth://h?seed=1", (5.0, 500.0), (10, 10))
     dst = GeoBox((10, 10), (10.0, 0.0, 0.0, 0.0, -10.0, 500.0), CRS)
-    with pytest.raises(NotImplementedError, match="cubic"):
-        SynthReader().read(src, RasterLoadParams(resampling="cubic"), dst)
+    with pytest.raises(NotImplementedError, match="lanczos"):
+        SynthReader().read(src, RasterLoadParams(resampling="lanczos"), dst)
+
+
+# ---- full resampling-mode surface (reference loader/_rio.py:327 exposes
+# rasterio's mode set) — every expectation below is computed from first
+# principles with per-pixel loops, independent of the vectorized code.
+
+
+def _keys(t, a=-0.5):
+    t = abs(t)
+    if t <= 1:
+        return (a + 2) * t**3 - (a + 3) * t**2 + 1
+    if t < 2:
+        return a * (t**3 - 5 * t**2 + 8 * t - 4)
+    return 0.0
+
+
+def test_cubic_halfpixel_matches_loop_oracle():
+    """src shifted +5 m (half px): cubic interpolation at every dst center
+    equals a scalar-loop Keys convolution over the 4x4 neighborhood."""
+    src = mk_src("synth://c?seed=7", (5.0, 1000.0), (60, 60), dtype="float64")
+    dst = GeoBox((20, 20), (10.0, 0.0, 100.0, 0.0, -10.0, 800.0), CRS)
+    rr = SynthReader().read(
+        src, RasterLoadParams(dtype="float64", resampling="cubic"), dst
+    )
+    for dy in range(0, 20, 7):
+        for dx in range(0, 20, 7):
+            y = rr.roi_y[0] + dy
+            x = rr.roi_x[0] + dx
+            wx = 100.0 + (x + 0.5) * 10.0
+            wy = 800.0 - (y + 0.5) * 10.0
+            fy = (wy - 1000.0) / -10.0 - 0.5
+            fx = (wx - 5.0) / 10.0 - 0.5
+            jy, jx = int(np.floor(fy)), int(np.floor(fx))
+            ay, ax = fy - jy, fx - jx
+            want = 0.0
+            for ty in (-1, 0, 1, 2):
+                for tx in (-1, 0, 1, 2):
+                    want += (
+                        _keys(ty - ay)
+                        * _keys(tx - ax)
+                        * synth_val(7, jy + ty, jx + tx)
+                    )
+            np.testing.assert_allclose(rr.pix[dy, dx], want, rtol=1e-12)
+
+
+def test_cubic_aligned_equals_source():
+    """cubic on an exactly aligned grid reproduces source values (the
+    kernel interpolates through sample points)."""
+    src = mk_src("synth://ca?seed=2", (0.0, 600.0), (60, 60), dtype="float64")
+    dst = GeoBox((40, 40), (10.0, 0.0, 100.0, 0.0, -10.0, 500.0), CRS)
+    rr = SynthReader().read(
+        src, RasterLoadParams(dtype="float64", resampling="cubic"), dst
+    )
+    ys, xs = np.mgrid[rr.roi_y[0]:rr.roi_y[1], rr.roi_x[0]:rr.roi_x[1]]
+    want = synth_val(2, ys + 10, xs + 10).astype(np.float64)
+    np.testing.assert_allclose(rr.pix, want, rtol=1e-12)
+
+
+def _bin_oracle(mode, seed, shape, src_origin, dst, nodata=None, nodata_every=None):
+    """Scalar-loop statistic over src pixels whose centers land in each
+    dst cell (2x downsample geometry used by the tests below)."""
+    vals = {}
+    sy0, sx0 = src_origin[1], src_origin[0]
+    for py in range(shape[0]):
+        for px in range(shape[1]):
+            v = float(synth_val(seed, py, px))
+            if nodata_every and (py + px + seed) % nodata_every == 0:
+                continue  # nodata hole (synth rule: (py+px+seed) % K == 0)
+            wx = sx0 + (px + 0.5) * 10.0
+            wy = sy0 - (py + 0.5) * 10.0
+            bx = int(np.floor((wx - dst.transform[2]) / dst.transform[0]))
+            by = int(np.floor((wy - dst.transform[5]) / dst.transform[4]))
+            if 0 <= by < dst.shape[0] and 0 <= bx < dst.shape[1]:
+                vals.setdefault((by, bx), []).append(v)
+    out = np.full(dst.shape, np.nan)
+    for (by, bx), vs in vals.items():
+        vs = sorted(vs)
+        if mode == "min":
+            out[by, bx] = vs[0]
+        elif mode == "max":
+            out[by, bx] = vs[-1]
+        elif mode == "sum":
+            out[by, bx] = sum(vs)
+        elif mode == "rms":
+            out[by, bx] = np.sqrt(sum(v * v for v in vs) / len(vs))
+        elif mode in ("med", "q1", "q3"):
+            q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[mode]
+            pos = (len(vs) - 1) * q
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, len(vs) - 1)
+            out[by, bx] = vs[lo] * (1 - (pos - lo)) + vs[hi] * (pos - lo)
+        elif mode == "mode":
+            from collections import Counter
+
+            c = Counter(vs)
+            top = max(c.values())
+            out[by, bx] = min(v for v, n in c.items() if n == top)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["min", "max", "sum", "rms", "med", "q1", "q3", "mode"])
+def test_bin_modes_match_loop_oracle(mode):
+    src = mk_src("synth://b?seed=11", (0.0, 800.0), (40, 40), dtype="float64")
+    dst = GeoBox((20, 20), (20.0, 0.0, 0.0, 0.0, -20.0, 800.0), CRS)
+    rr = SynthReader().read(
+        src, RasterLoadParams(dtype="float64", resampling=mode), dst
+    )
+    want = _bin_oracle(mode, 11, (40, 40), (0.0, 800.0), dst)
+    got = np.full(dst.shape, np.nan)
+    got[rr.roi_y[0]:rr.roi_y[1], rr.roi_x[0]:rr.roi_x[1]] = rr.pix
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_bin_mode_skips_nodata(spark=None):
+    """nodata source pixels are excluded from the bin statistic."""
+    src = mk_src(
+        "synth://bn?seed=5&nodata_every=3", (0.0, 800.0), (40, 40),
+        dtype="float64", nodata=-1.0,
+    )
+    dst = GeoBox((20, 20), (20.0, 0.0, 0.0, 0.0, -20.0, 800.0), CRS)
+    rr = SynthReader().read(
+        src,
+        RasterLoadParams(dtype="float64", fill_value=float("nan"), resampling="med"),
+        dst,
+    )
+    want = _bin_oracle("med", 5, (40, 40), (0.0, 800.0), dst, nodata_every=3)
+    got = np.full(dst.shape, np.nan)
+    got[rr.roi_y[0]:rr.roi_y[1], rr.roi_x[0]:rr.roi_x[1]] = rr.pix
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_gauss_is_weighted_mean_loop_oracle():
+    """gauss: Gaussian-weighted mean (σ = half dst pixel per axis) of the
+    contributing src pixel centers."""
+    src = mk_src("synth://g?seed=9", (0.0, 800.0), (40, 40), dtype="float64")
+    dst = GeoBox((20, 20), (20.0, 0.0, 0.0, 0.0, -20.0, 800.0), CRS)
+    rr = SynthReader().read(
+        src, RasterLoadParams(dtype="float64", resampling="gauss"), dst
+    )
+    for by, bx in ((0, 0), (7, 13), (19, 19)):
+        wsum = vsum = 0.0
+        ccx = 0.0 + (bx + 0.5) * 20.0
+        ccy = 800.0 + (by + 0.5) * -20.0
+        for py in range(40):
+            for px in range(40):
+                wx = (px + 0.5) * 10.0
+                wy = 800.0 - (py + 0.5) * 10.0
+                if int(np.floor((wx - 0.0) / 20.0)) == bx and int(
+                    np.floor((wy - 800.0) / -20.0)
+                ) == by:
+                    w = np.exp(
+                        -((wx - ccx) ** 2 / (2 * 10.0**2) + (wy - ccy) ** 2 / (2 * 10.0**2))
+                    )
+                    wsum += w
+                    vsum += w * synth_val(9, py, px)
+        y, x = by - rr.roi_y[0], bx - rr.roi_x[0]
+        np.testing.assert_allclose(rr.pix[y, x], vsum / wsum, rtol=1e-12)
 
 
 def test_warp_through_spark_pipeline(spark):
