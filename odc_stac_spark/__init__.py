@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 from .model import (
     GeoBox,
     GeoboxTiles,
+    MDParseConfig,
     RasterBandMetadata,
     RasterCollectionMetadata,
     RasterLoadParams,
@@ -59,6 +60,7 @@ __all__ = [
     "GeoBox",
     "GeoboxTiles",
     "LoadPlan",
+    "MDParseConfig",
     "RasterBandMetadata",
     "RasterCollectionMetadata",
     "RasterLoadParams",

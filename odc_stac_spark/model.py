@@ -160,6 +160,59 @@ class RasterBandMetadata:
     unit: str = "1"
 
 
+def norm_band_metadata(v, fallback: Optional["RasterBandMetadata"] = None):
+    """dict/RasterBandMetadata → RasterBandMetadata with fallback fill
+    (reference norm_band_metadata, loader/types.py + model.py:445-451)."""
+    if isinstance(v, RasterBandMetadata):
+        return v
+    fb = fallback or RasterBandMetadata()
+    return RasterBandMetadata(
+        data_type=v.get("data_type", fb.data_type),
+        nodata=v.get("nodata", fb.nodata),
+        unit=v.get("unit", fb.unit),
+    )
+
+
+@dataclass(frozen=True)
+class MDParseConfig:
+    """Per-collection item-parsing config (reference model.py:417-442):
+    explicit band metadata overrides, asset aliases, proj-extension
+    opt-out. Build from the user's ``stac_cfg`` dict with
+    :meth:`from_dict`; apply by passing ``cfg=`` to
+    ``parse_items``/``extract_collection_metadata``."""
+
+    band_defaults: RasterBandMetadata = field(default_factory=RasterBandMetadata)
+    band_cfg: dict = field(default_factory=dict)  # asset name -> RasterBandMetadata
+    aliases: dict = field(default_factory=dict)  # alias -> BandKey
+    ignore_proj: bool = False
+
+    @staticmethod
+    def from_dict(collection_id: str, cfg: Optional[dict]) -> "MDParseConfig":
+        """``cfg`` maps collection id (or ``"*"``) → config; the
+        collection entry's top-level keys replace the wildcard's
+        wholesale (reference MDParseConfig.from_dict, model.py:426-442)."""
+        cfg = cfg or {}
+        _cfg = dict(cfg.get("*", {}))
+        _cfg.update(cfg.get(collection_id, {}))
+        assets = _cfg.get("assets", {})
+        band_defaults = norm_band_metadata(assets.get("*", {}))
+        band_cfg = {
+            k: norm_band_metadata(v, band_defaults)
+            for k, v in assets.items()
+            if k != "*"
+        }
+        aliases = {
+            alias: ((band, 1) if isinstance(band, str) else tuple(band))
+            for alias, band in _cfg.get("aliases", {}).items()
+        }
+        return MDParseConfig(
+            band_defaults=band_defaults,
+            band_cfg=band_cfg,
+            aliases=aliases,
+            ignore_proj=bool(_cfg.get("ignore_proj", False)),
+        )
+
+
 @dataclass(frozen=True)
 class RasterSource:
     """reference loader/types.py:40-70."""

@@ -278,7 +278,70 @@ def is_raster_data_col(asset: F.Column) -> F.Column:
     )
 
 
-def assets_df(items: DataFrame) -> DataFrame:
+class _CfgExprs:
+    """The user's ``stac_cfg`` dict (reference MDParseConfig surface,
+    model.py:417-442) compiled to literal CASE expressions over
+    (collection id, asset name) — the config is tiny and driver-resident,
+    so overrides stay pure Catalyst literals: no join, no Python in the
+    item stream."""
+
+    _BM_DDL = "struct<data_type:string,nodata:double,unit:string>"
+
+    def __init__(self, cfg: dict):
+        from ..model import MDParseConfig
+
+        self.star = MDParseConfig.from_dict("*", cfg)
+        self.per_cid = {
+            k: MDParseConfig.from_dict(k, cfg) for k in cfg if k != "*"
+        }
+
+    def _by_cid(self, fn) -> F.Column:
+        """CASE over collection id: explicit entries, else the '*' merge."""
+        expr = fn(self.star)
+        for c, mc in self.per_cid.items():
+            expr = F.when(collection_id_col() == c, fn(mc)).otherwise(expr)
+        return expr
+
+    def ignore_proj(self) -> F.Column:
+        return self._by_cid(lambda mc: F.lit(mc.ignore_proj))
+
+    def configured_asset(self) -> F.Column:
+        """Assets named in band_cfg are data bands regardless of media
+        type (reference _keep, _mdtools.py:505-511)."""
+        return self._by_cid(
+            lambda mc: (
+                F.col("asset_name").isin(list(mc.band_cfg))
+                if mc.band_cfg
+                else F.lit(False)
+            )
+        )
+
+    def _bm_struct(self, bm) -> F.Column:
+        return F.struct(
+            F.lit(bm.data_type).cast(StringType()).alias("data_type"),
+            F.lit(bm.nodata).cast(DoubleType()).alias("nodata"),
+            F.lit(bm.unit).cast(StringType()).alias("unit"),
+        )
+
+    def band_override(self) -> F.Column:
+        """Exact band_cfg entry for (cid, asset) — replaces the item's own
+        raster:bands wholesale (reference _extract_bands,
+        _mdtools.py:513-525), else NULL."""
+
+        def one(mc):
+            e = F.lit(None).cast(self._BM_DDL)
+            for name, bm in mc.band_cfg.items():
+                e = F.when(F.col("asset_name") == name, self._bm_struct(bm)).otherwise(e)
+            return e
+
+        return self._by_cid(one)
+
+    def band_defaults(self) -> F.Column:
+        """Fallback metadata when the item carries no raster:bands."""
+        return self._by_cid(lambda mc: self._bm_struct(mc.band_defaults))
+
+
+def assets_df(items: DataFrame, cfg: Optional[dict] = None) -> DataFrame:
     """Explode items → one row per (item, asset) with raster flag.
 
     check_proj semantics (reference _mdtools.py:199-205 + the bootstrap
@@ -311,6 +374,13 @@ def assets_df(items: DataFrame) -> DataFrame:
         has_proj_col.alias("has_proj"),
         F.explode("assets").alias("asset_name", "asset"),
     )
+    ce = _CfgExprs(cfg) if cfg else None
+    if ce is not None:
+        # ignore_proj: treat the item as not declaring the projection
+        # extension (reference check_proj, _mdtools.py:498)
+        ex = ex.withColumn(
+            "has_proj", F.col("has_proj") & ~ce.ignore_proj()
+        )
     loose = is_raster_data_col(F.col("asset"))
     has_proj_data = (
         F.col("asset.proj_shape").isNotNull()
@@ -320,25 +390,38 @@ def assets_df(items: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     any_strict = F.max(strict.cast("int")).over(Window.partitionBy("id")) == 1
-    return ex.withColumn("is_raster", F.when(any_strict, strict).otherwise(loose))
+    is_raster = F.when(any_strict, strict).otherwise(loose)
+    if ce is not None:
+        # assets named in band_cfg are data bands unconditionally —
+        # before any media-type or proj filtering (reference _keep,
+        # _mdtools.py:505-511)
+        is_raster = ce.configured_asset() | is_raster
+    return ex.withColumn("is_raster", is_raster)
 
 
-def raster_assets_df(items: DataFrame) -> DataFrame:
+def raster_assets_df(items: DataFrame, cfg: Optional[dict] = None) -> DataFrame:
     """S4/P7: keep only pixel-bearing assets, attach band metadata (S5) and
-    geobox struct (S6)."""
-    a = assets_df(items).where("is_raster")
+    geobox struct (S6). ``cfg`` is the reference's ``stac_cfg`` dict
+    (MDParseConfig, model.py:417-442): exact band_cfg entries replace the
+    item's raster:bands wholesale (single band), band_defaults fill in
+    when the item has none."""
+    a = assets_df(items, cfg).where("is_raster")
+    ce = _CfgExprs(cfg) if cfg else None
     # S5 band metadata: raster:bands extension else defaults
     # (float32/None/"1" — reference BAND_DEFAULTS loader/types.py:160)
-    rb = F.coalesce(
-        F.col("asset.raster_bands"),
-        F.array(
-            F.struct(
-                F.lit(None).cast(StringType()).alias("data_type"),
-                F.lit(None).cast(DoubleType()).alias("nodata"),
-                F.lit(None).cast(StringType()).alias("unit"),
-            )
-        ),
+    default_bm = (
+        ce.band_defaults()
+        if ce is not None
+        else F.struct(
+            F.lit(None).cast(StringType()).alias("data_type"),
+            F.lit(None).cast(DoubleType()).alias("nodata"),
+            F.lit(None).cast(StringType()).alias("unit"),
+        )
     )
+    rb = F.coalesce(F.col("asset.raster_bands"), F.array(default_bm))
+    if ce is not None:
+        ov = ce.band_override()
+        rb = F.when(ov.isNotNull(), F.array(ov)).otherwise(rb)
     a = a.select(
         "*",
         F.posexplode(rb).alias("band_idx0", "band_meta"),
@@ -422,14 +505,14 @@ def collection_id_col() -> F.Column:
 
 
 def extract_collection_metadata(
-    spark: SparkSession, items: DataFrame
+    spark: SparkSession, items: DataFrame, cfg: Optional[dict] = None
 ) -> Dict[str, RasterCollectionMetadata]:
     """S3: one-pass aggregation → per-collection schema records. Only the
     tiny inferred records are collected (items stay distributed).
 
     Consistency assumption as in the reference (loader/types.py:16-19):
     same-named assets share dtype/nodata across items → ``first()``."""
-    ra = raster_assets_df(items).withColumn("cid", collection_id_col())
+    ra = raster_assets_df(items, cfg).withColumn("cid", collection_id_col())
     per_band = (
         ra.groupBy("cid", "asset_name", "band_idx")
         .agg(
@@ -474,6 +557,16 @@ def extract_collection_metadata(
             out[r.collection].aliases[r.alias] = [
                 (c[0], int(c[1])) for c in r.candidates
             ]
+    if cfg:
+        # config aliases outrank eo:bands-derived candidates (reference
+        # puts MDParseConfig.aliases first, _mdtools.py:400-442)
+        from ..model import MDParseConfig
+
+        for cid, md in out.items():
+            mc = MDParseConfig.from_dict(cid, cfg)
+            for alias, bk in mc.aliases.items():
+                rest = [x for x in md.aliases.get(alias, []) if x != bk]
+                md.aliases[alias] = [bk] + rest
     # grid naming (reference _mdtools.py:353-374): default = grid with the
     # most bands, tie → smallest gsd; others g<gsd>, name clash → g<gsd>-<band>
     for md in out.values():
@@ -507,11 +600,14 @@ def parse_items(
     spark: SparkSession,
     items: DataFrame,
     collections: Optional[Dict[str, RasterCollectionMetadata]] = None,
+    cfg: Optional[dict] = None,
 ) -> DataFrame:
     """S2: parsed-item rows — (item, band) with source URI, geobox, meta;
     the DataFrame image of ``Iterator[ParsedItem]``. Feed to
-    ``to_load_items`` for the pixel plane, or query it relationally."""
-    ra = raster_assets_df(items).withColumn("cid", collection_id_col())
+    ``to_load_items`` for the pixel plane, or query it relationally.
+    ``cfg`` is the per-collection MDParseConfig dict (band overrides /
+    aliases / ignore_proj — reference model.py:417-442)."""
+    ra = raster_assets_df(items, cfg).withColumn("cid", collection_id_col())
     return ra.select(
         "cid",
         "id",

@@ -233,3 +233,101 @@ def test_patch_urls_df_column_and_callable(spark):
     rows = {r.asset_name: r.href for r in py_form.collect()}
     assert rows["B02"].startswith("s3://")
     assert rows["B05"].startswith("https://")
+
+
+# ---- MDParseConfig (stac_cfg) — reference model.py:417-442 ----------------
+
+
+def test_cfg_band_override_replaces_item_metadata(spark):
+    """An exact band_cfg entry replaces the item's raster:bands wholesale
+    (reference _extract_bands, _mdtools.py:513-525)."""
+    cfg = {
+        "sentinel-2-l2a": {
+            "assets": {"B02": {"data_type": "float64", "nodata": -999.0}}
+        }
+    }
+    parsed = parse_items(spark, items_df(spark, [s2_item(0)]), cfg=cfg)
+    rows = {r.asset_name: r for r in parsed.collect()}
+    assert rows["B02"].data_type == "float64"
+    assert rows["B02"].nodata == -999.0
+    # unconfigured bands keep their item metadata
+    assert rows["B05"].data_type == "uint16"
+    assert rows["B05"].nodata == 0.0
+
+
+def test_cfg_wildcard_merge_and_collection_precedence(spark):
+    """'*' config applies to unlisted collections; a collection entry's
+    top-level keys replace the wildcard's wholesale."""
+    cfg = {
+        "*": {"assets": {"B02": {"data_type": "int8"}}},
+        "sentinel-2-l2a": {"assets": {"B02": {"data_type": "float32"}}},
+    }
+    parsed = parse_items(spark, items_df(spark, [s2_item(0), landsat_item()]), cfg=cfg)
+    s2 = {r.asset_name: r for r in parsed.where("cid='sentinel-2-l2a'").collect()}
+    assert s2["B02"].data_type == "float32"  # collection entry wins
+    ls = {r.asset_name: r for r in parsed.where("cid='ga_ls8c_ard_3'").collect()}
+    # unlisted collection + no raster:bands on the item → band_defaults
+    # (float32); the '*' entry's B02 override targets only B02
+    assert ls["nbart_red"].data_type == "float32"
+    assert ls["B02"].data_type == "int8" if "B02" in ls else True
+
+
+def test_cfg_band_defaults_fill_missing_raster_bands(spark):
+    """band_defaults ('*' asset entry) apply when the item carries no
+    raster:bands extension."""
+    it = s2_item(0)
+    a = dict(it["assets"]["B02"])
+    a["raster_bands"] = None
+    it["assets"]["B02"] = a
+    cfg = {"*": {"assets": {"*": {"data_type": "uint8", "nodata": 255.0}}}}
+    parsed = parse_items(spark, items_df(spark, [it]), cfg=cfg)
+    r = parsed.where("asset_name='B02'").first()
+    assert r.data_type == "uint8" and r.nodata == 255.0
+
+
+def test_cfg_configured_asset_kept_despite_media_type(spark):
+    """An asset named in band_cfg is a data band even with a non-raster
+    media type (reference _keep short-circuit)."""
+    it = s2_item(0)
+    it["assets"]["weird"] = {
+        "href": "https://example.com/weird.bin",
+        "type": "application/octet-stream",
+        "roles": ["metadata"],
+        "gsd": None,
+        "proj_shape": [100, 100],
+        "proj_transform": [10.0, 0.0, 0.0, 0.0, -10.0, 0.0],
+        "proj_epsg": 32735,
+        "eo_bands": None,
+        "raster_bands": None,
+    }
+    no_cfg = parse_items(spark, items_df(spark, [it]))
+    assert no_cfg.where("asset_name='weird'").count() == 0
+    cfg = {"sentinel-2-l2a": {"assets": {"weird": {"data_type": "int32"}}}}
+    with_cfg = parse_items(spark, items_df(spark, [it]), cfg=cfg)
+    r = with_cfg.where("asset_name='weird'").first()
+    assert r is not None and r.data_type == "int32"
+
+
+def test_cfg_ignore_proj_disables_strict_filter(spark):
+    """ignore_proj: the item is treated as not declaring the projection
+    extension, so assets without proj data survive the filter."""
+    it = s2_item(0)
+    it["has_proj"] = True
+    a = dict(it["assets"]["B05"])
+    a["proj_shape"] = None
+    a["proj_transform"] = None
+    it["assets"]["B05"] = a
+    strict = parse_items(spark, items_df(spark, [it]))
+    assert strict.where("asset_name='B05'").count() == 0  # proj-gated out
+    cfg = {"sentinel-2-l2a": {"ignore_proj": True}}
+    loose = parse_items(spark, items_df(spark, [it]), cfg=cfg)
+    assert loose.where("asset_name='B05'").count() == 1
+
+
+def test_cfg_aliases_outrank_eo_bands(spark):
+    """Config aliases take priority over eo:bands-derived candidates."""
+    cfg = {"sentinel-2-l2a": {"aliases": {"blue": "B05", "custom": ["B02", 1]}}}
+    md = extract_collection_metadata(spark, items_df(spark, [s2_item(0)]), cfg=cfg)
+    s2 = md["sentinel-2-l2a"]
+    assert s2.aliases["blue"][0] == ("B05", 1)  # cfg wins over eo common_name
+    assert s2.aliases["custom"] == [("B02", 1)]
