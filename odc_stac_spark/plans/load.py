@@ -541,6 +541,7 @@ def _tile_result(
             nod = None
         src = RasterSource(
             uri=s["uri"],
+            subdataset=s.get("subdataset"),
             band=int(s["src_band"]),
             geobox=GeoBox(
                 (int(s["g_ny"]), int(s["g_nx"])),
@@ -646,6 +647,7 @@ def load(
                 continue
             sdict = {
                 "uri": src.uri,
+                "subdataset": src.subdataset,
                 "src_band": src.band,
                 "g_ny": g.shape[0],
                 "g_nx": g.shape[1],
@@ -796,6 +798,8 @@ def load_from_sources(
         "uri", "src_band", "g_ny", "g_nx", "g_sx", "g_x0", "g_sy", "g_y0",
         "g_crs", "dtype", "nodata",
     ]
+    if "subdataset" in sources_df.columns:  # netcdf/hdf5 variable address
+        src_cols.append("subdataset")
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")

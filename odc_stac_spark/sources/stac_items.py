@@ -217,6 +217,35 @@ def read_stac_json(spark: SparkSession, paths) -> DataFrame:
     return stac_json_to_items(raw)
 
 
+def stac_featurecollection_to_items(raw: DataFrame, column: str = "value") -> DataFrame:
+    """STAC API search dump (S16): a GeoJSON ``FeatureCollection`` /
+    ItemCollection document — what ``pystac_client``'s
+    ``search.item_collection().save_object()`` or a paged
+    ``/search`` response body contains — exploded into ITEM_SCHEMA rows.
+
+    Pure Catalyst: ``from_json`` to ``array<string>`` keeps each
+    feature's raw JSON, so the per-item pipeline (``stac_json_to_items``)
+    applies unchanged and a directory of search dumps parses as one
+    distributed scan. Bare item documents (no ``features`` key) pass
+    through, so dumps and single items can be mixed."""
+    j = F.from_json(F.col(column), "struct<type:string,features:array<string>>")
+    feats = F.when(
+        j.getField("features").isNotNull(), j.getField("features")
+    ).otherwise(F.array(F.col(column)))
+    return stac_json_to_items(
+        raw.select(F.explode(feats).alias("value")), column="value"
+    )
+
+
+def read_stac_api_dump(spark: SparkSession, paths) -> DataFrame:
+    """S16 entry point: file(s) of STAC API search results (ItemCollection
+    JSON, one document per file) → ITEM_SCHEMA rows. The live-search half
+    of the reference's S16 (pystac-client round trips) needs network
+    access this environment doesn't have; the dump format is the same."""
+    raw = spark.read.text(paths, wholetext=True)
+    return stac_featurecollection_to_items(raw)
+
+
 def stac_dicts_to_items(spark: SparkSession, docs: Iterable[dict]) -> DataFrame:
     """Driver-side convenience: raw STAC item dicts (e.g. from pystac
     ``Item.to_dict()`` or a search dump) → ITEM_SCHEMA rows, through the

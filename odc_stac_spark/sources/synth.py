@@ -133,7 +133,27 @@ class SynthReader:
         q = parse_qs(urlparse(uri).query)
         seed = int(q.get("seed", ["0"])[0])
         nodata_every = int(q.get("nodata_every", ["0"])[0])
+        sub = q.get("subdataset", [None])[0]
+        if sub:
+            # subdataset addressing (netcdf/hdf5-style multi-variable
+            # containers, reference loader/types.py:52-53): each variable
+            # is an independent deterministic value field
+            import zlib as _z
+
+            seed += _z.crc32(sub.encode()) % 997
         return seed, nodata_every
+
+    def _resolve_subdataset(self, src: RasterSource) -> RasterSource:
+        """Fold ``RasterSource.subdataset`` into the source address
+        (reference loader/types.py:52-53 — netcdf/hdf5 variable selection
+        travels with the source). Synth URIs carry it as a query param so
+        every window fetch sees the variable-specific value field."""
+        import dataclasses
+
+        sep = "&" if "?" in src.uri else "?"
+        return dataclasses.replace(
+            src, uri=f"{src.uri}{sep}subdataset={src.subdataset}", subdataset=None
+        )
 
     @staticmethod
     def gen_window(
@@ -202,6 +222,8 @@ class SynthReader:
         Overview selection per pick_overview (loader/_reader.py:104-114).
         Returns None when src/dst don't overlap (empty-ROI short-circuit,
         loader/_rio.py:341-348)."""
+        if src.subdataset is not None:
+            src = self._resolve_subdataset(src)
         sgb = src.geobox
         if sgb is None:
             raise ValueError(f"source {src.uri} has no geobox")
@@ -593,6 +615,21 @@ class RioReader:
         )
 
 
+class NetCDFReader:
+    """netcdf/hdf5 subdataset container driver — requires h5py/netCDF4
+    (absent here). The protocol slot and the ``RasterSource.subdataset``
+    plumbing (task schema, reader dispatch, per-variable addressing —
+    reference loader/types.py:52-53) are real and tested through
+    SynthReader's subdataset support; only the codec is missing."""
+
+    def read(self, src, cfg, dst_geobox):  # pragma: no cover - env lacks netcdf
+        raise NotImplementedError(
+            "NetCDFReader needs h5py/netCDF4, which are not installed in "
+            "this environment; subdataset semantics are exercised via "
+            "synth:// sources (SynthReader._resolve_subdataset)"
+        )
+
+
 class TiffReader(SynthReader):
     """Real GeoTIFF/COG file driver over the in-house TIFF codec
     (sources/geotiff.py) — inherits the format-agnostic paste/warp/ROI
@@ -611,7 +648,16 @@ class TiffReader(SynthReader):
       overview pushdown on a real format (counted in
       ``_ENV['tif_overview_reads']`` so tests can assert the path).
     - windows clipped to the file extent are padded with source nodata.
+    - GeoTIFF has no subdataset concept — a source carrying one is a
+      catalog error and raises (netcdf/hdf5 containers go to
+      NetCDFReader).
     """
+
+    def _resolve_subdataset(self, src: RasterSource) -> RasterSource:
+        raise NotImplementedError(
+            f"{src.uri}: GeoTIFF sources have no subdatasets "
+            f"(got subdataset={src.subdataset!r}; netcdf/hdf5 only)"
+        )
 
     @staticmethod
     def _path(uri: str) -> str:
@@ -701,6 +747,9 @@ def reader_for(uri: str):
     """Reader-driver dispatch (reference loader/_driver.py:12-16)."""
     if uri.startswith("synth://"):
         return SynthReader()
-    if uri.split("?")[0].lower().endswith((".tif", ".tiff")):
+    path = uri.split("?")[0].lower()
+    if path.endswith((".tif", ".tiff")):
         return TiffReader()
+    if path.endswith((".nc", ".h5", ".hdf", ".hdf5")):
+        return NetCDFReader()
     return RioReader()

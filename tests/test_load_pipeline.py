@@ -328,3 +328,60 @@ def test_load_from_sources_dataframe_path(spark):
     got = assemble_numpy(load_from_sources(sources_df, plan), plan)
     want = oracle_load(items, plan, groupby="solar_day")
     assert_same(got, want)
+
+
+def test_subdataset_sources_through_pipeline(spark):
+    """netcdf/hdf5-style subdataset addressing (RasterSource.subdataset,
+    reference loader/types.py:52-53): two bands sharing one container URI
+    but naming different variables load distinct value fields; pixels
+    match gen_window on the subdataset-adjusted seed."""
+    import zlib
+
+    gbox = GeoBox((60, 80), (10.0, 0.0, 0.0, 0.0, -10.0, 600.0), CRS)
+    uri = "synth://container?seed=40"
+    item = Item(
+        id="nc-000",
+        datetime=T0,
+        bands={
+            "temp": RasterSource(
+                uri, subdataset="temp", geobox=gbox,
+                meta=RasterBandMetadata("int32", None),
+            ),
+            "salt": RasterSource(
+                uri, subdataset="salt", geobox=gbox,
+                meta=RasterBandMetadata("int32", None),
+            ),
+        },
+    )
+    tiles_df, plan = load(spark, [item], chunks=(32, 32))
+    got = assemble_numpy(tiles_df, plan)
+    want = {}
+    for var in ("temp", "salt"):
+        seed = 40 + zlib.crc32(var.encode()) % 997
+        want[var] = SynthReader.gen_window(
+            f"synth://container?seed={seed}", None, "int32", 0, 60, 0, 80
+        )
+    np.testing.assert_array_equal(got["temp"][0], want["temp"])
+    np.testing.assert_array_equal(got["salt"][0], want["salt"])
+    assert (got["temp"][0] != got["salt"][0]).any()
+
+
+def test_subdataset_on_tiff_raises(spark):
+    """GeoTIFF has no subdataset concept — a source carrying one must
+    fail loudly, not read the wrong data."""
+    from odc_stac_spark.sources.synth import TiffReader
+
+    gbox = GeoBox((10, 10), (10.0, 0.0, 0.0, 0.0, -10.0, 100.0), CRS)
+    src = RasterSource(
+        "file:///tmp/x.tif", subdataset="v", geobox=gbox,
+        meta=RasterBandMetadata("uint8", None),
+    )
+    with pytest.raises(NotImplementedError, match="no subdatasets"):
+        TiffReader().read(src, RasterLoadParams(), gbox)
+
+
+def test_netcdf_reader_dispatch():
+    from odc_stac_spark.sources.synth import NetCDFReader, reader_for
+
+    assert isinstance(reader_for("s3://b/x.nc"), NetCDFReader)
+    assert isinstance(reader_for("file:///d/y.h5?foo=1"), NetCDFReader)

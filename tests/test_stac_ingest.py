@@ -150,3 +150,39 @@ def test_datetime_parsing(spark):
     r = items.select("datetime", "has_proj").first()
     assert r.datetime.isoformat().startswith("2019-06-29T21:25:29")
     assert r.has_proj is True
+
+
+def test_featurecollection_search_dump_roundtrip(spark, tmp_path):
+    """S16: a pystac-client-style search dump (ItemCollection JSON with 3
+    golden items as features) parses to the same rows as the per-item
+    path."""
+    import json
+
+    from odc_stac_spark.sources.stac_items import read_stac_api_dump
+
+    docs = [json.load(open(p)) for p in (S2_MS, S2_COGS, GA_LS8)]
+    dump = {"type": "FeatureCollection", "features": docs}
+    p = tmp_path / "search_dump.json"
+    p.write_text(json.dumps(dump))
+    from_dump = parse_items(spark, read_stac_api_dump(spark, str(p)))
+    from_items = parse_items(spark, stac_dicts_to_items(spark, docs))
+    a = sorted(map(tuple, from_dump.drop("properties").collect()))
+    b = sorted(map(tuple, from_items.drop("properties").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_featurecollection_mixed_with_bare_item(spark, tmp_path):
+    """A bare item document (no features key) passes through the same
+    reader."""
+    import json
+
+    from odc_stac_spark.sources.stac_items import read_stac_api_dump
+
+    doc = json.load(open(S2_COGS))
+    p = tmp_path / "bare_item.json"
+    p.write_text(json.dumps(doc))
+    got = parse_items(spark, read_stac_api_dump(spark, str(p)))
+    want = parse_items(spark, stac_dicts_to_items(spark, [doc]))
+    assert sorted(map(tuple, got.drop("properties").collect())) == sorted(
+        map(tuple, want.drop("properties").collect())
+    )
