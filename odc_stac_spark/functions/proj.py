@@ -3,10 +3,12 @@
 (public standard formulation, 3rd order in n — max error well under 1 mm
 inside a UTM zone's normal extent, verified by round-trip tests).
 
-Scope: exactly the CRS pairs the reference's own scenarios use (Sentinel-2
-tiles are UTM, queries arrive in lat/lon — bench/_prepare.py bboxes are
-4326, outputs epsg:32735). Anything beyond WGS84/UTM raises — that is the
-pyproj/rasterio slot. All functions are vectorized numpy, executor-safe.
+Scope: the CRS families odc catalogs actually use — WGS84 geographic,
+UTM (Sentinel-2/Landsat tiles), Web-Mercator (EPSG:3857 web grids),
+Albers equal-area conic (EPSG:3577 Australian national grid — the
+opendatacube default — plus 5070/3310), and the MODIS sinusoidal sphere
+(ESRI:54008). Anything else raises — that is the pyproj/rasterio slot.
+All functions are vectorized numpy, executor-safe.
 """
 
 from __future__ import annotations
@@ -127,11 +129,106 @@ def webmercator_to_geographic(x, y):
     return lon, lat
 
 
+# ---- Albers equal-area conic (ellipsoidal, Snyder's public formulation) --
+# The workhorse CRS of continental ODC deployments (EPSG:3577 is the
+# Australian national grid the opendatacube ecosystem defaults to).
+# Datum shifts GDA94/NAD83↔WGS84 are treated as identity (metre-level,
+# standard practice for raster work at these scales).
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+#: EPSG → (a, f, lat1, lat2, lat0, lon0, false_easting, false_northing)
+_ALBERS_PARAMS = {
+    "EPSG:3577": (_GRS80_A, _GRS80_F, -18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+    "EPSG:5070": (_GRS80_A, _GRS80_F, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    "EPSG:3310": (_GRS80_A, _GRS80_F, 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0),
+}
+
+
+def _albers_setup(crs: str):
+    a, f, lat1, lat2, lat0, lon0, fe, fn = _ALBERS_PARAMS[crs]
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+
+    def q_of(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def m_of(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = m_of(p1), m_of(p2)
+    q1, q2 = float(q_of(p1)), float(q_of(p2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * float(q_of(p0))) / n
+    return a, e, e2, math.radians(lon0), fe, fn, n, C, rho0, q_of
+
+
+def geographic_to_albers(lon, lat, crs: str):
+    a, e, e2, lam0, fe, fn, n, C, rho0, q_of = _albers_setup(crs)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    q = q_of(phi)
+    rho = a * np.sqrt(C - n * q) / n
+    theta = n * (lam - lam0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def albers_to_geographic(x, y, crs: str):
+    a, e, e2, lam0, fe, fn, n, C, rho0, _ = _albers_setup(crs)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xp, yp)
+    # for n<0 (southern standard parallels) rho and the angle flip sign
+    sgn = 1.0 if n >= 0 else -1.0
+    theta = np.arctan2(sgn * xp, sgn * yp)
+    q = (C - (rho * n / a) ** 2) / n
+    lam = lam0 + theta / n
+    # iterate Snyder 3-16 for phi from q
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _i in range(8):
+        s = np.sin(phi)
+        phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+            q / (1 - e2)
+            - s / (1 - e2 * s * s)
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---- sinusoidal (MODIS grid: sphere R=6371007.181, ESRI:54008) -----------
+
+_SINU_R = 6371007.181
+_SINU_CODES = ("ESRI:54008", "SR-ORG:6974", "SINUSOIDAL")
+
+
+def geographic_to_sinusoidal(lon, lat):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    return _SINU_R * lam * np.cos(phi), _SINU_R * phi
+
+
+def sinusoidal_to_geographic(x, y):
+    phi = np.asarray(y, dtype=np.float64) / _SINU_R
+    lam = np.asarray(x, dtype=np.float64) / (_SINU_R * np.cos(phi))
+    return np.degrees(lam), np.degrees(phi)
+
+
 def _to_geographic(x, y, crs: str):
     if crs == "EPSG:4326":
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if crs == "EPSG:3857":
         return webmercator_to_geographic(x, y)
+    if crs in _ALBERS_PARAMS:
+        return albers_to_geographic(x, y, crs)
+    if crs in _SINU_CODES:
+        return sinusoidal_to_geographic(x, y)
     zone, north = parse_utm(crs)
     return utm_to_geographic(x, y, zone, north)
 
@@ -141,6 +238,10 @@ def _from_geographic(lon, lat, crs: str):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if crs == "EPSG:3857":
         return geographic_to_webmercator(lon, lat)
+    if crs in _ALBERS_PARAMS:
+        return geographic_to_albers(lon, lat, crs)
+    if crs in _SINU_CODES:
+        return geographic_to_sinusoidal(lon, lat)
     zone, north = parse_utm(crs)
     return geographic_to_utm(lon, lat, zone, north)
 
@@ -158,7 +259,8 @@ def transform(x, y, src_crs: str, dst_crs: str):
 
 def can_transform(src_crs: str, dst_crs: str) -> bool:
     for crs in (src_crs, dst_crs):
-        if crs.upper() in ("EPSG:4326", "EPSG:3857"):
+        u = crs.upper()
+        if u in ("EPSG:4326", "EPSG:3857") or u in _ALBERS_PARAMS or u in _SINU_CODES:
             continue
         try:
             parse_utm(crs)

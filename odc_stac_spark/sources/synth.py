@@ -60,11 +60,16 @@ def restore_env(env: dict) -> None:
 
 #: statistic-over-footprint modes (share the center-binning scatter path)
 _BIN_MODES = ("average", "mode", "min", "max", "med", "q1", "q3", "sum", "rms", "gauss")
-#: full mode surface (reference: rasterio's set via odc-geo
-#: resampling_s2rio, loader/_rio.py:327; lanczos/cubic_spline excluded —
-#: wide-kernel ringing needs golden-file validation we can't do without
-#: rasterio in the container)
-RESAMPLING_MODES = ("nearest", "bilinear", "cubic") + _BIN_MODES
+#: separable-convolution modes with their tap offsets (kernel support)
+_CONV_TAPS = {
+    "bilinear": (0, 1),
+    "cubic": (-1, 0, 1, 2),
+    "cubic_spline": (-1, 0, 1, 2),
+    "lanczos": (-2, -1, 0, 1, 2, 3),
+}
+#: full mode surface — the same 15-mode set the reference exposes through
+#: rasterio (odc-geo resampling_s2rio, loader/_rio.py:327)
+RESAMPLING_MODES = ("nearest",) + tuple(_CONV_TAPS) + _BIN_MODES
 
 
 def _segment_reduce(mode: str, b: np.ndarray, v: np.ndarray, n: int):
@@ -110,6 +115,31 @@ def _cubic_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
         (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
         np.where(t < 2.0, a * (t**3 - 5.0 * t**2 + 8.0 * t - 4.0), 0.0),
     )
+
+
+def _bspline_kernel(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline kernel (the GDAL ``cubicspline`` smoothing kernel —
+    applied directly to samples, so it smooths rather than interpolates)."""
+    t = np.abs(t)
+    return np.where(
+        t <= 1.0,
+        (4.0 - 6.0 * t**2 + 3.0 * t**3) / 6.0,
+        np.where(t < 2.0, (2.0 - t) ** 3 / 6.0, 0.0),
+    )
+
+
+def _lanczos_kernel(t: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos windowed-sinc kernel, a=3 (the GDAL/rasterio choice)."""
+    t = np.asarray(t, dtype=np.float64)
+    return np.where(np.abs(t) < a, np.sinc(t) * np.sinc(t / a), 0.0)
+
+
+_CONV_KERNELS = {
+    "bilinear": lambda t: 1.0 - np.abs(t),  # tent
+    "cubic": _cubic_kernel,
+    "cubic_spline": _bspline_kernel,
+    "lanczos": _lanczos_kernel,
+}
 
 
 @dataclass
@@ -339,6 +369,9 @@ class SynthReader:
           or out-of-bounds neighbor with nonzero weight → nodata;
         - ``cubic``    — Keys bicubic convolution (a=-0.5), 4×4 taps; any
           missing/out-of-bounds tap with nonzero weight → nodata;
+        - ``cubic_spline`` — cubic B-spline smoothing kernel, 4×4 taps;
+        - ``lanczos`` — windowed sinc (a=3), 6×6 taps, normalized by
+          kernel mass (the truncated window doesn't partition unity);
         - bin modes (``average  mode  min  max  med  q1  q3  sum  rms
           gauss``) — statistic over the valid src pixels whose centers
           fall inside the dst pixel footprint; empty footprint → nodata:
@@ -537,20 +570,15 @@ class SynthReader:
                 ]
                 miss = nodata_mask(samp, src_nodata) | ~ok
                 vals, out = samp, miss
-            else:  # separable convolution: bilinear (2×2) / cubic (4×4)
-                # center-based, p = f - 0.5; bilinear is the tent kernel
-                # 1-|t| on taps {0,1}, cubic the Keys kernel on {-1..2}
+            else:  # separable convolution: bilinear 2×2 / cubic and
+                # cubic_spline 4×4 / lanczos 6×6 — center-based, p = f-0.5
                 PY, PX = FY - 0.5, FX - 0.5
                 JY = np.floor(PY).astype(np.int64)
                 JX = np.floor(PX).astype(np.int64)
                 AY = PY - JY
                 AX = PX - JX
-                if resampling == "bilinear":
-                    taps = (0, 1)
-                    kern = lambda t: 1.0 - np.abs(t)  # noqa: E731
-                else:  # cubic
-                    taps = (-1, 0, 1, 2)
-                    kern = _cubic_kernel
+                taps = _CONV_TAPS[resampling]
+                kern = _CONV_KERNELS[resampling]
                 iy0 = max(0, int(JY.min()) + taps[0])
                 iy1 = min(sgb.height, int(JY.max()) + taps[-1] + 1)
                 ix0 = max(0, int(JX.min()) + taps[0])
@@ -578,6 +606,7 @@ class SynthReader:
                 # taps — it must not matter whether those pixels exist)
                 vals = np.zeros((n_y, n_x), dtype=np.float64)
                 out = np.zeros((n_y, n_x), dtype=bool)
+                wtot = np.zeros((n_y, n_x), dtype=np.float64)
                 wys = {dy_: kern(dy_ - AY) for dy_ in taps}
                 wxs = {dx_: kern(dx_ - AX) for dx_ in taps}
                 for dy_ in taps:
@@ -585,7 +614,12 @@ class SynthReader:
                         w = wys[dy_] * wxs[dx_]
                         v, m = gather(dy_, dx_)
                         vals += np.where(m, 0.0, v) * w
+                        wtot += w
                         out |= m & (np.abs(w) > 1e-12)
+                if resampling == "lanczos":
+                    # the truncated sinc window doesn't partition unity
+                    # (tent/Keys/B-spline do) — normalize by kernel mass
+                    vals /= wtot
 
         if np.issubdtype(np.dtype(dst_dtype), np.integer):
             vals = np.rint(vals)

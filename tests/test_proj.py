@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from odc_stac_spark.functions import proj
 from odc_stac_spark.functions.proj import (
     can_transform,
     geographic_to_utm,
@@ -32,7 +33,9 @@ def test_parse_utm():
     assert can_transform("EPSG:4326", "EPSG:32735")
     assert can_transform("EPSG:4326", "EPSG:3857")
     assert can_transform("EPSG:3857", "EPSG:32735")
-    assert not can_transform("EPSG:4326", "EPSG:3577")  # Albers: pyproj slot
+    assert can_transform("EPSG:4326", "EPSG:3577")  # Albers now built in
+    assert can_transform("EPSG:3577", "ESRI:54008")
+    assert not can_transform("EPSG:4326", "EPSG:2193")  # NZTM: pyproj slot
 
 
 def test_central_meridian_and_equator_anchors():
@@ -163,8 +166,94 @@ def test_crosscrs_average_matches_manual_binning():
 
 
 def test_crosscrs_unsupported_pair_raises():
-    src_gbox = GeoBox((10, 10), (1.0, 0.0, 0.0, 0.0, -1.0, 10.0), "EPSG:3577")
+    src_gbox = GeoBox((10, 10), (1.0, 0.0, 0.0, 0.0, -1.0, 10.0), "EPSG:2193")
     src = RasterSource("synth://z?seed=1", geobox=src_gbox, meta=RasterBandMetadata("int32", None))
     dst = GeoBox((10, 10), (0.1, 0.0, 0.0, 0.0, -0.1, 1.0), "EPSG:4326")
     with pytest.raises(NotImplementedError, match="pyproj"):
         SynthReader().read(src, RasterLoadParams(), dst)
+
+
+# ---- Albers equal-area conic + sinusoidal (odc-catalog CRS families) -----
+
+
+def test_albers_3577_roundtrip_and_invariants():
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(113, 154, 2000)
+    lat = rng.uniform(-44, -10, 2000)
+    x, y = proj.transform(lon, lat, "EPSG:4326", "EPSG:3577")
+    lon2, lat2 = proj.transform(x, y, "EPSG:3577", "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # central meridian maps to x=0; east of it x>0
+    x0, _ = proj.transform(np.array([132.0]), np.array([-25.0]), "EPSG:4326", "EPSG:3577")
+    assert abs(x0[0]) < 1e-6
+    xe, _ = proj.transform(np.array([140.0]), np.array([-25.0]), "EPSG:4326", "EPSG:3577")
+    assert xe[0] > 0
+
+
+def test_albers_is_actually_equal_area():
+    """The defining property, checked independently: the projection's
+    Jacobian determinant equals the ellipsoidal area element M·N·cosφ."""
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = 2 * f - f * f
+    for lo, la in ((140.0, -30.0), (118.0, -20.0), (150.0, -42.0)):
+        d = 1e-4
+        (x0,), (y0,) = proj.transform(np.array([lo]), np.array([la]), "EPSG:4326", "EPSG:3577")
+        (x1,), (y1,) = proj.transform(np.array([lo + d]), np.array([la]), "EPSG:4326", "EPSG:3577")
+        (x2,), (y2,) = proj.transform(np.array([lo]), np.array([la + d]), "EPSG:4326", "EPSG:3577")
+        J = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / np.radians(d) ** 2
+        phi = np.radians(la)
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        assert abs(J / (M * N * np.cos(phi)) - 1.0) < 1e-6
+
+
+def test_albers_conus_and_california_roundtrip():
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-124, -67, 500)
+    lat = rng.uniform(25, 49, 500)
+    for crs in ("EPSG:5070", "EPSG:3310"):
+        x, y = proj.transform(lon, lat, "EPSG:4326", crs)
+        l2, p2 = proj.transform(x, y, crs, "EPSG:4326")
+        np.testing.assert_allclose(l2, lon, atol=1e-9)
+        np.testing.assert_allclose(p2, lat, atol=1e-9)
+
+
+def test_sinusoidal_roundtrip_and_modis_grid():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-85, 85, 1000)
+    x, y = proj.transform(lon, lat, "EPSG:4326", "ESRI:54008")
+    l2, p2 = proj.transform(x, y, "ESRI:54008", "EPSG:4326")
+    np.testing.assert_allclose(l2, lon, atol=1e-9)
+    np.testing.assert_allclose(p2, lat, atol=1e-9)
+    # the MODIS constant: equator circumference/2 = pi*R
+    xedge, _ = proj.transform(np.array([180.0]), np.array([0.0]), "EPSG:4326", "ESRI:54008")
+    np.testing.assert_allclose(xedge[0], np.pi * 6371007.181, rtol=1e-12)
+
+
+def test_albers_crosscrs_warp_through_reader():
+    """EPSG:3577 source → 4326 output grid via the reader's warp path,
+    spot-checked against manual center transformation + nearest sampling
+    (same method as the UTM cross-CRS test)."""
+    # a 3577 grid near (140E, 30S): x ~ 765k, y ~ -3350k
+    (cx,), (cy,) = proj.transform(np.array([140.0]), np.array([-30.0]), "EPSG:4326", "EPSG:3577")
+    x0 = float(np.floor(cx / 100) * 100)
+    y0 = float(np.ceil(cy / 100) * 100)
+    src_gbox = GeoBox((200, 200), (100.0, 0.0, x0, 0.0, -100.0, y0), "EPSG:3577")
+    src = RasterSource(
+        "synth://alb?seed=6", geobox=src_gbox, meta=RasterBandMetadata("int32", None)
+    )
+    dst = GeoBox((100, 120), (0.002, 0.0, 139.95, 0.0, -0.002, -29.95), "EPSG:4326")
+    rr = SynthReader().read(src, RasterLoadParams(), dst)
+    assert rr is not None
+    ys, xs = np.mgrid[rr.roi_y[0]:rr.roi_y[1], rr.roi_x[0]:rr.roi_x[1]]
+    lon = 139.95 + (xs + 0.5) * 0.002
+    lat = -29.95 - (ys + 0.5) * 0.002
+    ax, ay = proj.transform(lon, lat, "EPSG:4326", "EPSG:3577")
+    spy = np.floor((ay - y0) / -100.0).astype(int)
+    spx = np.floor((ax - x0) / 100.0).astype(int)
+    inb = (spy >= 0) & (spy < 200) & (spx >= 0) & (spx < 200)
+    assert inb.any()
+    want = (6 * 7919 + spy * 8191 + spx * 127) % 10007
+    np.testing.assert_array_equal(rr.pix[inb], want[inb].astype(rr.pix.dtype))

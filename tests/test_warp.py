@@ -144,8 +144,8 @@ def test_integer_output_rounds():
 def test_unsupported_resampling_raises():
     src = mk_src("synth://h?seed=1", (5.0, 500.0), (10, 10))
     dst = GeoBox((10, 10), (10.0, 0.0, 0.0, 0.0, -10.0, 500.0), CRS)
-    with pytest.raises(NotImplementedError, match="lanczos"):
-        SynthReader().read(src, RasterLoadParams(resampling="lanczos"), dst)
+    with pytest.raises(NotImplementedError, match="sinc_sharp"):
+        SynthReader().read(src, RasterLoadParams(resampling="sinc_sharp"), dst)
 
 
 # ---- full resampling-mode surface (reference loader/_rio.py:327 exposes
@@ -337,3 +337,67 @@ def test_paste_path_still_taken_when_aligned():
     # decimated read samples the top-left pixel of each 2x2 block
     want = synth_val(6, ys * 2, xs * 2)
     np.testing.assert_array_equal(rr.pix, want.astype(rr.pix.dtype))
+
+
+def _bspline(t):
+    t = abs(t)
+    if t <= 1:
+        return (4 - 6 * t**2 + 3 * t**3) / 6
+    if t < 2:
+        return (2 - t) ** 3 / 6
+    return 0.0
+
+
+def _lanczos(t, a=3):
+    if abs(t) >= a:
+        return 0.0
+    return float(np.sinc(t) * np.sinc(t / a))
+
+
+@pytest.mark.parametrize(
+    "mode,taps,kern,norm",
+    [
+        ("cubic_spline", (-1, 0, 1, 2), _bspline, False),
+        ("lanczos", (-2, -1, 0, 1, 2, 3), _lanczos, True),
+    ],
+)
+def test_wide_kernels_match_loop_oracle(mode, taps, kern, norm):
+    """cubic_spline (B-spline smoothing) and lanczos (windowed sinc,
+    kernel-mass normalized) vs scalar-loop convolution."""
+    src = mk_src(f"synth://w{mode}?seed=13", (5.0, 1000.0), (60, 60), dtype="float64")
+    dst = GeoBox((12, 12), (10.0, 0.0, 200.0, 0.0, -10.0, 800.0), CRS)
+    rr = SynthReader().read(
+        src, RasterLoadParams(dtype="float64", resampling=mode), dst
+    )
+    for dy in (0, 5, 11):
+        for dx in (1, 7):
+            y = rr.roi_y[0] + dy
+            x = rr.roi_x[0] + dx
+            wx = 200.0 + (x + 0.5) * 10.0
+            wy = 800.0 - (y + 0.5) * 10.0
+            fy = (wy - 1000.0) / -10.0 - 0.5
+            fx = (wx - 5.0) / 10.0 - 0.5
+            jy, jx = int(np.floor(fy)), int(np.floor(fx))
+            ay, ax = fy - jy, fx - jx
+            want = wsum = 0.0
+            for ty in taps:
+                for tx in taps:
+                    w = kern(ty - ay) * kern(tx - ax)
+                    want += w * synth_val(13, jy + ty, jx + tx)
+                    wsum += w
+            if norm:
+                want /= wsum
+            np.testing.assert_allclose(rr.pix[dy, dx], want, rtol=1e-10)
+
+
+def test_cubic_spline_aligned_smooths_not_interpolates():
+    """B-spline is a smoothing kernel: aligned grids do NOT reproduce
+    source values exactly (unlike bilinear/cubic)."""
+    src = mk_src("synth://sm?seed=4", (0.0, 600.0), (60, 60), dtype="float64")
+    dst = GeoBox((20, 20), (10.0, 0.0, 100.0, 0.0, -10.0, 500.0), CRS)
+    rr = SynthReader().read(
+        src, RasterLoadParams(dtype="float64", resampling="cubic_spline"), dst
+    )
+    ys, xs = np.mgrid[rr.roi_y[0]:rr.roi_y[1], rr.roi_x[0]:rr.roi_x[1]]
+    aligned_src = synth_val(4, ys + 10, xs + 10).astype(np.float64)
+    assert not np.allclose(rr.pix, aligned_src)
