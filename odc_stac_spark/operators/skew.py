@@ -37,7 +37,7 @@ def salted_sum(
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    key: str,
+    key,
     salt_on: str,
     n_salt: int = 8,
     how: str = "inner",
@@ -55,10 +55,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (semantics-preserving)")
+    keys = [key] if isinstance(key, str) else list(key)
     salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salt))
     big_s = big.withColumn("_salt", salt)
     small_r = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salt)]))
     )
-    joined = big_s.join(small_r, [key, "_salt"], how)
+    joined = big_s.join(small_r, keys + ["_salt"], how)
     return joined.drop("_salt")

@@ -238,16 +238,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh")
     ).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # hot-bucket salting (operators/skew.salted_join): a boilerplate-heavy
+    # corpus can put thousands of docs in ONE (band, bh) bucket — the
+    # pair join's quadratic work for that bucket lands on a single
+    # partition. Salting the left side by doc and replicating the right
+    # across the n_salt sub-keys spreads the hot bucket's pair
+    # generation over n_salt partitions; each (a, b) pair still appears
+    # exactly once (under a's salt), so results are identical (asserted
+    # in tests/test_scale_patterns.py).
+    from ..operators.skew import salted_join
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        salted_join(a, b, ["band_idx", "bh"], salt_on="doc_a", n_salt=8)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
