@@ -1,0 +1,94 @@
+"""Distributed Lloyd k-means over an embedding column (``array<double>``).
+
+The IVF index family (queries/similarity.py) coarse-quantizes vectors to
+centroids; "first K vectors" is a fine deterministic stand-in for the
+correctness gate, but real recall needs centroids that follow the data.
+This operator runs Lloyd iterations with the cluster in charge of the
+O(n·k·d) work:
+
+- **assignment** is a broadcast crossJoin (k rows) + per-vector top-1
+  window — all JVM expressions (``zip_with``/``aggregate`` folds), one
+  shuffle per iteration for the window;
+- **update** is one groupBy over at most k groups with per-dimension
+  ``avg`` columns — partial aggregation map-side, k×d scalars collected;
+- the driver only ever holds the k centroid vectors (k·d floats).
+
+Scale notes (100 TB): fit on a deterministic sample (`pmod(xxhash64(id))`
+gate) rather than the full corpus — centroid quality saturates long
+before 10⁹ points — then assign the full corpus once and bucket/partition
+by ``cent_id`` so probes prune partitions. Spark MLlib's KMeans(``||``
+init) is the drop-in upgrade when nondeterministic init is acceptable;
+this implementation keeps init deterministic (first k by id) so runs are
+reproducible.
+
+Determinism caveat: float ``avg`` reduces in shuffle order, so centroid
+low bits can differ across runs; downstream queries using fitted
+centroids are therefore registered rows-only (the driver contract's
+documented path for iterative algorithms), with recall and convergence
+asserted in pytest instead of a value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _cos(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def assign_to_centroids(
+    emb: DataFrame, centroids: List[List[float]], keep_sim: bool = False
+) -> DataFrame:
+    """(vec_id, emb) → + cent_id: nearest centroid by cosine (broadcast
+    k-row crossJoin, deterministic ties → cent_id asc)."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cent_id int, cemb array<double>",
+    )
+    sim = _cos(F.col("emb"), F.col("cemb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    cols = ["vec_id", "emb", "cent_id"] + (["sim"] if keep_sim else [])
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(*cols)
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int, n_iter: int = 4
+) -> Tuple[List[List[float]], List[float]]:
+    """Lloyd iterations; returns (centroids, per-iteration mean cosine of
+    vectors to their assigned centroid — a non-decreasing fit-quality
+    trace). ``emb`` columns: (vec_id, emb array<double>). Init = first k
+    vectors by vec_id (deterministic)."""
+    dim = len(emb.select("emb").first().emb)
+    cent = [list(map(float, r.emb)) for r in emb.orderBy("vec_id").limit(k).collect()]
+    trace: List[float] = []
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(emb, cent, keep_sim=True)
+        stats = (
+            assigned.groupBy("cent_id")
+            .agg(
+                *[F.avg(F.col("emb")[i]).alias(f"c{i}") for i in range(dim)],
+                F.avg("sim").alias("q"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        trace.append(sum(r.q * r.n for r in stats) / sum(r.n for r in stats))
+        new_cent = list(cent)  # empty clusters keep their centroid
+        for r in stats:
+            new_cent[r.cent_id] = [float(getattr(r, f"c{i}")) for i in range(dim)]
+        cent = new_cent
+    return cent, trace

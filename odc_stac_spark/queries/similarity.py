@@ -251,3 +251,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
     )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    # rows-only: Lloyd's float means reduce in shuffle order, so centroid
+    # low bits (and hence candidate sets) aren't bit-reproducible across
+    # engines — the driver contract's documented path for iterative
+    # algorithms. Recall and convergence are pytest-asserted instead
+    # (tests/test_kmeans.py).
+    oracle=None,
+    doc="IVF ANN with k-means-fitted centroids (operators/kmeans.py Lloyd "
+    "iterations, deterministic first-K init): assign to fitted centroids, "
+    "probe IVF_NPROBE cells per query, exact top-k within them. The "
+    "centroid fit follows the data, lifting recall over the fixed "
+    "first-K-vectors quantizer of ann_ivf_topk.",
+    tags=("similarity",),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import assign_to_centroids, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    emb = emb.persist()
+    cent, _trace = kmeans_fit(emb, IVF_K, n_iter=3)
+    assigned = assign_to_centroids(emb, cent)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent)], "cent_id int, cemb array<double>"
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    qsim = _dot(F.col("qemb"), F.col("cemb")) / (_norm(F.col("qemb")) * _norm(F.col("cemb")))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .select("query_id", "qemb", "cent_id", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qemb", "cent_id")
+    )
+    cos = _dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb")))
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
+    )
