@@ -190,8 +190,12 @@ def warp_throughput(spark):
     elapsed = float("inf")
     for _ in range(3):
         start = time.perf_counter()
+        # 512-px tiles: the 7000x2816 grid makes 84 tile tasks — enough
+        # to keep all 32 cores busy (1024 tiles gave only 21 tasks, so a
+        # third of the machine idled; task sizing to core count is the
+        # real Spark knob here)
         tiles_df, plan = load(
-            spark, items, groupby="solar_day", geobox=out_gbox, chunks=(1024, 1024), cfg=cfg
+            spark, items, groupby="solar_day", geobox=out_gbox, chunks=(512, 512), cfg=cfg
         )
         tiles_df.write.mode("overwrite").format("noop").save()
         elapsed = min(elapsed, time.perf_counter() - start)
