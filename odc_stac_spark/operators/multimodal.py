@@ -306,3 +306,104 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(feats, _AUDIO_FEAT_SCHEMA)
+
+
+# ---- video modality -------------------------------------------------------
+# SVID layout: b"SVID" | ver:u8 | width:u16le | height:u16le | channels:u8 |
+# n_frames:u16le | frames (frame-major uint8). Stands in for mp4/webm the
+# way SIMG/SAUD stand in for images/audio — deterministic, so the whole
+# decode → frame-sample → feature path has an exact relational oracle.
+
+VIDEO_MAGIC = b"SVID"
+VIDEO_HEADER_FMT = "<4sBHHBH"
+VIDEO_HEADER_SIZE = struct.calcsize(VIDEO_HEADER_FMT)
+
+
+def encode_svid(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, c) uint8 → SVID bytes."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = f.shape
+    return struct.pack(VIDEO_HEADER_FMT, VIDEO_MAGIC, 1, w, h, c, n) + f.tobytes()
+
+
+def decode_svid(data: bytes) -> np.ndarray:
+    magic, ver, w, h, c, n = struct.unpack_from(VIDEO_HEADER_FMT, data)
+    if magic != VIDEO_MAGIC:
+        raise ValueError("not an SVID payload")
+    return np.frombuffer(
+        data, np.uint8, count=n * h * w * c, offset=VIDEO_HEADER_SIZE
+    ).reshape(n, h, w, c)
+
+
+def synth_video(doc_id: int) -> np.ndarray:
+    """Deterministic fake clip: n_frames = 4 + doc_id%4, 8x(8+doc_id%4)x1,
+    pixel v = (doc_id*37 + f*17 + y*5 + x*3) % 256."""
+    n = 4 + doc_id % 4
+    w = 8 + doc_id % 4
+    f, y, x = np.ogrid[0:n, 0:8, 0:w]
+    v = (doc_id * 37 + f * 17 + y * 5 + x * 3) % 256
+    return v.astype(np.uint8)[..., None]
+
+
+def demo_video_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media BINARY, media_type) video demo table."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [encode_svid(synth_video(int(i))) for i in pdf["doc_id"]],
+                    "media_type": "video/x-svid",
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+_VIDEO_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("kept_frames", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("kept_mean", DoubleType()),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """Keep every ``every``-th frame then per-clip stats — the
+    decode → sample → batch-features shape of a video training pipeline
+    (a real frame encoder drops into the same mapInPandas body)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                fr = decode_svid(bytes(blob))
+                kept = fr[::every]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": fr.shape[0],
+                        "kept_frames": kept.shape[0],
+                        "width": fr.shape[2],
+                        "height": fr.shape[1],
+                        "kept_mean": round(float(kept.astype(np.float64).mean()), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(feats, _VIDEO_FEAT_SCHEMA)

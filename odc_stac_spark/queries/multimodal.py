@@ -105,3 +105,38 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(demo_audio_df(spark, sf_dir))
+
+
+@register(
+    "mm_video_framesample",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, f.f, y.y, x.x,
+             (d.doc_id * 37 + f.f * 17 + y.y * 5 + x.x * 3) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS f) f
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 11)) AS x) x
+      WHERE f.f < 4 + d.doc_id % 4 AND x.x < 8 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           CAST(MAX(f) + 1 AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT f) FILTER (WHERE f % 2 = 0) AS BIGINT)
+               AS kept_frames,
+           CAST(8 + doc_id % 4 AS INT) AS width,
+           8 AS height,
+           ROUND(AVG(v) FILTER (WHERE f % 2 = 0), 6) AS kept_mean
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="multimodal video: binary SVID clips → decode → every-2nd-frame "
+    "sampling → per-clip stats over Arrow batches (the decode→sample→"
+    "batch-encode shape of a video training pipeline; real mp4 decode is "
+    "the documented ffmpeg slot). Demo clips are a pure function of "
+    "doc_id so the hash match gates the whole binary video path.",
+    tags=("multimodal", "video"),
+)
+def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import demo_video_df, video_frame_features
+
+    return video_frame_features(demo_video_df(spark, sf_dir), every=2)

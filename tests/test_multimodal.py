@@ -80,3 +80,41 @@ def test_audio_codec_roundtrip_and_features(spark, sf_dir):
         assert f.rms == round(float(np.sqrt((clip**2).mean())), 6)
         sign = np.sign(clip)
         assert f.zero_crossings == int(np.count_nonzero(np.diff(sign[sign != 0]) != 0))
+
+
+def test_svid_roundtrip_and_frame_sampling():
+    """SVID byte layout roundtrips; frame sampling keeps every k-th frame."""
+    import numpy as np
+
+    from odc_stac_spark.operators.multimodal import (
+        decode_svid,
+        encode_svid,
+        synth_video,
+    )
+
+    fr = synth_video(7)
+    assert fr.shape == (4 + 7 % 4, 8, 8 + 7 % 4, 1)
+    got = decode_svid(encode_svid(fr))
+    np.testing.assert_array_equal(got, fr)
+    kept = got[::2]
+    assert kept.shape[0] == (fr.shape[0] + 1) // 2
+
+
+def test_video_features_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from odc_stac_spark.operators.multimodal import (
+        demo_video_df,
+        synth_video,
+        video_frame_features,
+    )
+
+    out = {r.doc_id: r for r in video_frame_features(
+        demo_video_df(spark, sf_dir), every=2
+    ).collect()}
+    for doc_id in (0, 3, 11):
+        fr = synth_video(doc_id)
+        r = out[doc_id]
+        assert r.n_frames == fr.shape[0]
+        assert r.kept_frames == fr[::2].shape[0]
+        assert abs(r.kept_mean - round(float(fr[::2].astype(np.float64).mean()), 6)) < 1e-9
