@@ -213,3 +213,18 @@ def infer_collections_stateful(asset_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stac_items(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Incremental STAC catalog ingestion (S1 as a stream): watch a
+    directory of newline-delimited STAC item JSON and parse each micro-
+    batch through the SAME Catalyst pipeline as the batch path —
+    ``stac_json_to_items`` is pure column expressions, so it composes
+    with ``readStream`` unchanged. At scale this is the
+    standing-ingestion half of a live catalog (new scenes appear → rows
+    appear), feeding ``infer_collections_stateful`` for evolving
+    collection schemas."""
+    from ..sources.stac_items import stac_json_to_items
+
+    raw = spark.readStream.text(input_dir)
+    return stac_json_to_items(raw)

@@ -192,3 +192,71 @@ def test_stateful_schema_inference_evolves(spark, tmp_path):
     s2_rows = [r for r in rows if r.collection == "s2"]
     assert len(s2_rows) >= 2
     assert s2_rows[0].n_assets < s2_rows[-1].n_assets
+
+
+def test_stream_stac_items_matches_batch(spark, tmp_path):
+    """Streaming STAC ingestion parses the same rows as the batch path
+    (one Catalyst pipeline, two sources)."""
+    import json
+    import time
+
+    from odc_stac_spark.sources.stac_items import stac_dicts_to_items
+    from odc_stac_spark.streaming.events import stream_stac_items
+    from tests.test_stac_metadata import landsat_item, s2_item
+
+    docs = [s2_item(0), s2_item(1), landsat_item()]
+    # items_df-style dicts → raw STAC JSON document form
+    raws = []
+    for d in docs:
+        raw = {
+            "id": d["id"],
+            "collection": d["collection"],
+            "stac_extensions": ["https://stac-extensions.github.io/projection/v1.1.0/schema.json"],
+            "properties": {
+                "datetime": d["datetime"].isoformat() + "Z",
+                **({"odc:product": d["odc_product"]} if d["odc_product"] else {}),
+            },
+            "assets": {
+                name: {
+                    "href": a["href"],
+                    "type": a["type"],
+                    "roles": a["roles"],
+                    "gsd": a["gsd"],
+                    "proj:shape": a["proj_shape"],
+                    "proj:transform": a["proj_transform"],
+                    "proj:epsg": a["proj_epsg"],
+                    "eo:bands": [
+                        {"name": b["name"], "common_name": b["common_name"]}
+                        for b in (a["eo_bands"] or [])
+                    ],
+                    "raster:bands": a["raster_bands"],
+                }
+                for name, a in d["assets"].items()
+            },
+        }
+        raws.append(raw)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "batch0.ndjson").write_text("\n".join(json.dumps(r) for r in raws))
+
+    out = tmp_path / "sink"
+    chk = tmp_path / "chk"
+    q = (
+        stream_stac_items(spark, str(src))
+        .select("id", "collection", "odc_product", "datetime", "has_proj")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    from odc_stac_spark.sources.stac_items import stac_json_to_items
+
+    raw_df = spark.createDataFrame([(json.dumps(r),) for r in raws], "value string")
+    want = stac_json_to_items(raw_df).select(
+        "id", "collection", "odc_product", "datetime", "has_proj"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 3
