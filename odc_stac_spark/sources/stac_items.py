@@ -162,7 +162,7 @@ def stac_json_to_items(raw: DataFrame, column: str = "value") -> DataFrame:
 
     def mk_asset(a: F.Column) -> F.Column:
         return F.struct(
-            a.getField("href").alias("href"),
+            resolve_href(a.getField("href")).alias("href"),
             a.getField("type").alias("type"),
             a.getField("roles").alias("roles"),
             F.coalesce(a.getField("gsd"), props.getField("gsd")).alias("gsd"),
@@ -179,12 +179,34 @@ def stac_json_to_items(raw: DataFrame, column: str = "value") -> DataFrame:
             a.getField("raster:bands").alias("raster_bands"),
         )
 
-    self_href = F.element_at(
+    # try_element_at: an item with links present but NO self link yields
+    # an empty filtered array, which plain element_at rejects under ANSI
+    self_href = F.try_element_at(
         F.filter(
             F.coalesce(j.getField("links"), F.array()), lambda l: l["rel"] == "self"
         ),
-        1,
+        F.lit(1),
     )["href"]
+
+    def resolve_href(href: F.Column) -> F.Column:
+        """Relative asset hrefs resolve against the item's self link
+        (pystac ``get_absolute_href`` semantics, reference
+        _mdtools.py:685; self-contained catalogs ship relative hrefs).
+        Handles ``./x``, ``x`` and up to three ``../`` levels as column
+        expressions; an item with relative hrefs and NO self link keeps
+        them as-is — the read fails loudly at the reader instead of the
+        reference's driver-side ValueError (no per-row raise in a
+        distributed parse)."""
+        is_abs = href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://") | href.startswith("/")
+        base = F.regexp_replace(self_href, "/[^/]*$", "")
+        rel = F.regexp_replace(href, r"^\./", "")
+        for _ in range(3):  # static unroll: ../ up to three levels
+            up = rel.startswith("../")
+            base = F.when(up, F.regexp_replace(base, "/[^/]*$", "")).otherwise(base)
+            rel = F.when(up, F.substr(rel, F.lit(4))).otherwise(rel)
+        return F.when(
+            is_abs | self_href.isNull(), href
+        ).otherwise(F.concat(base, F.lit("/"), rel))
     # generic properties map: stringified values (objects keep raw JSON)
     props_map = F.from_json(
         F.get_json_object(F.col(column), "$.properties"), "map<string,string>"

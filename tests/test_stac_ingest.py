@@ -186,3 +186,50 @@ def test_featurecollection_mixed_with_bare_item(spark, tmp_path):
     assert sorted(map(tuple, got.drop("properties").collect())) == sorted(
         map(tuple, want.drop("properties").collect())
     )
+
+
+def test_relative_asset_hrefs_resolve_against_self_link(spark):
+    """Self-contained catalogs ship relative asset hrefs; they resolve
+    against the item's self link (pystac get_absolute_href semantics,
+    reference _mdtools.py:685). Without a self link they pass through
+    unresolved (read fails loudly later)."""
+    import json
+
+    doc = json.load(open(S2_COGS))
+    self_href = next(l["href"] for l in doc["links"] if l["rel"] == "self")
+    base = self_href.rsplit("/", 1)[0]
+    rel = json.loads(json.dumps(doc))
+    names = list(rel["assets"])
+    forms = {}
+    for i, name in enumerate(names):
+        fname = rel["assets"][name]["href"].rsplit("/", 1)[-1]
+        if i % 3 == 0:
+            rel["assets"][name]["href"] = fname
+            forms[name] = f"{base}/{fname}"
+        elif i % 3 == 1:
+            rel["assets"][name]["href"] = f"./{fname}"
+            forms[name] = f"{base}/{fname}"
+        else:
+            rel["assets"][name]["href"] = f"../up/{fname}"
+            forms[name] = f"{base.rsplit('/', 1)[0]}/up/{fname}"
+    items = stac_dicts_to_items(spark, [rel])
+    got = {
+        r.asset_name: r.href
+        for r in raster_assets_df(items).select("asset_name", "href").collect()
+    }
+    for name, want in forms.items():
+        if name in got:  # raster assets only
+            assert got[name] == want, (name, got[name], want)
+    assert len(got) > 0
+
+    # no self link → unresolved passthrough
+    rel2 = json.loads(json.dumps(rel))
+    rel2["links"] = []
+    got2 = {
+        r.asset_name: r.href
+        for r in raster_assets_df(stac_dicts_to_items(spark, [rel2]))
+        .select("asset_name", "href")
+        .collect()
+    }
+    for name, href in got2.items():
+        assert not href.startswith("http"), (name, href)
