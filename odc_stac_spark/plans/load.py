@@ -113,14 +113,17 @@ def resolve_load_cfg(
     return out
 
 
-def _group_key(item: Item, groupby: str, idx: int):
+def _group_key(item: Item, groupby: str, idx: int, default_lon: float = 0.0):
     """A1 group-key computation (_stac_load.py:489-535)."""
     if groupby == "id":
         return idx  # identity: one group per input item, original order
     if groupby == "time":
         return item.datetime
     if groupby == "solar_day":
-        lon = item.lon if item.lon is not None else 0.0
+        # per-item lon wins; else the output-grid centroid longitude
+        # (reference passes gbox.extent.centroid lon for every item,
+        # _stac_load.py:403-408)
+        lon = item.lon if item.lon is not None else default_lon
         off = solar_offset_seconds(lon)
         return (pd.Timestamp(item.datetime) + pd.Timedelta(seconds=off)).date()
     if callable(groupby):
@@ -381,6 +384,25 @@ def output_geobox(
     return _snapped_geobox(union, resolution, crs, anchor_frac)
 
 
+def _mid_longitude(gbox: GeoBox) -> float:
+    """Output-grid centroid longitude — the solar_day reference point for
+    items without their own lon (reference _stac_load.py:403-408:
+    gbox.extent.centroid → epsg:4326). Falls back to 0.0 when the grid's
+    CRS has no built-in transform."""
+    import numpy as np
+
+    from ..functions import proj
+
+    cx = gbox.transform[2] + gbox.transform[0] * gbox.shape[1] / 2.0
+    cy = gbox.transform[5] + gbox.transform[4] * gbox.shape[0] / 2.0
+    if gbox.crs == "EPSG:4326":
+        return float(cx)
+    if proj.can_transform(gbox.crs, "EPSG:4326"):
+        lon, _ = proj.transform(np.array([cx]), np.array([cy]), gbox.crs, "EPSG:4326")
+        return float(lon[0])
+    return 0.0
+
+
 def patch_urls(items, edit, bands: Optional[Sequence[str]] = None):
     """Map ``edit`` over band-source URIs — sign or rewrite asset URLs
     before loading (reference ``patch_urls``, _stac_load.py:60-84).
@@ -467,7 +489,8 @@ def plan_load(
 
     # temporal grouping: sort groups by key; items within a group ordered
     # by (time, id) or original index (_stac_load.py:538-566)
-    keyed = [(_group_key(it, groupby, i), i, it) for i, it in enumerate(items)]
+    mid_lon = _mid_longitude(geobox) if groupby == "solar_day" else 0.0
+    keyed = [(_group_key(it, groupby, i, mid_lon), i, it) for i, it in enumerate(items)]
     group_map: Dict[object, List[int]] = {}
     for k, i, _ in keyed:
         group_map.setdefault(k, []).append(i)
@@ -591,6 +614,7 @@ def load(
     items: Sequence[Item],
     plan: Optional[LoadPlan] = None,
     preserve_original_order: bool = False,
+    patch_url=None,
     **plan_kwargs,
 ) -> Tuple[DataFrame, LoadPlan]:
     """Stages 6-8: build the tiles DataFrame. Returns (tiles_df, plan);
@@ -607,6 +631,10 @@ def load(
     import json
     import math
 
+    if patch_url is not None:
+        # sign/rewrite asset URLs before planning (reference load()'s
+        # patch_url=, _stac_load.py:398-399)
+        items = patch_urls(items, patch_url, bands=plan_kwargs.get("bands"))
     if plan is None:
         plan = plan_load(items, preserve_original_order=preserve_original_order, **plan_kwargs)
 
@@ -623,9 +651,10 @@ def load(
     # --- J1 driver-side: source bbox → intersecting tile indices (same
     # math as the SQL explode in load_from_sources), accumulating the
     # ordered source list per (band, t, iy, ix) task.
+    mid_lon = _mid_longitude(gb) if groupby == "solar_day" else 0.0
     tasks: Dict[Tuple, List[Tuple]] = {}
     for idx, it in enumerate(items):
-        t = key_to_t[_group_key(it, groupby, idx)]
+        t = key_to_t[_group_key(it, groupby, idx, mid_lon)]
         # A4 precedence basis: original input order or (time, id)
         order = (idx,) if preserve_original_order else (pd.Timestamp(it.datetime), it.id)
         for b in plan.bands:

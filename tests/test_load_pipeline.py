@@ -385,3 +385,56 @@ def test_netcdf_reader_dispatch():
 
     assert isinstance(reader_for("s3://b/x.nc"), NetCDFReader)
     assert isinstance(reader_for("file:///d/y.h5?foo=1"), NetCDFReader)
+
+
+def test_solar_day_default_lon_from_grid_centroid(spark):
+    """Items without their own lon group by the OUTPUT grid centroid's
+    longitude (reference _stac_load.py:403-408), not lon=0: a UTM 35S
+    grid centered near 27E is UTC+1, so a 23:30 UTC scene rolls into the
+    next solar day."""
+    from odc_stac_spark.plans.load import plan_load
+
+    ts = datetime(2020, 6, 6, 23, 30)
+    items = [mk_item(0, ts=ts), mk_item(1, ts=ts + timedelta(minutes=5))]
+    # grid origin near x=500000 (UTM central meridian, lon=27E) → offset
+    # int(27/15)=1 hour → 2020-06-07
+    for it in items:
+        for b, s in it.bands.items():
+            pass
+    plan = plan_load(
+        items,
+        geobox=GeoBox((100, 100), (10.0, 0.0, 499000.0, 0.0, -10.0, 8350000.0), CRS),
+        groupby="solar_day",
+    )
+    import datetime as _dt
+
+    assert plan.group_keys == [_dt.date(2020, 6, 7)]
+    # per-item lon still wins
+    items2 = [mk_item(0, ts=ts, lon=0.0)]
+    plan2 = plan_load(
+        items2,
+        geobox=GeoBox((100, 100), (10.0, 0.0, 499000.0, 0.0, -10.0, 8350000.0), CRS),
+        groupby="solar_day",
+    )
+    assert plan2.group_keys == [_dt.date(2020, 6, 6)]
+
+
+def test_load_patch_url_kwarg(spark):
+    """load(patch_url=...) rewrites source URIs before planning
+    (reference _stac_load.py:398-399); a rewrite to an equivalent synth
+    URI with a different seed changes the pixels."""
+    from odc_stac_spark.plans.load import load as _load
+
+    items = [mk_item(0, seed=1)]
+    tiles, plan = _load(spark, items, chunks=(64, 64))
+    base = assemble_numpy(tiles, plan)["red"]
+    tiles2, plan2 = _load(
+        spark,
+        [mk_item(0, seed=1)],
+        chunks=(64, 64),
+        patch_url=lambda u: u.replace("seed=1", "seed=2"),
+    )
+    got = assemble_numpy(tiles2, plan2)["red"]
+    assert (got != base).any()
+    # inputs were not mutated
+    assert "seed=1" in items[0].bands["red"].uri
