@@ -113,6 +113,30 @@ def resolve_load_cfg(
     return out
 
 
+def _apply_cfg_overrides(
+    cfg: Dict[str, RasterLoadParams], **overrides
+) -> Dict[str, RasterLoadParams]:
+    """Reference load()'s ``resampling=``/``dtype=`` convenience kwargs
+    (_stac_load.py signature): a plain value applies to every band, a
+    dict is keyed by band name with a ``"*"`` wildcard."""
+    import dataclasses
+
+    def pick(v, band):
+        if isinstance(v, dict):
+            return v.get(band, v.get("*"))
+        return v
+
+    out = {}
+    for band, c in cfg.items():
+        repl = {
+            field_name: val
+            for field_name, v in overrides.items()
+            if v is not None and (val := pick(v, band)) is not None
+        }
+        out[band] = dataclasses.replace(c, **repl) if repl else c
+    return out
+
+
 def _group_key(item: Item, groupby: str, idx: int, default_lon: float = 0.0):
     """A1 group-key computation (_stac_load.py:489-535)."""
     if groupby == "id":
@@ -439,6 +463,8 @@ def plan_load(
     groupby: str = "id",
     chunks: Tuple[int, int] = (DEFAULT_CHUNK, DEFAULT_CHUNK),
     cfg: Optional[Dict[str, RasterLoadParams]] = None,
+    resampling=None,
+    dtype=None,
     preserve_original_order: bool = False,
     audit: bool = False,
     like=None,
@@ -504,11 +530,13 @@ def plan_load(
         )
         group_ts.append(items[first].datetime)
 
+    load_cfg = resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg)
+    load_cfg = _apply_cfg_overrides(load_cfg, resampling=resampling, dtype=dtype)
     return LoadPlan(
         gbox=geobox,
         tiles=GeoboxTiles(geobox, chunks),
         bands=use_bands,
-        cfg=resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg),
+        cfg=load_cfg,
         group_keys=group_keys,
         group_ts=group_ts,
         groupby=groupby,

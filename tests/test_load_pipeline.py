@@ -438,3 +438,24 @@ def test_load_patch_url_kwarg(spark):
     assert (got != base).any()
     # inputs were not mutated
     assert "seed=1" in items[0].bands["red"].uri
+
+
+def test_load_resampling_dtype_kwargs(spark):
+    """Reference load() convenience kwargs: resampling=/dtype= as plain
+    values or per-band dicts with '*' wildcard fold into per-band
+    RasterLoadParams."""
+    from odc_stac_spark.plans.load import plan_load
+
+    items = [mk_item(0, band="red"), mk_item(1, band="nir")]
+    p = plan_load(items, resampling="bilinear", dtype="float64")
+    assert all(c.resampling == "bilinear" for c in p.cfg.values())
+    assert all(c.dtype == "float64" for c in p.cfg.values())
+    p2 = plan_load(
+        items,
+        resampling={"red": "cubic", "*": "average"},
+        dtype={"nir": "int16"},
+    )
+    assert p2.cfg["red"].resampling == "cubic"
+    assert p2.cfg["nir"].resampling == "average"
+    assert p2.cfg["nir"].dtype == "int16"
+    assert p2.cfg["red"].dtype == "int32"  # untouched → band metadata
