@@ -93,6 +93,11 @@ class LoadPlan:
     #: they cost a full extra pass over every tile (float64 sum + crc) that
     #: pure load/mosaic consumers never read.
     audit: bool = False
+    #: AOI polygon (in ``gbox.crs``) when ``geopolygon=`` carried real ring
+    #: geometry — tiles whose bbox misses it are pruned at plan time (P4:
+    #: the polygon participates beyond its bounding box). None for bbox-
+    #: equivalent queries.
+    aoi: Optional[object] = None
 
 
 def resolve_load_cfg(
@@ -216,12 +221,17 @@ def _snapped_geobox(
 
 
 def _geopolygon_bbox(geopolygon):
-    """Normalize a geopolygon argument to (bbox, crs): GeoJSON-style dict
-    or ``__geo_interface__`` object (assumed EPSG:4326 as in the
-    reference's _normalize_geometry, _mdtools.py:768-788), shapely-like
-    object with ``.bounds``, or an explicit ((xmin,ymin,xmax,ymax), crs)
-    pair."""
+    """Normalize a geopolygon argument to (bbox, crs): a
+    :class:`~odc_stac_spark.functions.geom.Polygon` (carries its own CRS),
+    GeoJSON-style dict or ``__geo_interface__`` object (assumed EPSG:4326
+    as in the reference's _normalize_geometry, _mdtools.py:768-788),
+    shapely-like object with ``.bounds``, or an explicit
+    ((xmin,ymin,xmax,ymax), crs) pair."""
+    from ..functions.geom import Polygon
+
     crs = "EPSG:4326"
+    if isinstance(geopolygon, Polygon):
+        return geopolygon.bounds, geopolygon.crs
     if isinstance(geopolygon, tuple) and len(geopolygon) == 2 and isinstance(
         geopolygon[1], str
     ):
@@ -530,6 +540,20 @@ def plan_load(
         )
         group_ts.append(items[first].datetime)
 
+    # P4: when geopolygon carries real ring geometry keep it (in the
+    # output CRS) so tile binning can prune beyond the bounding box
+    aoi = None
+    if geopolygon is not None:
+        from ..functions.geom import Polygon, normalize_geometry
+
+        try:
+            if isinstance(geopolygon, Polygon) or isinstance(geopolygon, dict) or (
+                getattr(geopolygon, "__geo_interface__", None) is not None
+            ):
+                aoi = normalize_geometry(geopolygon).to_crs(geobox.crs)
+        except (NotImplementedError, ValueError):
+            aoi = None  # no transform for this CRS pair → bbox semantics
+
     load_cfg = resolve_load_cfg(use_bands, {b: meta[b] for b in use_bands}, cfg)
     load_cfg = _apply_cfg_overrides(load_cfg, resampling=resampling, dtype=dtype)
     return LoadPlan(
@@ -541,6 +565,7 @@ def plan_load(
         group_ts=group_ts,
         groupby=groupby,
         audit=audit,
+        aoi=aoi,
     )
 
 
@@ -676,6 +701,19 @@ def load(
     dsx, _, dx0, _, dsy, dy0 = gb.transform
     H, W = gb.shape
 
+    # P4: AOI polygon tile pruning — a tile whose bbox misses the ring
+    # geometry is never tasked (corner tiles inside the polygon's bbox but
+    # outside the polygon itself: for a large rotated/irregular AOI this
+    # drops a constant fraction of ALL tile work, the same reason the
+    # reference intersects item footprints with the query geometry)
+    aoi_reject = None
+    if plan.aoi is not None:
+        aoi_reject = {
+            (iy, ix)
+            for iy, ix in plan.tiles.tiles_overlapping_bbox(gb.bbox())
+            if not plan.aoi.intersects_bbox(plan.tiles.tile_geobox(iy, ix).bbox())
+        }
+
     # --- J1 driver-side: source bbox → intersecting tile indices (same
     # math as the SQL explode in load_from_sources), accumulating the
     # ordered source list per (band, t, iy, ix) task.
@@ -718,6 +756,8 @@ def load(
             }
             for iy in range(py0 // ty, (py1 - 1) // ty + 1):
                 for ix in range(px0 // tx, (px1 - 1) // tx + 1):
+                    if aoi_reject is not None and (iy, ix) in aoi_reject:
+                        continue
                     tasks.setdefault((b, t, iy, ix), []).append((order, sdict))
     if not tasks:
         raise ValueError("no sources for requested bands")

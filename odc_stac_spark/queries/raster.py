@@ -238,6 +238,72 @@ def r_temporal_median_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_zonal_polygon",
+    oracle="""
+    WITH pix AS (
+      SELECT 10.0 * x.x + 5 AS px, 635.0 - 10.0 * y.y AS py,
+             CASE WHEN (y.y + x.x + 3) % 5 <> 0
+                  THEN (3 * 7919 + y.y * 8191 + x.x * 127) % 10007 END AS value
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS x) x
+    )
+    SELECT 'red' AS band, 0 AS t, 'tri' AS zone,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM pix
+    WHERE (1180.9-102.3)*(py-33.7) - (180.4-33.7)*(px-102.3) > 0
+      AND (420.1-1180.9)*(py-180.4) - (610.2-180.4)*(px-1180.9) > 0
+      AND (102.3-420.1)*(py-610.2) - (33.7-610.2)*(px-420.1) > 0
+    UNION ALL
+    SELECT 'red' AS band, 0 AS t, 'quad' AS zone,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM pix
+    WHERE (600.3-50.6)*(py-350.2) - (380.7-350.2)*(px-50.6) > 0
+      AND (640.8-600.3)*(py-380.7) - (590.4-380.7)*(px-600.3) > 0
+      AND (80.2-640.8)*(py-590.4) - (560.9-590.4)*(px-640.8) > 0
+      AND (50.6-80.2)*(py-560.9) - (350.2-560.9)*(px-80.2) > 0
+    """,
+    doc="HASH-GATED P4 polygon geometry: named convex polygon zones "
+    "(functions/geom.Polygon, even-odd rasterization per tile) aggregated "
+    "through the full load pipeline. The DuckDB oracle recomputes every "
+    "pixel-center's membership INDEPENDENTLY as half-plane sign tests — "
+    "two different point-in-polygon algorithms must agree on all 8192 "
+    "pixels for the hash to match, gating the rasterizer itself.",
+    tags=("raster", "zonal", "geometry"),
+)
+def r_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geom import Polygon
+    from ..operators.zonal import zonal_stats_polygons
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    gbox = GeoBox((64, 128), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+    item = Item(
+        id="zp-000",
+        datetime=t0,
+        bands={
+            "red": RasterSource(
+                "synth://zp?seed=3&nodata_every=5",
+                geobox=gbox,
+                meta=RasterBandMetadata("int32", -1),
+            )
+        },
+        lon=27.4,
+    )
+    zones = {
+        "tri": Polygon(
+            [[(102.3, 33.7), (1180.9, 180.4), (420.1, 610.2)]], crs=_CRS
+        ),
+        "quad": Polygon(
+            [[(50.6, 350.2), (600.3, 380.7), (640.8, 590.4), (80.2, 560.9)]],
+            crs=_CRS,
+        ),
+    }
+    tiles_df, plan = load(spark, [item], groupby="solar_day", chunks=(32, 48))
+    return zonal_stats_polygons(tiles_df, nodata=-1.0, zones=zones, gbox=plan.gbox)
+
+
+@register(
     "r_load_warp_crosscrs",
     oracle=None,
     doc="F16 end-to-end: UTM sources loaded into a WGS84 geographic output "
