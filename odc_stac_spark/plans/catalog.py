@@ -123,10 +123,17 @@ def plan_load_df(
     chunks: Tuple[int, int] = (DEFAULT_CHUNK, DEFAULT_CHUNK),
     cfg: Optional[Dict[str, RasterLoadParams]] = None,
     preserve_original_order: bool = False,
+    geopolygon=None,
 ) -> LoadPlan:
     """Stages 1-6 of the load lifecycle with all aggregations distributed."""
-    if geobox is not None and any(v is not None for v in (bbox, resolution, crs)):
-        raise ValueError("geobox= is mutually exclusive with bbox=/resolution=/crs=")
+    if geobox is not None and any(
+        v is not None for v in (bbox, resolution, crs, geopolygon)
+    ):
+        raise ValueError(
+            "geobox= is mutually exclusive with bbox=/resolution=/crs=/geopolygon="
+        )
+    if geopolygon is not None and bbox is not None:
+        raise ValueError("geopolygon= is mutually exclusive with bbox=")
     base = _with_geom_cols(parsed)
     if bands is not None:
         base = base.where(F.col("asset_name").isin(list(bands)))
@@ -183,6 +190,13 @@ def plan_load_df(
                 crs = r.g_crs
             if resolution is None:
                 resolution = float(r.gsd)
+        if bbox is None and geopolygon is not None:
+            # AOI bbox in the elected output CRS (list-path parity:
+            # output_geobox's geopolygon query, plans/load.py)
+            from .load import _bbox_to_crs, _geopolygon_bbox
+
+            poly_bb, poly_crs = _geopolygon_bbox(geopolygon)
+            bbox = _bbox_to_crs(poly_bb, poly_crs, crs)
         if bbox is None:
             # A8 bbox union, 1 row — foreign-CRS grids contribute their
             # reprojected footprints (list-path parity)
@@ -213,6 +227,20 @@ def plan_load_df(
     group_keys = [r.k for r in groups]
     group_ts = [r.first_m.ts for r in groups]
 
+    # P4: ring geometry (when given) rides along in the output CRS so the
+    # distributed tile binning can prune beyond the bounding box
+    aoi = None
+    if geopolygon is not None:
+        from ..functions.geom import Polygon, normalize_geometry
+
+        try:
+            if isinstance(geopolygon, (Polygon, dict)) or (
+                getattr(geopolygon, "__geo_interface__", None) is not None
+            ):
+                aoi = normalize_geometry(geopolygon).to_crs(geobox.crs)
+        except (NotImplementedError, ValueError):
+            aoi = None  # no transform for this CRS pair → bbox semantics
+
     return LoadPlan(
         gbox=geobox,
         tiles=GeoboxTiles(geobox, chunks),
@@ -221,6 +249,7 @@ def plan_load_df(
         group_keys=group_keys,
         group_ts=group_ts,
         groupby=groupby,
+        aoi=aoi,
     )
 
 

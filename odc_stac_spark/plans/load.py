@@ -872,6 +872,20 @@ def load_from_sources(
         .withColumn("ix", F.col("ix").cast("int"))
     )
 
+    # P4 AOI tile pruning, distributed form: the accept-set is a driver
+    # computation over the OUTPUT tile grid (bounded by nty*ntx, not by
+    # source count) pushed down as an integer-set filter on the exploded
+    # rows — tiles inside the AOI's bbox but outside the ring never task.
+    if plan.aoi is not None:
+        keep = [
+            iy * ntx + ix
+            for iy, ix in plan.tiles.tiles_overlapping_bbox(gb.bbox())
+            if plan.aoi.intersects_bbox(plan.tiles.tile_geobox(iy, ix).bbox())
+        ]
+        src_tiles = src_tiles.where(
+            (F.col("iy") * F.lit(ntx) + F.col("ix")).isin(keep)
+        )
+
     # --- A4: precedence order within each tile cell: (time, id) asc, or
     # original input order (preserve_original_order, _stac_load.py:552-557).
     # Sorted INSIDE the tile task (groups are small) — Spark aggregation is

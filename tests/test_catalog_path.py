@@ -283,3 +283,36 @@ def test_sources_frame_never_collects_items(spark, parsed_catalog):
     assert src.count() == 6
     # group indices cover all 3 time groups
     assert {r.t for r in src.select("t").distinct().collect()} == {0, 1, 2}
+
+
+def test_catalog_geopolygon_equals_list_path(spark, parsed_catalog):
+    """P4 on the 100 TB path: geopolygon= drives the output grid AND
+    prunes exploded tiles distributedly; pixels equal the list path."""
+    from odc_stac_spark.functions.geom import Polygon
+
+    tri = Polygon(
+        [[(100.0, 0.0), (1500.0, 100.0), (200.0, 1100.0)]], crs=f"EPSG:{EPSG}"
+    )
+    parsed, origins = parsed_catalog
+    tiles_df, plan = load_from_catalog(
+        spark, parsed, groupby="time", chunks=(48, 48), geopolygon=tri
+    )
+    assert plan.aoi is not None
+    got = assemble_numpy(tiles_df, plan)
+
+    items = equivalent_items(3, origins)
+    tiles2, plan2 = load(
+        spark, items, groupby="time", chunks=(48, 48), geopolygon=tri
+    )
+    want = assemble_numpy(tiles2, plan2)
+
+    assert plan.gbox == plan2.gbox
+    for b in got:
+        np.testing.assert_array_equal(got[b], want[b])
+
+    # pruning really happened: corner tiles outside the ring never tasked
+    keys = {(r["iy"], r["ix"]) for r in tiles_df.select("iy", "ix").collect()}
+    all_tiles = set(plan.tiles.tiles_overlapping_bbox(plan.gbox.bbox()))
+    assert keys < all_tiles
+    for iy, ix in all_tiles - keys:
+        assert not tri.intersects_bbox(plan.tiles.tile_geobox(iy, ix).bbox())
