@@ -37,19 +37,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # events.parquet carries TIMESTAMP(NANOS); a vanilla SparkSession refuses
-    # it with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable, so set it
-    # here rather than relying on our own get_spark() having built the
-    # session — callers (e.g. an external harness) may hand us any session.
+    # Fixture generations differ in how events.ts is written:
+    #   (a) TIMESTAMP(NANOS) — a vanilla SparkSession refuses it with
+    #       PARQUET_TYPE_ILLEGAL unless nanosAsLong is set (runtime-settable,
+    #       so set it here: callers may hand us any session);
+    #   (b) TIMESTAMP(MICROS, isAdjustedToUTC=false) — arrives as
+    #       TIMESTAMP_NTZ, which epoch functions (unix_micros, window,
+    #       to_utc_timestamp) reject.
+    # Normalize both to a UTC-instant TIMESTAMP so every downstream query
+    # sees one type. Session tz is pinned to UTC so the NTZ→TZ cast is an
+    # epoch identity and results are deterministic across harness hosts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
-    # nanosAsLong it arrives as int64 nanos — truncate to µs (integer
-    # `div`, not double division: ns epochs exceed 2^53) exactly as
-    # DuckDB does when reading the same file.
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        kind = field.dataType.simpleString()
+        if field.name == "ts" and kind == "bigint":
+            # int64 nanos under nanosAsLong — truncate to µs (integer
+            # `div`, not double division: ns epochs exceed 2^53) exactly
+            # as DuckDB does when reading the same file.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
