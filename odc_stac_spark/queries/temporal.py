@@ -18,6 +18,30 @@ from . import register
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
+def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """events.parquet as a file-source stream with ``ts`` normalized to TIMESTAMP.
+
+    Fixture generations differ in how ``events.ts`` is written (see
+    sources/tables.py): TIMESTAMP(NANOS) arrives as bigint under
+    ``nanosAsLong``; TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    TIMESTAMP_NTZ, which watermarks reject. Both are normalized to a
+    UTC-instant TIMESTAMP so the streaming expressions match the batch path.
+    """
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    kind = dict(stream.dtypes)["ts"]
+    if kind == "bigint":  # int64 nanos under nanosAsLong → truncate to µs
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif kind == "timestamp_ntz":  # naive-UTC by fixture convention
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 @register(
     "t_tumbling_window",
     oracle="""
@@ -142,24 +166,11 @@ def t_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("temporal", "streaming"),
 )
 def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    import tempfile
-
     name = "t_stream_tumbling_sink"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    # the file-stream source wants a directory: stage a symlink
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-    # schema must match the physical file: ts is TIMESTAMP(NANOS) → bigint
-    # under nanosAsLong (the raw batch-read schema, pre-conversion)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    # events.parquet stores ns timestamps → arrives as bigint (nanosAsLong)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _stage_events_stream(spark, sf_dir, "events_stream_")
     agg = (
         stream.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
@@ -205,21 +216,13 @@ def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("temporal", "streaming", "join"),
 )
 def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from ..streaming import stream_click_attribution
 
     name = "t_stream_attr_sink"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    stage = tempfile.mkdtemp(prefix="events_attr_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _stage_events_stream(spark, sf_dir, "events_attr_")
     out = stream_click_attribution(stream)
     q = (
         out.writeStream.format("memory")
