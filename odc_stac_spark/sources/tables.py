@@ -34,29 +34,49 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: fixture columns that are timestamps-by-convention (naive UTC on disk).
+#: The NTZ→TIMESTAMP normalization below is scoped to THESE columns only, so
+#: a future fixture column with genuine wall-clock semantics is never
+#: silently reinterpreted as a UTC instant.
+TIMESTAMP_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic fixture table, normalizing timestamp encodings.
+
+    .. warning:: **Session side effect.** This sets two runtime confs on the
+       *caller's* session and leaves them set:
+       ``spark.sql.legacy.parquet.nanosAsLong=true`` (the events fixture may
+       carry TIMESTAMP(NANOS), which the vectorized reader otherwise rejects
+       with PARQUET_TYPE_ILLEGAL) and ``spark.sql.session.timeZone=UTC``
+       (fixture timestamps are naive-UTC by convention; pinning the session
+       tz makes the NTZ→TIMESTAMP cast an epoch identity so results are
+       deterministic across harness hosts). Sessions built via
+       :func:`odc_stac_spark.get_spark` already run with both; an external
+       session with a different timezone will observe UTC-based
+       ``date_format``/``from_unixtime`` behavior after the first call.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Fixture generations differ in how events.ts is written:
-    #   (a) TIMESTAMP(NANOS) — a vanilla SparkSession refuses it with
-    #       PARQUET_TYPE_ILLEGAL unless nanosAsLong is set (runtime-settable,
-    #       so set it here: callers may hand us any session);
+    #   (a) TIMESTAMP(NANOS) — arrives as bigint under nanosAsLong;
     #   (b) TIMESTAMP(MICROS, isAdjustedToUTC=false) — arrives as
     #       TIMESTAMP_NTZ, which epoch functions (unix_micros, window,
     #       to_utc_timestamp) reject.
     # Normalize both to a UTC-instant TIMESTAMP so every downstream query
-    # sees one type. Session tz is pinned to UTC so the NTZ→TZ cast is an
-    # epoch identity and results are deterministic across harness hosts.
+    # sees one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
+        if field.name not in TIMESTAMP_COLUMNS:
+            continue
         kind = field.dataType.simpleString()
-        if field.name == "ts" and kind == "bigint":
+        if kind == "bigint":
             # int64 nanos under nanosAsLong — truncate to µs (integer
             # `div`, not double division: ns epochs exceed 2^53) exactly
             # as DuckDB does when reading the same file.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
         elif kind == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
