@@ -43,8 +43,12 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), " +")
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct token 3-grams per document."""
+def _shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct token 3-grams per doc.
+
+    Kept as one array row per document so signature computation (MinHash,
+    SimHash) can stay entirely map-side: at 100 TB a signature is a pure
+    function of the document and must not cost a shuffle."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     d = d.select("doc_id", toks.alias("ts")).where(F.size("ts") >= 3)
@@ -57,11 +61,21 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("ts", i + 3),
         ),
     )
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — exploded form, for inverted-index joins."""
+    return _shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def _hash32(col):
-    """md5-derived 32-bit integer hash — bit-identical in Spark and DuckDB."""
+    """md5-derived 32-bit integer hash — bit-identical in Spark and DuckDB.
+
+    Usable both on top-level columns and inside higher-order-function
+    lambdas (pure expression, no SQL-parser round trip)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
@@ -142,16 +156,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15) MinHash signature — one groupBy pass, all JVM."""
-    sh = sh.select("doc_id", _hash32(F.col("shingle")).alias("h"))
+def _minhash_sig(sharr: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) MinHash signature — computed MAP-SIDE from the
+    per-doc shingle array via higher-order functions: a signature is a pure
+    per-document function, so it must cost zero shuffles (at 100 TB the
+    explode→groupBy formulation re-shuffles the entire shingle stream just
+    to put it back together)."""
+    hs = F.transform(F.col("shingles"), lambda s: _hash32(s))
     mins = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(
-            f"m{j}"
-        )
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P)
+        ).alias(f"m{j}")
         for j in range(16)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return sharr.select("doc_id", *mins)
 
 
 def _minhash_sig_sql() -> str:
@@ -212,9 +230,11 @@ def _band_cols_sql() -> str:
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one shingle materialization feeds signature, verify join and counts
-    sh = _shingles_df(spark, sf_dir).persist()
-    sig = _minhash_sig(sh)
+    # one shingle-array materialization feeds the (map-side) signature,
+    # the verify join and the counts
+    sharr = _shingle_arrays_df(spark, sf_dir).persist()
+    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = _minhash_sig(sharr)
     band_structs = F.array(
         *[
             F.struct(
@@ -309,25 +329,26 @@ def _simhash_sql() -> str:
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entirely MAP-SIDE: a SimHash is a pure per-document function. The
+    # bit-votes are per-position counts over the doc's distinct token
+    # hashes — `size(filter(hashes, bit set))` per position instead of a
+    # 32× row-inflating crossJoin + two shuffled aggregations. At 100 TB
+    # this runs as a single scan with zero exchanges.
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(_tokens(F.col("text")))
-    th = d.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", _hash32(F.col("tok")).alias("h")
-    ).distinct()
-    pos = spark.range(32).select(F.col("id").cast("int").alias("pos"))
-    votes = (
-        th.crossJoin(F.broadcast(pos))
-        .groupBy("doc_id", "pos")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> pos) & 1") == 1, 1).otherwise(-1)
-            ).alias("vote")
+    hs = F.array_distinct(
+        F.transform(F.array_distinct(_tokens(F.col("text"))), lambda t: _hash32(t))
+    )
+    d = d.select("doc_id", hs.alias("hs"))
+    n = F.size("hs")
+    # vote(pos) = (#set bits) - (#unset bits) = 2*cnt - n; bit = 2^pos
+    # contributes iff vote > 0
+    simhash = None
+    for pos in range(32):
+        cnt = F.size(
+            F.filter(F.col("hs"), lambda h: F.shiftright(h, pos).bitwiseAND(F.lit(1)) == 1)
         )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << pos")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash32")
-    )
+        bit = F.when(2 * cnt - n > 0, F.lit(1 << pos).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    return d.select("doc_id", simhash.alias("simhash32"))
