@@ -61,5 +61,6 @@ def load_all() -> dict[str, Query]:
     from . import multimodal  # noqa: F401
     from . import scalars  # noqa: F401
     from . import llm_pipeline  # noqa: F401
+    from . import analytics  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,242 @@
+"""Analytic-function and range-join coverage (engine extension surface).
+
+The reference has no ranking/distribution window functions or range joins
+(SURVEY §2.5, §2.3 — "free in Spark"); these queries pin down that surface
+against the DuckDB oracle so the relational layer's claim is hash-gated,
+and demonstrate the scale-shaped physical strategies:
+
+- distribution functions (``ntile``/``percent_rank``/``cume_dist``) — one
+  shuffle on the partition key, sort within partition;
+- exact percentiles — ``percentile()`` is a single-pass typed aggregate
+  (no sort-the-world);
+- **bucketed interval join** — the 100 TB range-join pattern: bucket both
+  sides by ``floor(ts / interval)``, explode the probe side into its two
+  candidate buckets, equi-join on (key, bucket), then apply the exact
+  interval predicate. Catalyst gets a shuffled hash join on uniform keys
+  instead of a broadcast-nested-loop theta join;
+- funnel analysis — ordered-sequence state machine per user, computed in
+  ONE shuffle via ``sort_array(collect_list(...))`` + an ``aggregate``
+  higher-order fold (the batch image of ``applyInPandasWithState``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from . import register
+
+INTERVAL_MIN = 30
+INTERVAL_US = INTERVAL_MIN * 60 * 1_000_000
+
+
+@register(
+    "w_ntile_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="distribution window functions (ntile/percent_rank/cume_dist) over "
+    "customers per market segment — deterministic tie-break on c_custkey.",
+    tags=("window",),
+)
+def w_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="exact linear-interpolation percentiles per event type — Spark "
+    "percentile() is a one-pass typed aggregate (map-side partials), not a "
+    "global sort; approx_percentile is the same API shape at 100 TB when "
+    "exactness can be traded.",
+    tags=("aggregation",),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@register(
+    "j_interval_bucketed",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, ROUND(p.value, 2) AS amount
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+                 AND c.event_type = 'click' AND p.event_type = 'purchase'
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL {INTERVAL_MIN} MINUTE
+    """,
+    doc="interval join via time-bucketing: explode clicks into their two "
+    "candidate 30-min buckets, equi-join purchases on (user, bucket), then "
+    "the exact interval filter — a shuffled hash join on uniform keys "
+    "instead of the theta-join nested loop (the 100 TB range-join plan; "
+    "same row set as the stream-stream version t_stream_click_attribution).",
+    tags=("join", "temporal"),
+)
+def j_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (F.unix_micros("ts") / F.lit(INTERVAL_US)).cast("bigint").alias("bucket"),
+        F.round("value", 2).alias("amount"),
+    )
+    # a purchase within [click_ts, click_ts + 30min] lands in the click's
+    # bucket or the next one — two candidate buckets cover the interval
+    cand = clicks.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.explode(
+            F.array(
+                (F.col("c_us") / F.lit(INTERVAL_US)).cast("bigint"),
+                (F.col("c_us") / F.lit(INTERVAL_US)).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        cand.join(purchases, ["user_id", "bucket"])
+        .where(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.unix_micros("purchase_ts") <= F.unix_micros("click_ts") + INTERVAL_US)
+        )
+        .select("click_id", "purchase_id", "user_id", "amount")
+    )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, event_type,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS key
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN key END) AS sk
+        FROM k GROUP BY user_id
+    ),
+    c AS (
+        SELECT s.user_id, s.sk,
+               MIN(CASE WHEN k.event_type = 'click' AND k.key > s.sk
+                        THEN k.key END) AS ck
+        FROM s JOIN k ON k.user_id = s.user_id
+        GROUP BY s.user_id, s.sk
+    ),
+    p AS (
+        SELECT c.user_id, c.sk, c.ck,
+               MIN(CASE WHEN k.event_type = 'purchase' AND k.key > c.ck
+                        THEN k.key END) AS pk
+        FROM c JOIN k ON k.user_id = c.user_id
+        GROUP BY c.user_id, c.sk, c.ck
+    )
+    SELECT CASE WHEN pk IS NOT NULL THEN 3
+                WHEN ck IS NOT NULL THEN 2
+                WHEN sk IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           COUNT(*) AS n_users
+    FROM p GROUP BY 1
+    """,
+    doc="funnel analysis (signup → later click → later purchase): ordered "
+    "per-user event fold in ONE shuffle — sort_array(collect_list) + an "
+    "aggregate() state machine — where the naive formulation is three "
+    "self-joins over the event log. Batch image of a stateful streaming op.",
+    tags=("temporal", "aggregation"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # lexicographically sortable (ts, event_id) key — identical tie-break
+    # to the oracle's strict `>` comparisons
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_user = (
+        ev.select("user_id", F.struct(key.alias("key"), "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+    )
+    stage = F.aggregate(
+        "es",
+        F.lit(0),
+        lambda acc, e: F.when((acc == 0) & (e["event_type"] == "signup"), 1)
+        .when((acc == 1) & (e["event_type"] == "click"), 2)
+        .when((acc == 2) & (e["event_type"] == "purchase"), 3)
+        .otherwise(acc),
+    )
+    return (
+        per_user.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "hof_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+               AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    ORDER BY l2_norm DESC, vec_id
+    LIMIT 20
+    """,
+    doc="higher-order array functions over embeddings (transform / filter / "
+    "aggregate fold): per-vector L2 norm and positive-component count, all "
+    "JVM-side, zero shuffles before the top-k.",
+    tags=("similarity", "scalar"),
+)
+def hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(l2, 4).alias("l2_norm"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        )
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(20)
+    )
