@@ -45,18 +45,73 @@ def _demo_items(n: int = 9):
 
 @register(
     "r_load_mosaic_tiles",
-    oracle=None,
-    doc="S8+A6+J1 end-to-end: 9-item 2-band solar-day mosaic through the "
-    "tile-explode → applyInPandas pipeline; returns per-tile stats "
-    "(pixel parity vs numpy oracle in tests/test_load_pipeline.py).",
+    # The oracle recomputes the ENTIRE 9-item 2-band first-valid mosaic
+    # from first principles: the output grid is the union bbox (380×120 px;
+    # item i occupies output rows [40·i, 40·i+60)); each pixel takes the first
+    # valid candidate in (time, id) order = item index order, validity and
+    # values follow the synth generator formula (sources/synth.py::gen_window):
+    # value = (seed·7919 + py·8191 + px·127) % 10007, hole iff
+    # (py + px + seed) % nodata_every == 0; red: seed=i, ne=5 (int16);
+    # nir: seed=100+i, ne=7 (uint16). Per 64×64 tile: valid count + value sum.
+    oracle="""
+    WITH ys AS (SELECT UNNEST(generate_series(0, 379)) AS y),
+    xs AS (SELECT UNNEST(generate_series(0, 119)) AS x),
+    items AS (SELECT UNNEST(generate_series(0, 8)) AS i),
+    cand AS (
+        SELECT b.band, y.y, x.x, it.i, (y.y - 40 * it.i) AS py
+        FROM (SELECT 'red' AS band UNION ALL SELECT 'nir') b
+        CROSS JOIN ys y CROSS JOIN xs x CROSS JOIN items it
+        WHERE (y.y - 40 * it.i) BETWEEN 0 AND 59
+    ),
+    vals AS (
+        SELECT band, y, x, i,
+               -- nir's dst nodata is 0 and values are mod-10007, so a
+               -- naturally generated 0 is indistinguishable from a hole:
+               -- it reads as masked and a LATER item fills it (NULLIF).
+               -- red's nodata is -1, unreachable by the generator.
+               CASE WHEN band = 'red' AND (py + x + (i % 5)) % 5 <> 0
+                    THEN (i * 7919 + py * 8191 + x * 127) % 10007
+                    WHEN band = 'nir' AND (py + x + ((100 + i) % 7)) % 7 <> 0
+                    THEN NULLIF(((100 + i) * 7919 + py * 8191 + x * 127) % 10007, 0)
+               END AS v
+        FROM cand
+    ),
+    first_valid AS (
+        SELECT band, y, x, arg_min(v, i) AS v
+        FROM vals WHERE v IS NOT NULL
+        GROUP BY band, y, x
+    )
+    SELECT band, 0 AS t,
+           CAST(y // 64 AS INT) AS iy, CAST(x // 64 AS INT) AS ix,
+           CAST(LEAST(64, 380 - 64 * (y // 64)) AS INT) AS height,
+           CAST(LEAST(64, 120 - 64 * (x // 64)) AS INT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(SUM(v) AS BIGINT) AS vsum
+    FROM first_valid
+    GROUP BY band, iy, ix, height, width
+    """,
+    doc="S8+A6+J1 end-to-end, HASH-GATED: 9-item 2-band solar-day mosaic "
+    "through the tile-explode → applyInPandas pipeline; per-tile valid "
+    "count + value sum, with a DuckDB oracle that recomputes every pixel "
+    "of the mosaic (grid union, item→tile binning, first-valid precedence, "
+    "per-band nodata masking) from the synth-generator formula. Byte-level "
+    "pixel parity additionally enforced vs numpy in "
+    "tests/test_load_pipeline.py (crc32 of every tile).",
     tags=("raster",),
 )
 def r_load_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _demo_items()
     tiles_df, _ = load(spark, items, groupby="solar_day", chunks=(64, 64), audit=True)
     return tiles_df.select(
-        "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
-    ).orderBy("band", "t", "iy", "ix")
+        "band",
+        "t",
+        "iy",
+        "ix",
+        "height",
+        "width",
+        F.col("valid_count").alias("n_valid"),
+        F.col("checksum").cast("bigint").alias("vsum"),
+    )
 
 
 @register(
