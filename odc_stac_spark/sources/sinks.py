@@ -8,10 +8,22 @@
 - COG writing (S14) goes through the in-house pure-Python tiled-GeoTIFF
   writer (sources/geotiff.py) — real COG layout without rasterio;
   compression codecs are the only part that would need it.
+- Zarr v2 (``write_zarr``): the cloud-native chunked sink the odc/xarray
+  ecosystem round-trips through (`xr.Dataset.to_zarr`). The tile grid maps
+  1:1 onto zarr chunks, so chunk files are written FROM THE EXECUTORS
+  (``foreachPartition``) with no driver collect — the distributed sink
+  path; only the tiny JSON metadata is driver-side. Spec:
+  https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html (public);
+  zlib compressor via stdlib.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import zlib
+
+import numpy as np
 from pyspark.sql import DataFrame
 
 
@@ -55,3 +67,173 @@ def write_cog(tiles_df: DataFrame, plan, out_dir: str) -> list:
             write_cog_file(p, cube[t], plan.gbox, nodata=nodata)
             paths.append(p)
     return paths
+
+
+def _zarr_dtype(np_dtype: str) -> str:
+    """numpy dtype → zarr v2 dtype string ('<i2', '<f4', ...)."""
+    s = np.dtype(np_dtype).str
+    return s
+
+
+def write_zarr(tiles_df: DataFrame, plan, out_dir: str, compressor: str = "zlib") -> None:
+    """S13-adjacent distributed sink: tiles DataFrame → Zarr v2 group.
+
+    One zarr array per band, shape ``(nt, ny, nx)``, chunks
+    ``(1, tile_h, tile_w)`` — the load pipeline's tile grid IS the zarr
+    chunk grid, so every chunk file is written by the executor that holds
+    the tile (``foreachPartition``; no shuffle, no driver collect). Edge
+    tiles are padded to the full chunk shape with the fill value, exactly
+    as the zarr v2 spec requires for overhanging chunks. The driver writes
+    only the O(bands) JSON metadata plus 1-D coordinate arrays
+    (xarray ``_ARRAY_DIMENSIONS`` convention, so ``xr.open_zarr`` sees a
+    georeferenced (time, y, x) cube).
+
+    On a real cluster ``out_dir`` must be a shared filesystem (or swap the
+    ``open`` calls for an object-store client); locally any directory
+    works. ``compressor``: "zlib" (stdlib, level 1) or "none".
+    """
+    if compressor not in ("zlib", "none"):
+        raise ValueError(f"compressor must be 'zlib' or 'none', got {compressor!r}")
+    from ..plans.load import resolve_dst_nodata, resolve_src_nodata
+
+    nt = max(len(plan.group_keys), 1)
+    ny, nx = plan.gbox.shape
+    ty, tx = plan.tiles.tile_shape
+    comp_json = {"id": "zlib", "level": 1} if compressor == "zlib" else None
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    tr = plan.gbox.transform
+    with open(os.path.join(out_dir, ".zattrs"), "w") as f:
+        json.dump({"crs": plan.gbox.crs, "transform": list(tr)}, f)
+
+    fills = {}
+    for band in plan.bands:
+        c = plan.cfg[band]
+        dtype = np.dtype(c.dtype or "float32")
+        src_nodata = resolve_src_nodata(None, c)
+        nodata = resolve_dst_nodata(dtype, c, src_nodata)
+        fill = nodata
+        if fill is None:
+            fill = float("nan") if dtype.kind == "f" else 0
+        fills[band] = (str(dtype), float(fill) if dtype.kind == "f" else int(fill))
+        adir = os.path.join(out_dir, band)
+        os.makedirs(adir, exist_ok=True)
+        zarray = {
+            "zarr_format": 2,
+            "shape": [nt, ny, nx],
+            "chunks": [1, ty, tx],
+            "dtype": _zarr_dtype(str(dtype)),
+            "compressor": comp_json,
+            "fill_value": None if nodata is None else fills[band][1],
+            "order": "C",
+            "filters": None,
+        }
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump(zarray, f)
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": ["time", "y", "x"]}, f)
+
+    _write_zarr_coords(plan, out_dir, nt, ny, nx, comp_json, compressor)
+
+    # executor-side chunk writes: tile (band, t, iy, ix) → file band/t.iy.ix
+    fills_b = fills  # closure-captured tiny dict (broadcast-equivalent)
+
+    def _write_partition(rows):
+        for row in rows:
+            dtype = np.dtype(row.dtype)
+            arr = np.frombuffer(row.data, dtype=dtype).reshape(row.height, row.width)
+            if (row.height, row.width) != (ty, tx):
+                full = np.full((ty, tx), np.asarray(fills_b[row.band][1], dtype), dtype)
+                full[: row.height, : row.width] = arr
+                arr = full
+            payload = arr.tobytes()
+            if comp_json is not None:
+                payload = zlib.compress(payload, 1)
+            path = os.path.join(out_dir, row.band, f"{row.t}.{row.iy}.{row.ix}")
+            with open(path, "wb") as f:
+                f.write(payload)
+
+    tiles_df.foreachPartition(_write_partition)
+
+
+def _write_zarr_coords(plan, out_dir, nt, ny, nx, comp_json, compressor) -> None:
+    """1-D time/y/x coordinate arrays (single-chunk, driver-side)."""
+    tr = plan.gbox.transform
+    ts = plan.group_ts or []
+    time_ns = np.array(
+        [int(np.datetime64(t, "ns").astype("int64")) for t in ts] or [0] * nt,
+        dtype="<i8",
+    )
+    ys = (tr[5] + tr[4] * (np.arange(ny) + 0.5)).astype("<f8")
+    xs = (tr[2] + tr[0] * (np.arange(nx) + 0.5)).astype("<f8")
+    for name, vec, dims in (
+        ("time", time_ns, ["time"]),
+        ("y", ys, ["y"]),
+        ("x", xs, ["x"]),
+    ):
+        adir = os.path.join(out_dir, name)
+        os.makedirs(adir, exist_ok=True)
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 2,
+                    "shape": [len(vec)],
+                    "chunks": [len(vec)],
+                    "dtype": vec.dtype.str,
+                    "compressor": comp_json,
+                    "fill_value": None,
+                    "order": "C",
+                    "filters": None,
+                },
+                f,
+            )
+        attrs = {"_ARRAY_DIMENSIONS": dims}
+        if name == "time":
+            # xarray datetime64[ns] encoding convention
+            attrs["units"] = "nanoseconds since 1970-01-01"
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+        payload = vec.tobytes()
+        if comp_json is not None:
+            payload = zlib.compress(payload, 1)
+        with open(os.path.join(adir, "0"), "wb") as f:
+            f.write(payload)
+
+
+def read_zarr_array(path: str) -> np.ndarray:
+    """Minimal zarr v2 array reader (round-trip verification — the
+    container has no zarr package): parse .zarray, read every chunk file,
+    decompress, assemble, trim overhang."""
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("filters"):
+        raise NotImplementedError("filters not supported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(f"compressor {comp.get('id')!r} not supported")
+    shape = meta["shape"]
+    chunks = meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    out = np.full(shape, 0 if fill is None else fill, dtype)
+    ncells = [-(-s // c) for s, c in zip(shape, chunks)]
+    for name in os.listdir(path):
+        if name.startswith("."):
+            continue
+        idx = [int(p) for p in name.split(".")]
+        if len(idx) != len(shape):
+            continue
+        with open(os.path.join(path, name), "rb") as f:
+            payload = f.read()
+        if comp is not None:
+            payload = zlib.decompress(payload)
+        arr = np.frombuffer(payload, dtype=dtype).reshape(chunks)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
+        )
+        trim = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        out[sel] = arr[trim]
+        assert all(i < n for i, n in zip(idx, ncells))
+    return out

@@ -45,3 +45,55 @@ def test_cog_sink_roundtrip(spark, tmp_path):
     assert got["epsg"] == 32735
     sx, _, x0, _, sy, y0 = plan.gbox.transform
     assert got["transform"] == (sx, 0.0, x0, 0.0, sy, y0)
+
+def test_zarr_sink_roundtrip(spark, tmp_path):
+    """Zarr v2 sink: executor-written chunks + driver metadata parse back
+    to the same pixels via the independent minimal reader; edge chunks are
+    padded to full chunk shape per spec; metadata is xarray-compatible."""
+    import json
+
+    from odc_stac_spark.sources.sinks import read_zarr_array, write_zarr
+
+    from .test_load_pipeline import mk_item
+
+    items = [
+        mk_item(0, nodata=-1, nodata_every=5),
+        mk_item(1, origin=(300.0, 1000.0), nodata=-1),
+    ]
+    # 48x48 chunks over a 100x150 grid -> overhanging edge chunks both axes
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(48, 48))
+    out = str(tmp_path / "store")
+    write_zarr(tiles_df, plan, out)
+
+    cube = assemble_numpy(tiles_df, plan)["red"]
+    got = read_zarr_array(f"{out}/red")
+    assert got.shape == (1, plan.gbox.height, plan.gbox.width)
+    np.testing.assert_array_equal(got, cube)
+
+    meta = json.load(open(f"{out}/red/.zarray"))
+    assert meta["chunks"] == [1, 48, 48]
+    assert meta["compressor"] == {"id": "zlib", "level": 1}
+    attrs = json.load(open(f"{out}/red/.zattrs"))
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "y", "x"]
+    root_attrs = json.load(open(f"{out}/.zattrs"))
+    assert root_attrs["crs"] == plan.gbox.crs
+
+    # coordinate arrays: pixel-center x/y, ns-epoch time
+    xs = read_zarr_array(f"{out}/x")
+    sx, _, x0, _, sy, y0 = plan.gbox.transform
+    np.testing.assert_allclose(xs, x0 + (np.arange(plan.gbox.width) + 0.5) * sx)
+    ts = read_zarr_array(f"{out}/time")
+    assert ts.dtype == np.dtype("<i8") and ts.shape == (1,)
+
+
+def test_zarr_sink_uncompressed(spark, tmp_path):
+    from odc_stac_spark.sources.sinks import read_zarr_array, write_zarr
+
+    from .test_load_pipeline import mk_item
+
+    items = [mk_item(0, nodata=-1, nodata_every=3)]
+    tiles_df, plan = load(spark, items, groupby="id", chunks=(64, 64))
+    out = str(tmp_path / "store")
+    write_zarr(tiles_df, plan, out, compressor="none")
+    cube = assemble_numpy(tiles_df, plan)["red"]
+    np.testing.assert_array_equal(read_zarr_array(f"{out}/red"), cube)
