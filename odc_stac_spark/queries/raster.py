@@ -403,11 +403,78 @@ def r_load_warp_crosscrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_warp_cubic_multires",
-    oracle=None,
-    doc="F16 cubic: multi-resolution sources (10 m/20 m) fused onto one "
-    "half-pixel-offset grid with Keys bicubic (a=-0.5) resampling through "
-    "the full tile pipeline; per-tile stats. Kernel math loop-oracle-"
-    "verified in tests/test_warp.py::test_cubic_halfpixel_matches_loop_oracle.",
+    # First-principles oracle for the Keys bicubic (a=-0.5) warp. The
+    # output grid is offset half a pixel from the 10 m sources, so the
+    # fractional phase is constant 0.5 → fixed taps
+    # [-0.0625, 0.5625, 0.5625, -0.0625]; the 20 m sources resolve to
+    # phase 0 (exact alignment, single tap of weight 1) on even output
+    # parity and phase 0.5 on odd parity. Derivation (output pixel centers
+    # cy=2000-10Y, cx=10X+10; source origin y=2000-150i):
+    #   10 m: FY = Y-15i, FX = X+1  → PY=FY-0.5 → JY=Y-15i-1, AY=0.5
+    #   20 m: FY = Y/2-7.5i, FX = X/2+0.5
+    #         Y even → JY = Y/2-(15i+1)/2, AY=0 (weight-1 single tap)
+    #         Y odd  → JY = (Y-1)/2-(15i+1)/2, AY=0.5 (4 taps)
+    # A pixel is valid iff EVERY nonzero-weight tap is in-bounds and not a
+    # generator hole ((r + c + i) % 6 == 0); value = Σ wy·wx·v with
+    # v = (i·7919 + r·8191 + c·127) % 10007. Aggregated per (band, t) so
+    # the oracle is independent of the engine's tile enumeration.
+    oracle="""
+    WITH params AS (
+        SELECT UNNEST(generate_series(0, 3)) AS i
+    ),
+    ys AS (SELECT UNNEST(generate_series(0, 139)) AS gy),
+    xs AS (SELECT UNNEST(generate_series(0, 129)) AS gx),
+    wts AS (
+        SELECT d, CASE WHEN d = -1 OR d = 2 THEN -0.0625 ELSE 0.5625 END AS w
+        FROM (SELECT UNNEST(generate_series(-1, 2)) AS d)
+    ),
+    ytaps AS (
+        SELECT p.i, y.gy,
+               CASE WHEN p.i % 2 = 0 THEN y.gy - 15 * p.i - 1 + t.d
+                    WHEN y.gy % 2 = 1 THEN (y.gy - 1) // 2 - (15 * p.i + 1) // 2 + t.d
+                    ELSE y.gy // 2 - (15 * p.i + 1) // 2 END AS r,
+               CASE WHEN p.i % 2 = 0 OR y.gy % 2 = 1 THEN t.w ELSE 1.0 END AS wy
+        FROM params p CROSS JOIN ys y CROSS JOIN wts t
+        WHERE p.i % 2 = 0 OR y.gy % 2 = 1 OR t.d = 0
+    ),
+    xtaps AS (
+        SELECT p.i, x.gx,
+               CASE WHEN p.i % 2 = 0 THEN x.gx + t.d
+                    WHEN x.gx % 2 = 1 THEN (x.gx - 1) // 2 + t.d
+                    ELSE x.gx // 2 END AS c,
+               CASE WHEN p.i % 2 = 0 OR x.gx % 2 = 1 THEN t.w ELSE 1.0 END AS wx
+        FROM params p CROSS JOIN xs x CROSS JOIN wts t
+        WHERE p.i % 2 = 0 OR x.gx % 2 = 1 OR t.d = 0
+    ),
+    conv AS (
+        SELECT yt.i, yt.gy, xt.gx,
+               SUM(CASE WHEN r >= 0 AND c >= 0
+                         AND r < (CASE WHEN yt.i % 2 = 0 THEN 120 ELSE 60 END)
+                         AND c < (CASE WHEN yt.i % 2 = 0 THEN 120 ELSE 60 END)
+                         AND (r + c + yt.i) % (CASE WHEN yt.i % 2 = 0 THEN 9 ELSE 6 END) <> 0
+                    THEN wy * wx * ((yt.i * 7919 + r * 8191 + c * 127) % 10007)
+                    END) AS val,
+               COUNT(CASE WHEN NOT (r >= 0 AND c >= 0
+                         AND r < (CASE WHEN yt.i % 2 = 0 THEN 120 ELSE 60 END)
+                         AND c < (CASE WHEN yt.i % 2 = 0 THEN 120 ELSE 60 END)
+                         AND (r + c + yt.i) % (CASE WHEN yt.i % 2 = 0 THEN 9 ELSE 6 END) <> 0)
+                    THEN 1 END) AS n_bad
+        FROM ytaps yt JOIN xtaps xt ON xt.i = yt.i
+        GROUP BY yt.i, yt.gy, xt.gx
+    )
+    SELECT 'red' AS band, i AS t,
+           CAST(COUNT(*) FILTER (WHERE n_bad = 0) AS BIGINT) AS n_valid,
+           COALESCE(ROUND(SUM(val) FILTER (WHERE n_bad = 0), 2), 0.0) AS vsum
+    FROM conv GROUP BY i
+    """,
+    doc="F16 cubic, HASH-GATED: multi-resolution sources (10 m/20 m) fused "
+    "onto one half-pixel-offset grid with Keys bicubic (a=-0.5) resampling "
+    "through the full tile pipeline; the DuckDB oracle recomputes the "
+    "entire separable convolution (per-parity tap phases, zero-weight tap "
+    "exemption, nodata-tap poisoning; 10 m items use nodata_every=9 "
+    "because a 4x4 neighborhood spans 7 consecutive r+c values and mod-6 "
+    "holes would poison every pixel) from first principles. Kernel math "
+    "additionally loop-oracle-verified in tests/test_warp.py.",
     tags=("raster", "warp"),
 )
 def r_warp_cubic_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +493,7 @@ def r_warp_cubic_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
                 datetime=t0 + timedelta(minutes=i),
                 bands={
                     "red": RasterSource(
-                        f"synth://cu{i}?seed={i}&nodata_every=6",
+                        f"synth://cu{i}?seed={i}&nodata_every={9 if i % 2 == 0 else 6}",
                         geobox=gbox,
                         meta=RasterBandMetadata("int16", -1),
                     )
@@ -439,6 +506,7 @@ def r_warp_cubic_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles_df, _ = load(
         spark, items, groupby="time", geobox=out, chunks=(64, 64), cfg=cfg, audit=True
     )
-    return tiles_df.select(
-        "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
-    ).orderBy("band", "t", "iy", "ix")
+    return tiles_df.groupBy("band", "t").agg(
+        F.sum("valid_count").cast("bigint").alias("n_valid"),
+        F.round(F.sum("checksum"), 2).alias("vsum"),
+    )
