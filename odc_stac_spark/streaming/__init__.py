@@ -4,14 +4,18 @@ from .events import (
     stream_dedup,
     stream_events,
     stream_session_windows,
+    stream_stac_items,
     stream_tumbling_counts,
 )
+from .ingest import stream_load_tiles
 
 __all__ = [
     "infer_collections_stateful",
     "stream_click_attribution",
     "stream_dedup",
     "stream_events",
+    "stream_load_tiles",
     "stream_session_windows",
+    "stream_stac_items",
     "stream_tumbling_counts",
 ]
