@@ -210,6 +210,31 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_decile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="semi-structured JSON column handling (SURVEY §2.8: from_json / "
+    "get_json_object): typed extraction from the events.props JSON string, "
+    "bucketed aggregation — all Catalyst expressions, pushdown-friendly.",
+    tags=("scalar", "json"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
+    )
+
+
+@register(
     "hof_vector_stats",
     oracle="""
     SELECT vec_id,
