@@ -71,12 +71,17 @@ def stream_load_tiles(
         ts_map = F.create_map(
             *[x for t, ts in enumerate(plan.group_ts) for x in (F.lit(t), F.lit(ts))]
         )
+        # one subdirectory per micro-batch, overwritten on retry: foreachBatch
+        # gives at-least-once delivery, so a plain append could double-write a
+        # batch that failed mid-commit — overwriting the batch's own partition
+        # makes the sink idempotent (exactly-once end to end). Readers see
+        # ingest_batch as an ordinary discovered partition column.
         (
             tiles.withColumn("time", ts_map[F.col("t")].cast("timestamp"))
             .drop("t")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("band")
-            .parquet(out_path)
+            .parquet(f"{out_path}/ingest_batch={batch_id}")
         )
 
     return (

@@ -348,3 +348,8 @@ def test_stream_load_tiles_incremental_equals_batch(spark, tmp_path):
     # re-running with no new files appends nothing (exactly-once per file)
     run_available_now()
     assert spark.read.parquet(out).count() == got.count()
+
+    # retry-idempotent sink layout: one overwritable directory per
+    # micro-batch (a retried batch overwrites itself, never double-appends)
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("ingest_batch=")]
+    assert len(batch_dirs) == 2
