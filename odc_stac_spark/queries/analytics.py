@@ -265,3 +265,58 @@ def hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l2_norm"), "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "w_rolling_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+               AS avg4
+    FROM events
+    """,
+    doc="bounded-frame moving average (ROWS 3 PRECEDING) per user — the "
+    "incremental-metric window shape; partition by user, sort within.",
+    tags=("window", "temporal"),
+)
+def w_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("avg4")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_user_event_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="pivot (long → wide): per-user event-type count matrix. The pivot "
+    "value list is FIXED so the plan is a single groupBy with conditional "
+    "aggregates — no extra distinct-values job, stable schema at any scale.",
+    tags=("aggregation",),
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred; the
+    # oracle's conditional COUNT yields 0 — align them
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )

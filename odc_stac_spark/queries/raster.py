@@ -510,3 +510,69 @@ def r_warp_cubic_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("valid_count").cast("bigint").alias("n_valid"),
         F.round(F.sum("checksum"), 2).alias("vsum"),
     )
+
+
+@register(
+    "r_zonal_trend",
+    # Per-zone linear trend over time: three solar-day slices (seeds
+    # 3/8/11, holes mod 5/7/none — same substrate as the temporal
+    # median), zonal means per t, then OLS slope/intercept of mean vs t.
+    # The oracle recomputes every pixel of every slice from the generator
+    # formula, so load, tiling, nodata masking, the zonal partials AND
+    # the regression aggregate are all inside the value hash.
+    oracle="""
+    WITH ys AS (SELECT UNNEST(generate_series(0, 63)) AS y),
+    xs AS (SELECT UNNEST(generate_series(0, 127)) AS x),
+    vals AS (
+      SELECT 0 AS t, y.y AS y, x.x AS x,
+             (3 * 7919 + y.y * 8191 + x.x * 127) % 10007 AS v
+      FROM ys y CROSS JOIN xs x WHERE (y.y + x.x + 3) % 5 <> 0
+      UNION ALL
+      SELECT 1, y.y, x.x, (8 * 7919 + y.y * 8191 + x.x * 127) % 10007
+      FROM ys y CROSS JOIN xs x WHERE (y.y + x.x + 8) % 7 <> 0
+      UNION ALL
+      SELECT 2, y.y, x.x, (11 * 7919 + y.y * 8191 + x.x * 127) % 10007
+      FROM ys y CROSS JOIN xs x
+    ),
+    zm AS (
+      SELECT t, y // 16 AS zy, x // 32 AS zx, AVG(v) AS mean
+      FROM vals GROUP BY 1, 2, 3
+    )
+    SELECT 'red' AS band, CAST(zy AS INT) AS zy, CAST(zx AS INT) AS zx,
+           ROUND(regr_slope(mean, t), 4) AS slope,
+           ROUND(regr_intercept(mean, t), 4) AS icept
+    FROM zm GROUP BY band, zy, zx
+    """,
+    doc="HASH-GATED per-zone temporal trend: three time slices → zonal "
+    "means per t (map-side tile partials) → regr_slope/regr_intercept per "
+    "zone. The change-detection primitive (vegetation trend, urban growth) "
+    "as two cheap aggregations — never a per-pixel time-series shuffle.",
+    tags=("raster", "zonal", "composite"),
+)
+def r_zonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zonal import zonal_stats
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    gbox = GeoBox((64, 128), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+
+    def it(i, seed, every, day):
+        return Item(
+            id=f"tr-{i:03d}",
+            datetime=t0 + timedelta(days=day),
+            bands={
+                "red": RasterSource(
+                    f"synth://tr{i}?seed={seed}&nodata_every={every}",
+                    geobox=gbox,
+                    meta=RasterBandMetadata("int32", -1),
+                )
+            },
+            lon=27.4,
+        )
+
+    items = [it(0, 3, 5, 0), it(1, 8, 7, 1), it(2, 11, 0, 2)]
+    tiles_df, _ = load(spark, items, groupby="solar_day", chunks=(32, 48))
+    z = zonal_stats(tiles_df, nodata=-1.0, zone_h=16, zone_w=32)
+    return z.groupBy("band", "zy", "zx").agg(
+        F.round(F.regr_slope(F.col("mean"), F.col("t").cast("double")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("mean"), F.col("t").cast("double")), 4).alias("icept"),
+    )
