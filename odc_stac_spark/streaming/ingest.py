@@ -10,11 +10,10 @@ the resulting tiles appended to a partitioned parquet tile table.
 Semantics: the output grid is FIXED up front (a datacube has one grid);
 each batch contributes its own time groups, keyed by the group's absolute
 representative timestamp rather than the batch-local ``t`` index, so the
-appended table has a stable (band, time, iy, ix) key. Scenes of the same
-time group must arrive in the same batch (the standing-ingestion
-assumption — a late scene for an already-written group would need a
-compaction pass over that group's tiles, exactly like any late-data
-upsert into an append-only store).
+appended table has a stable (band, time, iy, ix) key. A late scene for an
+already-written time group lands in its own batch partition; run
+:func:`compact_cube` to merge duplicate tile keys (first-write-wins), the
+standard late-data upsert policy for an append-only store.
 
 At 100 TB this is the live half of a catalog: `availableNow` drains the
 backlog, a continuous trigger keeps up with new scenes, checkpointing
@@ -90,3 +89,69 @@ def stream_load_tiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_COMPACT_SCHEMA = (
+    "band string, time timestamp, iy int, ix int, y0 int, x0 int, "
+    "height int, width int, dtype string, data binary, valid_count long"
+)
+
+
+def compact_cube(spark: SparkSession, cube_path: str, nodata: Optional[float]) -> DataFrame:
+    """Late-data compaction for the streamed cube: when a scene for an
+    already-written time group arrives in a later batch, the cube holds
+    MULTIPLE tile rows per (band, time, iy, ix) key — one per ingest
+    batch. Compaction merges them with **earliest-ingest-batch-first**
+    first-valid precedence (first write wins — the standard append-store
+    late-upsert policy; within a batch the load pipeline already applied
+    the reference's (time, id) mosaic order).
+
+    One ``applyInPandas`` per tile key, grouped by the cube's natural key
+    — the shuffle moves each tile's few duplicate rows once, never
+    pixels-by-time-series. Write the result back out (or to a new
+    location) to supersede the raw ingest partitions."""
+    import numpy as np
+    import pandas as pd
+
+    from ..model import nodata_mask
+
+    df = spark.read.parquet(cube_path)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ingest_batch")
+        first = pdf.iloc[0]
+        # bracket access throughout: .dtype/.data on a pandas Series hit
+        # Series attributes, not the row's columns
+        h, w = int(first["height"]), int(first["width"])
+        dst = (
+            np.frombuffer(first["data"], dtype=np.dtype(first["dtype"]))
+            .reshape(h, w)
+            .copy()
+        )
+        miss = nodata_mask(dst, nodata)
+        for r in pdf.iloc[1:].itertuples():
+            if not miss.any():
+                break
+            pix = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(h, w)
+            ok = ~nodata_mask(pix, nodata)
+            np.copyto(dst, pix, where=miss & ok)
+            miss &= ~ok
+        return pd.DataFrame(
+            [
+                {
+                    "band": first["band"],
+                    "time": first["time"],
+                    "iy": int(first["iy"]),
+                    "ix": int(first["ix"]),
+                    "y0": int(first["y0"]),
+                    "x0": int(first["x0"]),
+                    "height": h,
+                    "width": w,
+                    "dtype": str(first["dtype"]),
+                    "data": dst.tobytes(),
+                    "valid_count": int((~nodata_mask(dst, nodata)).sum()),
+                }
+            ]
+        )
+
+    return df.groupBy("band", "time", "iy", "ix").applyInPandas(merge, _COMPACT_SCHEMA)

@@ -353,3 +353,62 @@ def test_stream_load_tiles_incremental_equals_batch(spark, tmp_path):
     # micro-batch (a retried batch overwrites itself, never double-appends)
     batch_dirs = [d for d in os.listdir(out) if d.startswith("ingest_batch=")]
     assert len(batch_dirs) == 2
+
+
+def test_compact_cube_merges_late_scene(spark, tmp_path):
+    """A late scene for an already-written time group appends duplicate
+    tile keys; compact_cube merges them first-write-wins and the result
+    equals the one-shot batch load (scene ids chosen so batch order ==
+    (time, id) mosaic order)."""
+    import json
+
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.plans.catalog import load_from_catalog
+    from odc_stac_spark.sources.stac_items import parse_items, stac_json_to_items
+    from odc_stac_spark.streaming import compact_cube, stream_load_tiles
+
+    t0 = datetime(2020, 6, 6, 8, 30)
+    # same datetime -> same time group; overlapping footprints with holes
+    docs = [
+        _raw_stac_doc(0, (0.0, 1000.0), t0),
+        _raw_stac_doc(1, (200.0, 900.0), t0),
+    ]
+    gbox = GeoBox((110, 140), (10.0, 0.0, 0.0, 0.0, -10.0, 1000.0), "EPSG:32735")
+
+    in_dir = tmp_path / "feed"
+    in_dir.mkdir()
+    out = str(tmp_path / "cube")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_load_tiles(
+            spark, str(in_dir), out, ckpt, geobox=gbox, chunks=(64, 64), groupby="time"
+        )
+        q.awaitTermination(240)
+
+    (in_dir / "b1.ndjson").write_text(json.dumps(docs[0]))
+    run()
+    (in_dir / "b2.ndjson").write_text(json.dumps(docs[1]))  # the late scene
+    run()
+
+    raw_cube = spark.read.parquet(out)
+    dup_keys = (
+        raw_cube.groupBy("band", "time", "iy", "ix").count().where("count > 1").count()
+    )
+    assert dup_keys > 0  # the late scene really did collide
+
+    compacted = compact_cube(spark, out, nodata=-1.0)
+
+    # one-shot batch load of both scenes (id order == ingest order)
+    raw = spark.createDataFrame([(json.dumps(d),) for d in docs], ["value"])
+    parsed = parse_items(spark, stac_json_to_items(raw))
+    tiles, plan = load_from_catalog(
+        spark, parsed, groupby="time", geobox=gbox, chunks=(64, 64)
+    )
+    want = {
+        (r.band, r.iy, r.ix): bytes(r.data) for r in tiles.collect()
+    }
+    have = {
+        (r.band, r.iy, r.ix): bytes(r.data) for r in compacted.collect()
+    }
+    assert have == want
