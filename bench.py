@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
+    "j_interval_bucketed",
+    "funnel_stages",
+    "pivot_user_event_matrix",
 ]
 
 

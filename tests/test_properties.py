@@ -156,3 +156,113 @@ def test_geotiff_roundtrip_any_shape(tmp_path_factory, ny, nx, tile, dtype):
     write_cog_file(p, arr, g, tile=tile)
     got = read_cog_file(p)
     assert (got["data"] == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ny=st.integers(5, 80),
+    nx=st.integers(5, 80),
+    cy=st.integers(4, 48),
+    cx=st.integers(4, 48),
+    dtype=st.sampled_from(["uint8", "int16", "uint16", "int32", "float32", "float64"]),
+    compressor=st.sampled_from(["zlib", "none"]),
+    fill=st.integers(0, 100),
+)
+def test_zarr_chunk_assembly_roundtrip(tmp_path_factory, ny, nx, cy, cx, dtype, compressor, fill):
+    """Spec property: any (shape, chunks, dtype, compressor) combination
+    round-trips through chunk-file writes (edge chunks padded) and the
+    independent reader — pure chunk math, no Spark."""
+    import json
+    import os
+    import zlib as _z
+
+    import numpy as np
+
+    from odc_stac_spark.sources.sinks import read_zarr_array
+
+    rng = np.random.default_rng(ny * 1000 + nx)
+    arr = (rng.integers(0, 100, (ny, nx))).astype(dtype)
+    out = str(tmp_path_factory.mktemp("z") / "a")
+    os.makedirs(out)
+    comp = {"id": "zlib", "level": 1} if compressor == "zlib" else None
+    with open(os.path.join(out, ".zarray"), "w") as f:
+        json.dump(
+            {
+                "zarr_format": 2,
+                "shape": [ny, nx],
+                "chunks": [cy, cx],
+                "dtype": np.dtype(dtype).str,
+                "compressor": comp,
+                "fill_value": fill,
+                "order": "C",
+                "filters": None,
+            },
+            f,
+        )
+    for iy in range(-(-ny // cy)):
+        for ix in range(-(-nx // cx)):
+            full = np.full((cy, cx), fill, np.dtype(dtype))
+            sl = arr[iy * cy : (iy + 1) * cy, ix * cx : (ix + 1) * cx]
+            full[: sl.shape[0], : sl.shape[1]] = sl
+            payload = full.tobytes()
+            if comp is not None:
+                payload = _z.compress(payload, 1)
+            with open(os.path.join(out, f"{iy}.{ix}"), "wb") as f:
+                f.write(payload)
+    got = read_zarr_array(out)
+    np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 10**6),  # ts (us)
+            st.sampled_from(["signup", "click", "purchase", "view"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_funnel_fold_matches_naive_scan(events):
+    """The funnel's aggregate() fold (and its 3-CTE SQL oracle) both equal
+    the obvious per-user sequential scan."""
+    from collections import defaultdict
+
+    rows = [
+        {"user_id": u, "ts": ts, "event_id": i, "event_type": ty}
+        for i, (u, ts, ty) in enumerate(events)
+    ]
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    want = defaultdict(int)
+    for u, evs in per_user.items():
+        stage = 0
+        for e in sorted(evs, key=lambda e: (e["ts"], e["event_id"])):
+            if stage == 0 and e["event_type"] == "signup":
+                stage = 1
+            elif stage == 1 and e["event_type"] == "click":
+                stage = 2
+            elif stage == 2 and e["event_type"] == "purchase":
+                stage = 3
+        want[stage] += 1
+
+    # 3-CTE strict-> formulation (the oracle's shape), on the same data
+    got = defaultdict(int)
+    for u, evs in per_user.items():
+        key = lambda e: (e["ts"], e["event_id"])  # noqa: E731
+        sk = min((key(e) for e in evs if e["event_type"] == "signup"), default=None)
+        ck = (
+            min((key(e) for e in evs if e["event_type"] == "click" and key(e) > sk), default=None)
+            if sk is not None
+            else None
+        )
+        pk = (
+            min((key(e) for e in evs if e["event_type"] == "purchase" and key(e) > ck), default=None)
+            if ck is not None
+            else None
+        )
+        got[3 if pk else 2 if ck else 1 if sk else 0] += 1
+    assert dict(got) == dict(want)
