@@ -303,3 +303,127 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
     )
+
+
+LSH_TABLES, LSH_BITS, LSH_DIM = 4, 6, 64
+LSH_COS_MIN = 0.3
+
+
+def _lsh_weight_expr(prefix: str):
+    """Deterministic pseudo-random hyperplane weights in [-1, 1]:
+    w = (md5_32(prefix || d) % 2001 - 1000) / 1000 — identical arithmetic
+    in Spark and DuckDB, so bucket assignments match bit-for-bit."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
+        lambda d: (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ),
+    )
+
+
+@register(
+    "ann_lsh_hyperplane",
+    oracle=f"""
+    WITH dims AS (SELECT UNNEST(generate_series(0, {LSH_DIM - 1})) AS d),
+    planes AS (
+        SELECT l.l, h.h
+        FROM (SELECT UNNEST(generate_series(0, {LSH_TABLES - 1})) AS l) l
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {LSH_BITS - 1})) AS h) h
+    ),
+    w AS (
+        SELECT l, h, d,
+               (CAST(('0x' || substr(md5(l || '_' || h || '_' || d), 1, 8)) AS BIGINT)
+                % 2001 - 1000) / 1000.0 AS w
+        FROM planes CROSS JOIN dims
+    ),
+    vex AS (
+        SELECT vec_id, d.d, embedding[d.d + 1]::DOUBLE AS val
+        FROM embeddings CROSS JOIN dims d
+    ),
+    dots AS (
+        SELECT vec_id, l, h, SUM(val * w) AS dot
+        FROM vex JOIN w USING (d) GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, l,
+               CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, h) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS b
+        FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM buckets a JOIN buckets c
+          ON a.l = c.l AND a.b = c.b AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                 6) AS cos
+    FROM cand
+    JOIN embeddings x ON x.vec_id = vec_a
+    JOIN embeddings y ON y.vec_id = vec_b
+    WHERE list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))
+          >= {LSH_COS_MIN}
+    """,
+    doc="signed-random-projection LSH ANN (the task's 'LSH-bucketed "
+    "variant' alongside IVF): 4 tables x 6 deterministic hyperplanes, "
+    "map-side signature per vector (zero shuffles), bucket equi-join for "
+    "candidates (cost follows collisions, not O(n^2)), exact-cosine "
+    "verify. Multi-table union boosts recall exactly as banding does for "
+    "MinHash.",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    # map-side (l, bucket) signatures via higher-order folds
+    bucket_structs = []
+    for l in range(LSH_TABLES):
+        bucket = None
+        for h in range(LSH_BITS):
+            w = _lsh_weight_expr(f"{l}_{h}_")
+            dot = F.aggregate(
+                F.zip_with(F.col("emb"), w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << h).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            bucket = bit if bucket is None else bucket + bit
+        bucket_structs.append(
+            F.struct(F.lit(l).alias("l"), bucket.alias("b"))
+        )
+    sigs = emb.select(
+        "vec_id", F.explode(F.array(*bucket_structs)).alias("s")
+    ).select("vec_id", F.col("s.l").alias("l"), F.col("s.b").alias("b"))
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "l", "b")
+    c = sigs.select(F.col("vec_id").alias("vec_b"), "l", "b")
+    cand = (
+        a.join(c, ["l", "b"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("xa"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("xb"))
+    cos = _dot(F.col("xa"), F.col("xb")) / (_norm(F.col("xa")) * _norm(F.col("xb")))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .where(cos >= LSH_COS_MIN)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )

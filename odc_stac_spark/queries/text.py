@@ -9,7 +9,7 @@ the only knob is input split size.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
 from . import register
@@ -145,4 +145,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), ' +')) AS tok
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE doc_id < 50 GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    )
+    SELECT doc_id, tok, rn, tfidf FROM (
+        SELECT tf.doc_id, tf.tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs * 1.0 / idf.df) DESC, tf.tok
+               ) AS rn,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / idf.df), 4) AS tfidf
+        FROM tf JOIN idf USING (tok) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (docs 0-49; idf over the FULL "
+    "corpus): tf and df are two shuffled aggregations over the exploded "
+    "token stream, the scalar doc count joins in as a broadcast, top-k per "
+    "doc via window. The classic IR weighting, all JVM expressions.",
+    tags=("text",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok")
+    )
+    tf = (
+        toks.where(F.col("doc_id") < 50)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "rn", F.round("tfidf_raw", 4).alias("tfidf"))
     )
