@@ -7,13 +7,14 @@ from .events import (
     stream_stac_items,
     stream_tumbling_counts,
 )
-from .ingest import compact_cube, stream_load_tiles
+from .ingest import compact_cube, cube_zonal_stats, stream_load_tiles
 
 __all__ = [
     "infer_collections_stateful",
     "stream_click_attribution",
     "stream_dedup",
     "compact_cube",
+    "cube_zonal_stats",
     "stream_events",
     "stream_load_tiles",
     "stream_session_windows",

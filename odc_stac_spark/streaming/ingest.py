@@ -155,3 +155,39 @@ def compact_cube(spark: SparkSession, cube_path: str, nodata: Optional[float]) -
         )
 
     return df.groupBy("band", "time", "iy", "ix").applyInPandas(merge, _COMPACT_SCHEMA)
+
+
+def cube_zonal_stats(
+    spark: SparkSession,
+    cube_path: str,
+    nodata: Optional[float],
+    zone_h: int,
+    zone_w: int,
+) -> DataFrame:
+    """Zonal statistics over the LIVE cube: compact (late scenes merged
+    first-write-wins) → per-tile map-side partials → zone merge. Returns
+    (band, time, zy, zx, n_valid, mean) — the ask-the-cube-anything query
+    a standing ingestion pipeline serves after every batch.
+
+    The distinct-times collect is bounded by the number of time groups
+    (same order as the plan elections the batch path already collects)."""
+    from ..operators.zonal import zonal_stats
+
+    tiles = compact_cube(spark, cube_path, nodata)
+    times = [r.time for r in tiles.select("time").distinct().orderBy("time").collect()]
+    to_idx = F.create_map(*[x for i, ts in enumerate(times) for x in (F.lit(ts), F.lit(i))])
+    to_time = F.create_map(*[x for i, ts in enumerate(times) for x in (F.lit(i), F.lit(ts))])
+    z = zonal_stats(
+        tiles.withColumn("t", to_idx[F.col("time")].cast("int")),
+        nodata=nodata,
+        zone_h=zone_h,
+        zone_w=zone_w,
+    )
+    return z.select(
+        "band",
+        to_time[F.col("t")].cast("timestamp").alias("time"),
+        "zy",
+        "zx",
+        "n_valid",
+        "mean",
+    )

@@ -266,3 +266,17 @@ def test_funnel_fold_matches_naive_scan(events):
         )
         got[3 if pk else 2 if ck else 1 if sk else 0] += 1
     assert dict(got) == dict(want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    c_us=st.integers(0, 10**13),
+    delta=st.integers(0, 30 * 60 * 1_000_000),
+)
+def test_interval_bucket_coverage(c_us, delta):
+    """Range-join bucketing invariant: any purchase within
+    [click, click + I] lands in the click's bucket or the next one —
+    the two exploded candidate buckets always cover the interval."""
+    I = 30 * 60 * 1_000_000
+    p_us = c_us + delta
+    assert p_us // I in (c_us // I, c_us // I + 1)

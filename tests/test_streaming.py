@@ -412,3 +412,14 @@ def test_compact_cube_merges_late_scene(spark, tmp_path):
         (r.band, r.iy, r.ix): bytes(r.data) for r in compacted.collect()
     }
     assert have == want
+
+    # ask-the-cube-anything: zonal stats over the live cube == zonal
+    # stats over the one-shot batch tiles
+    from odc_stac_spark.operators.zonal import zonal_stats
+    from odc_stac_spark.streaming import cube_zonal_stats
+
+    zc = cube_zonal_stats(spark, out, nodata=-1.0, zone_h=32, zone_w=32)
+    zb = zonal_stats(tiles, nodata=-1.0, zone_h=32, zone_w=32)
+    have_z = {(r.band, r.zy, r.zx): (r.n_valid, round(r.mean, 9)) for r in zc.collect()}
+    want_z = {(r.band, r.zy, r.zx): (r.n_valid, round(r.mean, 9)) for r in zb.collect()}
+    assert have_z == want_z
