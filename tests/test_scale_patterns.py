@@ -238,3 +238,22 @@ def test_lsh_salted_bucket_join_preserves_results(spark, sf_dir):
     # in driver_check; here assert stability + sanity
     assert len(rows) == df.count()
     assert all(a < b for a, b, _ in rows)
+
+
+def test_lsh_hyperplane_is_bucketed_not_allpairs(spark, sf_dir):
+    """Hyperplane-LSH candidates must come from the (table, bucket)
+    equi-join: no cartesian/nested-loop pair generation, signatures
+    computed map-side (no exchange between the scan and the explode)."""
+    df = REGISTRY["ann_lsh_hyperplane"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge equi-join
+    on (user_id, bucket), never a nested loop over the theta predicate."""
+    df = REGISTRY["j_interval_bucketed"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
