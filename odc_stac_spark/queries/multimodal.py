@@ -140,3 +140,39 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import demo_video_df, video_frame_features
 
     return video_frame_features(demo_video_df(spark, sf_dir), every=2)
+
+
+@register(
+    "mm_image_resize_stats",
+    # resized pixel (i, j) of channel k samples source pixel
+    # (y, x) = (i*16//8, j*w//8) with w = 16 + doc_id % 8 — the same
+    # nearest-neighbor index math as operators/multimodal.resize_nearest.
+    oracle="""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_POP(v), 6) AS std,
+           MIN(v) AS p_min,
+           MAX(v) AS p_max
+    FROM (
+      SELECT d.doc_id,
+             (d.doc_id * 37 + k.k * 11
+              + ((i.i * 16) // 8) * 5
+              + ((j.j * (16 + d.doc_id % 8)) // 8) * 3) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS k) k
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS i) i
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS j) j
+    )
+    GROUP BY doc_id
+    """,
+    doc="multimodal: decode → nearest-neighbor resize to 8×8 → re-encode "
+    "→ stats, all inside Arrow batches (two chained mapInPandas stages, "
+    "the thumbnail/preprocess slot); the oracle recomputes every resized "
+    "pixel from the SIMG formula, so the hash gates the full "
+    "decode-resize-encode-decode chain.",
+    tags=("multimodal",),
+)
+def mm_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_nearest
+
+    return image_stats(resize_nearest(demo_media_df(spark, sf_dir), out_w=8, out_h=8))
