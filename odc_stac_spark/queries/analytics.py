@@ -320,3 +320,30 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
     )
+
+
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+               AS corr_vk,
+           ROUND(covar_pop(value, CAST(json_extract(props, '$.k') AS INTEGER)), 4)
+               AS covar_vk,
+           ROUND(stddev_samp(value), 4) AS std_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="statistical aggregates (corr / covar_pop / stddev_samp) per event "
+    "type, correlating the value column with the JSON-extracted k field — "
+    "single-pass co-moment aggregation, map-side partials.",
+    tags=("aggregation",),
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"].cast("int")
+    return ev.select("event_type", F.col("value"), k.alias("k")).groupBy("event_type").agg(
+        F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+        F.round(F.covar_pop("value", "k"), 4).alias("covar_vk"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+    )
