@@ -75,6 +75,29 @@ def _zarr_dtype(np_dtype: str) -> str:
     return s
 
 
+def _zarr_fill_json(fill):
+    """zarr v2 JSON encoding of a fill value: non-finite floats become
+    the spec's string forms."""
+    if isinstance(fill, float):
+        if fill != fill:
+            return "NaN"
+        if fill == float("inf"):
+            return "Infinity"
+        if fill == float("-inf"):
+            return "-Infinity"
+    return fill
+
+
+def _zarr_fill_parse(fill):
+    if fill == "NaN":
+        return float("nan")
+    if fill == "Infinity":
+        return float("inf")
+    if fill == "-Infinity":
+        return float("-inf")
+    return fill
+
+
 def write_zarr(tiles_df: DataFrame, plan, out_dir: str, compressor: str = "zlib") -> None:
     """S13-adjacent distributed sink: tiles DataFrame → Zarr v2 group.
 
@@ -126,7 +149,9 @@ def write_zarr(tiles_df: DataFrame, plan, out_dir: str, compressor: str = "zlib"
             "chunks": [1, ty, tx],
             "dtype": _zarr_dtype(str(dtype)),
             "compressor": comp_json,
-            "fill_value": None if nodata is None else fills[band][1],
+            # zarr v2 spec: non-finite float fills are encoded as the
+            # JSON strings "NaN"/"Infinity"/"-Infinity"
+            "fill_value": _zarr_fill_json(None if nodata is None else fills[band][1]),
             "order": "C",
             "filters": None,
         }
@@ -216,7 +241,7 @@ def read_zarr_array(path: str) -> np.ndarray:
     shape = meta["shape"]
     chunks = meta["chunks"]
     dtype = np.dtype(meta["dtype"])
-    fill = meta.get("fill_value")
+    fill = _zarr_fill_parse(meta.get("fill_value"))
     out = np.full(shape, 0 if fill is None else fill, dtype)
     ncells = [-(-s // c) for s, c in zip(shape, chunks)]
     for name in os.listdir(path):

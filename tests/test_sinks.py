@@ -97,3 +97,26 @@ def test_zarr_sink_uncompressed(spark, tmp_path):
     write_zarr(tiles_df, plan, out, compressor="none")
     cube = assemble_numpy(tiles_df, plan)["red"]
     np.testing.assert_array_equal(read_zarr_array(f"{out}/red"), cube)
+
+
+def test_zarr_sink_float_nan_fill(spark, tmp_path):
+    """Float output with NaN nodata: the .zarray fill_value must be the
+    spec's "NaN" string (not a bare NaN token), and pixels round-trip."""
+    import json
+
+    from odc_stac_spark.model import RasterLoadParams
+    from odc_stac_spark.sources.sinks import read_zarr_array, write_zarr
+
+    from .test_load_pipeline import mk_item
+
+    items = [mk_item(0, nodata=-1, nodata_every=4)]
+    cfg = {"*": RasterLoadParams(dtype="float64", fill_value=float("nan"))}
+    tiles_df, plan = load(spark, items, groupby="id", chunks=(48, 48), cfg=cfg)
+    out = str(tmp_path / "store")
+    write_zarr(tiles_df, plan, out)
+
+    meta = json.load(open(f"{out}/red/.zarray"))
+    assert meta["fill_value"] == "NaN"
+    cube = assemble_numpy(tiles_df, plan)["red"]
+    got = read_zarr_array(f"{out}/red")
+    np.testing.assert_array_equal(got, cube)  # NaN-positions included
