@@ -347,3 +347,47 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("value", "k"), 4).alias("covar_vk"),
         F.round(F.stddev_samp("value"), 4).alias("std_value"),
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH weeks AS (
+        SELECT user_id, event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN week END) AS cohort_week
+        FROM weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
+    FROM weeks w
+    JOIN cohorts c ON c.user_id = w.user_id
+    WHERE c.cohort_week IS NOT NULL AND w.week >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention: users bucketed by signup week, distinct active "
+    "users per (cohort, weeks-since-signup) cell. Engine-neutral integer "
+    "week arithmetic (epoch days // 7) so Spark and DuckDB agree exactly; "
+    "the cohort map is a per-user aggregate joined back (broadcastable "
+    "when the user dimension fits, shuffled hash otherwise).",
+    tags=("temporal", "aggregation"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7).cast(
+        "int"
+    )
+    weeks = ev.select("user_id", "event_type", week.alias("week"))
+    cohorts = weeks.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("week"))).alias("cohort_week")
+    )
+    return (
+        weeks.join(cohorts, "user_id")
+        .where(F.col("cohort_week").isNotNull() & (F.col("week") >= F.col("cohort_week")))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
