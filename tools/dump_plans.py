@@ -59,6 +59,21 @@ PICKS = [
         "the 10 query vectors; dot products are JVM higher-order "
         "aggregates inside the scan stage.",
     ),
+    (
+        "funnel_stages",
+        "Ordered-sequence state machine in ONE shuffle: "
+        "sort_array(collect_list) builds each user's ordered event list, "
+        "the aggregate() fold walks it — no self-joins, no extra "
+        "exchanges after the per-user grouping.",
+    ),
+    (
+        "cohort_retention",
+        "Cohort map = per-user aggregate joined back to the event stream. "
+        "The aggregated cohort side comes out small, so the join is a "
+        "BroadcastHashJoin — the event stream is never shuffled for the "
+        "join; the only exchanges are the cohort aggregation and the "
+        "final two-phase count-distinct.",
+    ),
 ]
 
 
