@@ -53,16 +53,17 @@ def main() -> None:
     spark = get_spark(app_name="odc-stac-spark-bench")
     registry = load_all()
 
-    # warm-up: run every headline query once at sf0.001 so whole-stage
-    # codegen is compiled and parquet footers are cached before timing —
-    # the reference's protocol likewise reports the warm run as its
+    # warm-up: run every headline query once AT THE TIMED SCALE FACTOR so
+    # whole-stage codegen is compiled AND the sf parquet files are in page
+    # cache before timing — warming at sf0.001 (rounds 1-4) left the sf0.1
+    # files cold, so the first timed read paid real I/O and best-of-2 could
+    # still catch two coldish runs (q19 reported 1.96 s vs 0.85 s warm).
+    # The reference's protocol likewise reports the warm run as its
     # representative number (docs/benchmarking.rst:234-237; cluster
     # startup and graph-compile excluded from its timing loop).
-    warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
     for name in HEADLINE:
-        registry[name].spark_fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        registry[name].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
 
     # two timed runs per query, best-of reported — the reference's protocol
     # also runs cold+warm and reports the warm number
