@@ -9,16 +9,20 @@ module emits exactly that layout from scratch:
 
 - classic little-endian TIFF, tiled (TileWidth/TileLength 256 default)
 - DEFLATE-compressed tiles by default (Compression=8 via stdlib zlib —
-  what virtually every real-world COG uses), or uncompressed
-  (Compression=1)
+  what virtually every real-world COG uses), LZW (Compression=5, the
+  Landsat/USGS-archive staple, with optional Predictor=2 horizontal
+  differencing), or uncompressed (Compression=1)
 - GeoTIFF georeferencing: ModelPixelScaleTag + ModelTiepointTag +
   GeoKeyDirectoryTag (projected EPSG or geographic EPSG:4326)
 - GDAL_NODATA ascii tag
 - overviews: nearest-decimation reduced-resolution IFDs (NewSubfileType=1)
+- ``write_tiff_striped``: the classic strip-organized (non-tiled) layout
+  for small scenes (RowsPerStrip/StripOffsets/StripByteCounts)
 
-The readers handle tiled single-band TIFFs with Compression 1/8/32946
-(none / zlib deflate) — enough to read both this writer's output and
-typical externally-produced deflate COGs without GDAL.
+The readers handle tiled AND strip-organized single-band TIFFs with
+Compression 1/5/8/32946 (none / TIFF-LZW / zlib deflate) and Predictor
+1/2 — enough to read this writer's output, typical externally-produced
+deflate COGs, and LZW+predictor archive GeoTIFFs without GDAL.
 
 Scale note: one COG per (band, t) mosaic is a driver-side or
 foreachPartition finalization step over collected tiles — the distributed
@@ -43,8 +47,12 @@ _LENGTH = 257
 _BITSPERSAMPLE = 258
 _COMPRESSION = 259
 _PHOTOMETRIC = 262
+_STRIPOFFSETS = 273
 _SAMPLESPERPIXEL = 277
+_ROWSPERSTRIP = 278
+_STRIPBYTECOUNTS = 279
 _PLANARCONFIG = 284
+_PREDICTOR = 317
 _TILEWIDTH = 322
 _TILELENGTH = 323
 _TILEOFFSETS = 324
@@ -61,6 +69,138 @@ _TYPE_LONG = 4
 _TYPE_DOUBLE = 12
 
 _SAMPLEFORMAT_FOR_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+# ---------------------------------------------------------------------------
+# TIFF-variant LZW codec (Compression=5), pure stdlib.
+#
+# TIFF 6.0 §13 LZW with the de-facto "early change": code width bumps one
+# code earlier than textbook LZW (encoder at next_code 511/1023/2047, the
+# decoder — always one table entry behind — at 510/1022/2046), ClearCode at
+# next_code 4094. MSB-first bit packing. This is what libtiff/GDAL emit and
+# expect, so Landsat/USGS-style LZW COGs decode here without GDAL
+# (reference reads them via rasterio, loader/_rio.py:374-475).
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Compress ``data`` as a TIFF LZW code stream."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: Dict[int, int] = {}
+    next_code = 258
+    width = 9
+    emit(256, width)  # ClearCode opens every strip/tile stream
+    prev = -1
+    for b in data:
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev << 8) | b
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code == 511:
+            width = 10
+        elif next_code == 1023:
+            width = 11
+        elif next_code == 2047:
+            width = 12
+        elif next_code == 4094:
+            emit(256, width)
+            table.clear()
+            next_code = 258
+            width = 9
+        prev = b
+    if prev >= 0:
+        emit(prev, width)
+    emit(257, width)  # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decompress a TIFF LZW code stream (early-change variant)."""
+    out: List[bytes] = []
+    table: List[bytes] = []
+    width = 9
+    prev: Optional[bytes] = None
+    bitbuf = 0
+    bitcnt = 0
+    i = 0
+    n = len(data)
+    while True:
+        while bitcnt < width and i < n:
+            bitbuf = (bitbuf << 8) | data[i]
+            i += 1
+            bitcnt += 8
+        if bitcnt < width:
+            break  # stream ended without EOI; tolerate like libtiff
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == 257:  # EOI
+            break
+        if code == 256:  # ClearCode
+            table = [bytes([j]) for j in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: first code not literal")
+            s = table[code]
+        else:
+            if code < len(table):
+                s = table[code]
+            elif code == len(table):  # KwKwK case
+                s = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            table.append(prev + s[:1])
+            tl = len(table)
+            if tl == 510:
+                width = 10
+            elif tl == 1022:
+                width = 11
+            elif tl == 2046:
+                width = 12
+        out.append(s)
+        prev = s
+    return b"".join(out)
+
+
+def _apply_predictor2(block: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (Predictor=2) on a 2-D integer block;
+    operates per sample value (8/16/32-bit), wrapping mod 2**bits."""
+    if block.dtype.kind not in ("u", "i"):
+        raise ValueError("Predictor=2 applies to integer samples only")
+    u = block.view(f"u{block.dtype.itemsize}")
+    d = u.copy()
+    d[:, 1:] -= u[:, :-1]
+    return d.view(block.dtype)
+
+
+def _undo_predictor2(block: np.ndarray) -> np.ndarray:
+    """Undo horizontal differencing: per-row cumulative sum mod 2**bits."""
+    if block.dtype.kind not in ("u", "i"):
+        raise ValueError("Predictor=2 applies to integer samples only")
+    u = block.view(f"u{block.dtype.itemsize}")
+    acc = np.add.accumulate(u, axis=1, dtype=u.dtype)
+    return acc.view(block.dtype)
 
 
 def _geokeys(crs: str) -> List[int]:
@@ -89,15 +229,23 @@ def write_cog_file(
     tile: int = 256,
     overview_levels: Optional[List[int]] = None,
     compression: str = "deflate",
+    predictor: int = 1,
 ) -> None:
     """Write a single-band 2-D array as a tiled COG-layout GeoTIFF.
 
     ``compression``: "deflate" (Compression=8, stdlib zlib per tile — what
-    virtually every real-world COG uses) or "none" (Compression=1)."""
+    virtually every real-world COG uses), "lzw" (Compression=5, the
+    Landsat/USGS-archive staple) or "none" (Compression=1).
+    ``predictor``: 1 (none) or 2 (horizontal differencing, integer dtypes;
+    the common pairing with LZW in real-world archives)."""
     if pix.ndim != 2:
         raise ValueError("write_cog_file expects a 2-D single-band array")
-    if compression not in ("deflate", "none"):
-        raise ValueError(f"compression must be 'deflate' or 'none', got {compression!r}")
+    if compression not in ("deflate", "lzw", "none"):
+        raise ValueError(
+            f"compression must be 'deflate', 'lzw' or 'none', got {compression!r}"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     # south-up output would round-trip with silently flipped georeferencing
     # (readers reconstruct -|sy| assuming north-up) — refuse it
     if geobox.transform[4] > 0:
@@ -119,11 +267,17 @@ def write_cog_file(
     ifds = []
     for lv_idx, arr in enumerate(levels):
         ifds.append(
-            _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels, compression)
+            _plan_ifd(
+                arr, geobox, nodata, tile, lv_idx, overview_levels, compression,
+                predictor,
+            )
         )
+    _write_tiff(path, ifds)
 
-    # layout: header(8) | IFD blocks (each: entries + next ptr + aux data)
-    # | tile data
+
+def _write_tiff(path: str, ifds: List[Dict]) -> None:
+    """Layout + render planned IFDs: header(8) | IFD blocks (each: entries
+    + next ptr + aux data) | block data."""
     pos = 8
     for ifd in ifds:
         ifd["ifd_offset"] = pos
@@ -131,7 +285,7 @@ def write_cog_file(
         ifd["aux_offset"] = pos
         aux_total = sum(len(b) for b in ifd["aux"])
         if len(ifd["tiles"]) > 1:
-            # TileOffsets + TileByteCounts arrays also live in the aux area
+            # offsets + bytecounts arrays also live in the aux area
             aux_total += 2 * 4 * len(ifd["tiles"])
         pos += aux_total
     for ifd in ifds:
@@ -150,20 +304,112 @@ def write_cog_file(
         f.write(bytes(out))
 
 
-def _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none"):
+def _compress_block(raw: bytes, compression: str) -> bytes:
+    if compression == "deflate":
+        return zlib.compress(raw, 6)
+    if compression == "lzw":
+        return lzw_encode(raw)
+    return raw
+
+
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8}
+
+
+def write_tiff_striped(
+    path: str,
+    pix: np.ndarray,
+    geobox: GeoBox,
+    nodata: Optional[float] = None,
+    rows_per_strip: int = 64,
+    compression: str = "lzw",
+    predictor: int = 1,
+) -> None:
+    """Write a strip-organized (non-tiled) single-band GeoTIFF — the
+    classic pre-COG layout still common for small scenes (RowsPerStrip /
+    StripOffsets / StripByteCounts instead of tile tags; the reference
+    reads both layouts via GDAL, loader/_rio.py:374-475). The last strip
+    is short when rows_per_strip does not divide the height — no padding
+    rows are written, matching real-world writers."""
+    if pix.ndim != 2:
+        raise ValueError("write_tiff_striped expects a 2-D single-band array")
+    if compression not in ("deflate", "lzw", "none"):
+        raise ValueError(
+            f"compression must be 'deflate', 'lzw' or 'none', got {compression!r}"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if geobox.transform[4] > 0:
+        raise ValueError(
+            "write_tiff_striped requires a north-up geobox (sy<0); flip rows first"
+        )
+    pix = np.ascontiguousarray(pix)
+    ny, nx = pix.shape
+    dt = pix.dtype
+    strips: List[bytes] = []
+    for y0 in range(0, ny, rows_per_strip):
+        strip = pix[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            strip = _apply_predictor2(strip)
+        strips.append(_compress_block(strip.tobytes(), compression))
+
+    entries: List[Tuple[int, int, int, object]] = [
+        (_WIDTH, _TYPE_LONG, 1, nx),
+        (_LENGTH, _TYPE_LONG, 1, ny),
+        (_BITSPERSAMPLE, _TYPE_SHORT, 1, dt.itemsize * 8),
+        (_COMPRESSION, _TYPE_SHORT, 1, _COMPRESSION_CODE[compression]),
+        (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
+        (_STRIPOFFSETS, _TYPE_LONG, len(strips), "TILEOFFSETS"),
+        (_SAMPLESPERPIXEL, _TYPE_SHORT, 1, 1),
+        (_ROWSPERSTRIP, _TYPE_LONG, 1, rows_per_strip),
+        (_STRIPBYTECOUNTS, _TYPE_LONG, len(strips), "TILEBYTECOUNTS"),
+        (_PLANARCONFIG, _TYPE_SHORT, 1, 1),
+        (_SAMPLEFORMAT, _TYPE_SHORT, 1, _SAMPLEFORMAT_FOR_KIND[dt.kind]),
+    ]
+    if predictor == 2:
+        entries.append((_PREDICTOR, _TYPE_SHORT, 1, 2))
+    aux: List[bytes] = []
+    sx, _, x0, _, sy, y0_ = geobox.transform
+    entries.append((_MODELPIXELSCALE, _TYPE_DOUBLE, 3, "AUX"))
+    aux.append(struct.pack("<3d", abs(sx), abs(sy), 0.0))
+    entries.append((_MODELTIEPOINT, _TYPE_DOUBLE, 6, "AUX"))
+    aux.append(struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0_, 0.0))
+    gk = _geokeys(geobox.crs)
+    entries.append((_GEOKEYDIRECTORY, _TYPE_SHORT, len(gk), "AUX"))
+    aux.append(struct.pack(f"<{len(gk)}H", *gk))
+    if nodata is not None:
+        nd = f"{int(nodata)}" if float(nodata).is_integer() else repr(float(nodata))
+        nd_b = nd.encode() + b"\x00"
+        entries.append((_GDAL_NODATA, _TYPE_ASCII, len(nd_b), "AUX"))
+        aux.append(nd_b)
+    entries.sort(key=lambda e: e[0])
+    _write_tiff(
+        path,
+        [{
+            "entries": entries,
+            "aux": aux,
+            "tiles": strips,
+            "tile_sizes": [len(s) for s in strips],
+        }],
+    )
+
+
+def _plan_ifd(
+    arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none",
+    predictor=1,
+):
     ny, nx = arr.shape
     dt = arr.dtype
     bits = dt.itemsize * 8
     fmt = _SAMPLEFORMAT_FOR_KIND[dt.kind]
-    deflate = compression == "deflate"
     tiles: List[bytes] = []
     for ty in range(0, ny, tile):
         for tx in range(0, nx, tile):
             block = np.zeros((tile, tile), dtype=dt)
             sub = arr[ty : ty + tile, tx : tx + tile]
             block[: sub.shape[0], : sub.shape[1]] = sub
-            raw = block.tobytes()
-            tiles.append(zlib.compress(raw, 6) if deflate else raw)
+            if predictor == 2:
+                block = _apply_predictor2(block)
+            tiles.append(_compress_block(block.tobytes(), compression))
 
     entries: List[Tuple[int, int, int, object]] = []
     aux: List[bytes] = []
@@ -173,7 +419,7 @@ def _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels, compression="n
         (_WIDTH, _TYPE_LONG, 1, nx),
         (_LENGTH, _TYPE_LONG, 1, ny),
         (_BITSPERSAMPLE, _TYPE_SHORT, 1, bits),
-        (_COMPRESSION, _TYPE_SHORT, 1, 8 if deflate else 1),
+        (_COMPRESSION, _TYPE_SHORT, 1, _COMPRESSION_CODE[compression]),
         (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
         (_SAMPLESPERPIXEL, _TYPE_SHORT, 1, 1),
         (_PLANARCONFIG, _TYPE_SHORT, 1, 1),
@@ -183,6 +429,8 @@ def _plan_ifd(arr, geobox, nodata, tile, lv_idx, overview_levels, compression="n
         (_TILEBYTECOUNTS, _TYPE_LONG, len(tiles), "TILEBYTECOUNTS"),
         (_SAMPLEFORMAT, _TYPE_SHORT, 1, fmt),
     ]
+    if predictor == 2:
+        entries.append((_PREDICTOR, _TYPE_SHORT, 1, 2))
     if lv_idx == 0:
         sx, _, x0, _, sy, y0 = geobox.transform
         scale = struct.pack("<3d", abs(sx), abs(sy), 0.0)
@@ -295,31 +543,59 @@ def read_cog_header(path: str) -> Dict:
 
             def long_array(tag):
                 typ, count, raw = tags[tag]
+                if typ == _TYPE_SHORT:
+                    if count == 1:
+                        return [raw & 0xFFFF]
+                    if count == 2:
+                        return [raw & 0xFFFF, (raw >> 16) & 0xFFFF]
+                    ensure(raw + 2 * count)
+                    return list(struct.unpack_from(f"<{count}H", buf, raw))
                 if count == 1:
                     return [raw]
                 ensure(raw + 4 * count)
                 return list(struct.unpack_from(f"<{count}I", buf, raw))
 
             bits = short_val(_BITSPERSAMPLE)
-            fmt = short_val(_SAMPLEFORMAT)
+            fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-            if comp not in (1, 8, 32946):
+            if comp not in (1, 5, 8, 32946):
                 raise NotImplementedError(
-                    f"TIFF compression {comp}: only none(1)/deflate(8,32946) "
-                    "readable without GDAL"
+                    f"TIFF compression {comp}: only none(1)/lzw(5)/"
+                    "deflate(8,32946) readable without GDAL"
                 )
-            if 317 in tags and (tags[317][2] & 0xFFFF) != 1:
-                raise NotImplementedError("TIFF predictor != 1 not supported")
+            pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
+            if pred not in (1, 2):
+                raise NotImplementedError(
+                    f"TIFF predictor {pred}: only none(1)/horizontal(2) supported"
+                )
+            nx, ny = short_val(_WIDTH), short_val(_LENGTH)
+            if _TILEOFFSETS in tags:
+                tile_w, tile_h = short_val(_TILEWIDTH), short_val(_TILELENGTH)
+                offsets = long_array(_TILEOFFSETS)
+                bytecounts = long_array(_TILEBYTECOUNTS)
+            else:
+                # strip-organized: each strip is a full-width block of
+                # RowsPerStrip rows (the last one short) — present strips
+                # as nx-wide tiles so all window math downstream is shared
+                rps = (
+                    min(short_val(_ROWSPERSTRIP), ny)
+                    if _ROWSPERSTRIP in tags
+                    else ny
+                )
+                tile_w, tile_h = nx, rps
+                offsets = long_array(_STRIPOFFSETS)
+                bytecounts = long_array(_STRIPBYTECOUNTS)
             levels.append(
                 {
-                    "nx": short_val(_WIDTH),
-                    "ny": short_val(_LENGTH),
-                    "tile_w": short_val(_TILEWIDTH),
-                    "tile_h": short_val(_TILELENGTH),
+                    "nx": nx,
+                    "ny": ny,
+                    "tile_w": tile_w,
+                    "tile_h": tile_h,
                     "dtype": _NP_DTYPE[(fmt, bits)],
                     "compression": comp,
-                    "offsets": long_array(_TILEOFFSETS),
-                    "bytecounts": long_array(_TILEBYTECOUNTS),
+                    "predictor": pred,
+                    "offsets": offsets,
+                    "bytecounts": bytecounts,
                 }
             )
             if _MODELPIXELSCALE in tags:
@@ -345,18 +621,32 @@ def read_cog_header(path: str) -> Dict:
 
 
 def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndarray:
-    """One tile via seek + byte-range read (the executor-side access
-    pattern; over object storage this becomes an HTTP range request)."""
+    """One tile/strip via seek + byte-range read (the executor-side access
+    pattern; over object storage this becomes an HTTP range request).
+    Always returns a full (tile_h, tile_w) block — a short last strip is
+    zero-padded (callers slice to the valid extent)."""
     lv = header["levels"][level]
     off = lv["offsets"][tile_idx]
     cnt = lv["bytecounts"][tile_idx]
     with open(path, "rb") as f:
         f.seek(off)
         raw = f.read(cnt)
-    if lv.get("compression", 1) in (8, 32946):
+    comp = lv.get("compression", 1)
+    if comp in (8, 32946):
         raw = zlib.decompress(raw)
+    elif comp == 5:
+        raw = lzw_decode(raw)
     dt = np.dtype(lv["dtype"])
-    return np.frombuffer(raw, dt).reshape(lv["tile_h"], lv["tile_w"])
+    th, tw = lv["tile_h"], lv["tile_w"]
+    n_rows = len(raw) // (tw * dt.itemsize)
+    arr = np.frombuffer(raw, dt, count=n_rows * tw).reshape(n_rows, tw)
+    if lv.get("predictor", 1) == 2:
+        arr = _undo_predictor2(arr)
+    if n_rows < th:  # short last strip: pad below the valid rows
+        full = np.zeros((th, tw), dt)
+        full[:n_rows] = arr
+        arr = full
+    return arr
 
 
 # ---------------------------------------------------------------------------
@@ -370,74 +660,26 @@ _NP_DTYPE = {
 
 
 def read_cog_file(path: str) -> Dict:
-    """Parse a write_cog_file-produced TIFF: full-res array, overview
-    arrays, geotransform, EPSG, nodata."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    order, magic, ifd_off = struct.unpack_from("<2sHI", buf, 0)
-    assert order == b"II" and magic == 42, "not a classic little-endian TIFF"
+    """Full-file read via the same header+tile path the executor-side
+    range reader uses (tiled or strip-organized, Compression 1/5/8/32946,
+    Predictor 1/2): full-res array, overview arrays, geotransform, EPSG,
+    nodata."""
+    hdr = read_cog_header(path)
     levels = []
-    geo: Dict = {"nodata": None, "epsg": None, "transform": None}
-    while ifd_off:
-        (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
-        tags: Dict[int, Tuple[int, int, int]] = {}
-        for i in range(n_entries):
-            tag, typ, count, raw = struct.unpack_from(
-                "<HHII", buf, ifd_off + 2 + 12 * i
-            )
-            tags[tag] = (typ, count, raw)
-        (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n_entries)
-
-        def _short_val(tag):
-            typ, count, raw = tags[tag]
-            return raw & 0xFFFF if typ == _TYPE_SHORT else raw
-
-        def _long_array(tag):
-            typ, count, raw = tags[tag]
-            if count == 1:
-                return [raw]
-            return list(struct.unpack_from(f"<{count}I", buf, raw))
-
-        nx, ny = _short_val(_WIDTH), _short_val(_LENGTH)
-        tw, th = _short_val(_TILEWIDTH), _short_val(_TILELENGTH)
-        bits = _short_val(_BITSPERSAMPLE)
-        fmt = _short_val(_SAMPLEFORMAT)
-        comp = _short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-        if comp not in (1, 8, 32946):
-            raise NotImplementedError(
-                f"TIFF compression {comp}: only none(1)/deflate(8,32946) "
-                "readable without GDAL"
-            )
-        dt = np.dtype(_NP_DTYPE[(fmt, bits)])
-        offs = _long_array(_TILEOFFSETS)
-        cnts = _long_array(_TILEBYTECOUNTS)
+    for li, lv in enumerate(hdr["levels"]):
+        ny, nx, th, tw = lv["ny"], lv["nx"], lv["tile_h"], lv["tile_w"]
         ntx = (nx + tw - 1) // tw
-        arr = np.zeros((ny, nx), dtype=dt)
-        for ti, off in enumerate(offs):
+        arr = np.zeros((ny, nx), dtype=np.dtype(lv["dtype"]))
+        for ti in range(len(lv["offsets"])):
             ty, tx = divmod(ti, ntx)
-            if comp in (8, 32946):
-                raw = zlib.decompress(buf[off : off + cnts[ti]])
-                block = np.frombuffer(raw, dt, count=tw * th).reshape(th, tw)
-            else:
-                block = np.frombuffer(buf, dt, count=tw * th, offset=off).reshape(th, tw)
+            block = read_cog_tile(path, hdr, li, ti)
             ys, xs = min(th, ny - ty * th), min(tw, nx - tx * tw)
             arr[ty * th : ty * th + ys, tx * tw : tx * tw + xs] = block[:ys, :xs]
         levels.append(arr)
-
-        if _MODELPIXELSCALE in tags:
-            _, _, raw = tags[_MODELPIXELSCALE]
-            sx, sy, _ = struct.unpack_from("<3d", buf, raw)
-            _, _, raw = tags[_MODELTIEPOINT]
-            _, _, _, x0, y0, _ = struct.unpack_from("<6d", buf, raw)
-            geo["transform"] = (sx, 0.0, x0, 0.0, -sy, y0)
-        if _GEOKEYDIRECTORY in tags:
-            typ, count, raw = tags[_GEOKEYDIRECTORY]
-            gk = struct.unpack_from(f"<{count}H", buf, raw)
-            for i in range(4, len(gk), 4):
-                if gk[i] in (2048, 3072):
-                    geo["epsg"] = gk[i + 3]
-        if _GDAL_NODATA in tags:
-            typ, count, raw = tags[_GDAL_NODATA]
-            geo["nodata"] = float(buf[raw : raw + count - 1].decode())
-
-    return {"data": levels[0], "overviews": levels[1:], **geo}
+    return {
+        "data": levels[0],
+        "overviews": levels[1:],
+        "transform": hdr["transform"],
+        "epsg": hdr["epsg"],
+        "nodata": hdr["nodata"],
+    }

@@ -62,3 +62,35 @@ def test_datasource_partition_per_tile_reassembly(spark, cog_path):
         t = np.frombuffer(bytes(r.data), arr.dtype).reshape(r.height, r.width)
         o[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = t
     np.testing.assert_array_equal(o, arr[::2, ::2])
+
+
+def test_datasource_reads_lzw_pred2_and_striped(spark, tmp_path):
+    """cogtiles over an LZW+Predictor=2 COG and a strip-organized LZW
+    GeoTIFF: partition-per-block planning works for both layouts."""
+    from odc_stac_spark.sources.geotiff import write_tiff_striped
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 60000, size=(300, 280), dtype=np.uint16)
+    g = GeoBox((300, 280), (10.0, 0.0, 0.0, 0.0, -10.0, 3000.0), "EPSG:32735")
+    spark.dataSource.register(CogTilesDataSource)
+
+    p_lzw = str(tmp_path / "lzw.tif")
+    write_cog_file(p_lzw, arr, g, tile=128, compression="lzw", predictor=2)
+    df = spark.read.format("cogtiles").load(p_lzw)
+    assert df.rdd.getNumPartitions() == 9  # 3x3 tiles of 128² over 300x280
+    out = np.zeros(arr.shape, dtype=arr.dtype)
+    for r in df.collect():
+        t = np.frombuffer(bytes(r.data), arr.dtype).reshape(r.height, r.width)
+        out[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = t
+    np.testing.assert_array_equal(out, arr)
+
+    p_strip = str(tmp_path / "strip.tif")
+    write_tiff_striped(p_strip, arr, g, rows_per_strip=64,
+                       compression="lzw", predictor=2)
+    ds = spark.read.format("cogtiles").load(p_strip)
+    assert ds.rdd.getNumPartitions() == 5  # ceil(300/64) strips
+    out2 = np.zeros(arr.shape, dtype=arr.dtype)
+    for r in ds.collect():
+        t = np.frombuffer(bytes(r.data), arr.dtype).reshape(r.height, r.width)
+        out2[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = t
+    np.testing.assert_array_equal(out2, arr)
