@@ -177,7 +177,12 @@ def warp_throughput(spark):
 
     t0 = datetime(2020, 6, 6, 8, 30)
     items = []
-    n, ny, nx, dy = 6, 2000, 2816, 1000
+    # 12 scenes → a 13000x2816 (36.6 Mpx) output grid: large enough that
+    # the fixed pandas-UDF job latency (~0.25 s on this box: ~3.5 ms/task
+    # Arrow stream setup × 32 + worker attach) amortizes and the metric
+    # measures SUSTAINED warp throughput, which is what a 100 TB load
+    # sees (6 scenes measured the job floor, not the kernel)
+    n, ny, nx, dy = 12, 2000, 2816, 1000
     for i in range(n):
         origin = (5.0, 10.0 * (ny + (n - 1) * dy) - i * dy * 10.0 + 5.0)
         gbox = GeoBox((ny, nx), (10.0, 0.0, origin[0], 0.0, -10.0, origin[1]), "EPSG:32735")
@@ -210,10 +215,10 @@ def warp_throughput(spark):
     elapsed = float("inf")
     for _ in range(3):
         start = time.perf_counter()
-        # 512-px tiles: the 7000x2816 grid makes 84 tile tasks — enough
-        # to keep all 32 cores busy (1024 tiles gave only 21 tasks, so a
-        # third of the machine idled; task sizing to core count is the
-        # real Spark knob here)
+        # 512-px tiles: the 13000x2816 grid makes 156 tile tasks — ~5 per
+        # core so hash-interleaved stragglers amortize (1024 gave too few
+        # tasks, a third of the machine idle; task sizing to core count
+        # is the real Spark knob here)
         tiles_df, plan = load(
             spark, items, groupby="solar_day", geobox=out_gbox, chunks=(512, 512), cfg=cfg
         )

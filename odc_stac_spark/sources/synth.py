@@ -431,10 +431,10 @@ class SynthReader:
         if ry0 >= ry1 or rx0 >= rx1:
             return None
         n_y, n_x = ry1 - ry0, rx1 - rx0
-        out = np.full((n_y, n_x), True)  # "missing" mask, filled below
-        vals = np.zeros((n_y, n_x), dtype=np.float64)
 
         if resampling in _BIN_MODES:
+            out = np.full((n_y, n_x), True)  # "missing" mask, filled below
+            vals = np.zeros((n_y, n_x), dtype=np.float64)
             # bin src pixel centers into dst cells; vectorized scatter-add.
             # src window bounding the ROI: inverse affine (same CRS) or the
             # densified ROI boundary transformed dst→src (cross-CRS).
@@ -572,62 +572,106 @@ class SynthReader:
                 vals, out = samp, miss
             else:  # separable convolution: bilinear 2×2 / cubic and
                 # cubic_spline 4×4 / lanczos 6×6 — center-based, p = f-0.5
-                PY, PX = FY - 0.5, FX - 0.5
-                JY = np.floor(PY).astype(np.int64)
-                JX = np.floor(PX).astype(np.int64)
-                AY = PY - JY
-                AX = PX - JX
                 taps = _CONV_TAPS[resampling]
                 kern = _CONV_KERNELS[resampling]
-                iy0 = max(0, int(JY.min()) + taps[0])
-                iy1 = min(sgb.height, int(JY.max()) + taps[-1] + 1)
-                ix0 = max(0, int(JX.min()) + taps[0])
-                ix1 = min(sgb.width, int(JX.max()) + taps[-1] + 1)
+                if cross:
+                    PY, PX = FY - 0.5, FX - 0.5
+                    JY = np.floor(PY).astype(np.int64)
+                    JX = np.floor(PX).astype(np.int64)
+                    AY = PY - JY
+                    AX = PX - JX
+                    iy0 = max(0, int(JY.min()) + taps[0])
+                    iy1 = min(sgb.height, int(JY.max()) + taps[-1] + 1)
+                    ix0 = max(0, int(JX.min()) + taps[0])
+                    ix1 = min(sgb.width, int(JX.max()) + taps[-1] + 1)
+                else:
+                    # affine grid pair: 1-D per-axis indices/weights — the
+                    # 2-D fields above are broadcast views, never
+                    # materialized
+                    py1 = (cy - sy0) / ssy - 0.5
+                    px1 = (cx - sx0) / ssx - 0.5
+                    jy1 = np.floor(py1).astype(np.int64)
+                    jx1 = np.floor(px1).astype(np.int64)
+                    iy0 = max(0, int(jy1.min()) + taps[0])
+                    iy1 = min(sgb.height, int(jy1.max()) + taps[-1] + 1)
+                    ix0 = max(0, int(jx1.min()) + taps[0])
+                    ix1 = min(sgb.width, int(jx1.max()) + taps[-1] + 1)
                 if iy0 >= iy1 or ix0 >= ix1:
                     return None
+                # accumulate in float32 when it is EXACT-ENOUGH: narrow
+                # integer source (≤16-bit: values < 2²⁴ are float32-exact)
+                # going to an integer destination; float destinations and
+                # the cross-CRS path stay float64 (their oracles checksum
+                # the full-precision values)
+                acc_dt = (
+                    np.float32
+                    if (
+                        not cross
+                        and np.dtype(src_dtype).kind in "ui"
+                        and np.dtype(src_dtype).itemsize <= 2
+                        and np.dtype(dst_dtype).kind in "ui"
+                    )
+                    else np.float64
+                )
                 win = self._window(
                     src.uri, src_nodata, src_dtype, iy0, iy1, ix0, ix1
-                ).astype(np.float64)
+                ).astype(acc_dt)
                 winmiss = nodata_mask(win, src_nodata)
                 wny, wnx = win.shape
 
                 # a tap only poisons the output if its weight is nonzero
                 # (an exactly-aligned axis has weight 0 on the other
                 # taps — it must not matter whether those pixels exist)
-                vals = np.zeros((n_y, n_x), dtype=np.float64)
-                out = np.zeros((n_y, n_x), dtype=bool)
-                wtot = np.zeros((n_y, n_x), dtype=np.float64)
                 if not cross:
-                    # separable fast path: an affine grid pair has 1-D
-                    # per-axis indices and weights, so each tap gathers
-                    # whole rows then columns with ``take`` (contiguous
-                    # copies) instead of a full 2-D fancy index (random
-                    # per-element gather) — ~2× on a 1 Mpx tile, the
-                    # hot loop of warp throughput (BENCH warp_mpx)
-                    py1 = (cy - sy0) / ssy - 0.5
-                    px1 = (cx - sx0) / ssx - 0.5
-                    jy1 = np.floor(py1).astype(np.int64)
-                    jx1 = np.floor(px1).astype(np.int64)
-                    ay1 = py1 - jy1
-                    ax1 = px1 - jx1
-                    wys1 = {d: kern(d - ay1) for d in taps}
-                    wxs1 = {d: kern(d - ax1) for d in taps}
-                    for dy_ in taps:
-                        yy = jy1 + dy_ - iy0
-                        oky = (yy >= 0) & (yy < wny)
+                    wys1 = {d: kern(d - (py1 - jy1)).astype(acc_dt) for d in taps}
+                    wxs1 = {d: kern(d - (px1 - jx1)).astype(acc_dt) for d in taps}
+                    # fully-separable two-stage evaluation: interpolate
+                    # along x once for every window row (taps gathers of
+                    # the window), then along y (taps gathers of the
+                    # intermediate) — O(2·taps) contiguous gathers instead
+                    # of O(taps²) 2-D gathers, the hot loop of warp
+                    # throughput (BENCH warp_mpx). The miss mask (nodata
+                    # holes + out-of-extent taps) propagates through the
+                    # SAME two stages: a tap with nonzero weight on a
+                    # missing/out-of-window sample poisons exactly its
+                    # output pixels (w = wy·wx ≠ 0 ⇔ both ≠ 0), so the
+                    # 2-D per-tap-pair mask reduces to two 1-D-indexed OR
+                    # sweeps. Values at misses are zero-filled before the
+                    # convolution — identical to the per-pair
+                    # ``where(m, 0, v)`` modulo float reassociation.
+                    any_miss = bool(winmiss.any())
+                    if any_miss:
+                        win[winmiss] = 0  # win is our astype copy
+                    wxnz = {d: np.abs(wxs1[d]) > 1e-12 for d in taps}
+                    wynz = {d: np.abs(wys1[d]) > 1e-12 for d in taps}
+                    tmp = np.zeros((wny, n_x), dtype=acc_dt)
+                    mx = np.zeros((wny, n_x), dtype=bool) if any_miss else None
+                    out_x = np.zeros(n_x, dtype=bool)
+                    for d in taps:
+                        xx = jx1 + d - ix0
+                        out_x |= ((xx < 0) | (xx >= wnx)) & wxnz[d]
+                        xc = xx.clip(0, wnx - 1)
+                        tmp += win.take(xc, axis=1) * wxs1[d][None, :]
+                        if any_miss:
+                            mx |= winmiss.take(xc, axis=1) & wxnz[d][None, :]
+                    vals = np.zeros((n_y, n_x), dtype=acc_dt)
+                    out = np.zeros((n_y, n_x), dtype=bool)
+                    out_y = np.zeros(n_y, dtype=bool)
+                    for d in taps:
+                        yy = jy1 + d - iy0
+                        out_y |= ((yy < 0) | (yy >= wny)) & wynz[d]
                         yc = yy.clip(0, wny - 1)
-                        rows_v = win.take(yc, axis=0)
-                        rows_m = winmiss.take(yc, axis=0) | ~oky[:, None]
-                        for dx_ in taps:
-                            xx = jx1 + dx_ - ix0
-                            okx = (xx >= 0) & (xx < wnx)
-                            xc = xx.clip(0, wnx - 1)
-                            v = rows_v.take(xc, axis=1)
-                            m = rows_m.take(xc, axis=1) | ~okx[None, :]
-                            w = wys1[dy_][:, None] * wxs1[dx_][None, :]
-                            vals += np.where(m, 0.0, v) * w
-                            wtot += w
-                            out |= m & (np.abs(w) > 1e-12)
+                        vals += tmp.take(yc, axis=0) * wys1[d][:, None]
+                        if any_miss:
+                            out |= mx.take(yc, axis=0) & wynz[d][:, None]
+                    out |= out_y[:, None]
+                    out |= out_x[None, :]
+                    if resampling == "lanczos":
+                        # kernel mass is separable: Σwy·Σwx
+                        vals /= (
+                            sum(wys1.values())[:, None]
+                            * sum(wxs1.values())[None, :]
+                        )
                 else:
                     def gather(dy_, dx_):
                         yy = JY + dy_ - iy0
@@ -639,6 +683,9 @@ class SynthReader:
                         xc = xx.clip(0, wnx - 1)
                         return win[yc, xc], winmiss[yc, xc] | ~okk
 
+                    vals = np.zeros((n_y, n_x), dtype=np.float64)
+                    out = np.zeros((n_y, n_x), dtype=bool)
+                    wtot = np.zeros((n_y, n_x), dtype=np.float64)
                     wys = {dy_: kern(dy_ - AY) for dy_ in taps}
                     wxs = {dx_: kern(dx_ - AX) for dx_ in taps}
                     for dy_ in taps:
@@ -648,10 +695,11 @@ class SynthReader:
                             vals += np.where(m, 0.0, v) * w
                             wtot += w
                             out |= m & (np.abs(w) > 1e-12)
-                if resampling == "lanczos":
-                    # the truncated sinc window doesn't partition unity
-                    # (tent/Keys/B-spline do) — normalize by kernel mass
-                    vals /= wtot
+                    if resampling == "lanczos":
+                        # the truncated sinc window doesn't partition
+                        # unity (tent/Keys/B-spline do) — normalize by
+                        # kernel mass
+                        vals /= wtot
 
         if np.issubdtype(np.dtype(dst_dtype), np.integer):
             vals = np.rint(vals)
