@@ -16,6 +16,9 @@ scores match the oracle bit-for-bit before rounding.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -309,23 +312,33 @@ LSH_TABLES, LSH_BITS, LSH_DIM = 4, 6, 64
 LSH_COS_MIN = 0.3
 
 
+#: fixed-point scale for embedding components in the bucket-bit decision.
+#: The hyperplane sign is sign(Σ v_d · w_d); computed in floats the sum
+#: depends on accumulation order, and a dot within rounding error of zero
+#: could flip a bucket bit between Spark (ordered fold) and DuckDB
+#: (parallel SUM). Quantizing v to round(v·10^6) and keeping w as the raw
+#: integer k−1000 makes the dot an exact bigint sum — order-independent,
+#: bit-identical across engines (max |term| ≈ 10^7·10^3 = 10^10, and 64 of
+#: them stay far below 2^63).
+LSH_FIXED_SCALE = 1_000_000
+
+
 def _lsh_weight_expr(prefix: str):
-    """Deterministic pseudo-random hyperplane weights in [-1, 1]:
-    w = (md5_32(prefix || d) % 2001 - 1000) / 1000 — identical arithmetic
-    in Spark and DuckDB, so bucket assignments match bit-for-bit."""
+    """Deterministic pseudo-random integer hyperplane weights in
+    [-1000, 1000]: w = md5_32(prefix || d) % 2001 - 1000 — identical
+    integer arithmetic in Spark and DuckDB, so bucket assignments match
+    bit-for-bit (scaling w by 1/1000 would not change the sign, so the
+    raw integer is used directly)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
         lambda d: (
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2001
-                - 1000
-            )
-            / 1000.0
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
         ),
     )
 
@@ -341,12 +354,13 @@ def _lsh_weight_expr(prefix: str):
     ),
     w AS (
         SELECT l, h, d,
-               (CAST(('0x' || substr(md5(l || '_' || h || '_' || d), 1, 8)) AS BIGINT)
-                % 2001 - 1000) / 1000.0 AS w
+               CAST(('0x' || substr(md5(l || '_' || h || '_' || d), 1, 8)) AS BIGINT)
+                % 2001 - 1000 AS w
         FROM planes CROSS JOIN dims
     ),
     vex AS (
-        SELECT vec_id, d.d, embedding[d.d + 1]::DOUBLE AS val
+        SELECT vec_id, d.d,
+               CAST(round(embedding[d.d + 1]::DOUBLE * {LSH_FIXED_SCALE}) AS BIGINT) AS val
         FROM embeddings CROSS JOIN dims d
     ),
     dots AS (
@@ -387,7 +401,14 @@ def _lsh_weight_expr(prefix: str):
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
+        "vec_id",
+        _vecd(F.col("embedding")).alias("emb"),
+        # fixed-point copy for the bucket-bit sign decision (see
+        # LSH_FIXED_SCALE) — exact bigint dot products, engine-independent
+        F.transform(
+            _vecd(F.col("embedding")),
+            lambda x: F.round(x * LSH_FIXED_SCALE).cast("bigint"),
+        ).alias("embi"),
     )
     # map-side (l, bucket) signatures via higher-order folds
     bucket_structs = []
@@ -396,8 +417,8 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in range(LSH_BITS):
             w = _lsh_weight_expr(f"{l}_{h}_")
             dot = F.aggregate(
-                F.zip_with(F.col("emb"), w, lambda x, y: x * y),
-                F.lit(0.0),
+                F.zip_with(F.col("embi"), w, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             )
             bit = F.when(dot > 0, F.lit(1 << h).cast("bigint")).otherwise(

@@ -45,26 +45,80 @@ def read_tiles_parquet(spark, path: str) -> DataFrame:
 def write_cog(tiles_df: DataFrame, plan, out_dir: str) -> list:
     """S14 sink: one cloud-optimized GeoTIFF per (band, time group),
     written by the in-house pure-Python writer (sources/geotiff.py —
-    COG IFD-first layout, tiled, GeoTIFF keys, overview IFDs, GDAL_NODATA;
-    uncompressed: compression codecs would need rasterio). The reference's
-    equivalent is ``xx.odc.write_cog`` (docs/samples/save-cog-from-stac.py).
+    COG IFD-first layout, tiled, GeoTIFF keys, overview IFDs, GDAL_NODATA).
+    The reference's equivalent is ``xx.odc.write_cog``
+    (docs/samples/save-cog-from-stac.py).
 
-    Driver-side finalization over the assembled mosaic — the distributed
-    artifact remains the parquet tile table; COG is the export format.
-    Returns the written paths."""
-    import os
+    **Distributed**: tiles are repartitioned by (band, t) so every output
+    file's tiles land on one executor, which assembles that single image
+    and writes the COG from ``foreachPartition`` — the same pattern as
+    :func:`write_zarr`; the driver collects no pixels and only returns the
+    manifest of paths. Per-task memory is one full (ny, nx) image — the
+    inherent unit of a COG — while the *export as a whole* parallelizes
+    across bands × time groups. On a real cluster ``out_dir`` must be a
+    shared filesystem (or swap ``open`` for an object-store client).
 
-    from ..plans.load import assemble_numpy
+    A (band, t) group with no tiles at all (a time group the band never
+    observed) is backfilled driver-side with a nodata-filled image, so
+    every present band gets the full ``nt`` files exactly as the previous
+    driver-side writer produced. Returns the written paths,
+    band-major/t-minor."""
+    import itertools
+
+    from ..operators.mosaic import empty_fill
+    from ..plans.load import resolve_dst_nodata, resolve_src_nodata
     from .geotiff import write_cog_file
 
-    bands = assemble_numpy(tiles_df, plan)
+    nt = max(len(plan.group_keys), 1)
+    ny, nx = plan.gbox.shape
+    gbox = plan.gbox
+    cfg = dict(plan.cfg)  # band → RasterLoadParams: tiny, closure-captured
     os.makedirs(out_dir, exist_ok=True)
+
+    def _fills(band, dst_dtype):
+        c = cfg[band]
+        src_nodata = resolve_src_nodata(None, c)
+        dst_nodata = resolve_dst_nodata(dst_dtype, c, src_nodata)
+        return empty_fill(dst_dtype, dst_nodata), c.fill_value
+
+    def _write_partition(rows):
+        for (band, t), grp in itertools.groupby(rows, key=lambda r: (r.band, r.t)):
+            tiles = list(grp)
+            dst_dtype = np.dtype(tiles[0].dtype)
+            fill, nodata = _fills(band, dst_dtype)
+            img = np.full((ny, nx), fill, dst_dtype)
+            for r in tiles:
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                img[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = arr
+            write_cog_file(
+                os.path.join(out_dir, f"{band}_t{t}.tif"), img, gbox, nodata=nodata
+            )
+
+    (
+        tiles_df.repartition("band", "t")
+        .sortWithinPartitions("band", "t", "iy", "ix")
+        .foreachPartition(_write_partition)
+    )
+
+    # manifest + rare backfill of all-empty time groups for present bands
+    present = {
+        f.rsplit("_t", 1)[0] for f in os.listdir(out_dir) if f.endswith(".tif")
+    }
     paths = []
-    for band, cube in bands.items():
-        nodata = plan.cfg[band].fill_value if band in plan.cfg else None
-        for t in range(cube.shape[0]):
+    for band in plan.bands:
+        if band not in present:
+            continue
+        for t in range(nt):
             p = os.path.join(out_dir, f"{band}_t{t}.tif")
-            write_cog_file(p, cube[t], plan.gbox, nodata=nodata)
+            if not os.path.exists(p):
+                c = cfg[band]
+                dst_dtype = np.dtype(c.dtype or "float32")
+                fill, nodata = _fills(band, dst_dtype)
+                write_cog_file(
+                    p, np.full((ny, nx), fill, dst_dtype), gbox, nodata=nodata
+                )
             paths.append(p)
     return paths
 
@@ -150,8 +204,13 @@ def write_zarr(tiles_df: DataFrame, plan, out_dir: str, compressor: str = "zlib"
             "dtype": _zarr_dtype(str(dtype)),
             "compressor": comp_json,
             # zarr v2 spec: non-finite float fills are encoded as the
-            # JSON strings "NaN"/"Infinity"/"-Infinity"
-            "fill_value": _zarr_fill_json(None if nodata is None else fills[band][1]),
+            # JSON strings "NaN"/"Infinity"/"-Infinity". Always declare the
+            # value actually used to pad edge chunks (fills[band][1]) even
+            # when the band has no nodata: a null fill means *undefined*
+            # per spec, so external readers (zarr-python/xarray) would
+            # surface unmasked garbage for absent chunks and disagree with
+            # the padding physically written below.
+            "fill_value": _zarr_fill_json(fills[band][1]),
             "order": "C",
             "filters": None,
         }

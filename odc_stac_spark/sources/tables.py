@@ -44,17 +44,25 @@ TIMESTAMP_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic fixture table, normalizing timestamp encodings.
 
-    .. warning:: **Session side effect.** This sets two runtime confs on the
-       *caller's* session and leaves them set:
+    .. warning:: **Session side effect.** This sets one runtime conf on the
+       *caller's* session and leaves it set:
        ``spark.sql.legacy.parquet.nanosAsLong=true`` (the events fixture may
        carry TIMESTAMP(NANOS), which the vectorized reader otherwise rejects
-       with PARQUET_TYPE_ILLEGAL) and ``spark.sql.session.timeZone=UTC``
-       (fixture timestamps are naive-UTC by convention; pinning the session
-       tz makes the NTZ→TIMESTAMP cast an epoch identity so results are
-       deterministic across harness hosts). Sessions built via
-       :func:`odc_stac_spark.get_spark` already run with both; an external
-       session with a different timezone will observe UTC-based
-       ``date_format``/``from_unixtime`` behavior after the first call.
+       with PARQUET_TYPE_ILLEGAL). It cannot be restored after this call:
+       the returned DataFrame is lazy, and the parquet scan consults the
+       session's SQLConf at *action* time, so flipping the conf back would
+       make a later ``.collect()`` fail on nanos files. The conf's only
+       effect is letting nanos columns arrive as int64, which we immediately
+       normalize below.
+
+       The session ``timeZone`` is NOT mutated: the fixture timestamps are
+       naive-UTC by convention, and the normalization below is written to be
+       timezone-independent — nanos convert via the epoch-based
+       ``timestamp_micros`` and TIMESTAMP_NTZ converts via
+       ``make_timestamp(..., 'UTC')``, which takes an explicit zone rather
+       than relying on the session default. Downstream *rendering* functions
+       (``date_format`` etc.) in queries still follow the session tz;
+       sessions built via :func:`odc_stac_spark.get_spark` pin UTC.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -66,7 +74,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Normalize both to a UTC-instant TIMESTAMP so every downstream query
     # sees one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name not in TIMESTAMP_COLUMNS:
@@ -75,10 +82,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if kind == "bigint":
             # int64 nanos under nanosAsLong — truncate to µs (integer
             # `div`, not double division: ns epochs exceed 2^53) exactly
-            # as DuckDB does when reading the same file.
+            # as DuckDB does when reading the same file. Epoch-based, so
+            # session-timezone independent.
             df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
         elif kind == "timestamp_ntz":
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            # Interpret the naive wall-clock as UTC with an EXPLICIT zone.
+            # A plain cast(ntz as timestamp) would be re-evaluated with
+            # whatever the session tz is at collect time (the cast is lazy),
+            # so it must not appear here. make_timestamp(..., 'UTC')
+            # rebuilds the instant from wall-clock fields + a literal zone;
+            # extract(SECOND) keeps the fractional part (DECIMAL(8,6)).
+            c = field.name
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"make_timestamp(year({c}), month({c}), day({c}), "
+                    f"hour({c}), minute({c}), extract(SECOND FROM {c}), 'UTC')"
+                ),
+            )
     return df
 
 

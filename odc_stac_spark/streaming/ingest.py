@@ -23,12 +23,52 @@ makes ingestion exactly-once per file, and the parquet sink's
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..model import GeoBox, RasterLoadParams
+
+#: store-metadata file pinning the cube grid, written next to the tile
+#: partitions on first run and asserted against on every restart.
+GRID_META_FILE = "_grid.json"
+
+
+def _grid_meta(geobox: GeoBox, chunks: Tuple[int, int], groupby: str) -> dict:
+    return {
+        "crs": geobox.crs,
+        "shape": list(geobox.shape),
+        "transform": list(geobox.transform),
+        "chunks": list(chunks),
+        "groupby": groupby,
+    }
+
+
+def _pin_grid(out_path: str, meta: dict) -> None:
+    """Persist the grid on first run; on restart, refuse a mismatched one.
+
+    A streaming restart with different geobox/chunks would silently append
+    tiles on an incompatible grid — ``compact_cube`` would then reshape
+    mismatched (height, width) buffers or merge tiles from different
+    extents. The checkpoint pins the *source* progress but not the *sink*
+    grid, so the sink pins it itself (round-4 advice, ingest.py:48)."""
+    os.makedirs(out_path, exist_ok=True)
+    path = os.path.join(out_path, GRID_META_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"stream_load_tiles restart with a different grid for {out_path!r}: "
+                f"stored {existing}, requested {meta}. Use a new out_path/checkpoint "
+                "to change grids."
+            )
+        return
+    with open(path, "w") as f:
+        json.dump(meta, f)
 
 
 def stream_load_tiles(
@@ -50,6 +90,7 @@ def stream_load_tiles(
     from ..sources.stac_items import parse_items
     from .events import stream_stac_items
 
+    _pin_grid(out_path, _grid_meta(geobox, chunks, groupby))
     items_stream = stream_stac_items(spark, input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -257,3 +257,30 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_load_table_leaves_session_timezone_alone(spark, sf_dir):
+    """Session-conf hygiene (round-4 advice): load_table must not mutate the
+    caller's spark.sql.session.timeZone, and the timestamps it returns must
+    be the same UTC instants regardless of the session tz — the NTZ
+    normalization carries an explicit 'UTC' zone instead of leaning on the
+    session default (which would be re-read lazily at collect time)."""
+    tz_key = "spark.sql.session.timeZone"
+    saved = spark.conf.get(tz_key)
+    utc_epochs = sorted(
+        r.e
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.unix_micros("ts").alias("e"))
+        .limit(50)
+        .collect()
+    )
+    try:
+        spark.conf.set(tz_key, "Australia/Adelaide")
+        df = load_table(spark, sf_dir, "events")
+        assert spark.conf.get(tz_key) == "Australia/Adelaide"
+        adelaide_epochs = sorted(
+            r.e for r in df.select(F.unix_micros("ts").alias("e")).limit(50).collect()
+        )
+        assert adelaide_epochs == utc_epochs
+    finally:
+        spark.conf.set(tz_key, saved)

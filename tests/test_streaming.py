@@ -423,3 +423,45 @@ def test_compact_cube_merges_late_scene(spark, tmp_path):
     have_z = {(r.band, r.zy, r.zx): (r.n_valid, round(r.mean, 9)) for r in zc.collect()}
     want_z = {(r.band, r.zy, r.zx): (r.n_valid, round(r.mean, 9)) for r in zb.collect()}
     assert have_z == want_z
+
+
+def test_stream_load_tiles_pins_grid_across_restarts(spark, tmp_path):
+    """Round-4 advice (ingest.py): the checkpoint pins source progress but
+    not the sink grid, so the sink persists its grid on first run and a
+    restart with different geobox/chunks must fail loudly instead of
+    appending tiles on an incompatible grid."""
+    import pytest as _pytest
+
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.streaming import stream_load_tiles
+
+    in_dir = tmp_path / "feed"
+    in_dir.mkdir()
+    out = str(tmp_path / "cube")
+    ckpt = str(tmp_path / "ckpt")
+    gbox = GeoBox((160, 180), (10.0, 0.0, 0.0, 0.0, -10.0, 1200.0), "EPSG:32735")
+
+    q = stream_load_tiles(
+        spark, str(in_dir), out, ckpt, geobox=gbox, chunks=(64, 64), groupby="time"
+    )
+    q.awaitTermination(240)
+    assert os.path.exists(os.path.join(out, "_grid.json"))
+
+    # same grid: restart is fine
+    q = stream_load_tiles(
+        spark, str(in_dir), out, ckpt, geobox=gbox, chunks=(64, 64), groupby="time"
+    )
+    q.awaitTermination(240)
+
+    # different chunking: refused before the stream starts
+    with _pytest.raises(ValueError, match="different grid"):
+        stream_load_tiles(
+            spark, str(in_dir), out, ckpt, geobox=gbox, chunks=(32, 32), groupby="time"
+        )
+
+    # different geobox: refused
+    gbox2 = GeoBox((160, 180), (20.0, 0.0, 0.0, 0.0, -20.0, 1200.0), "EPSG:32735")
+    with _pytest.raises(ValueError, match="different grid"):
+        stream_load_tiles(
+            spark, str(in_dir), out, ckpt, geobox=gbox2, chunks=(64, 64), groupby="time"
+        )
