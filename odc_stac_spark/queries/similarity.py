@@ -166,12 +166,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    # Every stage is deterministic (fixed centroids, tie-broken windows,
-    # sequential float64 folds) — so the whole IVF plan has an exact SQL
-    # image. Recall vs brute force additionally asserted in tests.
-    oracle=f"""
+# Every stage is deterministic (fixed centroids, tie-broken windows,
+# sequential float64 folds) — so the whole IVF plan has an exact SQL image,
+# shared by the from-scratch query and the persisted-index query (identical
+# results by construction). Recall vs brute force additionally asserted in
+# tests.
+_IVF_TOPK_ORACLE = f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
     assigned AS (
@@ -211,26 +211,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM probes p JOIN assigned a USING (cent_id)
             WHERE a.vec_id <> p.query_id)
     ) WHERE rn <= {TOP_K}
-    """,
-    doc="IVF-style ANN: centroids = first IVF_K vectors; assign every vector "
-    "to nearest centroid (broadcast join); per query probe IVF_NPROBE "
-    "clusters then exact top-k within them. Scale path: assignment is a "
-    "materialized bucketed table; probing reads NPROBE/K of the data.",
-    tags=("similarity",),
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
-    cent = emb.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
-    )
-    # assign: nearest centroid per vector (broadcast IVF_K × n)
-    assigned = _ivf_multi_assign(emb, 1)
-    # probe: per query, IVF_NPROBE nearest centroids
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
+    """
+
+
+def _ivf_serve_topk(assigned: DataFrame, cent: DataFrame, q: DataFrame) -> DataFrame:
+    """Probe-and-rank stage shared by the from-scratch and from-index IVF
+    paths: per query pick the IVF_NPROBE nearest centroids, exact top-k
+    within the probed cells only."""
     qsim = _dot(F.col("qemb"), F.col("cemb")) / (_norm(F.col("qemb")) * _norm(F.col("cemb")))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
     probes = (
@@ -254,6 +241,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
+    doc="IVF-style ANN: centroids = first IVF_K vectors; assign every vector "
+    "to nearest centroid (broadcast join); per query probe IVF_NPROBE "
+    "clusters then exact top-k within them. Scale path: assignment is a "
+    "materialized bucketed table (see ann_ivf_from_index); probing reads "
+    "NPROBE/K of the data.",
+    tags=("similarity",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    # assign: nearest centroid per vector (broadcast IVF_K × n)
+    assigned = _ivf_multi_assign(emb, 1)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return _ivf_serve_topk(assigned, cent, q)
 
 
 @register(
@@ -343,9 +355,9 @@ def _lsh_weight_expr(prefix: str):
     )
 
 
-@register(
-    "ann_lsh_hyperplane",
-    oracle=f"""
+# Shared by ann_lsh_hyperplane (from-scratch) and ann_lsh_from_index
+# (persisted bucketed signature table) — identical results by construction.
+_LSH_ORACLE = f"""
     WITH dims AS (SELECT UNNEST(generate_series(0, {LSH_DIM - 1})) AS d),
     planes AS (
         SELECT l.l, h.h
@@ -390,27 +402,26 @@ def _lsh_weight_expr(prefix: str):
           / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
              * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))
           >= {LSH_COS_MIN}
-    """,
-    doc="signed-random-projection LSH ANN (the task's 'LSH-bucketed "
-    "variant' alongside IVF): 4 tables x 6 deterministic hyperplanes, "
-    "map-side signature per vector (zero shuffles), bucket equi-join for "
-    "candidates (cost follows collisions, not O(n^2)), exact-cosine "
-    "verify. Multi-table union boosts recall exactly as banding does for "
-    "MinHash.",
-    tags=("similarity", "lsh"),
-)
-def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    """
+
+
+def _lsh_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, embi): float vectors plus the fixed-point copy used
+    for the bucket-bit sign decision (see LSH_FIXED_SCALE) — exact bigint
+    dot products, engine-independent."""
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _vecd(F.col("embedding")).alias("emb"),
-        # fixed-point copy for the bucket-bit sign decision (see
-        # LSH_FIXED_SCALE) — exact bigint dot products, engine-independent
         F.transform(
             _vecd(F.col("embedding")),
             lambda x: F.round(x * LSH_FIXED_SCALE).cast("bigint"),
         ).alias("embi"),
     )
-    # map-side (l, bucket) signatures via higher-order folds
+
+
+def _lsh_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, embi, ...) → (vec_id, l, b): map-side (table, bucket)
+    signatures via higher-order folds — zero shuffles to signatures."""
     bucket_structs = []
     for l in range(LSH_TABLES):
         bucket = None
@@ -428,9 +439,14 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_structs.append(
             F.struct(F.lit(l).alias("l"), bucket.alias("b"))
         )
-    sigs = emb.select(
+    return emb.select(
         "vec_id", F.explode(F.array(*bucket_structs)).alias("s")
     ).select("vec_id", F.col("s.l").alias("l"), F.col("s.b").alias("b"))
+
+
+def _lsh_pairs(sigs: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Candidate pairs from the (l, b) bucket equi-join of the signature
+    table, then exact-cosine verify against ``vecs`` (vec_id, emb)."""
     a = sigs.select(F.col("vec_id").alias("vec_a"), "l", "b")
     c = sigs.select(F.col("vec_id").alias("vec_b"), "l", "b")
     cand = (
@@ -439,8 +455,8 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("xa"))
-    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("xb"))
+    x = vecs.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("xa"))
+    y = vecs.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("xb"))
     cos = _dot(F.col("xa"), F.col("xb")) / (_norm(F.col("xa")) * _norm(F.col("xb")))
     return (
         cand.join(x, "vec_a")
@@ -448,3 +464,162 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= LSH_COS_MIN)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
+
+
+@register(
+    "ann_lsh_hyperplane",
+    oracle=_LSH_ORACLE,
+    doc="signed-random-projection LSH ANN (the task's 'LSH-bucketed "
+    "variant' alongside IVF): 4 tables x 6 deterministic hyperplanes, "
+    "map-side signature per vector (zero shuffles), bucket equi-join for "
+    "candidates (cost follows collisions, not O(n^2)), exact-cosine "
+    "verify. Multi-table union boosts recall exactly as banding does for "
+    "MinHash.",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _lsh_emb(spark, sf_dir)
+    return _lsh_pairs(_lsh_signatures(emb), emb.select("vec_id", "emb"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (round-4 verdict item 7)
+#
+# The from-scratch ann_* queries recompute assignments/signatures per run;
+# at 100 TB the corpus-side work is written ONCE and every query serves
+# from the materialized index:
+#
+# - IVF: the coarse quantization (vec_id, emb, cent_id) lands in a parquet
+#   table PARTITIONED BY cent_id — a probe reads only its NPROBE/K
+#   partition directories (partition pruning, no recompute, no full scan).
+# - LSH: the signature table (vec_id, l, b) lands in a parquet table
+#   BUCKETED by (l, b) — the candidate self-join co-locates by bucket
+#   layout, so pair generation shuffles nothing; the float vectors are a
+#   plain sidecar for the exact-cosine verify.
+#
+# Serving queries read ONLY index artifacts: no re-scan of the embeddings
+# source appears anywhere in their plans (asserted in
+# tests/test_ann_index.py), and results equal the from-scratch queries
+# row-for-row (both registered against the same oracle SQL).
+# ---------------------------------------------------------------------------
+
+#: root for on-disk ANN indexes; override with SPARK_GRAFT_INDEX_DIR.
+INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_INDEX_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        "ann_index",
+    ),
+)
+
+
+def _index_dir(sf_dir: str) -> str:
+    """Per-corpus index location, keyed by the embeddings file identity
+    (path + mtime + size) so a regenerated fixture invalidates the index."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(INDEX_ROOT, key)
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """One-off IVF build: coarse-quantize every vector to its nearest
+    centroid and write (vec_id, emb, cent_id) partitioned by cent_id.
+    At 100 TB this is the only pass over the full corpus; every later
+    query touches NPROBE/K of the directories."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    (
+        _ivf_multi_assign(emb, 1)
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str, path: str, table: str) -> None:
+    """One-off LSH build: map-side signatures → parquet table bucketed by
+    (l, b) (candidate self-join co-locates, no shuffle), plus a plain
+    (vec_id, emb) sidecar for the exact-cosine verify stage."""
+    emb = _lsh_emb(spark, sf_dir)
+    (
+        _lsh_signatures(emb)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l", "b")
+        .sortBy("l", "b")
+        .option("path", os.path.join(path, "sigs"))
+        .saveAsTable(table)
+    )
+    emb.select("vec_id", "emb").write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def ann_ivf_topk_from_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Serve IVF top-k from a persisted index — the only inputs are index
+    files (centroids and query vectors are index rows too: the assignment
+    stores every vector once)."""
+    idx = spark.read.parquet(index_path)  # vec_id, emb, cent_id
+    vecs = idx.select("vec_id", "emb")
+    cent = vecs.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return _ivf_serve_topk(idx, cent, q)
+
+
+def ann_lsh_pairs_from_index(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Serve LSH near-neighbor pairs from a persisted index: bucketed
+    signature self-join + sidecar-vector verify; the embeddings source is
+    never read."""
+    sigs = spark.table(table)
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    return _lsh_pairs(sigs, vecs)
+
+
+def _lsh_table_name(d: str) -> str:
+    return f"lsh_sigs_{os.path.basename(d)}"
+
+
+@register(
+    "ann_ivf_from_index",
+    oracle=_IVF_TOPK_ORACLE,
+    doc="IVF ANN served from the PERSISTED index (built once, "
+    "cent_id-partitioned parquet): identical results to ann_ivf_topk, but "
+    "the serving plan reads only index partitions — the 100 TB shape where "
+    "the corpus pass happens at build time, not per query.",
+    tags=("similarity", "index"),
+)
+def ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = os.path.join(_index_dir(sf_dir), "ivf")
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        build_ivf_index(spark, sf_dir, p)
+    return ann_ivf_topk_from_index(spark, p)
+
+
+@register(
+    "ann_lsh_from_index",
+    oracle=_LSH_ORACLE,
+    doc="hyperplane-LSH pairs served from the PERSISTED index (signatures "
+    "written once, bucketed by (l, b) so the candidate self-join is "
+    "co-located): identical results to ann_lsh_hyperplane with no "
+    "signature recompute and no embeddings re-scan.",
+    tags=("similarity", "lsh", "index"),
+)
+def ann_lsh_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _index_dir(sf_dir)
+    p = os.path.join(d, "lsh")
+    table = _lsh_table_name(d)
+    if not (
+        spark.catalog.tableExists(table)
+        and os.path.exists(os.path.join(p, "sigs", "_SUCCESS"))
+    ):
+        build_lsh_index(spark, sf_dir, p, table)
+    return ann_lsh_pairs_from_index(spark, p, table)
