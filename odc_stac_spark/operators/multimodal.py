@@ -69,6 +69,44 @@ def decode_real_image(data: bytes):  # pragma: no cover - env lacks codecs
     raise NotImplementedError("unreachable in this environment")
 
 
+#: media_type → decoder: THE codec seam. A real deployment registers PIL /
+#: ffmpeg decoders here (``register_decoder("image/png", pil_decode)``) and
+#: every engine path — mapInPandas batch shapes, schemas, partitioning —
+#: runs unchanged; tests/test_multimodal.py proves the drop-in contract by
+#: injecting a fake decoder through this exact slot.
+DECODERS = {"image/x-simg": decode_simg}
+
+
+def register_decoder(media_type: str, fn) -> None:
+    """Install a decoder ``bytes -> (h, w, c) uint8 ndarray`` for a media
+    type. Operators SNAPSHOT this dict into their closures at plan-build
+    time (``dict(DECODERS)``) — cloudpickle then ships the registered
+    functions by value, so Python workers (which import this module fresh
+    and would otherwise see only the defaults) decode with them too."""
+    DECODERS[media_type] = fn
+
+
+def decode_image(data: bytes, media_type: str = "image/x-simg") -> np.ndarray:
+    """Dispatch decode by media type; unknown types fall through to the
+    real-codec stub (NotImplementedError until PIL/ffmpeg exist)."""
+    return _decode_with(DECODERS, data, media_type)
+
+
+def _decode_with(decoders: dict, data: bytes, media_type: str) -> np.ndarray:
+    fn = decoders.get(media_type)
+    if fn is None:
+        return decode_real_image(data)
+    return fn(data)
+
+
+def _batch_types(pdf: pd.DataFrame) -> "pd.Series":
+    """Per-row media types for a batch; frames without the column are SIMG
+    (the operators' historical default)."""
+    if "media_type" in pdf.columns:
+        return pdf["media_type"]
+    return pd.Series(["image/x-simg"] * len(pdf))
+
+
 def synth_image(seed: int, w: int = 16, h: int = 16, c: int = 3) -> np.ndarray:
     """Deterministic fake image (stands in for decoded media)."""
     y, x = np.mgrid[0:h, 0:w]
@@ -152,11 +190,13 @@ def image_stats(media: DataFrame) -> DataFrame:
     """Feature extraction: per-image pixel stats (the 'embed this image'
     slot — a model forward pass drops into the same mapInPandas body)."""
 
+    decoders = dict(DECODERS)  # snapshot: ships registered codecs to workers
+
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                px = decode_simg(bytes(blob)).astype(np.float64)
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], _batch_types(pdf)):
+                px = _decode_with(decoders, bytes(blob), mt).astype(np.float64)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -174,11 +214,13 @@ def image_stats(media: DataFrame) -> DataFrame:
 def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize inside the executor; emits SIMG again."""
 
+    decoders = dict(DECODERS)
+
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for blob in pdf["media"]:
-                px = decode_simg(bytes(blob))
+            for blob, mt in zip(pdf["media"], _batch_types(pdf)):
+                px = _decode_with(decoders, bytes(blob), mt)
                 h, w, _ = px.shape
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
@@ -193,11 +235,13 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     and keep every k-th row — the plumbing a real video pipeline uses
     (decode → sample → re-encode), minus the codec."""
 
+    decoders = dict(DECODERS)
+
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for blob in pdf["media"]:
-                px = decode_simg(bytes(blob))
+            for blob, mt in zip(pdf["media"], _batch_types(pdf)):
+                px = _decode_with(decoders, bytes(blob), mt)
                 out.append(encode_simg(px[::every]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out, "media_type": "image/x-simg"})
 

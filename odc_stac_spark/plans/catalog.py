@@ -91,9 +91,11 @@ def _with_footprints(df: DataFrame, dst_crs: str) -> DataFrame:
     )
 
 
-def _group_key_col(groupby: str) -> F.Column:
+def _group_key_col(groupby: str, has_item_idx: bool = False) -> F.Column:
     """A1 group key as an expression (id-groupby needs no key: the catalog
     path orders within groups by (ts, item_id), see sources_from_parsed)."""
+    if callable(groupby):
+        return _callable_key_col(groupby, has_item_idx)
     if groupby == "time":
         return F.col("ts")
     if groupby == "solar_day":
@@ -108,7 +110,45 @@ def _group_key_col(groupby: str) -> F.Column:
         # missing the property share the NULL group (reference
         # _groupby_property, _stac_load.py:515-535)
         return F.element_at(F.col("properties"), F.lit(groupby))
-    raise ValueError(f"groupby={groupby!r}: catalog path supports time|solar_day|<property>")
+    raise ValueError(
+        f"groupby={groupby!r}: catalog path supports time|solar_day|<property>|callable"
+    )
+
+
+def _callable_key_col(fn, has_item_idx: bool) -> F.Column:
+    """U: custom group-key callable on the CATALOG path (reference accepts
+    callables anywhere, _stac_load.py:525-535; the list path runs them on
+    driver items — here each catalog row is rebuilt into the same
+    lightweight :class:`~odc_stac_spark.plans.load.Item` shape inside an
+    Arrow-batched pandas UDF, so the identical callback works on both
+    paths). The key must be a string (or None): catalog keys live in a
+    DataFrame column and drive a broadcast equi-join, so arbitrary Python
+    objects can't ride along — ``str()`` is applied to the return value."""
+    import pandas as pd
+
+    from .load import Item
+
+    @F.pandas_udf("string")
+    def _key(
+        id_s: "pd.Series", ts_s: "pd.Series", props_s: "pd.Series", idx_s: "pd.Series"
+    ) -> "pd.Series":
+        out = []
+        for i in range(len(id_s)):
+            props = props_s.iloc[i]
+            item = Item(
+                id=id_s.iloc[i],
+                datetime=ts_s.iloc[i],
+                bands={},
+                lon=None,
+                props=dict(props) if props is not None else {},
+            )
+            idx = idx_s.iloc[i]
+            k = fn(item, None if pd.isna(idx) else int(idx))
+            out.append(None if k is None else str(k))
+        return pd.Series(out, dtype=object)
+
+    idx_col = F.col("item_idx") if has_item_idx else F.lit(None).cast("long")
+    return _key(F.col("id"), F.col("ts"), F.col("properties"), idx_col)
 
 
 def plan_load_df(
@@ -211,7 +251,7 @@ def plan_load_df(
 
     # temporal grouping: #groups rows (A1/A3/A5); the representative ts
     # per group follows the precedence basis — (ts, id) or input index
-    key = _group_key_col(groupby)
+    key = _group_key_col(groupby, has_item_idx="item_idx" in base.columns)
     if preserve_original_order:
         _require_item_idx(base)
         member = F.struct("item_idx", "ts")
@@ -271,7 +311,9 @@ def sources_from_parsed(
     else:
         key_map = spark.createDataFrame(rows, ["_plan_k", "t"])
     t = F.col("g_transform")
-    keyed = base.withColumn("k", _group_key_col(groupby))
+    keyed = base.withColumn(
+        "k", _group_key_col(groupby, has_item_idx="item_idx" in base.columns)
+    )
     return (
         # eqNullSafe: a property-groupby's missing-property group has a
         # NULL key, which a plain equi-join would silently drop

@@ -316,3 +316,40 @@ def test_catalog_geopolygon_equals_list_path(spark, parsed_catalog):
     assert keys < all_tiles
     for iy, ix in all_tiles - keys:
         assert not tri.intersects_bbox(plan.tiles.tile_geobox(iy, ix).bbox())
+
+
+def test_groupby_callable_catalog_equals_list_path(spark, tmp_path):
+    """U / round-4 verdict item 10: groupby= callables work on the CATALOG
+    path (reference accepts them anywhere, _stac_load.py:525-535) — the
+    same callback keys both paths and pixels must match. Keys are strings
+    on the catalog path (they live in a join column), so the callback
+    returns strings."""
+    origins = [(0.0, 1000.0), (400.0, 800.0), (200.0, 1200.0)]
+    docs = [catalog_item(i, o) for i, o in enumerate(origins)]
+    docs[0]["properties"] = {"platform": "sat-b"}
+    docs[1]["properties"] = {"platform": "sat-a"}
+    docs[2]["properties"] = {"platform": "sat-a"}
+    raw = items_df(spark, docs)
+    path = str(tmp_path / "cat.parquet")
+    raw.write.parquet(path)
+    parsed = parse_items(spark, spark.read.parquet(path))
+
+    def by_platform_and_parity(item, idx):
+        # exercises props + datetime + id, ignores idx (None on catalog)
+        return f"{item.props.get('platform')}-{item.datetime.hour % 2}-{item.id[:3]}"
+
+    tiles_df, plan = load_from_catalog(
+        spark, parsed, groupby=by_platform_and_parity, chunks=(64, 64)
+    )
+    got = assemble_numpy(tiles_df, plan)
+
+    items = equivalent_items(3, origins)
+    items[0].props = {"platform": "sat-b"}
+    items[1].props = {"platform": "sat-a"}
+    items[2].props = {"platform": "sat-a"}
+    tiles2, plan2 = load(spark, items, groupby=by_platform_and_parity, chunks=(64, 64))
+    assert [str(k) for k in plan2.group_keys] == plan.group_keys
+    want = assemble_numpy(tiles2, plan2)
+    assert set(got) == set(want)
+    for b in got:
+        np.testing.assert_array_equal(got[b], want[b])

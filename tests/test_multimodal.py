@@ -118,3 +118,58 @@ def test_video_features_match_numpy(spark, sf_dir):
         assert r.n_frames == fr.shape[0]
         assert r.kept_frames == fr[::2].shape[0]
         assert abs(r.kept_mean - round(float(fr[::2].astype(np.float64).mean()), 6)) < 1e-9
+
+
+def test_decoder_slot_accepts_dropin_codec(spark):
+    """Codec-seam contract (round-4 verdict item 9): installing a real
+    decoder through register_decoder must run the full image_stats path
+    end-to-end with ZERO engine changes — here a fake 'PNG' decoder stands
+    in for PIL, decoding a raw (h, w, c)-prefixed payload the SIMG parser
+    would reject."""
+    import struct as _struct
+
+    import numpy as np
+
+    from odc_stac_spark.operators import multimodal as mm
+
+    def decode_fakepng(data: bytes) -> np.ndarray:
+        h, w, c = _struct.unpack_from("<HHB", data)
+        return np.frombuffer(data, np.uint8, count=h * w * c, offset=5).reshape(h, w, c)
+
+    def encode_fakepng(arr: np.ndarray) -> bytes:
+        h, w, c = arr.shape
+        return _struct.pack("<HHB", h, w, c) + arr.astype(np.uint8).tobytes()
+
+    imgs = {i: mm.synth_image(i, 12 + i, 10, 3) for i in range(4)}
+    rows = [(i, encode_fakepng(a), "image/x-fakepng") for i, a in imgs.items()]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media binary, media_type string"
+    )
+
+    # before registration: unknown type falls through to the real-codec stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Pillow|decode"):
+        mm.image_stats(media).collect()
+
+    mm.register_decoder("image/x-fakepng", decode_fakepng)
+    try:
+        got = {r.doc_id: r for r in mm.image_stats(media).collect()}
+        assert set(got) == set(imgs)
+        for i, a in imgs.items():
+            px = a.astype(np.float64)
+            assert abs(got[i].mean - round(float(px.mean()), 6)) < 1e-9
+            assert abs(got[i].std - round(float(px.std()), 6)) < 1e-9
+            assert got[i].p_min == int(px.min()) and got[i].p_max == int(px.max())
+
+        # resize path through the same slot: decode fakepng, emit SIMG
+        rz = {r.doc_id: r for r in mm.resize_nearest(media, 8, 8).collect()}
+        px0 = imgs[0]
+        h, w, _ = px0.shape
+        yi = (np.arange(8) * h // 8).astype(int)
+        xi = (np.arange(8) * w // 8).astype(int)
+        np.testing.assert_array_equal(
+            mm.decode_simg(bytes(rz[0].media)), px0[np.ix_(yi, xi)]
+        )
+    finally:
+        mm.DECODERS.pop("image/x-fakepng", None)
