@@ -242,3 +242,74 @@ def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
     return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+DECON_BENCH_MOD = 10  # ~10% of docs play the held-out benchmark split
+DECON_MIN_FRAC = 0.3  # flag when ≥30% of a train doc's shingles hit a bench doc
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    gated AS (
+        SELECT doc_id, shingle,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {DECON_BENCH_MOD} = 0 AS is_bench
+        FROM sh
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS shared
+        FROM gated t JOIN gated b ON t.shingle = b.shingle
+        WHERE NOT t.is_bench AND b.is_bench
+        GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT train_doc, bench_doc, shared, shared * 1.0 / c.n AS frac
+        FROM hits JOIN cnt c ON c.doc_id = train_doc
+        WHERE shared * 1.0 / c.n >= {DECON_MIN_FRAC}
+    )
+    SELECT train_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           ROUND(MAX(frac), 4) AS max_overlap_frac,
+           MIN(bench_doc) AS example_bench_doc
+    FROM flagged GROUP BY 1
+    """,
+    doc="benchmark decontamination: flag training documents whose token "
+    "3-gram shingles overlap a held-out benchmark split (deterministic "
+    "md5 doc gate) above DECON_MIN_FRAC — the standard eval-contamination "
+    "scrub before training. Spark shape: the benchmark side is the tiny "
+    "split, so its inverted index BROADCASTs and contamination detection "
+    "is a map-side join over the training shingles; per-(train, bench) "
+    "counts then aggregate per train doc. At 100 TB the benchmark index "
+    "is built once and reused across corpus shards.",
+    tags=("text", "dedup", "llm"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir)
+    is_bench = _hash32(F.col("doc_id").cast("string")) % DECON_BENCH_MOD == 0
+    bench = sh.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = sh.where(~is_bench).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    flagged = (
+        hits.join(cnt.withColumnRenamed("doc_id", "train_doc"), "train_doc")
+        .withColumn("frac", F.col("shared") / F.col("n"))
+        .where(F.col("frac") >= DECON_MIN_FRAC)
+    )
+    return flagged.groupBy(F.col("train_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.round(F.max("frac"), 4).alias("max_overlap_frac"),
+        F.min("bench_doc").alias("example_bench_doc"),
+    )

@@ -19,10 +19,13 @@ module emits exactly that layout from scratch:
 - ``write_tiff_striped``: the classic strip-organized (non-tiled) layout
   for small scenes (RowsPerStrip/StripOffsets/StripByteCounts)
 
-The readers handle tiled AND strip-organized single-band TIFFs with
-Compression 1/5/8/32946 (none / TIFF-LZW / zlib deflate) and Predictor
-1/2 — enough to read this writer's output, typical externally-produced
-deflate COGs, and LZW+predictor archive GeoTIFFs without GDAL.
+The readers handle tiled AND strip-organized single-band TIFFs, classic
+(version 42) AND BigTIFF (version 43, 64-bit offsets — what GDAL writes
+for >4 GiB COGs), with Compression 1/5/8/32946 (none / TIFF-LZW / zlib
+deflate) and Predictor 1/2 — enough to read this writer's output, typical
+externally-produced deflate COGs, and LZW+predictor archive GeoTIFFs
+without GDAL. The writers emit BigTIFF on request or automatically when
+the payload could cross the 4 GiB offset ceiling (GDAL's IF_SAFER).
 
 Scale note: one COG per (band, t) mosaic is a driver-side or
 foreachPartition finalization step over collected tiles — the distributed
@@ -67,6 +70,7 @@ _TYPE_ASCII = 2
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
 _TYPE_DOUBLE = 12
+_TYPE_LONG8 = 16  # BigTIFF 64-bit unsigned (TIFF_LONG8)
 
 _SAMPLEFORMAT_FOR_KIND = {"u": 1, "i": 2, "f": 3}
 
@@ -230,6 +234,7 @@ def write_cog_file(
     overview_levels: Optional[List[int]] = None,
     compression: str = "deflate",
     predictor: int = 1,
+    bigtiff: Optional[bool] = None,
 ) -> None:
     """Write a single-band 2-D array as a tiled COG-layout GeoTIFF.
 
@@ -237,7 +242,11 @@ def write_cog_file(
     virtually every real-world COG uses), "lzw" (Compression=5, the
     Landsat/USGS-archive staple) or "none" (Compression=1).
     ``predictor``: 1 (none) or 2 (horizontal differencing, integer dtypes;
-    the common pairing with LZW in real-world archives)."""
+    the common pairing with LZW in real-world archives).
+    ``bigtiff``: True → BigTIFF (version 43, 64-bit offsets — required
+    once the file would cross 4 GiB; GDAL's BIGTIFF=YES); False → classic;
+    None (default) → auto: BigTIFF iff the uncompressed payload could
+    cross the 4 GiB offset ceiling (GDAL's BIGTIFF=IF_SAFER)."""
     if pix.ndim != 2:
         raise ValueError("write_cog_file expects a 2-D single-band array")
     if compression not in ("deflate", "lzw", "none"):
@@ -262,6 +271,11 @@ def write_cog_file(
 
     pix = np.ascontiguousarray(pix)
     levels = [pix] + [pix[::lv, ::lv] for lv in overview_levels]
+    if bigtiff is None:
+        # IF_SAFER: compressed sizes aren't known until encode, so decide
+        # on the uncompressed payload bound (compression only shrinks it)
+        payload = sum(a.nbytes for a in levels)
+        bigtiff = payload >= 2**32 - (1 << 20)
 
     # ---- plan IFDs first (COG layout: all IFDs before any tile data)
     ifds = []
@@ -272,31 +286,45 @@ def write_cog_file(
                 predictor,
             )
         )
-    _write_tiff(path, ifds)
+    _write_tiff(path, ifds, bigtiff=bigtiff)
 
 
-def _write_tiff(path: str, ifds: List[Dict]) -> None:
-    """Layout + render planned IFDs: header(8) | IFD blocks (each: entries
-    + next ptr + aux data) | block data."""
-    pos = 8
+def _write_tiff(path: str, ifds: List[Dict], bigtiff: bool = False) -> None:
+    """Layout + render planned IFDs: header (8, or 16 for BigTIFF) | IFD
+    blocks (each: entries + next ptr + aux data) | block data.
+
+    BigTIFF (version 43): 8-byte IFD offsets/entry counts, 20-byte entries
+    with an 8-byte value field, tile offset/bytecount arrays as LONG8."""
+    entry_sz, cnt_sz, next_sz, arr_item = (20, 8, 8, 8) if bigtiff else (12, 2, 4, 4)
+    pos = 16 if bigtiff else 8
     for ifd in ifds:
         ifd["ifd_offset"] = pos
-        pos += 2 + 12 * len(ifd["entries"]) + 4  # count + entries + next
+        pos += cnt_sz + entry_sz * len(ifd["entries"]) + next_sz
         ifd["aux_offset"] = pos
-        aux_total = sum(len(b) for b in ifd["aux"])
+        # blobs that fit the entry's value field are stored inline per the
+        # TIFF spec (readers MUST treat small counts as inline values)
+        aux_total = sum(len(b) for b in ifd["aux"] if len(b) > arr_item)
         if len(ifd["tiles"]) > 1:
             # offsets + bytecounts arrays also live in the aux area
-            aux_total += 2 * 4 * len(ifd["tiles"])
+            aux_total += 2 * arr_item * len(ifd["tiles"])
         pos += aux_total
     for ifd in ifds:
         ifd["data_offset"] = pos
         pos += sum(ifd["tile_sizes"])
+    if not bigtiff and pos >= 2**32:
+        raise ValueError(
+            f"file would be {pos} bytes — beyond classic TIFF's 32-bit "
+            "offsets; pass bigtiff=True"
+        )
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifds[0]["ifd_offset"])
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifds[0]["ifd_offset"])
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifds[0]["ifd_offset"])
     for i, ifd in enumerate(ifds):
         next_off = ifds[i + 1]["ifd_offset"] if i + 1 < len(ifds) else 0
-        out += _render_ifd(ifd, next_off)
+        out += _render_ifd(ifd, next_off, bigtiff=bigtiff)
     for ifd in ifds:
         for t_bytes in ifd["tiles"]:
             out += t_bytes
@@ -323,6 +351,7 @@ def write_tiff_striped(
     rows_per_strip: int = 64,
     compression: str = "lzw",
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> None:
     """Write a strip-organized (non-tiled) single-band GeoTIFF — the
     classic pre-COG layout still common for small scenes (RowsPerStrip /
@@ -390,6 +419,7 @@ def write_tiff_striped(
             "tiles": strips,
             "tile_sizes": [len(s) for s in strips],
         }],
+        bigtiff=bigtiff,
     )
 
 
@@ -457,48 +487,65 @@ def _plan_ifd(
     }
 
 
-def _render_ifd(ifd, next_offset: int) -> bytes:
+def _render_ifd(ifd, next_offset: int, bigtiff: bool = False) -> bytes:
     entries = ifd["entries"]
     aux_iter = iter(ifd["aux"])
     aux_pos = ifd["aux_offset"]
     body = bytearray()
-    body += struct.pack("<H", len(entries))
+    body += struct.pack("<Q" if bigtiff else "<H", len(entries))
     aux_bytes = bytearray()
     n_tiles = len(ifd["tiles"])
+    # entry head + value field sizes per variant; inline values are
+    # left-justified (little-endian) in the value field
+    vfmt = "<Q" if bigtiff else "<I"
+
+    def emit(tag, typ, count, value_int):
+        body.extend(struct.pack("<HH", tag, typ))
+        body.extend(struct.pack(vfmt, count))
+        body.extend(struct.pack(vfmt, value_int))
+
+    def emit_short(tag, count, value_int):
+        body.extend(struct.pack("<HH", tag, _TYPE_SHORT))
+        body.extend(struct.pack(vfmt, count))
+        body.extend(struct.pack("<H", value_int))
+        body.extend(b"\x00" * (6 if bigtiff else 2))
+
     for tag, typ, count, val in entries:
+        if bigtiff and val in ("TILEOFFSETS", "TILEBYTECOUNTS"):
+            typ = _TYPE_LONG8  # BigTIFF convention (libtiff writes LONG8)
         if val == "AUX":
             blob = next(aux_iter)
-            body += struct.pack("<HHII", tag, typ, count, aux_pos)
-            aux_pos += len(blob)
-            aux_bytes += blob
-        elif val == "TILEOFFSETS":
-            offs = []
-            off = ifd["data_offset"]
-            for sz in ifd["tile_sizes"]:
-                offs.append(off)
-                off += sz
-            if n_tiles == 1:
-                body += struct.pack("<HHII", tag, typ, 1, offs[0])
+            cap = 8 if bigtiff else 4
+            if len(blob) <= cap:
+                # inline, left-justified in the value field (TIFF spec)
+                body.extend(struct.pack("<HH", tag, typ))
+                body.extend(struct.pack(vfmt, count))
+                body.extend(blob + b"\x00" * (cap - len(blob)))
             else:
-                blob = struct.pack(f"<{n_tiles}I", *offs)
-                body += struct.pack("<HHII", tag, typ, n_tiles, aux_pos)
+                emit(tag, typ, count, aux_pos)
                 aux_pos += len(blob)
                 aux_bytes += blob
-        elif val == "TILEBYTECOUNTS":
-            if n_tiles == 1:
-                body += struct.pack("<HHII", tag, typ, 1, ifd["tile_sizes"][0])
+        elif val in ("TILEOFFSETS", "TILEBYTECOUNTS"):
+            if val == "TILEOFFSETS":
+                vals, off = [], ifd["data_offset"]
+                for sz in ifd["tile_sizes"]:
+                    vals.append(off)
+                    off += sz
             else:
-                blob = struct.pack(f"<{n_tiles}I", *ifd["tile_sizes"])
-                body += struct.pack("<HHII", tag, typ, n_tiles, aux_pos)
+                vals = ifd["tile_sizes"]
+            if n_tiles == 1:
+                emit(tag, typ, 1, vals[0])
+            else:
+                item = "Q" if typ == _TYPE_LONG8 else "I"
+                blob = struct.pack(f"<{n_tiles}{item}", *vals)
+                emit(tag, typ, n_tiles, aux_pos)
                 aux_pos += len(blob)
                 aux_bytes += blob
+        elif typ == _TYPE_SHORT:
+            emit_short(tag, count, int(val))
         else:
-            # inline value (fits in 4 bytes for our SHORT/LONG singles)
-            if typ == _TYPE_SHORT:
-                body += struct.pack("<HHIHH", tag, typ, count, int(val), 0)
-            else:
-                body += struct.pack("<HHII", tag, typ, count, int(val))
-    body += struct.pack("<I", next_offset)
+            emit(tag, typ, count, int(val))
+    body += struct.pack("<Q" if bigtiff else "<I", next_offset)
     return bytes(body) + bytes(aux_bytes)
 
 
@@ -510,8 +557,10 @@ def _render_ifd(ifd, next_offset: int) -> bytes:
 def read_cog_header(path: str) -> Dict:
     """Parse ONLY the IFD region (COG layout puts all IFDs before any tile
     data, so one small head read suffices — here a single 64 KiB read
-    covers typical headers, extended if needed). Returns per-level tile
-    layout + geo tags, no pixel bytes."""
+    covers typical headers, extended if needed). Handles classic TIFF
+    (version 42, 32-bit offsets) and BigTIFF (version 43, 64-bit offsets —
+    what GDAL writes for >4 GiB COGs). Returns per-level tile layout + geo
+    tags, no pixel bytes."""
     with open(path, "rb") as f:
         buf = f.read(65536)
 
@@ -523,37 +572,58 @@ def read_cog_header(path: str) -> Dict:
                     break
                 buf += chunk
 
-        order, magic, ifd_off = struct.unpack_from("<2sHI", buf, 0)
-        assert order == b"II" and magic == 42
+        order, magic = struct.unpack_from("<2sH", buf, 0)
+        assert order == b"II", "big-endian TIFF not supported"
+        if magic == 42:
+            big = False
+            (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        elif magic == 43:
+            big = True
+            osize, pad, ifd_off = struct.unpack_from("<HHQ", buf, 4)
+            if osize != 8 or pad != 0:
+                raise NotImplementedError(f"BigTIFF offset size {osize} unsupported")
+        else:
+            raise ValueError(f"not a TIFF (version {magic})")
+        # per-variant geometry: entry stride, count/offset widths, inline cap
+        entry_sz, cnt_fmt, off_fmt, inline_cap = (
+            (20, "<Q", "<Q", 8) if big else (12, "<H", "<I", 4)
+        )
+        cnt_sz = 8 if big else 2
+        _ITEM = {_TYPE_SHORT: (2, "H"), _TYPE_LONG: (4, "I"), _TYPE_LONG8: (8, "Q")}
         levels = []
         geo: Dict = {"nodata": None, "epsg": None, "transform": None}
         while ifd_off:
-            ensure(ifd_off + 2)
-            (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
-            ensure(ifd_off + 2 + 12 * n_entries + 4)
+            ensure(ifd_off + cnt_sz)
+            (n_entries,) = struct.unpack_from(cnt_fmt, buf, ifd_off)
+            ensure(ifd_off + cnt_sz + entry_sz * n_entries + (8 if big else 4))
             tags: Dict[int, Tuple[int, int, int]] = {}
             for i in range(n_entries):
-                tag, typ, count, raw = struct.unpack_from("<HHII", buf, ifd_off + 2 + 12 * i)
+                base = ifd_off + cnt_sz + entry_sz * i
+                tag, typ = struct.unpack_from("<HH", buf, base)
+                (count,) = struct.unpack_from(off_fmt, buf, base + 4)
+                (raw,) = struct.unpack_from(off_fmt, buf, base + 4 + (8 if big else 4))
                 tags[tag] = (typ, count, raw)
-            (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n_entries)
+            (ifd_off,) = struct.unpack_from(
+                off_fmt, buf, ifd_off + cnt_sz + entry_sz * n_entries
+            )
 
             def short_val(tag):
                 typ, count, raw = tags[tag]
                 return raw & 0xFFFF if typ == _TYPE_SHORT else raw
 
+            def val_bytes(tag, nbytes):
+                """The tag's value bytes, whether inline or at an offset."""
+                typ, count, raw = tags[tag]
+                if nbytes <= inline_cap:
+                    return struct.pack(off_fmt, raw)[:nbytes]
+                ensure(raw + nbytes)
+                return bytes(buf[raw : raw + nbytes])
+
             def long_array(tag):
                 typ, count, raw = tags[tag]
-                if typ == _TYPE_SHORT:
-                    if count == 1:
-                        return [raw & 0xFFFF]
-                    if count == 2:
-                        return [raw & 0xFFFF, (raw >> 16) & 0xFFFF]
-                    ensure(raw + 2 * count)
-                    return list(struct.unpack_from(f"<{count}H", buf, raw))
-                if count == 1:
-                    return [raw]
-                ensure(raw + 4 * count)
-                return list(struct.unpack_from(f"<{count}I", buf, raw))
+                size, item = _ITEM[typ]
+                b = val_bytes(tag, size * count)
+                return list(struct.unpack_from(f"<{count}{item}", b, 0))
 
             bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
@@ -599,24 +669,21 @@ def read_cog_header(path: str) -> Dict:
                 }
             )
             if _MODELPIXELSCALE in tags:
-                typ, count, raw = tags[_MODELPIXELSCALE]
-                ensure(raw + 24)
-                sx, sy, _z = struct.unpack_from("<3d", buf, raw)
-                typ, count, raw = tags[_MODELTIEPOINT]
-                ensure(raw + 48)
-                _i, _j, _k, x0, y0, _z2 = struct.unpack_from("<6d", buf, raw)
+                sx, sy, _z = struct.unpack_from("<3d", val_bytes(_MODELPIXELSCALE, 24), 0)
+                _i, _j, _k, x0, y0, _z2 = struct.unpack_from(
+                    "<6d", val_bytes(_MODELTIEPOINT, 48), 0
+                )
                 geo["transform"] = (sx, 0.0, x0, 0.0, -sy, y0)
             if _GEOKEYDIRECTORY in tags:
-                typ, count, raw = tags[_GEOKEYDIRECTORY]
-                ensure(raw + 2 * count)
-                gk = struct.unpack_from(f"<{count}H", buf, raw)
+                count = tags[_GEOKEYDIRECTORY][1]
+                gk = struct.unpack_from(f"<{count}H", val_bytes(_GEOKEYDIRECTORY, 2 * count), 0)
                 for i in range(4, len(gk), 4):
                     if gk[i] in (2048, 3072):
                         geo["epsg"] = gk[i + 3]
             if _GDAL_NODATA in tags:
-                typ, count, raw = tags[_GDAL_NODATA]
-                ensure(raw + count)
-                geo["nodata"] = float(buf[raw : raw + count - 1].decode())
+                count = tags[_GDAL_NODATA][1]
+                nd = val_bytes(_GDAL_NODATA, count)
+                geo["nodata"] = float(nd[: count - 1].decode())
         return {"levels": levels, **geo}
 
 

@@ -360,3 +360,75 @@ def test_striped_through_tiff_reader_pipeline(spark, tmp_path):
     tiles_df, plan = load(spark, [item], chunks=(128, 128))
     got = assemble_numpy(tiles_df, plan)["red"][0]
     np.testing.assert_array_equal(got, arr)
+
+
+# ---- BigTIFF (version 43, 64-bit offsets) ---------------------------------
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_bigtiff_roundtrip(tmp_path, compression):
+    """BigTIFF write+read: same pixels/geo/nodata as classic, file leads
+    with the version-43 16-byte header and LONG8 offset arrays."""
+    arr = rand((300, 280), "uint16", seed=3)
+    p = str(tmp_path / f"big_{compression}.tif")
+    write_cog_file(
+        p, arr, GBOX, nodata=0, tile=128, compression=compression, bigtiff=True
+    )
+    with open(p, "rb") as f:
+        head = f.read(16)
+    order, ver, osize, pad, ifd0 = struct.unpack("<2sHHHQ", head)
+    assert (order, ver, osize, pad) == (b"II", 43, 8, 0) and ifd0 == 16
+
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], arr)
+    assert got["epsg"] == 32735
+    assert got["nodata"] == 0.0
+    sx, _, x0, _, sy, y0 = GBOX.transform
+    assert got["transform"] == (sx, 0.0, x0, 0.0, sy, y0)
+    # overviews survive the variant switch
+    for ov, lv in zip(got["overviews"], (2, 4)):
+        np.testing.assert_array_equal(ov, arr[::lv, ::lv])
+
+
+def test_bigtiff_matches_classic_pixels(tmp_path):
+    arr = rand((100, 120), "int32", seed=5)
+    pc = str(tmp_path / "classic.tif")
+    pb = str(tmp_path / "big.tif")
+    write_cog_file(pc, arr, GBOX, tile=64, bigtiff=False)
+    write_cog_file(pb, arr, GBOX, tile=64, bigtiff=True)
+    np.testing.assert_array_equal(read_cog_file(pc)["data"], read_cog_file(pb)["data"])
+
+
+def test_bigtiff_striped(tmp_path):
+    from odc_stac_spark.sources.geotiff import write_tiff_striped
+
+    arr = rand((90, 110), "uint8", seed=7)
+    p = str(tmp_path / "big_striped.tif")
+    write_tiff_striped(p, arr, GBOX, rows_per_strip=32, bigtiff=True)
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], arr)
+
+
+def test_classic_refuses_over_4gib_layout(tmp_path):
+    """The classic writer must fail loudly, not wrap offsets, if a file
+    would cross 2^32 bytes (synthesized via a fake huge tile size — no
+    actual 4 GiB allocation)."""
+    from odc_stac_spark.sources.geotiff import _write_tiff
+
+    ifd = {
+        "entries": [(256, 4, 1, 8)],
+        "aux": [],
+        "tiles": [b"x"],
+        "tile_sizes": [2**32],
+    }
+    with pytest.raises(ValueError, match="bigtiff=True"):
+        _write_tiff(str(tmp_path / "huge.tif"), [ifd], bigtiff=False)
+
+
+def test_bigtiff_auto_threshold(tmp_path):
+    """bigtiff=None auto-selects: small payload → classic (version 42)."""
+    arr = rand((64, 64), "uint8", seed=9)
+    p = str(tmp_path / "auto.tif")
+    write_cog_file(p, arr, GBOX, tile=64, bigtiff=None)
+    with open(p, "rb") as f:
+        assert struct.unpack("<2sH", f.read(4))[1] == 42
