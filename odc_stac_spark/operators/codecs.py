@@ -1,0 +1,291 @@
+"""Real image/audio codecs in pure stdlib + numpy — no PIL, no ffmpeg.
+
+The engine's multimodal seam (operators/multimodal.py DECODERS /
+AUDIO_DECODERS) was designed so a real codec drops in without touching any
+Spark plumbing. This module provides three genuinely real, dependency-free
+codecs and registers them as defaults:
+
+- **PNG** (``image/png``): full decoder for 8-bit depth, color types
+  0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), all five scanline
+  filters (None/Sub/Up/Average/Paeth), plus an encoder (filter 0 + zlib).
+  Spec: W3C PNG (ISO/IEC 15948). Interlaced (Adam7) and 1/2/4/16-bit
+  depths are refused loudly.
+- **BMP** (``image/bmp``): 24-bit uncompressed BITMAPINFOHEADER decode +
+  encode (bottom-up, BGR, 4-byte row padding).
+- **WAV** (``audio/wav``): RIFF/WAVE decode for PCM 8/16/32-bit and IEEE
+  float32, any channel count; encoder writes 16-bit PCM.
+
+Reference parity: the reference delegates all media decode to external
+native libraries; here the formats most common in web-scraped training
+corpora after JPEG are implemented from the public specs so the
+decode → feature pipeline is real end-to-end, not a stand-in.
+
+Scale note: decoders run inside Arrow-batched ``mapInPandas`` closures on
+executors; they are pure functions of the payload bytes with no shared
+state, so they parallelize trivially and the per-row numpy cost is the
+same codec cost any native pipeline pays.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w) or (h, w, c) uint8 → PNG bytes (filter 0 rows, zlib)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    stride = w * c
+    flat = np.ascontiguousarray(a).reshape(h, stride)
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter type None
+        raw += flat[r].tobytes()
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters → (h, stride) uint8 of reconstructed bytes.
+
+    Filters per the spec §9: 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth.
+    Sub is a per-lane prefix sum mod 256 (uint8 accumulate wraps exactly);
+    Up is a vector add; Average/Paeth genuinely depend on the left pixel so
+    they walk the row, vectorized across the bpp lane.
+    """
+    recon = np.zeros((h, stride), np.uint8)
+    rowlen = stride + 1
+    if len(raw) < h * rowlen:
+        raise ValueError("PNG: truncated image data")
+    for r in range(h):
+        ft = raw[r * rowlen]
+        line = np.frombuffer(raw, np.uint8, stride, offset=r * rowlen + 1)
+        prev = recon[r - 1] if r else np.zeros(stride, np.uint8)
+        if ft == 0:
+            recon[r] = line
+        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i-bpp]
+            lanes = line.reshape(-1, bpp)
+            recon[r] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            recon[r] = line + prev
+        elif ft == 3:  # Average
+            out = recon[r]
+            prev16 = prev.astype(np.uint16)
+            for i in range(0, stride, bpp):
+                a = out[i - bpp : i].astype(np.uint16) if i else np.zeros(bpp, np.uint16)
+                out[i : i + bpp] = line[i : i + bpp] + ((a + prev16[i : i + bpp]) >> 1).astype(
+                    np.uint8
+                )
+        elif ft == 4:  # Paeth
+            out = recon[r]
+            prev16 = prev.astype(np.int16)
+            for i in range(0, stride, bpp):
+                a = out[i - bpp : i].astype(np.int16) if i else np.zeros(bpp, np.int16)
+                b = prev16[i : i + bpp]
+                cc = prev16[i - bpp : i] if i else np.zeros(bpp, np.int16)
+                p = a + b - cc
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+                out[i : i + bpp] = line[i : i + bpp] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+    return recon
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, c) uint8. 8-bit depth, color types 0/2/3/4/6,
+    non-interlaced. Chunk CRCs are verified (a corrupt stream fails loudly,
+    matching libpng's default)."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    palette = None
+    trns = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: bad CRC in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG: unknown compression/filter method")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8 only)")
+    if interlace:
+        raise NotImplementedError("PNG: Adam7 interlacing not supported")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG: invalid color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    recon = _png_unfilter(raw, height, stride, channels)
+    img = recon.reshape(height, width, channels)
+    if color_type == 3:  # palette -> RGB (plus alpha when tRNS present)
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        rgb = palette[img[:, :, 0]]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: trns.size] = trns
+            return np.concatenate([rgb, alpha[img[:, :, 0]][:, :, None]], axis=2)
+        return rgb
+    return img
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BMP (bottom-up, BGR, padded rows)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("BMP encoder takes RGB (h, w, 3)")
+    pad = (-3 * w) % 4
+    rows = bytearray()
+    bgr = a[:, :, ::-1]
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[r].tobytes() + b"\x00" * pad
+    pixel_data = bytes(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB (handles top-down
+    negative-height files too)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off,) = struct.unpack_from("<I", data, 10)
+    size, w, h, planes, bppx, compression = struct.unpack_from("<IiiHHI", data, 14)
+    if bppx != 24 or compression != 0:
+        raise NotImplementedError("BMP: only 24-bit BI_RGB supported")
+    top_down = h < 0
+    h = abs(h)
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    rows = np.frombuffer(data, np.uint8, stride * h, offset=off).reshape(h, stride)
+    img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1].copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM / IEEE float)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 samples, shape (n,) mono or (n, c) interleaved → PCM WAV."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, c = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, c, sample_rate, sample_rate * c * 2, c * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """WAV bytes → (samples, sample_rate). Mono returns shape (n,); multi-
+    channel returns (n, c). PCM 8-bit maps to int16 (<<8 centered), 16-bit
+    passes through, 32-bit PCM and float32 return their native dtype."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif cid == b"data":
+            payload = body
+    if fmt is None or payload is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
+        raise NotImplementedError("WAV: extensible format not supported")
+    if audio_format == 1:  # PCM
+        if bits == 8:
+            s = (np.frombuffer(payload, np.uint8).astype(np.int16) - 128) << 8
+        elif bits == 16:
+            s = np.frombuffer(payload, np.int16)
+        elif bits == 32:
+            s = np.frombuffer(payload, np.int32)
+        else:
+            raise NotImplementedError(f"WAV: PCM {bits}-bit not supported")
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        s = np.frombuffer(payload, np.float32)
+    else:
+        raise NotImplementedError(f"WAV: format {audio_format}/{bits}-bit not supported")
+    if channels > 1:
+        s = s[: (s.size // channels) * channels].reshape(-1, channels)
+    return s, rate
+
+
+#: Real decoders by media type, ready for multimodal.register_decoder /
+#: register_audio_decoder. Kept here (not auto-side-effecting) so importing
+#: the codec module has no global effect; multimodal.py installs these as
+#: defaults at its module bottom.
+IMAGE_CODECS = {"image/png": decode_png, "image/bmp": decode_bmp}
+AUDIO_CODECS = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}

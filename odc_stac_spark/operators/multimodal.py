@@ -2,12 +2,13 @@
 typed metadata, processed via Arrow-batched ``mapInPandas`` (SURVEY north
 star: multimodal training-data pipeline).
 
-The container has no image/audio codecs (no PIL/ffmpeg), so *decode* of
-real formats is stubbed behind a clear error (``decode_real_image``) while
-everything Spark owns is real and tested: schema, binary payload transport
-through Arrow batches, header parsing, vectorized per-record numpy work,
-batch shapes, and partitioning. A deterministic in-house raster format
-("SIMG") stands in for JPEG/PNG so tests can verify byte-exact behavior.
+Real codecs: PNG, BMP and WAV are decoded by genuine pure-stdlib coders
+(operators/codecs.py — zlib/DEFLATE, PNG filter pipeline, RIFF parse) and
+are installed as defaults in the DECODERS / AUDIO_DECODERS seams below.
+JPEG and mp4/webm remain the documented PIL/ffmpeg slots
+(``decode_real_image``): the container lacks those libraries, so a
+deterministic in-house raster format ("SIMG") additionally stands in where
+tests want byte-exact oracle behavior.
 
 SIMG layout: b"SIMG" | ver:u8 | width:u16le | height:u16le | channels:u8 |
 payload (width*height*channels bytes, row-major).
@@ -114,12 +115,22 @@ def synth_image(seed: int, w: int = 16, h: int = 16, c: int = 3) -> np.ndarray:
     return np.stack(chans, axis=-1)
 
 
-def demo_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: media_type → encoder for the demo generators; PNG is a REAL codec
+#: (operators/codecs.py), SIMG the deterministic in-house one.
+_DEMO_IMAGE_ENCODERS = {"image/x-simg": encode_simg}
+
+
+def demo_media_df(
+    spark: SparkSession, sf_dir: str, media_type: str = "image/x-simg"
+) -> DataFrame:
     """documents → (doc_id, media BINARY, media_type) demo table. At scale
-    this column comes straight from parquet/webdataset."""
+    this column comes straight from parquet/webdataset. ``media_type``
+    selects the encoding codec — ``image/png`` exercises the real PNG
+    coder end-to-end (same pixel content, so the same oracle applies)."""
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    encode = _DEMO_IMAGE_ENCODERS[media_type]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,10 +138,10 @@ def demo_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media": [
-                        encode_simg(synth_image(int(i), 16 + int(i) % 8, 16, 3))
+                        encode(synth_image(int(i), 16 + int(i) % 8, 16, 3))
                         for i in pdf["doc_id"]
                     ],
-                    "media_type": "image/x-simg",
+                    "media_type": media_type,
                 }
             )
             yield out
@@ -282,12 +293,30 @@ def synth_audio(seed: int, n: int) -> np.ndarray:
     return (((seed * 31 + i * 7) % 201) - 100).astype(np.int16)
 
 
-def demo_audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: media_type → decoder ``bytes -> (samples, rate)``: the audio codec seam,
+#: mirroring DECODERS for images. WAV is installed as a real default below.
+AUDIO_DECODERS = {"audio/x-saud": decode_saud}
+
+
+def register_audio_decoder(media_type: str, fn) -> None:
+    """Install an audio decoder ``bytes -> (samples ndarray, rate)``; same
+    snapshot-into-closure shipping semantics as :func:`register_decoder`."""
+    AUDIO_DECODERS[media_type] = fn
+
+
+_DEMO_AUDIO_ENCODERS = {"audio/x-saud": encode_saud}
+
+
+def demo_audio_df(
+    spark: SparkSession, sf_dir: str, media_type: str = "audio/x-saud"
+) -> DataFrame:
     """documents → (doc_id, media BINARY, media_type) audio demo table;
-    clip length varies per doc (1000 + doc_id % 500 samples)."""
+    clip length varies per doc (1000 + doc_id % 500 samples).
+    ``media_type="audio/wav"`` routes through the real WAV coder."""
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    encode = _DEMO_AUDIO_ENCODERS[media_type]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -295,10 +324,10 @@ def demo_audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media": [
-                        encode_saud(synth_audio(int(i), 1000 + int(i) % 500))
+                        encode(synth_audio(int(i), 1000 + int(i) % 500))
                         for i in pdf["doc_id"]
                     ],
-                    "media_type": "audio/x-saud",
+                    "media_type": media_type,
                 }
             )
 
@@ -327,13 +356,25 @@ _AUDIO_FEAT_SCHEMA = StructType(
 def audio_features(media: DataFrame) -> DataFrame:
     """Per-clip features (decode + numpy DSP over Arrow batches — the
     'embed this audio' slot; a real encoder forward pass drops into the
-    same mapInPandas body)."""
+    same mapInPandas body). Dispatches decode per-row by media_type
+    through the AUDIO_DECODERS seam (SAUD + real WAV by default)."""
+
+    decoders = dict(AUDIO_DECODERS)  # snapshot: ships registered codecs
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            types = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else pd.Series(["audio/x-saud"] * len(pdf))
+            )
             rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                s, rate = decode_saud(bytes(blob))
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], types):
+                fn = decoders.get(mt)
+                if fn is None:
+                    raise NotImplementedError(f"no audio decoder registered for {mt!r}")
+                s, rate = fn(bytes(blob))
+                s = np.asarray(s).reshape(-1)
                 sf = s.astype(np.float64)
                 sign = np.sign(sf)
                 zc = int(np.count_nonzero(np.diff(sign[sign != 0]) != 0))
@@ -451,3 +492,16 @@ def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(feats, _VIDEO_FEAT_SCHEMA)
+
+
+# ---- real codec defaults --------------------------------------------------
+# Pure-stdlib PNG/BMP/WAV coders (operators/codecs.py) install through the
+# exact same seams a PIL/ffmpeg deployment would use — proving the contract
+# with genuinely real formats, not just the SIMG/SAUD stand-ins.
+from .codecs import AUDIO_CODECS as _REAL_AUDIO, IMAGE_CODECS as _REAL_IMAGES  # noqa: E402
+from .codecs import encode_png as _encode_png, encode_wav as _encode_wav  # noqa: E402
+
+DECODERS.update(_REAL_IMAGES)
+AUDIO_DECODERS.update(_REAL_AUDIO)
+_DEMO_IMAGE_ENCODERS["image/png"] = _encode_png
+_DEMO_AUDIO_ENCODERS["audio/wav"] = _encode_wav

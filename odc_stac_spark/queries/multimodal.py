@@ -176,3 +176,75 @@ def mm_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_nearest
 
     return image_stats(resize_nearest(demo_media_df(spark, sf_dir), out_w=8, out_h=8))
+
+
+_PX_STATS_ORACLE = """
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_POP(v), 6) AS std,
+           MIN(v) AS p_min,
+           MAX(v) AS p_max
+    FROM (
+      SELECT d.doc_id, (d.doc_id * 37 + k.k * 11 + y.y * 5 + x.x * 3) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS k) k
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS x) x
+      WHERE x.x < 16 + d.doc_id % 8
+    )
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "mm_image_png_codec",
+    oracle=_PX_STATS_ORACLE,
+    doc="multimodal with a REAL codec: images are encoded as genuine PNG "
+    "(operators/codecs.py — pure-stdlib zlib DEFLATE + filter pipeline "
+    "per the W3C spec), shipped as binary rows, and decoded back inside "
+    "executors through the DECODERS media-type seam. Same pixel content "
+    "as mm_image_stats, so the same first-principles oracle gates the "
+    "full real-PNG encode→Arrow→decode→stats path end-to-end.",
+    tags=("multimodal", "codec"),
+)
+def mm_image_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(demo_media_df(spark, sf_dir, media_type="image/png"))
+
+
+@register(
+    "mm_audio_wav_codec",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 7) % 201) - 100 AS s
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1498)) AS i) i
+      WHERE i.i < 1000 + d.doc_id % 500
+    ),
+    zc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE sgn <> prev_sgn) AS BIGINT)
+                 AS zero_crossings
+      FROM (SELECT doc_id, i, sign(s) AS sgn,
+                   LAG(sign(s)) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS prev_sgn
+            FROM samples WHERE s <> 0)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           16000 AS sample_rate,
+           ROUND(COUNT(*) * 1000.0 / 16000, 4) AS duration_ms,
+           ROUND(sqrt(AVG(CAST(a.s AS DOUBLE) * a.s)), 6) AS rms,
+           MIN(zc.zero_crossings) AS zero_crossings
+    FROM samples a JOIN zc ON zc.doc_id = a.doc_id
+    GROUP BY a.doc_id
+    """,
+    doc="multimodal audio with a REAL codec: clips are genuine RIFF/WAVE "
+    "PCM-16 files (operators/codecs.py) decoded per-row through the "
+    "AUDIO_DECODERS seam; same sample content as mm_audio_features, so "
+    "the same oracle hash-gates the real-WAV encode→decode→DSP path.",
+    tags=("multimodal", "audio", "codec"),
+)
+def mm_audio_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(demo_audio_df(spark, sf_dir, media_type="audio/wav"))

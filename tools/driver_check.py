@@ -53,6 +53,8 @@ def main() -> None:
     assert n >= 0
 
     qs = entrymod.queries()
+    if len(sys.argv) > 1:  # optional name-prefix filters for fast local runs
+        qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in sys.argv[1:])}
     oracles = entrymod.oracle_sql()
     con = duckdb_conn(SF_DIR)
     n_ok = n_bad = n_rows_only = 0
