@@ -576,3 +576,69 @@ def r_zonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.col("mean"), F.col("t").cast("double")), 4).alias("slope"),
         F.round(F.regr_intercept(F.col("mean"), F.col("t").cast("double")), 4).alias("icept"),
     )
+
+
+@register(
+    "r_netcdf_zonal",
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y + 2 * x.x) % 9 = 0 THEN NULL
+                  ELSE (5 * y.y + 3 * x.x + 11) % 97 END AS red,
+             CASE WHEN (2 * y.y + x.x) % 11 = 0 THEN NULL
+                  ELSE (7 * y.y + 2 * x.x + 5) % 89 END AS nir
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT band, 0 AS t,
+           CAST(y // 16 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM (
+      SELECT y, x, 'red' AS band, red AS value FROM pix
+      UNION ALL
+      SELECT y, x, 'nir' AS band, nir AS value FROM pix
+    )
+    GROUP BY band, 3, 4
+    """,
+    doc="HASH-GATED real-format container read: a classic netCDF file "
+    "(written by the pure-numpy CDF-2 writer, sources/netcdf.py) with two "
+    "variables is read through the FULL load pipeline — reader dispatch "
+    "by extension, per-band subdataset (variable) addressing, windowed "
+    "row-range byte reads, nodata masking — then zonal statistics. The "
+    "oracle recomputes every pixel from the fixture formula, so the hash "
+    "gates the whole on-disk netCDF codec round trip.",
+    tags=("raster", "netcdf", "zonal"),
+)
+def r_netcdf_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.zonal import zonal_stats
+    from ..sources.netcdf import write_geo_netcdf
+
+    ny, nx = 64, 96
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = ((5 * y + 3 * x + 11) % 97).astype(np.int16)
+    red[(y + 2 * x) % 9 == 0] = -1
+    nir = ((7 * y + 2 * x + 5) % 89).astype(np.int16)
+    nir[(2 * y + x) % 11 == 0] = -1
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+    # deterministic on-disk fixture (idempotent rewrite; tiny)
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_netcdf_zonal.nc")
+    write_geo_netcdf(path, {"red": red, "nir": nir}, gbox, nodata=-1)
+    item = Item(
+        id="nc-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            b: RasterSource(
+                path, subdataset=b, geobox=gbox, meta=RasterBandMetadata("int16", -1)
+            )
+            for b in ("red", "nir")
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(32, 48))
+    return zonal_stats(tiles_df, nodata=-1.0, zone_h=16, zone_w=32)

@@ -730,17 +730,17 @@ class RioReader:
 
 
 class NetCDFReader:
-    """netcdf/hdf5 subdataset container driver — requires h5py/netCDF4
-    (absent here). The protocol slot and the ``RasterSource.subdataset``
-    plumbing (task schema, reader dispatch, per-variable addressing —
-    reference loader/types.py:52-53) are real and tested through
-    SynthReader's subdataset support; only the codec is missing."""
+    """HDF5-backed (netCDF-4 / .h5 / .hdf5) container driver — requires
+    h5py (absent here). Classic-format ``.nc`` files are served natively
+    by :class:`odc_stac_spark.sources.netcdf.NcReader` (pure-numpy CDF-1/2
+    codec); this slot remains for the HDF5 chunked layout, whose
+    B-tree/filter machinery genuinely needs the native library."""
 
-    def read(self, src, cfg, dst_geobox):  # pragma: no cover - env lacks netcdf
+    def read(self, src, cfg, dst_geobox):  # pragma: no cover - env lacks hdf5
         raise NotImplementedError(
-            "NetCDFReader needs h5py/netCDF4, which are not installed in "
-            "this environment; subdataset semantics are exercised via "
-            "synth:// sources (SynthReader._resolve_subdataset)"
+            "NetCDFReader (HDF5 layout) needs h5py, which is not installed "
+            "in this environment; classic .nc files are read natively via "
+            "sources/netcdf.py NcReader"
         )
 
 
@@ -861,9 +861,13 @@ def reader_for(uri: str):
     """Reader-driver dispatch (reference loader/_driver.py:12-16)."""
     if uri.startswith("synth://"):
         return SynthReader()
-    path = uri.split("?")[0].lower()
+    path = uri.split("?")[0].split("#")[0].lower()
     if path.endswith((".tif", ".tiff")):
         return TiffReader()
-    if path.endswith((".nc", ".h5", ".hdf", ".hdf5")):
+    if path.endswith(".nc"):
+        from .netcdf import NcReader
+
+        return NcReader()
+    if path.endswith((".h5", ".hdf", ".hdf5")):
         return NetCDFReader()
     return RioReader()
