@@ -2,13 +2,13 @@
 typed metadata, processed via Arrow-batched ``mapInPandas`` (SURVEY north
 star: multimodal training-data pipeline).
 
-Real codecs: PNG, BMP and WAV are decoded by genuine pure-stdlib coders
-(operators/codecs.py — zlib/DEFLATE, PNG filter pipeline, RIFF parse) and
-are installed as defaults in the DECODERS / AUDIO_DECODERS seams below.
-JPEG and mp4/webm remain the documented PIL/ffmpeg slots
-(``decode_real_image``): the container lacks those libraries, so a
-deterministic in-house raster format ("SIMG") additionally stands in where
-tests want byte-exact oracle behavior.
+Real codecs: JPEG (operators/jpeg.py — baseline ITU-T T.81 from scratch),
+PNG, BMP and WAV (operators/codecs.py — zlib/DEFLATE, PNG filter pipeline,
+RIFF parse) are genuine pure-numpy/stdlib coders installed as defaults in
+the DECODERS / AUDIO_DECODERS seams below. mp4/webm video remains the
+documented ffmpeg slot (``decode_real_image``); a deterministic in-house
+raster format ("SIMG") additionally stands in where tests want byte-exact
+oracle behavior for arbitrary pixel content.
 
 SIMG layout: b"SIMG" | ver:u8 | width:u16le | height:u16le | channels:u8 |
 payload (width*height*channels bytes, row-major).
@@ -505,3 +505,7 @@ DECODERS.update(_REAL_IMAGES)
 AUDIO_DECODERS.update(_REAL_AUDIO)
 _DEMO_IMAGE_ENCODERS["image/png"] = _encode_png
 _DEMO_AUDIO_ENCODERS["audio/wav"] = _encode_wav
+
+from .jpeg import decode_jpeg as _decode_jpeg, encode_jpeg as _encode_jpeg  # noqa: E402
+
+DECODERS["image/jpeg"] = _decode_jpeg
