@@ -248,3 +248,182 @@ def mm_image_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_audio_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(demo_audio_df(spark, sf_dir, media_type="audio/wav"))
+
+
+@register(
+    "mm_image_jpeg_codec",
+    # Block-constant, even-valued grayscale images are LOSSLESS through
+    # baseline JPEG at quality 50 (pure-DC blocks; (v-128)*8 is an exact
+    # multiple of the DC quantizer 16), so the oracle recomputes the
+    # decoded stats exactly: each 8x8 block of the 16x16 image carries
+    # value 2*((doc_id*13 + by*7 + bx*3) % 128), 64 pixels per block.
+    oracle="""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_POP(v), 6) AS std,
+           CAST(MIN(v) AS INT) AS p_min,
+           CAST(MAX(v) AS INT) AS p_max
+    FROM (
+      SELECT d.doc_id, 2 * ((d.doc_id * 13 + b.by * 7 + b.bx * 3) % 128) AS v
+      FROM documents d
+      CROSS JOIN (
+        SELECT y.by, x.bx
+        FROM (SELECT UNNEST(generate_series(0, 1)) AS by) y
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS bx) x
+      ) b
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS p) px
+    )
+    GROUP BY doc_id
+    """,
+    doc="multimodal with the REAL JPEG codec (operators/jpeg.py — baseline "
+    "ITU-T T.81 from scratch: DCT, Annex-K quantization, Huffman entropy "
+    "coding, byte stuffing): per-doc grayscale images are encoded as "
+    "genuine JFIF on the executors, shipped as binary rows, and decoded "
+    "back through the DECODERS seam. The fixture is constructed so the "
+    "lossy codec is exactly lossless (pure-DC even-valued blocks), which "
+    "makes the whole bitstream round trip SQL-hash-gateable.",
+    tags=("multimodal", "codec"),
+)
+def mm_image_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.jpeg import encode_jpeg
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by, bx = np.mgrid[0:2, 0:2]
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                v = (2 * ((int(i) * 13 + by * 7 + bx * 3) % 128)).astype(np.uint8)
+                img = np.repeat(np.repeat(v, 8, 0), 8, 1)
+                media.append(encode_jpeg(img, quality=50))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "media_type": "image/jpeg"}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return image_stats(docs.mapInPandas(gen, schema))
+
+
+@register(
+    "mm_webdataset_pipeline",
+    # sample i (0..199, two shards of 100): label = i % 7; image = 16x16
+    # grayscale of 8x8 blocks v(by,bx) = 2*((i*13 + by*7 + bx*3) % 128),
+    # JPEG q50 (exactly lossless for pure-DC even blocks).
+    oracle="""
+    SELECT printf('%05d', i) AS key,
+           CAST(i % 7 AS INT) AS label,
+           ROUND(AVG(v), 6) AS mean,
+           CAST(MIN(v) AS INT) AS p_min,
+           CAST(MAX(v) AS INT) AS p_max
+    FROM (
+      SELECT i.i AS i, 2 * ((i.i * 13 + b.by * 7 + b.bx * 3) % 128) AS v
+      FROM (SELECT UNNEST(generate_series(0, 199)) AS i) i
+      CROSS JOIN (
+        SELECT y.by, x.bx
+        FROM (SELECT UNNEST(generate_series(0, 1)) AS by) y
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS bx) x
+      ) b
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS p) px
+    )
+    GROUP BY i
+    """,
+    doc="WebDataset tar-shard ingestion end-to-end: two tar shards in the "
+    "public {key}.{ext} sample convention (sources/webdataset.py) are "
+    "scanned one-partition-per-shard via streaming mapInPandas, grouped "
+    "into ext→bytes sample maps, and each sample's REAL JPEG payload is "
+    "decoded through the codec seam next to its classification label. "
+    "The oracle recomputes every decoded pixel from the fixture formula, "
+    "hash-gating shard scan + sample grouping + JPEG decode together.",
+    tags=("multimodal", "webdataset", "codec"),
+)
+def mm_webdataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import DECODERS
+    from ..sources.webdataset import group_samples, read_webdataset, write_webdataset_shard
+
+    # deterministic on-disk fixture shards (idempotent rewrite; tiny)
+    by, bx = np.mgrid[0:2, 0:2]
+    shards = []
+    for s in range(2):
+        path = os.path.join(tempfile.gettempdir(), f"odc_stac_spark_wds_{s:03d}.tar")
+        samples = []
+        for i in range(s * 100, (s + 1) * 100):
+            v = (2 * ((i * 13 + by * 7 + bx * 3) % 128)).astype(np.uint8)
+            img = np.repeat(np.repeat(v, 8, 0), 8, 1)
+            samples.append(
+                (
+                    f"{i:05d}",
+                    {
+                        "cls": str(i % 7).encode(),
+                        "jpg": encode_jpeg(img, quality=50),
+                        "txt": f"synthetic caption {i}".encode(),
+                    },
+                )
+            )
+        write_webdataset_shard(path, samples)
+        shards.append(path)
+
+    samples_df = group_samples(read_webdataset(spark, shards))
+    decoders = dict(DECODERS)
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("label", IntegerType()),
+            StructField("mean", DoubleType()),
+            StructField("p_min", IntegerType()),
+            StructField("p_max", IntegerType()),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, parts in zip(pdf["key"], pdf["parts"]):
+                px = decoders["image/jpeg"](bytes(parts["jpg"])).astype(np.float64)
+                rows.append(
+                    {
+                        "key": key,
+                        "label": int(bytes(parts["cls"]).decode()),
+                        "mean": round(float(px.mean()), 6),
+                        "p_min": int(px.min()),
+                        "p_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return samples_df.mapInPandas(feats, schema)
