@@ -74,6 +74,11 @@ def load_all() -> dict[str, Query]:
     # Queries in the early modules that already have externally verified
     # rows (rounds 1-4) are demoted behind the never-verified block so the
     # front-of-registry window is spent on queries that need fresh signal.
+    # (54 queries lack a driver-verified row vs a 50-slot window; the four
+    # at positions 50-53 — pivot_user_event_matrix, agg_corr_stats,
+    # cohort_retention, w_range_frame_trailing — are first in line for the
+    # round-6 window. All 54 are oracle-verified locally each session via
+    # tools/driver_check.py.)
     demote = (
         "knn_bruteforce_cosine",
         "embedding_neardup_pairs",

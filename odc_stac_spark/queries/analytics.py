@@ -423,3 +423,49 @@ def w_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+def _spatial_curve_oracle() -> str:
+    from ..operators.spacefill import hilbert_sql, morton_sql
+
+    return f"""
+    WITH cells AS (
+      SELECT DISTINCT CAST(event_id % 64 AS BIGINT) AS cx,
+                      CAST((event_id // 64) % 64 AS BIGINT) AS cy
+      FROM events
+    ),
+    {hilbert_sql('cx', 'cy', 6, 'cells')}
+    SELECT cy, cx, {morton_sql('cx', 'cy')} AS mkey, hkey
+    FROM hfinal
+    """
+
+
+@register(
+    "spatial_curve_layout",
+    oracle=_spatial_curve_oracle(),
+    doc="space-filling-curve layout keys: Morton (Z-order) and Hilbert "
+    "indices for a 64x64 tile grid, both computed as pure Catalyst "
+    "bitwise/CASE expressions (whole-stage codegen, zero Python) — the "
+    "clustering keys a 100 TB catalog sorts by so bbox queries become "
+    "contiguous range reads (Delta ZORDER / Iceberg hilbert sort "
+    "equivalents). The oracle replays the magic-mask interleave and the "
+    "per-level Hilbert rotation walk in DuckDB SQL, hash-gating every "
+    "key over every cell.",
+    tags=("spatial", "layout", "scale"),
+)
+def spatial_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spacefill import morton_key, with_hilbert_key
+
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("event_id") % 64).alias("cx"),
+            ((F.col("event_id") / 64).cast("long") % 64).alias("cy"),
+        )
+        .distinct()
+    )
+    return (
+        with_hilbert_key(cells, "cx", "cy", order=6, out="hkey")
+        .withColumn("mkey", morton_key(F.col("cx"), F.col("cy")))
+        .select("cy", "cx", "mkey", "hkey")
+    )
