@@ -43,15 +43,16 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), " +")
 
 
-def _shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) — distinct token 3-grams per doc.
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, shingles: array<string>) — distinct token
+    3-grams per doc. Pure map-side transformation, so it works identically
+    on batch tables and structured streams (streaming/dedup.py).
 
     Kept as one array row per document so signature computation (MinHash,
     SimHash) can stay entirely map-side: at 100 TB a signature is a pure
     function of the document and must not cost a shuffle."""
-    d = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    d = d.select("doc_id", toks.alias("ts")).where(F.size("ts") >= 3)
+    d = docs.select("doc_id", toks.alias("ts")).where(F.size("ts") >= 3)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("ts") - 3),
         lambda i: F.concat_ws(
@@ -62,6 +63,10 @@ def _shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def _shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_arrays(load_table(spark, sf_dir, "documents"))
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +177,31 @@ def _minhash_sig(sharr: DataFrame) -> DataFrame:
     return sharr.select("doc_id", *mins)
 
 
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) → (doc_id, band_idx, bh): the LSH bucket rows.
+    Map-side (explode of a per-row array) — stream-safe."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
+                            for j in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh")
+    )
+
+
 def _minhash_sig_sql() -> str:
     mins = ",\n           ".join(
         f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS m{j}"
@@ -235,29 +265,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharr = _shingle_arrays_df(spark, sf_dir).persist()
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sig = _minhash_sig(sharr)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
-                            for j in range(ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for band in range(N_BANDS)
-        ]
-    )
     # persist: both sides of the bucket self-join read this — without the
     # cache the 16-min signature aggregation runs twice (verified: two
     # identical exchanges in the unpersisted plan)
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh")
-    ).persist()
+    bands = minhash_bands(sig).persist()
     # hot-bucket salting (operators/skew.salted_join): a boilerplate-heavy
     # corpus can put thousands of docs in ONE (band, bh) bucket — the
     # pair join's quadratic work for that bucket lands on a single

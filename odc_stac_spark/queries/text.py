@@ -202,3 +202,62 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "rn", F.round("tfidf_raw", 4).alias("tfidf"))
     )
+
+
+@register(
+    "text_clean_html",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+             || '</p>&amp; tail&nbsp;' || CAST(doc_id % 7 AS VARCHAR)
+             || '</div>' AS raw
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&nbsp;', ' '),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           CAST(length(clean) - length(replace(clean, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens,
+           substr(md5(clean), 1, 16) AS digest
+    FROM cleaned
+    """,
+    doc="text cleaning for training corpora: HTML tag strip, entity decode, "
+    "control-char removal, whitespace collapse — a pure JVM "
+    "regexp_replace/replace chain (no UDF; whole-stage codegen). The "
+    "fixture wraps each document in deterministic HTML + entities so the "
+    "md5 digest of every cleaned document gates each transformation "
+    "step; at 100 TB this op is a map-only scan with zero shuffles.",
+    tags=("text", "llm-pipeline"),
+)
+def text_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<div id="d'), F.col("doc_id").cast("string"), F.lit('"><p>'),
+        F.col("text"), F.lit("</p>&amp; tail&nbsp;"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("</div>"),
+    )
+    clean = F.regexp_replace(raw, "<[^>]+>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&nbsp;", " ")):
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.regexp_replace(clean, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    clean = F.trim(F.regexp_replace(clean, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("bigint").alias("clean_len"),
+        (F.length(clean) - F.length(F.replace(clean, F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.substring(F.md5(clean.cast("binary")), 1, 16).alias("digest"),
+    )
