@@ -289,3 +289,96 @@ def decode_wav(data: bytes):
 #: defaults at its module bottom.
 IMAGE_CODECS = {"image/png": decode_png, "image/bmp": decode_bmp}
 AUDIO_CODECS = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG video (RIFF container, one JPEG per frame)
+# ---------------------------------------------------------------------------
+# Public layout (Microsoft AVI RIFF spec): RIFF('AVI ' LIST('hdrl' avih
+# LIST('strl' strh strf)) LIST('movi' '00dc'...) idx1). MJPG streams carry
+# one baseline JPEG per '00dc' chunk — with the in-repo JPEG codec this
+# makes video decode a real path, not a stub: decode → frame-sample →
+# features runs on genuine bytes a stock player accepts.
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """Iterable of (h, w) / (h, w, c) uint8 arrays → MJPG AVI bytes."""
+    from .jpeg import encode_jpeg
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("AVI: need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    n = len(jpegs)
+    max_size = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # µs per frame
+        max_size * fps,    # max bytes/sec
+        0, 0x10,           # padding, flags (AVIF_HASINDEX)
+        n, 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0xFFFFFFFF, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_payload = b"movi"
+    offsets = []
+    for j in jpegs:
+        offsets.append(len(movi_payload))
+        movi_payload += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", movi_payload)
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        for off, j in zip(offsets, jpegs)
+    )
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.ndarray":
+    """MJPG AVI bytes → (n, h, w, c) uint8, sampling every k-th frame.
+    Walks the RIFF tree; only '00dc'/'00db' video chunks are decoded, so
+    frame-sampling skips the JPEG decode cost of dropped frames."""
+    from .jpeg import decode_jpeg
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    frames = []
+    idx = 0
+
+    def walk(pos: int, end: int):
+        nonlocal idx
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif fourcc in (b"00dc", b"00db"):
+                if idx % every == 0 and (not max_frames or len(frames) < max_frames):
+                    frames.append(decode_jpeg(data[body_start : body_start + size]))
+                idx += 1
+            pos = body_start + size + (size & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("AVI: no video frames found")
+    return np.stack(frames)

@@ -420,6 +420,18 @@ def decode_svid(data: bytes) -> np.ndarray:
     ).reshape(n, h, w, c)
 
 
+#: media_type → decoder ``bytes -> (n, h, w, c) uint8``: the video codec
+#: seam. MJPEG-AVI (operators/codecs.py + the in-repo JPEG coder) is a
+#: REAL default; mp4/webm remain the documented ffmpeg slot.
+VIDEO_DECODERS = {"video/x-svid": decode_svid}
+
+
+def register_video_decoder(media_type: str, fn) -> None:
+    """Install a video decoder; same snapshot-into-closure semantics as
+    :func:`register_decoder`."""
+    VIDEO_DECODERS[media_type] = fn
+
+
 def synth_video(doc_id: int) -> np.ndarray:
     """Deterministic fake clip: n_frames = 4 + doc_id%4, 8x(8+doc_id%4)x1,
     pixel v = (doc_id*37 + f*17 + y*5 + x*3) % 256."""
@@ -471,13 +483,25 @@ _VIDEO_FEAT_SCHEMA = StructType(
 def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
     """Keep every ``every``-th frame then per-clip stats — the
     decode → sample → batch-features shape of a video training pipeline
-    (a real frame encoder drops into the same mapInPandas body)."""
+    (a real frame encoder drops into the same mapInPandas body).
+    Dispatches per-row by media_type through VIDEO_DECODERS (SVID + real
+    MJPEG-AVI by default)."""
+
+    decoders = dict(VIDEO_DECODERS)  # snapshot: ships registered codecs
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            types = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else pd.Series(["video/x-svid"] * len(pdf))
+            )
             rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                fr = decode_svid(bytes(blob))
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], types):
+                fn = decoders.get(mt)
+                if fn is None:
+                    raise NotImplementedError(f"no video decoder registered for {mt!r}")
+                fr = fn(bytes(blob))
                 kept = fr[::every]
                 rows.append(
                     {
@@ -499,10 +523,12 @@ def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
 # exact same seams a PIL/ffmpeg deployment would use — proving the contract
 # with genuinely real formats, not just the SIMG/SAUD stand-ins.
 from .codecs import AUDIO_CODECS as _REAL_AUDIO, IMAGE_CODECS as _REAL_IMAGES  # noqa: E402
+from .codecs import decode_avi_mjpeg as _decode_avi  # noqa: E402
 from .codecs import encode_png as _encode_png, encode_wav as _encode_wav  # noqa: E402
 
 DECODERS.update(_REAL_IMAGES)
 AUDIO_DECODERS.update(_REAL_AUDIO)
+VIDEO_DECODERS["video/x-msvideo"] = _decode_avi
 _DEMO_IMAGE_ENCODERS["image/png"] = _encode_png
 _DEMO_AUDIO_ENCODERS["audio/wav"] = _encode_wav
 

@@ -427,3 +427,90 @@ def mm_webdataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return samples_df.mapInPandas(feats, schema)
+
+
+@register(
+    "mm_video_avi_codec",
+    # clip i: 4 + i%4 frames of 16x16 grayscale; frame f is 8x8 blocks of
+    # v(f,by,bx) = 2*((i*13 + f*17 + by*7 + bx*3) % 128) — lossless through
+    # MJPEG q50 (pure-DC even blocks); features keep every 2nd frame.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, f.f,
+             2 * ((d.doc_id * 13 + f.f * 17 + b.by * 7 + b.bx * 3) % 128) AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS f) f
+      CROSS JOIN (
+        SELECT y.by, x.bx
+        FROM (SELECT UNNEST(generate_series(0, 1)) AS by) y
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS bx) x
+      ) b
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS p) px
+      WHERE f.f < 4 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           CAST(MAX(f) + 1 AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT f) FILTER (WHERE f % 2 = 0) AS BIGINT)
+               AS kept_frames,
+           16 AS width,
+           16 AS height,
+           ROUND(AVG(v) FILTER (WHERE f % 2 = 0), 6) AS kept_mean
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="multimodal video with a REAL container+codec: per-doc clips are "
+    "genuine Motion-JPEG AVI files (RIFF container from the public AVI "
+    "spec, one baseline JPEG per 00dc chunk — operators/codecs.py + "
+    "operators/jpeg.py), decoded per-row through the VIDEO_DECODERS seam, "
+    "then every-2nd-frame sampled (decode_avi_mjpeg also supports "
+    "decode-time frame skipping via its `every` arg for pipelines that "
+    "don't need the total frame count). Lossless-by-construction frames "
+    "make the whole container + codec round trip SQL-hash-gateable.",
+    tags=("multimodal", "video", "codec"),
+)
+def mm_video_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.codecs import encode_avi_mjpeg
+    from ..operators.multimodal import video_frame_features
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by, bx = np.mgrid[0:2, 0:2]
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = []
+                for f in range(4 + i % 4):
+                    v = (2 * ((i * 13 + f * 17 + by * 7 + bx * 3) % 128)).astype(np.uint8)
+                    frames.append(np.repeat(np.repeat(v, 8, 0), 8, 1))
+                media.append(encode_avi_mjpeg(frames, quality=50))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": media,
+                    "media_type": "video/x-msvideo",
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return video_frame_features(docs.mapInPandas(gen, schema), every=2)

@@ -210,3 +210,65 @@ def test_wav_odd_sized_extra_chunk_skipped():
 def test_wav_rejects_non_riff():
     with pytest.raises(ValueError):
         decode_wav(b"OggS not a wave")
+
+
+# ---- AVI / Motion-JPEG ----------------------------------------------------
+
+
+def _lossless_frames(n, seed=0):
+    fr = []
+    for f in range(n):
+        v = (
+            2 * ((seed * 13 + f * 11 + np.arange(2)[:, None] * 7 + np.arange(3)[None, :] * 3) % 128)
+        ).astype(np.uint8)
+        fr.append(np.repeat(np.repeat(v, 8, 0), 8, 1))
+    return fr
+
+
+def test_avi_mjpeg_roundtrip_lossless_frames():
+    from odc_stac_spark.operators.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    fr = _lossless_frames(6)
+    out = decode_avi_mjpeg(encode_avi_mjpeg(fr, quality=50))
+    assert out.shape == (6, 16, 24, 1)
+    for f in range(6):
+        np.testing.assert_array_equal(out[f, :, :, 0], fr[f])
+
+
+def test_avi_frame_sampling_and_cap():
+    from odc_stac_spark.operators.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    fr = _lossless_frames(9)
+    avi = encode_avi_mjpeg(fr, quality=50)
+    sub = decode_avi_mjpeg(avi, every=3)
+    assert sub.shape[0] == 3
+    np.testing.assert_array_equal(sub[2, :, :, 0], fr[6])
+    capped = decode_avi_mjpeg(avi, max_frames=2)
+    assert capped.shape[0] == 2
+
+
+def test_avi_structure_is_valid_riff():
+    from odc_stac_spark.operators.codecs import encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg(_lossless_frames(3), fps=25, quality=50)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    (riff_size,) = struct.unpack_from("<I", avi, 4)
+    assert riff_size + 8 == len(avi)
+    assert b"MJPG" in avi and b"idx1" in avi and b"00dc" in avi
+
+
+def test_avi_rejects_non_avi():
+    from odc_stac_spark.operators.codecs import decode_avi_mjpeg
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_through_video_decoder_seam():
+    from odc_stac_spark.operators.codecs import encode_avi_mjpeg
+    from odc_stac_spark.operators.multimodal import VIDEO_DECODERS
+
+    fr = _lossless_frames(4, seed=5)
+    out = VIDEO_DECODERS["video/x-msvideo"](encode_avi_mjpeg(fr, quality=50))
+    assert out.shape[0] == 4
+    np.testing.assert_array_equal(out[1, :, :, 0], fr[1])
