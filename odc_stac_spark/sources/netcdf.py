@@ -1,4 +1,4 @@
-"""NetCDF classic (CDF-1/CDF-2) codec + reader driver — pure numpy/stdlib.
+"""NetCDF classic (CDF-1/CDF-2/CDF-5) codec + reader driver — pure numpy/stdlib.
 
 The reference reads netCDF/HDF5 subdataset containers through GDAL/xarray
 (reference loader/types.py:52-53 subdataset addressing; odc/loader RIO
@@ -7,9 +7,10 @@ the public spec (Unidata "NetCDF Classic Format Specification", also
 ESDS-RFC-011) so the engine's ``NetCDFReader`` protocol slot serves real
 ``.nc`` files with no native library:
 
-- **writer**: CDF-1 or CDF-2 (64-bit offset), fixed-size variables, all
-  six classic types, dimension/variable/global attributes, proper 4-byte
-  alignment and big-endian encoding.
+- **writer**: CDF-1, CDF-2 (64-bit offsets) or CDF-5 (64-bit sizes +
+  native unsigned/int64 types), fixed-size variables, all classic types,
+  dimension/variable/global attributes, proper 4-byte alignment and
+  big-endian encoding.
 - **reader**: header parse + windowed variable reads. Reads are
   byte-ranged: a (y, x) window fetches only the intersecting rows'
   contiguous runs (one ``seek`` per needed row), never the whole
@@ -40,6 +41,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 additions (NetCDF 64-bit data format specification)
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 _NC_DTYPES = {
     NC_BYTE: np.dtype(">i1"),
     NC_CHAR: np.dtype("S1"),
@@ -47,10 +50,22 @@ _NC_DTYPES = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    NC_UBYTE: np.dtype(">u1"),
+    NC_USHORT: np.dtype(">u2"),
+    NC_UINT: np.dtype(">u4"),
+    NC_INT64: np.dtype(">i8"),
+    NC_UINT64: np.dtype(">u8"),
 }
 _CODE_FOR_KIND = {("i", 1): NC_BYTE, ("i", 2): NC_SHORT, ("i", 4): NC_INT,
                   ("u", 1): NC_BYTE, ("u", 2): NC_SHORT, ("u", 4): NC_INT,
                   ("f", 4): NC_FLOAT, ("f", 8): NC_DOUBLE}
+# CDF-5 has native unsigned + 64-bit integer types
+_CODE_FOR_KIND_V5 = {("i", 1): NC_BYTE, ("i", 2): NC_SHORT, ("i", 4): NC_INT,
+                     ("i", 8): NC_INT64,
+                     ("u", 1): NC_UBYTE, ("u", 2): NC_USHORT, ("u", 4): NC_UINT,
+                     ("u", 8): NC_UINT64,
+                     ("f", 4): NC_FLOAT, ("f", 8): NC_DOUBLE}
+_V5_ONLY_CODES = {NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64}
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 
 
@@ -63,9 +78,14 @@ def _pad4(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _enc_name(name: str) -> bytes:
+def _nn(n: int, version: int) -> bytes:
+    """NON_NEG: 4 bytes in CDF-1/2, 8 in CDF-5."""
+    return struct.pack(">Q" if version == 5 else ">I", n)
+
+
+def _enc_name(name: str, version: int = 1) -> bytes:
     b = name.encode("utf-8")
-    return struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+    return _nn(len(b), version) + b + b"\x00" * (_pad4(len(b)) - len(b))
 
 
 def _attr_payload(value) -> Tuple[int, bytes, int]:
@@ -89,13 +109,13 @@ def _attr_payload(value) -> Tuple[int, bytes, int]:
     return code, b + b"\x00" * (_pad4(len(b)) - len(b)), arr.size
 
 
-def _enc_attrs(attrs: Optional[dict]) -> bytes:
+def _enc_attrs(attrs: Optional[dict], version: int = 1) -> bytes:
     if not attrs:
-        return struct.pack(">II", 0, 0)  # ABSENT
-    out = struct.pack(">II", _TAG_ATT, len(attrs))
+        return struct.pack(">I", 0) + _nn(0, version)  # ABSENT
+    out = struct.pack(">I", _TAG_ATT) + _nn(len(attrs), version)
     for k, v in attrs.items():
         code, payload, nelems = _attr_payload(v)
-        out += _enc_name(k) + struct.pack(">II", code, nelems) + payload
+        out += _enc_name(k, version) + struct.pack(">I", code) + _nn(nelems, version) + payload
     return out
 
 
@@ -110,12 +130,14 @@ def write_netcdf(
     """Write a classic netCDF file of fixed-size variables.
 
     ``variables[name] = (dim_names, array)``; array shape must match the
-    named dimensions. ``version`` 1 (CDF-1, 32-bit offsets) or 2 (CDF-2,
-    64-bit offsets — the safe default for >2 GiB layouts)."""
-    if version not in (1, 2):
-        raise ValueError("classic netCDF version must be 1 or 2")
+    named dimensions. ``version`` 1 (CDF-1, 32-bit offsets), 2 (CDF-2,
+    64-bit offsets — the safe default for >2 GiB layouts) or 5 (CDF-5,
+    64-bit sizes + native unsigned/int64 types)."""
+    if version not in (1, 2, 5):
+        raise ValueError("classic netCDF version must be 1, 2 or 5")
     var_attrs = var_attrs or {}
     dim_ids = {name: i for i, name in enumerate(dims)}
+    code_map = _CODE_FOR_KIND_V5 if version == 5 else _CODE_FOR_KIND
     norm = {}
     for name, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
@@ -124,44 +146,44 @@ def write_netcdf(
             raise ValueError(f"variable {name}: shape {arr.shape} != dims {vdims} {shape}")
         if any(dims[d] == 0 for d in vdims):
             raise NotImplementedError("record (unlimited) dimensions: writer is fixed-size only")
-        code = _CODE_FOR_KIND.get((arr.dtype.kind, arr.dtype.itemsize))
+        code = code_map.get((arr.dtype.kind, arr.dtype.itemsize))
         if code is None:
             raise ValueError(f"variable {name}: dtype {arr.dtype} not representable in classic netCDF")
-        if arr.dtype.kind == "u":
-            # classic has no unsigned types: store the same bytes as the
+        if arr.dtype.kind == "u" and version != 5:
+            # CDF-1/2 have no unsigned types: store the same bytes as the
             # signed twin and mark with the standard _Unsigned convention
             var_attrs = {**var_attrs}
             var_attrs[name] = {**var_attrs.get(name, {}), "_Unsigned": "true"}
         norm[name] = (vdims, arr, code)
 
     off_fmt = ">I" if version == 1 else ">Q"
-    off_size = 4 if version == 1 else 8
 
     def var_entry(name, vdims, code, vsize, begin):
-        e = _enc_name(name) + struct.pack(">I", len(vdims))
+        e = _enc_name(name, version) + _nn(len(vdims), version)
         for d in vdims:
             e += struct.pack(">I", dim_ids[d])
-        e += _enc_attrs(var_attrs.get(name))
-        e += struct.pack(">II", code, vsize) + struct.pack(off_fmt, begin)
+        e += _enc_attrs(var_attrs.get(name), version)
+        e += struct.pack(">I", code) + _nn(vsize, version) + struct.pack(off_fmt, begin)
         return e
 
     # pass 1: compute header size with placeholder begins
     def header_bytes(begins: Dict[str, int]) -> bytes:
-        h = b"CDF" + bytes([version]) + struct.pack(">I", 0)  # numrecs = 0
+        h = b"CDF" + bytes([version])
+        h += struct.pack(">Q", 0) if version == 5 else struct.pack(">I", 0)  # numrecs
         if dims:
-            h += struct.pack(">II", _TAG_DIM, len(dims))
+            h += struct.pack(">I", _TAG_DIM) + _nn(len(dims), version)
             for dname, dlen in dims.items():
-                h += _enc_name(dname) + struct.pack(">I", dlen)
+                h += _enc_name(dname, version) + _nn(dlen, version)
         else:
-            h += struct.pack(">II", 0, 0)
-        h += _enc_attrs(global_attrs)
+            h += struct.pack(">I", 0) + _nn(0, version)
+        h += _enc_attrs(global_attrs, version)
         if norm:
-            h += struct.pack(">II", _TAG_VAR, len(norm))
+            h += struct.pack(">I", _TAG_VAR) + _nn(len(norm), version)
             for name, (vdims, arr, code) in norm.items():
                 vsize = _pad4(arr.size * _NC_DTYPES[code].itemsize)
                 h += var_entry(name, vdims, code, vsize, begins.get(name, 0))
         else:
-            h += struct.pack(">II", 0, 0)
+            h += struct.pack(">I", 0) + _nn(0, version)
         return h
 
     hlen = len(header_bytes({}))
@@ -189,8 +211,9 @@ def write_netcdf(
 
 
 class _Cursor:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, version: int = 1):
         self.buf, self.pos = buf, 0
+        self.version = version
 
     def take(self, n: int) -> bytes:
         b = self.buf[self.pos : self.pos + n]
@@ -205,15 +228,19 @@ class _Cursor:
     def u64(self) -> int:
         return struct.unpack(">Q", self.take(8))[0]
 
+    def nn(self) -> int:
+        """NON_NEG: counts/lengths are 4 bytes in CDF-1/2, 8 in CDF-5."""
+        return self.u64() if self.version == 5 else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         s = self.take(n).decode("utf-8")
         self.take(_pad4(n) - n)
         return s
 
 
 def _parse_attrs(c: _Cursor) -> dict:
-    tag, nelems = c.u32(), c.u32()
+    tag, nelems = c.u32(), c.nn()
     if tag == 0 and nelems == 0:
         return {}
     if tag != _TAG_ATT:
@@ -221,7 +248,7 @@ def _parse_attrs(c: _Cursor) -> dict:
     out = {}
     for _ in range(nelems):
         k = c.name()
-        code, n = c.u32(), c.u32()
+        code, n = c.u32(), c.nn()
         dt = _NC_DTYPES.get(code)
         if dt is None:
             raise ValueError(f"netCDF: unknown attribute type {code}")
@@ -241,13 +268,13 @@ def read_netcdf_header(path: str) -> dict:
         if probe[:8] == b"\x89HDF\r\n\x1a\n":
             raise NotImplementedError(
                 "netCDF-4/HDF5 container: needs h5py (NetCDFReader HDF5 slot); "
-                "classic CDF-1/CDF-2 is supported natively"
+                "classic CDF-1/2/5 is supported natively"
             )
         if probe[:3] != b"CDF":
             raise ValueError(f"{path}: not a netCDF classic file")
         version = probe[3]
-        if version not in (1, 2):
-            raise NotImplementedError(f"netCDF: CDF-{version} not supported (1/2 only)")
+        if version not in (1, 2, 5):
+            raise NotImplementedError(f"netCDF: CDF-{version} not supported (1/2/5 only)")
         # headers are small; grow the probe until parse fits
         buf = probe
         while True:
@@ -263,26 +290,26 @@ def read_netcdf_header(path: str) -> dict:
 
 
 def _parse_header(buf: bytes, version: int) -> dict:
-    c = _Cursor(buf)
+    c = _Cursor(buf, version)
     c.take(4)
-    numrecs = c.u32()
-    tag, nd = c.u32(), c.u32()
+    numrecs = c.u64() if version == 5 else c.u32()
+    tag, nd = c.u32(), c.nn()
     dims = []
     if tag == _TAG_DIM:
-        dims = [(c.name(), c.u32()) for _ in range(nd)]
+        dims = [(c.name(), c.nn()) for _ in range(nd)]
     elif (tag, nd) != (0, 0):
         raise ValueError("netCDF: bad dim_list tag")
     gattrs = _parse_attrs(c)
-    tag, nv = c.u32(), c.u32()
+    tag, nv = c.u32(), c.nn()
     variables = {}
     rec_vars = []
     if tag == _TAG_VAR:
         for _ in range(nv):
             name = c.name()
-            ndims = c.u32()
+            ndims = c.nn()
             dimids = [c.u32() for _ in range(ndims)]
             attrs = _parse_attrs(c)
-            code, vsize = c.u32(), c.u32()
+            code, vsize = c.u32(), c.nn()
             begin = c.u32() if version == 1 else c.u64()
             vdims = [dims[i][0] for i in dimids]
             shape = tuple(dims[i][1] for i in dimids)

@@ -125,12 +125,44 @@ def test_hdf5_magic_refused(tmp_path):
         read_netcdf_header(p)
 
 
-def test_cdf5_refused(tmp_path):
-    p = str(tmp_path / "c5.nc")
+def test_unknown_cdf_version_refused(tmp_path):
+    p = str(tmp_path / "c3.nc")
     with open(p, "wb") as f:
-        f.write(b"CDF\x05" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="CDF-5"):
+        f.write(b"CDF\x03" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="CDF-3"):
         read_netcdf_header(p)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "uint32", "int64", "uint64"])
+def test_cdf5_native_unsigned_and_64bit(tmp_path, dtype):
+    """CDF-5 carries unsigned and 64-bit integers natively (types 7-11,
+    8-byte header sizes) — no _Unsigned convention needed."""
+    p = str(tmp_path / "c5.nc")
+    info = np.iinfo(dtype)
+    a = rng.integers(info.min, info.max, size=(9, 5), dtype=dtype)
+    write_netcdf(p, {"y": 9, "x": 5}, {"v": (("y", "x"), a)}, version=5,
+                 global_attrs={"title": "v5"}, var_attrs={"v": {"units": "m"}})
+    hdr = read_netcdf_header(p)
+    assert hdr["version"] == 5
+    assert hdr["gattrs"]["title"] == "v5"
+    assert "_Unsigned" not in hdr["vars"]["v"]["attrs"]
+    out = read_netcdf_var(p, hdr, "v")
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, a)
+    np.testing.assert_array_equal(
+        read_netcdf_var(p, hdr, "v", (slice(2, 8), slice(1, 4))), a[2:8, 1:4]
+    )
+
+
+def test_cdf5_through_load_pipeline(tmp_path):
+    """A CDF-5 geo file reads through NcReader windows identically."""
+    from odc_stac_spark.sources.netcdf import write_geo_netcdf as wg
+
+    band = ((np.arange(60 * 48) * 13) % 251).reshape(60, 48).astype(np.uint8)
+    p = str(tmp_path / "geo5.nc")
+    wg(p, {"red": band}, GBOX, nodata=7, version=5)
+    w = NcReader()._window(p + "#red", 7, "uint8", 8, 40, 4, 36)
+    np.testing.assert_array_equal(w, band[8:40, 4:36])
 
 
 GBOX = GeoBox((60, 48), (10.0, 0.0, 500.0, 0.0, -10.0, 7000.0), "EPSG:32735")
