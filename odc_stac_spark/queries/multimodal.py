@@ -514,3 +514,19 @@ def mm_video_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return video_frame_features(docs.mapInPandas(gen, schema), every=2)
+
+
+@register(
+    "mm_audio_spectral",
+    # no SQL oracle: FFT is genuinely non-relational (rows-only check;
+    # exact numpy parity is enforced in tests/test_multimodal.py)
+    doc="multimodal audio frequency-domain features: decode (AUDIO_DECODERS "
+    "seam) → numpy rFFT → dominant bin / spectral centroid / band "
+    "energies over Arrow batches. Rows-only for the driver; "
+    "pytest-verified against a direct numpy reference.",
+    tags=("multimodal", "audio"),
+)
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_spectral_features
+
+    return audio_spectral_features(demo_audio_df(spark, sf_dir, media_type="audio/wav"))

@@ -173,3 +173,37 @@ def test_decoder_slot_accepts_dropin_codec(spark):
         )
     finally:
         mm.DECODERS.pop("image/x-fakepng", None)
+
+
+def test_audio_spectral_features_match_numpy(spark):
+    """FFT features must equal a direct numpy computation on the same
+    clips (the operator has no SQL oracle — this is its correctness gate)."""
+    import json
+
+    import numpy as np
+
+    from odc_stac_spark.operators.multimodal import (
+        audio_spectral_features,
+        demo_audio_df,
+        synth_audio,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in audio_spectral_features(
+            demo_audio_df(spark, "/root/testdata/sf0.001", media_type="audio/wav")
+        ).collect()
+    }
+    assert len(out) >= 50
+    for doc_id in list(out)[:10]:
+        s = synth_audio(doc_id, 1000 + doc_id % 500).astype(np.float64)
+        spec = np.abs(np.fft.rfft(s))
+        power = spec**2
+        freqs = np.fft.rfftfreq(s.size, d=1.0 / 16000)
+        r = out[doc_id]
+        assert r.n_samples == s.size
+        assert r.dominant_bin == int(np.argmax(spec[1:]) + 1)
+        assert r.spectral_centroid_hz == round(float((freqs * power).sum() / power.sum()), 4)
+        edges = np.linspace(0, power.size, 9).astype(int)
+        want = [round(float(power[a:b].sum()), 3) for a, b in zip(edges, edges[1:])]
+        assert json.loads(r.band_energy) == want
