@@ -261,3 +261,82 @@ def text_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.substring(F.md5(clean.cast("binary")), 1, 16).alias("digest"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+             || '@example.com or +1-555-' || printf('%04d', doc_id % 10000)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END AS raw
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\+?\d{1,2}[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(raw) - length(regexp_replace(raw,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'))
+                > 0 AS INT) AS has_email,
+           CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(clean, '<PHONE>')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(clean, '<IP>')) AS BIGINT) AS n_ips,
+           substr(md5(clean), 1, 16) AS digest
+    FROM scrubbed
+    """,
+    doc="PII scrubbing for training corpora: email/phone/IPv4 detection + "
+    "redaction as a pure JVM regexp chain (map-only scan, zero shuffles "
+    "at any scale). The fixture plants deterministic PII per doc; the "
+    "md5 digest of every redacted document hash-gates each regex "
+    "replacement, and the per-kind counts gate detection.",
+    tags=("text", "llm-pipeline", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?\\d{1,2}[-. ]?\\d{3}[-. ]?\\d{4}"
+    ip_re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    clean = F.regexp_replace(raw, email_re, "<EMAIL>")
+    clean = F.regexp_replace(clean, phone_re, "<PHONE>")
+    clean = F.regexp_replace(clean, ip_re, "<IP>")
+    return docs.select(
+        "doc_id",
+        (F.length(raw) - F.length(F.regexp_replace(raw, email_re, "")) > 0)
+        .cast("int")
+        .alias("has_email"),
+        F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(clean, F.lit("<PHONE>"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(clean, F.lit("<IP>"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.substring(F.md5(clean.cast("binary")), 1, 16).alias("digest"),
+    )

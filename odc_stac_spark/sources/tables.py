@@ -40,6 +40,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: silently reinterpreted as a UTC instant.
 TIMESTAMP_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
 
+#: zone ids equivalent to UTC (offset 0, no DST) — the fast NTZ cast path
+_UTC_ZONES = frozenset(
+    {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0", "Etc/GMT+0",
+     "Etc/GMT-0", "Greenwich", "Universal", "Etc/Universal", "Zulu",
+     "Etc/Zulu", "+00:00", "Z"}
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic fixture table, normalizing timestamp encodings.
@@ -56,13 +63,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        normalize below.
 
        The session ``timeZone`` is NOT mutated: the fixture timestamps are
-       naive-UTC by convention, and the normalization below is written to be
-       timezone-independent — nanos convert via the epoch-based
-       ``timestamp_micros`` and TIMESTAMP_NTZ converts via
-       ``make_timestamp(..., 'UTC')``, which takes an explicit zone rather
-       than relying on the session default. Downstream *rendering* functions
-       (``date_format`` etc.) in queries still follow the session tz;
-       sessions built via :func:`odc_stac_spark.get_spark` pin UTC.
+       naive-UTC by convention, and the normalization below yields the same
+       instants under any session tz — nanos convert via the epoch-based
+       ``timestamp_micros``; TIMESTAMP_NTZ converts via a plain cast when
+       the session is already UTC (pushdown-friendly — see the inline note)
+       and via zone-explicit ``make_timestamp(..., 'UTC')`` otherwise.
+       One caveat of the fast path: the cast consults the session tz at
+       *action* time, so flipping the session to a non-UTC zone between
+       ``load_table`` and the action would shift the instants — don't.
+       Downstream *rendering* functions (``date_format`` etc.) in queries
+       still follow the session tz; sessions built via
+       :func:`odc_stac_spark.get_spark` pin UTC.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -86,20 +97,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session-timezone independent.
             df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
         elif kind == "timestamp_ntz":
-            # Interpret the naive wall-clock as UTC with an EXPLICIT zone.
-            # A plain cast(ntz as timestamp) would be re-evaluated with
-            # whatever the session tz is at collect time (the cast is lazy),
-            # so it must not appear here. make_timestamp(..., 'UTC')
-            # rebuilds the instant from wall-clock fields + a literal zone;
-            # extract(SECOND) keeps the fractional part (DECIMAL(8,6)).
+            # Interpret the naive wall-clock as UTC. Two paths:
+            #
+            # - UTC session (the default everywhere, incl. a bare driver
+            #   session — container tz is Etc/UTC): a plain
+            #   ``cast(ntz as timestamp)`` is correct AND pushdown-friendly:
+            #   Catalyst's UnwrapCastInBinaryComparison rewrites
+            #   ``cast(col) <= lit`` back onto the raw column, so range
+            #   predicates reach the parquet scan (verified: PushedFilters
+            #   carries LessThanOrEqual; the make_timestamp form pushed only
+            #   IsNotNull and re-evaluated a 6-function chain per row — a
+            #   2-3x slowdown on the date-filtered TPC-H queries).
+            # - non-UTC session: the cast would be re-evaluated with the
+            #   session tz at *action* time and shift the instants, so fall
+            #   back to zone-explicit ``make_timestamp(..., 'UTC')`` —
+            #   slower, but correct under any session configuration.
             c = field.name
-            df = df.withColumn(
-                c,
-                F.expr(
-                    f"make_timestamp(year({c}), month({c}), day({c}), "
-                    f"hour({c}), minute({c}), extract(SECOND FROM {c}), 'UTC')"
-                ),
-            )
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz in _UTC_ZONES:
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+            else:
+                df = df.withColumn(
+                    c,
+                    F.expr(
+                        f"make_timestamp(year({c}), month({c}), day({c}), "
+                        f"hour({c}), minute({c}), extract(SECOND FROM {c}), 'UTC')"
+                    ),
+                )
     return df
 
 

@@ -74,6 +74,22 @@ PICKS = [
         "join; the only exchanges are the cohort aggregation and the "
         "final two-phase count-distinct.",
     ),
+    (
+        "spatial_curve_layout",
+        "Morton + Hilbert layout keys as pure Catalyst expressions: the "
+        "whole curve computation (magic-mask interleave + 6 Hilbert "
+        "rotation levels) sits inside WholeStageCodegen spans over the "
+        "scan — no Python eval nodes, no shuffle except the cell "
+        "distinct. Sorting a 100 TB tile catalog by these keys is a "
+        "plain JVM sort.",
+    ),
+    (
+        "text_clean_html",
+        "Training-corpus text cleaning as one map-only scan: the entire "
+        "regexp_replace/replace chain + md5 digest fuses into a single "
+        "WholeStageCodegen stage over the parquet scan — zero exchanges, "
+        "so at 100 TB it runs at scan speed.",
+    ),
 ]
 
 
