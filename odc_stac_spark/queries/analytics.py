@@ -469,3 +469,52 @@ def spatial_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mkey", morton_key(F.col("cx"), F.col("cy")))
         .select("cy", "cx", "mkey", "hkey")
     )
+
+
+@register(
+    "sketch_hll_rollup",
+    # no SQL oracle: Apache DataSketches HLL binaries are engine-specific
+    # (rows-only for the driver; error bounds + merge associativity are
+    # pytest-gated in tests/test_sketches.py)
+    doc="sketch-based distinct rollup: per-(event_type, day) HLL sketches "
+    "via hll_sketch_agg, then the WEEKLY distinct-user count computed by "
+    "UNIONING the daily sketches (hll_union_agg) — never re-scanning "
+    "events. This is the 100 TB COUNT DISTINCT pattern: daily sketches "
+    "are a few KB each and mergeable into any coarser rollup "
+    "(week/month/all-time) at interactive cost; an exact count is "
+    "emitted alongside to make the approximation error visible.",
+    tags=("analytics", "sketch", "scale"),
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("event_type", "week", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return (
+        daily.groupBy("event_type", "week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(True)))
+            .cast("bigint")
+            .alias("approx_weekly_users"),
+            F.sum("exact_daily").cast("bigint").alias("sum_daily_exact"),
+        )
+        .join(
+            ev.groupBy("event_type", "week").agg(
+                F.count_distinct("user_id").cast("bigint").alias("exact_weekly_users")
+            ),
+            ["event_type", "week"],
+        )
+        .select(
+            "event_type",
+            F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+            "approx_weekly_users",
+            "exact_weekly_users",
+            "sum_daily_exact",
+        )
+    )

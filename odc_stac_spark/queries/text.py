@@ -340,3 +340,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.substring(F.md5(clean.cast("binary")), 1, 16).alias("digest"),
     )
+
+
+@register(
+    "text_ngram_lm_score",
+    # Two-pass char-bigram LM with add-1 smoothing over a restricted
+    # alphabet (lowercase letters + space). P(c2|c1) estimated from the
+    # whole corpus; doc score = mean log2 P over its bigrams, rounded.
+    # Every arithmetic step is integer-count based until the final log,
+    # so Spark and DuckDB agree to float rounding (round 6).
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, substr(s, i.i, 2) AS bg, substr(s, i.i, 1) AS c1
+      FROM chars, (SELECT UNNEST(generate_series(1, 4000)) AS i) i
+      WHERE i.i <= length(s) - 1
+    ),
+    bg_counts AS (SELECT bg, COUNT(*) AS nbg FROM bigrams GROUP BY bg),
+    c1_counts AS (SELECT c1, COUNT(*) AS nc1 FROM bigrams GROUP BY c1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(log2((bc.nbg + 1.0) / (cc.nc1 + 27.0))), 6) AS avg_log2p
+    FROM bigrams b
+    JOIN bg_counts bc ON bc.bg = b.bg
+    JOIN c1_counts cc ON cc.c1 = b.c1
+    GROUP BY b.doc_id
+    """,
+    doc="corpus-trained char-bigram language model as a quality filter "
+    "(the perplexity-proxy gate of web-corpus pipelines, cf. CCNet): "
+    "pass 1 aggregates bigram/context counts over the whole corpus "
+    "(map-side partial aggs, tiny 27x27 model), pass 2 scores every "
+    "document by mean log-probability with add-1 smoothing. The count "
+    "tables are small enough to BROADCAST at any corpus size, so "
+    "scoring is a map-only scan at 100 TB. Counts are exact integers, "
+    "so the hash gates the whole train+score pipeline cross-engine.",
+    tags=("text", "llm-pipeline", "lm"),
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    chars = docs.select("doc_id", s.alias("s")).where(F.length("s") >= 2)
+    bigrams = chars.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 1),
+                lambda i: F.col("s").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    ).withColumn("c1", F.substring(F.col("bg"), 1, 1))
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("nbg"))
+    c1_counts = bigrams.groupBy("c1").agg(F.count(F.lit(1)).alias("nc1"))
+    # the LM is tiny (≤ 27² rows) — broadcast both sides so scoring never
+    # shuffles the corpus
+    scored = (
+        bigrams.join(F.broadcast(bg_counts), "bg")
+        .join(F.broadcast(c1_counts), "c1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2((F.col("nbg") + 1.0) / (F.col("nc1") + 27.0))), 6
+            ).alias("avg_log2p"),
+        )
+    )
+    return scored

@@ -1,0 +1,41 @@
+"""HLL sketch rollup — error bounds and mergeability (no SQL oracle)."""
+
+import pyspark.sql.functions as F
+
+from odc_stac_spark.queries import load_all
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_rollup_error_and_merge(spark):
+    q = load_all()["sketch_hll_rollup"]
+    rows = q.spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # lgK=14 keeps HLL relative error well under 2%
+        err = abs(r.approx_weekly_users - r.exact_weekly_users) / max(
+            r.exact_weekly_users, 1
+        )
+        assert err <= 0.02, (r.event_type, r.week_start, err)
+        # unioning daily sketches must answer the weekly question (dedup
+        # across days), not the sum of dailies (which double-counts users
+        # active on several days)
+        assert r.approx_weekly_users <= r.sum_daily_exact
+
+
+def test_hll_union_associativity(spark):
+    """Merging partial sketches equals sketching the full stream — the
+    property that makes sketch rollups correct under any partitioning."""
+    from odc_stac_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", (F.col("event_id") % 7).alias("part"))
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).cast("bigint")
+    ).collect()[0][0]
+    merged = (
+        ev.groupBy("part")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s", F.lit(True))).cast("bigint"))
+        .collect()[0][0]
+    )
+    assert direct == merged
