@@ -158,3 +158,38 @@ def hilbert_sql(x: str, y: str, order: int, base: str) -> str:
         prev = f"hs{i}"
     sql += f",\nhfinal AS (SELECT * EXCLUDE (hx, hy, hd), hd AS hkey FROM {prev})"
     return sql
+
+
+def cluster_by_curve(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    order: int,
+    path: str,
+    n_files: int = 8,
+    curve: str = "hilbert",
+) -> None:
+    """OPTIMIZE-style spatial re-layout: write ``df`` as parquet
+    range-partitioned and sorted by its space-filling-curve key.
+
+    After this rewrite each file (and each row group inside it) covers a
+    compact spatial neighborhood, so parquet min/max footer stats on the
+    coordinates become tight boxes — a bbox query's scan skips most files
+    outright (the Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order
+    rewrite, expressed as stock Spark: repartitionByRange + 
+    sortWithinPartitions, both JVM-side).
+
+    tests/test_spacefill.py quantifies the effect on footer stats."""
+    if curve == "hilbert":
+        keyed = with_hilbert_key(df, xcol, ycol, order, out="_curve_key")
+    elif curve == "morton":
+        keyed = df.withColumn("_curve_key", morton_key(F.col(xcol), F.col(ycol)))
+    else:
+        raise ValueError(f"unknown curve {curve!r} (hilbert|morton)")
+    (
+        keyed.repartitionByRange(n_files, "_curve_key")
+        .sortWithinPartitions("_curve_key")
+        .drop("_curve_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
