@@ -580,3 +580,106 @@ def p3_grid_snap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.ceil(F.col("xmax") / res) - F.floor(F.col("xmin") / res)).alias("nx"),
         (F.ceil(F.col("ymax") / res - 0.5) - F.floor(F.col("ymin") / res - 0.5)).alias("ny"),
     )
+
+
+@register(
+    "s_geoparquet_catalog",
+    # fixture: 200 items, item i has bbox [i%20, i//20, i%20+3, i//20+3]
+    # and collection 'c-<i%4>'; the query writes the catalog as
+    # STAC-geoparquet (WKB + bbox covering, executor-side pyarrow files),
+    # reads it back, applies a bbox intersection filter via the covering
+    # struct, and aggregates — the oracle recomputes from the formula.
+    oracle="""
+    SELECT 'c-' || CAST(i % 4 AS VARCHAR) AS collection,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM((LEAST(i % 20 + 3, 12.0) - GREATEST(i % 20, 5.0))
+                   * (LEAST(i // 20 + 3, 6.0) - GREATEST(i // 20, 2.0))), 6)
+               AS overlap_area
+    FROM (SELECT UNNEST(generate_series(0, 199)) AS i)
+    WHERE i % 20 <= 12.0 AND i % 20 + 3 >= 5.0
+      AND i // 20 <= 6.0 AND i // 20 + 3 >= 2.0
+    GROUP BY 1
+    """,
+    doc="STAC-geoparquet catalog round trip: a deterministic catalog is "
+    "written as spec-complete geoparquet (WKB footprints + bbox covering "
+    "struct + 'geo' footer metadata, one file per partition written BY "
+    "THE EXECUTORS via pyarrow — sources/geoparquet.py), read back "
+    "through a plain parquet scan, bbox-filtered via the covering "
+    "columns (stats-prunable PushedFilters), and aggregated per "
+    "collection with the clipped overlap area decoded from the WKB "
+    "geometry. The hash gates writer, footer metadata path, WKB "
+    "encode/decode and the covering filter together.",
+    tags=("stac", "geoparquet", "catalog"),
+)
+def s_geoparquet_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.geoparquet import (
+        bbox_filter,
+        read_stac_geoparquet,
+        wkb_decode,
+        write_stac_geoparquet,
+    )
+
+    cat = spark.range(200).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("id"),
+        F.concat(F.lit("c-"), (F.col("id") % 4).cast("string")).alias("collection"),
+        F.array(
+            (F.col("id") % 20).cast("double"),
+            (F.col("id") / 20).cast("long").cast("double"),
+            (F.col("id") % 20 + 3).cast("double"),
+            ((F.col("id") / 20).cast("long") + 3).cast("double"),
+        ).alias("bbox"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_geoparquet_cat")
+    write_stac_geoparquet(cat.repartition(4), path)
+
+    qx0, qy0, qx1, qy1 = 5.0, 2.0, 12.0, 6.0
+    hits = bbox_filter(read_stac_geoparquet(spark, path), qx0, qy0, qx1, qy1)
+
+    schema = StructType(
+        [
+            StructField("collection", StringType()),
+            StructField("overlap", DoubleType()),
+            StructField("one", LongType()),
+        ]
+    )
+
+    def overlap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for coll, wkb in zip(pdf["collection"], pdf["geometry"]):
+                _, polys = wkb_decode(bytes(wkb))
+                ring = polys[0][0]
+                x0, y0 = ring.min(axis=0)
+                x1, y1 = ring.max(axis=0)
+                rows.append(
+                    {
+                        "collection": coll,
+                        "overlap": (min(x1, qx1) - max(x0, qx0))
+                        * (min(y1, qy1) - max(y0, qy0)),
+                        "one": 1,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        hits.select("collection", "geometry")
+        .mapInPandas(overlap, schema)
+        .groupBy("collection")
+        .agg(
+            F.sum("one").cast("bigint").alias("n_items"),
+            F.round(F.sum("overlap"), 6).alias("overlap_area"),
+        )
+    )
