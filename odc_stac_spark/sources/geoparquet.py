@@ -13,7 +13,9 @@ catalog as parquet with
 
 Spark's parquet writer cannot attach custom file metadata, so
 :func:`write_stac_geoparquet` writes each partition with **pyarrow inside
-``mapInPandas``** — the same executor-side pattern as the Zarr/COG sinks:
+``mapInArrow``** (exact type passthrough — no pandas degradation of
+nullable booleans/timestamps/maps), the same executor-side pattern as the
+Zarr/COG sinks:
 every task emits one spec-complete file and returns a manifest row; the
 driver never sees data. At catalog scale (10⁸ items) both the write and
 any later bbox-filtered scan are fully distributed, and the bbox covering
@@ -33,7 +35,6 @@ import uuid
 from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
@@ -136,33 +137,54 @@ def write_stac_geoparquet(
             os.remove(os.path.join(path, old))
     geo_meta = _geo_file_metadata(crs)
 
-    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
+    def write_part(batches):
+        import pyarrow as pa  # noqa: F811 (executor-side import)
+        import pyarrow.parquet as pq  # noqa: F811
+
+        parts = [pa.Table.from_batches([b]) for b in batches]
+        parts = [t for t in parts if t.num_rows]
+        if not parts:
             return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        boxes = pdf[bbox_col]
-        pdf = pdf.drop(columns=[bbox_col])
-        pdf["geometry"] = [
-            wkb_encode_polygon(
-                [[(b[0], b[1]), (b[2], b[1]), (b[2], b[3]), (b[0], b[3]), (b[0], b[1])]]
-            )
-            for b in boxes
-        ]
-        pdf["bbox"] = [
-            {"xmin": float(b[0]), "ymin": float(b[1]), "xmax": float(b[2]), "ymax": float(b[3])}
-            for b in boxes
-        ]
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        table = pa.concat_tables(parts)
+        boxes = table.column(bbox_col).to_pylist()
+        table = table.remove_column(table.schema.get_field_index(bbox_col))
+        geom = pa.array(
+            [
+                None
+                if b is None
+                else wkb_encode_polygon(
+                    [[(b[0], b[1]), (b[2], b[1]), (b[2], b[3]), (b[0], b[3]), (b[0], b[1])]]
+                )
+                for b in boxes
+            ],
+            type=pa.binary(),
+        )
+        bbox_type = pa.struct(
+            [("xmin", pa.float64()), ("ymin", pa.float64()),
+             ("xmax", pa.float64()), ("ymax", pa.float64())]
+        )
+        covering = pa.array(
+            [
+                None
+                if b is None
+                else {"xmin": float(b[0]), "ymin": float(b[1]),
+                      "xmax": float(b[2]), "ymax": float(b[3])}
+                for b in boxes
+            ],
+            type=bbox_type,
+        )
+        table = table.append_column("geometry", geom).append_column("bbox", covering)
         table = table.replace_schema_metadata(
             {**(table.schema.metadata or {}), b"geo": geo_meta}
         )
         fname = f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(table, os.path.join(path, fname))
-        yield pd.DataFrame({"file": [fname]})
+        yield pa.RecordBatch.from_pydict({"file": [fname]})
 
+    # mapInArrow: the catalog columns pass through as EXACT arrow types —
+    # a pandas hop would degrade nullable booleans/timestamps/maps
     out_schema = StructType([StructField("file", StringType())])
-    files = [r.file for r in df.mapInPandas(write_part, out_schema).collect()]
+    files = [r.file for r in df.mapInArrow(write_part, out_schema).collect()]
     return sorted(files)
 
 
@@ -195,3 +217,16 @@ def bbox_filter(df: DataFrame, xmin: float, ymin: float, xmax: float, ymax: floa
         & (F.col("bbox.ymin") <= ymax)
         & (F.col("bbox.ymax") >= ymin)
     )
+
+
+def catalog_from_geoparquet(df: DataFrame) -> DataFrame:
+    """Restore the ITEM_SCHEMA shape from a geoparquet catalog scan:
+    bbox covering struct → ARRAY<DOUBLE> [xmin, ymin, xmax, ymax]; the WKB
+    geometry column is dropped (planning uses bbox; decode on demand via
+    :func:`wkb_decode`). Output feeds ``parse_items`` unchanged."""
+    return df.withColumn(
+        "bbox",
+        F.array(
+            F.col("bbox.xmin"), F.col("bbox.ymin"), F.col("bbox.xmax"), F.col("bbox.ymax")
+        ),
+    ).drop("geometry")

@@ -92,3 +92,44 @@ def test_bbox_filter_pushdown_and_result(spark, catalog, tmp_path):
         if i % 10 <= 4.0 and i % 10 + 2 >= 3.0 and i // 10 <= 1.0 and i // 10 + 2 >= 0.0
     }
     assert got == want and got
+
+
+def test_catalog_path_runs_from_geoparquet(spark, tmp_path):
+    """The full catalog pipeline — items_df → STAC-geoparquet at rest →
+    scan → parse_items — must produce the same parsed catalog as the
+    plain-parquet roundtrip (assets map, geoboxes and all)."""
+    from datetime import datetime, timedelta
+
+    from odc_stac_spark.model import GeoBox, RasterBandMetadata, RasterSource
+    from odc_stac_spark.plans.load import Item
+    from odc_stac_spark.sources.geoparquet import catalog_from_geoparquet
+    from odc_stac_spark.sources.stac_items import items_df, parse_items
+
+    items = []
+    for i, origin in enumerate([(0.0, 1000.0), (400.0, 800.0)]):
+        gbox = GeoBox((100, 120), (10.0, 0.0, origin[0], 0.0, -10.0, origin[1]), "EPSG:32735")
+        items.append(
+            Item(
+                id=f"gpq-{i:03d}",
+                datetime=datetime(2020, 6, 6) + timedelta(hours=i),
+                bands={
+                    "red": RasterSource(
+                        f"synth://red{i}?seed={i}", geobox=gbox,
+                        meta=RasterBandMetadata("int32", -1.0),
+                    )
+                },
+            )
+        )
+    raw = items_df(spark, items)
+
+    plain = str(tmp_path / "plain")
+    raw.write.parquet(plain)
+    want = parse_items(spark, spark.read.parquet(plain)).orderBy("id", "asset_name").collect()
+
+    gpq = str(tmp_path / "gpq")
+    write_stac_geoparquet(raw, gpq)
+    assert geoparquet_meta(gpq)["version"] == "1.1.0"
+    back = catalog_from_geoparquet(read_stac_geoparquet(spark, gpq))
+    got = parse_items(spark, back).orderBy("id", "asset_name").collect()
+
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
