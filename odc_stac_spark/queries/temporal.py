@@ -264,3 +264,51 @@ def t_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format(last_signup, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_signup_ts"),
     )
+
+
+@register(
+    "t_stream_continuous_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="REAL continuous-aggregate run (streaming/continuous.py): events "
+    "as a file-source stream maintain an hour-partitioned parquet rollup "
+    "via foreachBatch + dynamic partition overwrite — only touched hour "
+    "partitions rewrite per micro-batch (the hypertable continuous-"
+    "aggregate pattern). The materialized table must equal the batch "
+    "hourly rollup exactly; stream==batch parity of the maintained "
+    "state IS the gate.",
+    tags=("temporal", "streaming", "continuous-aggregate"),
+)
+def t_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.continuous import continuous_aggregate, read_continuous
+
+    work = tempfile.mkdtemp(prefix="cagg_")
+    stream = _stage_events_stream(spark, sf_dir, "cagg_events_").select(
+        "ts", "event_type", "value"
+    )
+    q = continuous_aggregate(
+        spark, stream, f"{work}/agg", f"{work}/ckpt"
+    )
+    q.awaitTermination(300)
+    out = (
+        read_continuous(spark, f"{work}/agg")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+        .localCheckpoint()  # materialize before the workdir is removed
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
