@@ -56,6 +56,7 @@ _ROWSPERSTRIP = 278
 _STRIPBYTECOUNTS = 279
 _PLANARCONFIG = 284
 _PREDICTOR = 317
+_JPEGTABLES = 347
 _TILEWIDTH = 322
 _TILELENGTH = 323
 _TILEOFFSETS = 324
@@ -235,12 +236,16 @@ def write_cog_file(
     compression: str = "deflate",
     predictor: int = 1,
     bigtiff: Optional[bool] = None,
+    jpeg_quality: int = 90,
 ) -> None:
     """Write a single-band 2-D array as a tiled COG-layout GeoTIFF.
 
     ``compression``: "deflate" (Compression=8, stdlib zlib per tile — what
     virtually every real-world COG uses), "lzw" (Compression=5, the
-    Landsat/USGS-archive staple) or "none" (Compression=1).
+    Landsat/USGS-archive staple), "jpeg" (Compression=7, one baseline
+    JFIF stream per tile via the in-repo codec — the visual-product /
+    aerial-imagery pairing; uint8 only, LOSSY at quality<100-ish) or
+    "none" (Compression=1).
     ``predictor``: 1 (none) or 2 (horizontal differencing, integer dtypes;
     the common pairing with LZW in real-world archives).
     ``bigtiff``: True → BigTIFF (version 43, 64-bit offsets — required
@@ -249,12 +254,17 @@ def write_cog_file(
     cross the 4 GiB offset ceiling (GDAL's BIGTIFF=IF_SAFER)."""
     if pix.ndim != 2:
         raise ValueError("write_cog_file expects a 2-D single-band array")
-    if compression not in ("deflate", "lzw", "none"):
+    if compression not in ("deflate", "lzw", "none", "jpeg"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if compression == "jpeg":
+        if pix.dtype != np.uint8:
+            raise ValueError("jpeg compression requires uint8 pixels")
+        if predictor != 1:
+            raise ValueError("jpeg compression is incompatible with Predictor=2")
     # south-up output would round-trip with silently flipped georeferencing
     # (readers reconstruct -|sy| assuming north-up) — refuse it
     if geobox.transform[4] > 0:
@@ -283,7 +293,7 @@ def write_cog_file(
         ifds.append(
             _plan_ifd(
                 arr, geobox, nodata, tile, lv_idx, overview_levels, compression,
-                predictor,
+                predictor, jpeg_quality,
             )
         )
     _write_tiff(path, ifds, bigtiff=bigtiff)
@@ -332,15 +342,21 @@ def _write_tiff(path: str, ifds: List[Dict], bigtiff: bool = False) -> None:
         f.write(bytes(out))
 
 
-def _compress_block(raw: bytes, compression: str) -> bytes:
+def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 90) -> bytes:
     if compression == "deflate":
-        return zlib.compress(raw, 6)
+        return zlib.compress(block.tobytes(), 6)
     if compression == "lzw":
-        return lzw_encode(raw)
-    return raw
+        return lzw_encode(block.tobytes())
+    if compression == "jpeg":
+        # Compression=7 ("new-style" JPEG, TIFF TechNote 2): one complete
+        # baseline JFIF stream per tile/strip, via the in-repo codec
+        from ..operators.jpeg import encode_jpeg
+
+        return encode_jpeg(block, quality=jpeg_quality)
+    return block.tobytes()
 
 
-_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8}
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7}
 
 
 def write_tiff_striped(
@@ -352,6 +368,7 @@ def write_tiff_striped(
     compression: str = "lzw",
     predictor: int = 1,
     bigtiff: bool = False,
+    jpeg_quality: int = 90,
 ) -> None:
     """Write a strip-organized (non-tiled) single-band GeoTIFF — the
     classic pre-COG layout still common for small scenes (RowsPerStrip /
@@ -361,12 +378,14 @@ def write_tiff_striped(
     rows are written, matching real-world writers."""
     if pix.ndim != 2:
         raise ValueError("write_tiff_striped expects a 2-D single-band array")
-    if compression not in ("deflate", "lzw", "none"):
+    if compression not in ("deflate", "lzw", "none", "jpeg"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if compression == "jpeg" and (pix.dtype != np.uint8 or predictor != 1):
+        raise ValueError("jpeg compression requires uint8 pixels and Predictor=1")
     if geobox.transform[4] > 0:
         raise ValueError(
             "write_tiff_striped requires a north-up geobox (sy<0); flip rows first"
@@ -379,7 +398,7 @@ def write_tiff_striped(
         strip = pix[y0 : y0 + rows_per_strip]
         if predictor == 2:
             strip = _apply_predictor2(strip)
-        strips.append(_compress_block(strip.tobytes(), compression))
+        strips.append(_compress_block(strip, compression, jpeg_quality))
 
     entries: List[Tuple[int, int, int, object]] = [
         (_WIDTH, _TYPE_LONG, 1, nx),
@@ -425,7 +444,7 @@ def write_tiff_striped(
 
 def _plan_ifd(
     arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none",
-    predictor=1,
+    predictor=1, jpeg_quality=90,
 ):
     ny, nx = arr.shape
     dt = arr.dtype
@@ -439,7 +458,7 @@ def _plan_ifd(
             block[: sub.shape[0], : sub.shape[1]] = sub
             if predictor == 2:
                 block = _apply_predictor2(block)
-            tiles.append(_compress_block(block.tobytes(), compression))
+            tiles.append(_compress_block(block, compression, jpeg_quality))
 
     entries: List[Tuple[int, int, int, object]] = []
     aux: List[bytes] = []
@@ -628,9 +647,9 @@ def read_cog_header(path: str) -> Dict:
             bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-            if comp not in (1, 5, 8, 32946):
+            if comp not in (1, 5, 7, 8, 32946):
                 raise NotImplementedError(
-                    f"TIFF compression {comp}: only none(1)/lzw(5)/"
+                    f"TIFF compression {comp}: only none(1)/lzw(5)/jpeg(7)/"
                     "deflate(8,32946) readable without GDAL"
                 )
             pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
@@ -655,6 +674,11 @@ def read_cog_header(path: str) -> Dict:
                 tile_w, tile_h = nx, rps
                 offsets = long_array(_STRIPOFFSETS)
                 bytecounts = long_array(_STRIPBYTECOUNTS)
+            jpeg_tables = (
+                val_bytes(_JPEGTABLES, tags[_JPEGTABLES][1])
+                if _JPEGTABLES in tags
+                else None
+            )
             levels.append(
                 {
                     "nx": nx,
@@ -664,6 +688,7 @@ def read_cog_header(path: str) -> Dict:
                     "dtype": _NP_DTYPE[(fmt, bits)],
                     "compression": comp,
                     "predictor": pred,
+                    "jpeg_tables": jpeg_tables,
                     "offsets": offsets,
                     "bytecounts": bytecounts,
                 }
@@ -699,12 +724,29 @@ def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndar
         f.seek(off)
         raw = f.read(cnt)
     comp = lv.get("compression", 1)
+    dt = np.dtype(lv["dtype"])
+    th, tw = lv["tile_h"], lv["tile_w"]
+    if comp == 7:
+        # one baseline JFIF stream per tile; abbreviated streams carry
+        # their tables in the JPEGTables tag — splice them after SOI
+        from ..operators.jpeg import decode_jpeg
+
+        tables = lv.get("jpeg_tables")
+        if tables and raw[2:4] not in (b"\xff\xdb", b"\xff\xc4") and b"\xff\xdb" not in raw[:64]:
+            raw = raw[:2] + tables[2:-2] + raw[2:]
+        img = decode_jpeg(raw)
+        if img.shape[2] != 1:
+            raise NotImplementedError("TIFF jpeg: single-band (grayscale) only")
+        arr = img[:, :, 0].astype(dt, copy=False)
+        if arr.shape[0] < th or arr.shape[1] < tw:
+            full = np.zeros((th, tw), dt)
+            full[: arr.shape[0], : arr.shape[1]] = arr
+            arr = full
+        return arr
     if comp in (8, 32946):
         raw = zlib.decompress(raw)
     elif comp == 5:
         raw = lzw_decode(raw)
-    dt = np.dtype(lv["dtype"])
-    th, tw = lv["tile_h"], lv["tile_w"]
     n_rows = len(raw) // (tw * dt.itemsize)
     arr = np.frombuffer(raw, dt, count=n_rows * tw).reshape(n_rows, tw)
     if lv.get("predictor", 1) == 2:

@@ -432,3 +432,150 @@ def test_bigtiff_auto_threshold(tmp_path):
     write_cog_file(p, arr, GBOX, tile=64, bigtiff=None)
     with open(p, "rb") as f:
         assert struct.unpack("<2sH", f.read(4))[1] == 42
+
+
+# ---- JPEG compression (Compression=7) -------------------------------------
+
+
+def _blocky_u8(ny_b, nx_b):
+    """8x8-block-constant even-valued uint8 image — exactly lossless
+    through baseline JPEG at q=50 (pure-DC blocks)."""
+    v = (2 * ((np.arange(ny_b)[:, None] * 7 + np.arange(nx_b)[None, :] * 3) % 128)).astype(
+        "uint8"
+    )
+    return np.repeat(np.repeat(v, 8, 0), 8, 1)
+
+
+def test_jpeg_cog_roundtrip_with_overviews(tmp_path):
+    big = _blocky_u8(40, 36)
+    g = GeoBox(big.shape, (10.0, 0.0, 0.0, 0.0, -10.0, 3200.0), "EPSG:32735")
+    p = str(tmp_path / "j.tif")
+    write_cog_file(p, big, g, nodata=0, tile=64, compression="jpeg", jpeg_quality=50)
+    out = read_cog_file(p)
+    np.testing.assert_array_equal(out["data"], big)
+    assert len(out["overviews"]) >= 1
+    from odc_stac_spark.sources.geotiff import read_cog_header
+
+    assert read_cog_header(p)["levels"][0]["compression"] == 7
+
+
+def test_jpeg_striped_roundtrip(tmp_path):
+    big = _blocky_u8(40, 36)
+    g = GeoBox(big.shape, (10.0, 0.0, 0.0, 0.0, -10.0, 3200.0), "EPSG:32735")
+    p = str(tmp_path / "js.tif")
+    from odc_stac_spark.sources.geotiff import write_tiff_striped
+
+    write_tiff_striped(p, big, g, rows_per_strip=48, compression="jpeg", jpeg_quality=50)
+    np.testing.assert_array_equal(read_cog_file(p)["data"], big)
+
+
+def test_jpeg_lossy_quality(tmp_path):
+    y, x = np.mgrid[0:128, 0:96]
+    nat = (128 + 60 * np.sin(y / 9.0) + 50 * np.cos(x / 7.0)).clip(0, 255).astype("uint8")
+    g = GeoBox(nat.shape, (10.0, 0.0, 0.0, 0.0, -10.0, 1280.0), "EPSG:32735")
+    p = str(tmp_path / "n.tif")
+    write_cog_file(p, nat, g, tile=64, compression="jpeg", jpeg_quality=90)
+    got = read_cog_file(p)["data"]
+    mse = np.mean((got.astype(float) - nat) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) > 40
+    assert (tmp_path / "n.tif").stat().st_size < nat.nbytes / 2
+
+
+def test_jpeg_requires_uint8_and_pred1(tmp_path):
+    import pytest as _pytest
+
+    g = GeoBox((16, 16), (10.0, 0.0, 0.0, 0.0, -10.0, 160.0), "EPSG:32735")
+    with _pytest.raises(ValueError, match="uint8"):
+        write_cog_file(str(tmp_path / "x.tif"), np.zeros((16, 16), "uint16"), g,
+                       compression="jpeg")
+    with _pytest.raises(ValueError, match="Predictor"):
+        write_cog_file(str(tmp_path / "x.tif"), np.zeros((16, 16), "uint8"), g,
+                       compression="jpeg", predictor=2)
+
+
+def test_jpegtables_abbreviated_stream(tmp_path):
+    """External writers often share tables via the JPEGTables tag and strip
+    them from each tile (abbreviated streams). Build one from our own
+    encoder output by relocating the DQT/DHT segments, and read it back."""
+    import struct as _struct
+
+    from odc_stac_spark.operators.jpeg import encode_jpeg
+    from odc_stac_spark.sources.geotiff import read_cog_header, read_cog_tile
+
+    big = _blocky_u8(8, 8)  # one 64x64 tile
+    g = GeoBox(big.shape, (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), "EPSG:32735")
+    p = str(tmp_path / "t.tif")
+    write_cog_file(p, big, g, tile=64, compression="jpeg", jpeg_quality=50,
+                   overview_levels=[])
+
+    # split the tile stream into tables and abbreviated image data
+    full = encode_jpeg(big, quality=50)
+    segs, pos = [], 2
+    while pos < len(full) - 1:
+        marker = full[pos : pos + 2]
+        if marker == b"\xff\xda":
+            rest = full[pos:]
+            break
+        (ln,) = _struct.unpack_from(">H", full, pos + 2)
+        segs.append((marker, full[pos : pos + 2 + ln]))
+        pos += 2 + ln
+    tables = b"\xff\xd8" + b"".join(s for m, s in segs if m in (b"\xff\xdb", b"\xff\xc4")) + b"\xff\xd9"
+    abbrev = b"\xff\xd8" + b"".join(s for m, s in segs if m not in (b"\xff\xdb", b"\xff\xc4")) + rest
+
+    # hand-assemble a minimal tiled TIFF with JPEGTables
+    def entry(tag, typ, count, val):
+        return _struct.pack("<HHI", tag, typ, count) + _struct.pack("<I", val)
+
+    ny = nx = 64
+    n_entries = 10
+    ifd_start = 8
+    data_start = ifd_start + 2 + n_entries * 12 + 4
+    tables_off = data_start
+    tile_off = tables_off + len(tables)
+    hdr = b"II*\x00" + _struct.pack("<I", ifd_start)
+    entries = b"".join(
+        [
+            entry(256, 3, 1, nx),
+            entry(257, 3, 1, ny),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, 7),  # jpeg
+            entry(262, 3, 1, 1),
+            entry(322, 3, 1, 64),
+            entry(323, 3, 1, 64),
+            entry(324, 4, 1, tile_off),
+            entry(325, 4, 1, len(abbrev)),
+            entry(347, 7, len(tables), tables_off),
+        ]
+    )
+    blob = hdr + _struct.pack("<H", n_entries) + entries + _struct.pack("<I", 0)
+    blob += tables + abbrev
+    p2 = str(tmp_path / "abbrev.tif")
+    with open(p2, "wb") as f:
+        f.write(blob)
+
+    hdr2 = read_cog_header(p2)
+    assert hdr2["levels"][0]["jpeg_tables"] is not None
+    tile = read_cog_tile(p2, hdr2, 0, 0)
+    np.testing.assert_array_equal(tile, big)
+
+
+def test_jpeg_through_tiff_reader_pipeline(spark, tmp_path):
+    """A JPEG-compressed COG through TiffReader → full load pipeline is
+    pixel-equal (lossless-by-construction content)."""
+    from datetime import datetime
+
+    from odc_stac_spark.model import RasterBandMetadata, RasterSource
+    from odc_stac_spark.plans.load import Item, assemble_numpy, load
+
+    big = _blocky_u8(37, 35)  # 296x280, not tile-aligned
+    g = GeoBox(big.shape, (10.0, 0.0, 0.0, 0.0, -10.0, 2960.0), "EPSG:32735")
+    p = str(tmp_path / "pipe.tif")
+    write_cog_file(p, big, g, nodata=0, compression="jpeg", jpeg_quality=50)
+    item = Item(
+        id="jcog-0",
+        datetime=datetime(2020, 6, 6),
+        bands={"red": RasterSource(p, geobox=g, meta=RasterBandMetadata("uint8", 0))},
+    )
+    tiles_df, plan = load(spark, [item], chunks=(128, 128))
+    got = assemble_numpy(tiles_df, plan)["red"][0]
+    np.testing.assert_array_equal(got, big)
