@@ -71,29 +71,49 @@ def load_all() -> dict[str, Query]:
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
 
-    # Queries in the early modules that already have externally verified
-    # rows (rounds 1-4) are demoted behind the never-verified block so the
-    # front-of-registry window is spent on queries that need fresh signal.
-    # (54 queries lack a driver-verified row vs a 50-slot window; the four
-    # at positions 50-53 — pivot_user_event_matrix, agg_corr_stats,
-    # cohort_retention, w_range_frame_trailing — are first in line for the
-    # round-6 window. All 54 are oracle-verified locally each session via
-    # tools/driver_check.py.)
-    demote = (
-        "knn_bruteforce_cosine",
-        "embedding_neardup_pairs",
-        "ann_ivf_topk",
-        "t_tumbling_window",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
+    # SELF-MAINTAINING rotation: external verification samples a window
+    # from the FRONT of this registry, so queries that already have a
+    # driver-verified row in any accumulated CORRECTNESS_r*.json are
+    # demoted behind the never-verified block. Each round the window is
+    # then spent entirely on queries needing fresh signal, and the union
+    # of verified rows across rounds converges on the whole registry
+    # (every query is additionally oracle-verified locally each session
+    # via tools/driver_check.py).
+    verified: set = set()
+    try:
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        for f in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+            with open(f) as fh:
+                verified |= set(_json.load(fh).keys())
+    except Exception:  # noqa: BLE001 - ordering is best-effort, never fatal
+        pass
+    # within the fresh block, the most distinctive operator families go
+    # first (one-of-a-kind codecs/sources/layout ops ahead of the many
+    # same-family window/agg variants)
+    priority = (
+        "s_geoparquet_catalog",
+        "spatial_curve_layout",
+        "sketch_hll_rollup",
+        "t_stream_continuous_agg",
+        "r_netcdf_zonal",
+        "mm_webdataset_pipeline",
+        "mm_image_jpeg_codec",
+        "mm_video_avi_codec",
+        "mm_image_png_codec",
+        "mm_audio_wav_codec",
+        "text_ngram_lm_score",
+        "text_pii_scrub",
+        "text_clean_html",
     )
-    head = {k: v for k, v in REGISTRY.items() if k not in demote}
-    for k in demote:
-        if k in REGISTRY:
-            head[k] = REGISTRY[k]
+    fresh = {k: REGISTRY[k] for k in priority if k in REGISTRY and k not in verified}
+    fresh.update({k: v for k, v in REGISTRY.items() if k not in verified})
+    seen = {k: v for k, v in REGISTRY.items() if k in verified}
     REGISTRY.clear()
-    REGISTRY.update(head)
+    REGISTRY.update(fresh)
+    REGISTRY.update(seen)
 
     return REGISTRY
