@@ -117,3 +117,46 @@ def group_samples(rows: DataFrame) -> DataFrame:
     return rows.groupBy("shard", "key").agg(
         F.map_from_entries(F.collect_list(F.struct("ext", "data"))).alias("parts")
     )
+
+
+def export_webdataset(
+    df: DataFrame, path: str, key_col: str = "key", parts_col: str = "parts"
+) -> List[str]:
+    """Distributed WebDataset export: each partition writes ONE tar shard
+    from the executor (TaskContext partition id names the shard, so output
+    is deterministic for a fixed partitioning and a re-run overwrites the
+    same shard files instead of duplicating). Rows are ``(key,
+    map<ext, binary>)`` — the inverse of :func:`group_samples`; members of
+    a sample are stored consecutively in key order (the convention
+    sequential readers rely on).
+
+    At 100 TB this is the standard corpus-export shape: repartition to the
+    desired shard count/size, then every shard streams straight from one
+    executor to storage; the driver returns only the shard manifest."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(key_col)
+        pid = TaskContext.get().partitionId()
+        fname = f"shard-{pid:05d}.tar"
+        samples = [
+            (str(k), {str(ext): bytes(payload) for ext, payload in parts.items()})
+            for k, parts in zip(pdf[key_col], pdf[parts_col])
+        ]
+        write_webdataset_shard(os.path.join(path, fname), samples)
+        yield pd.DataFrame({"shard": [fname], "n_samples": [len(samples)]})
+
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        [StructField("shard", StringType()), StructField("n_samples", LongType())]
+    )
+    rows = df.mapInPandas(write_shard, out_schema).collect()
+    return sorted(r.shard for r in rows)

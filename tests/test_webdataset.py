@@ -81,3 +81,43 @@ def test_decode_through_codec_seam(spark, tmp_path):
     row = group_samples(read_webdataset(spark, [p])).collect()[0]
     out = DECODERS["image/png"](bytes(row.parts["png"]))
     np.testing.assert_array_equal(out, img)
+
+
+def test_export_roundtrip(spark, tmp_path):
+    """Distributed export is the inverse of ingest: rows → shards →
+    rows, with deterministic per-partition shard names."""
+    from odc_stac_spark.sources.webdataset import export_webdataset
+
+    src = _shard(tmp_path, "src.tar", 40)
+    samples = group_samples(read_webdataset(spark, [src]))
+    out_dir = str(tmp_path / "out")
+    shards = export_webdataset(samples.repartition(4, "key"), out_dir)
+    assert 1 <= len(shards) <= 4
+    assert all(s.startswith("shard-") for s in shards)
+
+    back = group_samples(
+        read_webdataset(spark, [f"{out_dir}/{s}" for s in shards])
+    )
+    want = {
+        (r.key, bytes(r.parts["cls"]), bytes(r.parts["bin"]))
+        for r in samples.collect()
+    }
+    got = {
+        (r.key, bytes(r.parts["cls"]), bytes(r.parts["bin"]))
+        for r in back.collect()
+    }
+    assert got == want and len(got) == 40
+
+
+def test_export_rerun_overwrites_same_shards(spark, tmp_path):
+    import os
+
+    from odc_stac_spark.sources.webdataset import export_webdataset
+
+    src = _shard(tmp_path, "src.tar", 10)
+    samples = group_samples(read_webdataset(spark, [src])).repartition(2, "key")
+    out_dir = str(tmp_path / "out")
+    first = export_webdataset(samples, out_dir)
+    second = export_webdataset(samples, out_dir)
+    assert first == second
+    assert sorted(os.listdir(out_dir)) == first
