@@ -252,8 +252,12 @@ def write_cog_file(
     once the file would cross 4 GiB; GDAL's BIGTIFF=YES); False → classic;
     None (default) → auto: BigTIFF iff the uncompressed payload could
     cross the 4 GiB offset ceiling (GDAL's BIGTIFF=IF_SAFER)."""
-    if pix.ndim != 2:
-        raise ValueError("write_cog_file expects a 2-D single-band array")
+    if pix.ndim == 3 and pix.shape[2] == 1:
+        pix = pix[:, :, 0]
+    if pix.ndim not in (2, 3):
+        raise ValueError("write_cog_file expects (h, w) or (h, w, samples)")
+    if pix.ndim == 3 and pix.shape[2] > 4:
+        raise ValueError("write_cog_file supports at most 4 interleaved samples")
     if compression not in ("deflate", "lzw", "none", "jpeg"):
         raise ValueError(
             f"compression must be 'deflate', 'lzw', 'jpeg' or 'none', got {compression!r}"
@@ -265,6 +269,8 @@ def write_cog_file(
             raise ValueError("jpeg compression requires uint8 pixels")
         if predictor != 1:
             raise ValueError("jpeg compression is incompatible with Predictor=2")
+        if pix.ndim == 3 and pix.shape[2] not in (1, 3):
+            raise ValueError("jpeg compression takes 1 (gray) or 3 (RGB) samples")
     # south-up output would round-trip with silently flipped georeferencing
     # (readers reconstruct -|sy| assuming north-up) — refuse it
     if geobox.transform[4] > 0:
@@ -446,14 +452,16 @@ def _plan_ifd(
     arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none",
     predictor=1, jpeg_quality=90,
 ):
-    ny, nx = arr.shape
+    ny, nx = arr.shape[:2]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
     dt = arr.dtype
     bits = dt.itemsize * 8
     fmt = _SAMPLEFORMAT_FOR_KIND[dt.kind]
     tiles: List[bytes] = []
     for ty in range(0, ny, tile):
         for tx in range(0, nx, tile):
-            block = np.zeros((tile, tile), dtype=dt)
+            shape = (tile, tile, spp) if arr.ndim == 3 else (tile, tile)
+            block = np.zeros(shape, dtype=dt)
             sub = arr[ty : ty + tile, tx : tx + tile]
             block[: sub.shape[0], : sub.shape[1]] = sub
             if predictor == 2:
@@ -464,13 +472,19 @@ def _plan_ifd(
     aux: List[bytes] = []
     if lv_idx > 0:
         entries.append((_NEWSUBFILETYPE, _TYPE_LONG, 1, 1))  # reduced-res
+    # photometric: gray (1); RGB (2); JPEG color is stored as YCbCr (6)
+    photometric = 1
+    if spp >= 3:
+        photometric = 6 if compression == "jpeg" else 2
     entries += [
         (_WIDTH, _TYPE_LONG, 1, nx),
         (_LENGTH, _TYPE_LONG, 1, ny),
-        (_BITSPERSAMPLE, _TYPE_SHORT, 1, bits),
+        (_BITSPERSAMPLE, _TYPE_SHORT, 1, bits)
+        if spp == 1
+        else (_BITSPERSAMPLE, _TYPE_SHORT, spp, "AUX"),
         (_COMPRESSION, _TYPE_SHORT, 1, _COMPRESSION_CODE[compression]),
-        (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
-        (_SAMPLESPERPIXEL, _TYPE_SHORT, 1, 1),
+        (_PHOTOMETRIC, _TYPE_SHORT, 1, photometric),
+        (_SAMPLESPERPIXEL, _TYPE_SHORT, 1, spp),
         (_PLANARCONFIG, _TYPE_SHORT, 1, 1),
         (_TILEWIDTH, _TYPE_SHORT, 1, tile),
         (_TILELENGTH, _TYPE_SHORT, 1, tile),
@@ -478,6 +492,8 @@ def _plan_ifd(
         (_TILEBYTECOUNTS, _TYPE_LONG, len(tiles), "TILEBYTECOUNTS"),
         (_SAMPLEFORMAT, _TYPE_SHORT, 1, fmt),
     ]
+    if spp > 1:
+        aux.append(struct.pack(f"<{spp}H", *([bits] * spp)))
     if predictor == 2:
         entries.append((_PREDICTOR, _TYPE_SHORT, 1, 2))
     if lv_idx == 0:
@@ -644,7 +660,13 @@ def read_cog_header(path: str) -> Dict:
                 b = val_bytes(tag, size * count)
                 return list(struct.unpack_from(f"<{count}{item}", b, 0))
 
-            bits = short_val(_BITSPERSAMPLE)
+            if tags[_BITSPERSAMPLE][1] > 1:
+                bps = long_array(_BITSPERSAMPLE)
+                if len(set(bps)) != 1:
+                    raise NotImplementedError("TIFF: per-sample bit depths must match")
+                bits = bps[0]
+            else:
+                bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
             if comp not in (1, 5, 7, 8, 32946):
@@ -656,6 +678,14 @@ def read_cog_header(path: str) -> Dict:
             if pred not in (1, 2):
                 raise NotImplementedError(
                     f"TIFF predictor {pred}: only none(1)/horizontal(2) supported"
+                )
+            spp = (
+                short_val(_SAMPLESPERPIXEL) if _SAMPLESPERPIXEL in tags else 1
+            )
+            planar = short_val(_PLANARCONFIG) if _PLANARCONFIG in tags else 1
+            if spp > 1 and planar != 1:
+                raise NotImplementedError(
+                    "TIFF multi-band: only PlanarConfig=1 (chunky/interleaved) supported"
                 )
             nx, ny = short_val(_WIDTH), short_val(_LENGTH)
             if _TILEOFFSETS in tags:
@@ -688,6 +718,7 @@ def read_cog_header(path: str) -> Dict:
                     "dtype": _NP_DTYPE[(fmt, bits)],
                     "compression": comp,
                     "predictor": pred,
+                    "spp": spp,
                     "jpeg_tables": jpeg_tables,
                     "offsets": offsets,
                     "bytecounts": bytecounts,
@@ -712,11 +743,16 @@ def read_cog_header(path: str) -> Dict:
         return {"levels": levels, **geo}
 
 
-def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndarray:
+def read_cog_tile(
+    path: str, header: Dict, level: int, tile_idx: int, sample: Optional[int] = None
+) -> np.ndarray:
     """One tile/strip via seek + byte-range read (the executor-side access
     pattern; over object storage this becomes an HTTP range request).
     Always returns a full (tile_h, tile_w) block — a short last strip is
-    zero-padded (callers slice to the valid extent)."""
+    zero-padded (callers slice to the valid extent).
+
+    Multi-band (SamplesPerPixel>1, chunky) files return (tile_h, tile_w,
+    spp) — or one 2-D band when ``sample`` (0-based) is given."""
     lv = header["levels"][level]
     off = lv["offsets"][tile_idx]
     cnt = lv["bytecounts"][tile_idx]
@@ -726,6 +762,7 @@ def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndar
     comp = lv.get("compression", 1)
     dt = np.dtype(lv["dtype"])
     th, tw = lv["tile_h"], lv["tile_w"]
+    spp = lv.get("spp", 1)
     if comp == 7:
         # one baseline JFIF stream per tile; abbreviated streams carry
         # their tables in the JPEGTables tag — splice them after SOI
@@ -734,28 +771,32 @@ def read_cog_tile(path: str, header: Dict, level: int, tile_idx: int) -> np.ndar
         tables = lv.get("jpeg_tables")
         if tables and raw[2:4] not in (b"\xff\xdb", b"\xff\xc4") and b"\xff\xdb" not in raw[:64]:
             raw = raw[:2] + tables[2:-2] + raw[2:]
-        img = decode_jpeg(raw)
-        if img.shape[2] != 1:
-            raise NotImplementedError("TIFF jpeg: single-band (grayscale) only")
-        arr = img[:, :, 0].astype(dt, copy=False)
+        img = decode_jpeg(raw)  # (h, w, 1) gray or (h, w, 3) RGB (from YCbCr)
+        arr = img.astype(dt, copy=False)
         if arr.shape[0] < th or arr.shape[1] < tw:
-            full = np.zeros((th, tw), dt)
+            full = np.zeros((th, tw, arr.shape[2]), dt)
             full[: arr.shape[0], : arr.shape[1]] = arr
             arr = full
-        return arr
+        if sample is not None:
+            return arr[:, :, min(sample, arr.shape[2] - 1)]
+        return arr[:, :, 0] if arr.shape[2] == 1 else arr
     if comp in (8, 32946):
         raw = zlib.decompress(raw)
     elif comp == 5:
         raw = lzw_decode(raw)
-    n_rows = len(raw) // (tw * dt.itemsize)
-    arr = np.frombuffer(raw, dt, count=n_rows * tw).reshape(n_rows, tw)
+    n_rows = len(raw) // (tw * spp * dt.itemsize)
+    arr = np.frombuffer(raw, dt, count=n_rows * tw * spp).reshape(n_rows, tw, spp)
     if lv.get("predictor", 1) == 2:
-        arr = _undo_predictor2(arr)
+        # horizontal differencing runs per sample channel (stride = spp)
+        u = arr.view(f"u{dt.itemsize}")
+        arr = np.add.accumulate(u, axis=1, dtype=u.dtype).view(dt)
     if n_rows < th:  # short last strip: pad below the valid rows
-        full = np.zeros((th, tw), dt)
+        full = np.zeros((th, tw, spp), dt)
         full[:n_rows] = arr
         arr = full
-    return arr
+    if sample is not None:
+        return arr[:, :, min(sample, spp - 1)]
+    return arr[:, :, 0] if spp == 1 else arr
 
 
 # ---------------------------------------------------------------------------
@@ -777,8 +818,10 @@ def read_cog_file(path: str) -> Dict:
     levels = []
     for li, lv in enumerate(hdr["levels"]):
         ny, nx, th, tw = lv["ny"], lv["nx"], lv["tile_h"], lv["tile_w"]
+        spp = lv.get("spp", 1)
         ntx = (nx + tw - 1) // tw
-        arr = np.zeros((ny, nx), dtype=np.dtype(lv["dtype"]))
+        shape = (ny, nx) if spp == 1 else (ny, nx, spp)
+        arr = np.zeros(shape, dtype=np.dtype(lv["dtype"]))
         for ti in range(len(lv["offsets"])):
             ty, tx = divmod(ti, ntx)
             block = read_cog_tile(path, hdr, li, ti)

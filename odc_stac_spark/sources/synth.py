@@ -786,6 +786,14 @@ class TiffReader(SynthReader):
             cache[uri] = read_cog_header(self._path(uri))
         return cache[uri]
 
+    def read(self, src, cfg, dst_geobox):
+        # multi-band (SamplesPerPixel>1) files address one band per
+        # RasterSource via the 1-based ``band`` field (reference
+        # loader/types.py band index); stashed for the window fetch below
+        # (reader instances are per-task, single-threaded)
+        self._band = src.band
+        return super().read(src, cfg, dst_geobox)
+
     def _assemble(
         self, uri: str, level: int, py0: int, py1: int, px0: int, px1: int, fill
     ) -> np.ndarray:
@@ -804,9 +812,12 @@ class TiffReader(SynthReader):
         ty1 = min(nty, (min(py1, ny) + th - 1) // th)
         tx0 = max(0, px0 // tw)
         tx1 = min(ntx, (min(px1, nx) + tw - 1) // tw)
+        sample = max(0, getattr(self, "_band", 1) - 1) if lv.get("spp", 1) > 1 else None
         for ty in range(ty0, ty1):
             for tx in range(tx0, tx1):
-                tile = read_cog_tile(self._path(uri), hdr, level, ty * ntx + tx)
+                tile = read_cog_tile(
+                    self._path(uri), hdr, level, ty * ntx + tx, sample=sample
+                )
                 # valid (non-padding) extent of this tile, then intersect
                 # with the requested window
                 vy0, vx0 = ty * th, tx * tw

@@ -579,3 +579,88 @@ def test_jpeg_through_tiff_reader_pipeline(spark, tmp_path):
     tiles_df, plan = load(spark, [item], chunks=(128, 128))
     got = assemble_numpy(tiles_df, plan)["red"][0]
     np.testing.assert_array_equal(got, big)
+
+
+# ---- multi-band (SamplesPerPixel > 1, chunky) -----------------------------
+
+
+def test_multiband_deflate_pred2_roundtrip(tmp_path):
+    rgb = rand((192, 160, 3), "uint16")
+    g = GeoBox((192, 160), (10.0, 0.0, 0.0, 0.0, -10.0, 1920.0), "EPSG:32735")
+    p = str(tmp_path / "rgb.tif")
+    write_cog_file(p, rgb, g, tile=64, compression="deflate", predictor=2)
+    out = read_cog_file(p)
+    np.testing.assert_array_equal(out["data"], rgb)
+    from odc_stac_spark.sources.geotiff import read_cog_header
+
+    lv = read_cog_header(p)["levels"][0]
+    assert lv["spp"] == 3 and lv["predictor"] == 2
+
+
+def test_multiband_jpeg_color_lossless_equal_channels(tmp_path):
+    v = (2 * ((np.arange(24)[:, None] * 7 + np.arange(20)[None, :] * 3) % 128)).astype(
+        "uint8"
+    )
+    gray = np.repeat(np.repeat(v, 8, 0), 8, 1)
+    rgb = np.stack([gray] * 3, -1)
+    g = GeoBox(gray.shape, (10.0, 0.0, 0.0, 0.0, -10.0, 1920.0), "EPSG:32735")
+    p = str(tmp_path / "jc.tif")
+    write_cog_file(p, rgb, g, tile=64, compression="jpeg", jpeg_quality=50)
+    np.testing.assert_array_equal(read_cog_file(p)["data"], rgb)
+
+
+def test_multiband_jpeg_true_color_psnr(tmp_path):
+    y, x = np.mgrid[0:192, 0:160]
+    nat = np.stack(
+        [
+            (128 + 60 * np.sin(y / 9.0)).astype("uint8"),
+            (128 + 50 * np.cos(x / 7.0)).astype("uint8"),
+            ((y + x) % 256).astype("uint8"),
+        ],
+        -1,
+    )
+    g = GeoBox((192, 160), (10.0, 0.0, 0.0, 0.0, -10.0, 1920.0), "EPSG:32735")
+    p = str(tmp_path / "nat.tif")
+    write_cog_file(p, nat, g, tile=64, compression="jpeg", jpeg_quality=90)
+    got = read_cog_file(p)["data"]
+    mse = np.mean((got.astype(float) - nat) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) > 38
+
+
+def test_multiband_band_select_tile(tmp_path):
+    rgb = rand((100, 90, 3), "uint8")
+    g = GeoBox((100, 90), (10.0, 0.0, 0.0, 0.0, -10.0, 1000.0), "EPSG:32735")
+    p = str(tmp_path / "b.tif")
+    write_cog_file(p, rgb, g, tile=64, compression="deflate")
+    from odc_stac_spark.sources.geotiff import read_cog_header, read_cog_tile
+
+    hdr = read_cog_header(p)
+    t = read_cog_tile(p, hdr, 0, 0, sample=1)
+    np.testing.assert_array_equal(t[:64, :64], rgb[:64, :64, 1])
+
+
+def test_multiband_through_pipeline_band_selection(spark, tmp_path):
+    """A 3-band COG addressed per-band via RasterSource.band through the
+    full load pipeline — each band pixel-equal to its channel."""
+    from datetime import datetime
+
+    from odc_stac_spark.model import RasterBandMetadata, RasterSource
+    from odc_stac_spark.plans.load import Item, assemble_numpy, load
+
+    rgb = rand((296, 280, 3), "uint16")
+    rgb[rgb == 0] = 1  # keep clear of the nodata value
+    g = GeoBox((296, 280), (10.0, 0.0, 0.0, 0.0, -10.0, 2960.0), "EPSG:32735")
+    p = str(tmp_path / "mb.tif")
+    write_cog_file(p, rgb, g, nodata=0, compression="deflate")
+    item = Item(
+        id="mb-0",
+        datetime=datetime(2020, 6, 6),
+        bands={
+            "red": RasterSource(p, band=1, geobox=g, meta=RasterBandMetadata("uint16", 0)),
+            "nir": RasterSource(p, band=3, geobox=g, meta=RasterBandMetadata("uint16", 0)),
+        },
+    )
+    tiles_df, plan = load(spark, [item], chunks=(128, 128))
+    got = assemble_numpy(tiles_df, plan)
+    np.testing.assert_array_equal(got["red"][0], rgb[:, :, 0])
+    np.testing.assert_array_equal(got["nir"][0], rgb[:, :, 2])
