@@ -237,6 +237,7 @@ def write_cog_file(
     predictor: int = 1,
     bigtiff: Optional[bool] = None,
     jpeg_quality: int = 90,
+    overview_resampling: str = "nearest",
 ) -> None:
     """Write a single-band 2-D array as a tiled COG-layout GeoTIFF.
 
@@ -251,7 +252,12 @@ def write_cog_file(
     ``bigtiff``: True → BigTIFF (version 43, 64-bit offsets — required
     once the file would cross 4 GiB; GDAL's BIGTIFF=YES); False → classic;
     None (default) → auto: BigTIFF iff the uncompressed payload could
-    cross the 4 GiB offset ceiling (GDAL's BIGTIFF=IF_SAFER)."""
+    cross the 4 GiB offset ceiling (GDAL's BIGTIFF=IF_SAFER).
+    ``overview_resampling``: "nearest" (decimation — safe for categorical
+    data and for decimated-read pushdown) or "average" (box mean over
+    each level's footprint, ignoring nodata — gdaladdo's default for
+    continuous data; readers should then load with use_overviews=False
+    when exact full-res values matter)."""
     if pix.ndim == 3 and pix.shape[2] == 1:
         pix = pix[:, :, 0]
     if pix.ndim not in (2, 3):
@@ -285,8 +291,17 @@ def write_cog_file(
             overview_levels.append(level)
             level *= 2
 
+    if overview_resampling not in ("nearest", "average"):
+        raise ValueError(
+            f"overview_resampling must be 'nearest' or 'average', got {overview_resampling!r}"
+        )
     pix = np.ascontiguousarray(pix)
-    levels = [pix] + [pix[::lv, ::lv] for lv in overview_levels]
+    if overview_resampling == "nearest":
+        levels = [pix] + [pix[::lv, ::lv] for lv in overview_levels]
+    else:
+        levels = [pix] + [
+            _box_average(pix, lv, nodata) for lv in overview_levels
+        ]
     if bigtiff is None:
         # IF_SAFER: compressed sizes aren't known until encode, so decide
         # on the uncompressed payload bound (compression only shrinks it)
@@ -346,6 +361,39 @@ def _write_tiff(path: str, ifds: List[Dict], bigtiff: bool = False) -> None:
             out += t_bytes
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def _box_average(pix: np.ndarray, lv: int, nodata) -> np.ndarray:
+    """lv× box-mean overview ignoring nodata (gdaladdo 'average'): each
+    output pixel is the mean of valid samples in its lv×lv footprint;
+    all-nodata footprints stay nodata."""
+    ny, nx = pix.shape[:2]
+    oy, ox = (ny + lv - 1) // lv, (nx + lv - 1) // lv
+    pad_shape = (oy * lv, ox * lv) + pix.shape[2:]
+    padded = np.zeros(pad_shape, dtype=np.float64)
+    padded[:ny, :nx] = pix
+    valid = np.zeros(pad_shape[:2], dtype=np.float64)
+    valid[:ny, :nx] = 1.0
+    if nodata is not None:
+        mask2d = (pix == nodata) if pix.ndim == 2 else (pix == nodata).all(axis=2)
+        valid[:ny, :nx][mask2d] = 0.0
+        padded[:ny, :nx][mask2d] = 0.0
+    if pix.ndim == 3:
+        grp = padded.reshape(oy, lv, ox, lv, -1)
+        s = grp.sum(axis=(1, 3))
+        n = valid.reshape(oy, lv, ox, lv).sum(axis=(1, 3))[..., None]
+    else:
+        s = padded.reshape(oy, lv, ox, lv).sum(axis=(1, 3))
+        n = valid.reshape(oy, lv, ox, lv).sum(axis=(1, 3))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s / np.maximum(n, 1)
+    if np.issubdtype(pix.dtype, np.integer):
+        mean = np.rint(mean)
+    out = mean.astype(pix.dtype)
+    empty = (n if pix.ndim == 2 else n[..., 0]) == 0
+    if nodata is not None and empty.any():
+        out[empty] = np.asarray(nodata, dtype=pix.dtype)
+    return out
 
 
 def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 90) -> bytes:

@@ -664,3 +664,23 @@ def test_multiband_through_pipeline_band_selection(spark, tmp_path):
     got = assemble_numpy(tiles_df, plan)
     np.testing.assert_array_equal(got["red"][0], rgb[:, :, 0])
     np.testing.assert_array_equal(got["nir"][0], rgb[:, :, 2])
+
+
+def test_average_overviews(tmp_path):
+    arr = rand((128, 128), "uint16").astype("uint16")
+    arr[:4, :4] = 0  # a nodata patch
+    g = GeoBox((128, 128), (10.0, 0.0, 0.0, 0.0, -10.0, 1280.0), "EPSG:32735")
+    p = str(tmp_path / "avg.tif")
+    write_cog_file(p, arr, g, nodata=0, tile=64, overview_levels=[2],
+                   overview_resampling="average")
+    ov = read_cog_file(p)["overviews"][0]
+    # interior pixel: plain 2x2 mean
+    want = np.rint(arr[10:12, 10:12].astype(float).mean())
+    assert ov[5, 5] == want
+    # all-nodata footprint stays nodata
+    assert ov[0, 0] == 0
+    # mixed footprint ignores nodata samples
+    a = arr[2:4, 2:4].astype(float)
+    valid = a[a != 0]
+    if valid.size:
+        assert ov[1, 1] == np.rint(valid.mean())

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from odc_stac_spark.model import (
@@ -280,3 +281,121 @@ def test_interval_bucket_coverage(c_us, delta):
     I = 30 * 60 * 1_000_000
     p_us = c_us + delta
     assert p_us // I in (c_us // I, c_us // I + 1)
+
+
+# ---- real codecs (operators/codecs.py, operators/jpeg.py) -----------------
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    from odc_stac_spark.operators.codecs import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    np.testing.assert_array_equal(out, img)
+
+
+@given(
+    n=st.integers(1, 4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 4),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, rate, channels, seed):
+    from odc_stac_spark.operators.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, channels), dtype=np.int16)
+    if channels == 1:
+        s = s[:, 0]
+    d, r = decode_wav(encode_wav(s, rate))
+    assert r == rate
+    np.testing.assert_array_equal(d, s)
+
+
+@given(
+    ny=st.integers(1, 6),
+    nx=st.integers(1, 6),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_block_constant_even_lossless_property(ny, nx, seed):
+    """The exactness invariant the oracle queries build on, over arbitrary
+    block layouts: even-valued pure-DC blocks survive q=50 bit-exactly."""
+    from odc_stac_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    v = (2 * rng.integers(0, 128, (ny, nx))).astype(np.uint8)
+    img = np.repeat(np.repeat(v, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+@given(
+    dims=st.integers(1, 3),
+    version=st.sampled_from([1, 2, 5]),
+    dtype=st.sampled_from(["int16", "int32", "float32", "float64", "uint8"]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_netcdf_roundtrip_property(tmp_path_factory, dims, version, dtype, seed):
+    from odc_stac_spark.sources.netcdf import (
+        read_netcdf_header,
+        read_netcdf_var,
+        write_netcdf,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(rng.integers(1, 9)) for _ in range(dims))
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, int(info.max) + 1, shape).astype(dtype)
+    else:
+        a = rng.standard_normal(shape).astype(dtype)
+    names = ("z", "y", "x")[:dims]
+    p = str(tmp_path_factory.mktemp("nc") / "p.nc")
+    write_netcdf(p, dict(zip(names, shape)), {"v": (names, a)}, version=version)
+    hdr = read_netcdf_header(p)
+    np.testing.assert_array_equal(read_netcdf_var(p, hdr, "v"), a)
+
+
+@given(
+    n=st.integers(1, 12),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_wkb_roundtrip_property(n, seed):
+    from odc_stac_spark.sources.geoparquet import wkb_decode, wkb_encode_polygon
+
+    rng = np.random.default_rng(seed)
+    ring = [(float(x), float(y)) for x, y in rng.uniform(-1e6, 1e6, (n + 3, 2))]
+    ring.append(ring[0])
+    t, polys = wkb_decode(wkb_encode_polygon([ring]))
+    assert t == "Polygon"
+    np.testing.assert_allclose(polys[0][0], ring)
+
+
+@given(
+    order=st.integers(1, 12),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_hilbert_bijection_property(order, seed):
+    """d is invertible on random samples: distinct cells → distinct d, and
+    d < 4^order."""
+    from odc_stac_spark.operators.spacefill import hilbert_np
+
+    rng = np.random.default_rng(seed)
+    n = 1 << order
+    pts = rng.integers(0, n, (min(200, n * n), 2))
+    pts = np.unique(pts, axis=0)
+    d = hilbert_np(pts[:, 0], pts[:, 1], order)
+    assert (d >= 0).all() and (d < n * n).all()
+    assert len(np.unique(d)) == len(pts)
