@@ -89,6 +89,10 @@ def main() -> None:
     timings["r_mosaic_load"] = raster_sec
     warp_mpx_s, warp_sec = warp_throughput(spark)
     timings["r_warp_load"] = warp_sec
+    # reported as its own metric — NOT in the headline total (the total
+    # tracks the relational/raster suite across rounds; adding a new
+    # stage would break comparability)
+    jpeg_mpx_s, _jpeg_sec = media_decode_throughput(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -101,6 +105,10 @@ def main() -> None:
                 "sf": sf,
                 "raster_mpx_per_sec": mpx_s,
                 "warp_mpx_per_sec": warp_mpx_s,
+                # real-codec multimodal decode throughput (in-repo baseline
+                # JPEG over Arrow-batched mapInPandas — the decode stage of
+                # an image training pipeline)
+                "jpeg_decode_mpx_per_sec": jpeg_mpx_s,
                 # plan-construction time for the 9-item mosaic load (the
                 # reference's "graph submit" ≲0.25 s, docs/benchmarking.rst:230)
                 "plan_submit_sec": plan_submit_sec,
@@ -163,6 +171,36 @@ def raster_throughput(spark):
         elapsed = min(elapsed, time.perf_counter() - start)
     npix = len(plan.bands) * len(plan.group_keys) * plan.gbox.shape[0] * plan.gbox.shape[1]
     return round(npix / elapsed / 1e6, 3), round(elapsed, 3), round(plan_submit, 3)
+
+
+def media_decode_throughput(spark, n_images: int = 384, side: int = 256):
+    """Decode throughput of the REAL JPEG codec through the multimodal
+    pipeline: n pre-encoded (driver-side, excluded from timing) JFIF
+    payloads → binary rows → executor decode + stats via the DECODERS
+    seam. Measures the Python-side codec rate the training-data decode
+    stage pays (PIL/nvJPEG would slot into the same seam)."""
+    import time as _time
+
+    import numpy as np
+
+    from odc_stac_spark.operators.jpeg import encode_jpeg
+    from odc_stac_spark.operators.multimodal import image_stats
+
+    y, x = np.mgrid[0:side, 0:side]
+    payloads = []
+    for i in range(n_images):
+        img = ((y * 5 + x * 3 + i * 37) % 256).astype(np.uint8)
+        payloads.append((i, bytearray(encode_jpeg(img, quality=85)), "image/jpeg"))
+    df = spark.createDataFrame(
+        payloads, "doc_id long, media binary, media_type string"
+    ).repartition(32).persist()
+    df.count()  # materialize inputs before timing
+    t0 = _time.perf_counter()
+    image_stats(df).write.mode("overwrite").format("noop").save()
+    sec = _time.perf_counter() - t0
+    df.unpersist()
+    mpx = n_images * side * side / 1e6
+    return round(mpx / sec, 3), round(sec, 3)
 
 
 def warp_throughput(spark):
