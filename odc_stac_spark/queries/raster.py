@@ -642,3 +642,72 @@ def r_netcdf_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles_df, plan = load(spark, [item], chunks=(32, 48))
     return zonal_stats(tiles_df, nodata=-1.0, zone_h=16, zone_w=32)
+
+
+@register(
+    "r_multiband_cog_zonal",
+    # fixture: a 3-band chunky (SamplesPerPixel=3) deflate+Predictor-2 COG;
+    # band b pixel (y, x) = (b*1013 + y*37 + x*17) % 4001. Bands 1 and 3
+    # load through per-source band selection (RasterSource.band).
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             (1 * 1013 + y.y * 37 + x.x * 17) % 4001 AS red,
+             (3 * 1013 + y.y * 37 + x.x * 17) % 4001 AS nir
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT band, 0 AS t,
+           CAST(y // 16 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM (
+      SELECT y, x, 'red' AS band, red AS value FROM pix
+      UNION ALL
+      SELECT y, x, 'nir' AS band, nir AS value FROM pix
+    )
+    GROUP BY band, 3, 4
+    """,
+    doc="HASH-GATED real-format multiband read: a 3-band chunky "
+    "(SamplesPerPixel=3, interleaved) COG with deflate + per-channel "
+    "Predictor-2 horizontal differencing, written and read by the "
+    "in-house TIFF codec, is loaded through the FULL pipeline with "
+    "per-source band selection (RasterSource.band) → zonal statistics. "
+    "The oracle recomputes every pixel, hash-gating the multiband "
+    "layout, the per-channel predictor and the band-addressing chain. "
+    "(JPEG-compressed tiles are gated separately via mm_image_jpeg_codec "
+    "and pytest: color YCbCr is inherently lossy for unequal channels.)",
+    tags=("raster", "cog", "multiband", "zonal"),
+)
+def r_multiband_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.zonal import zonal_stats
+    from ..sources.geotiff import write_cog_file
+
+    ny, nx = 64, 96
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    bands = [
+        ((b * 1013 + yy * 37 + xx * 17) % 4001).astype(np.int16) for b in (1, 2, 3)
+    ]
+    cube = np.stack(bands, axis=-1)
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_mb_cog.tif")
+    write_cog_file(path, cube, gbox, tile=64, compression="deflate", predictor=2,
+                   overview_levels=[])
+    item = Item(
+        id="mb-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            "red": RasterSource(path, band=1, geobox=gbox,
+                                meta=RasterBandMetadata("int16", None)),
+            "nir": RasterSource(path, band=3, geobox=gbox,
+                                meta=RasterBandMetadata("int16", None)),
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(32, 48))
+    return zonal_stats(tiles_df, nodata=None, zone_h=16, zone_w=32)
