@@ -84,6 +84,13 @@ PICKS = [
         "plain JVM sort.",
     ),
     (
+        "text_ngram_lm_score",
+        "Two-pass corpus LM: bigram/context count aggregations produce a "
+        "tiny (≤27²-row) model that is explicitly BROADCAST to both score "
+        "joins — the corpus is never shuffled for scoring, so the plan "
+        "shows two BroadcastHashJoins feeding one per-doc aggregation.",
+    ),
+    (
         "text_clean_html",
         "Training-corpus text cleaning as one map-only scan: the entire "
         "regexp_replace/replace chain + md5 digest fuses into a single "
