@@ -408,3 +408,66 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'not_null' AS check, 'text' AS "column",
+           CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           COUNT(*) FILTER (WHERE text IS NULL) = 0 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'range', 'n_chars',
+           CAST(COUNT(*) FILTER (WHERE n_chars IS NOT NULL
+                                   AND (n_chars < 0 OR n_chars > 100000)) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) FILTER (WHERE n_chars IS NOT NULL
+                              AND (n_chars < 0 OR n_chars > 100000)) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'in_set', 'lang',
+           CAST(COUNT(*) FILTER (WHERE lang IS NOT NULL
+                 AND lang NOT IN ('en', 'de', 'fr', 'es', 'zz')) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) FILTER (WHERE lang IS NOT NULL
+                 AND lang NOT IN ('en', 'de', 'fr', 'es', 'zz')) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'regex', 'source',
+           CAST(COUNT(*) FILTER (WHERE source IS NOT NULL
+                 AND NOT regexp_full_match(source, '[a-z0-9_.-]+')) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) FILTER (WHERE source IS NOT NULL
+                 AND NOT regexp_full_match(source, '[a-z0-9_.-]+')) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'unique', 'doc_id',
+           CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n), 0) AS BIGINT),
+           COALESCE(SUM(n) FILTER (WHERE n > 1), 0) = 0
+    FROM (SELECT doc_id, COUNT(*) AS n FROM documents
+          WHERE doc_id IS NOT NULL GROUP BY doc_id)
+    """,
+    doc="declarative data-quality gate (operators/quality.py): N checks — "
+    "null/range/set/regex/uniqueness — compiled into ONE aggregation "
+    "pass over the scan (conditional counts; uniqueness adds one grouped "
+    "pass per grain). At 100 TB a validation suite costs one scan, never "
+    "a scan per check. The oracle recomputes every check in SQL.",
+    tags=("quality", "llm-pipeline"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import run_checks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return run_checks(
+        docs,
+        [
+            {"check": "not_null", "column": "text"},
+            {"check": "range", "column": "n_chars", "min": 0, "max": 100000},
+            {"check": "in_set", "column": "lang", "values": ["en", "de", "fr", "es", "zz"]},
+            {"check": "regex", "column": "source", "pattern": "[a-z0-9_.-]+"},
+            {"check": "unique", "column": "doc_id"},
+        ],
+    )
