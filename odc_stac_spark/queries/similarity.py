@@ -623,3 +623,33 @@ def ann_lsh_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         build_lsh_index(spark, sf_dir, p, table)
     return ann_lsh_pairs_from_index(spark, p, table)
+
+
+@register(
+    "ann_pq_adc_topk",
+    # no SQL oracle: PQ training is iterative k-means (float-order
+    # sensitive); recall and serving-plan properties are pytest-gated in
+    # tests/test_pq.py (rows-only check here)
+    doc="product-quantization ANN (operators/pq.py — Jégou et al. PQ): "
+    "per-subspace codebooks trained by distributed Lloyd passes, vectors "
+    "encoded map-side to 32 5-bit codes (12.8x smaller than float32), "
+    "queries answered by ADC lookup-table scans over the CODES table "
+    "only. The memory path of FAISS-style IVF-PQ at 100 TB; recall@10 "
+    "≥0.5 vs exact L2 is asserted in pytest.",
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.pq import encode_pq, pq_adc_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    books = train_pq(emb, m=32, k=32, n_iter=4)
+    codes = encode_pq(emb, books)
+    queries = [
+        (int(r.vec_id), [float(v) for v in r.emb])
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    return pq_adc_topk(codes, books, queries, topk=10)
