@@ -183,3 +183,71 @@ def pq_adc_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "vec_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+def ivfpq_topk(
+    codes_with_cell: DataFrame,
+    books: np.ndarray,
+    centroids: np.ndarray,
+    queries: Sequence[Tuple[int, Sequence[float]]],
+    topk: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ serving (the FAISS production composition): coarse centroids
+    prune the scan to each query's ``nprobe`` nearest cells, ADC scores
+    only the surviving CODES.
+
+    ``codes_with_cell``: (vec_id, codes, cell_id) — at 100 TB this table
+    is written partitioned by ``cell_id`` so the ``isin`` filter below
+    becomes partition pruning (only probed cell files are read at all);
+    the ADC cost then follows nprobe/K of the corpus, at PQ memory."""
+    m, k, ds = books.shape
+    q = np.asarray([v for _, v in queries], dtype=np.float64)
+    d2c = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)  # (nq, K)
+    probe = {int(qid): set(np.argsort(d2c[i])[:nprobe].tolist()) for i, (qid, _) in enumerate(queries)}
+    union_cells = sorted(set().union(*probe.values()))
+
+    qm = np.asarray([v for _, v in queries], dtype=np.float64).reshape(-1, m, ds)
+    luts = ((qm[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+    qids = [int(i) for i, _ in queries]
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            cells = pdf["cell_id"].values
+            d = luts[:, sub[None, :], c].sum(-1)  # (nq, n)
+            frames = []
+            for i, qid in enumerate(qids):
+                mask = np.asarray([cell in probe[qid] for cell in cells])
+                if mask.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "vec_id": pdf["vec_id"].values[mask],
+                                "adc_dist": d[i][mask],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pruned = codes_with_cell.where(F.col("cell_id").isin(union_cells))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        pruned.mapInPandas(scan, out_schema)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
+    )

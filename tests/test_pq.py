@@ -84,3 +84,40 @@ def test_scan_reads_only_codes(spark, fitted, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan
     assert "pq_codes" in plan
+
+
+def test_ivfpq_prunes_and_recalls(spark, emb, fitted):
+    """IVF-PQ: coarse cells prune the ADC scan; recall stays useful."""
+    from odc_stac_spark.operators.pq import ivfpq_topk
+
+    books, codes = fitted
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r.emb for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    K = 16
+    centroids = X[:K].astype(np.float64)  # deterministic coarse quantizer
+
+    # assign cells driver-side for the test corpus (engine path: broadcast
+    # join, queries/similarity._ivf_multi_assign)
+    cells = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(-1)
+    cell_df = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in zip(ids, cells)], "vec_id long, cell_id int"
+    )
+    codes_cell = codes.join(cell_df, "vec_id")
+
+    queries = [(int(ids[i]), [float(v) for v in X[i]]) for i in range(0, 60, 6)]
+    got = ivfpq_topk(codes_cell, books, centroids, queries, topk=10, nprobe=4)
+    res = got.collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = []
+    for qid, vec in queries:
+        d = ((X - np.asarray(vec)) ** 2).sum(1)
+        exact = set(ids[np.argsort(d)[:10]].tolist())
+        recalls.append(len(exact & by_q[qid]) / 10)
+    # nprobe=4 of 16 cells scans ~25% of the corpus; recall must stay
+    # well above the scan fraction alone and self must be found
+    assert np.mean(recalls) >= 0.4, recalls
+    top1 = {r.query_id: r.vec_id for r in res if r.rank == 1}
+    assert sum(1 for q, v in top1.items() if q == v) >= 8
