@@ -97,6 +97,8 @@ def load_all() -> dict[str, Query]:
     priority = (
         "s_geoparquet_catalog",
         "spatial_curve_layout",
+        "r_multiband_cog_zonal",
+        "data_quality_report",
         "sketch_hll_rollup",
         "t_stream_continuous_agg",
         "r_netcdf_zonal",
