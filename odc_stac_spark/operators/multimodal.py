@@ -598,3 +598,65 @@ def audio_spectral_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(feats, _SPECTRAL_SCHEMA)
+
+
+def resample_audio(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation resampler (the SR-normalization stage of an
+    audio training pipeline; a polyphase/sinc kernel drops into the same
+    slot). Output sample i sits at source position i*src/dst:
+    out[i] = s[k]*(1-f) + s[k+1]*f with k = floor(pos), f = pos-k."""
+    s = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if src_rate == dst_rate:
+        return s.copy()
+    n_out = int(s.size * dst_rate / src_rate)
+    pos = np.arange(n_out, dtype=np.float64) * src_rate / dst_rate
+    k = np.minimum(pos.astype(np.int64), s.size - 1)
+    k1 = np.minimum(k + 1, s.size - 1)
+    f = pos - k
+    return s[k] * (1.0 - f) + s[k1] * f
+
+
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("rms_out", DoubleType()),
+        StructField("checksum", DoubleType()),
+    ]
+)
+
+
+def audio_resample_features(media: DataFrame, dst_rate: int = 8000) -> DataFrame:
+    """Decode → resample to ``dst_rate`` → summary stats, per clip, over
+    Arrow batches (AUDIO_DECODERS seam dispatch)."""
+
+    decoders = dict(AUDIO_DECODERS)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            types = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else pd.Series(["audio/x-saud"] * len(pdf))
+            )
+            rows = []
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], types):
+                fn = decoders.get(mt)
+                if fn is None:
+                    raise NotImplementedError(f"no audio decoder registered for {mt!r}")
+                s, rate = fn(bytes(blob))
+                s = np.asarray(s).reshape(-1)
+                out = resample_audio(s, rate, dst_rate)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_in": s.size,
+                        "n_out": out.size,
+                        "rms_out": round(float(np.sqrt((out**2).mean())), 6),
+                        "checksum": round(float(out.sum()), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(feats, _RESAMPLE_SCHEMA)

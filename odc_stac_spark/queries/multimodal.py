@@ -530,3 +530,51 @@ def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_spectral_features
 
     return audio_spectral_features(demo_audio_df(spark, sf_dir, media_type="audio/wav"))
+
+
+@register(
+    "mm_audio_resample",
+    # 16 kHz clips → 8 kHz: out position i maps to source 2i exactly, so
+    # linear interpolation degenerates to decimation — the oracle
+    # recomputes every output sample from the clip formula.
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id, i.i,
+             CAST(((d.doc_id * 31 + i.i * 7) % 201) - 100 AS DOUBLE) AS s
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1498)) AS i) i
+      WHERE i.i < 1000 + d.doc_id % 500
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM samples GROUP BY doc_id),
+    resampled AS (
+      SELECT s.doc_id, s.s
+      FROM samples s JOIN cnt USING (doc_id)
+      WHERE s.i % 2 = 0 AND s.i // 2 < CAST(FLOOR(n / 2.0) AS BIGINT)
+    )
+    SELECT c.doc_id,
+           CAST(c.n AS BIGINT) AS n_in,
+           CAST(FLOOR(c.n / 2.0) AS BIGINT) AS n_out,
+           r.rms_out,
+           r.checksum
+    FROM cnt c
+    JOIN (
+      SELECT doc_id,
+             ROUND(sqrt(AVG(s * s)), 6) AS rms_out,
+             ROUND(SUM(s), 6) AS checksum
+      FROM resampled GROUP BY doc_id
+    ) r ON r.doc_id = c.doc_id
+    """,
+    doc="multimodal audio resampling: WAV decode → linear-interpolation "
+    "SR normalization 16 kHz→8 kHz → stats, per clip over Arrow batches "
+    "(operators/multimodal.resample_audio — the polyphase-resampler "
+    "slot). The 2:1 ratio makes interpolation exact decimation, so the "
+    "oracle recomputes every output sample and the hash gates the whole "
+    "decode→resample chain.",
+    tags=("multimodal", "audio"),
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_resample_features
+
+    return audio_resample_features(
+        demo_audio_df(spark, sf_dir, media_type="audio/wav"), dst_rate=8000
+    )

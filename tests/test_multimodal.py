@@ -207,3 +207,22 @@ def test_audio_spectral_features_match_numpy(spark):
         edges = np.linspace(0, power.size, 9).astype(int)
         want = [round(float(power[a:b].sum()), 3) for a, b in zip(edges, edges[1:])]
         assert json.loads(r.band_energy) == want
+
+
+def test_resample_audio_linear_correctness():
+    import numpy as np
+
+    from odc_stac_spark.operators.multimodal import resample_audio
+
+    s = np.array([0.0, 10.0, 20.0, 30.0, 40.0])
+    # 2:1 downsample = exact decimation
+    np.testing.assert_allclose(resample_audio(s, 16000, 8000), [0.0, 20.0])
+    # 1:2 upsample = midpoint interpolation
+    up = resample_audio(s, 8000, 16000)
+    assert up.size == 10
+    np.testing.assert_allclose(up[:5], [0.0, 5.0, 10.0, 15.0, 20.0])
+    # identity
+    np.testing.assert_allclose(resample_audio(s, 16000, 16000), s)
+    # 3:2 rational ratio, spot-check position math: out[1] at src pos 1.5
+    r = resample_audio(s, 48000, 32000)
+    np.testing.assert_allclose(r[1], 15.0)
