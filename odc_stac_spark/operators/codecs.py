@@ -5,11 +5,13 @@ AUDIO_DECODERS) was designed so a real codec drops in without touching any
 Spark plumbing. This module provides three genuinely real, dependency-free
 codecs and registers them as defaults:
 
-- **PNG** (``image/png``): full decoder for 8-bit depth, color types
-  0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), all five scanline
-  filters (None/Sub/Up/Average/Paeth), plus an encoder (filter 0 + zlib).
-  Spec: W3C PNG (ISO/IEC 15948). Interlaced (Adam7) and 1/2/4/16-bit
-  depths are refused loudly.
+- **PNG** (``image/png``): full decoder for 8- and 16-bit depths, color
+  types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), all five
+  scanline filters (None/Sub/Up/Average/Paeth — applied per byte with
+  bpp = channels × bytes-per-sample, per spec §9), plus an encoder
+  (filter 0 + zlib; uint16 input → 16-bit big-endian samples).
+  Spec: W3C PNG (ISO/IEC 15948). Interlaced (Adam7) and sub-byte depths
+  are refused loudly.
 - **BMP** (``image/bmp``): 24-bit uncompressed BITMAPINFOHEADER decode +
   encode (bottom-up, BGR, 4-byte row padding).
 - **WAV** (``audio/wav``): RIFF/WAVE decode for PCM 8/16/32-bit and IEEE
@@ -53,16 +55,21 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
-    """(h, w) or (h, w, c) uint8 → PNG bytes (filter 0 rows, zlib)."""
-    a = np.asarray(arr, dtype=np.uint8)
+    """(h, w) or (h, w, c) uint8/uint16 → PNG bytes (filter 0 rows, zlib).
+    uint16 input writes a 16-bit-depth PNG (big-endian samples per spec)."""
+    a = np.asarray(arr)
+    if a.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"PNG encoder takes uint8 or uint16, got {a.dtype}")
+    depth = 8 * a.dtype.itemsize
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
     if c not in _PNG_COLOR_TYPE:
         raise ValueError(f"unsupported channel count {c}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
-    stride = w * c
-    flat = np.ascontiguousarray(a).reshape(h, stride)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    if depth == 16:
+        a = a.astype(">u2")
+    flat = np.ascontiguousarray(a).reshape(h, -1)
     raw = bytearray()
     for r in range(h):
         raw.append(0)  # filter type None
@@ -158,17 +165,29 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8 only)")
+    if bit_depth not in (8, 16):
+        raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8/16 only)")
     if interlace:
         raise NotImplementedError("PNG: Adam7 interlacing not supported")
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"PNG: invalid color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    recon = _png_unfilter(raw, height, stride, channels)
-    img = recon.reshape(height, width, channels)
+    nbytes = bit_depth // 8
+    stride = width * channels * nbytes
+    # filters operate on BYTES with bpp = channels * bytes-per-sample
+    # (spec §9: "bpp is rounded up to one" for sub-byte depths; 16-bit
+    # samples are filtered as byte pairs)
+    recon = _png_unfilter(raw, height, stride, channels * nbytes)
+    if bit_depth == 16:
+        img = (
+            recon.reshape(height, -1)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(height, width, channels)
+        )
+    else:
+        img = recon.reshape(height, width, channels)
     if color_type == 3:  # palette -> RGB (plus alpha when tRNS present)
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")

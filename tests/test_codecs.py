@@ -272,3 +272,30 @@ def test_avi_through_video_decoder_seam():
     out = VIDEO_DECODERS["video/x-msvideo"](encode_avi_mjpeg(fr, quality=50))
     assert out.shape[0] == 4
     np.testing.assert_array_equal(out[1, :, :, 0], fr[1])
+
+
+def test_png_16bit_roundtrip():
+    a = rng.integers(0, 65536, (13, 9, 3), dtype=np.uint16)
+    out = decode_png(encode_png(a))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, a)
+
+
+def test_png_16bit_filtered_stream_decodes():
+    """External 16-bit PNGs filter over BYTE pairs (bpp = 2*channels):
+    hand-build one per the spec and check byte-exact reconstruction."""
+    img16 = rng.integers(0, 65536, (8, 6), dtype=np.uint16)
+    as_bytes = img16[:, :, None].astype(">u2").view(np.uint8).reshape(8, 12)
+    # reuse the 8-bit filter builder at the byte level (c=2 byte lanes)
+    png = _png_with_filters(as_bytes.reshape(8, 6, 2), [1, 2, 3, 4])
+    # patch IHDR: depth 16, color type 0, width 6
+    body = bytearray(png)
+    import struct as _s
+
+    ihdr_off = 8 + 8
+    body[ihdr_off : ihdr_off + 13] = _s.pack(">IIBBBBB", 6, 8, 16, 0, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + bytes(body[ihdr_off : ihdr_off + 13]))
+    body[ihdr_off + 13 : ihdr_off + 17] = _s.pack(">I", crc)
+    out = decode_png(bytes(body))
+    assert out.dtype == np.uint16 and out.shape == (8, 6, 1)
+    np.testing.assert_array_equal(out[:, :, 0], img16)
