@@ -75,7 +75,7 @@ def test_decode_through_codec_seam(spark, tmp_path):
     from odc_stac_spark.operators.codecs import encode_png
     from odc_stac_spark.operators.multimodal import DECODERS
 
-    img = np.arange(12 * 9 * 3, dtype=np.uint8).reshape(12, 9, 3) % 256
+    img = (np.arange(12 * 9 * 3) % 256).astype(np.uint8).reshape(12, 9, 3)
     p = str(tmp_path / "img.tar")
     write_webdataset_shard(p, [("sample0", {"png": encode_png(img)})])
     row = group_samples(read_webdataset(spark, [p])).collect()[0]
