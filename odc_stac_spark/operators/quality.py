@@ -93,6 +93,11 @@ def run_checks(df: DataFrame, checks: List[Dict]) -> DataFrame:
                 (F.col("_v") == 0).alias("passed"),
             )
         )
+    if not results:  # no checks supplied → empty report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [],
+            "check string, column string, violations bigint, total bigint, passed boolean",
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

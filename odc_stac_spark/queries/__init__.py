@@ -73,13 +73,19 @@ def load_all() -> dict[str, Query]:
 
     # SELF-MAINTAINING rotation: external verification samples a window
     # from the FRONT of this registry, so queries that already have a
-    # driver-verified row in any accumulated CORRECTNESS_r*.json are
-    # demoted behind the never-verified block. Each round the window is
-    # then spent entirely on queries needing fresh signal, and the union
-    # of verified rows across rounds converges on the whole registry
-    # (every query is additionally oracle-verified locally each session
-    # via tools/driver_check.py).
+    # driver-verified PASSING row in any accumulated CORRECTNESS_r*.json
+    # are demoted behind the never-verified block. A name counts as
+    # verified only when some round's record shows success:
+    #   hash_match is True, or a rows-only check (err == "no_oracle")
+    #   that produced rows. Failed/errored rows do NOT count — they are
+    #   promoted to the very FRONT of the next window so the driver
+    #   re-checks them first (a hash-FAIL must never silently rotate out
+    #   of the verification window). Each round the window is then spent
+    #   on queries needing fresh signal, and the union of PASSING rows
+    #   across rounds converges on the whole registry (every query is
+    #   additionally oracle-verified locally via tools/driver_check.py).
     verified: set = set()
+    needs_recheck: set = set()
     try:
         import glob as _glob
         import json as _json
@@ -88,7 +94,15 @@ def load_all() -> dict[str, Query]:
         root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
         for f in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
             with open(f) as fh:
-                verified |= set(_json.load(fh).keys())
+                for name, rec in _json.load(fh).items():
+                    if not isinstance(rec, dict):
+                        needs_recheck.add(name)
+                        continue
+                    ok = rec.get("hash_match") is True or (
+                        rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+                    )
+                    (verified if ok else needs_recheck).add(name)
+        needs_recheck -= verified  # any later passing row supersedes a failure
     except Exception:  # noqa: BLE001 - ordering is best-effort, never fatal
         pass
     # within the fresh block, the most distinctive operator families go
@@ -111,10 +125,12 @@ def load_all() -> dict[str, Query]:
         "text_pii_scrub",
         "text_clean_html",
     )
-    fresh = {k: REGISTRY[k] for k in priority if k in REGISTRY and k not in verified}
-    fresh.update({k: v for k, v in REGISTRY.items() if k not in verified})
+    recheck = {k: REGISTRY[k] for k in sorted(needs_recheck) if k in REGISTRY}
+    fresh = {k: REGISTRY[k] for k in priority if k in REGISTRY and k not in verified and k not in recheck}
+    fresh.update({k: v for k, v in REGISTRY.items() if k not in verified and k not in recheck})
     seen = {k: v for k, v in REGISTRY.items() if k in verified}
     REGISTRY.clear()
+    REGISTRY.update(recheck)  # failed/errored rows lead the window
     REGISTRY.update(fresh)
     REGISTRY.update(seen)
 

@@ -32,20 +32,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "a1_groupby_time",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS group_key,
+    SELECT epoch_us(date_trunc('hour', ts)) AS group_key_us,
            COUNT(*) AS n_items,
            ROUND(SUM(value), 2) AS total_value
     FROM events
     GROUP BY 1
     """,
-    doc="A1 groupby=time: exact-timestamp bucketing (_stac_load.py:525-535 analog).",
+    doc="A1 groupby=time: exact-timestamp bucketing (_stac_load.py:525-535 "
+    "analog). Group key is an epoch-microsecond BIGINT so the hash gate is "
+    "immune to timestamp-rendering drift.",
     tags=("metadata", "agg"),
 )
 def a1_groupby_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("group_key")
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("group_key_us")
         )
         .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("value"), 2).alias("total_value"))
     )
@@ -115,14 +117,15 @@ def a2_solar_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_nominal_datetime",
     oracle="""
     SELECT event_id,
-           strftime(COALESCE(
+           epoch_us(COALESCE(
                CASE WHEN event_type = 'error' THEN NULL ELSE ts END,
                CASE WHEN user_id % 2 = 0 THEN ts + to_hours(1) ELSE NULL END,
                ts + to_hours(2)
-           ), '%Y-%m-%d %H:%M:%S.%f') AS nominal_ts
+           )) AS nominal_ts_us
     FROM events
     """,
-    doc="A3 nominal datetime: coalesce(datetime, start, end) (model.py:341-354).",
+    doc="A3 nominal datetime: coalesce(datetime, start, end) (model.py:341-354). "
+    "Emitted as epoch-microsecond BIGINT (rendering-drift-proof).",
     tags=("metadata", "scalar"),
 )
 def a3_nominal_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,9 +135,7 @@ def a3_nominal_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     end = F.timestamp_add("HOUR", F.lit(2), F.col("ts"))
     return ev.select(
         "event_id",
-        F.date_format(F.coalesce(dt, start, end), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "nominal_ts"
-        ),
+        F.unix_micros(F.coalesce(dt, start, end)).alias("nominal_ts_us"),
     )
 
 
@@ -144,7 +145,7 @@ def a3_nominal_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            string_agg(event_type, ',' ORDER BY ts, event_id) AS ordered_types,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS group_ts,
+           epoch_us(MIN(ts)) AS group_ts_us,
            COUNT(*) AS n
     FROM events
     GROUP BY user_id
@@ -160,7 +161,7 @@ def a4_group_sort_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     return ev.groupBy("user_id").agg(
         F.concat_ws(",", F.transform(ordered, lambda x: x["event_type"])).alias("ordered_types"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("group_ts"),
+        F.unix_micros(F.min("ts")).alias("group_ts_us"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -45,8 +45,7 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataF
 @register(
     "t_tumbling_window",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
-               AS window_start,
+    SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_us,
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS total_value
@@ -54,7 +53,8 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataF
     GROUP BY 1, 2
     """,
     doc="tumbling 10-min window agg (streaming-ready: same expr under "
-    "readStream + watermark).",
+    "readStream + watermark). Window start is an epoch-microsecond BIGINT "
+    "so the hash gate is immune to timestamp-rendering drift.",
     tags=("temporal", "window"),
 )
 def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +63,7 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
             "total_value",
@@ -74,7 +74,7 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_sliding_window",
     oracle="""
-    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT epoch_us(ws) AS window_start_us,
            COUNT(*) AS n_events
     FROM (
         SELECT time_bucket(INTERVAL '5 minutes', ts)
@@ -95,7 +95,7 @@ def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n_events",
         )
     )
@@ -105,13 +105,14 @@ def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_session_windows",
     oracle=f"""
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
@@ -126,7 +127,9 @@ def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     doc="gap-based sessionization (30-min inactivity) via lag + running sum; "
-    "streaming analog is session_window()/applyInPandasWithState.",
+    "streaming analog is session_window()/applyInPandasWithState. Session "
+    "bounds are emitted as epoch-microsecond BIGINTs (not formatted strings) "
+    "so the hash gate is immune to strftime/date_format library drift.",
     tags=("temporal", "window"),
 )
 def t_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,12 +142,12 @@ def t_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         ev.withColumn("is_new", is_new)
-        .withColumn("session_id", sess)
+        .withColumn("session_id", sess.cast("bigint"))
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
         )
     )
 
@@ -152,8 +155,7 @@ def t_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_stream_tumbling",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
-               AS window_start,
+    SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_us,
            event_type,
            COUNT(*) AS n_events
     FROM events
@@ -176,7 +178,7 @@ def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
         )
@@ -193,7 +195,7 @@ def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final value per key is the max
     return (
         spark.table(name)
-        .groupBy("window_start", "event_type")
+        .groupBy("window_start_us", "event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
 
@@ -241,13 +243,15 @@ def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_asof_last_signup",
     oracle="""
     SELECT event_id, user_id, event_type,
-           strftime(MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+           epoch_us(MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING), '%Y-%m-%d %H:%M:%S.%f') AS last_signup_ts
+               ROWS UNBOUNDED PRECEDING)) AS last_signup_us
     FROM events
     """,
     doc="as-of join (each event ⋈ most recent signup ≤ ts, same user) via "
-    "carry-forward max window — no range-join explosion at scale.",
+    "carry-forward max window — no range-join explosion at scale. The "
+    "as-of timestamp is an epoch-microsecond BIGINT (NULL when no prior "
+    "signup) so the hash gate is immune to timestamp-rendering drift.",
     tags=("temporal", "join"),
 )
 def t_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,15 +266,14 @@ def t_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.date_format(last_signup, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_signup_ts"),
+        F.unix_micros(last_signup).alias("last_signup_us"),
     )
 
 
 @register(
     "t_stream_continuous_agg",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
-               AS bucket,
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 4) AS value_sum
@@ -303,7 +306,7 @@ def t_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         read_continuous(spark, f"{work}/agg")
         .select(
-            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.unix_micros("bucket").alias("bucket_us"),
             "event_type",
             F.col("n").cast("bigint").alias("n"),
             F.round("value_sum", 4).alias("value_sum"),

@@ -21,10 +21,12 @@ module emits exactly that layout from scratch:
 
 The readers handle tiled AND strip-organized single-band TIFFs, classic
 (version 42) AND BigTIFF (version 43, 64-bit offsets — what GDAL writes
-for >4 GiB COGs), with Compression 1/5/8/32946 (none / TIFF-LZW / zlib
-deflate) and Predictor 1/2 — enough to read this writer's output, typical
-externally-produced deflate COGs, and LZW+predictor archive GeoTIFFs
-without GDAL. The writers emit BigTIFF on request or automatically when
+for >4 GiB COGs), with Compression 1/5/8/32946/32773 (none / TIFF-LZW /
+zlib deflate / PackBits) and Predictor 1/2 — enough to read this writer's
+output, typical externally-produced deflate COGs, LZW+predictor archive
+GeoTIFFs, and PackBits USGS/Landsat archive layouts without GDAL. ZSTD
+(Compression=50000) decodes through a loud env seam (stdlib
+compression.zstd on Python ≥3.14, else the zstandard package). The writers emit BigTIFF on request or automatically when
 the payload could cross the 4 GiB offset ceiling (GDAL's IF_SAFER).
 
 Scale note: one COG per (band, t) mosaic is a driver-side or
@@ -188,6 +190,81 @@ def lzw_decode(data: bytes) -> bytes:
     return b"".join(out)
 
 
+# ---------------------------------------------------------------------------
+# PackBits codec (Compression=32773, TIFF 6.0 spec §9) — the USGS/Landsat
+# archive staple the reference reads via GDAL (loader/_rio.py:374-475).
+# Pure stdlib; rows are packed independently per the spec's requirement
+# that "each row must begin on a fresh byte".
+
+
+def packbits_encode(data: bytes, row_bytes: Optional[int] = None) -> bytes:
+    if not data:
+        return b""
+    out = bytearray()
+    step = row_bytes or len(data)
+    for r in range(0, len(data), step):
+        row = data[r : r + step]
+        i, n = 0, len(row)
+        while i < n:
+            j = i
+            while j < n - 1 and row[j] == row[j + 1] and j - i < 127:
+                j += 1
+            run = j - i + 1
+            if run >= 2:  # replicate run: header = -(run-1) two's complement
+                out.append((257 - run) & 0xFF)
+                out.append(row[i])
+                i = j + 1
+            else:  # literal run up to 128 bytes, cut before the next 3-run
+                start = i
+                i += 1
+                while i < n and i - start < 128:
+                    if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                        break
+                    i += 1
+                out.append(i - start - 1)
+                out.extend(row[start:i])
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: Optional[int] = None) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and (expected is None or len(out) < expected):
+        b = data[i]
+        i += 1
+        if b == 128:  # noop per spec
+            continue
+        if b < 128:  # literal: next b+1 bytes
+            out += data[i : i + b + 1]
+            i += b + 1
+        else:  # replicate: next byte repeated 257-b times
+            out += data[i : i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _zstd_decompress(raw: bytes) -> bytes:
+    """ZSTD (Compression=50000, GDAL's registered code). No pure-stdlib
+    decoder exists before Python 3.14 (PEP 784 compression.zstd), so this
+    is a loud env seam: stdlib first, then the zstandard package."""
+    try:
+        from compression import zstd  # Python ≥3.14 stdlib
+
+        return zstd.decompress(raw)
+    except ImportError:
+        pass
+    try:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(raw)
+    except ImportError:
+        raise NotImplementedError(
+            "TIFF compression 50000 (ZSTD): needs Python ≥3.14 stdlib "
+            "compression.zstd or the 'zstandard' package — neither is "
+            "present in this environment"
+        )
+
+
 def _apply_predictor2(block: np.ndarray) -> np.ndarray:
     """Horizontal differencing (Predictor=2) on a 2-D integer block;
     operates per sample value (8/16/32-bit), wrapping mod 2**bits."""
@@ -264,9 +341,9 @@ def write_cog_file(
         raise ValueError("write_cog_file expects (h, w) or (h, w, samples)")
     if pix.ndim == 3 and pix.shape[2] > 4:
         raise ValueError("write_cog_file supports at most 4 interleaved samples")
-    if compression not in ("deflate", "lzw", "none", "jpeg"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "packbits"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw', 'jpeg' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg', 'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -407,10 +484,14 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
         from ..operators.jpeg import encode_jpeg
 
         return encode_jpeg(block, quality=jpeg_quality)
+    if compression == "packbits":
+        # spec §9: rows pack independently
+        row_bytes = block.nbytes // block.shape[0]
+        return packbits_encode(block.tobytes(), row_bytes=row_bytes)
     return block.tobytes()
 
 
-_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7}
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "packbits": 32773}
 
 
 def write_tiff_striped(
@@ -432,9 +513,9 @@ def write_tiff_striped(
     rows are written, matching real-world writers."""
     if pix.ndim != 2:
         raise ValueError("write_tiff_striped expects a 2-D single-band array")
-    if compression not in ("deflate", "lzw", "none", "jpeg"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "packbits"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw', 'jpeg' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg', 'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -717,10 +798,11 @@ def read_cog_header(path: str) -> Dict:
                 bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-            if comp not in (1, 5, 7, 8, 32946):
+            if comp not in (1, 5, 7, 8, 32946, 32773, 50000):
                 raise NotImplementedError(
                     f"TIFF compression {comp}: only none(1)/lzw(5)/jpeg(7)/"
-                    "deflate(8,32946) readable without GDAL"
+                    "deflate(8,32946)/packbits(32773)/zstd(50000) readable "
+                    "without GDAL"
                 )
             pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
             if pred not in (1, 2):
@@ -832,6 +914,10 @@ def read_cog_tile(
         raw = zlib.decompress(raw)
     elif comp == 5:
         raw = lzw_decode(raw)
+    elif comp == 32773:
+        raw = packbits_decode(raw, expected=th * tw * spp * dt.itemsize)
+    elif comp == 50000:
+        raw = _zstd_decompress(raw)
     n_rows = len(raw) // (tw * spp * dt.itemsize)
     arr = np.frombuffer(raw, dt, count=n_rows * tw * spp).reshape(n_rows, tw, spp)
     if lv.get("predictor", 1) == 2:

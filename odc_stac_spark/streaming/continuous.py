@@ -10,9 +10,16 @@ hour. Each micro-batch:
 3. re-aggregates ONLY those partitions (existing partials ∪ increment) and
    rewrites them via **dynamic partition overwrite** — untouched hours are
    never read or written, so maintenance cost follows the batch's time
-   span, not table size. A replayed batch merges to the same partials
-   (re-aggregation is idempotent w.r.t. the same input set because the
-   increment REPLACES the partition rather than appending).
+   span, not table size.
+
+Replay safety: ``foreachBatch`` is at-least-once, so a crash between the
+parquet commit and the checkpoint commit replays the batch. Every written
+row carries ``last_batch_id`` (the id of the most recent batch merged into
+its partition); on replay, partitions whose stored ``last_batch_id`` is
+already ≥ the incoming batch id have absorbed this batch's contribution
+and are excluded from both the merge and the rewrite — their dirs are left
+untouched, so the replay is exactly-once per partition. (File-source /
+Kafka batches are deterministic per batch_id, which this relies on.)
 
 Partials are (count, sum) — mergeable — so the rollup composes upward
 (hour → day) without rescanning raw events, and the serving view
@@ -49,6 +56,57 @@ def _merge_partials(df: DataFrame) -> DataFrame:
     )
 
 
+def make_batch_processor(spark: SparkSession, agg_path: str):
+    """The foreachBatch body, exposed for direct (replay) testing."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        inc0 = _rollup(batch_df).persist()
+        inc = inc0
+        touched = [r.bucket for r in inc.select("bucket").distinct().collect()]
+        if not touched:
+            inc0.unpersist()
+            return
+        merged = inc
+        if os.path.exists(agg_path):
+            existing_all = spark.read.parquet(agg_path).where(F.col("bucket").isin(touched))
+            if "last_batch_id" not in existing_all.columns:  # pre-upgrade table
+                existing_all = existing_all.withColumn("last_batch_id", F.lit(-1).cast("long"))
+            # Replay guard: partitions already stamped with this (or a later)
+            # batch id have absorbed this batch — skip them entirely so their
+            # dirs are neither re-merged nor rewritten. Driver-sized collect:
+            # one row per touched hour.
+            done = [
+                r.bucket
+                for r in existing_all.groupBy("bucket")
+                .agg(F.max("last_batch_id").alias("mb"))
+                .where(F.col("mb") >= batch_id)
+                .collect()
+            ]
+            if done:
+                todo = [b for b in touched if b not in set(done)]
+                if not todo:
+                    inc0.unpersist()
+                    return
+                inc = inc.where(F.col("bucket").isin(todo))
+                existing_all = existing_all.where(F.col("bucket").isin(todo))
+            existing = existing_all.select("bucket", "event_type", "n", "value_sum")
+            merged = _merge_partials(existing.unionByName(inc))
+        # dynamic partition overwrite: ONLY the touched hour dirs rewrite.
+        # The conf flip is save-and-restored — safe here because the write
+        # is EAGER (unlike the lazy-scan confs load_table documents).
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.withColumn("last_batch_id", F.lit(batch_id).cast("long")).withColumn(
+                "bucket_p", F.date_format("bucket", "yyyyMMddHH")
+            ).write.mode("overwrite").partitionBy("bucket_p").parquet(agg_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        inc0.unpersist()
+
+    return process
+
+
 def continuous_aggregate(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -57,37 +115,9 @@ def continuous_aggregate(
     trigger_available_now: bool = True,
 ):
     """Maintain the hourly rollup incrementally from an event stream."""
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        inc = _rollup(batch_df).persist()
-        touched = [r.bucket for r in inc.select("bucket").distinct().collect()]
-        if not touched:
-            inc.unpersist()
-            return
-        merged = inc
-        if os.path.exists(agg_path):
-            existing = (
-                spark.read.parquet(agg_path)
-                .where(F.col("bucket").isin(touched))
-                .select("bucket", "event_type", "n", "value_sum")
-            )
-            merged = _merge_partials(existing.unionByName(inc))
-        # dynamic partition overwrite: ONLY the touched hour dirs rewrite.
-        # The conf flip is save-and-restored — safe here because the write
-        # is EAGER (unlike the lazy-scan confs load_table documents).
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.withColumn(
-                "bucket_p", F.date_format("bucket", "yyyyMMddHH")
-            ).write.mode("overwrite").partitionBy("bucket_p").parquet(agg_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        inc.unpersist()
-
-    writer = events_stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = events_stream.writeStream.foreachBatch(
+        make_batch_processor(spark, agg_path)
+    ).option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -9,6 +9,7 @@ from odc_stac_spark.sources.tables import load_table
 from odc_stac_spark.streaming.continuous import (
     _rollup,
     continuous_aggregate,
+    make_batch_processor,
     read_continuous,
     rollup_to_day,
     serve_with_tail,
@@ -79,6 +80,37 @@ def test_serving_with_unmaterialized_tail(spark, tmp_path):
     got = _norm(serve_with_tail(spark, agg, tail).collect())
     want = _norm(_rollup(ev).collect())
     assert got == want
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the parquet commit and
+    the checkpoint commit re-delivers the same (batch_df, batch_id). The
+    last_batch_id stamp must make the re-delivery a no-op (no double count),
+    while a genuinely NEW batch id with the same hours still merges."""
+    ev = _events(spark)
+    b0 = ev.where(F.dayofmonth("ts") <= 3)
+    b1 = ev.where(F.dayofmonth("ts").between(3, 5))  # overlaps b0's hours on day 3
+    agg = str(tmp_path / "agg")
+    process = make_batch_processor(spark, agg)
+
+    process(b0, 0)
+    process(b1, 1)
+    want = _norm(read_continuous(spark, agg).collect())
+
+    # replay of the last batch (the only kind Structured Streaming re-delivers)
+    process(b1, 1)
+    assert _norm(read_continuous(spark, agg).collect()) == want
+
+    # replay of an older batch is also a no-op on its partitions
+    process(b0, 0)
+    assert _norm(read_continuous(spark, agg).collect()) == want
+
+    # a NEW batch id over the same hours is NOT skipped
+    process(b1, 2)
+    doubled = _norm(read_continuous(spark, agg).collect())
+    assert doubled != want
+    total_n = sum(r[2] for r in doubled)
+    assert total_n == b0.count() + 2 * b1.count()
 
 
 def test_daily_rollup_composes_from_partials(spark, tmp_path):

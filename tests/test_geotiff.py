@@ -684,3 +684,107 @@ def test_average_overviews(tmp_path):
     valid = a[a != 0]
     if valid.size:
         assert ov[1, 1] == np.rint(valid.mean())
+
+
+# ---------------------------------------------------------------------------
+# PackBits (Compression=32773) — TIFF 6.0 §9
+
+
+def test_packbits_spec_golden_vector():
+    """The worked example from the TIFF 6.0 spec's PackBits section."""
+    from odc_stac_spark.sources.geotiff import packbits_decode, packbits_encode
+
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert packbits_decode(packed) == unpacked
+    assert packbits_encode(unpacked) == packed
+
+
+def test_packbits_decode_noop_byte():
+    from odc_stac_spark.sources.geotiff import packbits_decode
+
+    # 0x80 is a spec-mandated no-op between runs
+    assert packbits_decode(b"\x80\x00A\x80\xfeB") == b"ABBB"
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_packbits_roundtrip_random_and_runs(seed):
+    from odc_stac_spark.sources.geotiff import packbits_decode, packbits_encode
+
+    rng = np.random.default_rng(seed)
+    # low-cardinality bytes → plenty of runs; plus pure noise and constants
+    for data in (
+        rng.integers(0, 3, 5000, dtype=np.uint8).tobytes(),
+        rng.integers(0, 256, 4096, dtype=np.uint8).tobytes(),
+        b"\x55" * 1000,
+        b"",
+        b"\x01",
+    ):
+        assert packbits_decode(packbits_encode(data)) == data
+        # per-row packing decodes identically (rows are independent)
+        assert packbits_decode(packbits_encode(data, row_bytes=37)) == data
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+def test_packbits_cog_roundtrip(tmp_path, dtype):
+    arr = rand((300, 530), dtype, seed=21)
+    p = str(tmp_path / f"pb_{dtype}.tif")
+    write_cog_file(p, arr, GBOX, tile=256, compression="packbits")
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], arr)
+
+
+def test_packbits_striped_short_last_strip(tmp_path):
+    from odc_stac_spark.sources.geotiff import read_cog_header, write_tiff_striped
+
+    arr = rand((301, 270), "uint16", seed=22)
+    p = str(tmp_path / "pb_strip.tif")
+    write_tiff_striped(p, arr, GBOX, nodata=9, rows_per_strip=64, compression="packbits")
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], arr)
+    assert read_cog_header(p)["levels"][0]["compression"] == 32773
+
+
+def test_packbits_predictor2(tmp_path):
+    """Predictor=2 turns smooth ramps into near-constant deltas — exactly
+    what PackBits run-length encodes well; must round-trip pixel-exact."""
+    import os
+
+    ramp = (np.arange(200)[None, :] + np.arange(120)[:, None]).astype("uint8")
+    p = str(tmp_path / "pb_pred2.tif")
+    write_cog_file(p, ramp, GBOX, tile=64, compression="packbits", predictor=2)
+    got = read_cog_file(p)
+    np.testing.assert_array_equal(got["data"], ramp)
+    assert os.path.getsize(p) < ramp.nbytes  # the runs actually compressed
+
+
+def test_zstd_seam_raises_loudly_without_lib(tmp_path):
+    """Compression=50000 parses through the header; the decode seam raises
+    a loud NotImplementedError when no zstd library is present (stdlib
+    compression.zstd arrives in Python 3.14)."""
+    from odc_stac_spark.sources import geotiff as gt
+
+    arr = rand((64, 64), "uint8", seed=23)
+    p = str(tmp_path / "z.tif")
+    write_cog_file(p, arr, GBOX, tile=64, compression="none")
+    # rewrite the compression tag in place: none(1) → zstd(50000)
+    raw = bytearray(open(p, "rb").read())
+    import struct as _s
+
+    n_tags = _s.unpack_from("<H", raw, 8)[0]
+    for t in range(n_tags):
+        off = 10 + 12 * t
+        if _s.unpack_from("<H", raw, off)[0] == 259:
+            _s.pack_into("<H", raw, off + 8, 50000)
+    open(p, "wb").write(raw)
+    hdr = gt.read_cog_header(p)
+    assert hdr["levels"][0]["compression"] == 50000
+    try:
+        import zstandard  # noqa: F401
+
+        has_zstd = True
+    except ImportError:
+        has_zstd = False
+    if not has_zstd:
+        with pytest.raises(NotImplementedError, match="ZSTD"):
+            gt.read_cog_tile(p, hdr, 0, 0)

@@ -107,3 +107,13 @@ def test_through_decoder_seam():
     img = np.full((16, 16), 42, np.uint8)
     out = DECODERS["image/jpeg"](encode_jpeg(img, quality=50))
     np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_fill_bytes_before_markers_accepted():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    img = np.full((16, 16), 100, np.uint8)
+    enc = encode_jpeg(img, quality=50)
+    assert enc[:2] == b"\xff\xd8"
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    out = decode_jpeg(padded)
+    np.testing.assert_array_equal(out[:, :, 0], img)

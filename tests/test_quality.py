@@ -59,3 +59,10 @@ def test_assert_checks_raises_with_details(spark, dirty):
         assert_checks(dirty, [{"check": "not_null", "column": "text"}])
     # passing suite is silent
     assert_checks(dirty, [{"check": "range", "column": "n", "min": -10, "max": 1000}])
+
+
+def test_empty_check_list_yields_empty_report(spark, dirty):
+    report = run_checks(dirty, [])
+    assert report.count() == 0
+    assert report.columns == ["check", "column", "violations", "total", "passed"]
+    assert_checks(dirty, [])  # vacuously passes, must not raise
