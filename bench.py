@@ -65,15 +65,17 @@ def main() -> None:
         registry[name].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
-    # two timed runs per query, best-of reported — the reference's protocol
-    # also runs cold+warm and reports the warm number
+    # three timed runs per query, best-of reported — the reference's
+    # protocol also runs cold+warm and reports the warm number
     # (docs/benchmarking.rst:214-237); the first sf run pays JIT (C2) and
     # cache-materialization costs that a long-lived cluster never sees.
+    # Best-of-3 (was best-of-2 through round 5) cuts the co-tenant-box
+    # jitter that produced ±20% swings on sub-second queries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
@@ -173,12 +175,18 @@ def raster_throughput(spark):
     return round(npix / elapsed / 1e6, 3), round(elapsed, 3), round(plan_submit, 3)
 
 
-def media_decode_throughput(spark, n_images: int = 384, side: int = 256):
+def media_decode_throughput(spark, n_images: int = 1536, side: int = 256):
     """Decode throughput of the REAL JPEG codec through the multimodal
     pipeline: n pre-encoded (driver-side, excluded from timing) JFIF
     payloads → binary rows → executor decode + stats via the DECODERS
     seam. Measures the Python-side codec rate the training-data decode
-    stage pays (PIL/nvJPEG would slot into the same seam)."""
+    stage pays (PIL/nvJPEG would slot into the same seam).
+
+    n_images went 384 → 1536 in round 6 for the same reason warp went to
+    12 scenes in round 4: at 384 the ~0.45 s fixed job cost (Arrow stream
+    setup × 32 + scheduling) was ~half the wall time, so the metric
+    tracked the job floor, not the sustained decode rate a 100 TB corpus
+    pays. 1536 images ≈ 100 Mpx keeps decode >80% of the wall."""
     import time as _time
 
     import numpy as np

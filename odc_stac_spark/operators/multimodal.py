@@ -537,6 +537,54 @@ from .jpeg import decode_jpeg as _decode_jpeg, encode_jpeg as _encode_jpeg  # no
 DECODERS["image/jpeg"] = _decode_jpeg
 
 
+def install_native_codecs() -> dict:
+    """Detect optional native image decoders and register them through the
+    DECODERS seam, displacing the pure-Python codecs for their media types.
+    Pure-Python decode is the 100 TB ceiling (~2-4 Mpx/s/thread vs >100
+    for libjpeg-turbo), so a deployment that ships Pillow or PyTurboJPEG
+    gets native speed with ZERO engine changes — operators snapshot
+    DECODERS at plan-build time, so anything registered here rides into
+    the Arrow workers automatically. Returns {media_type: backend} for
+    what engaged; {} (and no side effects) when no native lib is present.
+
+    Called at import so a session only has to have the lib installed; safe
+    to call again after installing more backends at runtime."""
+    engaged: dict = {}
+    try:  # PyTurboJPEG (libjpeg-turbo): fastest JPEG path
+        from turbojpeg import TurboJPEG
+
+        _tj = TurboJPEG()
+
+        def _tj_decode(data: bytes) -> np.ndarray:
+            arr = _tj.decode(data)  # BGR uint8
+            return np.ascontiguousarray(arr[:, :, ::-1])
+
+        register_decoder("image/jpeg", _tj_decode)
+        engaged["image/jpeg"] = "turbojpeg"
+    except Exception:  # noqa: BLE001 - probe only; lib absent or broken
+        pass
+    try:  # Pillow: JPEG (if turbojpeg didn't take it) + PNG
+        import io as _io
+
+        import PIL.Image as _PILImage
+
+        def _pil_decode(data: bytes) -> np.ndarray:
+            img = _PILImage.open(_io.BytesIO(data))
+            arr = np.asarray(img.convert("RGB" if img.mode not in ("L", "I;16") else "L"))
+            return arr[:, :, None] if arr.ndim == 2 else arr
+
+        for mt in ("image/jpeg", "image/png", "image/bmp"):
+            if mt not in engaged:
+                register_decoder(mt, _pil_decode)
+                engaged[mt] = "pillow"
+    except Exception:  # noqa: BLE001
+        pass
+    return engaged
+
+
+NATIVE_CODECS = install_native_codecs()
+
+
 _SPECTRAL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

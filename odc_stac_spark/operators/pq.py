@@ -140,12 +140,18 @@ def pq_adc_topk(
     books: np.ndarray,
     queries: Sequence[Tuple[int, Sequence[float]]],
     topk: int = 10,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """ADC top-k per query → (query_id, vec_id, rank, adc_dist).
 
     LUTs: (nq, m, k) partial squared distances, built driver-side (numpy,
     a few KB) and shipped by value; the distributed scan reads ONLY the
-    codes table and does m gathers + adds per (vector, query)."""
+    codes table and does m gathers + adds per (vector, query).
+
+    ``rank_rounded`` orders by the 6-decimal-rounded distance (then
+    vec_id) instead of the raw double — used by the oracle-gated query so
+    rank assignment can't flip on sub-1e-6 summation-order noise between
+    engines."""
     m, k, ds = books.shape
     q = np.asarray([v for _, v in queries], dtype=np.float64).reshape(-1, m, ds)
     luts = ((q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (nq, m, k)
@@ -176,7 +182,8 @@ def pq_adc_topk(
                 }
             )
 
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    order = F.round("adc_dist", 6) if rank_rounded else F.asc("adc_dist")
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
     return (
         codes.mapInPandas(scan, out_schema)
         .withColumn("rank", F.row_number().over(w))

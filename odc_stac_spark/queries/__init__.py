@@ -86,6 +86,7 @@ def load_all() -> dict[str, Query]:
     #   additionally oracle-verified locally via tools/driver_check.py).
     verified: set = set()
     needs_recheck: set = set()
+    hash_passed: set = set()
     try:
         import glob as _glob
         import json as _json
@@ -98,11 +99,20 @@ def load_all() -> dict[str, Query]:
                     if not isinstance(rec, dict):
                         needs_recheck.add(name)
                         continue
+                    if rec.get("hash_match") is True:
+                        hash_passed.add(name)
                     ok = rec.get("hash_match") is True or (
                         rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
                     )
                     (verified if ok else needs_recheck).add(name)
         needs_recheck -= verified  # any later passing row supersedes a failure
+        # oracle-strengthened: the registration now carries a SQL oracle but
+        # every passing row so far was rows-only — re-check to earn the
+        # hash-gated row the stronger registration claims
+        for name, q in REGISTRY.items():
+            if q.oracle is not None and name in verified and name not in hash_passed:
+                verified.discard(name)
+                needs_recheck.add(name)
     except Exception:  # noqa: BLE001 - ordering is best-effort, never fatal
         pass
     # within the fresh block, the most distinctive operator families go

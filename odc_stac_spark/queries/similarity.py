@@ -625,17 +625,78 @@ def ann_lsh_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_pairs_from_index(spark, p, table)
 
 
+#: PQ geometry for the oracle-gated serving query: 64-dim embeddings split
+#: into m=32 subspaces of ds=2 dims, k=32 codewords per subspace.
+_PQ_M, _PQ_K, _PQ_DS = 32, 32, 2
+
+# The oracle reconstructs the ENTIRE PQ serving path in SQL: codebook =
+# subvectors of the first k vectors by vec_id (the deterministic init
+# operators/pq.py uses; no Lloyd iterations here, so both engines hold
+# bit-identical codebooks), encode = per-subspace argmin with lowest-code
+# tie-break (numpy argmin semantics), ADC = join codes to the query LUT
+# and sum m partials. Squares are written (d)*(d), not POWER, to match
+# numpy's multiply exactly; ranking orders by the ROUNDED distance so a
+# sub-1e-6 summation-order wobble cannot flip ranks across engines.
+_PQ_ORACLE = f"""
+    WITH b AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS emb
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    s AS (SELECT UNNEST(range(0, {_PQ_M})) AS j),
+    enc0 AS (
+        SELECT v.vec_id, s.j, b.code,
+               (CAST(v.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+             * (CAST(v.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+             + (CAST(v.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE))
+             * (CAST(v.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE)) AS d2
+        FROM v CROSS JOIN s CROSS JOIN b
+    ),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM enc0
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, emb
+        FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 5)
+    ),
+    lut AS (
+        SELECT q.query_id, s.j, b.code,
+               (CAST(q.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+             * (CAST(q.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+             + (CAST(q.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE))
+             * (CAST(q.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE)) AS pd
+        FROM q CROSS JOIN s CROSS JOIN b
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id, SUM(l.pd) AS adc_dist
+        FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, rank, adc_dist FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(adc_dist, 6), vec_id) AS rank,
+               ROUND(adc_dist, 6) AS adc_dist
+        FROM adc
+    ) WHERE rank <= 10
+"""
+
+
 @register(
     "ann_pq_adc_topk",
-    # no SQL oracle: PQ training is iterative k-means (float-order
-    # sensitive); recall and serving-plan properties are pytest-gated in
-    # tests/test_pq.py (rows-only check here)
-    doc="product-quantization ANN (operators/pq.py — Jégou et al. PQ): "
-    "per-subspace codebooks trained by distributed Lloyd passes, vectors "
-    "encoded map-side to 32 5-bit codes (12.8x smaller than float32), "
+    oracle=_PQ_ORACLE,
+    doc="product-quantization ANN serving (operators/pq.py — Jégou et al. "
+    "PQ): vectors encoded map-side to 32 codes over deterministic init "
+    "codebooks (subvectors of the first k vectors — SQL-reconstructable, "
+    "so the FULL encode→ADC→top-k path is hash-gated against DuckDB), "
     "queries answered by ADC lookup-table scans over the CODES table "
-    "only. The memory path of FAISS-style IVF-PQ at 100 TB; recall@10 "
-    "≥0.5 vs exact L2 is asserted in pytest.",
+    "only. The memory path of FAISS-style IVF-PQ at 100 TB. Lloyd-TRAINED "
+    "codebooks (iterative, float-order sensitive) are exercised with "
+    "recall@10 ≥0.5 and serving-plan assertions in tests/test_pq.py.",
     tags=("similarity", "ann", "pq"),
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,10 +707,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
-    books = train_pq(emb, m=32, k=32, n_iter=4)
+    # n_iter=0 → deterministic init codebooks (first k vectors' subvectors)
+    books = train_pq(emb, m=_PQ_M, k=_PQ_K, n_iter=0)
     codes = encode_pq(emb, books)
     queries = [
         (int(r.vec_id), [float(v) for v in r.emb])
         for r in emb.orderBy("vec_id").limit(5).collect()
     ]
-    return pq_adc_topk(codes, books, queries, topk=10)
+    return pq_adc_topk(codes, books, queries, topk=10, rank_rounded=True)

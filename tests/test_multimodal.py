@@ -226,3 +226,70 @@ def test_resample_audio_linear_correctness():
     # 3:2 rational ratio, spot-check position math: out[1] at src pos 1.5
     r = resample_audio(s, 48000, 32000)
     np.testing.assert_allclose(r[1], 15.0)
+
+
+def test_install_native_codecs_noop_without_libs():
+    """No Pillow/turbojpeg in this container: the probe must engage
+    nothing and leave the pure-Python codecs in place."""
+    import odc_stac_spark.operators.multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — covered by the engaged-path test")
+    except ImportError:
+        pass
+    before = dict(mm.DECODERS)
+    assert mm.install_native_codecs() == {}
+    assert mm.DECODERS == before
+    from odc_stac_spark.operators.jpeg import decode_jpeg
+
+    assert mm.DECODERS["image/jpeg"] is decode_jpeg
+
+
+def test_install_native_codecs_engages_fake_pillow(monkeypatch):
+    """Drop-in contract for a NATIVE decoder: with a (faked) Pillow on the
+    path, install_native_codecs must register it through the DECODERS seam
+    so decode dispatch uses it for jpeg/png/bmp — zero engine changes."""
+    import sys
+    import types
+
+    import odc_stac_spark.operators.multimodal as mm
+
+    calls = []
+
+    class _FakeImg:
+        mode = "L"
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((4, 6), 9, np.uint8)
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+
+    def _open(buf):
+        calls.append(buf.read())
+        return _FakeImg()
+
+    fake_image_mod.open = _open
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    saved = dict(mm.DECODERS)
+    try:
+        engaged = mm.install_native_codecs()
+        assert engaged == {
+            "image/jpeg": "pillow",
+            "image/png": "pillow",
+            "image/bmp": "pillow",
+        }
+        out = mm.decode_image(b"\xff\xd8fake", "image/jpeg")
+        assert out.shape == (4, 6, 1) and out.dtype == np.uint8
+        assert calls == [b"\xff\xd8fake"]  # the fake native codec ran
+    finally:
+        mm.DECODERS.clear()
+        mm.DECODERS.update(saved)
