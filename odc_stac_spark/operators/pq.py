@@ -199,6 +199,7 @@ def ivfpq_topk(
     queries: Sequence[Tuple[int, Sequence[float]]],
     topk: int = 10,
     nprobe: int = 4,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """IVF-PQ serving (the FAISS production composition): coarse centroids
     prune the scan to each query's ``nprobe`` nearest cells, ADC scores
@@ -251,7 +252,8 @@ def ivfpq_topk(
                 yield pd.concat(frames, ignore_index=True)
 
     pruned = codes_with_cell.where(F.col("cell_id").isin(union_cells))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    order = F.round("adc_dist", 6) if rank_rounded else F.asc("adc_dist")
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
     return (
         pruned.mapInPandas(scan, out_schema)
         .withColumn("rank", F.row_number().over(w))

@@ -645,6 +645,79 @@ def r_netcdf_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_hdf5_zonal",
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y + 3 * x.x) % 13 = 0 THEN NULL
+                  ELSE (11 * y.y + 7 * x.x + 3) % 251 END AS red,
+             CASE WHEN (3 * y.y + x.x) % 17 = 0 THEN NULL
+                  ELSE (13 * y.y + 5 * x.x + 19) % 239 END AS nir
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT band, 0 AS t,
+           CAST(y // 16 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM (
+      SELECT y, x, 'red' AS band, red AS value FROM pix
+      UNION ALL
+      SELECT y, x, 'nir' AS band, nir AS value FROM pix
+    )
+    GROUP BY band, 3, 4
+    """,
+    doc="HASH-GATED netCDF-4/HDF5 container read: an HDF5 file (written "
+    "by the pure-stdlib writer, sources/hdf5.py) with two gzip+shuffle "
+    "chunked variables is read through the FULL load pipeline — reader "
+    "dispatch by extension, magic-sniffed HDF5 header parse, per-band "
+    "subdataset addressing, chunk-B-tree windowed reads with "
+    "deflate/shuffle de-filtering, nodata masking — then zonal "
+    "statistics. The oracle recomputes every pixel from the fixture "
+    "formula, so the hash gates the whole on-disk HDF5 chunk machinery. "
+    "(The reference reads these via GDAL subdatasets, loader/_rio.py.)",
+    tags=("raster", "hdf5", "netcdf4", "zonal"),
+)
+def r_hdf5_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.zonal import zonal_stats
+    from ..sources.hdf5 import write_hdf5
+
+    ny, nx = 64, 96
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = ((11 * y + 7 * x + 3) % 251).astype(np.int16)
+    red[(y + 3 * x) % 13 == 0] = -1
+    nir = ((13 * y + 5 * x + 19) % 239).astype(np.int16)
+    nir[(3 * y + x) % 17 == 0] = -1
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), _CRS)
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_hdf5_zonal.h5")
+    write_hdf5(
+        path,
+        {
+            "red": {"data": red, "chunks": (32, 32), "compression": "gzip", "shuffle": True},
+            "nir": {"data": nir, "chunks": (32, 32), "compression": "gzip"},
+        },
+    )
+    item = Item(
+        id="h5-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            b: RasterSource(
+                path, subdataset=b, geobox=gbox, meta=RasterBandMetadata("int16", -1)
+            )
+            for b in ("red", "nir")
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(32, 48))
+    return zonal_stats(tiles_df, nodata=-1.0, zone_h=16, zone_w=32)
+
+
+@register(
     "r_multiband_cog_zonal",
     # fixture: a 3-band chunky (SamplesPerPixel=3) deflate+Predictor-2 COG;
     # band b pixel (y, x) = (b*1013 + y*37 + x*17) % 4001. Bands 1 and 3

@@ -715,3 +715,132 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.orderBy("vec_id").limit(5).collect()
     ]
     return pq_adc_topk(codes, books, queries, topk=10, rank_rounded=True)
+
+
+# IVF-PQ: the same deterministic PQ serving composed with coarse-cell
+# pruning over the IVF_K fixed centroids (L2, single assignment). The
+# oracle reproduces cells, probe sets, encode, and ADC entirely in SQL.
+_IVFPQ_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    b AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, emb
+        FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    cent AS (SELECT vec_id AS cent_id, emb::DOUBLE[] AS cemb FROM v WHERE vec_id < {IVF_K}),
+    cells AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(e.emb::DOUBLE[], c.cemb),
+                                               x -> (x[1]-x[2])*(x[1]-x[2]))),
+                       c.cent_id) AS rn
+            FROM v e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    s AS (SELECT UNNEST(range(0, {_PQ_M})) AS j),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, s.j, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+                       (CAST(e.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+                     * (CAST(e.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+                     + (CAST(e.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE))
+                     * (CAST(e.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE)),
+                       b.code) AS rn
+            FROM v e CROSS JOIN s CROSS JOIN b
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, emb
+        FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 5)
+    ),
+    probe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_sum(list_transform(list_zip(q.emb::DOUBLE[], c.cemb),
+                                               x -> (x[1]-x[2])*(x[1]-x[2]))),
+                       c.cent_id) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    lut AS (
+        SELECT q.query_id, s.j, b.code,
+               (CAST(q.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+             * (CAST(q.emb[s.j*2+1] AS DOUBLE) - CAST(b.emb[s.j*2+1] AS DOUBLE))
+             + (CAST(q.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE))
+             * (CAST(q.emb[s.j*2+2] AS DOUBLE) - CAST(b.emb[s.j*2+2] AS DOUBLE)) AS pd
+        FROM q CROSS JOIN s CROSS JOIN b
+    ),
+    cand AS (
+        SELECT p.query_id, cl.vec_id
+        FROM probe p JOIN cells cl ON cl.cell_id = p.cent_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.vec_id, SUM(l.pd) AS adc_dist
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.code = e.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, rank, adc_dist FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(adc_dist, 6), vec_id) AS rank,
+               ROUND(adc_dist, 6) AS adc_dist
+        FROM adc
+    ) WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ serving (the FAISS production composition, operators/"
+    "pq.py::ivfpq_topk): vectors single-assigned to their nearest of "
+    "IVF_K fixed centroids (distributed broadcast join, L2), PQ-encoded "
+    "map-side over deterministic init codebooks, queries scan ONLY the "
+    "codes in their nprobe nearest cells via ADC lookup tables. With "
+    "cell-partitioned codes at 100 TB the isin filter becomes partition "
+    "pruning — cost follows nprobe/K of the corpus at PQ memory. The "
+    "SQL oracle reproduces cells + probes + encode + ADC, hash-gating "
+    "the entire serving composition.",
+    tags=("similarity", "ann", "pq", "ivf"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ..operators.pq import encode_pq, ivfpq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    books = train_pq(emb, m=_PQ_M, k=_PQ_K, n_iter=0)
+    codes = encode_pq(emb, books)
+    # distributed cell assignment: broadcast the 16 fixed centroids, L2
+    # argmin via sequential float64 fold (bit-matches DuckDB list_sum)
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell_id", l2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cell_id").cast("int").alias("cell_id"))
+    )
+    codes_cell = codes.join(cells, "vec_id")
+    first = emb.orderBy("vec_id").limit(max(IVF_K, 5)).collect()
+    centroids = np.asarray([r.emb for r in first[:IVF_K]], dtype=np.float64)
+    queries = [(int(r.vec_id), [float(x) for x in r.emb]) for r in first[:5]]
+    return ivfpq_topk(
+        codes_cell, books, centroids, queries, topk=10, nprobe=IVF_NPROBE,
+        rank_rounded=True,
+    )

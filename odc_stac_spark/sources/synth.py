@@ -730,17 +730,17 @@ class RioReader:
 
 
 class NetCDFReader:
-    """HDF5-backed (netCDF-4 / .h5 / .hdf5) container driver — requires
-    h5py (absent here). Classic-format ``.nc`` files are served natively
-    by :class:`odc_stac_spark.sources.netcdf.NcReader` (pure-numpy CDF-1/2
-    codec); this slot remains for the HDF5 chunked layout, whose
-    B-tree/filter machinery genuinely needs the native library."""
+    """Legacy h5py slot, superseded: netCDF-4/HDF5 containers are now
+    served natively by :class:`odc_stac_spark.sources.netcdf.NcReader`
+    via the in-house HDF5 reader (sources/hdf5.py — v1 B-tree chunk
+    index, deflate/shuffle filters, windowed chunk reads). This class
+    remains only so external code holding the name keeps a loud error
+    path for genuinely unreadable HDF5 profiles."""
 
-    def read(self, src, cfg, dst_geobox):  # pragma: no cover - env lacks hdf5
+    def read(self, src, cfg, dst_geobox):  # pragma: no cover - superseded
         raise NotImplementedError(
-            "NetCDFReader (HDF5 layout) needs h5py, which is not installed "
-            "in this environment; classic .nc files are read natively via "
-            "sources/netcdf.py NcReader"
+            "NetCDFReader is superseded: .h5/.nc4 containers dispatch to "
+            "sources/netcdf.py NcReader (in-house HDF5 reader); use that"
         )
 
 
@@ -875,10 +875,11 @@ def reader_for(uri: str):
     path = uri.split("?")[0].split("#")[0].lower()
     if path.endswith((".tif", ".tiff")):
         return TiffReader()
-    if path.endswith(".nc"):
+    if path.endswith((".nc", ".h5", ".hdf", ".hdf5")):
+        # NcReader serves classic CDF-1/2/5 AND netCDF-4/HDF5 containers —
+        # read_netcdf_header sniffs the magic and dispatches to the
+        # in-house HDF5 reader (sources/hdf5.py) for the latter
         from .netcdf import NcReader
 
         return NcReader()
-    if path.endswith((".h5", ".hdf", ".hdf5")):
-        return NetCDFReader()
     return RioReader()

@@ -382,13 +382,14 @@ def test_subdataset_on_tiff_raises(spark):
 
 def test_netcdf_reader_dispatch():
     from odc_stac_spark.sources.netcdf import NcReader
-    from odc_stac_spark.sources.synth import NetCDFReader, reader_for
+    from odc_stac_spark.sources.synth import reader_for
 
-    # classic .nc → native pure-numpy reader; HDF5 containers → h5py slot
+    # classic .nc AND HDF5 containers → the native NcReader (the header
+    # parse sniffs the magic and routes netCDF-4 to sources/hdf5.py)
     assert isinstance(reader_for("s3://b/x.nc"), NcReader)
     assert isinstance(reader_for("file:///d/scene.nc#red"), NcReader)
-    assert isinstance(reader_for("file:///d/y.h5?foo=1"), NetCDFReader)
-    assert isinstance(reader_for("s3://b/z.hdf5"), NetCDFReader)
+    assert isinstance(reader_for("file:///d/y.h5?foo=1"), NcReader)
+    assert isinstance(reader_for("s3://b/z.hdf5"), NcReader)
 
 
 def test_solar_day_default_lon_from_grid_centroid(spark):

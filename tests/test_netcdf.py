@@ -117,12 +117,18 @@ def test_record_variable_hand_assembled():
         )
 
 
-def test_hdf5_magic_refused(tmp_path):
+def test_hdf5_magic_dispatches_to_hdf5_reader(tmp_path):
+    """A .nc file with the HDF5 signature (netCDF-4) parses through the
+    in-house HDF5 reader and serves the same header-dict shape."""
+    from odc_stac_spark.sources.hdf5 import write_hdf5
+
     p = str(tmp_path / "h5.nc")
-    with open(p, "wb") as f:
-        f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="HDF5"):
-        read_netcdf_header(p)
+    a = np.arange(12, dtype=np.int32).reshape(3, 4)
+    write_hdf5(p, {"v": {"data": a, "attrs": {"units": "m"}}})
+    hdr = read_netcdf_header(p)
+    assert hdr["format"] == "hdf5"
+    assert hdr["vars"]["v"]["attrs"]["units"] == "m"
+    np.testing.assert_array_equal(read_netcdf_var(p, hdr, "v"), a)
 
 
 def test_unknown_cdf_version_refused(tmp_path):
