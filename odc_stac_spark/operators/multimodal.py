@@ -22,6 +22,7 @@ wide binary column is pruned from downstream plans.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterator
 
@@ -547,8 +548,13 @@ def install_native_codecs() -> dict:
     the Arrow workers automatically. Returns {media_type: backend} for
     what engaged; {} (and no side effects) when no native lib is present.
 
-    Called at import so a session only has to have the lib installed; safe
-    to call again after installing more backends at runtime."""
+    OPT-IN: call explicitly, or set ``ODC_STAC_SPARK_NATIVE_CODECS=1``
+    before import. Not auto-engaged — the hash-gated codec queries
+    (mm_image_jpeg_codec, mm_webdataset_pipeline) pin exact-losslessness
+    to the pure-Python codecs, and a native IDCT's rounding (or
+    TurboJPEG's 3-channel grayscale) would silently change gate results
+    with the environment. Safe to call again after installing more
+    backends at runtime."""
     engaged: dict = {}
     try:  # PyTurboJPEG (libjpeg-turbo): fastest JPEG path
         from turbojpeg import TurboJPEG
@@ -582,7 +588,11 @@ def install_native_codecs() -> dict:
     return engaged
 
 
-NATIVE_CODECS = install_native_codecs()
+NATIVE_CODECS: dict = (
+    install_native_codecs()
+    if os.environ.get("ODC_STAC_SPARK_NATIVE_CODECS", "").lower() in ("1", "true", "yes")
+    else {}
+)
 
 
 _SPECTRAL_SCHEMA = StructType(

@@ -34,7 +34,7 @@ FAISS IVF-PQ: coarse cells prune the scan, PQ compresses what remains.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -135,6 +135,88 @@ def encode_pq(emb: DataFrame, books: np.ndarray) -> DataFrame:
     return emb.mapInPandas(enc, _CODE_SCHEMA)
 
 
+_CAND_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("adc_dist", DoubleType()),
+    ]
+)
+
+
+def _local_topk_frame(
+    d: np.ndarray,
+    vec_ids: np.ndarray,
+    qids: List[int],
+    topk: int,
+    rounded: bool,
+    masks=None,
+) -> Optional[pd.DataFrame]:
+    """Per-batch local top-k (two-stage top-k, stage 1). Selection uses
+    the SAME (distance, vec_id) ordering the global window applies — with
+    the rounded key when ``rounded`` — so the global top-k is provably a
+    subset of the union of local top-ks, and the shuffle after the scan
+    carries ≤ batches × nq × topk rows instead of every scored pair."""
+    keys = np.round(d, 6) if rounded else d
+    frames = []
+    for i, qid in enumerate(qids):
+        ki, vi, di = keys[i], vec_ids, d[i]
+        if masks is not None:
+            mask = masks[i]
+            if not mask.any():
+                continue
+            ki, vi, di = ki[mask], vec_ids[mask], di[mask]
+        order = np.lexsort((vi, ki))[:topk]
+        frames.append(
+            pd.DataFrame(
+                {"query_id": qid, "vec_id": vi[order], "adc_dist": di[order]}
+            )
+        )
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)
+
+
+def _global_topk(candidates: DataFrame, topk: int, rank_rounded: bool) -> DataFrame:
+    order = F.round("adc_dist", 6) if rank_rounded else F.asc("adc_dist")
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
+    )
+
+
+def pq_adc_candidates(
+    codes: DataFrame,
+    books: np.ndarray,
+    queries: Sequence[Tuple[int, Sequence[float]]],
+    topk: int = 10,
+    rank_rounded: bool = False,
+) -> DataFrame:
+    """Stage-1 ADC scan → per-batch local top-k candidates (bounded)."""
+    m, k, ds = books.shape
+    q = np.asarray([v for _, v in queries], dtype=np.float64).reshape(-1, m, ds)
+    luts = ((q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (nq, m, k)
+    qids = [int(i) for i, _ in queries]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            # (nq, n) distances: gather each query's LUT at the codes
+            d = luts[:, sub[None, :], c].sum(-1)  # (nq, n)
+            out = _local_topk_frame(
+                d, pdf["vec_id"].values, qids, topk, rank_rounded
+            )
+            if out is not None:
+                yield out
+
+    return codes.mapInPandas(scan, _CAND_SCHEMA)
+
+
 def pq_adc_topk(
     codes: DataFrame,
     books: np.ndarray,
@@ -146,50 +228,32 @@ def pq_adc_topk(
 
     LUTs: (nq, m, k) partial squared distances, built driver-side (numpy,
     a few KB) and shipped by value; the distributed scan reads ONLY the
-    codes table and does m gathers + adds per (vector, query).
+    codes table and does m gathers + adds per (vector, query), emitting a
+    per-batch local top-k so the global window shuffles a bounded set.
 
     ``rank_rounded`` orders by the 6-decimal-rounded distance (then
     vec_id) instead of the raw double — used by the oracle-gated query so
     rank assignment can't flip on sub-1e-6 summation-order noise between
     engines."""
-    m, k, ds = books.shape
-    q = np.asarray([v for _, v in queries], dtype=np.float64).reshape(-1, m, ds)
-    luts = ((q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)  # (nq, m, k)
-    qids = [int(i) for i, _ in queries]
+    cands = pq_adc_candidates(codes, books, queries, topk, rank_rounded)
+    return _global_topk(cands, topk, rank_rounded)
 
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("vec_id", LongType()),
-            StructField("adc_dist", DoubleType()),
-        ]
-    )
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sub = np.arange(m)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            c = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
-            # (nq, n) distances: gather each query's LUT at the codes
-            d = luts[:, sub[None, :], c].sum(-1)  # (nq, n)
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n),
-                    "vec_id": np.tile(pdf["vec_id"].values, len(qids)),
-                    "adc_dist": d.reshape(-1),
-                }
-            )
-
-    order = F.round("adc_dist", 6) if rank_rounded else F.asc("adc_dist")
-    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
-    return (
-        codes.mapInPandas(scan, out_schema)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select("query_id", "vec_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
-    )
+def _probe_cells(
+    q: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> List[List[int]]:
+    """Each query's nprobe nearest coarse cells, ENGINE-DETERMINISTICALLY:
+    squared distances as a sequential float64 fold over dims (bit-matching
+    the SQL oracle's list_sum left-to-right accumulation, not numpy's
+    pairwise summation), stable-sorted so cent_id breaks exact ties the
+    same way on both engines."""
+    nq, dim = q.shape
+    d2c = np.zeros((nq, len(centroids)), dtype=np.float64)
+    for j in range(dim):
+        d2c += (q[:, j, None] - centroids[None, :, j]) ** 2
+    return [
+        np.argsort(d2c[i], kind="stable")[:nprobe].tolist() for i in range(nq)
+    ]
 
 
 def ivfpq_topk(
@@ -203,29 +267,38 @@ def ivfpq_topk(
 ) -> DataFrame:
     """IVF-PQ serving (the FAISS production composition): coarse centroids
     prune the scan to each query's ``nprobe`` nearest cells, ADC scores
-    only the surviving CODES.
+    only the surviving CODES, and each Arrow batch emits its local top-k
+    before the single bounded global ranking shuffle.
 
     ``codes_with_cell``: (vec_id, codes, cell_id) — at 100 TB this table
     is written partitioned by ``cell_id`` so the ``isin`` filter below
     becomes partition pruning (only probed cell files are read at all);
     the ADC cost then follows nprobe/K of the corpus, at PQ memory."""
+    cands = ivfpq_candidates(
+        codes_with_cell, books, centroids, queries, topk, nprobe, rank_rounded
+    )
+    return _global_topk(cands, topk, rank_rounded)
+
+
+def ivfpq_candidates(
+    codes_with_cell: DataFrame,
+    books: np.ndarray,
+    centroids: np.ndarray,
+    queries: Sequence[Tuple[int, Sequence[float]]],
+    topk: int = 10,
+    nprobe: int = 4,
+    rank_rounded: bool = False,
+) -> DataFrame:
+    """Stage-1 IVF-PQ scan → per-batch local top-k candidates (bounded)."""
     m, k, ds = books.shape
     q = np.asarray([v for _, v in queries], dtype=np.float64)
-    d2c = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)  # (nq, K)
-    probe = {int(qid): set(np.argsort(d2c[i])[:nprobe].tolist()) for i, (qid, _) in enumerate(queries)}
+    cells_per_q = _probe_cells(q, centroids, nprobe)
+    probe = {int(qid): set(cells_per_q[i]) for i, (qid, _) in enumerate(queries)}
     union_cells = sorted(set().union(*probe.values()))
 
-    qm = np.asarray([v for _, v in queries], dtype=np.float64).reshape(-1, m, ds)
+    qm = q.reshape(-1, m, ds)
     luts = ((qm[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
     qids = [int(i) for i, _ in queries]
-
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("vec_id", LongType()),
-            StructField("adc_dist", DoubleType()),
-        ]
-    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sub = np.arange(m)
@@ -235,28 +308,15 @@ def ivfpq_topk(
             c = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
             cells = pdf["cell_id"].values
             d = luts[:, sub[None, :], c].sum(-1)  # (nq, n)
-            frames = []
-            for i, qid in enumerate(qids):
-                mask = np.asarray([cell in probe[qid] for cell in cells])
-                if mask.any():
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qid,
-                                "vec_id": pdf["vec_id"].values[mask],
-                                "adc_dist": d[i][mask],
-                            }
-                        )
-                    )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            masks = [
+                np.asarray([cell in probe[qid] for cell in cells])
+                for qid in qids
+            ]
+            out = _local_topk_frame(
+                d, pdf["vec_id"].values, qids, topk, rank_rounded, masks=masks
+            )
+            if out is not None:
+                yield out
 
     pruned = codes_with_cell.where(F.col("cell_id").isin(union_cells))
-    order = F.round("adc_dist", 6) if rank_rounded else F.asc("adc_dist")
-    w = Window.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
-    return (
-        pruned.mapInPandas(scan, out_schema)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select("query_id", "vec_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
-    )
+    return pruned.mapInPandas(scan, _CAND_SCHEMA)

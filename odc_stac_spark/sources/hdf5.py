@@ -226,10 +226,16 @@ def write_hdf5(
         chunks = spec.get("chunks")
         comp = spec.get("compression")
         shuffle = bool(spec.get("shuffle"))
+        fill = spec.get("fill")  # scalar → defined fill; all-fill chunks elided
+        if fill is None:
+            fill_msg = bytes([2, 2, 0, 0])  # fill v2, undefined (no size field)
+        else:
+            fill_b = np.asarray(fill, dt).tobytes()
+            fill_msg = bytes([2, 2, 0, 1]) + _u32(len(fill_b)) + fill_b
         msgs: List[Tuple[int, bytes]] = [
             (0x0001, _dataspace_msg(arr.shape)),
             (0x0003, _dt_message(dt)),
-            (0x0005, bytes([2, 2, 0, 0])),  # fill v2, undefined (no size field)
+            (0x0005, fill_msg),
         ]
         if chunks is None:
             addr = w.add(arr.tobytes())
@@ -266,8 +272,11 @@ def write_hdf5(
                     slice(o, min(o + c, s))
                     for o, c, s in zip(origin, chunks, arr.shape)
                 )
-                block = np.zeros(chunks, dt)  # edge chunks stored full-size
+                # edge chunks stored full-size; pad with fill when defined
+                block = np.full(chunks, fill if fill is not None else 0, dt)
                 block[tuple(slice(0, sl.stop - sl.start) for sl in sel)] = arr[sel]
+                if fill is not None and np.all(block == np.asarray(fill, dt)):
+                    continue  # libhdf5-style: all-fill chunks never allocated
                 raw = block.tobytes()
                 if shuffle:
                     raw = (
@@ -418,20 +427,25 @@ def _iter_messages_v2(r: _R, addr: int):
     chunk0 = int.from_bytes(r.read_at(addr + p, size_bytes), "little")
     p += size_bytes
     tracked = bool(flags & 0x04)
+    hdr_len = 6 if tracked else 4  # type(1) size(2) flags(1) [+corder(2)]
+    # chunk 0's size covers messages + gap only — the 4-byte checksum
+    # FOLLOWS the chunk (libhdf5 layout); the gap is by definition
+    # smaller than a message header, so the loop bound is exact.
     blocks = [(addr + p, chunk0)]
     while blocks:
         boff, bsize = blocks.pop(0)
         buf = r.read_at(boff, bsize)
         q = 0
-        while q + 4 <= len(buf) - 4:  # trailing gap/checksum
+        while q + hdr_len <= len(buf):
             typ = buf[q]
             size = struct.unpack_from("<H", buf, q + 1)[0]
-            q += 4 + (2 if tracked else 0)
+            q += hdr_len
             body = buf[q : q + size]
             q += size
             if typ == 0x10 and len(body) >= 16:
+                # continuation length INCLUDES the OCHK sig + checksum
                 coff, clen = struct.unpack_from("<QQ", body, 0)
-                blocks.append((coff + 4, clen - 8))  # skip OCHK sig + checksum
+                blocks.append((coff + 4, clen - 8))
             elif typ:
                 yield typ, body
 
@@ -489,17 +503,49 @@ def _parse_attr(b: bytes):
     return name, vals[0].item() if not shape else vals.reshape(shape).tolist()
 
 
+def _parse_fill_value(b: bytes) -> Optional[bytes]:
+    """Fill value message v1/v2/v3 → raw value bytes, or None when the
+    fill is undefined (HDF5 spec §IV.A.2.f). libhdf5 leaves unwritten
+    chunks unallocated, so a defined fill must back absent chunks."""
+    ver = b[0]
+    if ver == 1:
+        size = struct.unpack_from("<I", b, 4)[0]
+        return b[8 : 8 + size] if size else None
+    if ver == 2:
+        defined = b[3]
+        if defined != 1:
+            return None
+        size = struct.unpack_from("<I", b, 4)[0]
+        return b[8 : 8 + size] if size else None
+    if ver == 3:
+        flags = b[1]
+        if not flags & 0x20:  # fill value defined bit
+            return None
+        size = struct.unpack_from("<I", b, 2)[0]
+        return b[6 : 6 + size] if size else None
+    return None
+
+
 def _parse_filters(b: bytes) -> List[Tuple[int, List[int]]]:
     ver = b[0]
     nf = b[1]
     out = []
     p = 8 if ver == 1 else 2
     for _ in range(nf):
-        fid, name_len = struct.unpack_from("<HH", b, p)
-        flags, ncv = struct.unpack_from("<HH", b, p + 4)
-        p += 8
-        if ver == 1 or fid >= 256:
-            p += name_len + (-name_len % 8 if ver == 1 else 0)
+        if ver == 1:
+            fid, name_len = struct.unpack_from("<HH", b, p)
+            flags, ncv = struct.unpack_from("<HH", b, p + 4)
+            p += 8 + name_len + (-name_len % 8)
+        else:
+            # v2: the name-length field exists ONLY for filter ids ≥ 256
+            fid = struct.unpack_from("<H", b, p)[0]
+            p += 2
+            name_len = 0
+            if fid >= 256:
+                name_len = struct.unpack_from("<H", b, p)[0]
+                p += 2
+            flags, ncv = struct.unpack_from("<HH", b, p)
+            p += 4 + name_len  # v2 names are unpadded
         cvals = [struct.unpack_from("<I", b, p + 4 * i)[0] for i in range(ncv)]
         p += 4 * ncv
         if ver == 1 and ncv % 2:
@@ -631,6 +677,8 @@ def read_hdf5_header(path: str) -> dict:
                     v["shape"] = _parse_dataspace(body)
                 elif typ == 0x0003:
                     v["dtype"] = _parse_dt_message(body)
+                elif typ == 0x0005:
+                    v["fill_raw"] = _parse_fill_value(body)
                 elif typ == 0x0008:
                     ver, cls = body[0], body[1]
                     if ver != 3:
@@ -680,9 +728,13 @@ def read_hdf5_header(path: str) -> dict:
         r.close()
 
 
-def _defilter(raw: bytes, filters, itemsize: int) -> bytes:
-    """Apply the pipeline in reverse (read order)."""
-    for fid, cvals in reversed(filters):
+def _defilter(raw: bytes, filters, itemsize: int, fmask: int = 0) -> bytes:
+    """Apply the pipeline in reverse (read order). Per the spec, bit i of
+    the chunk's filter mask means filter i was SKIPPED at write time for
+    that chunk — so skip exactly those, not the whole pipeline."""
+    for i, (fid, cvals) in reversed(list(enumerate(filters))):
+        if fmask & (1 << i):
+            continue
         if fid == _FILTER_DEFLATE:
             raw = zlib.decompress(raw)
         elif fid == _FILTER_SHUFFLE:
@@ -713,18 +765,35 @@ def read_hdf5_var(
     steps: List[int] = []
     squeeze: List[int] = []
     for d, (s, n) in enumerate(zip(sel, shape)):
-        if isinstance(s, int):
+        if isinstance(s, (int, np.integer)):
+            s = int(s)
+            if s < 0:
+                s += n
+            if not 0 <= s < n:
+                raise IndexError(f"index {s} out of bounds for dim of size {n}")
             norm.append(slice(s, s + 1, 1))
             steps.append(1)
             squeeze.append(d)
         else:
+            if s.step is not None and s.step < 0:
+                raise NotImplementedError("HDF5: negative-step slices not supported")
             start, stop, step = s.indices(n)
             # fetch the contiguous span; decimate after (window spans are
             # small and chunk reads don't benefit from holes)
             norm.append(slice(start, max(start, stop), 1))
             steps.append(step)
     out_shape = [sl.stop - sl.start for sl in norm]
-    out = np.zeros(out_shape, dt.newbyteorder("="))
+    # Unwritten chunks read back as the dataset fill value (fill-value
+    # message, then _FillValue attr) — libhdf5 does not allocate chunks
+    # the writer never touched, so zeros would corrupt nodata masking.
+    native = dt.newbyteorder("=")
+    fill_raw = v.get("fill_raw")
+    if fill_raw is not None and len(fill_raw) == dt.itemsize:
+        out = np.full(out_shape, np.frombuffer(fill_raw, dt)[0], native)
+    elif "_FillValue" in v["attrs"] and dt.kind in "iuf":
+        out = np.full(out_shape, v["attrs"]["_FillValue"], native)
+    else:
+        out = np.zeros(out_shape, native)
     r = _R(path)
     try:
         cls = v.get("layout_class", 1)
@@ -751,8 +820,7 @@ def read_hdf5_var(
                 if not ok:
                     continue
                 raw = r.read_at(addr, size)
-                if fmask == 0:
-                    raw = _defilter(raw, v.get("filters", []), dt.itemsize)
+                raw = _defilter(raw, v.get("filters", []), dt.itemsize, fmask)
                 block = np.frombuffer(raw, dt, count=int(np.prod(chunks))).reshape(chunks)
                 src = tuple(slice(lo - o, hi - o) for (lo, hi), o in zip(isect, origin))
                 dst = tuple(

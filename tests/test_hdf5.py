@@ -147,6 +147,87 @@ def test_multiple_datasets_sorted_group(tmp_path):
         np.testing.assert_array_equal(read_hdf5_var(p, hdr, n), a)
 
 
+def test_fill_value_backs_unallocated_chunks(tmp_path):
+    """libhdf5 never allocates chunks the writer didn't touch; absent
+    chunks must read back as the fill-value message, not zeros (the
+    nodata-corruption failure mode ADVICE r6 flagged)."""
+    a = np.full((64, 64), -9999, np.int16)
+    a[:32, :32] = rng.integers(0, 100, (32, 32), dtype=np.int16)
+    p = str(tmp_path / "fill.h5")
+    write_hdf5(p, {"v": {"data": a, "chunks": (32, 32), "fill": -9999}})
+    hdr = read_hdf5_header(p)
+    assert hdr["vars"]["v"]["fill_raw"] == np.int16(-9999).tobytes()
+    # three of four chunks are all-fill → elided from the chunk B-tree
+    from odc_stac_spark.sources.hdf5 import _R, _walk_chunk_btree
+
+    r = _R(p)
+    try:
+        assert len(_walk_chunk_btree(r, hdr["vars"]["v"]["btree"], 2)) == 1
+    finally:
+        r.close()
+    np.testing.assert_array_equal(read_hdf5_var(p, hdr, "v"), a)
+    # a window entirely inside an unallocated chunk is pure fill
+    np.testing.assert_array_equal(
+        read_hdf5_var(p, hdr, "v", (slice(40, 50), slice(40, 50))),
+        np.full((10, 10), -9999, np.int16),
+    )
+
+
+def test_fill_value_float_and_fillvalue_attr_fallback(tmp_path):
+    a = np.full((16, 16), np.float32(np.nan))
+    a[:8, :8] = 1.5
+    p = str(tmp_path / "fillf.h5")
+    write_hdf5(
+        p,
+        {"v": {"data": a, "chunks": (8, 8), "fill": np.float32(np.nan),
+               "attrs": {"_FillValue": np.float32(np.nan)}}},
+    )
+    hdr = read_hdf5_header(p)
+    np.testing.assert_array_equal(read_hdf5_var(p, hdr, "v"), a)
+    # no fill message → _FillValue attr backs the gap
+    hdr["vars"]["v"].pop("fill_raw", None)
+    np.testing.assert_array_equal(read_hdf5_var(p, hdr, "v"), a)
+
+
+def test_chunk_filter_mask_skips_only_masked_filters(tmp_path):
+    """HDF5 spec: bit i of a chunk's filter mask disables only filter i.
+    A chunk written with deflate skipped but shuffle applied must be
+    unshuffled (not returned raw, not fully defiltered)."""
+    a = rng.integers(0, 60000, (8, 8), dtype=np.uint16)
+    p = str(tmp_path / "mask.h5")
+    write_hdf5(p, {"v": {"data": a, "chunks": (8, 8), "compression": "gzip", "shuffle": True}})
+    hdr = read_hdf5_header(p)
+    v = hdf5_v = hdr["vars"]["v"]
+    assert [fid for fid, _ in v["filters"]] == [h5._FILTER_SHUFFLE, h5._FILTER_DEFLATE]
+    # rewrite the file: chunk data = shuffled-only bytes, mask bit 1 set
+    shuffled = (
+        a.tobytes() and np.frombuffer(a.tobytes(), np.uint8).reshape(-1, 2).T.tobytes()
+    )
+    raw = bytearray(open(p, "rb").read())
+    new_addr = len(raw)
+    raw += shuffled
+    bt = hdf5_v["btree"]
+    # leaf node with one entry: key at bt+24 = (size u32, mask u32, origin...)
+    struct.pack_into("<II", raw, bt + 24, len(shuffled), 0b10)  # mask filter idx 1
+    key_size = 8 + 8 * 3  # rank 2 → rank+1 dims
+    struct.pack_into("<Q", raw, bt + 24 + key_size, new_addr)
+    open(p, "wb").write(bytes(raw))
+    np.testing.assert_array_equal(read_hdf5_var(p, read_hdf5_header(p), "v"), a)
+
+
+def test_negative_step_raises_and_negative_index_normalizes(tmp_path):
+    a = rng.integers(0, 99, (6, 5), dtype=np.int32)
+    p = str(tmp_path / "neg.h5")
+    write_hdf5(p, {"v": {"data": a}})
+    hdr = read_hdf5_header(p)
+    with pytest.raises(NotImplementedError, match="negative-step"):
+        read_hdf5_var(p, hdr, "v", (slice(None, None, -1),))
+    np.testing.assert_array_equal(read_hdf5_var(p, hdr, "v", (-1,)), a[-1])
+    np.testing.assert_array_equal(read_hdf5_var(p, hdr, "v", (-2, -3)), a[-2, -3])
+    with pytest.raises(IndexError):
+        read_hdf5_var(p, hdr, "v", (7,))
+
+
 def test_ncreader_serves_hdf5_through_load_pipeline(spark, tmp_path):
     """netCDF-4 (HDF5) container through the FULL load pipeline — reader
     dispatch by extension, subdataset (variable) addressing per band,
