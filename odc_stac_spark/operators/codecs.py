@@ -401,3 +401,191 @@ def decode_avi_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
     if not frames:
         raise ValueError("AVI: no video frames found")
     return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# mp4 (ISO Base Media File Format, ISO/IEC 14496-12) with Motion-JPEG
+# samples — the dominant video container. The muxer writes a fully valid
+# single-track file (ftyp/mdat/moov with the complete stbl sample
+# tables); the demuxer walks the box tree and sample tables generically,
+# so any single-track MJPEG ('jpeg'/'mjpa') mp4 demuxes natively while
+# compressed codecs (avc1/hev1/mp4v...) refuse loudly toward the
+# documented ffmpeg seam. Frame decode reuses the in-house JPEG codec.
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _mp4_full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """Iterable of (h, w[, c]) uint8 arrays → MJPEG-in-mp4 bytes."""
+    from .jpeg import encode_jpeg
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("mp4: need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    n = len(jpegs)
+    timescale = 1000
+    delta = timescale // fps
+    duration = n * delta
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", b"".join(jpegs))
+    first_sample_off = len(ftyp) + 8  # absolute offset of sample 1
+
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language "und"
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    # VisualSampleEntry 'jpeg' (QuickTime Motion-JPEG in ISO BMFF)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # SampleEntry: reserved + dref idx
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"jpeg", entry))
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_children(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, pos: int, end: int, *path: bytes):
+    for btype, b0, b1 in _mp4_children(data, pos, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _mp4_find(data, b0, b1, *path[1:])
+    return None
+
+
+def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.ndarray":
+    """MJPEG mp4 bytes → (n, h, w, c) uint8, sampling every k-th frame.
+    Generic sample-table walk (stsd/stsz/stsc/stco), so chunk layouts
+    other than the muxer's single-chunk one demux too. Non-MJPEG codecs
+    refuse loudly (the ffmpeg seam)."""
+    from .jpeg import decode_jpeg
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (mp4) stream")
+    n = len(data)
+    # find the video track: moov → trak* → mdia → hdlr == vide
+    moov = _mp4_find(data, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    stbl = None
+    for btype, b0, b1 in _mp4_children(data, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _mp4_find(data, b0, b1, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _mp4_find(data, *mdia, b"minf", b"stbl")
+        break
+    if stbl is None:
+        raise ValueError("mp4: no video track")
+    boxes = {t: (b0, b1) for t, b0, b1 in _mp4_children(data, *stbl)}
+    for need in (b"stsd", b"stsz", b"stsc", b"stco"):
+        if need not in boxes:
+            raise ValueError(f"mp4: missing {need.decode()} box")
+    sd0 = boxes[b"stsd"][0]
+    codec = data[sd0 + 8 + 4 : sd0 + 8 + 8]  # first sample entry fourcc
+    if codec not in (b"jpeg", b"mjpa", b"MJPG"):
+        raise NotImplementedError(
+            f"mp4: codec {codec!r} needs ffmpeg; only MJPEG ('jpeg'/'mjpa') "
+            "demuxes natively (operators/multimodal.py ffmpeg seam)"
+        )
+    z0, _ = boxes[b"stsz"]
+    fixed, count = struct.unpack_from(">II", data, z0 + 4)
+    sizes = (
+        [fixed] * count
+        if fixed
+        else [struct.unpack_from(">I", data, z0 + 12 + 4 * i)[0] for i in range(count)]
+    )
+    c0, _ = boxes[b"stco"]
+    (nchunks,) = struct.unpack_from(">I", data, c0 + 4)
+    chunk_offs = [struct.unpack_from(">I", data, c0 + 8 + 4 * i)[0] for i in range(nchunks)]
+    s0, _ = boxes[b"stsc"]
+    (nsc,) = struct.unpack_from(">I", data, s0 + 4)
+    stsc = [struct.unpack_from(">III", data, s0 + 8 + 12 * i) for i in range(nsc)]
+
+    # expand sample → absolute byte ranges via the chunk map
+    spans = []
+    si = 0
+    for ci in range(nchunks):
+        per = next(
+            (e[1] for e in reversed(stsc) if e[0] <= ci + 1), stsc[0][1]
+        )
+        off = chunk_offs[ci]
+        for _ in range(per):
+            if si >= count:
+                break
+            spans.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    frames = []
+    for i, (off, sz) in enumerate(spans):
+        if i % every == 0 and (not max_frames or len(frames) < max_frames):
+            frames.append(decode_jpeg(data[off : off + sz]))
+    if not frames:
+        raise ValueError("mp4: no video frames found")
+    return np.stack(frames)

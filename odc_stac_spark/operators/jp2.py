@@ -115,31 +115,22 @@ class MQEncoder:
                 self._byteout()
 
     def _byteout(self) -> None:
+        """C.2.6 BYTEOUT. After a 0xFF byte only 7 bits are taken next
+        (stuffing), so a carry can never propagate past one byte."""
         if self.b == 0xFF:
-            self.out.append(self.b)
-            self.b = (self.c >> 20) & 0x7F
+            self.out.append(0xFF)
+            self.b = (self.c >> 20) & 0xFF  # bit 7 = carry slot (≤ 0x8F)
             self.c &= 0xFFFFF
             self.ct = 7
-            # b just set may itself be flushed next round
-            self.out.pop()
-            self.out.append(0xFF)
             return
-        if self.c > 0x7FFFFFF:
+        if self.c >= 0x8000000:  # carry into the pending byte (a carry
+            # before the first byte lands in the discarded pseudo-byte)
             if self.b is not None:
                 self.b += 1
-            if self.b == 0x100:  # carry into already-emitted bytes
-                i = len(self.out) - 1
-                while i >= 0 and self.out[i] == 0xFF:
-                    self.out[i] = 0
-                    i -= 1
-                if i >= 0:
-                    self.out[i] += 1
-                self.b = 0
             self.c &= 0x7FFFFFF
             if self.b == 0xFF:
-                if self.b is not None:
-                    self.out.append(self.b)
-                self.b = (self.c >> 20) & 0x7F
+                self.out.append(0xFF)
+                self.b = (self.c >> 20) & 0xFF  # bit 7 = carry slot (≤ 0x8F)
                 self.c &= 0xFFFFF
                 self.ct = 7
                 return
@@ -150,12 +141,12 @@ class MQEncoder:
         self.ct = 8
 
     def flush(self) -> bytes:
-        """C.2.9 FLUSH: set as many 1 bits in C as possible, then pad."""
-        tempc = self.c + self.a - 1
-        tempc = tempc & ~0x7FFF | 0x7FFF if False else ((self.c + self.a - 1) & 0xFFFF8000)
-        if tempc < self.c:
-            tempc += 0x8000
-        self.c = tempc
+        """C.2.9 FLUSH: SETBITS (as many 1 bits in C as the interval
+        allows), push the register out, drop a trailing 0xFF."""
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
         self.c <<= self.ct
         self._byteout()
         self.c <<= self.ct
@@ -164,7 +155,7 @@ class MQEncoder:
             self.out.append(self.b)
         self.b = None
         while self.out and self.out[-1] == 0xFF:
-            self.out.pop()  # discard trailing 0xFF (decoder feeds 1s)
+            self.out.pop()  # decoder feeds 1s past the end
         return bytes(self.out)
 
 
@@ -851,6 +842,88 @@ def _res_bands(levels: int, r: int) -> List[Tuple[int, str]]:
 # encoder
 
 
+def _encode_tile_body(
+    tile_img: np.ndarray,
+    levels: int,
+    cblk: int,
+    mct: bool,
+    signed: bool,
+    depth: int,
+    mbs: Dict[str, int],
+) -> bytes:
+    """One tile's packet stream (LRCP, single layer, whole-band precincts)."""
+    th, tw, ncomp = tile_img.shape
+    planes = tile_img.astype(np.int64)
+    if not signed:
+        planes = planes - (1 << (depth - 1))  # DC level shift
+    comps = [planes[:, :, c] for c in range(ncomp)]
+    if mct:
+        r, g, b = comps
+        comps = [(r + 2 * g + b) >> 2, b - g, r - g]
+
+    comp_bands = [fdwt53(c, levels) for c in comps]
+    shapes = _band_shapes(th, tw, levels)
+
+    body = bytearray()
+    for r in range(levels + 1):
+        for ci in range(ncomp):
+            bw = _PkBitWriter()
+            bw.put(1)  # packet non-empty
+            datas = []
+            for lv, bname in _res_bands(levels, r):
+                sh = shapes[lv][bname]
+                if sh[0] == 0 or sh[1] == 0:
+                    continue
+                band = comp_bands[ci][lv][bname]
+                blks = []
+                for (y0, x0, bh_, bw2) in _blocks_of(sh[0], sh[1], cblk):
+                    sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
+                    data, npasses, nbp = encode_block(np.asarray(sub), bname)
+                    blks.append({"data": data, "npasses": npasses, "nbp": nbp})
+                gw = (sh[1] + cblk - 1) // cblk
+                gh = (sh[0] + cblk - 1) // cblk
+                incl = TagTree(gw, gh)
+                zbp = TagTree(gw, gh)
+                mb = mbs[bname]
+                for bi, blk in enumerate(blks):
+                    by, bx = bi // gw, bi % gw
+                    included = blk["npasses"] > 0
+                    incl.set(bx, by, 0 if included else 1)
+                    zbp.set(bx, by, mb - blk["nbp"] if included else 0)
+                incl.finalize()
+                zbp.finalize()
+                for bi, blk in enumerate(blks):
+                    by, bx = bi // gw, bi % gw
+                    incl.encode(bx, by, 1, bw.put)
+                    if blk["npasses"] == 0:
+                        continue
+                    # zero bitplanes: encode to full knowledge
+                    t = 1
+                    val = mb - blk["nbp"]
+                    if val < 0:
+                        raise AssertionError("Mb budget under-sized for block")
+                    while True:
+                        zbp.encode(bx, by, t, bw.put)
+                        if val < t:
+                            break
+                        t += 1
+                    _put_npasses(bw, blk["npasses"])
+                    lblock = 3
+                    nbits = len(blk["data"]).bit_length()
+                    need = lblock + int(math.log2(blk["npasses"]))
+                    while need < nbits:
+                        bw.put(1)
+                        lblock += 1
+                        need += 1
+                    bw.put(0)
+                    bw.put_bits(len(blk["data"]), need)
+                    datas.append(blk["data"])
+            body += bw.flush()
+            for d in datas:
+                body += d
+    return bytes(body)
+
+
 def encode_jp2_codestream(
     img: np.ndarray,
     levels: int = 3,
@@ -858,64 +931,38 @@ def encode_jp2_codestream(
     mct: Optional[bool] = None,
     signed: bool = False,
     depth: Optional[int] = None,
+    tile_size: Optional[Tuple[int, int]] = None,
 ) -> bytes:
-    """Lossless Part-1 codestream: single tile, one layer, LRCP, 5/3."""
+    """Lossless Part-1 codestream: one layer, LRCP, 5/3; ``tile_size``
+    (th, tw) splits the image into independently coded tiles (the
+    Sentinel-2 layout); default is one tile."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ncomp = img.shape
     if depth is None:
-        depth = int(img.dtype.itemsize) * 8 if img.dtype.kind in "iu" else 8
-        if img.dtype == np.uint8:
-            depth = 8
-        elif img.dtype in (np.uint16, np.int16):
-            depth = 16
+        depth = 16 if img.dtype in (np.uint16, np.int16) else 8
     if mct is None:
         mct = ncomp == 3
     if mct and ncomp != 3:
         raise ValueError("RCT needs exactly 3 components")
     if not 4 <= cblk <= 64 or cblk & (cblk - 1):
         raise ValueError("cblk must be a power of two in [4, 64]")
-
-    planes = img.astype(np.int64)
-    if not signed:
-        planes = planes - (1 << (depth - 1))  # DC level shift
-    comps = [planes[:, :, c] for c in range(ncomp)]
-    if mct:
-        r, g, b = comps
-        yy = (r + 2 * g + b) >> 2
-        cb_ = b - g
-        cr = r - g
-        comps = [yy, cb_, cr]
+    yt, xt = tile_size if tile_size is not None else (h, w)
 
     guard = 2
     gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-    cdepth = [depth + (1 if mct and c > 0 else 0) for c in range(ncomp)]
+    maxdepth = depth + (1 if mct else 0)
+    mbs = {b: maxdepth + g + 2 for b, g in gains.items()}
 
-    # per component: DWT → per-band coded blocks
-    comp_bands = [fdwt53(c, levels) for c in comps]
-    shapes = _band_shapes(h, w, levels)
-
-    coded: Dict[Tuple[int, int, str], List[dict]] = {}
-    for ci in range(ncomp):
-        for r in range(levels + 1):
-            for lv, bname in _res_bands(levels, r):
-                band = comp_bands[ci][lv][bname]
-                bh, bw_ = band.shape
-                blks = []
-                for (y0, x0, bh_, bw2) in _blocks_of(bh, bw_, cb=cblk):
-                    sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
-                    data, npasses, nbp = encode_block(np.asarray(sub), bname)
-                    blks.append({"data": data, "npasses": npasses, "nbp": nbp})
-                coded[(ci, r, bname)] = blks
-
-    # markers
     def marker(code: int, body: bytes) -> bytes:
         return struct.pack(">HH", code, len(body) + 2) + body
 
+    # Ssiz is the RECONSTRUCTED component depth; RCT's internal range
+    # expansion is budgeted via the quantization exponents only
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + b"".join(
-        struct.pack(">BBB", (cdepth[c] - 1) | (0x80 if signed else 0), 1, 1)
+        struct.pack(">BBB", (depth - 1) | (0x80 if signed else 0), 1, 1)
         for c in range(ncomp)
     )
     xcb = int(math.log2(cblk))
@@ -936,80 +983,28 @@ def encode_jp2_codestream(
         for _, bname in _res_bands(levels, r):
             # one exponent per subband (style "no quantization"); εb sized
             # so Mb = εb + guard - 1 covers the max coefficient magnitude
-            eps = max(cdepth) + gains[bname] + 2 - guard + 1
-            qcd += bytes([eps << 3])
+            qcd += bytes([(mbs[bname] - guard + 1) << 3])
 
-    # packets, LRCP (single tile, single precinct, single layer)
-    body = bytearray()
-    for r in range(levels + 1):
-        for ci in range(ncomp):
-            bw = _PkBitWriter()
-            bw.put(1)  # packet non-empty
-            datas = []
-            for _, bname in _res_bands(levels, r):
-                blks = coded[(ci, r, bname)]
-                if not blks:
-                    continue
-                bh, bw_ = shapes[_res_bands(levels, r)[0][0]][bname] if False else None, None
-                # tag trees over the block grid of this band
-                sh = _band_shapes(h, w, levels)[_res_bands(levels, r)[0][0]][bname]
-                gw = (sh[1] + cblk - 1) // cblk if sh[1] else 0
-                gh = (sh[0] + cblk - 1) // cblk if sh[0] else 0
-                incl = TagTree(max(gw, 1), max(gh, 1))
-                zbp = TagTree(max(gw, 1), max(gh, 1))
-                for bi, blk in enumerate(blks):
-                    by, bx = bi // gw, bi % gw
-                    included = blk["npasses"] > 0
-                    incl.set(bx, by, 0 if included else 1)
-                    mb = max(cdepth) + gains[bname] + 2
-                    zbp.set(bx, by, mb - blk["nbp"] if included else 0)
-                incl.finalize()
-                zbp.finalize()
-                for bi, blk in enumerate(blks):
-                    by, bx = bi // gw, bi % gw
-                    incl.encode(bx, by, 1, bw.put)
-                    if blk["npasses"] == 0:
-                        continue
-                    # zero bitplanes: encode to full knowledge
-                    t = 1
-                    mb = max(cdepth) + gains[bname] + 2
-                    val = mb - blk["nbp"]
-                    while True:
-                        zbp.encode(bx, by, t, bw.put)
-                        if val < t:
-                            break
-                        t += 1
-                    _put_npasses(bw, blk["npasses"])
-                    lblock = 3
-                    nbits = len(blk["data"]).bit_length()
-                    need = lblock + int(math.log2(blk["npasses"]))
-                    while need < nbits:
-                        bw.put(1)
-                        lblock += 1
-                        need += 1
-                    bw.put(0)
-                    bw.put_bits(len(blk["data"]), need)
-                    datas.append(blk["data"])
-            body += bw.flush()
-            for d in datas:
-                body += d
-    body = bytes(body)
-
-    sot = struct.pack(">HHIBB", 0, 10, 12 + len(body) + 2, 0, 1)
-    tile = marker(0xFF90, sot[:8] + sot[8:]) if False else (
-        struct.pack(">HH", 0xFF90, 10) + struct.pack(">HIBB", 0, 12 + len(body) + 2, 0, 1)
-    )
-    out = (
+    out = bytearray(
         struct.pack(">H", 0xFF4F)  # SOC
         + marker(0xFF51, siz)
         + marker(0xFF52, cod)
         + marker(0xFF5C, qcd)
-        + tile
-        + struct.pack(">H", 0xFF93)  # SOD
-        + body
-        + struct.pack(">H", 0xFFD9)  # EOC
     )
-    return out
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    for ti in range(ntx * nty):
+        tyx, txx = divmod(ti, ntx)
+        ty0, tx0 = tyx * yt, txx * xt
+        tile = img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
+        body = _encode_tile_body(tile, levels, cblk, mct, signed, depth, mbs)
+        out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
+            ">HIBB", ti, 12 + len(body) + 2, 0, 1
+        )
+        out += struct.pack(">H", 0xFF93)  # SOD
+        out += body
+    out += struct.pack(">H", 0xFFD9)  # EOC
+    return bytes(out)
 
 
 def encode_jp2(img: np.ndarray, levels: int = 3, cblk: int = 32, **kw) -> bytes:
@@ -1059,56 +1054,15 @@ def _find_codestream(data: bytes) -> bytes:
     raise ValueError("no JPEG2000 codestream found")
 
 
-def decode_jp2(data: bytes) -> np.ndarray:
-    """Decode a lossless Part-1 JP2/codestream → (h, w, ncomp) array.
-
-    Accepts the reversible profile documented in the module docstring;
-    anything else raises loudly rather than mis-decoding."""
-    cs = _find_codestream(bytes(data))
-    if cs[:2] != b"\xff\x4f":
-        raise ValueError("bad codestream (no SOC)")
-    p = 2
-    siz = cod = qcd = None
-    tiles = []
-    while p + 4 <= len(cs):
-        code, ln = struct.unpack_from(">HH", cs, p)
-        if code == 0xFFD9:
-            break
-        if code == 0xFF93:  # SOD without SOT would be malformed
-            raise ValueError("SOD before SOT")
-        body = cs[p + 4 : p + 2 + ln]
-        if code == 0xFF51:
-            siz = body
-        elif code == 0xFF52:
-            cod = body
-        elif code == 0xFF5C:
-            qcd = body
-        elif code in (0xFF53, 0xFF5D):
-            raise NotImplementedError("JPEG2000: COC/QCC overrides not supported")
-        elif code == 0xFF90:  # SOT
-            isot, psot = struct.unpack_from(">HI", body, 0)
-            tpsot, tnsot = body[6], body[7]
-            if tpsot != 0 or tnsot not in (0, 1):
-                raise NotImplementedError("JPEG2000: multiple tile-parts not supported")
-            tile_end = p + psot if psot else len(cs) - 2
-            sod_at = p + 2 + ln
-            code2 = struct.unpack_from(">H", cs, sod_at)[0]
-            if code2 != 0xFF93:
-                raise ValueError("expected SOD after SOT")
-            tiles.append((isot, cs[sod_at + 2 : tile_end]))
-            p = tile_end
-            continue
-        p += 2 + ln
-    if siz is None or cod is None or qcd is None:
-        raise ValueError("missing SIZ/COD/QCD")
-
+def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
+    """SIZ/COD/QCD → decode parameters; out-of-profile → loud refusal."""
     (rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack_from(
         ">HIIIIIIIIH", siz, 0
     )
     if (xo, yo, xto, yto) != (0, 0, 0, 0):
         raise NotImplementedError("JPEG2000: non-zero grid offsets not supported")
     comps = []
-    q = 38
+    q = 36  # ">HIIIIIIIIH" prefix
     for _ in range(ncomp):
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, q)
         q += 3
@@ -1141,91 +1095,285 @@ def decode_jp2(data: bytes) -> np.ndarray:
     guard = sqcd >> 5
     band_eps: List[int] = [b >> 3 for b in qcd[1:]]
 
-    gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    return {
+        "xs": xs, "ys": ys, "xt": xt, "yt": yt, "ncomp": ncomp,
+        "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
+        "guard": guard, "band_eps": band_eps,
+        "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
+    }
 
-    ntx = (xs + xt - 1) // xt
-    nty = (ys + yt - 1) // yt
-    out = np.zeros((ys, xs, ncomp), np.int64)
 
-    for isot, tdata in tiles:
-        tyx, txx = divmod(isot, ntx)
-        tx0, ty0 = txx * xt, tyx * yt
-        tw, th = min(xt, xs - tx0), min(yt, ys - ty0)
-        shapes = _band_shapes(th, tw, levels)
-
-        # decode packets
-        pos = 0
-        comp_bands = [
-            [
-                {name: np.zeros(shp, np.int32) for name, shp in lvl.items()}
-                for lvl in shapes
-            ]
-            for _ in range(ncomp)
-        ]
-        for r in range(levels + 1):
-            eps_idx0 = 0 if r == 0 else 1 + 3 * (r - 1)
-            for ci in range(ncomp):
-                br = _PkBitReader(tdata, pos)
-                if not br.get():  # empty packet
-                    pos = br.align()
-                    continue
-                blocks_meta = []
-                for bj, (lv, bname) in enumerate(_res_bands(levels, r)):
-                    sh = shapes[lv][bname]
-                    if sh[0] == 0 or sh[1] == 0:
-                        continue
-                    gw = (sh[1] + cblk - 1) // cblk
-                    gh = (sh[0] + cblk - 1) // cblk
-                    incl = TagTree(gw, gh)
-                    zbp = TagTree(gw, gh)
-                    eps = band_eps[eps_idx0 + (0 if r == 0 else bj)]
-                    mb = eps + guard - 1
-                    for bi, (y0, x0, bh_, bw2) in enumerate(
-                        _blocks_of(sh[0], sh[1], cblk)
-                    ):
-                        by, bx = bi // gw, bi % gw
-                        if not incl.decode(bx, by, 1, br.get):
-                            continue
-                        missing = zbp.decode_value(bx, by, br.get)
-                        npasses = _get_npasses(br)
-                        lblock = 3
-                        while br.get():
-                            lblock += 1
-                        nbits = lblock + int(math.log2(npasses))
-                        length = br.get_bits(nbits)
-                        blocks_meta.append(
-                            (lv, bname, y0, x0, bh_, bw2, mb - missing, npasses, length)
-                        )
-                pos = br.align()
-                for (lv, bname, y0, x0, bh_, bw2, nbp, npasses, length) in blocks_meta:
-                    blob = tdata[pos : pos + length]
-                    pos += length
-                    coefs = decode_block(blob, bw2, bh_, bname, nbp, npasses)
-                    comp_bands[ci][lv][bname][y0 : y0 + bh_, x0 : x0 + bw2] = coefs
-
-        # inverse DWT + MCT + level shift
-        planes = [
-            idwt53(comp_bands[ci], (th, tw)) for ci in range(ncomp)
-        ]
-        if mct:
-            if ncomp < 3:
-                raise ValueError("MCT flagged with <3 components")
-            yy, cb_, cr = planes[0], planes[1], planes[2]
-            g = yy - ((cb_ + cr) >> 2)
-            r_ = cr + g
-            b_ = cb_ + g
-            planes = [r_, g, b_] + planes[3:]
-        for ci in range(ncomp):
-            pl = planes[ci]
-            if not comps[ci]["signed"]:
-                pl = pl + (1 << (comps[ci]["depth"] - 1))
-            out[ty0 : ty0 + th, tx0 : tx0 + tw, ci] = pl
-
-    # tightest dtype that holds every component
-    maxd = max(c["depth"] for c in comps)
-    anysigned = any(c["signed"] for c in comps)
+def _np_dtype_for(params: dict) -> np.dtype:
+    maxd = max(c["depth"] for c in params["comps"])
+    anysigned = any(c["signed"] for c in params["comps"])
     if maxd <= 8 and not anysigned:
-        return out.astype(np.uint8)
+        return np.dtype(np.uint8)
     if maxd <= 16:
-        return out.astype(np.int16 if anysigned else np.uint16)
-    return out.astype(np.int32)
+        return np.dtype(np.int16 if anysigned else np.uint16)
+    return np.dtype(np.int32)
+
+
+def _decode_tile_payload(tdata: bytes, th: int, tw: int, params: dict) -> np.ndarray:
+    """One tile's packet stream → (th, tw, ncomp) int64 samples."""
+    return _decode_tile_reduced(tdata, th, tw, params, params["levels"])
+
+
+def _decode_tile_reduced(
+    tdata: bytes, th: int, tw: int, params: dict, max_res: int
+) -> np.ndarray:
+    """Decode only resolutions 0..max_res of a tile → the reduced-size
+    image (ceil(th/2^k) × ceil(tw/2^k), k = levels - max_res). With LRCP
+    ordering the packets for higher resolutions are never even parsed —
+    JPEG2000's native overview pushdown (the analogue of COG overview
+    IFDs; cost follows the output resolution, not the stored one)."""
+    levels, cblk, ncomp = params["levels"], params["cblk"], params["ncomp"]
+    guard, band_eps, comps = params["guard"], params["band_eps"], params["comps"]
+    if max_res >= levels + 1:
+        raise ValueError("max_res beyond decomposition levels")
+    shapes = _band_shapes(th, tw, levels)
+    comp_bands = [
+        [{name: np.zeros(shp, np.int32) for name, shp in lvl.items()} for lvl in shapes]
+        for _ in range(ncomp)
+    ]
+    pos = 0
+    for r in range(max_res + 1):
+        eps_idx0 = 0 if r == 0 else 1 + 3 * (r - 1)
+        for ci in range(ncomp):
+            br = _PkBitReader(tdata, pos)
+            if not br.get():
+                pos = br.align()
+                continue
+            blocks_meta = []
+            for bj, (lv, bname) in enumerate(_res_bands(levels, r)):
+                sh = shapes[lv][bname]
+                if sh[0] == 0 or sh[1] == 0:
+                    continue
+                gw = (sh[1] + cblk - 1) // cblk
+                gh = (sh[0] + cblk - 1) // cblk
+                incl = TagTree(gw, gh)
+                zbp = TagTree(gw, gh)
+                eps = band_eps[eps_idx0 + (0 if r == 0 else bj)]
+                mb = eps + guard - 1
+                for bi, (y0, x0, bh_, bw2) in enumerate(_blocks_of(sh[0], sh[1], cblk)):
+                    by, bx = bi // gw, bi % gw
+                    if not incl.decode(bx, by, 1, br.get):
+                        continue
+                    missing = zbp.decode_value(bx, by, br.get)
+                    npasses = _get_npasses(br)
+                    lblock = 3
+                    while br.get():
+                        lblock += 1
+                    length = br.get_bits(lblock + int(math.log2(npasses)))
+                    blocks_meta.append(
+                        (lv, bname, y0, x0, bh_, bw2, mb - missing, npasses, length)
+                    )
+            pos = br.align()
+            for (lv, bname, y0, x0, bh_, bw2, nbp, npasses, length) in blocks_meta:
+                blob = tdata[pos : pos + length]
+                pos += length
+                coefs = decode_block(blob, bw2, bh_, bname, nbp, npasses)
+                comp_bands[ci][lv][bname][y0 : y0 + bh_, x0 : x0 + bw2] = coefs
+
+    k = levels - max_res  # remaining decimation
+    if k == 0:
+        red_shape = (th, tw)
+        use = comp_bands
+    else:
+        red_shape = ((th + (1 << k) - 1) >> k, (tw + (1 << k) - 1) >> k)
+        use = [cb[k:] for cb in comp_bands]
+    planes = [idwt53(use[ci], red_shape) for ci in range(ncomp)]
+    if params["mct"]:
+        if ncomp < 3:
+            raise ValueError("MCT flagged with <3 components")
+        yy, cb_, cr = planes[0], planes[1], planes[2]
+        g = yy - ((cb_ + cr) >> 2)
+        planes = [cr + g, g, cb_ + g] + planes[3:]
+    out = np.zeros(red_shape + (ncomp,), np.int64)
+    for ci in range(ncomp):
+        pl = planes[ci]
+        if not comps[ci]["signed"]:
+            pl = pl + (1 << (comps[ci]["depth"] - 1))
+        out[:, :, ci] = pl
+    return out
+
+
+def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
+    """Walk markers → (params, [(isot, body_start, body_end)]). Tile
+    bodies are located (via Psot) but NOT decoded here."""
+    if cs[:2] != b"\xff\x4f":
+        raise ValueError("bad codestream (no SOC)")
+    p = 2
+    siz = cod = qcd = None
+    tiles: List[Tuple[int, int, int]] = []
+    while p + 4 <= len(cs):
+        code, ln = struct.unpack_from(">HH", cs, p)
+        if code == 0xFFD9:
+            break
+        if code == 0xFF93:  # SOD without SOT would be malformed
+            raise ValueError("SOD before SOT")
+        body = cs[p + 4 : p + 2 + ln]
+        if code == 0xFF51:
+            siz = body
+        elif code == 0xFF52:
+            cod = body
+        elif code == 0xFF5C:
+            qcd = body
+        elif code in (0xFF53, 0xFF5D):
+            raise NotImplementedError("JPEG2000: COC/QCC overrides not supported")
+        elif code == 0xFF90:  # SOT
+            isot, psot = struct.unpack_from(">HI", body, 0)
+            tpsot, tnsot = body[6], body[7]
+            if tpsot != 0 or tnsot not in (0, 1):
+                raise NotImplementedError("JPEG2000: multiple tile-parts not supported")
+            tile_end = p + psot if psot else len(cs) - 2
+            sod_at = p + 2 + ln
+            if struct.unpack_from(">H", cs, sod_at)[0] != 0xFF93:
+                raise ValueError("expected SOD after SOT")
+            tiles.append((isot, sod_at + 2, tile_end))
+            p = tile_end
+            continue
+        p += 2 + ln
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("missing SIZ/COD/QCD")
+    return _parse_main_headers(siz, cod, qcd), tiles
+
+
+def _tile_geometry(params: dict, isot: int) -> Tuple[int, int, int, int]:
+    """tile index → (ty0, tx0, th, tw) in image coordinates."""
+    tyx, txx = divmod(isot, params["ntx"])
+    tx0, ty0 = txx * params["xt"], tyx * params["yt"]
+    tw = min(params["xt"], params["xs"] - tx0)
+    th = min(params["yt"], params["ys"] - ty0)
+    return ty0, tx0, th, tw
+
+
+def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) -> np.ndarray:
+    """Decode a lossless Part-1 JP2/codestream → (h, w, ncomp) array.
+
+    ``window`` = (y0, y1, x0, x1): only tiles intersecting the window are
+    decoded (the COG discipline — cost follows the request, not the
+    image); the returned array is still image-sized with non-requested
+    tiles zero. Accepts the reversible profile documented in the module
+    docstring; anything else raises loudly rather than mis-decoding."""
+    cs = _find_codestream(bytes(data))
+    params, tiles = _scan_codestream(cs)
+    out = np.zeros((params["ys"], params["xs"], params["ncomp"]), np.int64)
+    for isot, b0, b1 in tiles:
+        ty0, tx0, th, tw = _tile_geometry(params, isot)
+        if window is not None:
+            wy0, wy1, wx0, wx1 = window
+            if ty0 >= wy1 or ty0 + th <= wy0 or tx0 >= wx1 or tx0 + tw <= wx0:
+                continue
+        out[ty0 : ty0 + th, tx0 : tx0 + tw] = _decode_tile_payload(
+            cs[b0:b1], th, tw, params
+        )
+    return out.astype(_np_dtype_for(params))
+
+
+# ---------------------------------------------------------------------------
+# file-level API — bounded reads (the object-storage discipline: header
+# scan touches only marker segments via seeks; a window read fetches
+# only the byte ranges of intersecting tiles)
+
+
+def read_jp2_header(path: str) -> dict:
+    """Seek-based marker walk → decode params + tile byte spans. Tile
+    bodies are skipped via Psot, never read — header cost is O(markers),
+    independent of file size."""
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+        if head[:2] == b"\xff\x4f":
+            cs_off = 0
+        else:
+            # box walk for jp2c (sizes from the container, bodies skipped)
+            p = 0
+            cs_off = None
+            while p + 8 <= len(head):
+                (size,) = struct.unpack_from(">I", head, p)
+                btype = head[p + 4 : p + 8]
+                hdr = 8
+                if size == 1:
+                    (size,) = struct.unpack_from(">Q", head, p + 8)
+                    hdr = 16
+                if size == 0:
+                    size = 0  # jp2c-to-EOF
+                if btype == b"jp2c":
+                    cs_off = p + hdr
+                    break
+                p += size
+            if cs_off is None:
+                raise ValueError("no JPEG2000 codestream found")
+        f.seek(0, 2)
+        fsize = f.tell()
+
+        def read_at(off, n):
+            f.seek(off)
+            return f.read(n)
+
+        if read_at(cs_off, 2) != b"\xff\x4f":
+            raise ValueError("bad codestream (no SOC)")
+        p = cs_off + 2
+        siz = cod = qcd = None
+        tiles = []
+        while p + 4 <= fsize:
+            code, ln = struct.unpack_from(">HH", read_at(p, 4), 0)
+            if code == 0xFFD9:
+                break
+            body = read_at(p + 4, ln - 2)
+            if code == 0xFF51:
+                siz = body
+            elif code == 0xFF52:
+                cod = body
+            elif code == 0xFF5C:
+                qcd = body
+            elif code in (0xFF53, 0xFF5D):
+                raise NotImplementedError("JPEG2000: COC/QCC overrides not supported")
+            elif code == 0xFF90:
+                isot, psot = struct.unpack_from(">HI", body, 0)
+                tpsot, tnsot = body[6], body[7]
+                if tpsot != 0 or tnsot not in (0, 1):
+                    raise NotImplementedError(
+                        "JPEG2000: multiple tile-parts not supported"
+                    )
+                tile_end = p + psot if psot else fsize - 2
+                sod_at = p + 2 + ln
+                if read_at(sod_at, 2) != b"\xff\x93":
+                    raise ValueError("expected SOD after SOT")
+                tiles.append((isot, sod_at + 2, tile_end))
+                p = tile_end
+                continue
+            p += 2 + ln
+        if siz is None or cod is None or qcd is None:
+            raise ValueError("missing SIZ/COD/QCD")
+    params = _parse_main_headers(siz, cod, qcd)
+    params["tiles"] = tiles
+    params["dtype"] = str(_np_dtype_for(params))
+    return params
+
+
+def read_jp2_tile(
+    path: str, hdr: dict, isot: int, max_res: Optional[int] = None
+) -> np.ndarray:
+    """Ranged read + decode of ONE tile → (th', tw', ncomp). With
+    ``max_res`` < levels only resolutions 0..max_res are parsed and the
+    tile comes back decimated by 2^(levels-max_res) (overview read)."""
+    span = next((t for t in hdr["tiles"] if t[0] == isot), None)
+    if span is None:
+        raise KeyError(f"tile {isot} not in codestream")
+    _, b0, b1 = span
+    with open(path, "rb") as f:
+        f.seek(b0)
+        tdata = f.read(b1 - b0)
+    ty0, tx0, th, tw = _tile_geometry(hdr, isot)
+    mr = hdr["levels"] if max_res is None else max_res
+    out = _decode_tile_reduced(tdata, th, tw, hdr, mr)
+    dt = np.dtype(hdr["dtype"])
+    if mr < hdr["levels"]:
+        # a 5/3 LL overview can overshoot the component's range by a few
+        # counts (lowpass gain) — clamp instead of letting the cast wrap
+        maxd = max(c["depth"] for c in hdr["comps"])
+        if any(c["signed"] for c in hdr["comps"]):
+            out = np.clip(out, -(1 << (maxd - 1)), (1 << (maxd - 1)) - 1)
+        else:
+            out = np.clip(out, 0, (1 << maxd) - 1)
+    return out.astype(dt)

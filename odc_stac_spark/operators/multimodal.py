@@ -530,12 +530,25 @@ from .codecs import encode_png as _encode_png, encode_wav as _encode_wav  # noqa
 DECODERS.update(_REAL_IMAGES)
 AUDIO_DECODERS.update(_REAL_AUDIO)
 VIDEO_DECODERS["video/x-msvideo"] = _decode_avi
+
+from .codecs import decode_mp4_mjpeg as _decode_mp4  # noqa: E402
+
+VIDEO_DECODERS["video/mp4"] = _decode_mp4
 _DEMO_IMAGE_ENCODERS["image/png"] = _encode_png
 _DEMO_AUDIO_ENCODERS["audio/wav"] = _encode_wav
 
 from .jpeg import decode_jpeg as _decode_jpeg, encode_jpeg as _encode_jpeg  # noqa: E402
 
 DECODERS["image/jpeg"] = _decode_jpeg
+
+
+def _decode_jp2_blob(data: bytes):
+    from .jp2 import decode_jp2
+
+    return decode_jp2(data)
+
+
+DECODERS["image/jp2"] = _decode_jp2_blob
 
 
 def install_native_codecs() -> dict:

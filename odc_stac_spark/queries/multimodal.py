@@ -143,6 +143,81 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_mp4_demux",
+    # frame f of doc d is a UNIFORM even-valued 16x24 grayscale image
+    # (value 2*((d*31 + f*17) % 128)) — lossless through baseline JPEG at
+    # quality 50 (pure-DC blocks), so the oracle recomputes the decoded
+    # frame stats exactly; clips have 3 + d % 3 frames
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id, ff.f, 2 * ((d.doc_id * 31 + ff.f * 17) % 128) AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS f) ff
+      WHERE ff.f < 3 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE f % 2 = 0) AS BIGINT) AS kept_frames,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           ROUND(AVG(v) FILTER (WHERE f % 2 = 0), 6) AS kept_mean
+    FROM f GROUP BY doc_id
+    """,
+    doc="HASH-GATED mp4 (ISO BMFF) demux: per-doc Motion-JPEG mp4 files "
+    "— real ftyp/mdat/moov with full stsd/stts/stsc/stsz/stco sample "
+    "tables (operators/codecs.py encode_mp4_mjpeg) — are muxed on the "
+    "executors, shipped as binary rows, then demuxed through the "
+    "VIDEO_DECODERS seam (generic sample-table walk) with every-2nd-"
+    "frame sampling. Fixture frames are exactly lossless through the "
+    "JPEG codec, so the hash gates container + sample tables + frame "
+    "decode end-to-end. Compressed codecs (avc1/hev1) refuse loudly "
+    "toward the documented ffmpeg seam.",
+    tags=("multimodal", "video", "mp4"),
+)
+def mm_video_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.codecs import encode_mp4_mjpeg
+    from ..operators.multimodal import video_frame_features
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                frames = [
+                    np.full((16, 24), 2 * ((d * 31 + f * 17) % 128), np.uint8)
+                    for f in range(3 + d % 3)
+                ]
+                media.append(encode_mp4_mjpeg(frames, fps=5, quality=50))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "media_type": "video/mp4"}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return video_frame_features(docs.mapInPandas(gen, schema), every=2)
+
+
+@register(
     "mm_image_resize_stats",
     # resized pixel (i, j) of channel k samples source pixel
     # (y, x) = (i*16//8, j*w//8) with w = 16 + doc_id % 8 — the same

@@ -784,3 +784,79 @@ def r_multiband_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles_df, plan = load(spark, [item], chunks=(32, 48))
     return zonal_stats(tiles_df, nodata=None, zone_h=16, zone_w=32)
+
+
+@register(
+    "r_jp2_zonal",
+    # fixture: two uint16 JPEG2000 files (tiled 48×64, 2 decomposition
+    # levels, 5/3 reversible, code-blocks 32) written by the in-house
+    # Part-1 encoder; pixel formulas below, nodata sentinel 0
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y * 5 + x.x * 3) % 19 = 0 THEN NULL
+                  ELSE 1 + (23 * y.y + 11 * x.x + 7) % 996 END AS red,
+             CASE WHEN (y.y + x.x * 7) % 23 = 0 THEN NULL
+                  ELSE 1 + (17 * y.y + 29 * x.x + 101) % 1498 END AS nir
+      FROM (SELECT UNNEST(generate_series(0, 95)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS x) x
+    )
+    SELECT band, 0 AS t,
+           CAST(y // 24 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM (
+      SELECT y, x, 'red' AS band, red AS value FROM pix
+      UNION ALL
+      SELECT y, x, 'nir' AS band, nir AS value FROM pix
+    )
+    GROUP BY band, 3, 4
+    """,
+    doc="HASH-GATED JPEG2000 read (the Sentinel-2 SAFE format; reference "
+    "reads it via GDAL JP2OpenJPEG, loader/_rio.py:374-475): two tiled "
+    "lossless Part-1 JP2 files — MQ-coded EBCOT code-blocks, 5/3 "
+    "reversible DWT, LRCP packets — are decoded by the from-scratch "
+    "codec (operators/jp2.py) through the FULL load pipeline: reader "
+    "dispatch by extension, marker-walk header cached per executor, "
+    "per-JP2-tile byte-range reads of only intersecting tiles, nodata "
+    "masking, then zonal statistics. The oracle recomputes every pixel "
+    "from the fixture formula, so the hash gates the entire T1/T2/DWT "
+    "decode machinery end-to-end.",
+    tags=("raster", "jp2", "jpeg2000", "zonal"),
+)
+def r_jp2_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.jp2 import encode_jp2
+    from ..operators.zonal import zonal_stats
+
+    ny, nx = 96, 128
+    y, x = np.mgrid[0:ny, 0:nx]
+    # value ranges start at 1 so the nodata sentinel 0 never collides
+    red = (1 + (23 * y + 11 * x + 7) % 996).astype(np.uint16)
+    red[(y * 5 + x * 3) % 19 == 0] = 0
+    nir = (1 + (17 * y + 29 * x + 101) % 1498).astype(np.uint16)
+    nir[(y + x * 7) % 23 == 0] = 0
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 960.0), _CRS)
+    paths = {}
+    for name, arr in (("red", red), ("nir", nir)):
+        p = os.path.join(tempfile.gettempdir(), f"odc_stac_spark_r_jp2_{name}.jp2")
+        with open(p, "wb") as f:
+            f.write(encode_jp2(arr, levels=2, cblk=32, tile_size=(48, 64)))
+        paths[name] = p
+    item = Item(
+        id="jp2-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            b: RasterSource(
+                paths[b], geobox=gbox, meta=RasterBandMetadata("uint16", 0)
+            )
+            for b in ("red", "nir")
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(48, 64))
+    return zonal_stats(tiles_df, nodata=0.0, zone_h=24, zone_w=32)

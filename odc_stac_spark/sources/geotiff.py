@@ -341,9 +341,9 @@ def write_cog_file(
         raise ValueError("write_cog_file expects (h, w) or (h, w, samples)")
     if pix.ndim == 3 and pix.shape[2] > 4:
         raise ValueError("write_cog_file supports at most 4 interleaved samples")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "packbits"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw', 'jpeg', 'packbits' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -354,6 +354,11 @@ def write_cog_file(
             raise ValueError("jpeg compression is incompatible with Predictor=2")
         if pix.ndim == 3 and pix.shape[2] not in (1, 3):
             raise ValueError("jpeg compression takes 1 (gray) or 3 (RGB) samples")
+    if compression == "jp2":
+        if pix.dtype not in (np.uint8, np.uint16, np.int16):
+            raise ValueError("jp2 compression takes uint8/uint16/int16 pixels")
+        if predictor != 1:
+            raise ValueError("jp2 compression is incompatible with Predictor=2")
     # south-up output would round-trip with silently flipped georeferencing
     # (readers reconstruct -|sy| assuming north-up) — refuse it
     if geobox.transform[4] > 0:
@@ -484,6 +489,12 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
         from ..operators.jpeg import encode_jpeg
 
         return encode_jpeg(block, quality=jpeg_quality)
+    if compression == "jp2":
+        # Compression=34712 (GDAL JP2000): one lossless Part-1 codestream
+        # per tile, via the in-repo codec
+        from ..operators.jp2 import encode_jp2_codestream
+
+        return encode_jp2_codestream(block, levels=2, cblk=32)
     if compression == "packbits":
         # spec §9: rows pack independently
         row_bytes = block.nbytes // block.shape[0]
@@ -491,7 +502,7 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
     return block.tobytes()
 
 
-_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "packbits": 32773}
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773}
 
 
 def write_tiff_striped(
@@ -513,14 +524,16 @@ def write_tiff_striped(
     rows are written, matching real-world writers."""
     if pix.ndim != 2:
         raise ValueError("write_tiff_striped expects a 2-D single-band array")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "packbits"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw', 'jpeg', 'packbits' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if compression == "jpeg" and (pix.dtype != np.uint8 or predictor != 1):
         raise ValueError("jpeg compression requires uint8 pixels and Predictor=1")
+    if compression == "jp2" and predictor != 1:
+        raise ValueError("jp2 compression is incompatible with Predictor=2")
     if geobox.transform[4] > 0:
         raise ValueError(
             "write_tiff_striped requires a north-up geobox (sy<0); flip rows first"
@@ -798,11 +811,11 @@ def read_cog_header(path: str) -> Dict:
                 bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-            if comp not in (1, 5, 7, 8, 32946, 32773, 50000):
+            if comp not in (1, 5, 7, 8, 32946, 32773, 34712, 50000):
                 raise NotImplementedError(
                     f"TIFF compression {comp}: only none(1)/lzw(5)/jpeg(7)/"
-                    "deflate(8,32946)/packbits(32773)/zstd(50000) readable "
-                    "without GDAL"
+                    "deflate(8,32946)/packbits(32773)/jpeg2000(34712)/"
+                    "zstd(50000) readable without GDAL"
                 )
             pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
             if pred not in (1, 2):
@@ -903,6 +916,19 @@ def read_cog_tile(
             raw = raw[:2] + tables[2:-2] + raw[2:]
         img = decode_jpeg(raw)  # (h, w, 1) gray or (h, w, 3) RGB (from YCbCr)
         arr = img.astype(dt, copy=False)
+        if arr.shape[0] < th or arr.shape[1] < tw:
+            full = np.zeros((th, tw, arr.shape[2]), dt)
+            full[: arr.shape[0], : arr.shape[1]] = arr
+            arr = full
+        if sample is not None:
+            return arr[:, :, min(sample, arr.shape[2] - 1)]
+        return arr[:, :, 0] if arr.shape[2] == 1 else arr
+    if comp == 34712:
+        # JPEG2000 (GDAL's registered code): one lossless Part-1
+        # codestream per tile, via the in-repo codec (operators/jp2.py)
+        from ..operators.jp2 import decode_jp2
+
+        arr = decode_jp2(raw).astype(dt, copy=False)
         if arr.shape[0] < th or arr.shape[1] < tw:
             full = np.zeros((th, tw, arr.shape[2]), dt)
             full[: arr.shape[0], : arr.shape[1]] = arr

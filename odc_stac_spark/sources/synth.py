@@ -868,6 +868,109 @@ class TiffReader(SynthReader):
         return win.astype(dtype, copy=False)
 
 
+class Jp2Reader(SynthReader):
+    """JPEG2000 file driver over the in-house Part-1 codec
+    (operators/jp2.py) — the Sentinel-2 SAFE / JP2-COG format the
+    reference reads via GDAL's JP2OpenJPEG driver (loader/_rio.py).
+    Inherits SynthReader's paste/warp/ROI planning; only the window
+    fetch differs:
+
+    - header scan (marker walk, tile spans located via Psot — tile
+      bodies never read) is cached per executor process in ``_ENV``;
+    - a window decodes ONLY the intersecting JP2 tiles, each fetched by
+      byte-range read — executor memory follows the request;
+    - decimated reads use JPEG2000's native resolution scalability when
+      the decimation is a power of two ≤ 2^levels: with LRCP ordering,
+      packets above the needed resolution are never parsed (counted in
+      ``_ENV['jp2_reduced_reads']`` so tests can assert the pushdown).
+    """
+
+    def _resolve_subdataset(self, src: RasterSource) -> RasterSource:
+        raise NotImplementedError(
+            f"{src.uri}: JPEG2000 sources have no subdatasets "
+            f"(got subdataset={src.subdataset!r}; netcdf/hdf5 only)"
+        )
+
+    @staticmethod
+    def _path(uri: str) -> str:
+        u = urlparse(uri)
+        return u.path if u.scheme in ("file", "") else uri
+
+    def _header(self, uri: str) -> dict:
+        cache = _ENV.setdefault("jp2_headers", {})
+        if uri not in cache:
+            from ..operators.jp2 import read_jp2_header
+
+            cache[uri] = read_jp2_header(self._path(uri))
+        return cache[uri]
+
+    def read(self, src, cfg, dst_geobox):
+        self._band = src.band  # 1-based component index for multi-comp files
+        return super().read(src, cfg, dst_geobox)
+
+    def _window(
+        self,
+        uri: str,
+        src_nodata,
+        dtype: str,
+        py0: int,
+        py1: int,
+        px0: int,
+        px1: int,
+        decimation: int = 1,
+        use_overviews: bool = True,
+    ) -> np.ndarray:
+        from ..operators.jp2 import _tile_geometry, read_jp2_tile
+
+        hdr = self._header(uri)
+        ys, xs = hdr["ys"], hdr["xs"]
+        comp = max(0, getattr(self, "_band", 1) - 1)
+        fill = src_nodata if src_nodata is not None else 0
+        # native resolution pushdown: decimation 2^k ≤ 2^levels
+        step, max_res = decimation, None
+        if use_overviews and decimation > 1 and decimation & (decimation - 1) == 0:
+            k = decimation.bit_length() - 1
+            if k <= hdr["levels"] and py0 % decimation == 0 and px0 % decimation == 0:
+                max_res = hdr["levels"] - k
+                _ENV["jp2_reduced_reads"] = _ENV.get("jp2_reduced_reads", 0) + 1
+        if max_res is not None:
+            k = decimation
+            oy0, ox0 = py0 // k, px0 // k
+            oy1 = oy0 + ((py1 - py0) + k - 1) // k
+            ox1 = ox0 + ((px1 - px0) + k - 1) // k
+            out = np.full((oy1 - oy0, ox1 - ox0), fill, np.dtype(hdr["dtype"]))
+            for isot, _, _ in hdr["tiles"]:
+                ty0, tx0, th, tw = _tile_geometry(hdr, isot)
+                # tile extent in reduced coordinates (tiles decimate
+                # independently: ceil splits per tile)
+                rty0, rtx0 = ty0 // k, tx0 // k
+                rth, rtw = (th + k - 1) // k, (tw + k - 1) // k
+                iy0, iy1 = max(rty0, oy0), min(rty0 + rth, oy1)
+                ix0, ix1 = max(rtx0, ox0), min(rtx0 + rtw, ox1)
+                if iy0 >= iy1 or ix0 >= ix1:
+                    continue
+                t = read_jp2_tile(self._path(uri), hdr, isot, max_res=max_res)
+                out[iy0 - oy0 : iy1 - oy0, ix0 - ox0 : ix1 - ox0] = t[
+                    iy0 - rty0 : iy1 - rty0, ix0 - rtx0 : ix1 - rtx0, comp
+                ]
+            return out.astype(dtype, copy=False)
+        out = np.full((py1 - py0, px1 - px0), fill, np.dtype(hdr["dtype"]))
+        for isot, _, _ in hdr["tiles"]:
+            ty0, tx0, th, tw = _tile_geometry(hdr, isot)
+            iy0, iy1 = max(ty0, py0), min(ty0 + th, min(py1, ys))
+            ix0, ix1 = max(tx0, px0), min(tx0 + tw, min(px1, xs))
+            if iy0 >= iy1 or ix0 >= ix1:
+                continue
+            t = read_jp2_tile(self._path(uri), hdr, isot)
+            out[iy0 - py0 : iy1 - py0, ix0 - px0 : ix1 - px0] = t[
+                iy0 - ty0 : iy1 - ty0, ix0 - tx0 : ix1 - tx0, comp
+            ]
+        win = out
+        if step > 1 and max_res is None:
+            win = win[::step, ::step]
+        return win.astype(dtype, copy=False)
+
+
 def reader_for(uri: str):
     """Reader-driver dispatch (reference loader/_driver.py:12-16)."""
     if uri.startswith("synth://"):
@@ -875,6 +978,8 @@ def reader_for(uri: str):
     path = uri.split("?")[0].split("#")[0].lower()
     if path.endswith((".tif", ".tiff")):
         return TiffReader()
+    if path.endswith((".jp2", ".j2k", ".jpx", ".jpc")):
+        return Jp2Reader()
     if path.endswith((".nc", ".h5", ".hdf", ".hdf5")):
         # NcReader serves classic CDF-1/2/5 AND netCDF-4/HDF5 containers —
         # read_netcdf_header sniffs the magic and dispatches to the

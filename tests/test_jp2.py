@@ -1,0 +1,332 @@
+"""From-scratch JPEG2000 Part-1 codec (operators/jp2.py) — MQ coder,
+EBCOT T1, tag trees, 5/3 DWT, Tier-2 packets, JP2 container, file-level
+windowed reads, TIFF Compression=34712, and loud out-of-profile refusals.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from odc_stac_spark.operators.jp2 import (
+    MQDecoder,
+    MQEncoder,
+    TagTree,
+    _PkBitReader,
+    _PkBitWriter,
+    _tile_geometry,
+    decode_block,
+    decode_jp2,
+    encode_block,
+    encode_jp2,
+    encode_jp2_codestream,
+    fdwt53,
+    idwt53,
+    read_jp2_header,
+    read_jp2_tile,
+)
+
+rng = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# MQ coder
+
+
+def test_mq_roundtrip_fuzz():
+    for trial in range(30):
+        n = int(rng.integers(1, 2500))
+        bits = rng.integers(0, 2, n).tolist()
+        ctxs = rng.integers(0, 19, n).tolist()
+        enc = MQEncoder()
+        for b, c in zip(bits, ctxs):
+            enc.encode(int(b), int(c))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == [int(b) for b in bits], trial
+
+
+def test_mq_stuffing_invariant():
+    """T.800 C: a byte after 0xFF carries at most 0x8F (7 data bits +
+    carry slot) — values above 0x8F are reserved for markers."""
+    for trial in range(25):
+        n = int(rng.integers(200, 4000))
+        # skewed bits maximize 0xFF emission
+        bits = (rng.random(n) < 0.95).astype(int).tolist()
+        ctxs = rng.integers(0, 19, n).tolist()
+        enc = MQEncoder()
+        for b, c in zip(bits, ctxs):
+            enc.encode(int(b), int(c))
+        data = enc.flush()
+        for i in range(len(data) - 1):
+            if data[i] == 0xFF:
+                assert data[i + 1] <= 0x8F
+        assert not data.endswith(b"\xff")
+
+
+# ---------------------------------------------------------------------------
+# tag trees + packet bit I/O
+
+
+def test_tagtree_roundtrip():
+    for (w, h) in ((1, 1), (3, 2), (5, 7), (8, 8)):
+        vals = rng.integers(0, 9, (h, w))
+        enc_tree = TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                enc_tree.set(x, y, int(vals[y, x]))
+        enc_tree.finalize()
+        bw = _PkBitWriter()
+        for y in range(h):
+            for x in range(w):
+                t = 1
+                while True:
+                    enc_tree.encode(x, y, t, bw.put)
+                    if int(vals[y, x]) < t:
+                        break
+                    t += 1
+        br = _PkBitReader(bw.flush())
+        dec_tree = TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                assert dec_tree.decode_value(x, y, br.get) == int(vals[y, x])
+
+
+def test_packet_bitio_ff_stuffing():
+    bw = _PkBitWriter()
+    for _ in range(20):
+        bw.put(1)  # long run of 1s forces 0xFF bytes + stuffed bits
+    data = bw.flush()
+    assert 0xFF in data
+    br = _PkBitReader(data)
+    assert [br.get() for _ in range(20)] == [1] * 20
+
+
+# ---------------------------------------------------------------------------
+# T1 block coder + DWT
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+def test_t1_block_roundtrip(band):
+    for shape in ((32, 32), (7, 5), (4, 4), (33, 17), (1, 9), (64, 64)):
+        a = rng.integers(-3000, 3000, shape).astype(np.int32)
+        a[rng.random(shape) < 0.5] = 0
+        data, npasses, nbp = encode_block(a, band)
+        out = decode_block(data, shape[1], shape[0], band, nbp, npasses)
+        np.testing.assert_array_equal(out, a)
+
+
+def test_t1_all_zero_block():
+    data, npasses, nbp = encode_block(np.zeros((16, 16), np.int32), "HH")
+    assert npasses == 0 and nbp == 0 and data == b""
+
+
+def test_dwt53_reversible():
+    for shape in ((64, 64), (65, 33), (100, 7), (1, 50), (13, 1), (257, 129)):
+        for levels in (1, 2, 5):
+            a = rng.integers(-9000, 9000, shape).astype(np.int64)
+            np.testing.assert_array_equal(idwt53(fdwt53(a, levels), shape), a)
+
+
+# ---------------------------------------------------------------------------
+# full codestream / container roundtrips
+
+
+def test_roundtrip_gray_u8():
+    a = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    out = decode_jp2(encode_jp2(a, levels=2, cblk=16))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out[:, :, 0], a)
+
+
+def test_roundtrip_rgb_rct():
+    a = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    out = decode_jp2(encode_jp2(a, levels=3, cblk=32))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, a)
+
+
+def test_roundtrip_uint16_sentinel2_style():
+    a = rng.integers(0, 10001, (64, 80), dtype=np.uint16)
+    out = decode_jp2(encode_jp2(a, levels=3, cblk=32))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out[:, :, 0], a)
+
+
+def test_roundtrip_int16_signed():
+    a = rng.integers(-5000, 5000, (21, 30)).astype(np.int16)
+    out = decode_jp2(encode_jp2(a, levels=2, cblk=16, signed=True, depth=16))
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out[:, :, 0], a)
+
+
+def test_roundtrip_multitile():
+    a = rng.integers(0, 4096, (75, 90), dtype=np.uint16)
+    blob = encode_jp2_codestream(a, levels=2, cblk=16, tile_size=(32, 40))
+    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+
+
+def test_windowed_decode_skips_tiles():
+    a = rng.integers(0, 4096, (75, 90), dtype=np.uint16)
+    blob = encode_jp2_codestream(a, levels=2, cblk=16, tile_size=(32, 40))
+    win = decode_jp2(blob, window=(35, 70, 45, 90))[:, :, 0]
+    np.testing.assert_array_equal(win[35:70, 45:90], a[35:70, 45:90])
+    assert (win[:32, :40] == 0).all()  # non-window tile never decoded
+
+
+def test_smooth_image_compresses():
+    g = (np.add.outer(np.arange(96), np.arange(128)) % 251).astype(np.uint8)
+    blob = encode_jp2(g, levels=3)
+    assert len(blob) < g.nbytes // 4  # wavelet+EBCOT actually compress
+    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], g)
+
+
+def test_codestream_markers_match_spec():
+    """Spec-level byte assertions (T.800 Annex A) — writer and decoder
+    can't share a marker-layout bug."""
+    a = np.zeros((16, 16), np.uint8)
+    cs = encode_jp2_codestream(a, levels=1, cblk=16)
+    assert cs[:2] == b"\xff\x4f"  # SOC
+    assert cs[2:4] == b"\xff\x51"  # SIZ first
+    lsiz = struct.unpack_from(">H", cs, 4)[0]
+    assert lsiz == 38 + 3  # fixed part + 1 component
+    xs, ys = struct.unpack_from(">II", cs, 8)
+    assert (xs, ys) == (16, 16)
+    assert cs[-2:] == b"\xff\xd9"  # EOC
+    assert b"\xff\x52" in cs and b"\xff\x5c" in cs  # COD, QCD
+    # JP2 container: signature + ftyp boxes per Annex I
+    jp2 = encode_jp2(a)
+    assert jp2[4:8] == b"jP  " and jp2[8:12] == b"\x0d\x0a\x87\x0a"
+    assert jp2[16:20] == b"ftyp"
+
+
+# ---------------------------------------------------------------------------
+# file-level API
+
+
+def test_file_header_and_tile_reads(tmp_path):
+    a = rng.integers(0, 10000, (75, 90), dtype=np.uint16)
+    p = str(tmp_path / "t.jp2")
+    with open(p, "wb") as f:
+        f.write(encode_jp2(a, levels=2, cblk=16, tile_size=(32, 40)))
+    hdr = read_jp2_header(p)
+    assert len(hdr["tiles"]) == 9 and hdr["dtype"] == "uint16"
+    for isot, _, _ in hdr["tiles"]:
+        ty0, tx0, th, tw = _tile_geometry(hdr, isot)
+        t = read_jp2_tile(p, hdr, isot)
+        np.testing.assert_array_equal(t[:, :, 0], a[ty0 : ty0 + th, tx0 : tx0 + tw])
+
+
+def test_reduced_resolution_read(tmp_path):
+    """JPEG2000's native overview: decoding resolutions 0..r-1 yields the
+    5/3 LL image — exactly the DWT of the source (verifiable!)."""
+    a = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    p = str(tmp_path / "r.jp2")
+    with open(p, "wb") as f:
+        f.write(encode_jp2(a, levels=2, cblk=16))
+    hdr = read_jp2_header(p)
+    half = read_jp2_tile(p, hdr, 0, max_res=1)[:, :, 0]
+    assert half.shape == (32, 32)
+    # expected: LL of one 5/3 level on the level-shifted samples,
+    # clamped to the component range (lowpass can overshoot a few counts)
+    want = np.clip(fdwt53(a.astype(np.int64) - 128, 1)[0]["LL"] + 128, 0, 255)
+    np.testing.assert_array_equal(half.astype(np.int64), want)
+
+
+def test_load_pipeline_serves_jp2(spark, tmp_path):
+    """.jp2 through the FULL load pipeline — reader dispatch by
+    extension, per-tile byte-range reads, pixel equality."""
+    from datetime import datetime
+
+    from odc_stac_spark.model import GeoBox, RasterBandMetadata, RasterSource
+    from odc_stac_spark.plans.load import Item, assemble_numpy, load
+
+    ny, nx = 96, 120
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = ((11 * y + 7 * x + 3) % 251).astype(np.uint16)
+    p = str(tmp_path / "scene.jp2")
+    with open(p, "wb") as f:
+        f.write(encode_jp2(red, levels=2, cblk=32, tile_size=(48, 64)))
+    g = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 960.0), "EPSG:32735")
+    item = Item(
+        id="jp2-0",
+        datetime=datetime(2021, 3, 3),
+        bands={"red": RasterSource(p, geobox=g, meta=RasterBandMetadata("uint16", 0))},
+    )
+    tiles_df, plan = load(spark, [item], chunks=(48, 60))
+    got = assemble_numpy(tiles_df, plan)
+    np.testing.assert_array_equal(got["red"][0], red)
+
+
+def test_jp2_in_tiff_compression_34712(tmp_path):
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.sources.geotiff import read_cog_file, write_cog_file
+
+    a = ((np.add.outer(np.arange(100), np.arange(130)) * 17) % 4001).astype(np.uint16)
+    g = GeoBox((100, 130), (10.0, 0.0, 0.0, 0.0, -10.0, 1000.0), "EPSG:32735")
+    p = str(tmp_path / "jp2.tif")
+    write_cog_file(p, a, g, tile=64, compression="jp2", overview_levels=[2])
+    out = read_cog_file(p)
+    np.testing.assert_array_equal(out["data"], a)
+
+
+def test_multimodal_decoder_registered():
+    from odc_stac_spark.operators.multimodal import DECODERS
+
+    a = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    out = DECODERS["image/jp2"](encode_jp2(a, levels=1, cblk=16))
+    np.testing.assert_array_equal(out[:, :, 0], a)
+
+
+# ---------------------------------------------------------------------------
+# loud refusals (out-of-profile must never mis-decode)
+
+
+def _patched(cs: bytes, marker: bytes, offset: int, value: int) -> bytes:
+    at = cs.index(marker) + 4 + offset
+    return cs[:at] + bytes([value]) + cs[at + 1 :]
+
+
+def test_refuses_97_irreversible():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    bad = _patched(cs, b"\xff\x52", 9, 0)  # transform byte → 9/7
+    with pytest.raises(NotImplementedError, match="5/3"):
+        decode_jp2(bad)
+
+
+def test_refuses_multiple_layers():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    at = cs.index(b"\xff\x52") + 4 + 2  # layers u16
+    bad = cs[:at] + struct.pack(">H", 3) + cs[at + 2 :]
+    with pytest.raises(NotImplementedError, match="single-layer"):
+        decode_jp2(bad)
+
+
+def test_refuses_non_lrcp_progression():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    bad = _patched(cs, b"\xff\x52", 1, 2)  # RPCL
+    with pytest.raises(NotImplementedError, match="LRCP"):
+        decode_jp2(bad)
+
+
+def test_refuses_quantized():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    at = cs.index(b"\xff\x5c") + 4
+    bad = cs[:at] + bytes([cs[at] | 0x02]) + cs[at + 1 :]  # Sqcd style 2
+    with pytest.raises(NotImplementedError, match="quantization"):
+        decode_jp2(bad)
+
+
+def test_refuses_cblk_style_flags():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    bad = _patched(cs, b"\xff\x52", 8, 0x01)  # selective bypass
+    with pytest.raises(NotImplementedError, match="style"):
+        decode_jp2(bad)
+
+
+def test_refuses_coc_override():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    # splice a COC marker segment before SOT
+    at = cs.index(b"\xff\x90")
+    coc = b"\xff\x53" + struct.pack(">H", 4) + b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="COC"):
+        decode_jp2(cs[:at] + coc + cs[at:])

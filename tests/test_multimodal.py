@@ -293,3 +293,38 @@ def test_install_native_codecs_engages_fake_pillow(monkeypatch):
     finally:
         mm.DECODERS.clear()
         mm.DECODERS.update(saved)
+
+
+def test_mp4_mjpeg_container_roundtrip():
+    """ISO BMFF mux → demux: box tree + sample tables (stsd/stts/stsc/
+    stsz/stco) carry variable-size MJPEG samples losslessly (uniform
+    even-valued frames are exact through baseline JPEG)."""
+    from odc_stac_spark.operators.codecs import decode_mp4_mjpeg, encode_mp4_mjpeg
+
+    frames = [np.full((16, 24), 2 * ((i * 13) % 128), np.uint8) for i in range(7)]
+    blob = encode_mp4_mjpeg(frames, fps=5, quality=50)
+    # container-level assertions (ISO/IEC 14496-12)
+    assert blob[4:8] == b"ftyp"
+    assert b"moov" in blob and b"mdat" in blob and b"stco" in blob
+    out = decode_mp4_mjpeg(blob)
+    assert out.shape == (7, 16, 24, 1)
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(out[i, :, :, 0], f)
+    assert decode_mp4_mjpeg(blob, every=3).shape[0] == 3
+    assert decode_mp4_mjpeg(blob, max_frames=2).shape[0] == 2
+
+
+def test_mp4_compressed_codec_refuses_loudly():
+    from odc_stac_spark.operators.codecs import decode_mp4_mjpeg, encode_mp4_mjpeg
+
+    blob = bytearray(encode_mp4_mjpeg([np.zeros((16, 16), np.uint8)]))
+    at = blob.index(b"jpeg", blob.index(b"stsd"))
+    blob[at : at + 4] = b"avc1"  # pretend H.264
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_mjpeg(bytes(blob))
+
+
+def test_mp4_registered_in_video_decoders():
+    from odc_stac_spark.operators import multimodal as mm
+
+    assert "video/mp4" in mm.VIDEO_DECODERS
