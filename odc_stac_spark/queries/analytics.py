@@ -473,16 +473,48 @@ def spatial_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_hll_rollup",
-    # no SQL oracle: Apache DataSketches HLL binaries are engine-specific
-    # (rows-only for the driver; error bounds + merge associativity are
-    # pytest-gated in tests/test_sketches.py)
+    # HASH-GATED (r7): at the gate's sf0.01 the per-(event_type, week)
+    # distinct-user cardinalities (≤ ~150) keep the lgK=14 DataSketches
+    # HLL in its sparse coupon-list regime, where the estimate is EXACTLY
+    # the true distinct count — so the merged weekly estimate is
+    # SQL-reproducible and any union-algebra error (wrong sketches
+    # merged, daily partitioning wrong) flips the hash. The ≤2% bound at
+    # dense-mode cardinalities + merge associativity stay pytest-gated
+    # (tests/test_sketches.py).
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             date_trunc('week', ts) AS week,
+             date_trunc('day', ts) AS day,
+             user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, week, day,
+             COUNT(DISTINCT user_id) AS exact_daily
+      FROM ev GROUP BY 1, 2, 3
+    )
+    SELECT ev.event_type,
+           strftime(ev.week, '%Y-%m-%d') AS week_start,
+           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS approx_weekly_users,
+           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS exact_weekly_users,
+           CAST(d.sum_daily AS BIGINT) AS sum_daily_exact
+    FROM ev
+    JOIN (
+      SELECT event_type, week, SUM(exact_daily) AS sum_daily
+      FROM daily GROUP BY 1, 2
+    ) d USING (event_type, week)
+    GROUP BY ev.event_type, ev.week, d.sum_daily
+    """,
     doc="sketch-based distinct rollup: per-(event_type, day) HLL sketches "
     "via hll_sketch_agg, then the WEEKLY distinct-user count computed by "
     "UNIONING the daily sketches (hll_union_agg) — never re-scanning "
     "events. This is the 100 TB COUNT DISTINCT pattern: daily sketches "
     "are a few KB each and mergeable into any coarser rollup "
     "(week/month/all-time) at interactive cost; an exact count is "
-    "emitted alongside to make the approximation error visible.",
+    "emitted alongside to make the approximation error visible. "
+    "Hash-gated against DuckDB in the sparse-exact regime (see oracle "
+    "note); dense-regime error bounds are pytest-gated.",
     tags=("analytics", "sketch", "scale"),
 )
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
