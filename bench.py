@@ -96,6 +96,32 @@ def main() -> None:
     # stage would break comparability)
     jpeg_mpx_s, _jpeg_sec = media_decode_throughput(spark)
 
+    # sf1 scale rehearsal (VERDICT r6 #7): one timed run of every
+    # headline query at 10× the bench scale, from a generated key-offset
+    # replica (tools/make_sf.py; /root/testdata is read-only). Reported
+    # ALONGSIDE the sf0.1 headline, never inside the total — it exists
+    # to smoke out driver-side collects and skew that stay invisible at
+    # sf0.1 (a healthy distributed query scales ≤~10× on 10× data here).
+    sf1_spot: dict[str, float] = {}
+    try:
+        import tempfile
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from make_sf import make_sf  # noqa: E402
+
+        sf1_dir = os.path.join(tempfile.gettempdir(), "spark_graft_sf1")
+        if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+            make_sf(sf_dir, sf1_dir, 10)
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            registry[name].spark_fn(spark, sf1_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sf1_spot[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001 - rehearsal must never sink the bench
+        sf1_spot = {"error": str(e)[:200]}  # type: ignore[dict-item]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -114,6 +140,9 @@ def main() -> None:
                 # plan-construction time for the 9-item mosaic load (the
                 # reference's "graph submit" ≲0.25 s, docs/benchmarking.rst:230)
                 "plan_submit_sec": plan_submit_sec,
+                # single-run wall times at 10× scale (generated replica);
+                # NOT in the headline total — scale-behavior evidence only
+                "sf1_spot": sf1_spot,
             }
         )
     )

@@ -787,6 +787,65 @@ def r_multiband_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_zstd_cog_zonal",
+    # fixture: a ZSTD-compressed (Compression=50000, GDAL's code) tiled
+    # COG; pixel (y, x) = 1 + (19*y + 23*x + 5) % 1201, nodata 0 where
+    # (y*3 + x) % 11 == 0
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y * 3 + x.x) % 11 = 0 THEN NULL
+                  ELSE 1 + (19 * y.y + 23 * x.x + 5) % 1201 END AS v
+      FROM (SELECT UNNEST(generate_series(0, 79)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT 'red' AS band, 0 AS t,
+           CAST(y // 20 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           ROUND(AVG(v), 6) AS mean
+    FROM pix GROUP BY 3, 4
+    """,
+    doc="HASH-GATED ZSTD COG read (Compression=50000 — the modern GDAL "
+    "COG compression; reference reads it via rasterio, "
+    "loader/_rio.py:374-475): a zstd-compressed tiled COG goes through "
+    "the FULL load pipeline — the tile decode runs the ZSTD backend "
+    "chain whose last resort is the from-scratch RFC 8878 decoder "
+    "(operators/zstd.py, itself validated against real libzstd frames "
+    "in tests/test_zstd.py) — then zonal statistics; the oracle "
+    "recomputes every pixel.",
+    tags=("raster", "cog", "zstd", "zonal"),
+)
+def r_zstd_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.zonal import zonal_stats
+    from ..sources.geotiff import write_cog_file
+
+    ny, nx = 80, 96
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = (1 + (19 * y + 23 * x + 5) % 1201).astype(np.uint16)
+    red[(y * 3 + x) % 11 == 0] = 0
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 800.0), _CRS)
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_zstd_cog.tif")
+    write_cog_file(path, red, gbox, tile=64, compression="zstd", overview_levels=[])
+    item = Item(
+        id="zstd-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            "red": RasterSource(
+                path, geobox=gbox, meta=RasterBandMetadata("uint16", 0)
+            )
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(40, 48))
+    return zonal_stats(tiles_df, nodata=0.0, zone_h=20, zone_w=32)
+
+
+@register(
     "r_jp2_zonal",
     # fixture: two uint16 JPEG2000 files (tiled 48×64, 2 decomposition
     # levels, 5/3 reversible, code-blocks 32) written by the in-house

@@ -22,6 +22,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.topk import partition_local_topk
 from ..sources.tables import load_table
 from . import register
 
@@ -77,12 +78,20 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("eemb"))
     cos = _dot(F.col("qemb"), F.col("eemb")) / (_norm(F.col("qemb")) * _norm(F.col("eemb")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(q)
         .crossJoin(e)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w))
+    )
+    # two-stage top-k: per-batch local top-k under the SAME ordering
+    # bounds the ranking exchange to batches × queries × k rows instead
+    # of the full queries × corpus score matrix
+    scored = partition_local_topk(
+        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], TOP_K
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
     )
@@ -230,14 +239,22 @@ def _ivf_serve_topk(assigned: DataFrame, cent: DataFrame, q: DataFrame) -> DataF
     # search only probed clusters
     cos = _dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb")))
     w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(probes)
         .join(assigned, "cent_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw")
         )
-        .withColumn("rn", F.row_number().over(w_top))
+    )
+    # two-stage top-k (VERDICT r6): at 100 TB the nprobe-pruned candidate
+    # set per query is still huge — local per-batch top-k bounds the
+    # ranking exchange before the global window
+    scored = partition_local_topk(
+        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], TOP_K
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
     )
@@ -309,12 +326,17 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb")))
     w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(probes)
         .join(assigned, "cent_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w_top))
+    )
+    scored = partition_local_topk(
+        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], TOP_K
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"), "rn")
     )

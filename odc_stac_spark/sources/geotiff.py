@@ -25,9 +25,13 @@ for >4 GiB COGs), with Compression 1/5/8/32946/32773 (none / TIFF-LZW /
 zlib deflate / PackBits) and Predictor 1/2 — enough to read this writer's
 output, typical externally-produced deflate COGs, LZW+predictor archive
 GeoTIFFs, and PackBits USGS/Landsat archive layouts without GDAL. ZSTD
-(Compression=50000) decodes through a loud env seam (stdlib
-compression.zstd on Python ≥3.14, else the zstandard package). The writers emit BigTIFF on request or automatically when
-the payload could cross the 4 GiB offset ceiling (GDAL's IF_SAFER).
+(Compression=50000) encodes via pyarrow's bundled zstd and decodes
+through a backend chain ending in the from-scratch RFC 8878 decoder
+(operators/zstd.py — validated against real libzstd output), so ZSTD
+COGs read even with no native backend at all. JPEG2000 (34712) rides
+the in-house Part-1 codec (operators/jp2.py). The writers emit BigTIFF
+on request or automatically when the payload could cross the 4 GiB
+offset ceiling (GDAL's IF_SAFER).
 
 Scale note: one COG per (band, t) mosaic is a driver-side or
 foreachPartition finalization step over collected tiles — the distributed
@@ -243,10 +247,12 @@ def packbits_decode(data: bytes, expected: Optional[int] = None) -> bytes:
     return bytes(out)
 
 
-def _zstd_decompress(raw: bytes) -> bytes:
-    """ZSTD (Compression=50000, GDAL's registered code). No pure-stdlib
-    decoder exists before Python 3.14 (PEP 784 compression.zstd), so this
-    is a loud env seam: stdlib first, then the zstandard package."""
+def _zstd_decompress(raw: bytes, expected: Optional[int] = None) -> bytes:
+    """ZSTD (Compression=50000, GDAL's registered code). Backend chain:
+    Python ≥3.14 stdlib, the zstandard package, pyarrow's bundled zstd
+    (always present here — Arrow is a hard dependency of the engine;
+    needs the decompressed size, which every TIFF tile read knows), then
+    the from-scratch RFC 8878 decoder (operators/zstd.py)."""
     try:
         from compression import zstd  # Python ≥3.14 stdlib
 
@@ -258,11 +264,18 @@ def _zstd_decompress(raw: bytes) -> bytes:
 
         return zstandard.ZstdDecompressor().decompress(raw)
     except ImportError:
-        raise NotImplementedError(
-            "TIFF compression 50000 (ZSTD): needs Python ≥3.14 stdlib "
-            "compression.zstd or the 'zstandard' package — neither is "
-            "present in this environment"
-        )
+        pass
+    if expected is not None:
+        try:
+            import pyarrow as pa
+
+            if pa.Codec.is_available("zstd"):
+                return bytes(pa.Codec("zstd").decompress(raw, expected))
+        except ImportError:
+            pass
+    from ..operators.zstd import decode_zstd
+
+    return decode_zstd(raw)
 
 
 def _apply_predictor2(block: np.ndarray) -> np.ndarray:
@@ -341,9 +354,10 @@ def write_cog_file(
         raise ValueError("write_cog_file expects (h, w) or (h, w, samples)")
     if pix.ndim == 3 and pix.shape[2] > 4:
         raise ValueError("write_cog_file supports at most 4 interleaved samples")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "packbits"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'packbits' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
+            f"'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -495,6 +509,13 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
         from ..operators.jp2 import encode_jp2_codestream
 
         return encode_jp2_codestream(block, levels=2, cblk=32)
+    if compression == "zstd":
+        # Compression=50000 (GDAL ZSTD): encoded via pyarrow's bundled
+        # zstd (a hard engine dependency); decoding falls back to the
+        # from-scratch RFC 8878 decoder when no native backend exists
+        import pyarrow as pa
+
+        return bytes(pa.Codec("zstd").compress(block.tobytes()))
     if compression == "packbits":
         # spec §9: rows pack independently
         row_bytes = block.nbytes // block.shape[0]
@@ -502,7 +523,7 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
     return block.tobytes()
 
 
-_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773}
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773, "zstd": 50000}
 
 
 def write_tiff_striped(
@@ -524,9 +545,10 @@ def write_tiff_striped(
     rows are written, matching real-world writers."""
     if pix.ndim != 2:
         raise ValueError("write_tiff_striped expects a 2-D single-band array")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "packbits"):
         raise ValueError(
-            f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'packbits' or 'none', got {compression!r}"
+            f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
+            f"'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -943,7 +965,7 @@ def read_cog_tile(
     elif comp == 32773:
         raw = packbits_decode(raw, expected=th * tw * spp * dt.itemsize)
     elif comp == 50000:
-        raw = _zstd_decompress(raw)
+        raw = _zstd_decompress(raw, expected=th * tw * spp * dt.itemsize)
     n_rows = len(raw) // (tw * spp * dt.itemsize)
     arr = np.frombuffer(raw, dt, count=n_rows * tw * spp).reshape(n_rows, tw, spp)
     if lv.get("predictor", 1) == 2:

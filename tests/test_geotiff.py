@@ -758,33 +758,18 @@ def test_packbits_predictor2(tmp_path):
     assert os.path.getsize(p) < ramp.nbytes  # the runs actually compressed
 
 
-def test_zstd_seam_raises_loudly_without_lib(tmp_path):
-    """Compression=50000 parses through the header; the decode seam raises
-    a loud NotImplementedError when no zstd library is present (stdlib
-    compression.zstd arrives in Python 3.14)."""
+def test_zstd_cog_write_read(tmp_path):
+    """Compression=50000 is fully served in-repo now: encode via
+    pyarrow's bundled zstd, decode via the backend chain whose last
+    resort is the from-scratch RFC 8878 decoder (operators/zstd.py) —
+    the former loud seam is closed (tests/test_zstd.py proves the pure
+    decoder against real libzstd frames)."""
     from odc_stac_spark.sources import geotiff as gt
 
-    arr = rand((64, 64), "uint8", seed=23)
+    arr = rand((70, 90), "uint16", seed=23)
     p = str(tmp_path / "z.tif")
-    write_cog_file(p, arr, GBOX, tile=64, compression="none")
-    # rewrite the compression tag in place: none(1) → zstd(50000)
-    raw = bytearray(open(p, "rb").read())
-    import struct as _s
-
-    n_tags = _s.unpack_from("<H", raw, 8)[0]
-    for t in range(n_tags):
-        off = 10 + 12 * t
-        if _s.unpack_from("<H", raw, off)[0] == 259:
-            _s.pack_into("<H", raw, off + 8, 50000)
-    open(p, "wb").write(raw)
+    write_cog_file(p, arr, GBOX, tile=64, compression="zstd")
     hdr = gt.read_cog_header(p)
     assert hdr["levels"][0]["compression"] == 50000
-    try:
-        import zstandard  # noqa: F401
-
-        has_zstd = True
-    except ImportError:
-        has_zstd = False
-    if not has_zstd:
-        with pytest.raises(NotImplementedError, match="ZSTD"):
-            gt.read_cog_tile(p, hdr, 0, 0)
+    out = gt.read_cog_file(p)
+    np.testing.assert_array_equal(out["data"], arr)
