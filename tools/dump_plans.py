@@ -55,9 +55,11 @@ PICKS = [
     ),
     (
         "knn_bruteforce_cosine",
-        "Broadcast queries × scan: the only exchange is the broadcast of "
-        "the 10 query vectors; dot products are JVM higher-order "
-        "aggregates inside the scan stage.",
+        "Broadcast queries × scan: the only row exchange is the broadcast "
+        "of the 10 query vectors; dot products are JVM higher-order "
+        "aggregates inside the scan stage, and (r7) a partition-local "
+        "top-k mapInPandas stage BOUNDS the ranking window's input to "
+        "batches × queries × k rows instead of the scored cross product.",
     ),
     (
         "funnel_stages",
@@ -96,6 +98,29 @@ PICKS = [
         "regexp_replace/replace chain + md5 digest fuses into a single "
         "WholeStageCodegen stage over the parquet scan — zero exchanges, "
         "so at 100 TB it runs at scan speed.",
+    ),
+    (
+        "ann_ivfpq_topk",
+        "IVF-PQ serving (r7, two-stage top-k): the codes scan is pruned by "
+        "the cell_id isin filter (partition pruning on a cell-partitioned "
+        "table at rest), the mapInPandas stage emits per-batch local top-k "
+        "so the single ranking exchange carries ≤ batches × queries × k "
+        "rows, and no embedding column appears anywhere in the plan.",
+    ),
+    (
+        "sketch_hll_rollup",
+        "100 TB COUNT DISTINCT shape (hash-gated r7): per-day "
+        "hll_sketch_agg partials merge map-side, weekly rollups UNION the "
+        "daily sketches (hll_union_agg) without re-scanning events — the "
+        "plan shows two aggregate stages over one events scan plus a "
+        "broadcast-joined exact-count audit branch.",
+    ),
+    (
+        "r_zstd_cog_zonal",
+        "Real-format raster read (r7): ZSTD-compressed COG tiles decode "
+        "inside the tile tasks (backend chain ending in the from-scratch "
+        "RFC 8878 decoder), zonal statistics aggregate map-side partials — "
+        "one exchange on the zone key, pixels never shuffle.",
     ),
 ]
 
