@@ -35,6 +35,62 @@ _MAGIC = b"\x28\xb5\x2f\xfd"
 _SKIPPABLE_LO = 0x184D2A50
 _SKIPPABLE_HI = 0x184D2A5F
 
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (public xxHash spec) — zstd's content checksum."""
+    n = len(data)
+    p = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while p + 32 <= n:
+            for off, v in ((0, 1), (8, 2), (16, 3), (24, 4)):
+                lane = int.from_bytes(data[p + off : p + off + 8], "little")
+                if v == 1:
+                    v1 = (_rotl((v1 + lane * _P2) & _M64, 31) * _P1) & _M64
+                elif v == 2:
+                    v2 = (_rotl((v2 + lane * _P2) & _M64, 31) * _P1) & _M64
+                elif v == 3:
+                    v3 = (_rotl((v3 + lane * _P2) & _M64, 31) * _P1) & _M64
+                else:
+                    v4 = (_rotl((v4 + lane * _P2) & _M64, 31) * _P1) & _M64
+            p += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _P2) & _M64, 31) * _P1 & _M64)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while p + 8 <= n:
+        lane = int.from_bytes(data[p : p + 8], "little")
+        h = (_rotl(h ^ (_rotl((lane * _P2) & _M64, 31) * _P1 & _M64), 27) * _P1 + _P4) & _M64
+        p += 8
+    if p + 4 <= n:
+        lane = int.from_bytes(data[p : p + 4], "little")
+        h = (_rotl(h ^ ((lane * _P1) & _M64), 23) * _P2 + _P3) & _M64
+        p += 4
+    while p < n:
+        h = (_rotl(h ^ ((data[p] * _P5) & _M64), 11) * _P1) & _M64
+        p += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
 
 # ---------------------------------------------------------------------------
 # bitstreams
@@ -565,6 +621,7 @@ def decode_zstd(data: bytes) -> bytes:
 
 
 def _decode_frame(data: bytes, p: int, out: bytearray) -> int:
+    frame_out_start = len(out)
     fhd = data[p]
     p += 1
     single = (fhd >> 5) & 1
@@ -603,5 +660,11 @@ def _decode_frame(data: bytes, p: int, out: bytearray) -> int:
         if last:
             break
     if checksum:
-        p += 4  # xxh64 low 32 bits — not verified
+        want = struct.unpack_from("<I", data, p)[0]
+        got = xxh64(bytes(out[frame_out_start:])) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError(
+                f"zstd: content checksum mismatch ({got:#010x} != {want:#010x})"
+            )
+        p += 4
     return p

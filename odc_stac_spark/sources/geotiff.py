@@ -354,10 +354,10 @@ def write_cog_file(
         raise ValueError("write_cog_file expects (h, w) or (h, w, samples)")
     if pix.ndim == 3 and pix.shape[2] > 4:
         raise ValueError("write_cog_file supports at most 4 interleaved samples")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "lzma", "packbits"):
         raise ValueError(
             f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
-            f"'packbits' or 'none', got {compression!r}"
+            f"'lzma', 'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -516,6 +516,13 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
         import pyarrow as pa
 
         return bytes(pa.Codec("zstd").compress(block.tobytes()))
+    if compression == "lzma":
+        # Compression=34925 (libtiff): one xz stream per tile, stdlib
+        import lzma
+
+        return lzma.compress(
+            block.tobytes(), format=lzma.FORMAT_XZ, check=lzma.CHECK_NONE, preset=6
+        )
     if compression == "packbits":
         # spec §9: rows pack independently
         row_bytes = block.nbytes // block.shape[0]
@@ -523,7 +530,7 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
     return block.tobytes()
 
 
-_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773, "zstd": 50000}
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773, "lzma": 34925, "zstd": 50000}
 
 
 def write_tiff_striped(
@@ -545,10 +552,10 @@ def write_tiff_striped(
     rows are written, matching real-world writers."""
     if pix.ndim != 2:
         raise ValueError("write_tiff_striped expects a 2-D single-band array")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "lzma", "packbits"):
         raise ValueError(
             f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
-            f"'packbits' or 'none', got {compression!r}"
+            f"'lzma', 'packbits' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -833,11 +840,11 @@ def read_cog_header(path: str) -> Dict:
                 bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-            if comp not in (1, 5, 7, 8, 32946, 32773, 34712, 50000):
+            if comp not in (1, 5, 7, 8, 32946, 32773, 34712, 34925, 50000):
                 raise NotImplementedError(
                     f"TIFF compression {comp}: only none(1)/lzw(5)/jpeg(7)/"
                     "deflate(8,32946)/packbits(32773)/jpeg2000(34712)/"
-                    "zstd(50000) readable without GDAL"
+                    "lzma(34925)/zstd(50000) readable without GDAL"
                 )
             pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
             if pred not in (1, 2):
@@ -964,6 +971,12 @@ def read_cog_tile(
         raw = lzw_decode(raw)
     elif comp == 32773:
         raw = packbits_decode(raw, expected=th * tw * spp * dt.itemsize)
+    elif comp == 34925:
+        # LZMA (libtiff tif_lzma.c): an xz-container stream per tile —
+        # self-describing, stdlib-decodable
+        import lzma
+
+        raw = lzma.decompress(raw)
     elif comp == 50000:
         raw = _zstd_decompress(raw, expected=th * tw * spp * dt.itemsize)
     n_rows = len(raw) // (tw * spp * dt.itemsize)

@@ -773,3 +773,17 @@ def test_zstd_cog_write_read(tmp_path):
     assert hdr["levels"][0]["compression"] == 50000
     out = gt.read_cog_file(p)
     np.testing.assert_array_equal(out["data"], arr)
+
+
+def test_lzma_cog_write_read(tmp_path):
+    """Compression=34925 (libtiff LZMA: one xz stream per tile) through
+    the stdlib — real-format coverage with zero dependencies."""
+    from odc_stac_spark.sources import geotiff as gt
+
+    arr = rand((70, 90), "int16", seed=31)
+    p = str(tmp_path / "lz.tif")
+    write_cog_file(p, arr, GBOX, tile=64, compression="lzma", overview_levels=[2])
+    hdr = gt.read_cog_header(p)
+    assert hdr["levels"][0]["compression"] == 34925
+    out = gt.read_cog_file(p)
+    np.testing.assert_array_equal(out["data"], arr)

@@ -120,3 +120,27 @@ def test_zstd_cog_roundtrip_through_pure_decoder(tmp_path, monkeypatch):
     out = gt.read_cog_file(p)
     np.testing.assert_array_equal(out["data"], a)
     assert calls  # the from-scratch decoder actually served the tiles
+
+
+def test_xxh64_known_vectors():
+    """Public xxHash test vectors — the zstd content checksum hash."""
+    from odc_stac_spark.operators.zstd import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    # self-consistency across the <32 / >=32 byte code paths
+    for n in (1, 3, 4, 7, 8, 15, 31, 32, 33, 100, 1000):
+        a = bytes(range(256)) * 4
+        assert xxh64(a[:n]) == xxh64(bytes(a[:n]))
+
+
+def test_content_checksum_verified():
+    data = b"check me " * 4000
+    blob = _pa_zstd(data)
+    # pyarrow frames omit the checksum; the CLI adds one
+    if _CLI is not None:
+        blob = _cli_zstd(data, "-3")
+        assert decode_zstd(blob) == data
+        bad = bytearray(blob)
+        bad[-1] ^= 0xFF  # corrupt the stored checksum
+        with pytest.raises(ValueError, match="checksum"):
+            decode_zstd(bytes(bad))
