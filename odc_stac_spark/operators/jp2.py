@@ -11,9 +11,11 @@ actually need for LOSSLESS data, from the public spec:
 - **Tier-1 EBCOT code-block coder** (Annex D): significance/refinement/
   cleanup passes, 19 contexts, stripe-of-4 scan, run-length + UNIFORM
   shortcut, single codeword segment (code-block style 0).
-- **Tier-2** (Annex B): tag trees (B.10.2), packet headers (inclusion,
-  zero bitplanes, pass counts, Lblock lengths, 0xFF bit-stuffing),
-  LRCP progression, one layer, default (whole-band) precincts.
+- **Tier-2** (Annex B): tag trees (B.10.2), packet headers (inclusion
+  tag trees across quality layers, zero bitplanes, pass counts, Lblock
+  lengths, 0xFF bit-stuffing), ALL FIVE progression orders
+  (LRCP/RLCP/RPCL/PCRL/CPRL), multiple quality layers (codeword
+  segments concatenated per block), default (whole-band) precincts.
 - **5/3 reversible DWT** (Annex F): integer lifting with whole-sample
   symmetric extension, arbitrary decomposition levels.
 - **RCT** (Annex G.2): reversible multi-component transform.
@@ -21,10 +23,10 @@ actually need for LOSSLESS data, from the public spec:
   and the signature/ftyp/jp2h/jp2c box wrapping.
 
 Out-of-profile features are REFUSED loudly, never mis-decoded: the 9/7
-irreversible transform, quantization styles other than "none", multiple
-layers, non-LRCP progression, user precincts, code-block style flags
-(bypass/reset/termination/segmentation), component subsampling, and
-COC/QCC per-component overrides.
+irreversible transform, quantization styles other than "none", user
+precincts, code-block style flags (bypass/reset/termination/
+segmentation), component subsampling, and COC/QCC per-component
+overrides.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -1028,8 +1030,14 @@ def _encode_tile_body(
     signed: bool,
     depth: int,
     mbs: Dict[str, int],
+    layers: int = 1,
+    prog: int = 0,
 ) -> bytes:
-    """One tile's packet stream (LRCP, single layer, whole-band precincts)."""
+    """One tile's packet stream (whole-band precincts; any of the five
+    progression orders; ``layers`` quality layers — pass counts split
+    evenly, codeword bytes split at arbitrary points, which is valid for
+    code-block style 0 where a block's segments concatenate before
+    decode)."""
     th, tw, ncomp = tile_img.shape
     planes = tile_img.astype(np.int64)
     if not signed:
@@ -1042,63 +1050,106 @@ def _encode_tile_body(
     comp_bands = [fdwt53(c, levels) for c in comps]
     shapes = _band_shapes(th, tw, levels)
 
-    body = bytearray()
-    for r in range(levels + 1):
-        for ci in range(ncomp):
-            bw = _PkBitWriter()
-            bw.put(1)  # packet non-empty
-            datas = []
+    # phase 1: code every block, split passes/bytes across layers
+    coded: dict = {}
+    trees: dict = {}
+    for ci in range(ncomp):
+        for r in range(levels + 1):
             for lv, bname in _res_bands(levels, r):
                 sh = shapes[lv][bname]
                 if sh[0] == 0 or sh[1] == 0:
                     continue
-                band = comp_bands[ci][lv][bname]
-                blks = []
-                for (y0, x0, bh_, bw2) in _blocks_of(sh[0], sh[1], cblk):
-                    sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
-                    data, npasses, nbp = encode_block(np.asarray(sub), bname)
-                    blks.append({"data": data, "npasses": npasses, "nbp": nbp})
                 gw = (sh[1] + cblk - 1) // cblk
                 gh = (sh[0] + cblk - 1) // cblk
+                band = comp_bands[ci][lv][bname]
                 incl = TagTree(gw, gh)
                 zbp = TagTree(gw, gh)
                 mb = mbs[bname]
-                for bi, blk in enumerate(blks):
+                blks = []
+                for bi, (y0, x0, bh_, bw2) in enumerate(_blocks_of(sh[0], sh[1], cblk)):
                     by, bx = bi // gw, bi % gw
-                    included = blk["npasses"] > 0
-                    incl.set(bx, by, 0 if included else 1)
-                    zbp.set(bx, by, mb - blk["nbp"] if included else 0)
+                    sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
+                    data, npasses, nbp = encode_block(np.asarray(sub), bname)
+                    if npasses == 0:
+                        incl.set(bx, by, layers)  # never included
+                        zbp.set(bx, by, 0)
+                        blks.append(None)
+                        continue
+                    if mb - nbp < 0:
+                        raise AssertionError("Mb budget under-sized for block")
+                    incl.set(bx, by, 0)
+                    zbp.set(bx, by, mb - nbp)
+                    base, rem = divmod(npasses, layers)
+                    np_l = [base + (1 if j < rem else 0) for j in range(layers)]
+                    # byte cuts follow cumulative pass counts so a layer
+                    # with zero passes carries zero bytes (its absent-bit
+                    # path ships no length field)
+                    segs = []
+                    prev = 0
+                    cum = 0
+                    for j in range(layers):
+                        cum += np_l[j]
+                        cut = len(data) * cum // npasses
+                        segs.append(data[prev:cut])
+                        prev = cut
+                    blks.append(
+                        {"np_l": np_l, "segs": segs, "nbp": nbp,
+                         "included": False, "lblock": 3}
+                    )
                 incl.finalize()
                 zbp.finalize()
-                for bi, blk in enumerate(blks):
-                    by, bx = bi // gw, bi % gw
-                    incl.encode(bx, by, 1, bw.put)
-                    if blk["npasses"] == 0:
-                        continue
-                    # zero bitplanes: encode to full knowledge
+                trees[(ci, r, bname)] = (incl, zbp, gw)
+                coded[(ci, r, bname)] = blks
+
+    # phase 2: emit packets in progression order
+    body = bytearray()
+    for (l, r, ci) in _packet_order(prog, layers, levels + 1, ncomp):
+        bw = _PkBitWriter()
+        bw.put(1)  # packet non-empty
+        datas = []
+        for lv, bname in _res_bands(levels, r):
+            key = (ci, r, bname)
+            if key not in coded:
+                continue
+            incl, zbp, gw = trees[key]
+            mb = mbs[bname]
+            for bi, blk in enumerate(coded[key]):
+                by, bx = bi // gw, bi % gw
+                if blk is None:  # never included: tag tree keeps saying no
+                    incl.encode(bx, by, l + 1, bw.put)
+                    continue
+                if not blk["included"]:
+                    incl.encode(bx, by, l + 1, bw.put)
+                    if l != 0:
+                        continue  # pass-split puts first contribution at l=0
+                    blk["included"] = True
                     t = 1
                     val = mb - blk["nbp"]
-                    if val < 0:
-                        raise AssertionError("Mb budget under-sized for block")
                     while True:
                         zbp.encode(bx, by, t, bw.put)
                         if val < t:
                             break
                         t += 1
-                    _put_npasses(bw, blk["npasses"])
-                    lblock = 3
-                    nbits = len(blk["data"]).bit_length()
-                    need = lblock + int(math.log2(blk["npasses"]))
-                    while need < nbits:
-                        bw.put(1)
-                        lblock += 1
-                        need += 1
-                    bw.put(0)
-                    bw.put_bits(len(blk["data"]), need)
-                    datas.append(blk["data"])
-            body += bw.flush()
-            for d in datas:
-                body += d
+                else:
+                    if blk["np_l"][l] == 0:
+                        bw.put(0)
+                        continue
+                    bw.put(1)
+                seg = blk["segs"][l]
+                np_l = blk["np_l"][l]
+                _put_npasses(bw, np_l)
+                nbits_need = len(seg).bit_length()
+                have = blk["lblock"] + int(math.log2(np_l))
+                while have < nbits_need:
+                    bw.put(1)
+                    blk["lblock"] += 1
+                    have += 1
+                bw.put(0)
+                bw.put_bits(len(seg), have)
+                datas.append(seg)
+        body += bw.flush()
+        for d in datas:
+            body += d
     return bytes(body)
 
 
@@ -1110,10 +1161,13 @@ def encode_jp2_codestream(
     signed: bool = False,
     depth: Optional[int] = None,
     tile_size: Optional[Tuple[int, int]] = None,
+    layers: int = 1,
+    prog: int = 0,
 ) -> bytes:
-    """Lossless Part-1 codestream: one layer, LRCP, 5/3; ``tile_size``
-    (th, tw) splits the image into independently coded tiles (the
-    Sentinel-2 layout); default is one tile."""
+    """Lossless Part-1 codestream, 5/3 reversible; ``tile_size`` (th,
+    tw) splits the image into independently coded tiles (the Sentinel-2
+    layout), ``layers`` quality layers, ``prog`` progression order
+    (0=LRCP 1=RLCP 2=RPCL 3=PCRL 4=CPRL)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ncomp = img.shape
@@ -1144,11 +1198,13 @@ def encode_jp2_codestream(
         for c in range(ncomp)
     )
     xcb = int(math.log2(cblk))
+    if not 1 <= layers <= 65535 or not 0 <= prog <= 4:
+        raise ValueError("layers must be ≥1 and prog in 0..4")
     cod = struct.pack(
         ">BBHBBBBBB",
         0,  # Scod: default precincts, no SOP/EPH
-        0,  # LRCP
-        1,  # layers
+        prog,
+        layers,
         1 if mct else 0,
         levels,
         xcb - 2,
@@ -1175,7 +1231,9 @@ def encode_jp2_codestream(
         tyx, txx = divmod(ti, ntx)
         ty0, tx0 = tyx * yt, txx * xt
         tile = img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
-        body = _encode_tile_body(tile, levels, cblk, mct, signed, depth, mbs)
+        body = _encode_tile_body(
+            tile, levels, cblk, mct, signed, depth, mbs, layers=layers, prog=prog
+        )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
             ">HIBB", ti, 12 + len(body) + 2, 0, 1
         )
@@ -1252,10 +1310,8 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
     if scod & 0x07:
         raise NotImplementedError("JPEG2000: user precincts / SOP / EPH not supported")
     prog, layers, mct = struct.unpack_from(">BHB", cod, 1)
-    if prog != 0:
-        raise NotImplementedError("JPEG2000: only LRCP progression supported")
-    if layers != 1:
-        raise NotImplementedError("JPEG2000: only single-layer codestreams supported")
+    if prog > 4:
+        raise ValueError(f"JPEG2000: reserved progression order {prog}")
     levels = cod[5]
     xcb = (cod[6] & 0x0F) + 2
     ycb = (cod[7] & 0x0F) + 2
@@ -1277,6 +1333,7 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         "xs": xs, "ys": ys, "xt": xt, "yt": yt, "ncomp": ncomp,
         "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
         "guard": guard, "band_eps": band_eps,
+        "layers": layers, "prog": prog,
         "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
     }
 
@@ -1296,16 +1353,38 @@ def _decode_tile_payload(tdata: bytes, th: int, tw: int, params: dict) -> np.nda
     return _decode_tile_reduced(tdata, th, tw, params, params["levels"])
 
 
+def _packet_order(prog: int, layers: int, nres: int, ncomp: int):
+    """Packet iteration (l, r, c) for the five Part-1 progression orders
+    — with whole-band precincts the position axis is a singleton, so
+    every order reduces to a loop permutation."""
+    L, R, C = range(layers), range(nres), range(ncomp)
+    if prog == 0:  # LRCP
+        return [(l, r, c) for l in L for r in R for c in C]
+    if prog == 1:  # RLCP
+        return [(l, r, c) for r in R for l in L for c in C]
+    if prog == 2:  # RPCL
+        return [(l, r, c) for r in R for c in C for l in L]
+    # PCRL (3) and CPRL (4) both collapse to component-major here
+    return [(l, r, c) for c in C for r in R for l in L]
+
+
 def _decode_tile_reduced(
     tdata: bytes, th: int, tw: int, params: dict, max_res: int
 ) -> np.ndarray:
     """Decode only resolutions 0..max_res of a tile → the reduced-size
-    image (ceil(th/2^k) × ceil(tw/2^k), k = levels - max_res). With LRCP
-    ordering the packets for higher resolutions are never even parsed —
-    JPEG2000's native overview pushdown (the analogue of COG overview
-    IFDs; cost follows the output resolution, not the stored one)."""
+    image (ceil(th/2^k) × ceil(tw/2^k), k = levels - max_res).
+
+    Two-phase: (1) walk the packets in the codestream's progression
+    order, accumulating each code-block's codeword segments across
+    QUALITY LAYERS (inclusion tag trees at first contribution, a plain
+    bit afterwards; Lblock persists per block); (2) decode every block
+    once from its concatenated segments. Resolution-major progressions
+    (RLCP/RPCL) and single-layer LRCP stop parsing at max_res — the
+    native overview pushdown; layer-major orders still parse the later
+    headers (bodies are skipped by length) but never decode them."""
     levels, cblk, ncomp = params["levels"], params["cblk"], params["ncomp"]
     guard, band_eps, comps = params["guard"], params["band_eps"], params["comps"]
+    layers, prog = params.get("layers", 1), params.get("prog", 0)
     if max_res >= levels + 1:
         raise ValueError("max_res beyond decomposition levels")
     shapes = _band_shapes(th, tw, levels)
@@ -1313,44 +1392,68 @@ def _decode_tile_reduced(
         [{name: np.zeros(shp, np.int32) for name, shp in lvl.items()} for lvl in shapes]
         for _ in range(ncomp)
     ]
+
+    res_major = prog in (1, 2) or (prog == 0 and layers == 1)
+    trees: dict = {}  # (c, r, band) → (incl, zbp)
+    blocks: dict = {}  # (c, r, band, bi) → accumulated state
     pos = 0
-    for r in range(max_res + 1):
+    for (l, r, ci) in _packet_order(prog, layers, levels + 1, ncomp):
+        if res_major and r > max_res:
+            continue  # header never parsed — bodies unreachable anyway
         eps_idx0 = 0 if r == 0 else 1 + 3 * (r - 1)
-        for ci in range(ncomp):
-            br = _PkBitReader(tdata, pos)
-            if not br.get():
-                pos = br.align()
+        br = _PkBitReader(tdata, pos)
+        if not br.get():  # empty packet
+            pos = br.align()
+            continue
+        contributed = []
+        for bj, (lv, bname) in enumerate(_res_bands(levels, r)):
+            sh = shapes[lv][bname]
+            if sh[0] == 0 or sh[1] == 0:
                 continue
-            blocks_meta = []
-            for bj, (lv, bname) in enumerate(_res_bands(levels, r)):
-                sh = shapes[lv][bname]
-                if sh[0] == 0 or sh[1] == 0:
-                    continue
-                gw = (sh[1] + cblk - 1) // cblk
-                gh = (sh[0] + cblk - 1) // cblk
-                incl = TagTree(gw, gh)
-                zbp = TagTree(gw, gh)
-                eps = band_eps[eps_idx0 + (0 if r == 0 else bj)]
-                mb = eps + guard - 1
-                for bi, (y0, x0, bh_, bw2) in enumerate(_blocks_of(sh[0], sh[1], cblk)):
-                    by, bx = bi // gw, bi % gw
-                    if not incl.decode(bx, by, 1, br.get):
+            gw = (sh[1] + cblk - 1) // cblk
+            gh = (sh[0] + cblk - 1) // cblk
+            tkey = (ci, r, bname)
+            if tkey not in trees:
+                trees[tkey] = (TagTree(gw, gh), TagTree(gw, gh))
+            incl, zbp = trees[tkey]
+            eps = band_eps[eps_idx0 + (0 if r == 0 else bj)]
+            mb = eps + guard - 1
+            for bi, (y0, x0, bh_, bw2) in enumerate(_blocks_of(sh[0], sh[1], cblk)):
+                by, bx = bi // gw, bi % gw
+                key = (ci, r, bname, bi)
+                st = blocks.get(key)
+                if st is None:
+                    if not incl.decode(bx, by, l + 1, br.get):
                         continue
                     missing = zbp.decode_value(bx, by, br.get)
-                    npasses = _get_npasses(br)
-                    lblock = 3
-                    while br.get():
-                        lblock += 1
-                    length = br.get_bits(lblock + int(math.log2(npasses)))
-                    blocks_meta.append(
-                        (lv, bname, y0, x0, bh_, bw2, mb - missing, npasses, length)
-                    )
-            pos = br.align()
-            for (lv, bname, y0, x0, bh_, bw2, nbp, npasses, length) in blocks_meta:
-                blob = tdata[pos : pos + length]
-                pos += length
-                coefs = decode_block(blob, bw2, bh_, bname, nbp, npasses)
-                comp_bands[ci][lv][bname][y0 : y0 + bh_, x0 : x0 + bw2] = coefs
+                    st = {
+                        "lv": lv, "band": bname, "y0": y0, "x0": x0,
+                        "h": bh_, "w": bw2, "nbp": mb - missing,
+                        "npasses": 0, "segs": [], "lblock": 3,
+                    }
+                    blocks[key] = st
+                elif not br.get():  # included before, absent this layer
+                    continue
+                np_l = _get_npasses(br)
+                while br.get():
+                    st["lblock"] += 1
+                length = br.get_bits(st["lblock"] + int(math.log2(np_l)))
+                st["npasses"] += np_l
+                contributed.append((st, length))
+        pos = br.align()
+        for st, length in contributed:
+            st["segs"].append(tdata[pos : pos + length])
+            pos += length
+
+    for (ci, r, bname, bi), st in blocks.items():
+        if r > max_res:
+            continue
+        coefs = decode_block(
+            b"".join(st["segs"]), st["w"], st["h"], st["band"], st["nbp"], st["npasses"]
+        )
+        comp_bands[ci][st["lv"]][st["band"]][
+            st["y0"] : st["y0"] + st["h"], st["x0"] : st["x0"] + st["w"]
+        ] = coefs
 
     k = levels - max_res  # remaining decimation
     if k == 0:

@@ -293,18 +293,41 @@ def test_refuses_97_irreversible():
         decode_jp2(bad)
 
 
-def test_refuses_multiple_layers():
-    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    at = cs.index(b"\xff\x52") + 4 + 2  # layers u16
-    bad = cs[:at] + struct.pack(">H", 3) + cs[at + 2 :]
-    with pytest.raises(NotImplementedError, match="single-layer"):
-        decode_jp2(bad)
+def test_multilayer_all_progressions_roundtrip():
+    """Quality layers + every Part-1 progression order (the shapes real
+    Sentinel-2/OpenJPEG files use: typically 5 layers, RPCL)."""
+    a = rng.integers(0, 4001, (70, 85), dtype=np.uint16)
+    for layers in (2, 5):
+        for prog in (0, 1, 2, 3, 4):
+            blob = encode_jp2_codestream(a, levels=2, cblk=16, layers=layers, prog=prog)
+            np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+    blob = encode_jp2_codestream(
+        a, levels=2, cblk=16, tile_size=(32, 40), layers=3, prog=2
+    )
+    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
 
 
-def test_refuses_non_lrcp_progression():
+def test_multilayer_reduced_resolution_read(tmp_path):
+    from odc_stac_spark.operators.jp2 import fdwt53, read_jp2_header, read_jp2_tile
+
+    a = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    p = str(tmp_path / "ml.jp2")
+    cs = encode_jp2_codestream(a, levels=2, cblk=16, layers=4, prog=1)
+    with open(p, "wb") as f:
+        f.write(cs)
+    hdr = read_jp2_header(p)
+    assert hdr["layers"] == 4 and hdr["prog"] == 1
+    full = read_jp2_tile(p, hdr, 0)
+    np.testing.assert_array_equal(full[:, :, 0], a)
+    half = read_jp2_tile(p, hdr, 0, max_res=1)[:, :, 0]
+    want = np.clip(fdwt53(a.astype(np.int64) - 128, 1)[0]["LL"] + 128, 0, 255)
+    np.testing.assert_array_equal(half.astype(np.int64), want)
+
+
+def test_refuses_reserved_progression():
     cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    bad = _patched(cs, b"\xff\x52", 1, 2)  # RPCL
-    with pytest.raises(NotImplementedError, match="LRCP"):
+    bad = _patched(cs, b"\xff\x52", 1, 5)  # reserved order
+    with pytest.raises(ValueError, match="progression"):
         decode_jp2(bad)
 
 
