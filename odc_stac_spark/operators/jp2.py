@@ -23,10 +23,10 @@ actually need for LOSSLESS data, from the public spec:
   and the signature/ftyp/jp2h/jp2c box wrapping.
 
 Out-of-profile features are REFUSED loudly, never mis-decoded: the 9/7
-irreversible transform, quantization styles other than "none", user
-precincts, code-block style flags (bypass/reset/termination/
-segmentation), component subsampling, and COC/QCC per-component
-overrides.
+irreversible transform, quantization styles other than "none",
+user-defined precincts, code-block style flags (bypass/reset/
+termination/segmentation), component subsampling, and COC/QCC
+per-component overrides. SOP/EPH packet markers are parsed.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -1032,6 +1032,8 @@ def _encode_tile_body(
     mbs: Dict[str, int],
     layers: int = 1,
     prog: int = 0,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """One tile's packet stream (whole-band precincts; any of the five
     progression orders; ``layers`` quality layers — pass counts split
@@ -1103,7 +1105,11 @@ def _encode_tile_body(
 
     # phase 2: emit packets in progression order
     body = bytearray()
+    nsop = 0
     for (l, r, ci) in _packet_order(prog, layers, levels + 1, ncomp):
+        if sop:
+            body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
+            nsop += 1
         bw = _PkBitWriter()
         bw.put(1)  # packet non-empty
         datas = []
@@ -1148,6 +1154,8 @@ def _encode_tile_body(
                 bw.put_bits(len(seg), have)
                 datas.append(seg)
         body += bw.flush()
+        if eph:
+            body += b"\xff\x92"
         for d in datas:
             body += d
     return bytes(body)
@@ -1163,6 +1171,8 @@ def encode_jp2_codestream(
     tile_size: Optional[Tuple[int, int]] = None,
     layers: int = 1,
     prog: int = 0,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """Lossless Part-1 codestream, 5/3 reversible; ``tile_size`` (th,
     tw) splits the image into independently coded tiles (the Sentinel-2
@@ -1202,7 +1212,7 @@ def encode_jp2_codestream(
         raise ValueError("layers must be ≥1 and prog in 0..4")
     cod = struct.pack(
         ">BBHBBBBBB",
-        0,  # Scod: default precincts, no SOP/EPH
+        (2 if sop else 0) | (4 if eph else 0),  # Scod: default precincts
         prog,
         layers,
         1 if mct else 0,
@@ -1232,7 +1242,8 @@ def encode_jp2_codestream(
         ty0, tx0 = tyx * yt, txx * xt
         tile = img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
         body = _encode_tile_body(
-            tile, levels, cblk, mct, signed, depth, mbs, layers=layers, prog=prog
+            tile, levels, cblk, mct, signed, depth, mbs,
+            layers=layers, prog=prog, sop=sop, eph=eph,
         )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
             ">HIBB", ti, 12 + len(body) + 2, 0, 1
@@ -1307,8 +1318,10 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         comps.append({"depth": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80)})
 
     scod = cod[0]
-    if scod & 0x07:
-        raise NotImplementedError("JPEG2000: user precincts / SOP / EPH not supported")
+    if scod & 0x01:
+        raise NotImplementedError("JPEG2000: user-defined precincts not supported")
+    use_sop = bool(scod & 0x02)
+    use_eph = bool(scod & 0x04)
     prog, layers, mct = struct.unpack_from(">BHB", cod, 1)
     if prog > 4:
         raise ValueError(f"JPEG2000: reserved progression order {prog}")
@@ -1334,6 +1347,7 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
         "guard": guard, "band_eps": band_eps,
         "layers": layers, "prog": prog,
+        "sop": use_sop, "eph": use_eph,
         "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
     }
 
@@ -1385,6 +1399,7 @@ def _decode_tile_reduced(
     levels, cblk, ncomp = params["levels"], params["cblk"], params["ncomp"]
     guard, band_eps, comps = params["guard"], params["band_eps"], params["comps"]
     layers, prog = params.get("layers", 1), params.get("prog", 0)
+    use_sop, use_eph = params.get("sop", False), params.get("eph", False)
     if max_res >= levels + 1:
         raise ValueError("max_res beyond decomposition levels")
     shapes = _band_shapes(th, tw, levels)
@@ -1401,9 +1416,15 @@ def _decode_tile_reduced(
         if res_major and r > max_res:
             continue  # header never parsed — bodies unreachable anyway
         eps_idx0 = 0 if r == 0 else 1 + 3 * (r - 1)
+        if use_sop and tdata[pos : pos + 2] == b"\xff\x91":
+            pos += 6  # SOP marker + Lsop + Nsop (sequence number)
         br = _PkBitReader(tdata, pos)
         if not br.get():  # empty packet
             pos = br.align()
+            if use_eph:
+                if tdata[pos : pos + 2] != b"\xff\x92":
+                    raise ValueError("JPEG2000: missing EPH marker")
+                pos += 2
             continue
         contributed = []
         for bj, (lv, bname) in enumerate(_res_bands(levels, r)):
@@ -1441,6 +1462,10 @@ def _decode_tile_reduced(
                 st["npasses"] += np_l
                 contributed.append((st, length))
         pos = br.align()
+        if use_eph:
+            if tdata[pos : pos + 2] != b"\xff\x92":
+                raise ValueError("JPEG2000: missing EPH marker")
+            pos += 2
         for st, length in contributed:
             st["segs"].append(tdata[pos : pos + length])
             pos += length

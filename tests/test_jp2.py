@@ -353,3 +353,27 @@ def test_refuses_coc_override():
     coc = b"\xff\x53" + struct.pack(">H", 4) + b"\x00\x00"
     with pytest.raises(NotImplementedError, match="COC"):
         decode_jp2(cs[:at] + coc + cs[at:])
+
+
+def test_sop_eph_markers_roundtrip():
+    """SOP/EPH packet markers (GDAL frequently writes EPH) parse
+    correctly in every combination, incl. multi-layer tiled streams."""
+    a = rng.integers(0, 4001, (60, 75), dtype=np.uint16)
+    for sop in (False, True):
+        for eph in (False, True):
+            blob = encode_jp2_codestream(
+                a, levels=2, cblk=16, layers=3, prog=2, sop=sop, eph=eph
+            )
+            np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+    blob = encode_jp2_codestream(
+        a, levels=2, cblk=16, tile_size=(32, 40), layers=2, sop=True, eph=True
+    )
+    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+
+
+def test_user_precincts_refused_loudly():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    at = cs.index(b"\xff\x52") + 4
+    bad = cs[:at] + bytes([cs[at] | 0x01]) + cs[at + 1 :]
+    with pytest.raises(NotImplementedError, match="precinct"):
+        decode_jp2(bad)
