@@ -15,7 +15,11 @@ actually need for LOSSLESS data, from the public spec:
   tag trees across quality layers, zero bitplanes, pass counts, Lblock
   lengths, 0xFF bit-stuffing), ALL FIVE progression orders
   (LRCP/RLCP/RPCL/PCRL/CPRL), multiple quality layers (codeword
-  segments concatenated per block), default (whole-band) precincts.
+  segments concatenated per block), USER-DEFINED PRECINCTS (per-
+  resolution PPx/PPy partitions with per-precinct packets and tag
+  trees, code-block size clamped to the precinct), SOP/EPH markers —
+  together the Kakadu/Sentinel-2 production shape (tiled, RPCL, 5
+  layers, precincts, EPH).
 - **5/3 reversible DWT** (Annex F): integer lifting with whole-sample
   symmetric extension, arbitrary decomposition levels.
 - **RCT** (Annex G.2): reversible multi-component transform.
@@ -24,9 +28,10 @@ actually need for LOSSLESS data, from the public spec:
 
 Out-of-profile features are REFUSED loudly, never mis-decoded: the 9/7
 irreversible transform, quantization styles other than "none",
-user-defined precincts, code-block style flags (bypass/reset/
-termination/segmentation), component subsampling, and COC/QCC
-per-component overrides. SOP/EPH packet markers are parsed.
+code-block style flags (bypass/reset/termination/segmentation),
+component subsampling, COC/QCC per-component overrides, and
+position-major progressions (PCRL/CPRL) combined with real precinct
+partitions.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -1008,6 +1013,69 @@ def _blocks_of(bh: int, bw_: int, cb: int) -> List[Tuple[int, int, int, int]]:
     return out
 
 
+def _res_size(th: int, tw: int, levels: int, r: int) -> Tuple[int, int]:
+    """Resolution-grid size at resolution r (origin-0 tiles)."""
+    k = levels - r
+    return (th + (1 << k) - 1) >> k, (tw + (1 << k) - 1) >> k
+
+
+def _npre(params: dict, th: int, tw: int, r: int) -> int:
+    """Precinct count at resolution r (1 when whole-band precincts)."""
+    pp = params.get("pp")
+    if pp is None:
+        return 1
+    rh, rw = _res_size(th, tw, params["levels"], r)
+    ppx, ppy = pp[r]
+    return max(1, (rw + (1 << ppx) - 1) >> ppx) * max(1, (rh + (1 << ppy) - 1) >> ppy)
+
+
+def _precincts_of(
+    sh: Tuple[int, int],
+    r: int,
+    cblk: int,
+    pp,
+    res_h: int,
+    res_w: int,
+):
+    """Band (h, w) at resolution r → per-precinct block layouts:
+    [(blocks [(y0, x0, h, w)], local grid w, local grid h)], raster
+    precinct order. Precinct boundaries are multiples of the (clamped)
+    code-block size, so blocks never straddle precincts; a precinct that
+    misses the band entirely still occupies a slot (zero blocks)."""
+    bh_, bw_ = sh
+    if pp is None:
+        blocks = _blocks_of(bh_, bw_, cblk)
+        gw = max(1, (bw_ + cblk - 1) // cblk)
+        gh = max(1, (bh_ + cblk - 1) // cblk)
+        return [(blocks, gw, gh)], cblk, cblk
+    ppx, ppy = pp[r]
+    shift = 0 if r == 0 else 1
+    pw = 1 << max(ppx - shift, 0)
+    ph = 1 << max(ppy - shift, 0)
+    cbw = min(cblk, pw)
+    cbh = min(cblk, ph)
+    npx = max(1, (res_w + (1 << ppx) - 1) >> ppx)
+    npy = max(1, (res_h + (1 << ppy) - 1) >> ppy)
+    out = []
+    for pidx in range(npx * npy):
+        pyi, pxi = divmod(pidx, npx)
+        x0p, y0p = pxi * pw, pyi * ph
+        x1p, y1p = min(x0p + pw, bw_), min(y0p + ph, bh_)
+        blocks: List[Tuple[int, int, int, int]] = []
+        if x0p < x1p and y0p < y1p:
+            for y0 in range(y0p, y1p, cbh):
+                for x0 in range(x0p, x1p, cbw):
+                    blocks.append(
+                        (y0, x0, min(cbh, y1p - y0), min(cbw, x1p - x0))
+                    )
+            gw = (x1p - x0p + cbw - 1) // cbw
+            gh = (y1p - y0p + cbh - 1) // cbh
+        else:
+            gw = gh = 1
+        out.append((blocks, gw, gh))
+    return out, cbw, cbh
+
+
 # resolution r → list of (level_index_in_bands, band_name); levels L:
 # r=0 → LL of level L; r≥1 → HL/LH/HH of level L-r+1 (bands list is
 # finest-first, index level-1)
@@ -1034,12 +1102,13 @@ def _encode_tile_body(
     prog: int = 0,
     sop: bool = False,
     eph: bool = False,
+    pp=None,
 ) -> bytes:
-    """One tile's packet stream (whole-band precincts; any of the five
-    progression orders; ``layers`` quality layers — pass counts split
-    evenly, codeword bytes split at arbitrary points, which is valid for
-    code-block style 0 where a block's segments concatenate before
-    decode)."""
+    """One tile's packet stream (any progression order; ``layers``
+    quality layers — pass counts split evenly, codeword bytes split at
+    arbitrary points, valid for code-block style 0 where a block's
+    segments concatenate before decode; ``pp`` = per-resolution
+    (PPx, PPy) precinct exponents or None for whole-band precincts)."""
     th, tw, ncomp = tile_img.shape
     planes = tile_img.astype(np.int64)
     if not signed:
@@ -1052,7 +1121,16 @@ def _encode_tile_body(
     comp_bands = [fdwt53(c, levels) for c in comps]
     shapes = _band_shapes(th, tw, levels)
 
-    # phase 1: code every block, split passes/bytes across layers
+    # phase 1: code every block (grouped per precinct), split
+    # passes/bytes across layers
+    npre = [1] * (levels + 1)
+    if pp is not None:
+        for r in range(levels + 1):
+            rh, rw = _res_size(th, tw, levels, r)
+            ppx, ppy = pp[r]
+            npre[r] = max(1, (rw + (1 << ppx) - 1) >> ppx) * max(
+                1, (rh + (1 << ppy) - 1) >> ppy
+            )
     coded: dict = {}
     trees: dict = {}
     for ci in range(ncomp):
@@ -1061,52 +1139,55 @@ def _encode_tile_body(
                 sh = shapes[lv][bname]
                 if sh[0] == 0 or sh[1] == 0:
                     continue
-                gw = (sh[1] + cblk - 1) // cblk
-                gh = (sh[0] + cblk - 1) // cblk
                 band = comp_bands[ci][lv][bname]
-                incl = TagTree(gw, gh)
-                zbp = TagTree(gw, gh)
+                rh, rw = _res_size(th, tw, levels, r)
+                playout, _, _ = _precincts_of(sh, r, cblk, pp, rh, rw)
                 mb = mbs[bname]
-                blks = []
-                for bi, (y0, x0, bh_, bw2) in enumerate(_blocks_of(sh[0], sh[1], cblk)):
-                    by, bx = bi // gw, bi % gw
-                    sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
-                    data, npasses, nbp = encode_block(np.asarray(sub), bname)
-                    if npasses == 0:
-                        incl.set(bx, by, layers)  # never included
-                        zbp.set(bx, by, 0)
-                        blks.append(None)
+                for p, (pblocks, gw, gh) in enumerate(playout):
+                    if not pblocks:
                         continue
-                    if mb - nbp < 0:
-                        raise AssertionError("Mb budget under-sized for block")
-                    incl.set(bx, by, 0)
-                    zbp.set(bx, by, mb - nbp)
-                    base, rem = divmod(npasses, layers)
-                    np_l = [base + (1 if j < rem else 0) for j in range(layers)]
-                    # byte cuts follow cumulative pass counts so a layer
-                    # with zero passes carries zero bytes (its absent-bit
-                    # path ships no length field)
-                    segs = []
-                    prev = 0
-                    cum = 0
-                    for j in range(layers):
-                        cum += np_l[j]
-                        cut = len(data) * cum // npasses
-                        segs.append(data[prev:cut])
-                        prev = cut
-                    blks.append(
-                        {"np_l": np_l, "segs": segs, "nbp": nbp,
-                         "included": False, "lblock": 3}
-                    )
-                incl.finalize()
-                zbp.finalize()
-                trees[(ci, r, bname)] = (incl, zbp, gw)
-                coded[(ci, r, bname)] = blks
+                    incl = TagTree(gw, gh)
+                    zbp = TagTree(gw, gh)
+                    blks = []
+                    for bi, (y0, x0, bh_, bw2) in enumerate(pblocks):
+                        by, bx = bi // gw, bi % gw
+                        sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
+                        data, npasses, nbp = encode_block(np.asarray(sub), bname)
+                        if npasses == 0:
+                            incl.set(bx, by, layers)  # never included
+                            zbp.set(bx, by, 0)
+                            blks.append(None)
+                            continue
+                        if mb - nbp < 0:
+                            raise AssertionError("Mb budget under-sized for block")
+                        incl.set(bx, by, 0)
+                        zbp.set(bx, by, mb - nbp)
+                        base, rem = divmod(npasses, layers)
+                        np_l = [base + (1 if j < rem else 0) for j in range(layers)]
+                        # byte cuts follow cumulative pass counts so a layer
+                        # with zero passes carries zero bytes (its absent-bit
+                        # path ships no length field)
+                        segs = []
+                        prev = 0
+                        cum = 0
+                        for j in range(layers):
+                            cum += np_l[j]
+                            cut = len(data) * cum // npasses
+                            segs.append(data[prev:cut])
+                            prev = cut
+                        blks.append(
+                            {"np_l": np_l, "segs": segs, "nbp": nbp,
+                             "included": False, "lblock": 3}
+                        )
+                    incl.finalize()
+                    zbp.finalize()
+                    trees[(ci, r, bname, p)] = (incl, zbp, gw)
+                    coded[(ci, r, bname, p)] = blks
 
     # phase 2: emit packets in progression order
     body = bytearray()
     nsop = 0
-    for (l, r, ci) in _packet_order(prog, layers, levels + 1, ncomp):
+    for (l, r, ci, p) in _packet_order(prog, layers, levels + 1, ncomp, npre):
         if sop:
             body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
             nsop += 1
@@ -1114,7 +1195,7 @@ def _encode_tile_body(
         bw.put(1)  # packet non-empty
         datas = []
         for lv, bname in _res_bands(levels, r):
-            key = (ci, r, bname)
+            key = (ci, r, bname, p)
             if key not in coded:
                 continue
             incl, zbp, gw = trees[key]
@@ -1173,11 +1254,14 @@ def encode_jp2_codestream(
     prog: int = 0,
     sop: bool = False,
     eph: bool = False,
+    precincts: Optional[Tuple[int, int]] = None,
 ) -> bytes:
     """Lossless Part-1 codestream, 5/3 reversible; ``tile_size`` (th,
     tw) splits the image into independently coded tiles (the Sentinel-2
     layout), ``layers`` quality layers, ``prog`` progression order
-    (0=LRCP 1=RLCP 2=RPCL 3=PCRL 4=CPRL)."""
+    (0=LRCP 1=RLCP 2=RPCL 3=PCRL 4=CPRL), ``precincts`` = (PPx, PPy)
+    exponents applied to every resolution (the Kakadu/Sentinel-2
+    shape)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ncomp = img.shape
@@ -1210,9 +1294,15 @@ def encode_jp2_codestream(
     xcb = int(math.log2(cblk))
     if not 1 <= layers <= 65535 or not 0 <= prog <= 4:
         raise ValueError("layers must be ≥1 and prog in 0..4")
+    pp = None
+    if precincts is not None:
+        ppx, ppy = precincts
+        if not (1 <= ppx <= 15 and 1 <= ppy <= 15):
+            raise ValueError("precinct exponents must be in 1..15")
+        pp = [(ppx, ppy)] * (levels + 1)
     cod = struct.pack(
         ">BBHBBBBBB",
-        (2 if sop else 0) | (4 if eph else 0),  # Scod: default precincts
+        (1 if pp else 0) | (2 if sop else 0) | (4 if eph else 0),
         prog,
         layers,
         1 if mct else 0,
@@ -1222,6 +1312,8 @@ def encode_jp2_codestream(
         0,  # code-block style
         1,  # 5/3 reversible
     )
+    if pp is not None:
+        cod += bytes((x | (y << 4)) for x, y in pp)
     qcd = bytes([0x00 | (guard << 5)])
     for r in range(levels + 1):
         for _, bname in _res_bands(levels, r):
@@ -1243,7 +1335,7 @@ def encode_jp2_codestream(
         tile = img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
         body = _encode_tile_body(
             tile, levels, cblk, mct, signed, depth, mbs,
-            layers=layers, prog=prog, sop=sop, eph=eph,
+            layers=layers, prog=prog, sop=sop, eph=eph, pp=pp,
         )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
             ">HIBB", ti, 12 + len(body) + 2, 0, 1
@@ -1318,8 +1410,6 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         comps.append({"depth": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80)})
 
     scod = cod[0]
-    if scod & 0x01:
-        raise NotImplementedError("JPEG2000: user-defined precincts not supported")
     use_sop = bool(scod & 0x02)
     use_eph = bool(scod & 0x04)
     prog, layers, mct = struct.unpack_from(">BHB", cod, 1)
@@ -1335,6 +1425,11 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         raise NotImplementedError("JPEG2000: code-block style flags not supported")
     if cod[9] != 1:
         raise NotImplementedError("JPEG2000: only the reversible 5/3 transform is supported")
+    pp = None
+    if scod & 0x01:  # user-defined precinct sizes, one byte per resolution
+        pp = [(b & 0x0F, b >> 4) for b in cod[10 : 10 + levels + 1]]
+        if len(pp) != levels + 1:
+            raise ValueError("JPEG2000: truncated precinct-size list")
 
     sqcd = qcd[0]
     if sqcd & 0x1F:
@@ -1346,7 +1441,7 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         "xs": xs, "ys": ys, "xt": xt, "yt": yt, "ncomp": ncomp,
         "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
         "guard": guard, "band_eps": band_eps,
-        "layers": layers, "prog": prog,
+        "layers": layers, "prog": prog, "pp": pp,
         "sop": use_sop, "eph": use_eph,
         "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
     }
@@ -1367,19 +1462,29 @@ def _decode_tile_payload(tdata: bytes, th: int, tw: int, params: dict) -> np.nda
     return _decode_tile_reduced(tdata, th, tw, params, params["levels"])
 
 
-def _packet_order(prog: int, layers: int, nres: int, ncomp: int):
-    """Packet iteration (l, r, c) for the five Part-1 progression orders
-    — with whole-band precincts the position axis is a singleton, so
-    every order reduces to a loop permutation."""
+def _packet_order(
+    prog: int, layers: int, nres: int, ncomp: int, npre: Optional[List[int]] = None
+):
+    """Packet iteration (l, r, c, p) for the Part-1 progression orders.
+    ``npre``: precinct count per resolution (all 1 for whole-band
+    precincts, where every order reduces to a loop permutation).
+    Position-major orders (PCRL/CPRL) are supported only without real
+    precinct partitions — the combination real products use is RPCL."""
+    if npre is None:
+        npre = [1] * nres
     L, R, C = range(layers), range(nres), range(ncomp)
     if prog == 0:  # LRCP
-        return [(l, r, c) for l in L for r in R for c in C]
+        return [(l, r, c, p) for l in L for r in R for c in C for p in range(npre[r])]
     if prog == 1:  # RLCP
-        return [(l, r, c) for r in R for l in L for c in C]
+        return [(l, r, c, p) for r in R for l in L for c in C for p in range(npre[r])]
     if prog == 2:  # RPCL
-        return [(l, r, c) for r in R for c in C for l in L]
-    # PCRL (3) and CPRL (4) both collapse to component-major here
-    return [(l, r, c) for c in C for r in R for l in L]
+        return [(l, r, c, p) for r in R for p in range(npre[r]) for c in C for l in L]
+    # PCRL (3) and CPRL (4) collapse to component-major without precincts
+    if any(n > 1 for n in npre):
+        raise NotImplementedError(
+            "JPEG2000: PCRL/CPRL progression with precinct partitions not supported"
+        )
+    return [(l, r, c, 0) for c in C for r in R for l in L]
 
 
 def _decode_tile_reduced(
@@ -1408,11 +1513,14 @@ def _decode_tile_reduced(
         for _ in range(ncomp)
     ]
 
+    pp = params.get("pp")
+    npre = [_npre(params, th, tw, r) for r in range(levels + 1)]
     res_major = prog in (1, 2) or (prog == 0 and layers == 1)
-    trees: dict = {}  # (c, r, band) → (incl, zbp)
-    blocks: dict = {}  # (c, r, band, bi) → accumulated state
+    layouts: dict = {}  # (r, band) → (per-precinct layout, cbw, cbh)
+    trees: dict = {}  # (c, r, band, p) → (incl, zbp)
+    blocks: dict = {}  # (c, r, band, p, bi) → accumulated state
     pos = 0
-    for (l, r, ci) in _packet_order(prog, layers, levels + 1, ncomp):
+    for (l, r, ci, p) in _packet_order(prog, layers, levels + 1, ncomp, npre):
         if res_major and r > max_res:
             continue  # header never parsed — bodies unreachable anyway
         eps_idx0 = 0 if r == 0 else 1 + 3 * (r - 1)
@@ -1431,17 +1539,23 @@ def _decode_tile_reduced(
             sh = shapes[lv][bname]
             if sh[0] == 0 or sh[1] == 0:
                 continue
-            gw = (sh[1] + cblk - 1) // cblk
-            gh = (sh[0] + cblk - 1) // cblk
-            tkey = (ci, r, bname)
+            lkey = (r, bname)
+            if lkey not in layouts:
+                rh, rw = _res_size(th, tw, levels, r)
+                layouts[lkey] = _precincts_of(sh, r, cblk, pp, rh, rw)
+            playout, _, _ = layouts[lkey]
+            blks, gw, gh = playout[p]
+            if not blks:
+                continue
+            tkey = (ci, r, bname, p)
             if tkey not in trees:
                 trees[tkey] = (TagTree(gw, gh), TagTree(gw, gh))
             incl, zbp = trees[tkey]
             eps = band_eps[eps_idx0 + (0 if r == 0 else bj)]
             mb = eps + guard - 1
-            for bi, (y0, x0, bh_, bw2) in enumerate(_blocks_of(sh[0], sh[1], cblk)):
+            for bi, (y0, x0, bh_, bw2) in enumerate(blks):
                 by, bx = bi // gw, bi % gw
-                key = (ci, r, bname, bi)
+                key = (ci, r, bname, p, bi)
                 st = blocks.get(key)
                 if st is None:
                     if not incl.decode(bx, by, l + 1, br.get):
@@ -1450,7 +1564,7 @@ def _decode_tile_reduced(
                     st = {
                         "lv": lv, "band": bname, "y0": y0, "x0": x0,
                         "h": bh_, "w": bw2, "nbp": mb - missing,
-                        "npasses": 0, "segs": [], "lblock": 3,
+                        "npasses": 0, "segs": [], "lblock": 3, "r": r,
                     }
                     blocks[key] = st
                 elif not br.get():  # included before, absent this layer
@@ -1470,7 +1584,7 @@ def _decode_tile_reduced(
             st["segs"].append(tdata[pos : pos + length])
             pos += length
 
-    for (ci, r, bname, bi), st in blocks.items():
+    for (ci, r, bname, p, bi), st in blocks.items():
         if r > max_res:
             continue
         coefs = decode_block(

@@ -371,9 +371,40 @@ def test_sop_eph_markers_roundtrip():
     np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
 
 
-def test_user_precincts_refused_loudly():
-    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    at = cs.index(b"\xff\x52") + 4
-    bad = cs[:at] + bytes([cs[at] | 0x01]) + cs[at + 1 :]
-    with pytest.raises(NotImplementedError, match="precinct"):
+
+
+
+def test_precincts_roundtrip_all_shapes():
+    """User-defined precincts: per-precinct packets and tag trees,
+    code-blocks clamped to the precinct partition."""
+    a = rng.integers(0, 4001, (100, 130), dtype=np.uint16)
+    for prog in (0, 1, 2):
+        for layers in (1, 3):
+            blob = encode_jp2_codestream(
+                a, levels=2, cblk=16, layers=layers, prog=prog,
+                precincts=(5, 5), eph=True,
+            )
+            np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+
+
+def test_sentinel2_production_shape():
+    """The exact feature combination real Sentinel-2 JP2s use: tiled,
+    RPCL, 5 quality layers, precincts, SOP+EPH, uint16."""
+    a = rng.integers(0, 10001, (100, 130), dtype=np.uint16)
+    blob = encode_jp2_codestream(
+        a, levels=3, cblk=32, tile_size=(64, 64), layers=5, prog=2,
+        precincts=(6, 6), sop=True, eph=True,
+    )
+    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+    # precinct flag + sizes present in COD
+    at = blob.index(b"\xff\x52") + 4
+    assert blob[at] & 0x01 and blob[at] & 0x02 and blob[at] & 0x04
+
+
+def test_pcrl_with_precincts_refused():
+    a = np.zeros((64, 64), np.uint8)
+    blob = encode_jp2_codestream(a, levels=2, cblk=16, precincts=(4, 4))
+    at = blob.index(b"\xff\x52") + 4 + 1
+    bad = blob[:at] + bytes([3]) + blob[at + 1 :]  # PCRL
+    with pytest.raises(NotImplementedError, match="PCRL"):
         decode_jp2(bad)
