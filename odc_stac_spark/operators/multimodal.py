@@ -535,6 +535,15 @@ from .codecs import decode_mp4_mjpeg as _decode_mp4  # noqa: E402
 
 VIDEO_DECODERS["video/mp4"] = _decode_mp4
 _DEMO_IMAGE_ENCODERS["image/png"] = _encode_png
+
+
+def _encode_jp2_demo(arr):
+    from .jp2 import encode_jp2
+
+    return encode_jp2(arr, levels=2, cblk=16)
+
+
+_DEMO_IMAGE_ENCODERS["image/jp2"] = _encode_jp2_demo
 _DEMO_AUDIO_ENCODERS["audio/wav"] = _encode_wav
 
 from .jpeg import decode_jpeg as _decode_jpeg, encode_jpeg as _encode_jpeg  # noqa: E402

@@ -287,6 +287,23 @@ def mm_image_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_jp2_codec",
+    oracle=_PX_STATS_ORACLE,
+    doc="multimodal with the REAL JPEG2000 codec (operators/jp2.py — "
+    "ISO/IEC 15444-1 Part 1 from scratch: MQ-coded EBCOT code-blocks, "
+    "5/3 reversible DWT, RCT, LRCP packets): per-doc RGB images are "
+    "encoded as genuine lossless JP2 on the executors, shipped as "
+    "binary rows, and decoded back through the DECODERS seam. JP2's "
+    "reversible path is exactly lossless on arbitrary content, so the "
+    "same first-principles pixel oracle as mm_image_stats hash-gates "
+    "the full encode→Arrow→decode→stats bitstream round trip.",
+    tags=("multimodal", "codec", "jp2"),
+)
+def mm_image_jp2_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(demo_media_df(spark, sf_dir, media_type="image/jp2"))
+
+
+@register(
     "mm_audio_wav_codec",
     oracle="""
     WITH samples AS (
