@@ -560,6 +560,22 @@ def _decode_jp2_blob(data: bytes):
 DECODERS["image/jp2"] = _decode_jp2_blob
 
 
+def _decode_webp_blob(data: bytes):
+    from .webp import decode_webp
+
+    return decode_webp(data)
+
+
+def _encode_webp_demo(arr):
+    from .webp import encode_webp
+
+    return encode_webp(arr)
+
+
+DECODERS["image/webp"] = _decode_webp_blob
+_DEMO_IMAGE_ENCODERS["image/webp"] = _encode_webp_demo
+
+
 def install_native_codecs() -> dict:
     """Detect optional native image decoders and register them through the
     DECODERS seam, displacing the pure-Python codecs for their media types.

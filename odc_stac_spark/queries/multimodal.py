@@ -304,6 +304,23 @@ def mm_image_jp2_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_webp_codec",
+    oracle=_PX_STATS_ORACLE,
+    doc="multimodal with the REAL WebP codec (operators/webp.py — "
+    "RFC 9649 VP8L from scratch: canonical prefix codes, LZ77 with the "
+    "2D distance mapping, subtract-green transform): per-doc RGB images "
+    "are encoded as genuine lossless WebP files on the executors, "
+    "shipped as binary rows, and decoded back through the DECODERS "
+    "seam. VP8L is exactly lossless on arbitrary content, so the same "
+    "first-principles pixel oracle as mm_image_stats hash-gates the "
+    "full encode→Arrow→decode→stats bitstream round trip.",
+    tags=("multimodal", "codec", "webp"),
+)
+def mm_image_webp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(demo_media_df(spark, sf_dir, media_type="image/webp"))
+
+
+@register(
     "mm_audio_wav_codec",
     oracle="""
     WITH samples AS (

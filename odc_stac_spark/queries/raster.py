@@ -846,6 +846,65 @@ def r_zstd_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_webp_cog_zonal",
+    # fixture: a WEBP-compressed (Compression=50001, GDAL's code) tiled
+    # COG; pixel (y, x) = 1 + (13*y + 29*x + 3) % 251 (uint8 — WebP is
+    # an 8-bit format), nodata 0 where (y + x*5) % 13 == 0
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y + x.x * 5) % 13 = 0 THEN NULL
+                  ELSE 1 + (13 * y.y + 29 * x.x + 3) % 251 END AS v
+      FROM (SELECT UNNEST(generate_series(0, 79)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT 'red' AS band, 0 AS t,
+           CAST(y // 20 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           ROUND(AVG(v), 6) AS mean
+    FROM pix GROUP BY 3, 4
+    """,
+    doc="HASH-GATED WEBP COG read (Compression=50001 — GDAL's modern "
+    "8-bit COG compression; reference reads it via rasterio, "
+    "loader/_rio.py:374-475): a WebP-compressed tiled COG goes through "
+    "the FULL load pipeline — each tile is a complete RIFF/WebP file "
+    "whose lossless VP8L bitstream is decoded by the from-scratch "
+    "RFC 9649 codec (operators/webp.py: prefix codes, LZ77 distance "
+    "mapping, subtract-green) — then zonal statistics; the oracle "
+    "recomputes every pixel.",
+    tags=("raster", "cog", "webp", "zonal"),
+)
+def r_webp_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.zonal import zonal_stats
+    from ..sources.geotiff import write_cog_file
+
+    ny, nx = 80, 96
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = (1 + (13 * y + 29 * x + 3) % 251).astype(np.uint8)
+    red[(y + x * 5) % 13 == 0] = 0
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 800.0), _CRS)
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_webp_cog.tif")
+    write_cog_file(path, red, gbox, tile=64, compression="webp", overview_levels=[])
+    item = Item(
+        id="webp-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            "red": RasterSource(
+                path, geobox=gbox, meta=RasterBandMetadata("uint8", 0)
+            )
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(40, 48))
+    return zonal_stats(tiles_df, nodata=0.0, zone_h=20, zone_w=32)
+
+
+@register(
     "r_jp2_zonal",
     # fixture: two uint16 JPEG2000 files (tiled 48×64, 2 decomposition
     # levels, 5/3 reversible, code-blocks 32) written by the in-house

@@ -354,13 +354,18 @@ def write_cog_file(
         raise ValueError("write_cog_file expects (h, w) or (h, w, samples)")
     if pix.ndim == 3 and pix.shape[2] > 4:
         raise ValueError("write_cog_file supports at most 4 interleaved samples")
-    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "lzma", "packbits"):
+    if compression not in ("deflate", "lzw", "none", "jpeg", "jp2", "zstd", "lzma", "packbits", "webp"):
         raise ValueError(
             f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
-            f"'lzma', 'packbits' or 'none', got {compression!r}"
+            f"'lzma', 'packbits', 'webp' or 'none', got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if compression == "webp":
+        if pix.dtype != np.uint8:
+            raise ValueError("webp compression requires uint8 pixels")
+        if predictor != 1:
+            raise ValueError("webp compression is incompatible with Predictor=2")
     if compression == "jpeg":
         if pix.dtype != np.uint8:
             raise ValueError("jpeg compression requires uint8 pixels")
@@ -527,10 +532,19 @@ def _compress_block(block: "np.ndarray", compression: str, jpeg_quality: int = 9
         # spec §9: rows pack independently
         row_bytes = block.nbytes // block.shape[0]
         return packbits_encode(block.tobytes(), row_bytes=row_bytes)
+    if compression == "webp":
+        # Compression=50001 (GDAL WEBP): one complete RIFF/WebP file per
+        # tile (libtiff tif_webp.c layout), lossless VP8L via the in-repo
+        # RFC 9649 codec. 8-bit only, per the format.
+        from ..operators.webp import encode_webp
+
+        if block.dtype != np.uint8:
+            raise ValueError("TIFF WEBP compression requires uint8 samples")
+        return encode_webp(block)
     return block.tobytes()
 
 
-_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773, "lzma": 34925, "zstd": 50000}
+_COMPRESSION_CODE = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7, "jp2": 34712, "packbits": 32773, "lzma": 34925, "zstd": 50000, "webp": 50001}
 
 
 def write_tiff_striped(
@@ -840,11 +854,11 @@ def read_cog_header(path: str) -> Dict:
                 bits = short_val(_BITSPERSAMPLE)
             fmt = short_val(_SAMPLEFORMAT) if _SAMPLEFORMAT in tags else 1
             comp = short_val(_COMPRESSION) if _COMPRESSION in tags else 1
-            if comp not in (1, 5, 7, 8, 32946, 32773, 34712, 34925, 50000):
+            if comp not in (1, 5, 7, 8, 32946, 32773, 34712, 34925, 50000, 50001):
                 raise NotImplementedError(
                     f"TIFF compression {comp}: only none(1)/lzw(5)/jpeg(7)/"
                     "deflate(8,32946)/packbits(32773)/jpeg2000(34712)/"
-                    "lzma(34925)/zstd(50000) readable without GDAL"
+                    "lzma(34925)/zstd(50000)/webp(50001) readable without GDAL"
                 )
             pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
             if pred not in (1, 2):
@@ -965,6 +979,24 @@ def read_cog_tile(
         if sample is not None:
             return arr[:, :, min(sample, arr.shape[2] - 1)]
         return arr[:, :, 0] if arr.shape[2] == 1 else arr
+    if comp == 50001:
+        # WEBP (GDAL's registered code): one complete RIFF/WebP per tile,
+        # decoded by the in-repo lossless VP8L codec (operators/webp.py);
+        # lossy VP8 payloads raise toward the native-codec seam there
+        from ..operators.webp import decode_webp
+
+        arr = decode_webp(raw).astype(dt, copy=False)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[0] < th or arr.shape[1] < tw:
+            full = np.zeros((th, tw, arr.shape[2]), dt)
+            full[: arr.shape[0], : arr.shape[1]] = arr
+            arr = full
+        if sample is not None:
+            return arr[:, :, min(sample, arr.shape[2] - 1)]
+        # single-band tiles are stored as gray RGB triplets (the format is
+        # 3/4-channel); collapse back to the band
+        return arr[:, :, 0] if spp == 1 else arr
     if comp in (8, 32946):
         raw = zlib.decompress(raw)
     elif comp == 5:
