@@ -394,6 +394,15 @@ def mm_audio_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec"),
 )
 def mm_image_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jpeg_dc_even_df(spark, sf_dir, progressive=False)
+
+
+def _jpeg_dc_even_df(
+    spark: SparkSession, sf_dir: str, progressive: bool
+) -> DataFrame:
+    """The DC-even lossless JPEG fixture → decoded image stats; the
+    ``progressive`` flag selects the SOF0 vs SOF2 (multi-scan) encoding
+    of the SAME pixel content, so one oracle gates both bitstreams."""
     from typing import Iterator
 
     import numpy as np
@@ -418,7 +427,7 @@ def mm_image_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 v = (2 * ((int(i) * 13 + by * 7 + bx * 3) % 128)).astype(np.uint8)
                 img = np.repeat(np.repeat(v, 8, 0), 8, 1)
-                media.append(encode_jpeg(img, quality=50))
+                media.append(encode_jpeg(img, quality=50, progressive=progressive))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media": media, "media_type": "image/jpeg"}
             )
@@ -431,6 +440,44 @@ def mm_image_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return image_stats(docs.mapInPandas(gen, schema))
+
+
+@register(
+    "mm_image_jpeg_progressive",
+    # same DC-even lossless fixture as mm_image_jpeg_codec — see there
+    oracle="""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_POP(v), 6) AS std,
+           CAST(MIN(v) AS INT) AS p_min,
+           CAST(MAX(v) AS INT) AS p_max
+    FROM (
+      SELECT d.doc_id, 2 * ((d.doc_id * 13 + b.by * 7 + b.bx * 3) % 128) AS v
+      FROM documents d
+      CROSS JOIN (
+        SELECT y.by, x.bx
+        FROM (SELECT UNNEST(generate_series(0, 1)) AS by) y
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS bx) x
+      ) b
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS p) px
+    )
+    GROUP BY doc_id
+    """,
+    doc="multimodal with PROGRESSIVE JPEG (SOF2, ITU-T T.81 Annex G — the "
+    "dominant encoding of large web images): each per-doc image is "
+    "emitted as a genuine multi-scan progressive file (interleaved DC "
+    "first + refinement, two AC spectral bands each first + successive-"
+    "approximation refinement with EOB-run coding) and decoded back "
+    "through the DECODERS seam by the from-scratch progressive decoder "
+    "(operators/jpeg.py _decode_scan_prog: coefficients accumulate "
+    "across scans, one IDCT at EOI). The DC-even fixture makes the "
+    "lossy pipeline exactly lossless, so the same first-principles "
+    "oracle as mm_image_jpeg_codec hash-gates the whole multi-scan "
+    "bitstream.",
+    tags=("multimodal", "codec", "jpeg", "progressive"),
+)
+def mm_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jpeg_dc_even_df(spark, sf_dir, progressive=True)
 
 
 @register(

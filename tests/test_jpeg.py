@@ -81,13 +81,73 @@ def test_restart_markers_do_not_change_pixels():
     )
 
 
-def test_progressive_refused():
+def test_hierarchical_refused():
     img = np.full((8, 8), 5, np.uint8)
     enc = bytearray(encode_jpeg(img))
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(bytes(enc))
+
+
+# ---- progressive (SOF2, Annex G) ------------------------------------------
+
+
+def test_progressive_equals_baseline_gray_and_color():
+    rng = np.random.default_rng(3)
+    for shape, kw in [
+        ((16, 16), {}),
+        ((24, 33), {}),
+        ((17, 23, 3), {}),
+        ((32, 48, 3), {"subsample": True}),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (50, 85):
+            b = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            p = decode_jpeg(encode_jpeg(img, quality=q, progressive=True, **kw))
+            # same quantized coefficients ⇒ bit-identical pixels
+            np.testing.assert_array_equal(b, p, err_msg=f"{shape} {kw} q{q}")
+
+
+def test_progressive_eobrun_heavy():
+    # flat image: every AC scan is one giant EOB run spanning all blocks
+    img = np.full((64, 72), 128, np.uint8)
+    p = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
+    b = decode_jpeg(encode_jpeg(img, quality=50))
+    np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_sparse_high_frequency():
+    # single bright pixel per block → long zero runs (ZRL) in both AC
+    # first and refinement scans
+    img = np.full((40, 40), 30, np.uint8)
+    img[::8, 7::8] = 255
+    b = decode_jpeg(encode_jpeg(img, quality=75))
+    p = decode_jpeg(encode_jpeg(img, quality=75, progressive=True))
+    np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_dc_even_fixture_lossless():
+    # the oracle-gated fixture: block-constant even values, quality 50
+    by, bx = np.mgrid[0:2, 0:2]
+    v = (2 * ((7 * 13 + by * 7 + bx * 3) % 128)).astype(np.uint8)
+    img = np.repeat(np.repeat(v, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_progressive_structure_is_multiscan():
+    img = np.random.default_rng(5).integers(0, 256, (16, 16, 3), np.uint8)
+    enc = encode_jpeg(img, quality=80, progressive=True)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    # 2 DC scans + 3 comps × 2 bands × 2 passes = 14 SOS markers
+    assert enc.count(b"\xff\xda") == 14
+
+
+def test_progressive_rejects_restart_interval():
+    img = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(img, progressive=True, restart_interval=2)
 
 
 def test_not_jpeg_refused():
