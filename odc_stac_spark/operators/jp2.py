@@ -22,12 +22,16 @@ actually need for LOSSLESS data, from the public spec:
   layers, precincts, EPH).
 - **5/3 reversible DWT** (Annex F): integer lifting with whole-sample
   symmetric extension, arbitrary decomposition levels.
+- **9/7 irreversible DWT + scalar quantization** (Annex F.4.8.2 / E.1):
+  the LOSSY production profile — float CDF 9/7 lifting, deadzone
+  quantizer with per-band (εb, μb) step sizes in both "scalar
+  expounded" and "scalar derived" (E-5) styles, mid-point
+  dequantization, ICT (Annex G.3) color transform.
 - **RCT** (Annex G.2): reversible multi-component transform.
 - **Codestream + JP2 container** (Annex A / I): SIZ COD QCD SOT SOD EOC,
   and the signature/ftyp/jp2h/jp2c box wrapping.
 
-Out-of-profile features are REFUSED loudly, never mis-decoded: the 9/7
-irreversible transform, quantization styles other than "none",
+Out-of-profile features are REFUSED loudly, never mis-decoded:
 code-block style flags (bypass/reset/termination/segmentation),
 component subsampling, COC/QCC per-component overrides, and
 position-major progressions (PCRL/CPRL) combined with real precinct
@@ -847,6 +851,109 @@ def _idwt53_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+# ---- 9/7 irreversible DWT (Annex F.4.8.2) ---------------------------------
+
+_ALPHA97 = -1.586134342059924
+_BETA97 = -0.052980118572961
+_GAMMA97 = 0.882911075530934
+_DELTA97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fdwt97_1d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward CDF 9/7 lifting on the last axis with whole-sample
+    symmetric extension (the interleaved signal is mirrored about its
+    boundary samples, so a reflect pad of 4 covers every lifting step)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(np.float64).copy(), x[..., :0].astype(np.float64)
+    pad = [(0, 0)] * (x.ndim - 1) + [(4, 4)]
+    y = np.pad(x.astype(np.float64), pad, mode="reflect")
+    y[..., 1:-1:2] += _ALPHA97 * (y[..., 0:-2:2] + y[..., 2::2])
+    y[..., 2:-2:2] += _BETA97 * (y[..., 1:-3:2] + y[..., 3:-1:2])
+    y[..., 3:-3:2] += _GAMMA97 * (y[..., 2:-4:2] + y[..., 4:-2:2])
+    y[..., 4:-4:2] += _DELTA97 * (y[..., 3:-5:2] + y[..., 5:-3:2])
+    s = y[..., 4 : 4 + n : 2] * (1.0 / _K97)
+    d = y[..., 5 : 4 + n : 2] * (_K97 / 2.0)
+    return np.ascontiguousarray(s), np.ascontiguousarray(d)
+
+
+def _idwt97_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of :func:`_fdwt97_1d`. The pad region is reconstructed by
+    the same symmetry (subbands of a symmetric signal are symmetric), so
+    every undo step sees true neighbour values."""
+    if n == 1:
+        return s.astype(np.float64)
+    m = n + 8
+    y = np.zeros(s.shape[:-1] + (m,), np.float64)
+    y[..., 4 : 4 + n : 2] = s * _K97
+    y[..., 5 : 4 + n : 2] = d * (2.0 / _K97)
+    for j in range(1, 5):
+        y[..., 4 - j] = y[..., 4 + j]
+        y[..., 4 + n - 1 + j] = y[..., 4 + n - 1 - j]
+    # pads hold TRUE fully-lifted values (symmetry), so each undo step can
+    # run on the widest region whose neighbours exist / are already undone
+    y[..., 2 : m - 1 : 2] -= _DELTA97 * (y[..., 1 : m - 2 : 2] + y[..., 3:m:2])
+    y[..., 3 : m - 2 : 2] -= _GAMMA97 * (y[..., 2 : m - 3 : 2] + y[..., 4 : m - 1 : 2])
+    y[..., 4 : m - 3 : 2] -= _BETA97 * (y[..., 3 : m - 4 : 2] + y[..., 5 : m - 2 : 2])
+    y[..., 5 : m - 4 : 2] -= _ALPHA97 * (y[..., 4 : m - 5 : 2] + y[..., 6 : m - 3 : 2])
+    return np.ascontiguousarray(y[..., 4 : 4 + n])
+
+
+def fdwt97(img: np.ndarray, levels: int) -> List[Dict[str, np.ndarray]]:
+    """→ [{"HL","LH","HH"} per level (finest first), last has "LL"];
+    float64 coefficients."""
+    ll = img.astype(np.float64)
+    out: List[Dict[str, np.ndarray]] = []
+    for _ in range(levels):
+        lo, hi = _fdwt97_1d(ll)
+        lll, lhl = _fdwt97_1d(np.swapaxes(lo, -1, -2))
+        hll, hhl = _fdwt97_1d(np.swapaxes(hi, -1, -2))
+        bands = {
+            "HL": np.swapaxes(hll, -1, -2),
+            "LH": np.swapaxes(lhl, -1, -2),
+            "HH": np.swapaxes(hhl, -1, -2),
+        }
+        ll = np.swapaxes(lll, -1, -2)
+        out.append(bands)
+    out[-1]["LL"] = ll
+    return out
+
+
+def idwt97(bands: List[Dict[str, np.ndarray]], shape: Tuple[int, int]) -> np.ndarray:
+    shapes = [shape]
+    for _ in range(len(bands) - 1):
+        h, w = shapes[-1]
+        shapes.append(((h + 1) // 2, (w + 1) // 2))
+    ll = bands[-1]["LL"]
+    for lv in range(len(bands) - 1, -1, -1):
+        h, w = shapes[lv]
+        b = bands[lv]
+        lo = _idwt97_1d(np.swapaxes(ll, -1, -2), np.swapaxes(b["LH"], -1, -2), h)
+        hi = _idwt97_1d(np.swapaxes(b["HL"], -1, -2), np.swapaxes(b["HH"], -1, -2), h)
+        ll = _idwt97_1d(np.swapaxes(lo, -1, -2), np.swapaxes(hi, -1, -2), w)
+    return ll
+
+
+#: subband log2 nominal-range gains (E-3): LL 0, HL/LH 1, HH 2
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _ict_forward(r, g, b):
+    """Irreversible color transform (G.3), float."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _ict_inverse(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
 def fdwt53(img: np.ndarray, levels: int) -> List[Dict[str, np.ndarray]]:
     """→ [{"HL","LH","HH"} per level (finest first), last has "LL"]."""
     ll = img.astype(np.int64)
@@ -1097,28 +1204,50 @@ def _encode_tile_body(
     mct: bool,
     signed: bool,
     depth: int,
-    mbs: Dict[str, int],
+    mbs: Dict[Tuple[int, str], int],
     layers: int = 1,
     prog: int = 0,
     sop: bool = False,
     eph: bool = False,
     pp=None,
+    quant: Optional[Dict[Tuple[int, str], float]] = None,
 ) -> bytes:
     """One tile's packet stream (any progression order; ``layers``
     quality layers — pass counts split evenly, codeword bytes split at
     arbitrary points, valid for code-block style 0 where a block's
     segments concatenate before decode; ``pp`` = per-resolution
-    (PPx, PPy) precinct exponents or None for whole-band precincts)."""
+    (PPx, PPy) precinct exponents or None for whole-band precincts;
+    ``mbs`` maps (resolution, band) → Mb. ``quant`` switches the tile to
+    the IRREVERSIBLE path: 9/7 DWT (+ICT when mct) and deadzone scalar
+    quantization q = sign(c)·⌊|c|/Δ⌋ with the given per-(r, band) Δ."""
     th, tw, ncomp = tile_img.shape
-    planes = tile_img.astype(np.int64)
-    if not signed:
-        planes = planes - (1 << (depth - 1))  # DC level shift
-    comps = [planes[:, :, c] for c in range(ncomp)]
-    if mct:
-        r, g, b = comps
-        comps = [(r + 2 * g + b) >> 2, b - g, r - g]
-
-    comp_bands = [fdwt53(c, levels) for c in comps]
+    if quant is not None:
+        planes_f = tile_img.astype(np.float64)
+        if not signed:
+            planes_f = planes_f - (1 << (depth - 1))  # DC level shift
+        comps_f = [planes_f[:, :, c] for c in range(ncomp)]
+        if mct:
+            comps_f = list(_ict_forward(*comps_f))
+        comp_bands = []
+        for c in comps_f:
+            bands = fdwt97(c, levels)
+            for lv in range(levels):
+                for bname, arr in bands[lv].items():
+                    r = 0 if bname == "LL" else levels - lv
+                    dq = quant[(r, bname)]
+                    bands[lv][bname] = (
+                        np.sign(arr) * np.floor(np.abs(arr) / dq)
+                    ).astype(np.int32)
+            comp_bands.append(bands)
+    else:
+        planes = tile_img.astype(np.int64)
+        if not signed:
+            planes = planes - (1 << (depth - 1))  # DC level shift
+        comps = [planes[:, :, c] for c in range(ncomp)]
+        if mct:
+            r, g, b = comps
+            comps = [(r + 2 * g + b) >> 2, b - g, r - g]
+        comp_bands = [fdwt53(c, levels) for c in comps]
     shapes = _band_shapes(th, tw, levels)
 
     # phase 1: code every block (grouped per precinct), split
@@ -1142,7 +1271,7 @@ def _encode_tile_body(
                 band = comp_bands[ci][lv][bname]
                 rh, rw = _res_size(th, tw, levels, r)
                 playout, _, _ = _precincts_of(sh, r, cblk, pp, rh, rw)
-                mb = mbs[bname]
+                mb = mbs[(r, bname)]
                 for p, (pblocks, gw, gh) in enumerate(playout):
                     if not pblocks:
                         continue
@@ -1199,7 +1328,7 @@ def _encode_tile_body(
             if key not in coded:
                 continue
             incl, zbp, gw = trees[key]
-            mb = mbs[bname]
+            mb = mbs[(r, bname)]
             for bi, blk in enumerate(coded[key]):
                 by, bx = bi // gw, bi % gw
                 if blk is None:  # never included: tag tree keeps saying no
@@ -1255,13 +1384,22 @@ def encode_jp2_codestream(
     sop: bool = False,
     eph: bool = False,
     precincts: Optional[Tuple[int, int]] = None,
+    irreversible: bool = False,
+    base_step: float = 1.0 / 64,
+    qstyle: str = "expounded",
 ) -> bytes:
-    """Lossless Part-1 codestream, 5/3 reversible; ``tile_size`` (th,
-    tw) splits the image into independently coded tiles (the Sentinel-2
-    layout), ``layers`` quality layers, ``prog`` progression order
-    (0=LRCP 1=RLCP 2=RPCL 3=PCRL 4=CPRL), ``precincts`` = (PPx, PPy)
-    exponents applied to every resolution (the Kakadu/Sentinel-2
-    shape)."""
+    """Part-1 codestream; ``tile_size`` (th, tw) splits the image into
+    independently coded tiles (the Sentinel-2 layout), ``layers``
+    quality layers, ``prog`` progression order (0=LRCP 1=RLCP 2=RPCL
+    3=PCRL 4=CPRL), ``precincts`` = (PPx, PPy) exponents applied to
+    every resolution (the Kakadu/Sentinel-2 shape).
+
+    Default is the LOSSLESS profile (5/3 reversible, quantization style
+    0). ``irreversible=True`` switches to the LOSSY production profile:
+    9/7 float DWT, ICT color transform, and deadzone scalar quantization
+    with per-band step Δb = ``base_step``·2^gain encoded as (εb, μb)
+    pairs — ``qstyle`` "expounded" (one pair per subband, what real
+    encoders emit) or "derived" (one pair, E-5 per-level derivation)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ncomp = img.shape
@@ -1276,9 +1414,12 @@ def encode_jp2_codestream(
     yt, xt = tile_size if tile_size is not None else (h, w)
 
     guard = 2
-    gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-    maxdepth = depth + (1 if mct else 0)
-    mbs = {b: maxdepth + g + 2 for b, g in gains.items()}
+    maxdepth = depth + (1 if (mct and not irreversible) else 0)
+    mbs = {
+        (r, bname): maxdepth + _BAND_GAIN[bname] + 2
+        for r in range(levels + 1)
+        for _, bname in _res_bands(levels, r)
+    }
 
     def marker(code: int, body: bytes) -> bytes:
         return struct.pack(">HH", code, len(body) + 2) + body
@@ -1310,16 +1451,61 @@ def encode_jp2_codestream(
         xcb - 2,
         xcb - 2,
         0,  # code-block style
-        1,  # 5/3 reversible
+        0 if irreversible else 1,  # 9/7 irreversible / 5/3 reversible
     )
     if pp is not None:
         cod += bytes((x | (y << 4)) for x, y in pp)
-    qcd = bytes([0x00 | (guard << 5)])
-    for r in range(levels + 1):
-        for _, bname in _res_bands(levels, r):
-            # one exponent per subband (style "no quantization"); εb sized
-            # so Mb = εb + guard - 1 covers the max coefficient magnitude
-            qcd += bytes([(mbs[bname] - guard + 1) << 3])
+    quant: Optional[Dict[Tuple[int, str], float]] = None
+    if irreversible:
+        if qstyle not in ("expounded", "derived"):
+            raise ValueError("qstyle must be 'expounded' or 'derived'")
+        if not 0 < base_step <= 2.0:
+            raise ValueError("base_step must be in (0, 2]")
+
+        def _enc_delta(rb: int, target: float) -> Tuple[int, int, float]:
+            # Δ = 2^(Rb−ε)·(1+μ/2^11): ε = Rb − ⌊log2 Δ⌋, μ = frac mantissa
+            e = math.floor(math.log2(target))
+            mu = round((target / 2.0 ** e - 1.0) * 2048)
+            if mu == 2048:
+                e += 1
+                mu = 0
+            eps = rb - e
+            if not 0 <= eps <= 31:
+                raise ValueError(f"quantization exponent {eps} out of range")
+            return eps, mu, 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
+
+        quant, mbs = {}, {}
+        qvals: List[Tuple[int, int]] = []
+        if qstyle == "derived":
+            rb0 = depth  # LL gain 0
+            e0, m0, _ = _enc_delta(rb0, base_step)
+            qvals.append((e0, m0))
+            for r in range(levels + 1):
+                for _, bname in _res_bands(levels, r):
+                    nb = levels if r == 0 else levels - r + 1
+                    eps = e0 - levels + nb
+                    rb = depth + _BAND_GAIN[bname]
+                    d_act = 2.0 ** (rb - eps) * (1.0 + m0 / 2048.0)
+                    quant[(r, bname)] = d_act
+                    mbs[(r, bname)] = eps + guard - 1
+        else:
+            for r in range(levels + 1):
+                for _, bname in _res_bands(levels, r):
+                    gain = _BAND_GAIN[bname]
+                    eps, mu, d_act = _enc_delta(depth + gain, base_step * (1 << gain))
+                    qvals.append((eps, mu))
+                    quant[(r, bname)] = d_act
+                    mbs[(r, bname)] = eps + guard - 1
+        qcd = bytes([(1 if qstyle == "derived" else 2) | (guard << 5)])
+        for eps, mu in qvals:
+            qcd += struct.pack(">H", (eps << 11) | mu)
+    else:
+        qcd = bytes([0x00 | (guard << 5)])
+        for r in range(levels + 1):
+            for _, bname in _res_bands(levels, r):
+                # one exponent per subband (style "no quantization"); εb
+                # sized so Mb = εb + guard - 1 covers the max magnitude
+                qcd += bytes([(mbs[(r, bname)] - guard + 1) << 3])
 
     out = bytearray(
         struct.pack(">H", 0xFF4F)  # SOC
@@ -1335,7 +1521,7 @@ def encode_jp2_codestream(
         tile = img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
         body = _encode_tile_body(
             tile, levels, cblk, mct, signed, depth, mbs,
-            layers=layers, prog=prog, sop=sop, eph=eph, pp=pp,
+            layers=layers, prog=prog, sop=sop, eph=eph, pp=pp, quant=quant,
         )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
             ">HIBB", ti, 12 + len(body) + 2, 0, 1
@@ -1423,8 +1609,12 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
     cblk = 1 << xcb
     if cod[8] != 0:
         raise NotImplementedError("JPEG2000: code-block style flags not supported")
-    if cod[9] != 1:
-        raise NotImplementedError("JPEG2000: only the reversible 5/3 transform is supported")
+    if cod[9] == 1:
+        transform = "5x3"
+    elif cod[9] == 0:
+        transform = "9x7"
+    else:
+        raise ValueError(f"JPEG2000: reserved wavelet transform {cod[9]}")
     pp = None
     if scod & 0x01:  # user-defined precinct sizes, one byte per resolution
         pp = [(b & 0x0F, b >> 4) for b in cod[10 : 10 + levels + 1]]
@@ -1432,15 +1622,44 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
             raise ValueError("JPEG2000: truncated precinct-size list")
 
     sqcd = qcd[0]
-    if sqcd & 0x1F:
-        raise NotImplementedError("JPEG2000: quantization styles not supported (reversible only)")
+    qstyle = sqcd & 0x1F
     guard = sqcd >> 5
-    band_eps: List[int] = [b >> 3 for b in qcd[1:]]
+    nband = 1 + 3 * levels
+    if qstyle == 0:  # no quantization: 8-bit exponents, reversible only
+        if transform != "5x3":
+            raise ValueError("JPEG2000: 9/7 transform requires scalar quantization")
+        band_eps: List[int] = [b >> 3 for b in qcd[1:]]
+        band_mants: Optional[List[int]] = None
+    elif qstyle in (1, 2):  # scalar derived / expounded: 16-bit (εb, μb)
+        if transform != "9x7":
+            raise ValueError("JPEG2000: reversible 5/3 requires quantization style 0")
+        vals = [
+            struct.unpack_from(">H", qcd, 1 + 2 * i)[0]
+            for i in range((len(qcd) - 1) // 2)
+        ]
+        if qstyle == 1:
+            # derived (E-5): ε_b = ε_0 − N_L + n_b, μ_b = μ_0, where n_b is
+            # the band's decomposition level (LL_N → N; bands of
+            # resolution r ≥ 1 → N − r + 1)
+            e0, m0 = vals[0] >> 11, vals[0] & 0x7FF
+            band_eps, band_mants = [e0], [m0]
+            for r in range(1, levels + 1):
+                nb = levels - r + 1
+                band_eps += [e0 - levels + nb] * 3
+                band_mants += [m0] * 3
+        else:
+            if len(vals) < nband:
+                raise ValueError("JPEG2000: truncated expounded QCD")
+            band_eps = [v >> 11 for v in vals]
+            band_mants = [v & 0x7FF for v in vals]
+    else:
+        raise NotImplementedError(f"JPEG2000: quantization style {qstyle} not supported")
 
     return {
         "xs": xs, "ys": ys, "xt": xt, "yt": yt, "ncomp": ncomp,
         "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
-        "guard": guard, "band_eps": band_eps,
+        "guard": guard, "band_eps": band_eps, "band_mants": band_mants,
+        "transform": transform,
         "layers": layers, "prog": prog, "pp": pp,
         "sop": use_sop, "eph": use_eph,
         "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
@@ -1505,11 +1724,13 @@ def _decode_tile_reduced(
     guard, band_eps, comps = params["guard"], params["band_eps"], params["comps"]
     layers, prog = params.get("layers", 1), params.get("prog", 0)
     use_sop, use_eph = params.get("sop", False), params.get("eph", False)
+    irrev = params.get("transform", "5x3") == "9x7"
     if max_res >= levels + 1:
         raise ValueError("max_res beyond decomposition levels")
     shapes = _band_shapes(th, tw, levels)
+    band_dt = np.float64 if irrev else np.int32
     comp_bands = [
-        [{name: np.zeros(shp, np.int32) for name, shp in lvl.items()} for lvl in shapes]
+        [{name: np.zeros(shp, band_dt) for name, shp in lvl.items()} for lvl in shapes]
         for _ in range(ncomp)
     ]
 
@@ -1584,12 +1805,25 @@ def _decode_tile_reduced(
             st["segs"].append(tdata[pos : pos + length])
             pos += length
 
+    band_mants = params.get("band_mants")
     for (ci, r, bname, p, bi), st in blocks.items():
         if r > max_res:
             continue
         coefs = decode_block(
             b"".join(st["segs"]), st["w"], st["h"], st["band"], st["nbp"], st["npasses"]
         )
+        if irrev:
+            # inverse scalar quantization (E.1): Δb = 2^(Rb−εb)(1+μb/2^11),
+            # Rb = component depth + band gain; mid-point reconstruction
+            # (+½Δ on nonzero magnitudes) pairs with the encoder's
+            # truncation-toward-zero deadzone quantizer
+            idx = (0 if r == 0 else 1 + 3 * (r - 1)) + (
+                0 if r == 0 else ["HL", "LH", "HH"].index(bname)
+            )
+            rb = comps[ci]["depth"] + _BAND_GAIN[bname]
+            delta = 2.0 ** (rb - band_eps[idx]) * (1.0 + band_mants[idx] / 2048.0)
+            fq = coefs.astype(np.float64)
+            coefs = np.where(fq > 0, fq + 0.5, np.where(fq < 0, fq - 0.5, 0.0)) * delta
         comp_bands[ci][st["lv"]][st["band"]][
             st["y0"] : st["y0"] + st["h"], st["x0"] : st["x0"] + st["w"]
         ] = coefs
@@ -1601,18 +1835,30 @@ def _decode_tile_reduced(
     else:
         red_shape = ((th + (1 << k) - 1) >> k, (tw + (1 << k) - 1) >> k)
         use = [cb[k:] for cb in comp_bands]
-    planes = [idwt53(use[ci], red_shape) for ci in range(ncomp)]
+    inv = idwt97 if irrev else idwt53
+    planes = [inv(use[ci], red_shape) for ci in range(ncomp)]
     if params["mct"]:
         if ncomp < 3:
             raise ValueError("MCT flagged with <3 components")
-        yy, cb_, cr = planes[0], planes[1], planes[2]
-        g = yy - ((cb_ + cr) >> 2)
-        planes = [cr + g, g, cb_ + g] + planes[3:]
+        if irrev:  # ICT (G.3) pairs with 9/7
+            planes = list(_ict_inverse(planes[0], planes[1], planes[2])) + planes[3:]
+        else:  # RCT (G.2) pairs with 5/3
+            yy, cb_, cr = planes[0], planes[1], planes[2]
+            g = yy - ((cb_ + cr) >> 2)
+            planes = [cr + g, g, cb_ + g] + planes[3:]
     out = np.zeros(red_shape + (ncomp,), np.int64)
     for ci in range(ncomp):
         pl = planes[ci]
+        depth = comps[ci]["depth"]
         if not comps[ci]["signed"]:
-            pl = pl + (1 << (comps[ci]["depth"] - 1))
+            pl = pl + (1 << (depth - 1))
+        if irrev:
+            lo, hi = (
+                (0, (1 << depth) - 1)
+                if not comps[ci]["signed"]
+                else (-(1 << (depth - 1)), (1 << (depth - 1)) - 1)
+            )
+            pl = np.clip(np.rint(pl), lo, hi)
         out[:, :, ci] = pl
     return out
 

@@ -566,6 +566,20 @@ def _decode_webp_blob(data: bytes):
     return decode_webp(data)
 
 
+def _encode_jp2_lossy_demo(arr):
+    # the 9/7 irreversible profile at a fine quantization step: error
+    # stays below ½ LSB, so uint8 content round-trips exactly — which is
+    # what lets the lossy machinery carry a SQL hash gate
+    from .jp2 import encode_jp2
+
+    return encode_jp2(arr, levels=2, cblk=16, irreversible=True, base_step=1 / 1024)
+
+
+#: demo-only media key: same decoder, lossy (9/7) encoder
+DECODERS["image/jp2+lossy"] = _decode_jp2_blob
+_DEMO_IMAGE_ENCODERS["image/jp2+lossy"] = _encode_jp2_lossy_demo
+
+
 def _encode_webp_demo(arr):
     from .webp import encode_webp
 

@@ -304,6 +304,25 @@ def mm_image_jp2_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_jp2_lossy",
+    oracle=_PX_STATS_ORACLE,
+    doc="multimodal with the LOSSY JPEG2000 profile (operators/jp2.py — "
+    "9/7 irreversible CDF float DWT, deadzone scalar quantization with "
+    "expounded (εb, μb) step sizes, mid-point dequantization; the "
+    "profile real aerial/satellite visual products use): per-doc RGB "
+    "images are encoded at a fine base step (1/1024 — quantization "
+    "error < ½ LSB, so uint8 content reconstructs exactly after "
+    "rounding) and decoded back through the DECODERS seam; the exact "
+    "reconstruction lets the same first-principles pixel oracle "
+    "hash-gate the whole lossy machinery: float lifting, quantizer, "
+    "dequantizer, ICT, clipping.",
+    tags=("multimodal", "codec", "jp2", "lossy"),
+)
+def mm_image_jp2_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(demo_media_df(spark, sf_dir, media_type="image/jp2+lossy"))
+
+
+@register(
     "mm_image_webp_codec",
     oracle=_PX_STATS_ORACLE,
     doc="multimodal with the REAL WebP codec (operators/webp.py — "

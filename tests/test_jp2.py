@@ -286,10 +286,12 @@ def _patched(cs: bytes, marker: bytes, offset: int, value: int) -> bytes:
     return cs[:at] + bytes([value]) + cs[at + 1 :]
 
 
-def test_refuses_97_irreversible():
+def test_rejects_97_with_no_quant_style():
+    # 9/7 flagged but QCD says "no quantization": an inconsistent stream
+    # (E.1 ties the reversible transform to style 0) — loud, not misdecoded
     cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
     bad = _patched(cs, b"\xff\x52", 9, 0)  # transform byte → 9/7
-    with pytest.raises(NotImplementedError, match="5/3"):
+    with pytest.raises(ValueError, match="scalar quantization"):
         decode_jp2(bad)
 
 
@@ -331,11 +333,12 @@ def test_refuses_reserved_progression():
         decode_jp2(bad)
 
 
-def test_refuses_quantized():
+def test_rejects_quant_style_on_reversible():
+    # 5/3 + scalar quantization is the inverse inconsistency
     cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
     at = cs.index(b"\xff\x5c") + 4
     bad = cs[:at] + bytes([cs[at] | 0x02]) + cs[at + 1 :]  # Sqcd style 2
-    with pytest.raises(NotImplementedError, match="quantization"):
+    with pytest.raises(ValueError, match="style 0"):
         decode_jp2(bad)
 
 
@@ -408,3 +411,100 @@ def test_pcrl_with_precincts_refused():
     bad = blob[:at] + bytes([3]) + blob[at + 1 :]  # PCRL
     with pytest.raises(NotImplementedError, match="PCRL"):
         decode_jp2(bad)
+
+
+# ---------------------------------------------------------------------------
+# 9/7 irreversible (lossy) profile
+
+
+def _psnr(a, b, peak):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def test_97_dwt_roundtrip_exact():
+    from odc_stac_spark.operators.jp2 import (
+        _fdwt97_1d,
+        _idwt97_1d,
+        fdwt97,
+        idwt97,
+    )
+
+    for n in (1, 2, 3, 4, 5, 8, 17, 33, 100):
+        x = rng.standard_normal((3, n))
+        s, d = _fdwt97_1d(x)
+        np.testing.assert_allclose(_idwt97_1d(s, d, n), x, atol=1e-10)
+    for shape in ((16, 16), (33, 17), (5, 64), (3, 3)):
+        x = rng.standard_normal(shape) * 100
+        for lv in (1, 2, 3):
+            np.testing.assert_allclose(idwt97(fdwt97(x, lv), shape), x, atol=1e-8)
+
+
+def test_97_dc_gain_is_unity():
+    # constant image: LL stays at the constant, high bands are zero —
+    # the spec's nominal-range budgeting (E-3 gains) depends on this
+    from odc_stac_spark.operators.jp2 import fdwt97
+
+    b = fdwt97(np.full((32, 32), 100.0), 3)
+    assert abs(float(b[-1]["LL"].mean()) - 100.0) < 1e-9
+    assert float(np.abs(b[0]["HH"]).max()) < 1e-9
+
+
+def test_lossy_rate_distortion_monotone():
+    noise = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    sizes, psnrs = [], []
+    for step in (1 / 4, 1 / 2, 1.0):
+        cs = encode_jp2_codestream(noise, levels=2, irreversible=True, base_step=step)
+        out = decode_jp2(cs)[:, :, 0]
+        sizes.append(len(cs))
+        psnrs.append(_psnr(noise, out, 255))
+    assert sizes[0] > sizes[1] > sizes[2]  # coarser steps → smaller files
+    assert psnrs[0] > psnrs[1] > psnrs[2] > 38  # and lower fidelity
+    # lossy beats lossless size at every tested step
+    assert sizes[0] < len(encode_jp2_codestream(noise, levels=2))
+
+
+def test_lossy_fine_step_is_visually_lossless():
+    noise = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    out = decode_jp2(
+        encode_jp2_codestream(noise, levels=2, irreversible=True, base_step=1 / 1024)
+    )[:, :, 0]
+    assert int(np.abs(noise.astype(int) - out.astype(int)).max()) == 0
+
+
+def test_lossy_rgb_ict_roundtrip():
+    rgb = (rng.integers(0, 32, (40, 56, 3), dtype=np.uint8) * 8).astype(np.uint8)
+    out = decode_jp2(
+        encode_jp2_codestream(rgb, levels=2, irreversible=True, base_step=1 / 256)
+    )
+    assert out.shape == rgb.shape
+    assert _psnr(rgb, out, 255) > 48
+
+
+def test_lossy_derived_style_and_uint16():
+    y, x = np.mgrid[0:64, 0:80]
+    img = (127 + 100 * np.sin(y / 9.0) * np.cos(x / 11.0)).astype(np.uint8)
+    out = decode_jp2(
+        encode_jp2_codestream(img, levels=3, irreversible=True, qstyle="derived")
+    )[:, :, 0]
+    assert _psnr(img, out, 255) > 45
+    img16 = ((y * 371 + x * 517) % 4096).astype(np.uint16)
+    out16 = decode_jp2(
+        encode_jp2_codestream(
+            img16, levels=2, irreversible=True, depth=12, base_step=1 / 256
+        )
+    )[:, :, 0]
+    assert _psnr(img16, out16, 4095) > 55
+
+
+def test_lossy_tiled_multires():
+    y, x = np.mgrid[0:96, 0:128]
+    img = (127 + 100 * np.sin(y / 9.0) * np.cos(x / 11.0)).astype(np.uint8)
+    cs = encode_jp2_codestream(
+        img, levels=3, irreversible=True, tile_size=(48, 64), base_step=1 / 4
+    )
+    out = decode_jp2(cs)[:, :, 0]
+    assert out.shape == img.shape
+    assert _psnr(img, out, 255) > 45
+    # no tile-seam artifacts: per-tile error is bounded like the interior
+    assert int(np.abs(img.astype(int) - out.astype(int)).max()) < 8
