@@ -5,13 +5,15 @@ AUDIO_DECODERS) was designed so a real codec drops in without touching any
 Spark plumbing. This module provides three genuinely real, dependency-free
 codecs and registers them as defaults:
 
-- **PNG** (``image/png``): full decoder for 8- and 16-bit depths, color
-  types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), all five
-  scanline filters (None/Sub/Up/Average/Paeth — applied per byte with
-  bpp = channels × bytes-per-sample, per spec §9), plus an encoder
-  (filter 0 + zlib; uint16 input → 16-bit big-endian samples).
-  Spec: W3C PNG (ISO/IEC 15948). Interlaced (Adam7) and sub-byte depths
-  are refused loudly.
+- **PNG** (``image/png``): full decoder for every legal bit depth
+  (1/2/4/8/16 — sub-byte samples unpack MSB-first and grays scale to
+  the 8-bit range), color types 0/2/3/4/6 (gray, RGB, palette,
+  gray+alpha, RGBA), all five scanline filters (None/Sub/Up/Average/
+  Paeth — applied per byte with bpp = channels × bytes-per-sample,
+  rounded up to one, per spec §9), and Adam7 interlacing (§8.2 — each
+  pass unfilters independently then scatters into the grid); plus an
+  encoder (filter 0 + zlib; uint16 input → 16-bit big-endian samples;
+  ``interlace=True`` writes Adam7). Spec: W3C PNG (ISO/IEC 15948).
 - **BMP** (``image/bmp``): 24-bit uncompressed BITMAPINFOHEADER decode +
   encode (bottom-up, BGR, 4-byte row padding).
 - **WAV** (``audio/wav``): RIFF/WAVE decode for PCM 8/16/32-bit and IEEE
@@ -54,9 +56,10 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+def encode_png(arr: np.ndarray, level: int = 6, interlace: bool = False) -> bytes:
     """(h, w) or (h, w, c) uint8/uint16 → PNG bytes (filter 0 rows, zlib).
-    uint16 input writes a 16-bit-depth PNG (big-endian samples per spec)."""
+    uint16 input writes a 16-bit-depth PNG (big-endian samples per spec);
+    ``interlace=True`` writes Adam7 passes (spec §8.2)."""
     a = np.asarray(arr)
     if a.dtype not in (np.uint8, np.uint16):
         raise ValueError(f"PNG encoder takes uint8 or uint16, got {a.dtype}")
@@ -66,14 +69,26 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     h, w, c = a.shape
     if c not in _PNG_COLOR_TYPE:
         raise ValueError(f"unsupported channel count {c}")
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _PNG_COLOR_TYPE[c], 0, 0, 1 if interlace else 0
+    )
     if depth == 16:
         a = a.astype(">u2")
-    flat = np.ascontiguousarray(a).reshape(h, -1)
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
     raw = bytearray()
-    for r in range(h):
-        raw.append(0)  # filter type None
-        raw += flat[r].tobytes()
+    for x0, y0, dx, dy in passes:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = np.ascontiguousarray(sub).reshape(sub.shape[0], -1)
+        for r in range(flat.shape[0]):
+            raw.append(0)  # filter type None
+            raw += flat[r].tobytes()
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -130,9 +145,9 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, c) uint8. 8-bit depth, color types 0/2/3/4/6,
-    non-interlaced. Chunk CRCs are verified (a corrupt stream fails loudly,
-    matching libpng's default)."""
+    """PNG bytes → (h, w, c) uint8/uint16. Bit depths 1/2/4/8/16, color
+    types 0/2/3/4/6, interlaced (Adam7) or not. Chunk CRCs are verified
+    (a corrupt stream fails loudly, matching libpng's default)."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG stream")
     pos = 8
@@ -165,29 +180,60 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if bit_depth not in (8, 16):
-        raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8/16 only)")
-    if interlace:
-        raise NotImplementedError("PNG: Adam7 interlacing not supported")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG: invalid bit depth {bit_depth}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"PNG: bit depth {bit_depth} invalid for color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"PNG: invalid color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    nbytes = bit_depth // 8
-    stride = width * channels * nbytes
-    # filters operate on BYTES with bpp = channels * bytes-per-sample
-    # (spec §9: "bpp is rounded up to one" for sub-byte depths; 16-bit
-    # samples are filtered as byte pairs)
-    recon = _png_unfilter(raw, height, stride, channels * nbytes)
-    if bit_depth == 16:
-        img = (
-            recon.reshape(height, -1)
-            .view(">u2")
-            .astype(np.uint16)
-            .reshape(height, width, channels)
-        )
-    else:
-        img = recon.reshape(height, width, channels)
+    sample_dt = np.uint16 if bit_depth == 16 else np.uint8
+    img = np.zeros((height, width, channels), sample_dt)
+    #: Adam7 pass grid (x0, y0, dx, dy) per spec §8.2; non-interlaced is
+    #: a single whole-image pass of the same machinery
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no scanlines at all
+        stride = (pw * channels * bit_depth + 7) // 8
+        # filters operate on BYTES with bpp = channels × bytes-per-sample,
+        # rounded up to one for sub-byte depths (spec §9); 16-bit samples
+        # filter as byte pairs
+        bpp = max(1, channels * bit_depth // 8)
+        recon = _png_unfilter(raw[off : off + ph * (stride + 1)], ph, stride, bpp)
+        off += ph * (stride + 1)
+        if bit_depth == 16:
+            sub = (
+                recon.reshape(ph, -1).view(">u2").astype(np.uint16)
+                .reshape(ph, pw, channels)
+            )
+        elif bit_depth == 8:
+            sub = recon.reshape(ph, pw, channels)
+        else:
+            # sub-byte: samples pack MSB-first within each byte (§7.2)
+            per = 8 // bit_depth
+            shifts = [8 - bit_depth * (k + 1) for k in range(per)]
+            cols = [(recon >> s) & ((1 << bit_depth) - 1) for s in shifts]
+            sub = (
+                np.stack(cols, axis=-1).reshape(ph, -1)[:, : pw * channels]
+                .reshape(ph, pw, channels)
+            )
+        img[y0::dy, x0::dx] = sub
+    if color_type == 0 and bit_depth < 8:
+        # grayscale sub-byte samples scale to full 8-bit range (libpng
+        # presentation: 255/(2^d − 1) is an exact integer for d=1,2,4)
+        img = (img * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if color_type == 3:  # palette -> RGB (plus alpha when tRNS present)
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")

@@ -580,6 +580,30 @@ DECODERS["image/jp2+lossy"] = _decode_jp2_blob
 _DEMO_IMAGE_ENCODERS["image/jp2+lossy"] = _encode_jp2_lossy_demo
 
 
+def _decode_gif_blob(data: bytes):
+    from .gif import decode_gif
+
+    return decode_gif(data)
+
+
+def _decode_gif_video(data: bytes, every: int = 1, max_frames: int = 0):
+    # animated GIF through the video seam: composited RGBA frames
+    from .gif import decode_gif_frames
+
+    return decode_gif_frames(data, every=every, max_frames=max_frames)[0]
+
+
+def _encode_gif_demo(arr):
+    from .gif import encode_gif
+
+    return encode_gif(arr)
+
+
+DECODERS["image/gif"] = _decode_gif_blob
+VIDEO_DECODERS["image/gif"] = _decode_gif_video
+_DEMO_IMAGE_ENCODERS["image/gif"] = _encode_gif_demo
+
+
 def _encode_webp_demo(arr):
     from .webp import encode_webp
 

@@ -304,6 +304,24 @@ def mm_image_jp2_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_gif_codec",
+    oracle=_PX_STATS_ORACLE,
+    doc="multimodal with the REAL GIF codec (operators/gif.py — GIF89a "
+    "from scratch: variable-width LZW with clear/EOI and the 4096-entry "
+    "cap, global color table, sub-block framing): per-doc RGB images "
+    "are encoded as genuine GIF files on the executors (palette formats "
+    "are exactly lossless for ≤256-color content, which the synthetic "
+    "images are by construction) and decoded back through the DECODERS "
+    "seam; the same first-principles pixel oracle as mm_image_stats "
+    "hash-gates the full encode→Arrow→decode→stats bitstream round "
+    "trip.",
+    tags=("multimodal", "codec", "gif"),
+)
+def mm_image_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(demo_media_df(spark, sf_dir, media_type="image/gif"))
+
+
+@register(
     "mm_image_jp2_lossy",
     oracle=_PX_STATS_ORACLE,
     doc="multimodal with the LOSSY JPEG2000 profile (operators/jp2.py — "

@@ -299,3 +299,100 @@ def test_png_16bit_filtered_stream_decodes():
     out = decode_png(bytes(body))
     assert out.dtype == np.uint16 and out.shape == (8, 6, 1)
     np.testing.assert_array_equal(out[:, :, 0], img16)
+
+
+# ---------------------------------------------------------------------------
+# PNG Adam7 interlacing + sub-byte depths (round-7 upgrade)
+
+
+def _png_hand(w, h, depth, ctype, raw, extra=b""):
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + extra
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_roundtrip_all_shapes():
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1), (2, 3), (7, 7), (8, 8), (16, 24, 3), (33, 17, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img, interlace=True))
+        exp = img if img.ndim == 3 else img[:, :, None]
+        assert out.shape == exp.shape and (out == exp).all(), shape
+    img16 = rng.integers(0, 65536, (13, 9), dtype=np.uint16)
+    assert (decode_png(encode_png(img16, interlace=True))[:, :, 0] == img16).all()
+
+
+def test_png_adam7_pass_structure():
+    # interlace flag set in IHDR; decoded pixels match non-interlaced
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    data = encode_png(img, interlace=True)
+    assert data[8 + 8 + 12] == 1  # IHDR interlace byte
+    assert np.array_equal(decode_png(data), decode_png(encode_png(img)))
+
+
+def test_png_1bit_gray():
+    # hand-built: 1-bit gray, 10×2, samples pack MSB-first (spec §7.2);
+    # decoder scales to 0/255
+    bits = np.array(
+        [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1], [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], np.uint8
+    )
+    rows = bytearray()
+    for r in range(2):
+        packed = bytearray()
+        for byte_i in range(2):  # ceil(10/8) = 2 bytes per row
+            b = 0
+            for k in range(8):
+                x = byte_i * 8 + k
+                if x < 10:
+                    b |= int(bits[r, x]) << (7 - k)
+            packed.append(b)
+        rows += b"\x00" + bytes(packed)
+    out = decode_png(_png_hand(10, 2, 1, 0, bytes(rows)))
+    assert out.shape == (2, 10, 1)
+    assert np.array_equal(out[:, :, 0], bits * 255)
+
+
+def test_png_2bit_and_4bit_gray_scaling():
+    # 2-bit: values 0..3 scale by 85; 4-bit: 0..15 scale by 17
+    vals2 = np.array([[0, 1, 2, 3, 1]], np.uint8)
+    packed = bytes([0b00011011, 0b01000000])  # MSB-first, padded
+    out = decode_png(_png_hand(5, 1, 2, 0, b"\x00" + packed))
+    assert np.array_equal(out[0, :, 0], vals2[0] * 85)
+    vals4 = np.array([[0, 15, 7, 12, 3]], np.uint8)
+    packed4 = bytes([0x0F, 0x7C, 0x30])
+    out4 = decode_png(_png_hand(5, 1, 4, 0, b"\x00" + packed4))
+    assert np.array_equal(out4[0, :, 0], vals4[0] * 17)
+
+
+def test_png_4bit_palette():
+    # 4-bit palette indices (the classic small-icon format)
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    idx = np.array([[0, 1, 2], [3, 2, 1]], np.uint8)
+    rows = bytearray()
+    for r in range(2):
+        rows += b"\x00" + bytes(
+            [(int(idx[r, 0]) << 4) | int(idx[r, 1]), int(idx[r, 2]) << 4]
+        )
+    png = _png_hand(3, 2, 4, 3, bytes(rows), extra=chunk(b"PLTE", palette.tobytes()))
+    out = decode_png(png)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_png_invalid_depth_combo_rejected():
+    with pytest.raises(ValueError, match="invalid for color type"):
+        decode_png(_png_hand(2, 1, 4, 2, b"\x00\x00\x00"))  # 4-bit RGB illegal
