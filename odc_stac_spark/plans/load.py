@@ -953,10 +953,15 @@ def load_from_sources(
 
 @dataclass
 class Dataset:
-    """Lightweight xarray.Dataset stand-in (sink S13 parity: dims
-    (time, y, x), spatial coords from the geobox, per-band nodata attrs —
-    reference mk_dataset, loader/_builder.py:215-243). xarray itself is
-    not installed in this container; ``to_xarray()`` upgrades when it is."""
+    """xarray.Dataset work-alike (sink S13 parity: dims (time, y, x),
+    spatial coords from the geobox, per-band nodata attrs — reference
+    mk_dataset, loader/_builder.py:215-243). Functional, not just
+    structural: band access (``ds.red`` / ``ds["red"]``), ``isel``/
+    ``sel`` (exact and nearest), labeled arithmetic
+    (``(ds.nir - ds.red) / (ds.nir + ds.red)``), reductions and
+    ``to_dataframe`` are served by the in-repo labeled-array engine
+    (odc_stac_spark.xrlite); ``to_xarray()`` upgrades to the real
+    library when installed."""
 
     bands: Dict[str, np.ndarray]  # (time, y, x) each
     time: List
@@ -964,6 +969,48 @@ class Dataset:
     x: np.ndarray
     crs: str
     nodata: Dict[str, Optional[float]]
+
+    @property
+    def data_vars(self):
+        from ..xrlite import DataArray
+
+        coords = {"time": np.asarray(self.time), "y": self.y, "x": self.x}
+        return {
+            b: DataArray(
+                a, ("time", "y", "x"), coords,
+                attrs={"nodata": self.nodata.get(b), "crs": self.crs},
+                name=b,
+            )
+            for b, a in self.bands.items()
+        }
+
+    def as_dataset(self):
+        """→ xrlite.Dataset (the full labeled-selection surface)."""
+        from ..xrlite import Dataset as XDataset
+
+        return XDataset(
+            self.data_vars,
+            coords={"time": np.asarray(self.time), "y": self.y, "x": self.x},
+            attrs={"crs": self.crs},
+        )
+
+    def __getitem__(self, band: str):
+        return self.data_vars[band]
+
+    def __getattr__(self, name: str):
+        bands = object.__getattribute__(self, "bands")
+        if name in bands:
+            return self.data_vars[name]
+        raise AttributeError(name)
+
+    def isel(self, **sels):
+        return self.as_dataset().isel(**sels)
+
+    def sel(self, method=None, **sels):
+        return self.as_dataset().sel(method=method, **sels)
+
+    def to_dataframe(self):
+        return self.as_dataset().to_dataframe()
 
     def to_xarray(self):  # pragma: no cover - xarray absent here
         try:
