@@ -313,3 +313,110 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("frac"), 4).alias("max_overlap_frac"),
         F.min("bench_doc").alias("example_bench_doc"),
     )
+
+
+SUBSTR_WINDOW = 8  # tokens per window (production uses ~50; same machinery)
+
+
+@register(
+    "text_substring_dedup",
+    # tokenize on ' ' → every WINDOW-token sliding window → windows whose
+    # exact text recurs in ANOTHER document → per-doc union of the
+    # duplicated intervals (sorted starts; each adds min(W, gap) tokens)
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0, n_tokens - {SUBSTR_WINDOW})) AS start
+      FROM toks WHERE n_tokens >= {SUBSTR_WINDOW}
+    ),
+    winstr AS (
+      SELECT w.doc_id, w.n_tokens, w.start,
+             array_to_string(list_slice(t.t, w.start + 1,
+                                        w.start + {SUBSTR_WINDOW}), ' ') AS win
+      FROM wins w JOIN toks t ON t.doc_id = w.doc_id
+    ),
+    dup AS (
+      SELECT ws.doc_id, ws.n_tokens, ws.start
+      FROM winstr ws
+      JOIN (SELECT win FROM winstr GROUP BY win
+            HAVING COUNT(DISTINCT doc_id) > 1) d USING (win)
+    ),
+    cov AS (
+      SELECT doc_id, n_tokens, start,
+             CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                       IS NULL THEN {SUBSTR_WINDOW}
+                  ELSE LEAST({SUBSTR_WINDOW},
+                             start - lag(start) OVER
+                                 (PARTITION BY doc_id ORDER BY start))
+             END AS covered
+      FROM dup
+    )
+    SELECT doc_id,
+           MIN(n_tokens) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS dup_windows,
+           CAST(CAST(SUM(covered) AS BIGINT) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(SUM(covered) AS BIGINT) * 1.0 / MIN(n_tokens), 6)
+               AS dup_fraction
+    FROM cov
+    GROUP BY doc_id
+    """,
+    doc="EXACT-SUBSTRING dedup (the Lee et al. 2022 'Deduplicating "
+    "Training Data' operator, reshaped from suffix arrays to the "
+    "shuffle-native form): every sliding token window is fingerprinted; "
+    "windows whose exact text recurs in another document mark duplicated "
+    "spans, and per-doc interval union (a lag-window prefix computation "
+    "— no UDFs) yields the duplicated-token fraction a cleaning pipeline "
+    "thresholds on. Scale shape: windows are grouped by xxhash64 (8-byte "
+    "shuffle keys instead of strings — the oracle groups by the string "
+    "itself, identical absent a 2^-64 collision), the heavy self-join is "
+    "a plain equi-join Catalyst can shuffle-hash, and coverage is one "
+    "partitioned window pass; at 100 TB the window table is the only "
+    "large intermediate and it never leaves the executors.",
+    tags=("text", "dedup", "llm"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = SUBSTR_WINDOW
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks").cast("bigint"))
+    toks = toks.where(F.col("n_tokens") >= W)
+    wins = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - W).cast("int")),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, W))),
+            )
+        ).alias("start", "win_hash"),
+    )
+    dup_keys = (
+        wins.groupBy("win_hash")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("win_hash")
+    )
+    dup = wins.join(dup_keys, "win_hash")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    cov = dup.select("doc_id", "n_tokens", "start").withColumn(
+        "covered",
+        F.when(F.lag("start").over(w).isNull(), F.lit(W)).otherwise(
+            F.least(F.lit(W), F.col("start") - F.lag("start").over(w))
+        ),
+    )
+    return cov.groupBy("doc_id").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.sum("covered").cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.sum("covered").cast("bigint") / F.min("n_tokens"), 6
+        ).alias("dup_fraction"),
+    )
