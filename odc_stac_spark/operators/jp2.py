@@ -31,9 +31,13 @@ actually need for LOSSLESS data, from the public spec:
 - **Codestream + JP2 container** (Annex A / I): SIZ COD QCD SOT SOD EOC,
   and the signature/ftyp/jp2h/jp2c box wrapping.
 
+- **QCC per-component quantization overrides** (A.6.5): the layout real
+  encoders emit for coarser chroma steps; QCD is the default, QCC
+  replaces single components' (εb, μb) tables and guard bits.
+
 Out-of-profile features are REFUSED loudly, never mis-decoded:
 code-block style flags (bypass/reset/termination/segmentation),
-component subsampling, COC/QCC per-component overrides, and
+component subsampling, COC per-component coding-style overrides, and
 position-major progressions (PCRL/CPRL) combined with real precinct
 partitions.
 
@@ -1204,20 +1208,20 @@ def _encode_tile_body(
     mct: bool,
     signed: bool,
     depth: int,
-    mbs: Dict[Tuple[int, str], int],
+    mbs: Dict[Tuple[int, int, str], int],
     layers: int = 1,
     prog: int = 0,
     sop: bool = False,
     eph: bool = False,
     pp=None,
-    quant: Optional[Dict[Tuple[int, str], float]] = None,
+    quant: Optional[Dict[Tuple[int, int, str], float]] = None,
 ) -> bytes:
     """One tile's packet stream (any progression order; ``layers``
     quality layers — pass counts split evenly, codeword bytes split at
     arbitrary points, valid for code-block style 0 where a block's
     segments concatenate before decode; ``pp`` = per-resolution
     (PPx, PPy) precinct exponents or None for whole-band precincts;
-    ``mbs`` maps (resolution, band) → Mb. ``quant`` switches the tile to
+    ``mbs`` maps (component, resolution, band) → Mb. ``quant`` switches the tile to
     the IRREVERSIBLE path: 9/7 DWT (+ICT when mct) and deadzone scalar
     quantization q = sign(c)·⌊|c|/Δ⌋ with the given per-(r, band) Δ."""
     th, tw, ncomp = tile_img.shape
@@ -1229,12 +1233,12 @@ def _encode_tile_body(
         if mct:
             comps_f = list(_ict_forward(*comps_f))
         comp_bands = []
-        for c in comps_f:
+        for ci, c in enumerate(comps_f):
             bands = fdwt97(c, levels)
             for lv in range(levels):
                 for bname, arr in bands[lv].items():
                     r = 0 if bname == "LL" else levels - lv
-                    dq = quant[(r, bname)]
+                    dq = quant[(ci, r, bname)]
                     bands[lv][bname] = (
                         np.sign(arr) * np.floor(np.abs(arr) / dq)
                     ).astype(np.int32)
@@ -1271,7 +1275,7 @@ def _encode_tile_body(
                 band = comp_bands[ci][lv][bname]
                 rh, rw = _res_size(th, tw, levels, r)
                 playout, _, _ = _precincts_of(sh, r, cblk, pp, rh, rw)
-                mb = mbs[(r, bname)]
+                mb = mbs[(ci, r, bname)]
                 for p, (pblocks, gw, gh) in enumerate(playout):
                     if not pblocks:
                         continue
@@ -1328,7 +1332,7 @@ def _encode_tile_body(
             if key not in coded:
                 continue
             incl, zbp, gw = trees[key]
-            mb = mbs[(r, bname)]
+            mb = mbs[(ci, r, bname)]
             for bi, blk in enumerate(coded[key]):
                 by, bx = bi // gw, bi % gw
                 if blk is None:  # never included: tag tree keeps saying no
@@ -1416,7 +1420,8 @@ def encode_jp2_codestream(
     guard = 2
     maxdepth = depth + (1 if (mct and not irreversible) else 0)
     mbs = {
-        (r, bname): maxdepth + _BAND_GAIN[bname] + 2
+        (ci, r, bname): maxdepth + _BAND_GAIN[bname] + 2
+        for ci in range(ncomp)
         for r in range(levels + 1)
         for _, bname in _res_bands(levels, r)
     }
@@ -1455,12 +1460,21 @@ def encode_jp2_codestream(
     )
     if pp is not None:
         cod += bytes((x | (y << 4)) for x, y in pp)
-    quant: Optional[Dict[Tuple[int, str], float]] = None
+    quant: Optional[Dict[Tuple[int, int, str], float]] = None
+    qcc_markers: List[bytes] = []
     if irreversible:
         if qstyle not in ("expounded", "derived"):
             raise ValueError("qstyle must be 'expounded' or 'derived'")
-        if not 0 < base_step <= 2.0:
-            raise ValueError("base_step must be in (0, 2]")
+        steps = (
+            list(base_step)
+            if isinstance(base_step, (list, tuple))
+            else [base_step] * ncomp
+        )
+        if len(steps) != ncomp:
+            raise ValueError("base_step list must have one entry per component")
+        for s in steps:
+            if not 0 < s <= 2.0:
+                raise ValueError("base_step must be in (0, 2]")
 
         def _enc_delta(rb: int, target: float) -> Tuple[int, int, float]:
             # Δ = 2^(Rb−ε)·(1+μ/2^11): ε = Rb − ⌊log2 Δ⌋, μ = frac mantissa
@@ -1475,37 +1489,52 @@ def encode_jp2_codestream(
             return eps, mu, 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
 
         quant, mbs = {}, {}
-        qvals: List[Tuple[int, int]] = []
-        if qstyle == "derived":
-            rb0 = depth  # LL gain 0
-            e0, m0, _ = _enc_delta(rb0, base_step)
-            qvals.append((e0, m0))
-            for r in range(levels + 1):
-                for _, bname in _res_bands(levels, r):
-                    nb = levels if r == 0 else levels - r + 1
-                    eps = e0 - levels + nb
-                    rb = depth + _BAND_GAIN[bname]
-                    d_act = 2.0 ** (rb - eps) * (1.0 + m0 / 2048.0)
-                    quant[(r, bname)] = d_act
-                    mbs[(r, bname)] = eps + guard - 1
-        else:
-            for r in range(levels + 1):
-                for _, bname in _res_bands(levels, r):
-                    gain = _BAND_GAIN[bname]
-                    eps, mu, d_act = _enc_delta(depth + gain, base_step * (1 << gain))
-                    qvals.append((eps, mu))
-                    quant[(r, bname)] = d_act
-                    mbs[(r, bname)] = eps + guard - 1
-        qcd = bytes([(1 if qstyle == "derived" else 2) | (guard << 5)])
-        for eps, mu in qvals:
+
+        def _comp_qvals(ci: int) -> List[Tuple[int, int]]:
+            qvals: List[Tuple[int, int]] = []
+            if qstyle == "derived":
+                e0, m0, _ = _enc_delta(depth, steps[ci])  # LL gain 0
+                qvals.append((e0, m0))
+                for r in range(levels + 1):
+                    for _, bname in _res_bands(levels, r):
+                        nb = levels if r == 0 else levels - r + 1
+                        eps = e0 - levels + nb
+                        rb = depth + _BAND_GAIN[bname]
+                        quant[(ci, r, bname)] = 2.0 ** (rb - eps) * (1.0 + m0 / 2048.0)
+                        mbs[(ci, r, bname)] = eps + guard - 1
+            else:
+                for r in range(levels + 1):
+                    for _, bname in _res_bands(levels, r):
+                        gain = _BAND_GAIN[bname]
+                        eps, mu, d_act = _enc_delta(
+                            depth + gain, steps[ci] * (1 << gain)
+                        )
+                        qvals.append((eps, mu))
+                        quant[(ci, r, bname)] = d_act
+                        mbs[(ci, r, bname)] = eps + guard - 1
+            return qvals
+
+        style_byte = (1 if qstyle == "derived" else 2) | (guard << 5)
+        comp_vals = [_comp_qvals(ci) for ci in range(ncomp)]
+        qcd = bytes([style_byte])
+        for eps, mu in comp_vals[0]:
             qcd += struct.pack(">H", (eps << 11) | mu)
+        # components with a different step get a QCC override (the layout
+        # real encoders emit for coarser chroma quantization)
+        for ci in range(1, ncomp):
+            if steps[ci] != steps[0]:
+                body = bytes([ci]) if ncomp < 257 else struct.pack(">H", ci)
+                body += bytes([style_byte])
+                for eps, mu in comp_vals[ci]:
+                    body += struct.pack(">H", (eps << 11) | mu)
+                qcc_markers.append(body)
     else:
         qcd = bytes([0x00 | (guard << 5)])
         for r in range(levels + 1):
             for _, bname in _res_bands(levels, r):
                 # one exponent per subband (style "no quantization"); εb
                 # sized so Mb = εb + guard - 1 covers the max magnitude
-                qcd += bytes([(mbs[(r, bname)] - guard + 1) << 3])
+                qcd += bytes([(mbs[(0, r, bname)] - guard + 1) << 3])
 
     out = bytearray(
         struct.pack(">H", 0xFF4F)  # SOC
@@ -1513,6 +1542,8 @@ def encode_jp2_codestream(
         + marker(0xFF52, cod)
         + marker(0xFF5C, qcd)
     )
+    for body in qcc_markers:
+        out += marker(0xFF5D, body)
     ntx = (w + xt - 1) // xt
     nty = (h + yt - 1) // yt
     for ti in range(ntx * nty):
@@ -1579,7 +1610,9 @@ def _find_codestream(data: bytes) -> bytes:
     raise ValueError("no JPEG2000 codestream found")
 
 
-def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
+def _parse_main_headers(
+    siz: bytes, cod: bytes, qcd: bytes, qccs: Tuple[bytes, ...] = ()
+) -> dict:
     """SIZ/COD/QCD → decode parameters; out-of-profile → loud refusal."""
     (rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack_from(
         ">HIIIIIIIIH", siz, 0
@@ -1621,6 +1654,41 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
         if len(pp) != levels + 1:
             raise ValueError("JPEG2000: truncated precinct-size list")
 
+    guard, band_eps, band_mants = _parse_quant(qcd, transform, levels)
+    # per-component quantization: QCD is the default, QCC markers override
+    # single components (what real encoders emit for coarser chroma steps)
+    guard_c = [guard] * ncomp
+    band_eps_c = [list(band_eps) for _ in range(ncomp)]
+    band_mants_c = [
+        list(band_mants) if band_mants is not None else None for _ in range(ncomp)
+    ]
+    for qcc in qccs:
+        if ncomp < 257:
+            ci, qbody = qcc[0], qcc[1:]
+        else:
+            ci, qbody = struct.unpack_from(">H", qcc, 0)[0], qcc[2:]
+        if ci >= ncomp:
+            raise ValueError("JPEG2000: QCC component index out of range")
+        g, e, m = _parse_quant(qbody, transform, levels)
+        guard_c[ci], band_eps_c[ci], band_mants_c[ci] = g, e, m
+
+    return {
+        "xs": xs, "ys": ys, "xt": xt, "yt": yt, "ncomp": ncomp,
+        "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
+        "guard": guard, "band_eps": band_eps, "band_mants": band_mants,
+        "guard_c": guard_c, "band_eps_c": band_eps_c,
+        "band_mants_c": band_mants_c,
+        "transform": transform,
+        "layers": layers, "prog": prog, "pp": pp,
+        "sop": use_sop, "eph": use_eph,
+        "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
+    }
+
+
+def _parse_quant(
+    qcd: bytes, transform: str, levels: int
+) -> Tuple[int, List[int], Optional[List[int]]]:
+    """One QCD/QCC payload (Sq + SPq) → (guard, per-band ε, per-band μ)."""
     sqcd = qcd[0]
     qstyle = sqcd & 0x1F
     guard = sqcd >> 5
@@ -1628,9 +1696,8 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
     if qstyle == 0:  # no quantization: 8-bit exponents, reversible only
         if transform != "5x3":
             raise ValueError("JPEG2000: 9/7 transform requires scalar quantization")
-        band_eps: List[int] = [b >> 3 for b in qcd[1:]]
-        band_mants: Optional[List[int]] = None
-    elif qstyle in (1, 2):  # scalar derived / expounded: 16-bit (εb, μb)
+        return guard, [b >> 3 for b in qcd[1:]], None
+    if qstyle in (1, 2):  # scalar derived / expounded: 16-bit (εb, μb)
         if transform != "9x7":
             raise ValueError("JPEG2000: reversible 5/3 requires quantization style 0")
         vals = [
@@ -1647,23 +1714,11 @@ def _parse_main_headers(siz: bytes, cod: bytes, qcd: bytes) -> dict:
                 nb = levels - r + 1
                 band_eps += [e0 - levels + nb] * 3
                 band_mants += [m0] * 3
-        else:
-            if len(vals) < nband:
-                raise ValueError("JPEG2000: truncated expounded QCD")
-            band_eps = [v >> 11 for v in vals]
-            band_mants = [v & 0x7FF for v in vals]
-    else:
-        raise NotImplementedError(f"JPEG2000: quantization style {qstyle} not supported")
-
-    return {
-        "xs": xs, "ys": ys, "xt": xt, "yt": yt, "ncomp": ncomp,
-        "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
-        "guard": guard, "band_eps": band_eps, "band_mants": band_mants,
-        "transform": transform,
-        "layers": layers, "prog": prog, "pp": pp,
-        "sop": use_sop, "eph": use_eph,
-        "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
-    }
+            return guard, band_eps, band_mants
+        if len(vals) < nband:
+            raise ValueError("JPEG2000: truncated expounded QCD/QCC")
+        return guard, [v >> 11 for v in vals], [v & 0x7FF for v in vals]
+    raise NotImplementedError(f"JPEG2000: quantization style {qstyle} not supported")
 
 
 def _np_dtype_for(params: dict) -> np.dtype:
@@ -1721,7 +1776,10 @@ def _decode_tile_reduced(
     native overview pushdown; layer-major orders still parse the later
     headers (bodies are skipped by length) but never decode them."""
     levels, cblk, ncomp = params["levels"], params["cblk"], params["ncomp"]
-    guard, band_eps, comps = params["guard"], params["band_eps"], params["comps"]
+    comps = params["comps"]
+    band_eps_c = params.get("band_eps_c") or [params["band_eps"]] * ncomp
+    band_mants_c = params.get("band_mants_c") or [params.get("band_mants")] * ncomp
+    guard_c = params.get("guard_c") or [params["guard"]] * ncomp
     layers, prog = params.get("layers", 1), params.get("prog", 0)
     use_sop, use_eph = params.get("sop", False), params.get("eph", False)
     irrev = params.get("transform", "5x3") == "9x7"
@@ -1772,8 +1830,8 @@ def _decode_tile_reduced(
             if tkey not in trees:
                 trees[tkey] = (TagTree(gw, gh), TagTree(gw, gh))
             incl, zbp = trees[tkey]
-            eps = band_eps[eps_idx0 + (0 if r == 0 else bj)]
-            mb = eps + guard - 1
+            eps = band_eps_c[ci][eps_idx0 + (0 if r == 0 else bj)]
+            mb = eps + guard_c[ci] - 1
             for bi, (y0, x0, bh_, bw2) in enumerate(blks):
                 by, bx = bi // gw, bi % gw
                 key = (ci, r, bname, p, bi)
@@ -1805,7 +1863,6 @@ def _decode_tile_reduced(
             st["segs"].append(tdata[pos : pos + length])
             pos += length
 
-    band_mants = params.get("band_mants")
     for (ci, r, bname, p, bi), st in blocks.items():
         if r > max_res:
             continue
@@ -1821,7 +1878,9 @@ def _decode_tile_reduced(
                 0 if r == 0 else ["HL", "LH", "HH"].index(bname)
             )
             rb = comps[ci]["depth"] + _BAND_GAIN[bname]
-            delta = 2.0 ** (rb - band_eps[idx]) * (1.0 + band_mants[idx] / 2048.0)
+            delta = 2.0 ** (rb - band_eps_c[ci][idx]) * (
+                1.0 + band_mants_c[ci][idx] / 2048.0
+            )
             fq = coefs.astype(np.float64)
             coefs = np.where(fq > 0, fq + 0.5, np.where(fq < 0, fq - 0.5, 0.0)) * delta
         comp_bands[ci][st["lv"]][st["band"]][
@@ -1870,6 +1929,7 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
         raise ValueError("bad codestream (no SOC)")
     p = 2
     siz = cod = qcd = None
+    qccs: List[bytes] = []
     tiles: List[Tuple[int, int, int]] = []
     while p + 4 <= len(cs):
         code, ln = struct.unpack_from(">HH", cs, p)
@@ -1884,8 +1944,10 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
             cod = body
         elif code == 0xFF5C:
             qcd = body
-        elif code in (0xFF53, 0xFF5D):
-            raise NotImplementedError("JPEG2000: COC/QCC overrides not supported")
+        elif code == 0xFF5D:  # QCC: per-component quantization override
+            qccs.append(body)
+        elif code == 0xFF53:
+            raise NotImplementedError("JPEG2000: COC coding-style overrides not supported")
         elif code == 0xFF90:  # SOT
             isot, psot = struct.unpack_from(">HI", body, 0)
             tpsot, tnsot = body[6], body[7]
@@ -1901,7 +1963,7 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
         p += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("missing SIZ/COD/QCD")
-    return _parse_main_headers(siz, cod, qcd), tiles
+    return _parse_main_headers(siz, cod, qcd, tuple(qccs)), tiles
 
 
 def _tile_geometry(params: dict, isot: int) -> Tuple[int, int, int, int]:
@@ -1980,6 +2042,7 @@ def read_jp2_header(path: str) -> dict:
             raise ValueError("bad codestream (no SOC)")
         p = cs_off + 2
         siz = cod = qcd = None
+        qccs = []
         tiles = []
         while p + 4 <= fsize:
             code, ln = struct.unpack_from(">HH", read_at(p, 4), 0)
@@ -1992,8 +2055,12 @@ def read_jp2_header(path: str) -> dict:
                 cod = body
             elif code == 0xFF5C:
                 qcd = body
-            elif code in (0xFF53, 0xFF5D):
-                raise NotImplementedError("JPEG2000: COC/QCC overrides not supported")
+            elif code == 0xFF5D:
+                qccs.append(body)
+            elif code == 0xFF53:
+                raise NotImplementedError(
+                    "JPEG2000: COC coding-style overrides not supported"
+                )
             elif code == 0xFF90:
                 isot, psot = struct.unpack_from(">HI", body, 0)
                 tpsot, tnsot = body[6], body[7]
@@ -2011,7 +2078,7 @@ def read_jp2_header(path: str) -> dict:
             p += 2 + ln
         if siz is None or cod is None or qcd is None:
             raise ValueError("missing SIZ/COD/QCD")
-    params = _parse_main_headers(siz, cod, qcd)
+    params = _parse_main_headers(siz, cod, qcd, tuple(qccs))
     params["tiles"] = tiles
     params["dtype"] = str(_np_dtype_for(params))
     return params

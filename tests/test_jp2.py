@@ -508,3 +508,31 @@ def test_lossy_tiled_multires():
     assert _psnr(img, out, 255) > 45
     # no tile-seam artifacts: per-tile error is bounded like the interior
     assert int(np.abs(img.astype(int) - out.astype(int)).max()) < 8
+
+
+def test_qcc_per_component_quantization():
+    # coarser chroma steps emit QCC overrides (A.6.5) and shrink the file
+    rng2 = np.random.default_rng(5)
+    rgb = (rng2.integers(0, 32, (40, 56, 3), dtype=np.uint8) * 8).astype(np.uint8)
+    cs = encode_jp2_codestream(
+        rgb, levels=2, irreversible=True, base_step=[1 / 256, 1 / 16, 1 / 16]
+    )
+    assert cs.count(b"\xff\x5d") == 2  # two QCC markers (comps 1, 2)
+    out = decode_jp2(cs)
+    assert _psnr(rgb, out, 255) > 40
+    uniform = encode_jp2_codestream(rgb, levels=2, irreversible=True, base_step=1 / 256)
+    assert len(cs) < len(uniform)  # chroma really is coded coarser
+    # fine per-component steps stay exactly lossless
+    fine = encode_jp2_codestream(
+        rgb, levels=2, irreversible=True, base_step=[1 / 1024] * 3
+    )
+    assert (decode_jp2(fine) == rgb).all()
+
+
+def test_coc_still_refused():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    at = cs.index(b"\xff\x5c")  # splice a COC marker before QCD
+    coc = b"\xff\x53" + struct.pack(">H", 4) + b"\x00\x00"
+    bad = cs[:at] + coc + cs[at:]
+    with pytest.raises(NotImplementedError, match="COC"):
+        decode_jp2(bad)
