@@ -328,6 +328,7 @@ def write_cog_file(
     bigtiff: Optional[bool] = None,
     jpeg_quality: int = 90,
     overview_resampling: str = "nearest",
+    planar: int = 1,
 ) -> None:
     """Write a single-band 2-D array as a tiled COG-layout GeoTIFF.
 
@@ -361,6 +362,10 @@ def write_cog_file(
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 (chunky) or 2 (separate), got {planar}")
+    if planar == 2 and compression == "jpeg":
+        raise ValueError("PlanarConfig=2 with JPEG compression is not supported")
     if compression == "webp":
         if pix.dtype != np.uint8:
             raise ValueError("webp compression requires uint8 pixels")
@@ -415,7 +420,7 @@ def write_cog_file(
         ifds.append(
             _plan_ifd(
                 arr, geobox, nodata, tile, lv_idx, overview_levels, compression,
-                predictor, jpeg_quality,
+                predictor, jpeg_quality, planar,
             )
         )
     _write_tiff(path, ifds, bigtiff=bigtiff)
@@ -635,7 +640,7 @@ def write_tiff_striped(
 
 def _plan_ifd(
     arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none",
-    predictor=1, jpeg_quality=90,
+    predictor=1, jpeg_quality=90, planar=1,
 ):
     ny, nx = arr.shape[:2]
     spp = arr.shape[2] if arr.ndim == 3 else 1
@@ -643,15 +648,27 @@ def _plan_ifd(
     bits = dt.itemsize * 8
     fmt = _SAMPLEFORMAT_FOR_KIND[dt.kind]
     tiles: List[bytes] = []
-    for ty in range(0, ny, tile):
-        for tx in range(0, nx, tile):
-            shape = (tile, tile, spp) if arr.ndim == 3 else (tile, tile)
-            block = np.zeros(shape, dtype=dt)
-            sub = arr[ty : ty + tile, tx : tx + tile]
-            block[: sub.shape[0], : sub.shape[1]] = sub
-            if predictor == 2:
-                block = _apply_predictor2(block)
-            tiles.append(_compress_block(block, compression, jpeg_quality))
+    if planar == 2 and spp > 1:
+        # separate planes (spec §14): all of sample 0's tiles, then 1's, …
+        for s in range(spp):
+            for ty in range(0, ny, tile):
+                for tx in range(0, nx, tile):
+                    block = np.zeros((tile, tile), dtype=dt)
+                    sub = arr[ty : ty + tile, tx : tx + tile, s]
+                    block[: sub.shape[0], : sub.shape[1]] = sub
+                    if predictor == 2:
+                        block = _apply_predictor2(block)
+                    tiles.append(_compress_block(block, compression, jpeg_quality))
+    else:
+        for ty in range(0, ny, tile):
+            for tx in range(0, nx, tile):
+                shape = (tile, tile, spp) if arr.ndim == 3 else (tile, tile)
+                block = np.zeros(shape, dtype=dt)
+                sub = arr[ty : ty + tile, tx : tx + tile]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                if predictor == 2:
+                    block = _apply_predictor2(block)
+                tiles.append(_compress_block(block, compression, jpeg_quality))
 
     entries: List[Tuple[int, int, int, object]] = []
     aux: List[bytes] = []
@@ -670,7 +687,7 @@ def _plan_ifd(
         (_COMPRESSION, _TYPE_SHORT, 1, _COMPRESSION_CODE[compression]),
         (_PHOTOMETRIC, _TYPE_SHORT, 1, photometric),
         (_SAMPLESPERPIXEL, _TYPE_SHORT, 1, spp),
-        (_PLANARCONFIG, _TYPE_SHORT, 1, 1),
+        (_PLANARCONFIG, _TYPE_SHORT, 1, planar if spp > 1 else 1),
         (_TILEWIDTH, _TYPE_SHORT, 1, tile),
         (_TILELENGTH, _TYPE_SHORT, 1, tile),
         (_TILEOFFSETS, _TYPE_LONG, len(tiles), "TILEOFFSETS"),
@@ -869,9 +886,9 @@ def read_cog_header(path: str) -> Dict:
                 short_val(_SAMPLESPERPIXEL) if _SAMPLESPERPIXEL in tags else 1
             )
             planar = short_val(_PLANARCONFIG) if _PLANARCONFIG in tags else 1
-            if spp > 1 and planar != 1:
+            if spp > 1 and planar not in (1, 2):
                 raise NotImplementedError(
-                    "TIFF multi-band: only PlanarConfig=1 (chunky/interleaved) supported"
+                    f"TIFF multi-band: PlanarConfig {planar} unknown (1=chunky, 2=planar)"
                 )
             nx, ny = short_val(_WIDTH), short_val(_LENGTH)
             if _TILEOFFSETS in tags:
@@ -905,6 +922,7 @@ def read_cog_header(path: str) -> Dict:
                     "compression": comp,
                     "predictor": pred,
                     "spp": spp,
+                    "planar": planar,
                     "jpeg_tables": jpeg_tables,
                     "offsets": offsets,
                     "bytecounts": bytecounts,
@@ -938,8 +956,30 @@ def read_cog_tile(
     zero-padded (callers slice to the valid extent).
 
     Multi-band (SamplesPerPixel>1, chunky) files return (tile_h, tile_w,
-    spp) — or one 2-D band when ``sample`` (0-based) is given."""
+    spp) — or one 2-D band when ``sample`` (0-based) is given.
+    PlanarConfig=2 (separate planes) stores each sample's tiles
+    contiguously: with a ``sample`` only THAT plane's tile is fetched
+    (band selection reads 1/spp of the bytes — the planar layout's whole
+    point); without one, the planes are fetched and restacked."""
     lv = header["levels"][level]
+    spp_file = lv.get("spp", 1)
+    if lv.get("planar", 1) == 2 and spp_file > 1:
+        tiles_per_plane = len(lv["offsets"]) // spp_file
+        lv1 = dict(lv, spp=1, planar=1)
+        if sample is not None:
+            s = min(sample, spp_file - 1)
+            hdr1 = dict(header, levels=list(header["levels"]))
+            hdr1["levels"][level] = lv1
+            return read_cog_tile(
+                path, hdr1, level, s * tiles_per_plane + tile_idx, sample=None
+            )
+        hdr1 = dict(header, levels=list(header["levels"]))
+        hdr1["levels"][level] = lv1
+        planes = [
+            read_cog_tile(path, hdr1, level, s * tiles_per_plane + tile_idx)
+            for s in range(spp_file)
+        ]
+        return np.stack(planes, axis=-1)
     off = lv["offsets"][tile_idx]
     cnt = lv["bytecounts"][tile_idx]
     with open(path, "rb") as f:
@@ -1049,7 +1089,10 @@ def read_cog_file(path: str) -> Dict:
         ntx = (nx + tw - 1) // tw
         shape = (ny, nx) if spp == 1 else (ny, nx, spp)
         arr = np.zeros(shape, dtype=np.dtype(lv["dtype"]))
-        for ti in range(len(lv["offsets"])):
+        n_spatial = len(lv["offsets"])
+        if lv.get("planar", 1) == 2 and spp > 1:
+            n_spatial //= spp  # planar: offsets repeat per sample plane
+        for ti in range(n_spatial):
             ty, tx = divmod(ti, ntx)
             block = read_cog_tile(path, hdr, li, ti)
             ys, xs = min(th, ny - ty * th), min(tw, nx - tx * tw)

@@ -787,3 +787,56 @@ def test_lzma_cog_write_read(tmp_path):
     assert hdr["levels"][0]["compression"] == 34925
     out = gt.read_cog_file(p)
     np.testing.assert_array_equal(out["data"], arr)
+
+
+# ---------------------------------------------------------------------------
+# PlanarConfig=2 (separate sample planes, spec §14) — round-7
+
+
+def test_planar_separate_planes_roundtrip(tmp_path):
+    rng2 = np.random.default_rng(31)
+    pix = rng2.integers(0, 4000, (70, 90, 3)).astype(np.uint16)
+    gbox = GeoBox((70, 90), (10.0, 0.0, 0.0, 0.0, -10.0, 700.0), "EPSG:32735")
+    for comp, pred in [("none", 1), ("deflate", 2), ("lzw", 1), ("zstd", 1)]:
+        p = str(tmp_path / f"planar_{comp}_{pred}.tif")
+        write_cog_file(
+            p, pix, gbox, tile=64, compression=comp, predictor=pred,
+            overview_levels=[], planar=2,
+        )
+        d = read_cog_file(p)
+        assert d["data"].shape == (70, 90, 3)
+        np.testing.assert_array_equal(d["data"], pix)
+
+
+def test_planar_band_select_reads_one_plane(tmp_path):
+    from odc_stac_spark.sources.geotiff import read_cog_header, read_cog_tile
+
+    rng2 = np.random.default_rng(32)
+    pix = rng2.integers(0, 255, (70, 90, 3)).astype(np.uint8)
+    gbox = GeoBox((70, 90), (10.0, 0.0, 0.0, 0.0, -10.0, 700.0), "EPSG:32735")
+    p = str(tmp_path / "planar.tif")
+    write_cog_file(p, pix, gbox, tile=64, compression="deflate",
+                   overview_levels=[], planar=2)
+    hdr = read_cog_header(p)
+    lv = hdr["levels"][0]
+    assert lv["planar"] == 2
+    # offsets hold spp × spatial tiles (all of sample 0's first)
+    assert len(lv["offsets"]) == 3 * 2 * 2  # 2×2 grid of 64px tiles, 3 planes
+    for s in range(3):
+        t = read_cog_tile(p, hdr, 0, 0, sample=s)
+        assert t.ndim == 2
+        np.testing.assert_array_equal(t[:64, :64], pix[:64, :64, s])
+    # no-sample fetch restacks the planes
+    full = read_cog_tile(p, hdr, 0, 0)
+    assert full.shape == (64, 64, 3)
+
+
+def test_planar_guards(tmp_path):
+    gbox = GeoBox((8, 8), (10.0, 0.0, 0.0, 0.0, -10.0, 80.0), "EPSG:32735")
+    with pytest.raises(ValueError, match="planar"):
+        write_cog_file(str(tmp_path / "a.tif"), np.zeros((8, 8), np.uint8),
+                       gbox, planar=3)
+    with pytest.raises(ValueError, match="JPEG"):
+        write_cog_file(str(tmp_path / "b.tif"),
+                       np.zeros((8, 8, 3), np.uint8), gbox,
+                       compression="jpeg", planar=2)
