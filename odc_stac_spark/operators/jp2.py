@@ -37,9 +37,7 @@ actually need for LOSSLESS data, from the public spec:
 
 Out-of-profile features are REFUSED loudly, never mis-decoded:
 code-block style flags (bypass/reset/termination/segmentation),
-component subsampling, COC per-component coding-style overrides, and
-position-major progressions (PCRL/CPRL) combined with real precinct
-partitions.
+component subsampling, and COC per-component coding-style overrides.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -1320,7 +1318,10 @@ def _encode_tile_body(
     # phase 2: emit packets in progression order
     body = bytearray()
     nsop = 0
-    for (l, r, ci, p) in _packet_order(prog, layers, levels + 1, ncomp, npre):
+    for (l, r, ci, p) in _packet_order(
+        prog, layers, levels + 1, ncomp, npre, pp=pp,
+        res_dims=[_res_size(th, tw, levels, r_) for r_ in range(levels + 1)],
+    ):
         if sop:
             body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
             nsop += 1
@@ -1737,13 +1738,26 @@ def _decode_tile_payload(tdata: bytes, th: int, tw: int, params: dict) -> np.nda
 
 
 def _packet_order(
-    prog: int, layers: int, nres: int, ncomp: int, npre: Optional[List[int]] = None
+    prog: int,
+    layers: int,
+    nres: int,
+    ncomp: int,
+    npre: Optional[List[int]] = None,
+    pp=None,
+    res_dims: Optional[List[Tuple[int, int]]] = None,
 ):
-    """Packet iteration (l, r, c, p) for the Part-1 progression orders.
-    ``npre``: precinct count per resolution (all 1 for whole-band
+    """Packet iteration (l, r, c, p) for the Part-1 progression orders
+    (B.12). ``npre``: precinct count per resolution (all 1 for whole-band
     precincts, where every order reduces to a loop permutation).
-    Position-major orders (PCRL/CPRL) are supported only without real
-    precinct partitions — the combination real products use is RPCL."""
+
+    Position-major orders (PCRL/CPRL) with real precinct partitions
+    iterate precinct UPPER-LEFT CORNERS in image coordinates — a
+    resolution-r precinct of size 2^PPx sits at
+    (py·2^(PPy+N−r), px·2^(PPx+N−r)); the spec's y/x/c/r nested loops
+    are reproduced by sorting corners and grouping coincident ones
+    (several resolutions share a corner exactly when the loops would
+    visit them back-to-back). Needs ``pp`` (per-res precinct exponents)
+    and ``res_dims`` (per-res tile sizes) when precincts are real."""
     if npre is None:
         npre = [1] * nres
     L, R, C = range(layers), range(nres), range(ncomp)
@@ -1753,12 +1767,40 @@ def _packet_order(
         return [(l, r, c, p) for r in R for l in L for c in C for p in range(npre[r])]
     if prog == 2:  # RPCL
         return [(l, r, c, p) for r in R for p in range(npre[r]) for c in C for l in L]
-    # PCRL (3) and CPRL (4) collapse to component-major without precincts
-    if any(n > 1 for n in npre):
+    # PCRL (3) / CPRL (4)
+    if not any(n > 1 for n in npre):
+        # whole-band precincts: every corner is (0,0) → component-major
+        return [(l, r, c, 0) for c in C for r in R for l in L]
+    if pp is None or res_dims is None:
         raise NotImplementedError(
-            "JPEG2000: PCRL/CPRL progression with precinct partitions not supported"
+            "JPEG2000: PCRL/CPRL with precincts needs pp/res_dims"
         )
-    return [(l, r, c, 0) for c in C for r in R for l in L]
+    entries = []  # (y, x, r, p) — precinct corners in image coordinates
+    for r in R:
+        ppx, ppy = pp[r]
+        rh, rw = res_dims[r]
+        nprx = max(1, (rw + (1 << ppx) - 1) >> ppx)
+        shift = (nres - 1) - r
+        for p in range(npre[r]):
+            py, px = divmod(p, nprx)
+            entries.append((py << (ppy + shift), px << (ppx + shift), r, p))
+    entries.sort(key=lambda e: (e[0], e[1], e[2]))
+    out = []
+    if prog == 3:  # PCRL: y, x, component, resolution, layer
+        from itertools import groupby
+
+        for _, grp in groupby(entries, key=lambda e: (e[0], e[1])):
+            grp = list(grp)
+            for c in C:
+                for (_, _, r, p) in grp:
+                    for l in L:
+                        out.append((l, r, c, p))
+    else:  # CPRL: component, y, x, resolution, layer
+        for c in C:
+            for (_, _, r, p) in entries:
+                for l in L:
+                    out.append((l, r, c, p))
+    return out
 
 
 def _decode_tile_reduced(
@@ -1799,7 +1841,10 @@ def _decode_tile_reduced(
     trees: dict = {}  # (c, r, band, p) → (incl, zbp)
     blocks: dict = {}  # (c, r, band, p, bi) → accumulated state
     pos = 0
-    for (l, r, ci, p) in _packet_order(prog, layers, levels + 1, ncomp, npre):
+    for (l, r, ci, p) in _packet_order(
+        prog, layers, levels + 1, ncomp, npre, pp=pp,
+        res_dims=[_res_size(th, tw, levels, r_) for r_ in range(levels + 1)],
+    ):
         if res_major and r > max_res:
             continue  # header never parsed — bodies unreachable anyway
         eps_idx0 = 0 if r == 0 else 1 + 3 * (r - 1)

@@ -404,13 +404,14 @@ def test_sentinel2_production_shape():
     assert blob[at] & 0x01 and blob[at] & 0x02 and blob[at] & 0x04
 
 
-def test_pcrl_with_precincts_refused():
-    a = np.zeros((64, 64), np.uint8)
-    blob = encode_jp2_codestream(a, levels=2, cblk=16, precincts=(4, 4))
-    at = blob.index(b"\xff\x52") + 4 + 1
-    bad = blob[:at] + bytes([3]) + blob[at + 1 :]  # PCRL
-    with pytest.raises(NotImplementedError, match="PCRL"):
-        decode_jp2(bad)
+def test_pcrl_with_precincts_now_supported():
+    # this combination was a loud refusal through round 7's first half;
+    # it now round-trips (see test_pcrl_cprl_with_precincts_roundtrip) —
+    # keep a direct probe that the decoder accepts a stream WRITTEN in
+    # that order rather than merely not-crashing on a patched header
+    a = rng.integers(0, 200, (64, 64), dtype=np.uint8)
+    blob = encode_jp2_codestream(a, levels=2, cblk=16, precincts=(4, 4), prog=3)
+    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
 
 
 # ---------------------------------------------------------------------------
@@ -536,3 +537,41 @@ def test_coc_still_refused():
     bad = cs[:at] + coc + cs[at:]
     with pytest.raises(NotImplementedError, match="COC"):
         decode_jp2(bad)
+
+
+def test_pcrl_cprl_with_precincts_roundtrip():
+    # position-major progressions × real precinct partitions (B.12): the
+    # corner-interleaved packet order must match between writer and reader
+    a = rng.integers(0, 4001, (70, 85), dtype=np.uint16)
+    for prog in (3, 4):
+        for layers in (1, 3):
+            for prec in ((3, 3), (4, 2)):
+                blob = encode_jp2_codestream(
+                    a, levels=2, cblk=16, layers=layers, prog=prog,
+                    precincts=prec, sop=True, eph=True,
+                )
+                np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], a)
+    rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    for prog in (3, 4):
+        blob = encode_jp2_codestream(
+            rgb, levels=2, cblk=16, prog=prog, precincts=(3, 3),
+            tile_size=(32, 32),
+        )
+        np.testing.assert_array_equal(decode_jp2(blob), rgb)
+
+
+def test_pcrl_corner_interleave_order():
+    # the packet order really is corner-sorted, not resolution-blocked:
+    # with 2 levels and 8px precincts, resolution corners interleave
+    from odc_stac_spark.operators.jp2 import _packet_order
+
+    order = _packet_order(
+        3, 1, 3, 1,
+        npre=[1, 2, 4],
+        pp=[(3, 3)] * 3,
+        res_dims=[(8, 8), (16, 16), (32, 32)],
+    )
+    rs = [r for (_, r, _, _) in order]
+    # all three resolutions contribute their (0,0)-corner packet first
+    assert rs[:3] == [0, 1, 2]
+    assert len(order) == 1 + 2 + 4
