@@ -604,6 +604,22 @@ VIDEO_DECODERS["image/gif"] = _decode_gif_video
 _DEMO_IMAGE_ENCODERS["image/gif"] = _encode_gif_demo
 
 
+def _decode_flac_blob(data: bytes):
+    from .flac import decode_flac
+
+    return decode_flac(data)
+
+
+def _encode_flac_demo(samples):
+    from .flac import encode_flac
+
+    return encode_flac(samples, rate=16000)
+
+
+AUDIO_DECODERS["audio/flac"] = _decode_flac_blob
+_DEMO_AUDIO_ENCODERS["audio/flac"] = _encode_flac_demo
+
+
 def _encode_webp_demo(arr):
     from .webp import encode_webp
 

@@ -397,6 +397,48 @@ def mm_audio_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_flac_codec",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 7) % 201) - 100 AS s
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1498)) AS i) i
+      WHERE i.i < 1000 + d.doc_id % 500
+    ),
+    zc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE sgn <> prev_sgn) AS BIGINT)
+                 AS zero_crossings
+      FROM (SELECT doc_id, i, sign(s) AS sgn,
+                   LAG(sign(s)) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS prev_sgn
+            FROM samples WHERE s <> 0)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           16000 AS sample_rate,
+           ROUND(COUNT(*) * 1000.0 / 16000, 4) AS duration_ms,
+           ROUND(sqrt(AVG(CAST(a.s AS DOUBLE) * a.s)), 6) AS rms,
+           MIN(zc.zero_crossings) AS zero_crossings
+    FROM samples a JOIN zc ON zc.doc_id = a.doc_id
+    GROUP BY a.doc_id
+    """,
+    doc="multimodal audio with the REAL FLAC codec (operators/flac.py — "
+    "RFC 9639 from scratch: fixed/LPC prediction, partitioned rice "
+    "residuals, CRC-8/16 and STREAMINFO MD5 verification): clips are "
+    "genuine FLAC files encoded on the executors and decoded back "
+    "through the AUDIO_DECODERS seam; FLAC is exactly lossless, so the "
+    "same sample oracle as mm_audio_wav_codec hash-gates the whole "
+    "predict→rice→bitstream round trip.",
+    tags=("multimodal", "audio", "codec", "flac"),
+)
+def mm_audio_flac_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(demo_audio_df(spark, sf_dir, media_type="audio/flac"))
+
+
+@register(
     "mm_image_jpeg_codec",
     # Block-constant, even-valued grayscale images are LOSSLESS through
     # baseline JPEG at quality 50 (pure-DC blocks; (v-128)*8 is an exact
