@@ -15,11 +15,16 @@
   path; only the tiny JSON metadata is driver-side. Spec:
   https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html (public);
   zlib compressor via stdlib.
+- Zarr **v3** (``write_zarr_v3``): the CURRENT spec (zarr.json node
+  documents, regular chunk grid, default ``/``-separated chunk keys
+  under ``c/``, bytes + gzip/zstd codec chains, dimension_names) —
+  same executor-side chunk-write shape as v2.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import zlib
 
@@ -320,4 +325,228 @@ def read_zarr_array(path: str) -> np.ndarray:
         trim = tuple(slice(0, sl.stop - sl.start) for sl in sel)
         out[sel] = arr[trim]
         assert all(i < n for i, n in zip(idx, ncells))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3 (the CURRENT spec: https://zarr-specs.readthedocs.io/ v3.0)
+
+
+_ZARR3_DTYPE = {
+    "int8": "int8", "int16": "int16", "int32": "int32", "int64": "int64",
+    "uint8": "uint8", "uint16": "uint16", "uint32": "uint32",
+    "uint64": "uint64", "float32": "float32", "float64": "float64",
+}
+
+
+def _zarr3_codecs(compressor: str) -> list:
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compressor == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compressor == "zstd":
+        codecs.append(
+            {"name": "zstd", "configuration": {"level": 3, "checksum": False}}
+        )
+    elif compressor != "none":
+        raise ValueError(f"compressor must be 'gzip', 'zstd' or 'none', got {compressor!r}")
+    return codecs
+
+
+def _zarr3_compress(payload: bytes, compressor: str) -> bytes:
+    if compressor == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(payload, 1)
+    if compressor == "zstd":
+        import pyarrow as pa
+
+        return bytes(pa.Codec("zstd", 3).compress(payload))
+    return payload
+
+
+def _zarr3_array_meta(shape, chunk_shape, dtype, fill, compressor, dims, attrs=None):
+    v3_dt = _ZARR3_DTYPE.get(str(dtype))
+    if v3_dt is None:
+        raise ValueError(f"no zarr v3 data type for {dtype}")
+    if fill is None:
+        fill_json = 0
+    elif isinstance(fill, float) and math.isnan(fill):
+        fill_json = "NaN"
+    elif isinstance(fill, float) and math.isinf(fill):
+        fill_json = "Infinity" if fill > 0 else "-Infinity"
+    else:
+        fill_json = fill
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": v3_dt,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunk_shape)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "fill_value": fill_json,
+        "codecs": _zarr3_codecs(compressor),
+        "dimension_names": list(dims),
+        "attributes": attrs or {},
+    }
+
+
+def write_zarr_v3(tiles_df: DataFrame, plan, out_dir: str, compressor: str = "zstd") -> None:
+    """Distributed sink to a Zarr **v3** hierarchy (the current spec the
+    ecosystem is migrating to; v2 stays available as :func:`write_zarr`).
+
+    Same scale shape as the v2 sink: the load pipeline's tile grid IS the
+    chunk grid, chunks are written from the executors
+    (``foreachPartition``, no shuffle, no driver collect), the driver
+    writes only O(bands) ``zarr.json`` metadata + 1-D coords. v3
+    specifics handled here: ``node_type`` group/array documents, the
+    ``regular`` chunk grid, default chunk-key encoding with ``/``
+    separator (chunks live at ``c/t/iy/ix``), the ``bytes`` +
+    gzip/zstd codec chain, and ``dimension_names``.
+    """
+    _zarr3_codecs(compressor)  # validate early
+    from ..plans.load import resolve_dst_nodata, resolve_src_nodata
+
+    nt = max(len(plan.group_keys), 1)
+    ny, nx = plan.gbox.shape
+    ty, tx = plan.tiles.tile_shape
+
+    os.makedirs(out_dir, exist_ok=True)
+    tr = plan.gbox.transform
+    with open(os.path.join(out_dir, "zarr.json"), "w") as f:
+        json.dump(
+            {
+                "zarr_format": 3,
+                "node_type": "group",
+                "attributes": {"crs": plan.gbox.crs, "transform": list(tr)},
+            },
+            f,
+        )
+
+    fills = {}
+    for band in plan.bands:
+        c = plan.cfg[band]
+        dtype = np.dtype(c.dtype or "float32")
+        nodata = resolve_dst_nodata(dtype, c, resolve_src_nodata(None, c))
+        fill = nodata
+        if fill is None:
+            fill = float("nan") if dtype.kind == "f" else 0
+        fills[band] = (str(dtype), float(fill) if dtype.kind == "f" else int(fill))
+        adir = os.path.join(out_dir, band)
+        os.makedirs(os.path.join(adir, "c"), exist_ok=True)
+        meta = _zarr3_array_meta(
+            (nt, ny, nx), (1, ty, tx), dtype, fills[band][1], compressor,
+            ("time", "y", "x"),
+        )
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+
+    # 1-D coordinates (single-chunk, driver-side)
+    ts = plan.group_ts or []
+    time_ns = np.array(
+        [int(np.datetime64(t, "ns").astype("int64")) for t in ts] or [0] * nt,
+        dtype="<i8",
+    )
+    ys = (tr[5] + tr[4] * (np.arange(ny) + 0.5)).astype("<f8")
+    xs = (tr[2] + tr[0] * (np.arange(nx) + 0.5)).astype("<f8")
+    for name, vec in (("time", time_ns), ("y", ys), ("x", xs)):
+        adir = os.path.join(out_dir, name)
+        os.makedirs(os.path.join(adir, "c"), exist_ok=True)
+        attrs = {"units": "nanoseconds since 1970-01-01"} if name == "time" else {}
+        meta = _zarr3_array_meta(
+            (len(vec),), (len(vec),), vec.dtype.name, 0, compressor, (name,), attrs
+        )
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(adir, "c", "0"), "wb") as f:
+            f.write(_zarr3_compress(vec.tobytes(), compressor))
+
+    fills_b = fills
+
+    def _write_partition(rows):
+        for row in rows:
+            dtype = np.dtype(row.dtype)
+            arr = np.frombuffer(row.data, dtype=dtype).reshape(row.height, row.width)
+            if (row.height, row.width) != (ty, tx):
+                full = np.full((ty, tx), np.asarray(fills_b[row.band][1], dtype), dtype)
+                full[: row.height, : row.width] = arr
+                arr = full
+            cdir = os.path.join(out_dir, row.band, "c", str(row.t), str(row.iy))
+            os.makedirs(cdir, exist_ok=True)
+            with open(os.path.join(cdir, str(row.ix)), "wb") as f:
+                f.write(_zarr3_compress(arr.tobytes(), compressor))
+
+    tiles_df.foreachPartition(_write_partition)
+
+
+def read_zarr_v3_array(path: str) -> np.ndarray:
+    """Minimal zarr v3 array reader (round-trip verification; no zarr
+    package in the container): parse zarr.json, walk the ``c/``
+    chunk-key tree, undo the codec chain, assemble, trim overhang."""
+    with open(os.path.join(path, "zarr.json")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise ValueError("not a zarr v3 array node")
+    shape = meta["shape"]
+    grid = meta["chunk_grid"]
+    if grid["name"] != "regular":
+        raise NotImplementedError(f"chunk grid {grid['name']!r} not supported")
+    chunks = grid["configuration"]["chunk_shape"]
+    cke = meta.get("chunk_key_encoding", {"name": "default"})
+    sep = cke.get("configuration", {}).get("separator", "/")
+    dtype = np.dtype(meta["data_type"])
+    codecs = meta["codecs"]
+    if codecs[0]["name"] != "bytes":
+        raise NotImplementedError("first codec must be 'bytes'")
+    if codecs[0].get("configuration", {}).get("endian", "little") == "big":
+        dtype = dtype.newbyteorder(">")
+    comp = codecs[1]["name"] if len(codecs) > 1 else None
+    if comp not in (None, "gzip", "zstd"):
+        raise NotImplementedError(f"codec {comp!r} not supported")
+    fill = meta.get("fill_value", 0)
+    if fill == "NaN":
+        fill = float("nan")
+    elif fill == "Infinity":
+        fill = float("inf")
+    elif fill == "-Infinity":
+        fill = float("-inf")
+    out = np.full(shape, fill, dtype)
+    base = os.path.join(path, "c") if cke.get("name") == "default" else path
+    prefix = "" if cke.get("name") == "default" else "c" + sep
+    for root, _dirs, files in os.walk(base):
+        for name in files:
+            rel = os.path.relpath(os.path.join(root, name), base)
+            parts = rel.split(os.sep)
+            if prefix:
+                key = prefix + sep.join(parts)
+                parts = key.split(sep)[1:]
+            try:
+                idx = [int(p) for p in parts]
+            except ValueError:
+                continue
+            if len(idx) != len(shape):
+                continue
+            with open(os.path.join(root, name), "rb") as f:
+                payload = f.read()
+            if comp == "gzip":
+                import gzip as _gzip
+
+                payload = _gzip.decompress(payload)
+            elif comp == "zstd":
+                import pyarrow as pa
+
+                expected = int(np.prod(chunks)) * dtype.itemsize
+                payload = bytes(pa.Codec("zstd").decompress(payload, expected))
+            arr = np.frombuffer(payload, dtype=dtype).reshape(chunks)
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunks, shape)
+            )
+            trim = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+            out[sel] = arr[trim]
     return out

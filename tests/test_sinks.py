@@ -153,3 +153,55 @@ def test_zarr_sink_float_nan_fill(spark, tmp_path):
     cube = assemble_numpy(tiles_df, plan)["red"]
     got = read_zarr_array(f"{out}/red")
     np.testing.assert_array_equal(got, cube)  # NaN-positions included
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3 (round-7)
+
+
+def test_zarr_v3_roundtrip(spark, tmp_path):
+    import json
+
+    from odc_stac_spark.sources.sinks import read_zarr_v3_array, write_zarr_v3
+    from .test_load_pipeline import mk_item, plan_load
+
+    items = [mk_item(0, nodata=-1), mk_item(1, nodata=-1)]
+    plan = plan_load(items, chunks=(32, 48))
+    tiles_df, _ = load(spark, items, plan=plan)
+    cube = assemble_numpy(tiles_df, plan)["red"]
+    for comp in ("zstd", "gzip", "none"):
+        out = str(tmp_path / f"v3_{comp}.zarr")
+        write_zarr_v3(tiles_df, plan, out, compressor=comp)
+        got = read_zarr_v3_array(f"{out}/red")
+        np.testing.assert_array_equal(got, cube)
+        # spec-level metadata shape (v3.0): node types, regular grid,
+        # default / separator, bytes-first codec chain, dimension_names
+        root = json.load(open(f"{out}/zarr.json"))
+        assert root["zarr_format"] == 3 and root["node_type"] == "group"
+        meta = json.load(open(f"{out}/red/zarr.json"))
+        assert meta["node_type"] == "array"
+        assert meta["chunk_grid"]["name"] == "regular"
+        assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [1, 32, 48]
+        assert meta["chunk_key_encoding"]["configuration"]["separator"] == "/"
+        assert meta["codecs"][0]["name"] == "bytes"
+        assert meta["dimension_names"] == ["time", "y", "x"]
+        # chunks live under the c/ prefix with / separators
+        import os as _os
+
+        assert _os.path.exists(f"{out}/red/c/0/0/0")
+    # coordinate vectors parse back
+    xs = read_zarr_v3_array(f"{out}/x")
+    assert xs.shape[0] == plan.gbox.shape[1]
+    ts = read_zarr_v3_array(f"{out}/time")
+    assert ts.shape[0] == 2
+
+
+def test_zarr_v3_bad_compressor(spark, tmp_path):
+    from odc_stac_spark.sources.sinks import write_zarr_v3
+    from .test_load_pipeline import mk_item, plan_load
+
+    items = [mk_item(0)]
+    plan = plan_load(items, chunks=(32, 32))
+    tiles_df, _ = load(spark, items, plan=plan)
+    with pytest.raises(ValueError, match="compressor"):
+        write_zarr_v3(tiles_df, plan, str(tmp_path / "x"), compressor="lz4")
