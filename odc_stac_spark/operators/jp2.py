@@ -35,9 +35,15 @@ actually need for LOSSLESS data, from the public spec:
   encoders emit for coarser chroma steps; QCD is the default, QCC
   replaces single components' (εb, μb) tables and guard bits.
 
+- **Component subsampling** (B.3): 4:2:0/4:2:2-style layouts — per-
+  component (xr, yr) factors 1-4, ceil-difference tile rectangles on
+  the native grids, nearest replication up to the reference grid at
+  output (the GDAL presentation). Non-uniform factors pair with
+  LRCP/RLCP; position-interleaved progressions require identical grids.
+
 Out-of-profile features are REFUSED loudly, never mis-decoded:
-code-block style flags (bypass/reset/termination/segmentation),
-component subsampling, and COC per-component coding-style overrides.
+code-block style flags (bypass/reset/termination/segmentation) and
+COC per-component coding-style overrides.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -1221,13 +1227,22 @@ def _encode_tile_body(
     (PPx, PPy) precinct exponents or None for whole-band precincts;
     ``mbs`` maps (component, resolution, band) → Mb. ``quant`` switches the tile to
     the IRREVERSIBLE path: 9/7 DWT (+ICT when mct) and deadzone scalar
-    quantization q = sign(c)·⌊|c|/Δ⌋ with the given per-(r, band) Δ."""
-    th, tw, ncomp = tile_img.shape
+    quantization q = sign(c)·⌊|c|/Δ⌋ with the given per-(r, band) Δ.
+
+    ``tile_img``: (th, tw, ncomp) array, or — for SUBSAMPLED components —
+    a list of per-component 2-D planes already on their native grids
+    (different sizes)."""
+    if isinstance(tile_img, (list, tuple)):
+        comp_planes = [np.asarray(p) for p in tile_img]
+        ncomp = len(comp_planes)
+    else:
+        th_, tw_, ncomp = tile_img.shape
+        comp_planes = [tile_img[:, :, c] for c in range(ncomp)]
+    cdims = [p.shape for p in comp_planes]
     if quant is not None:
-        planes_f = tile_img.astype(np.float64)
+        comps_f = [p.astype(np.float64) for p in comp_planes]
         if not signed:
-            planes_f = planes_f - (1 << (depth - 1))  # DC level shift
-        comps_f = [planes_f[:, :, c] for c in range(ncomp)]
+            comps_f = [p - (1 << (depth - 1)) for p in comps_f]  # DC shift
         if mct:
             comps_f = list(_ict_forward(*comps_f))
         comp_bands = []
@@ -1242,36 +1257,36 @@ def _encode_tile_body(
                     ).astype(np.int32)
             comp_bands.append(bands)
     else:
-        planes = tile_img.astype(np.int64)
+        comps = [p.astype(np.int64) for p in comp_planes]
         if not signed:
-            planes = planes - (1 << (depth - 1))  # DC level shift
-        comps = [planes[:, :, c] for c in range(ncomp)]
+            comps = [p - (1 << (depth - 1)) for p in comps]  # DC level shift
         if mct:
             r, g, b = comps
             comps = [(r + 2 * g + b) >> 2, b - g, r - g]
         comp_bands = [fdwt53(c, levels) for c in comps]
-    shapes = _band_shapes(th, tw, levels)
+    shapes_c = [_band_shapes(ch_, cw_, levels) for ch_, cw_ in cdims]
 
     # phase 1: code every block (grouped per precinct), split
     # passes/bytes across layers
-    npre = [1] * (levels + 1)
+    npre = [[1] * ncomp for _ in range(levels + 1)]
     if pp is not None:
         for r in range(levels + 1):
-            rh, rw = _res_size(th, tw, levels, r)
             ppx, ppy = pp[r]
-            npre[r] = max(1, (rw + (1 << ppx) - 1) >> ppx) * max(
-                1, (rh + (1 << ppy) - 1) >> ppy
-            )
+            for ci in range(ncomp):
+                rh, rw = _res_size(cdims[ci][0], cdims[ci][1], levels, r)
+                npre[r][ci] = max(1, (rw + (1 << ppx) - 1) >> ppx) * max(
+                    1, (rh + (1 << ppy) - 1) >> ppy
+                )
     coded: dict = {}
     trees: dict = {}
     for ci in range(ncomp):
         for r in range(levels + 1):
             for lv, bname in _res_bands(levels, r):
-                sh = shapes[lv][bname]
+                sh = shapes_c[ci][lv][bname]
                 if sh[0] == 0 or sh[1] == 0:
                     continue
                 band = comp_bands[ci][lv][bname]
-                rh, rw = _res_size(th, tw, levels, r)
+                rh, rw = _res_size(cdims[ci][0], cdims[ci][1], levels, r)
                 playout, _, _ = _precincts_of(sh, r, cblk, pp, rh, rw)
                 mb = mbs[(ci, r, bname)]
                 for p, (pblocks, gw, gh) in enumerate(playout):
@@ -1320,7 +1335,10 @@ def _encode_tile_body(
     nsop = 0
     for (l, r, ci, p) in _packet_order(
         prog, layers, levels + 1, ncomp, npre, pp=pp,
-        res_dims=[_res_size(th, tw, levels, r_) for r_ in range(levels + 1)],
+        res_dims=[
+            _res_size(cdims[0][0], cdims[0][1], levels, r_)
+            for r_ in range(levels + 1)
+        ],
     ):
         if sop:
             body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
@@ -1392,6 +1410,8 @@ def encode_jp2_codestream(
     irreversible: bool = False,
     base_step: float = 1.0 / 64,
     qstyle: str = "expounded",
+    subsampling: Optional[List[Tuple[int, int]]] = None,
+    size: Optional[Tuple[int, int]] = None,
 ) -> bytes:
     """Part-1 codestream; ``tile_size`` (th, tw) splits the image into
     independently coded tiles (the Sentinel-2 layout), ``layers``
@@ -1404,14 +1424,45 @@ def encode_jp2_codestream(
     9/7 float DWT, ICT color transform, and deadzone scalar quantization
     with per-band step Δb = ``base_step``·2^gain encoded as (εb, μb)
     pairs — ``qstyle`` "expounded" (one pair per subband, what real
-    encoders emit) or "derived" (one pair, E-5 per-level derivation)."""
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ncomp = img.shape
-    if depth is None:
-        depth = 16 if img.dtype in (np.uint16, np.int16) else 8
-    if mct is None:
-        mct = ncomp == 3
+    encoders emit) or "derived" (one pair, E-5 per-level derivation).
+
+    SUBSAMPLED components (the 4:2:0-style layouts, B.3): pass
+    ``subsampling=[(xr, yr), ...]`` per component, ``size=(h, w)`` for
+    the reference grid, and ``img`` as a LIST of per-component 2-D
+    planes on their native grids (ceil-difference tile dims apply —
+    the planes round-trip exactly)."""
+    if subsampling is not None:
+        if not isinstance(img, (list, tuple)):
+            raise ValueError("subsampling takes a list of per-component planes")
+        if size is None:
+            raise ValueError("subsampling requires size=(h, w)")
+        comp_planes = [np.asarray(p) for p in img]
+        ncomp = len(comp_planes)
+        if len(subsampling) != ncomp:
+            raise ValueError("one (xr, yr) pair per component required")
+        h, w = size
+        for p, (xr, yr) in zip(comp_planes, subsampling):
+            if p.shape != (-(-h // yr), -(-w // xr)):
+                raise ValueError(
+                    f"plane shape {p.shape} != ceil grid for factors ({xr},{yr})"
+                )
+        sample_dt = comp_planes[0].dtype
+        if depth is None:
+            depth = 16 if sample_dt in (np.uint16, np.int16) else 8
+        if mct is None:
+            mct = False
+        if mct and len(set(subsampling[:3])) != 1:
+            raise ValueError("MCT requires identical subsampling on comps 0-2")
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, ncomp = img.shape
+        subsampling = [(1, 1)] * ncomp
+        comp_planes = None
+        if depth is None:
+            depth = 16 if img.dtype in (np.uint16, np.int16) else 8
+        if mct is None:
+            mct = ncomp == 3
     if mct and ncomp != 3:
         raise ValueError("RCT needs exactly 3 components")
     if not 4 <= cblk <= 64 or cblk & (cblk - 1):
@@ -1435,7 +1486,10 @@ def encode_jp2_codestream(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + b"".join(
-        struct.pack(">BBB", (depth - 1) | (0x80 if signed else 0), 1, 1)
+        struct.pack(
+            ">BBB", (depth - 1) | (0x80 if signed else 0),
+            subsampling[c][0], subsampling[c][1],
+        )
         for c in range(ncomp)
     )
     xcb = int(math.log2(cblk))
@@ -1550,7 +1604,17 @@ def encode_jp2_codestream(
     for ti in range(ntx * nty):
         tyx, txx = divmod(ti, ntx)
         ty0, tx0 = tyx * yt, txx * xt
-        tile = img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
+        th_t = min(yt, h - ty0)
+        tw_t = min(xt, w - tx0)
+        if comp_planes is not None:
+            # per-component ceil-difference tile rectangles (B.3)
+            tile = []
+            for p, (xr, yr) in zip(comp_planes, subsampling):
+                cy0, cy1 = -(-ty0 // yr), -(-(ty0 + th_t) // yr)
+                cx0, cx1 = -(-tx0 // xr), -(-(tx0 + tw_t) // xr)
+                tile.append(p[cy0:cy1, cx0:cx1])
+        else:
+            tile = img[ty0 : ty0 + th_t, tx0 : tx0 + tw_t]
         body = _encode_tile_body(
             tile, levels, cblk, mct, signed, depth, mbs,
             layers=layers, prog=prog, sop=sop, eph=eph, pp=pp, quant=quant,
@@ -1625,9 +1689,15 @@ def _parse_main_headers(
     for _ in range(ncomp):
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, q)
         q += 3
-        if (xr, yr) != (1, 1):
-            raise NotImplementedError("JPEG2000: component subsampling not supported")
-        comps.append({"depth": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80)})
+        if not (1 <= xr <= 4 and 1 <= yr <= 4):
+            raise NotImplementedError(
+                f"JPEG2000: component subsampling factors ({xr},{yr}) out of the"
+                " supported 1-4 range"
+            )
+        comps.append(
+            {"depth": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80),
+             "xr": xr, "yr": yr}
+        )
 
     scod = cod[0]
     use_sop = bool(scod & 0x02)
@@ -1732,9 +1802,14 @@ def _np_dtype_for(params: dict) -> np.dtype:
     return np.dtype(np.int32)
 
 
-def _decode_tile_payload(tdata: bytes, th: int, tw: int, params: dict) -> np.ndarray:
+def _decode_tile_payload(
+    tdata: bytes, th: int, tw: int, params: dict,
+    t_origin: Tuple[int, int] = (0, 0),
+) -> np.ndarray:
     """One tile's packet stream → (th, tw, ncomp) int64 samples."""
-    return _decode_tile_reduced(tdata, th, tw, params, params["levels"])
+    return _decode_tile_reduced(
+        tdata, th, tw, params, params["levels"], t_origin=t_origin
+    )
 
 
 def _packet_order(
@@ -1759,16 +1834,24 @@ def _packet_order(
     visit them back-to-back). Needs ``pp`` (per-res precinct exponents)
     and ``res_dims`` (per-res tile sizes) when precincts are real."""
     if npre is None:
-        npre = [1] * nres
+        npre = [[1] * ncomp for _ in range(nres)]
+    elif npre and not isinstance(npre[0], (list, tuple)):
+        npre = [[n] * ncomp for n in npre]  # shared grid across components
     L, R, C = range(layers), range(nres), range(ncomp)
     if prog == 0:  # LRCP
-        return [(l, r, c, p) for l in L for r in R for c in C for p in range(npre[r])]
+        return [(l, r, c, p) for l in L for r in R for c in C for p in range(npre[r][c])]
     if prog == 1:  # RLCP
-        return [(l, r, c, p) for r in R for l in L for c in C for p in range(npre[r])]
+        return [(l, r, c, p) for r in R for l in L for c in C for p in range(npre[r][c])]
+    if prog in (2, 3, 4) and any(len(set(row)) > 1 for row in npre):
+        raise NotImplementedError(
+            "JPEG2000: position-interleaved progressions need identical "
+            "precinct grids across components (use LRCP/RLCP with "
+            "non-uniform subsampling)"
+        )
     if prog == 2:  # RPCL
-        return [(l, r, c, p) for r in R for p in range(npre[r]) for c in C for l in L]
+        return [(l, r, c, p) for r in R for p in range(npre[r][0]) for c in C for l in L]
     # PCRL (3) / CPRL (4)
-    if not any(n > 1 for n in npre):
+    if not any(n > 1 for row in npre for n in row):
         # whole-band precincts: every corner is (0,0) → component-major
         return [(l, r, c, 0) for c in C for r in R for l in L]
     if pp is None or res_dims is None:
@@ -1781,7 +1864,7 @@ def _packet_order(
         rh, rw = res_dims[r]
         nprx = max(1, (rw + (1 << ppx) - 1) >> ppx)
         shift = (nres - 1) - r
-        for p in range(npre[r]):
+        for p in range(npre[r][0]):  # grids identical across comps here
             py, px = divmod(p, nprx)
             entries.append((py << (ppy + shift), px << (ppx + shift), r, p))
     entries.sort(key=lambda e: (e[0], e[1], e[2]))
@@ -1803,8 +1886,22 @@ def _packet_order(
     return out
 
 
+def _comp_tile_dims(comps, ty0, tx0, th, tw):
+    """Per-component tile rectangles on the subsampled grids (B.3:
+    component sample i covers reference samples [i·R, (i+1)·R), so a
+    tile's component extent is the ceil-difference of its edges)."""
+    out = []
+    for c in comps:
+        xr, yr = c.get("xr", 1), c.get("yr", 1)
+        tcy0, tcy1 = -(-ty0 // yr), -(-(ty0 + th) // yr)
+        tcx0, tcx1 = -(-tx0 // xr), -(-(tx0 + tw) // xr)
+        out.append((tcy1 - tcy0, tcx1 - tcx0))
+    return out
+
+
 def _decode_tile_reduced(
-    tdata: bytes, th: int, tw: int, params: dict, max_res: int
+    tdata: bytes, th: int, tw: int, params: dict, max_res: int,
+    t_origin: Tuple[int, int] = (0, 0),
 ) -> np.ndarray:
     """Decode only resolutions 0..max_res of a tile → the reduced-size
     image (ceil(th/2^k) × ceil(tw/2^k), k = levels - max_res).
@@ -1827,23 +1924,37 @@ def _decode_tile_reduced(
     irrev = params.get("transform", "5x3") == "9x7"
     if max_res >= levels + 1:
         raise ValueError("max_res beyond decomposition levels")
-    shapes = _band_shapes(th, tw, levels)
+    subfactors = [(c.get("xr", 1), c.get("yr", 1)) for c in comps]
+    uniform = len(set(subfactors)) == 1
+    if not uniform and prog not in (0, 1):
+        raise NotImplementedError(
+            "JPEG2000: non-uniform component subsampling is supported with "
+            "LRCP/RLCP progressions only"
+        )
+    cdims = _comp_tile_dims(comps, t_origin[0], t_origin[1], th, tw)
+    shapes_c = [_band_shapes(ch_, cw_, levels) for ch_, cw_ in cdims]
     band_dt = np.float64 if irrev else np.int32
     comp_bands = [
-        [{name: np.zeros(shp, band_dt) for name, shp in lvl.items()} for lvl in shapes]
-        for _ in range(ncomp)
+        [{name: np.zeros(shp, band_dt) for name, shp in lvl.items()} for lvl in shapes_c[ci]]
+        for ci in range(ncomp)
     ]
 
     pp = params.get("pp")
-    npre = [_npre(params, th, tw, r) for r in range(levels + 1)]
+    npre = [
+        [_npre(params, cdims[ci][0], cdims[ci][1], r) for ci in range(ncomp)]
+        for r in range(levels + 1)
+    ]
     res_major = prog in (1, 2) or (prog == 0 and layers == 1)
-    layouts: dict = {}  # (r, band) → (per-precinct layout, cbw, cbh)
+    layouts: dict = {}  # (c, r, band) → (per-precinct layout, cbw, cbh)
     trees: dict = {}  # (c, r, band, p) → (incl, zbp)
     blocks: dict = {}  # (c, r, band, p, bi) → accumulated state
     pos = 0
     for (l, r, ci, p) in _packet_order(
         prog, layers, levels + 1, ncomp, npre, pp=pp,
-        res_dims=[_res_size(th, tw, levels, r_) for r_ in range(levels + 1)],
+        res_dims=[
+            _res_size(cdims[0][0], cdims[0][1], levels, r_)
+            for r_ in range(levels + 1)
+        ],
     ):
         if res_major and r > max_res:
             continue  # header never parsed — bodies unreachable anyway
@@ -1860,12 +1971,12 @@ def _decode_tile_reduced(
             continue
         contributed = []
         for bj, (lv, bname) in enumerate(_res_bands(levels, r)):
-            sh = shapes[lv][bname]
+            sh = shapes_c[ci][lv][bname]
             if sh[0] == 0 or sh[1] == 0:
                 continue
-            lkey = (r, bname)
+            lkey = (ci, r, bname)
             if lkey not in layouts:
-                rh, rw = _res_size(th, tw, levels, r)
+                rh, rw = _res_size(cdims[ci][0], cdims[ci][1], levels, r)
                 layouts[lkey] = _precincts_of(sh, r, cblk, pp, rh, rw)
             playout, _, _ = layouts[lkey]
             blks, gw, gh = playout[p]
@@ -1933,23 +2044,39 @@ def _decode_tile_reduced(
         ] = coefs
 
     k = levels - max_res  # remaining decimation
-    if k == 0:
-        red_shape = (th, tw)
-        use = comp_bands
-    else:
-        red_shape = ((th + (1 << k) - 1) >> k, (tw + (1 << k) - 1) >> k)
-        use = [cb[k:] for cb in comp_bands]
+    red = lambda d: ((d[0] + (1 << k) - 1) >> k, (d[1] + (1 << k) - 1) >> k)
+    red_shape = red((th, tw))
     inv = idwt97 if irrev else idwt53
-    planes = [inv(use[ci], red_shape) for ci in range(ncomp)]
+    planes = []
+    for ci in range(ncomp):
+        use = comp_bands[ci] if k == 0 else comp_bands[ci][k:]
+        planes.append(inv(use, red(cdims[ci])))
     if params["mct"]:
         if ncomp < 3:
             raise ValueError("MCT flagged with <3 components")
+        if len({subfactors[i] for i in range(3)}) != 1:
+            raise ValueError("JPEG2000: MCT requires identical subsampling on comps 0-2")
         if irrev:  # ICT (G.3) pairs with 9/7
             planes = list(_ict_inverse(planes[0], planes[1], planes[2])) + planes[3:]
         else:  # RCT (G.2) pairs with 5/3
             yy, cb_, cr = planes[0], planes[1], planes[2]
             g = yy - ((cb_ + cr) >> 2)
             planes = [cr + g, g, cb_ + g] + planes[3:]
+    # subsampled components come back on their native grids — replicate
+    # (nearest) up to the reference grid, the same presentation GDAL
+    # gives for band reads of subsampled JP2s
+    for ci in range(ncomp):
+        xr, yr = subfactors[ci]
+        if (xr, yr) != (1, 1):
+            pl = np.repeat(np.repeat(planes[ci], yr, axis=0), xr, axis=1)
+            if pl.shape[0] < red_shape[0] or pl.shape[1] < red_shape[1]:
+                pl = np.pad(
+                    pl,
+                    ((0, max(0, red_shape[0] - pl.shape[0])),
+                     (0, max(0, red_shape[1] - pl.shape[1]))),
+                    mode="edge",
+                )
+            planes[ci] = pl[: red_shape[0], : red_shape[1]]
     out = np.zeros(red_shape + (ncomp,), np.int64)
     for ci in range(ncomp):
         pl = planes[ci]
@@ -2038,7 +2165,7 @@ def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) 
             if ty0 >= wy1 or ty0 + th <= wy0 or tx0 >= wx1 or tx0 + tw <= wx0:
                 continue
         out[ty0 : ty0 + th, tx0 : tx0 + tw] = _decode_tile_payload(
-            cs[b0:b1], th, tw, params
+            cs[b0:b1], th, tw, params, t_origin=(ty0, tx0)
         )
     return out.astype(_np_dtype_for(params))
 
@@ -2144,7 +2271,7 @@ def read_jp2_tile(
         tdata = f.read(b1 - b0)
     ty0, tx0, th, tw = _tile_geometry(hdr, isot)
     mr = hdr["levels"] if max_res is None else max_res
-    out = _decode_tile_reduced(tdata, th, tw, hdr, mr)
+    out = _decode_tile_reduced(tdata, th, tw, hdr, mr, t_origin=(ty0, tx0))
     dt = np.dtype(hdr["dtype"])
     if mr < hdr["levels"]:
         # a 5/3 LL overview can overshoot the component's range by a few

@@ -575,3 +575,58 @@ def test_pcrl_corner_interleave_order():
     # all three resolutions contribute their (0,0)-corner packet first
     assert rs[:3] == [0, 1, 2]
     assert len(order) == 1 + 2 + 4
+
+
+def test_component_subsampling_420_and_422():
+    # 4:2:0 chroma: native planes round-trip exactly; output presents
+    # them replicated to the reference grid (the GDAL presentation)
+    h, w = 40, 56
+    luma = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cs = encode_jp2_codestream(
+        [luma, cb, cr], levels=2, cblk=16,
+        subsampling=[(1, 1), (2, 2), (2, 2)], size=(h, w),
+    )
+    out = decode_jp2(cs)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out[:, :, 0], luma)
+    np.testing.assert_array_equal(out[::2, ::2, 1], cb)
+    np.testing.assert_array_equal(out[1::2, 1::2, 1], cb)
+    np.testing.assert_array_equal(out[::2, ::2, 2], cr)
+    # tiled 4:2:2 with odd dims (ceil-difference tile rectangles)
+    h2, w2 = 35, 50
+    y2 = rng.integers(0, 4000, (h2, w2)).astype(np.uint16)
+    c2 = rng.integers(0, 4000, (h2, (w2 + 1) // 2)).astype(np.uint16)
+    cs2 = encode_jp2_codestream(
+        [y2, c2], levels=2, cblk=16,
+        subsampling=[(1, 1), (2, 1)], size=(h2, w2), tile_size=(16, 24),
+    )
+    out2 = decode_jp2(cs2)
+    np.testing.assert_array_equal(out2[:, :, 0], y2)
+    np.testing.assert_array_equal(out2[:, ::2, 1], c2)
+
+
+def test_subsampling_rlcp_layers_and_guards():
+    h, w = 24, 32
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    c = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    blob = encode_jp2_codestream(
+        [y, c], levels=1, cblk=16, subsampling=[(1, 1), (2, 2)],
+        size=(h, w), prog=1, layers=3,
+    )
+    out = decode_jp2(blob)
+    np.testing.assert_array_equal(out[:, :, 0], y)
+    with pytest.raises(ValueError, match="plane shape"):
+        encode_jp2_codestream(
+            [y, y], levels=1, subsampling=[(1, 1), (2, 2)], size=(h, w)
+        )
+    with pytest.raises(ValueError, match="size"):
+        encode_jp2_codestream([y], levels=1, subsampling=[(1, 1)])
+    # non-uniform subsampling × position-interleaved progression refuses
+    with pytest.raises(NotImplementedError, match="LRCP/RLCP"):
+        blob2 = encode_jp2_codestream(
+            [y, c], levels=1, cblk=16, subsampling=[(1, 1), (2, 2)],
+            size=(h, w), prog=2,
+        )
+        decode_jp2(blob2)
