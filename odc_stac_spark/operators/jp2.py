@@ -1628,14 +1628,22 @@ def encode_jp2_codestream(
     return bytes(out)
 
 
-def encode_jp2(img: np.ndarray, levels: int = 3, cblk: int = 32, **kw) -> bytes:
-    """JP2 container (ISO 15444-1 Annex I) around a lossless codestream."""
+def encode_jp2(img, levels: int = 3, cblk: int = 32, **kw) -> bytes:
+    """JP2 container (ISO 15444-1 Annex I) around a lossless codestream.
+    ``img`` may be a list of per-component planes when ``subsampling``
+    (and ``size``) are passed through."""
     cs = encode_jp2_codestream(img, levels=levels, cblk=cblk, **kw)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, nc = img.shape
-    depth = 16 if img.dtype in (np.uint16, np.int16) else 8
-    signed = img.dtype.kind == "i"
+    if isinstance(img, (list, tuple)):
+        h, w = kw["size"]
+        nc = len(img)
+        dt = np.asarray(img[0]).dtype
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, nc = img.shape
+        dt = img.dtype
+    depth = 16 if dt in (np.uint16, np.int16) else 8
+    signed = dt.kind == "i"
 
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload

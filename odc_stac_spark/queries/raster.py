@@ -978,3 +978,84 @@ def r_jp2_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles_df, plan = load(spark, [item], chunks=(48, 64))
     return zonal_stats(tiles_df, nodata=0.0, zone_h=24, zone_w=32)
+
+
+@register(
+    "r_jp2_subsampled_zonal",
+    # fixture: ONE two-component JPEG2000 file — full-res "red" plus a
+    # 2×2-SUBSAMPLED "nir" (the 4:2:0-style layout, B.3); the decoder
+    # presents nir replicated, so nir(y, x) = f(y//2, x//2)
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y * 5 + x.x * 3) % 19 = 0 THEN NULL
+                  ELSE 1 + (23 * y.y + 11 * x.x + 7) % 996 END AS red,
+             CASE WHEN ((y.y // 2) + (x.x // 2) * 7) % 23 = 0 THEN NULL
+                  ELSE 1 + (17 * (y.y // 2) + 29 * (x.x // 2) + 101) % 1498
+             END AS nir
+      FROM (SELECT UNNEST(generate_series(0, 79)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT band, 0 AS t,
+           CAST(y // 20 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(value) AS BIGINT) AS n_valid,
+           ROUND(AVG(value), 6) AS mean
+    FROM (
+      SELECT y, x, 'red' AS band, red AS value FROM pix
+      UNION ALL
+      SELECT y, x, 'nir' AS band, nir AS value FROM pix
+    )
+    GROUP BY band, 3, 4
+    """,
+    doc="HASH-GATED SUBSAMPLED JPEG2000 read (component subsampling, "
+    "T.800 B.3 — the 4:2:0-style layout; reference reads it via GDAL, "
+    "loader/_rio.py:374-475): one JP2 carries a full-resolution band "
+    "plus a 2×2-subsampled band; per-component ceil-difference tile "
+    "rectangles decode on the native grids and replicate up to the "
+    "reference grid, then both bands flow through the FULL load "
+    "pipeline (multi-component band addressing, per-JP2-tile ranged "
+    "reads, nodata masking) into zonal statistics. The oracle "
+    "recomputes every pixel incl. the y//2, x//2 replication rule.",
+    tags=("raster", "jp2", "jpeg2000", "subsampling", "zonal"),
+)
+def r_jp2_subsampled_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.jp2 import encode_jp2
+    from ..operators.zonal import zonal_stats
+
+    ny, nx = 80, 96
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = (1 + (23 * y + 11 * x + 7) % 996).astype(np.uint16)
+    red[(y * 5 + x * 3) % 19 == 0] = 0
+    yc, xc = np.mgrid[0 : ny // 2, 0 : nx // 2]
+    nir = (1 + (17 * yc + 29 * xc + 101) % 1498).astype(np.uint16)
+    nir[(yc + xc * 7) % 23 == 0] = 0
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 800.0), _CRS)
+    p = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_jp2_sub.jp2")
+    with open(p, "wb") as f:
+        f.write(
+            encode_jp2(
+                [red, nir], levels=2, cblk=32,
+                subsampling=[(1, 1), (2, 2)], size=(ny, nx),
+                tile_size=(48, 64),
+            )
+        )
+    item = Item(
+        id="jp2-sub-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            "red": RasterSource(
+                p, band=1, geobox=gbox, meta=RasterBandMetadata("uint16", 0)
+            ),
+            "nir": RasterSource(
+                p, band=2, geobox=gbox, meta=RasterBandMetadata("uint16", 0)
+            ),
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(40, 48))
+    return zonal_stats(tiles_df, nodata=0.0, zone_h=20, zone_w=32)
