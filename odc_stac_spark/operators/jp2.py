@@ -41,9 +41,12 @@ actually need for LOSSLESS data, from the public spec:
   output (the GDAL presentation). Non-uniform factors pair with
   LRCP/RLCP; position-interleaved progressions require identical grids.
 
+- **COC code-block-size overrides** (A.6.2): per-component code-block
+  sizes (the common Kakadu emission); COC forms that would change the
+  band structure (levels/transform/style/precincts) refuse loudly.
+
 Out-of-profile features are REFUSED loudly, never mis-decoded:
-code-block style flags (bypass/reset/termination/segmentation) and
-COC per-component coding-style overrides.
+code-block style flags (bypass/reset/termination/segmentation).
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -1287,7 +1290,9 @@ def _encode_tile_body(
                     continue
                 band = comp_bands[ci][lv][bname]
                 rh, rw = _res_size(cdims[ci][0], cdims[ci][1], levels, r)
-                playout, _, _ = _precincts_of(sh, r, cblk, pp, rh, rw)
+                playout, _, _ = _precincts_of(
+                    sh, r, cblk[ci] if isinstance(cblk, list) else cblk, pp, rh, rw
+                )
                 mb = mbs[(ci, r, bname)]
                 for p, (pblocks, gw, gh) in enumerate(playout):
                     if not pblocks:
@@ -1412,6 +1417,7 @@ def encode_jp2_codestream(
     qstyle: str = "expounded",
     subsampling: Optional[List[Tuple[int, int]]] = None,
     size: Optional[Tuple[int, int]] = None,
+    comp_cblk: Optional[List[int]] = None,
 ) -> bytes:
     """Part-1 codestream; ``tile_size`` (th, tw) splits the image into
     independently coded tiles (the Sentinel-2 layout), ``layers``
@@ -1467,6 +1473,13 @@ def encode_jp2_codestream(
         raise ValueError("RCT needs exactly 3 components")
     if not 4 <= cblk <= 64 or cblk & (cblk - 1):
         raise ValueError("cblk must be a power of two in [4, 64]")
+    if comp_cblk is not None:
+        if len(comp_cblk) != ncomp:
+            raise ValueError("comp_cblk needs one size per component")
+        for cb in comp_cblk:
+            if not 4 <= cb <= 64 or cb & (cb - 1):
+                raise ValueError("comp_cblk sizes must be powers of two in [4, 64]")
+        cblk = comp_cblk[0]
     yt, xt = tile_size if tile_size is not None else (h, w)
 
     guard = 2
@@ -1595,8 +1608,16 @@ def encode_jp2_codestream(
         struct.pack(">H", 0xFF4F)  # SOC
         + marker(0xFF51, siz)
         + marker(0xFF52, cod)
-        + marker(0xFF5C, qcd)
     )
+    if comp_cblk is not None:
+        tr_byte = 0 if irreversible else 1
+        for ci in range(1, ncomp):
+            if comp_cblk[ci] != comp_cblk[0]:
+                xcb_c = int(math.log2(comp_cblk[ci]))
+                body = bytes([ci]) if ncomp < 257 else struct.pack(">H", ci)
+                body += bytes([0, levels, xcb_c - 2, xcb_c - 2, 0, tr_byte])
+                out += marker(0xFF53, body)
+    out += marker(0xFF5C, qcd)
     for body in qcc_markers:
         out += marker(0xFF5D, body)
     ntx = (w + xt - 1) // xt
@@ -1616,7 +1637,8 @@ def encode_jp2_codestream(
         else:
             tile = img[ty0 : ty0 + th_t, tx0 : tx0 + tw_t]
         body = _encode_tile_body(
-            tile, levels, cblk, mct, signed, depth, mbs,
+            tile, levels, list(comp_cblk) if comp_cblk is not None else cblk,
+            mct, signed, depth, mbs,
             layers=layers, prog=prog, sop=sop, eph=eph, pp=pp, quant=quant,
         )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
@@ -1684,7 +1706,8 @@ def _find_codestream(data: bytes) -> bytes:
 
 
 def _parse_main_headers(
-    siz: bytes, cod: bytes, qcd: bytes, qccs: Tuple[bytes, ...] = ()
+    siz: bytes, cod: bytes, qcd: bytes, qccs: Tuple[bytes, ...] = (),
+    cocs: Tuple[bytes, ...] = (),
 ) -> dict:
     """SIZ/COD/QCD → decode parameters; out-of-profile → loud refusal."""
     (rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack_from(
@@ -1733,6 +1756,39 @@ def _parse_main_headers(
         if len(pp) != levels + 1:
             raise ValueError("JPEG2000: truncated precinct-size list")
 
+    # COC (A.6.2): per-component coding-style overrides. Supported form is
+    # a CODE-BLOCK SIZE override (what Kakadu emits); differing
+    # decomposition levels / transform / style flags / precinct lists
+    # refuse loudly — they'd need per-component band structure beyond
+    # subsampling's.
+    cblk_c = [cblk] * ncomp
+    for coc in cocs:
+        if ncomp < 257:
+            ci, sbody = coc[0], coc[1:]
+        else:
+            ci, sbody = struct.unpack_from(">H", coc, 0)[0], coc[2:]
+        if ci >= ncomp:
+            raise ValueError("JPEG2000: COC component index out of range")
+        if len(sbody) < 6:
+            raise ValueError("JPEG2000: truncated COC marker")
+        if sbody[0] & 0x01:
+            raise NotImplementedError("JPEG2000: COC precinct overrides not supported")
+        if sbody[1] != levels:
+            raise NotImplementedError(
+                "JPEG2000: COC decomposition-level override not supported"
+            )
+        xcb_c, ycb_c = (sbody[2] & 0x0F) + 2, (sbody[3] & 0x0F) + 2
+        if xcb_c != ycb_c:
+            raise NotImplementedError("JPEG2000: non-square code-blocks not supported")
+        if sbody[4] != 0:
+            raise NotImplementedError("JPEG2000: code-block style flags not supported")
+        tr_c = "5x3" if sbody[5] == 1 else "9x7"
+        if tr_c != transform:
+            raise NotImplementedError(
+                "JPEG2000: per-component transform override not supported"
+            )
+        cblk_c[ci] = 1 << xcb_c
+
     guard, band_eps, band_mants = _parse_quant(qcd, transform, levels)
     # per-component quantization: QCD is the default, QCC markers override
     # single components (what real encoders emit for coarser chroma steps)
@@ -1756,7 +1812,7 @@ def _parse_main_headers(
         "comps": comps, "levels": levels, "cblk": cblk, "mct": mct,
         "guard": guard, "band_eps": band_eps, "band_mants": band_mants,
         "guard_c": guard_c, "band_eps_c": band_eps_c,
-        "band_mants_c": band_mants_c,
+        "band_mants_c": band_mants_c, "cblk_c": cblk_c,
         "transform": transform,
         "layers": layers, "prog": prog, "pp": pp,
         "sop": use_sop, "eph": use_eph,
@@ -1923,6 +1979,7 @@ def _decode_tile_reduced(
     native overview pushdown; layer-major orders still parse the later
     headers (bodies are skipped by length) but never decode them."""
     levels, cblk, ncomp = params["levels"], params["cblk"], params["ncomp"]
+    cblk_c = params.get("cblk_c") or [cblk] * ncomp
     comps = params["comps"]
     band_eps_c = params.get("band_eps_c") or [params["band_eps"]] * ncomp
     band_mants_c = params.get("band_mants_c") or [params.get("band_mants")] * ncomp
@@ -1985,7 +2042,7 @@ def _decode_tile_reduced(
             lkey = (ci, r, bname)
             if lkey not in layouts:
                 rh, rw = _res_size(cdims[ci][0], cdims[ci][1], levels, r)
-                layouts[lkey] = _precincts_of(sh, r, cblk, pp, rh, rw)
+                layouts[lkey] = _precincts_of(sh, r, cblk_c[ci], pp, rh, rw)
             playout, _, _ = layouts[lkey]
             blks, gw, gh = playout[p]
             if not blks:
@@ -2110,6 +2167,7 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
     p = 2
     siz = cod = qcd = None
     qccs: List[bytes] = []
+    cocs: List[bytes] = []
     tiles: List[Tuple[int, int, int]] = []
     while p + 4 <= len(cs):
         code, ln = struct.unpack_from(">HH", cs, p)
@@ -2126,8 +2184,8 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
             qcd = body
         elif code == 0xFF5D:  # QCC: per-component quantization override
             qccs.append(body)
-        elif code == 0xFF53:
-            raise NotImplementedError("JPEG2000: COC coding-style overrides not supported")
+        elif code == 0xFF53:  # COC: per-component coding-style override
+            cocs.append(body)
         elif code == 0xFF90:  # SOT
             isot, psot = struct.unpack_from(">HI", body, 0)
             tpsot, tnsot = body[6], body[7]
@@ -2143,7 +2201,7 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
         p += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("missing SIZ/COD/QCD")
-    return _parse_main_headers(siz, cod, qcd, tuple(qccs)), tiles
+    return _parse_main_headers(siz, cod, qcd, tuple(qccs), tuple(cocs)), tiles
 
 
 def _tile_geometry(params: dict, isot: int) -> Tuple[int, int, int, int]:
@@ -2223,6 +2281,7 @@ def read_jp2_header(path: str) -> dict:
         p = cs_off + 2
         siz = cod = qcd = None
         qccs = []
+        cocs = []
         tiles = []
         while p + 4 <= fsize:
             code, ln = struct.unpack_from(">HH", read_at(p, 4), 0)
@@ -2238,9 +2297,7 @@ def read_jp2_header(path: str) -> dict:
             elif code == 0xFF5D:
                 qccs.append(body)
             elif code == 0xFF53:
-                raise NotImplementedError(
-                    "JPEG2000: COC coding-style overrides not supported"
-                )
+                cocs.append(body)
             elif code == 0xFF90:
                 isot, psot = struct.unpack_from(">HI", body, 0)
                 tpsot, tnsot = body[6], body[7]
@@ -2258,7 +2315,7 @@ def read_jp2_header(path: str) -> dict:
             p += 2 + ln
         if siz is None or cod is None or qcd is None:
             raise ValueError("missing SIZ/COD/QCD")
-    params = _parse_main_headers(siz, cod, qcd, tuple(qccs))
+    params = _parse_main_headers(siz, cod, qcd, tuple(qccs), tuple(cocs))
     params["tiles"] = tiles
     params["dtype"] = str(_np_dtype_for(params))
     return params

@@ -349,15 +349,6 @@ def test_refuses_cblk_style_flags():
         decode_jp2(bad)
 
 
-def test_refuses_coc_override():
-    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    # splice a COC marker segment before SOT
-    at = cs.index(b"\xff\x90")
-    coc = b"\xff\x53" + struct.pack(">H", 4) + b"\x00\x00"
-    with pytest.raises(NotImplementedError, match="COC"):
-        decode_jp2(cs[:at] + coc + cs[at:])
-
-
 def test_sop_eph_markers_roundtrip():
     """SOP/EPH packet markers (GDAL frequently writes EPH) parse
     correctly in every combination, incl. multi-layer tiled streams."""
@@ -530,15 +521,6 @@ def test_qcc_per_component_quantization():
     assert (decode_jp2(fine) == rgb).all()
 
 
-def test_coc_still_refused():
-    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    at = cs.index(b"\xff\x5c")  # splice a COC marker before QCD
-    coc = b"\xff\x53" + struct.pack(">H", 4) + b"\x00\x00"
-    bad = cs[:at] + coc + cs[at:]
-    with pytest.raises(NotImplementedError, match="COC"):
-        decode_jp2(bad)
-
-
 def test_pcrl_cprl_with_precincts_roundtrip():
     # position-major progressions × real precinct partitions (B.12): the
     # corner-interleaved packet order must match between writer and reader
@@ -630,3 +612,33 @@ def test_subsampling_rlcp_layers_and_guards():
             size=(h, w), prog=2,
         )
         decode_jp2(blob2)
+
+
+def test_coc_codeblock_override():
+    # COC (A.6.2): per-component code-block size — the common Kakadu
+    # emission; writer emits COC for differing comps, reader applies it
+    rgb = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    cs = encode_jp2_codestream(rgb, levels=2, cblk=32, comp_cblk=[32, 16, 16])
+    assert cs.count(b"\xff\x53") == 2
+    np.testing.assert_array_equal(decode_jp2(cs), rgb)
+    cs2 = encode_jp2_codestream(
+        rgb, levels=2, comp_cblk=[32, 8, 8], tile_size=(24, 32), layers=2
+    )
+    np.testing.assert_array_equal(decode_jp2(cs2), rgb)
+
+
+def test_coc_unsupported_overrides_refuse():
+    a = np.zeros((16, 16), np.uint8)
+    cs = encode_jp2_codestream(a, levels=2, cblk=16)
+    at = cs.index(b"\xff\x5c")
+    # truncated COC → loud rejection
+    with pytest.raises(ValueError, match="truncated COC"):
+        decode_jp2(cs[:at] + b"\xff\x53" + struct.pack(">H", 4) + b"\x00\x00" + cs[at:])
+    # COC changing decomposition levels → loud refusal
+    coc = b"\xff\x53" + struct.pack(">H", 9) + bytes([0, 0, 1, 2, 2, 0, 1])
+    with pytest.raises(NotImplementedError, match="decomposition-level"):
+        decode_jp2(cs[:at] + coc + cs[at:])
+    # COC flipping the transform → loud refusal
+    coc2 = b"\xff\x53" + struct.pack(">H", 9) + bytes([0, 0, 2, 2, 2, 0, 0])
+    with pytest.raises(NotImplementedError, match="transform"):
+        decode_jp2(cs[:at] + coc2 + cs[at:])
