@@ -122,6 +122,24 @@ PICKS = [
         "RFC 8878 decoder), zonal statistics aggregate map-side partials — "
         "one exchange on the zone key, pixels never shuffle.",
     ),
+    (
+        "text_substring_dedup",
+        "Exact-substring dedup (r7, Lee et al. reshaped shuffle-native): "
+        "window fingerprints are xxhash64 JVM expressions inside "
+        "posexplode(transform(...)) — zero Python eval nodes; the "
+        "cross-doc recurrence filter is a plain equi-join on the 8-byte "
+        "hash; the interval union is one lag-window pass partitioned by "
+        "doc_id; two shuffles total (hash groupBy + per-doc window), both "
+        "on compact keys, the window-string column never shuffles.",
+    ),
+    (
+        "mm_image_webp_codec",
+        "Real-codec multimodal path (r7): the WebP encode/decode runs "
+        "entirely inside Arrow-batched mapInPandas stages (the deliberate "
+        "Python islands for binary media), with the stats aggregation a "
+        "plain JVM exchange afterwards — pixels cross the Arrow boundary "
+        "once per direction and never shuffle.",
+    ),
 ]
 
 
