@@ -298,6 +298,37 @@ def _undo_predictor2(block: np.ndarray) -> np.ndarray:
     return acc.view(block.dtype)
 
 
+def _apply_predictor3(block: np.ndarray) -> np.ndarray:
+    """Floating-point predictor (Predictor=3, TIFF TechNote 3 / libtiff
+    fpDiff): per row, split samples into BIG-ENDIAN bytes, regroup into
+    byte planes (all MSBs first), then byte-wise horizontal differencing.
+    Returns the (h, row_bytes) uint8 array the compressor consumes —
+    exponent bytes of neighbouring floats are near-equal, so the deltas
+    compress the way integer imagery does."""
+    if block.dtype.kind != "f":
+        raise ValueError("Predictor=3 applies to floating-point samples only")
+    h = block.shape[0]
+    flat = block.reshape(h, -1)
+    be = np.ascontiguousarray(flat.astype(flat.dtype.newbyteorder(">")))
+    nb = flat.dtype.itemsize
+    b = be.view(np.uint8).reshape(h, flat.shape[1], nb)
+    planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(h, -1)
+    d = planes.copy()
+    d[:, 1:] -= planes[:, :-1]
+    return d
+
+
+def _undo_predictor3(raw_rows: np.ndarray, n: int, dtype: np.dtype) -> np.ndarray:
+    """(h, row_bytes) uint8 → (h, n) floats: cumulative byte sums, then
+    byte planes back to big-endian samples."""
+    acc = np.add.accumulate(raw_rows, axis=1, dtype=np.uint8)
+    h = raw_rows.shape[0]
+    nb = dtype.itemsize
+    b = acc.reshape(h, nb, n).transpose(0, 2, 1)
+    be = np.ascontiguousarray(b).reshape(h, n * nb)
+    return be.view(dtype.newbyteorder(">")).astype(dtype)
+
+
 def _geokeys(crs: str) -> List[int]:
     """GeoKeyDirectory shorts for EPSG codes (projected or geographic)."""
     if not crs.upper().startswith("EPSG:"):
@@ -360,8 +391,12 @@ def write_cog_file(
             f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
             f"'lzma', 'packbits', 'webp' or 'none', got {compression!r}"
         )
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"predictor must be 1, 2 or 3, got {predictor}")
+    if predictor == 2 and pix.dtype.kind not in ("u", "i"):
+        raise ValueError("Predictor=2 applies to integer samples only")
+    if predictor == 3 and pix.dtype.kind != "f":
+        raise ValueError("Predictor=3 applies to floating-point samples only")
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 (chunky) or 2 (separate), got {planar}")
     if planar == 2 and compression == "jpeg":
@@ -576,8 +611,12 @@ def write_tiff_striped(
             f"compression must be 'deflate', 'lzw', 'jpeg', 'jp2', 'zstd', "
             f"'lzma', 'packbits' or 'none', got {compression!r}"
         )
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"predictor must be 1, 2 or 3, got {predictor}")
+    if predictor == 2 and pix.dtype.kind not in ("u", "i"):
+        raise ValueError("Predictor=2 applies to integer samples only")
+    if predictor == 3 and pix.dtype.kind != "f":
+        raise ValueError("Predictor=3 applies to floating-point samples only")
     if compression == "jpeg" and (pix.dtype != np.uint8 or predictor != 1):
         raise ValueError("jpeg compression requires uint8 pixels and Predictor=1")
     if compression == "jp2" and predictor != 1:
@@ -594,6 +633,8 @@ def write_tiff_striped(
         strip = pix[y0 : y0 + rows_per_strip]
         if predictor == 2:
             strip = _apply_predictor2(strip)
+        elif predictor == 3:
+            strip = _apply_predictor3(strip)
         strips.append(_compress_block(strip, compression, jpeg_quality))
 
     entries: List[Tuple[int, int, int, object]] = [
@@ -609,8 +650,8 @@ def write_tiff_striped(
         (_PLANARCONFIG, _TYPE_SHORT, 1, 1),
         (_SAMPLEFORMAT, _TYPE_SHORT, 1, _SAMPLEFORMAT_FOR_KIND[dt.kind]),
     ]
-    if predictor == 2:
-        entries.append((_PREDICTOR, _TYPE_SHORT, 1, 2))
+    if predictor in (2, 3):
+        entries.append((_PREDICTOR, _TYPE_SHORT, 1, predictor))
     aux: List[bytes] = []
     sx, _, x0, _, sy, y0_ = geobox.transform
     entries.append((_MODELPIXELSCALE, _TYPE_DOUBLE, 3, "AUX"))
@@ -658,6 +699,8 @@ def _plan_ifd(
                     block[: sub.shape[0], : sub.shape[1]] = sub
                     if predictor == 2:
                         block = _apply_predictor2(block)
+                    elif predictor == 3:
+                        block = _apply_predictor3(block)
                     tiles.append(_compress_block(block, compression, jpeg_quality))
     else:
         for ty in range(0, ny, tile):
@@ -668,6 +711,8 @@ def _plan_ifd(
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 if predictor == 2:
                     block = _apply_predictor2(block)
+                elif predictor == 3:
+                    block = _apply_predictor3(block)
                 tiles.append(_compress_block(block, compression, jpeg_quality))
 
     entries: List[Tuple[int, int, int, object]] = []
@@ -696,8 +741,8 @@ def _plan_ifd(
     ]
     if spp > 1:
         aux.append(struct.pack(f"<{spp}H", *([bits] * spp)))
-    if predictor == 2:
-        entries.append((_PREDICTOR, _TYPE_SHORT, 1, 2))
+    if predictor in (2, 3):
+        entries.append((_PREDICTOR, _TYPE_SHORT, 1, predictor))
     if lv_idx == 0:
         sx, _, x0, _, sy, y0 = geobox.transform
         scale = struct.pack("<3d", abs(sx), abs(sy), 0.0)
@@ -878,9 +923,10 @@ def read_cog_header(path: str) -> Dict:
                     "lzma(34925)/zstd(50000)/webp(50001) readable without GDAL"
                 )
             pred = short_val(_PREDICTOR) if _PREDICTOR in tags else 1
-            if pred not in (1, 2):
+            if pred not in (1, 2, 3):
                 raise NotImplementedError(
-                    f"TIFF predictor {pred}: only none(1)/horizontal(2) supported"
+                    f"TIFF predictor {pred}: only none(1)/horizontal(2)/"
+                    "floating-point(3) supported"
                 )
             spp = (
                 short_val(_SAMPLESPERPIXEL) if _SAMPLESPERPIXEL in tags else 1
@@ -1052,7 +1098,14 @@ def read_cog_tile(
     elif comp == 50000:
         raw = _zstd_decompress(raw, expected=th * tw * spp * dt.itemsize)
     n_rows = len(raw) // (tw * spp * dt.itemsize)
-    arr = np.frombuffer(raw, dt, count=n_rows * tw * spp).reshape(n_rows, tw, spp)
+    if lv.get("predictor", 1) == 3:
+        # floating-point predictor: byte-plane cumsum + reassembly
+        rows = np.frombuffer(
+            raw, np.uint8, count=n_rows * tw * spp * dt.itemsize
+        ).reshape(n_rows, -1)
+        arr = _undo_predictor3(rows, tw * spp, dt).reshape(n_rows, tw, spp)
+    else:
+        arr = np.frombuffer(raw, dt, count=n_rows * tw * spp).reshape(n_rows, tw, spp)
     if lv.get("predictor", 1) == 2:
         # horizontal differencing runs per sample channel (stride = spp)
         u = arr.view(f"u{dt.itemsize}")

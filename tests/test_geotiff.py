@@ -840,3 +840,63 @@ def test_planar_guards(tmp_path):
         write_cog_file(str(tmp_path / "b.tif"),
                        np.zeros((8, 8, 3), np.uint8), gbox,
                        compression="jpeg", planar=2)
+
+
+# ---------------------------------------------------------------------------
+# Predictor=3 (floating-point differencing, TIFF TechNote 3) — round-7
+
+
+def test_predictor3_float_roundtrip(tmp_path):
+    y, x = np.mgrid[0:70, 0:90]
+    pix = (np.sin(y / 9.0) * np.cos(x / 11.0)).astype(np.float32)
+    gbox = GeoBox((70, 90), (10.0, 0.0, 0.0, 0.0, -10.0, 700.0), "EPSG:32735")
+    for comp in ("deflate", "lzw", "zstd", "none"):
+        p = str(tmp_path / f"p3_{comp}.tif")
+        write_cog_file(p, pix, gbox, tile=64, compression=comp,
+                       predictor=3, overview_levels=[])
+        d = read_cog_file(p)
+        assert d["data"].dtype == np.float32
+        np.testing.assert_array_equal(d["data"], pix)
+
+
+def test_predictor3_actually_compresses_better(tmp_path):
+    import os
+
+    y, x = np.mgrid[0:70, 0:90]
+    pix = (np.sin(y / 9.0) * np.cos(x / 11.0)).astype(np.float32)
+    gbox = GeoBox((70, 90), (10.0, 0.0, 0.0, 0.0, -10.0, 700.0), "EPSG:32735")
+    a = str(tmp_path / "p3.tif")
+    b = str(tmp_path / "p1.tif")
+    write_cog_file(a, pix, gbox, tile=64, compression="deflate",
+                   predictor=3, overview_levels=[])
+    write_cog_file(b, pix, gbox, tile=64, compression="deflate",
+                   predictor=1, overview_levels=[])
+    # byte-plane regrouping makes exponent bytes adjacent → smaller files
+    assert os.path.getsize(a) < os.path.getsize(b)
+
+
+def test_predictor3_float64_striped_and_multiband(tmp_path):
+    from odc_stac_spark.sources.geotiff import write_tiff_striped
+
+    y, x = np.mgrid[0:70, 0:90]
+    base = (np.sin(y / 9.0) * np.cos(x / 11.0)).astype(np.float32)
+    gbox = GeoBox((70, 90), (10.0, 0.0, 0.0, 0.0, -10.0, 700.0), "EPSG:32735")
+    p64 = str(tmp_path / "s3.tif")
+    write_tiff_striped(p64, base.astype(np.float64), gbox, rows_per_strip=16,
+                       compression="deflate", predictor=3)
+    np.testing.assert_array_equal(read_cog_file(p64)["data"], base.astype(np.float64))
+    mb = np.stack([base, base * 2, base + 1], axis=-1).astype(np.float32)
+    pm = str(tmp_path / "m3.tif")
+    write_cog_file(pm, mb, gbox, tile=64, compression="lzw",
+                   predictor=3, overview_levels=[])
+    np.testing.assert_array_equal(read_cog_file(pm)["data"], mb)
+
+
+def test_predictor_dtype_guards(tmp_path):
+    gbox = GeoBox((8, 8), (10.0, 0.0, 0.0, 0.0, -10.0, 80.0), "EPSG:32735")
+    with pytest.raises(ValueError, match="floating-point"):
+        write_cog_file(str(tmp_path / "a.tif"), np.zeros((8, 8), np.uint8),
+                       gbox, predictor=3)
+    with pytest.raises(ValueError, match="integer"):
+        write_cog_file(str(tmp_path / "b.tif"), np.zeros((8, 8), np.float32),
+                       gbox, predictor=2)
