@@ -16,8 +16,11 @@ codecs and registers them as defaults:
   ``interlace=True`` writes Adam7). Spec: W3C PNG (ISO/IEC 15948).
 - **BMP** (``image/bmp``): 24-bit uncompressed BITMAPINFOHEADER decode +
   encode (bottom-up, BGR, 4-byte row padding).
-- **WAV** (``audio/wav``): RIFF/WAVE decode for PCM 8/16/32-bit and IEEE
-  float32, any channel count; encoder writes 16-bit PCM.
+- **WAV** (``audio/wav``): RIFF/WAVE decode for PCM 8/16/24/32-bit,
+  IEEE float32, WAVE_FORMAT_EXTENSIBLE (the pro-audio wrapper — the
+  wrapped format tag is read from the SubFormat GUID), and IMA/DVI
+  ADPCM (format 0x11, per-block headers + 4-bit nibble state machine),
+  any channel count; encoder writes 16-bit PCM.
 
 Reference parity: the reference delegates all media decode to external
 native libraries; here the formats most common in web-scraped training
@@ -315,6 +318,7 @@ def decode_wav(data: bytes):
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     fmt = None
+    fmt_body = b""
     payload = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -323,29 +327,108 @@ def decode_wav(data: bytes):
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body)
+            fmt_body = body
         elif cid == b"data":
             payload = body
     if fmt is None or payload is None:
         raise ValueError("WAV: missing fmt/data chunk")
-    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        raise NotImplementedError("WAV: extensible format not supported")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt[:6]
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE (pro-audio wrapper)
+        # cbSize(2) + validBits(2) + channelMask(4) + SubFormat GUID: the
+        # first two GUID bytes are the wrapped wFormatTag
+        if len(fmt_body) < 26:
+            raise ValueError("WAV: truncated EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
     if audio_format == 1:  # PCM
         if bits == 8:
             s = (np.frombuffer(payload, np.uint8).astype(np.int16) - 128) << 8
         elif bits == 16:
             s = np.frombuffer(payload, np.int16)
+        elif bits == 24:
+            # 3-byte little-endian samples → int32 (sign via arithmetic
+            # shift after packing into the top bytes)
+            n3 = len(payload) // 3
+            b = np.frombuffer(payload, np.uint8, n3 * 3).reshape(-1, 3)
+            s = (
+                (
+                    b[:, 0].astype(np.uint32) << 8
+                    | b[:, 1].astype(np.uint32) << 16
+                    | b[:, 2].astype(np.uint32) << 24
+                ).astype(np.int32)
+                >> 8
+            )
         elif bits == 32:
             s = np.frombuffer(payload, np.int32)
         else:
             raise NotImplementedError(f"WAV: PCM {bits}-bit not supported")
     elif audio_format == 3 and bits == 32:  # IEEE float
         s = np.frombuffer(payload, np.float32)
+    elif audio_format == 0x11:  # IMA ADPCM (DVI), 4-bit
+        s = _decode_ima_adpcm(payload, channels, block_align)
+        if channels > 1:
+            return s, rate  # already (n, c)
+        return s.reshape(-1), rate
     else:
         raise NotImplementedError(f"WAV: format {audio_format}/{bits}-bit not supported")
     if channels > 1:
         s = s[: (s.size // channels) * channels].reshape(-1, channels)
     return s, rate
+
+
+#: IMA-ADPCM step table + index deltas (the public DVI/IMA spec tables)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_ima_adpcm(payload: bytes, channels: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11): per-block 4-byte channel headers
+    (predictor int16, step index, reserved) then interleaved 4-byte
+    channel words of eight 4-bit nibbles each."""
+    out: list = [[] for _ in range(channels)]
+    ba = block_align or len(payload)
+    for b0 in range(0, len(payload), ba):
+        block = payload[b0 : b0 + ba]
+        if len(block) < 4 * channels:
+            break
+        preds, idxs = [], []
+        for c in range(channels):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            idx = block[4 * c + 2]
+            preds.append(pred)
+            idxs.append(min(88, idx))
+            out[c].append(pred)
+        p = 4 * channels
+        while p + 4 * channels <= len(block):
+            for c in range(channels):
+                word = block[p + 4 * c : p + 4 * c + 4]
+                for byte in word:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = _IMA_STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            preds[c] -= diff
+                        else:
+                            preds[c] += diff
+                        preds[c] = max(-32768, min(32767, preds[c]))
+                        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX[nib & 7]))
+                        out[c].append(preds[c])
+            p += 4 * channels
+    n = min(len(ch) for ch in out)
+    return np.stack([np.asarray(ch[:n], np.int16) for ch in out], axis=-1)
 
 
 #: Real decoders by media type, ready for multimodal.register_decoder /

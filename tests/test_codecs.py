@@ -396,3 +396,126 @@ def test_png_4bit_palette():
 def test_png_invalid_depth_combo_rejected():
     with pytest.raises(ValueError, match="invalid for color type"):
         decode_png(_png_hand(2, 1, 4, 2, b"\x00\x00\x00"))  # 4-bit RGB illegal
+
+
+# ---------------------------------------------------------------------------
+# WAV: 24-bit PCM, WAVE_FORMAT_EXTENSIBLE, IMA-ADPCM (round-7)
+
+_PCM_GUID = bytes.fromhex("0100000000001000800000aa00389b71")
+
+
+def _wav_bytes(fmt_tag, channels, rate, bits, payload, extensible=False,
+               block_align=None):
+    ba = block_align if block_align is not None else max(1, channels * bits // 8)
+    if extensible:
+        body = struct.pack("<HHIIHH", 0xFFFE, channels, rate, rate * ba, ba, bits)
+        body += struct.pack("<HHI", 22, bits, 0)
+        body += struct.pack("<H", fmt_tag) + _PCM_GUID[2:]
+    else:
+        body = struct.pack("<HHIIHH", fmt_tag, channels, rate, rate * ba, ba, bits)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + len(payload)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(body)) + body
+    out += b"data" + struct.pack("<I", len(payload)) + payload
+    return out
+
+
+def test_wav_24bit_pcm():
+    from odc_stac_spark.operators.codecs import decode_wav
+
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321], np.int32)
+    pl = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+    s, r = decode_wav(_wav_bytes(1, 1, 44100, 24, pl))
+    assert r == 44100
+    np.testing.assert_array_equal(s, vals)
+    # stereo interleave
+    st = np.array([[1000, -1000], [70000, -70000]], np.int32)
+    pl2 = b"".join(int(v).to_bytes(3, "little", signed=True) for v in st.reshape(-1))
+    s2, _ = decode_wav(_wav_bytes(1, 2, 48000, 24, pl2))
+    np.testing.assert_array_equal(s2, st)
+
+
+def test_wav_extensible_wraps_pcm_and_float():
+    from odc_stac_spark.operators.codecs import decode_wav
+
+    sig = np.array([100, -100, 32000, -32000], np.int16)
+    s, r = decode_wav(_wav_bytes(1, 1, 16000, 16, sig.tobytes(), extensible=True))
+    assert r == 16000
+    np.testing.assert_array_equal(s, sig)
+    f = np.array([0.5, -0.25, 1.0], np.float32)
+    s2, _ = decode_wav(_wav_bytes(3, 1, 22050, 32, f.tobytes(), extensible=True))
+    np.testing.assert_array_equal(s2, f)
+
+
+def _ima_encode_ref(sig, block_samples=505, channels=1):
+    """Independent test-side IMA-ADPCM encoder (the canonical DVI
+    algorithm) — returns (payload, block_align, reconstruction)."""
+    from odc_stac_spark.operators.codecs import _IMA_INDEX, _IMA_STEPS
+
+    ba = 4 * channels + ((block_samples - 1) // 8) * 4 * channels
+    out = bytearray()
+    recon = []
+    i = 0
+    sig = [int(v) for v in sig]
+    while i < len(sig):
+        blk = sig[i : i + block_samples]
+        pred = blk[0]
+        idx = 0
+        out += struct.pack("<hBB", pred, idx, 0)
+        recon.append(pred)
+        nibbles = []
+        for v in blk[1:]:
+            step = _IMA_STEPS[idx]
+            delta = v - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            # decoder-side reconstruction
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            nibbles.append(nib)
+            recon.append(pred)
+        while len(nibbles) % 8:
+            nibbles.append(0)
+            # padding nibbles also advance decoder state; track them
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            pred = max(-32768, min(32767, pred + diff))
+            idx = max(0, min(88, idx + _IMA_INDEX[0]))
+            recon.append(pred)
+        for k in range(0, len(nibbles), 2):
+            out.append(nibbles[k] | (nibbles[k + 1] << 4))
+        i += block_samples
+    return bytes(out), ba, recon
+
+
+def test_wav_ima_adpcm_mono():
+    from odc_stac_spark.operators.codecs import decode_wav
+
+    t = np.arange(1200)
+    sig = (3000 * np.sin(t / 20.0)).astype(np.int16)
+    payload, ba, recon = _ima_encode_ref(sig, block_samples=505)
+    s, r = decode_wav(_wav_bytes(0x11, 1, 8000, 4, payload, block_align=ba))
+    assert r == 8000
+    # decoder must track the encoder's state machine EXACTLY
+    np.testing.assert_array_equal(s[: len(recon)], np.asarray(recon, np.int16))
+    # and the lossy reconstruction stays close to the input
+    n = min(len(s), len(sig))
+    err = np.abs(s[:n].astype(int) - sig[:n].astype(int))
+    assert float(np.mean(err)) < 200
