@@ -752,6 +752,93 @@ def mm_video_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_gif_sample",
+    # clip i: 3 + i%3 full-frame 8x8 gray frames, v(f,y,x) =
+    # 2*((i*13 + f*17 + y*7 + x*3) % 100) → ≤100 distinct colors fits the
+    # palette; GIF is lossless so the RGBA composite is (v,v,v,255) and
+    # the 4-channel mean is (3·Σv + 255·N)/(4N) exactly
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, f.f,
+             2 * ((d.doc_id * 13 + f.f * 17 + y.y * 7 + x.x * 3) % 100) AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS f) f
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS x) x
+      WHERE f.f < 3 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           CAST(MAX(f) + 1 AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT f) FILTER (WHERE f % 2 = 0) AS BIGINT)
+               AS kept_frames,
+           8 AS width,
+           8 AS height,
+           ROUND(
+             (3 * SUM(v) FILTER (WHERE f % 2 = 0)
+              + 255 * COUNT(*) FILTER (WHERE f % 2 = 0))
+             / (4.0 * COUNT(*) FILTER (WHERE f % 2 = 0)), 6
+           ) AS kept_mean
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="multimodal video via ANIMATED GIF (operators/gif.py — GIF is a "
+    "video format for sampling purposes): per-doc clips are genuine "
+    "multi-frame GIF89a files (variable-width LZW, graphic-control "
+    "delays, NETSCAPE loop) decoded and composited per-row through the "
+    "VIDEO_DECODERS seam, then every-2nd-frame sampled. Palette formats "
+    "are exactly lossless, so the RGBA frame stats are SQL-reproducible "
+    "and the whole container + LZW + compositing path hash-gates.",
+    tags=("multimodal", "video", "codec", "gif"),
+)
+def mm_video_gif_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.gif import encode_gif
+    from ..operators.multimodal import video_frame_features
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:8, 0:8]
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = []
+                for f in range(3 + i % 3):
+                    v = (2 * ((i * 13 + f * 17 + y * 7 + x * 3) % 100)).astype(np.uint8)
+                    frames.append(np.stack([v, v, v], axis=-1))
+                media.append(encode_gif(frames, delays=[4] * len(frames)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": media,
+                    "media_type": "image/gif",
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return video_frame_features(docs.mapInPandas(gen, schema), every=2)
+
+
+@register(
     "mm_audio_spectral",
     # no SQL oracle: FFT is genuinely non-relational (rows-only check;
     # exact numpy parity is enforced in tests/test_multimodal.py)
