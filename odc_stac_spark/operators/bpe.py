@@ -1,0 +1,146 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training — the
+tokenizer-building step of an LLM data pipeline, Spark-first.
+
+The classic Sennrich et al. (2016) algorithm over a WORD HISTOGRAM: the
+corpus collapses to (word, count) once (one shuffle over the raw text —
+the only pass that touches the full corpus), then every merge iteration
+runs on that compact table:
+
+1. pair counting — ``posexplode`` of adjacent symbol pairs weighted by
+   word count, one ``groupBy(pair).sum`` (map-side partial aggregation;
+   the histogram is vocabulary-sized, not corpus-sized);
+2. argmax with a DETERMINISTIC tie-break (count desc, then pair
+   lexicographic) so the merge sequence is reproducible across runs and
+   cluster layouts;
+3. applying the merge to every word symbol array as a pure Catalyst
+   fold (``aggregate``: append, or coalesce the last element when it
+   completes the chosen pair) — no UDFs anywhere.
+
+Scale: at 100 TB the word histogram for natural language is millions of
+rows (Heaps' law), so per-iteration work is a small shuffle independent
+of corpus size; the driver holds only K merge rules (like
+operators/kmeans.py holding K centroids). The iterative argmax makes the
+algorithm genuinely non-SQL for the DuckDB gate (rows-only check);
+tests/test_bpe.py enforces EXACT merge-sequence parity against an
+independent sequential reference implementation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → (word, count) — the one corpus-sized pass."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _merge_expr(a: str, b: str):
+    """Catalyst fold applying one merge rule (a, b) → a+b to a symbol
+    array: walk the array once, gluing an occurrence of ``b`` onto a
+    pending ``a``. Left-to-right greedy, exactly like the reference
+    algorithm's in-word scan."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1)) == la)
+            & (t == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(la, lb))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
+) -> List[Tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules → [(step, left, right, count)].
+
+    Driver holds only the rules; every iteration is two narrow jobs over
+    the persisted word histogram (pair count + merge rewrite)."""
+    hist = word_histogram(docs, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    ).select("syms", "cnt")
+    hist = hist.persist()
+    hist.count()  # materialize once
+    merges: List[Tuple[int, str, str, int]] = []
+    try:
+        for step in range(n_merges):
+            pairs = hist.select(
+                F.col("cnt"),
+                F.posexplode(F.slice(F.col("syms"), 1, F.size("syms") - 1)).alias(
+                    "i", "left"
+                ),
+                F.col("syms"),
+            ).select(
+                "cnt",
+                "left",
+                F.element_at(F.col("syms"), F.col("i") + 2).alias("right"),
+            )
+            top = (
+                pairs.groupBy("left", "right")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+            if n < 2:
+                break  # nothing left worth merging
+            merges.append((step, a, b, n))
+            new_hist = hist.withColumn("syms", _merge_expr(a, b)).persist()
+            new_hist.count()
+            hist.unpersist()
+            hist = new_hist
+    finally:
+        hist.unpersist()
+    return merges
+
+
+def bpe_reference(texts_with_counts, n_merges: int = 20):
+    """Independent sequential reference (the textbook algorithm) used by
+    the tests to pin the distributed trainer's merge sequence exactly.
+    ``texts_with_counts``: iterable of (word, count)."""
+    hist = {tuple(w): c for w, c in (
+        (list(word), cnt) for word, cnt in texts_with_counts
+    )}
+    merges = []
+    for step in range(n_merges):
+        counts: dict = {}
+        for syms, cnt in hist.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + cnt
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((step, a, b, n))
+        new_hist: dict = {}
+        for syms, cnt in hist.items():
+            out = []
+            for t in syms:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            key = tuple(out)
+            new_hist[key] = new_hist.get(key, 0) + cnt
+        hist = new_hist
+    return merges

@@ -420,3 +420,32 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("covered").cast("bigint") / F.min("n_tokens"), 6
         ).alias("dup_fraction"),
     )
+
+
+@register(
+    "text_bpe_train",
+    # no SQL oracle: the merge loop is genuinely iterative (each step's
+    # argmax depends on the rewritten histogram) — rows-only for the
+    # driver; tests/test_bpe.py enforces EXACT merge-sequence parity
+    # against an independent sequential reference implementation
+    doc="distributed BPE tokenizer training (Sennrich et al. 2016, the "
+    "vocabulary-building step of an LLM pipeline): ONE corpus-sized "
+    "shuffle builds the word histogram, then every merge iteration runs "
+    "two narrow Catalyst jobs over that compact table — adjacent-pair "
+    "posexplode + weighted groupBy for the argmax (deterministic "
+    "count/lexicographic tie-break), and a pure `aggregate` fold "
+    "rewriting the symbol arrays (no UDFs). The driver holds only the "
+    "K merge rules, exactly the operators/kmeans.py shape; at 100 TB "
+    "per-iteration cost follows vocabulary size (Heaps' law), not "
+    "corpus size.",
+    tags=("text", "llm", "tokenizer", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(int(s), a, b, a + b, int(n)) for s, a, b, n in merges],
+        "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
