@@ -981,6 +981,70 @@ def r_jp2_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r_float_pred3_cog_zonal",
+    # fixture: a float32 COG compressed deflate + Predictor=3 (the
+    # TechNote-3 floating-point predictor GDAL pairs with float rasters);
+    # pixel (y, x) = integer-valued float 1 + (29*y + 17*x + 11) % 2003,
+    # nodata 0 where (y*2 + x*5) % 17 == 0 — integer-valued floats keep
+    # both engines' arithmetic exact
+    oracle="""
+    WITH pix AS (
+      SELECT y.y, x.x,
+             CASE WHEN (y.y * 2 + x.x * 5) % 17 = 0 THEN NULL
+                  ELSE CAST(1 + (29 * y.y + 17 * x.x + 11) % 2003 AS DOUBLE)
+             END AS v
+      FROM (SELECT UNNEST(generate_series(0, 79)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 95)) AS x) x
+    )
+    SELECT 'red' AS band, 0 AS t,
+           CAST(y // 20 AS INT) AS zy, CAST(x // 32 AS INT) AS zx,
+           CAST(COUNT(v) AS BIGINT) AS n_valid,
+           ROUND(AVG(v), 6) AS mean
+    FROM pix GROUP BY 3, 4
+    """,
+    doc="HASH-GATED float-raster read with the FLOATING-POINT PREDICTOR "
+    "(TIFF Predictor=3, TechNote 3 — what GDAL pairs with float COGs; "
+    "reference reads them via rasterio, loader/_rio.py:374-475): a "
+    "float32 deflate+Predictor-3 COG goes through the FULL load "
+    "pipeline — tile decode undoes the byte-plane differencing and "
+    "reassembles big-endian floats — then float nodata masking and "
+    "zonal statistics; integer-valued floats make the oracle exact.",
+    tags=("raster", "cog", "float", "predictor", "zonal"),
+)
+def r_float_pred3_cog_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.zonal import zonal_stats
+    from ..sources.geotiff import write_cog_file
+
+    ny, nx = 80, 96
+    y, x = np.mgrid[0:ny, 0:nx]
+    red = (1 + (29 * y + 17 * x + 11) % 2003).astype(np.float32)
+    red[(y * 2 + x * 5) % 17 == 0] = 0.0
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 800.0), _CRS)
+    path = os.path.join(tempfile.gettempdir(), "odc_stac_spark_r_p3_cog.tif")
+    write_cog_file(
+        path, red, gbox, tile=64, compression="deflate", predictor=3,
+        overview_levels=[],
+    )
+    item = Item(
+        id="p3-000",
+        datetime=datetime(2020, 6, 6, 8, 30),
+        bands={
+            "red": RasterSource(
+                path, geobox=gbox, meta=RasterBandMetadata("float32", 0.0)
+            )
+        },
+        lon=27.4,
+    )
+    tiles_df, plan = load(spark, [item], chunks=(40, 48))
+    return zonal_stats(tiles_df, nodata=0.0, zone_h=20, zone_w=32)
+
+
+@register(
     "r_jp2_subsampled_zonal",
     # fixture: ONE two-component JPEG2000 file — full-res "red" plus a
     # 2×2-SUBSAMPLED "nir" (the 4:2:0-style layout, B.3); the decoder
