@@ -14,8 +14,12 @@ codecs and registers them as defaults:
   pass unfilters independently then scatters into the grid); plus an
   encoder (filter 0 + zlib; uint16 input → 16-bit big-endian samples;
   ``interlace=True`` writes Adam7). Spec: W3C PNG (ISO/IEC 15948).
-- **BMP** (``image/bmp``): 24-bit uncompressed BITMAPINFOHEADER decode +
-  encode (bottom-up, BGR, 4-byte row padding).
+- **BMP** (``image/bmp``): 24/32-bit BI_RGB and 8-bit paletted decode
+  incl. BI_RLE8 run-length (runs, absolute mode, deltas, EOL/EOB);
+  24-bit encode (bottom-up, BGR, 4-byte row padding).
+- **ICO** (``image/x-icon``): the favicon container — PNG entries and
+  BMP fragments (doubled-height header + AND mask) both decode; the
+  largest entry is served.
 - **WAV** (``audio/wav``): RIFF/WAVE decode for PCM 8/16/24/32-bit,
   IEEE float32, WAVE_FORMAT_EXTENSIBLE (the pro-audio wrapper — the
   wrapped format tag is read from the SubFormat GUID), and IMA/DVI
@@ -275,21 +279,104 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB (handles top-down
-    negative-height files too)."""
+    """BMP → (h, w, 3|4) uint8 RGB(A): 24/32-bit BI_RGB, 8-bit paletted
+    (BI_RGB or BI_RLE8 run-length), top-down negative-height files."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP stream")
     (off,) = struct.unpack_from("<I", data, 10)
-    size, w, h, planes, bppx, compression = struct.unpack_from("<IiiHHI", data, 14)
-    if bppx != 24 or compression != 0:
-        raise NotImplementedError("BMP: only 24-bit BI_RGB supported")
+    hdr_size, w, h, planes, bppx, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
     top_down = h < 0
     h = abs(h)
-    pad = (-3 * w) % 4
-    stride = 3 * w + pad
-    rows = np.frombuffer(data, np.uint8, stride * h, offset=off).reshape(h, stride)
-    img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
-    return img if top_down else img[::-1].copy()
+    if bppx == 24 and compression == 0:
+        pad = (-3 * w) % 4
+        stride = 3 * w + pad
+        rows = np.frombuffer(data, np.uint8, stride * h, offset=off).reshape(h, stride)
+        img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return img if top_down else img[::-1].copy()
+    if bppx == 32 and compression == 0:
+        rows = np.frombuffer(data, np.uint8, 4 * w * h, offset=off).reshape(h, w, 4)
+        img = rows[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+        return img if top_down else img[::-1].copy()
+    if bppx == 8:
+        # palette sits right after the info header: BGRX quads
+        (n_colors,) = struct.unpack_from("<I", data, 14 + 32)
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data, np.uint8, n_colors * 4, offset=pal_off).reshape(
+            -1, 4
+        )[:, [2, 1, 0]]
+        if compression == 0:
+            stride = w + ((-w) % 4)
+            rows = np.frombuffer(data, np.uint8, stride * h, offset=off).reshape(
+                h, stride
+            )
+            idx = rows[:, :w]
+        elif compression == 1:  # BI_RLE8 (spec: runs, absolute mode, deltas)
+            idx = np.zeros((h, w), np.uint8)
+            p, x, y = off, 0, 0
+            while p + 1 < len(data):
+                n, v = data[p], data[p + 1]
+                p += 2
+                if n > 0:  # encoded run
+                    idx[y, x : x + n] = v
+                    x += n
+                elif v == 0:  # end of line
+                    x, y = 0, y + 1
+                    if y >= h:
+                        break
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta
+                    x += data[p]
+                    y += data[p + 1]
+                    p += 2
+                else:  # absolute mode: v literal pixels, word-aligned
+                    idx[y, x : x + v] = np.frombuffer(data, np.uint8, v, offset=p)
+                    x += v
+                    p += v + (v & 1)
+        else:
+            raise NotImplementedError(f"BMP: 8-bit compression {compression} not supported")
+        img = pal[np.minimum(idx, len(pal) - 1)]
+        return img if top_down else img[::-1].copy()
+    raise NotImplementedError(
+        f"BMP: {bppx}-bit / compression {compression} not supported"
+    )
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """ICO (favicon) container → largest image as uint8 RGB(A). Entries
+    are PNG (modern) or BMP-fragments (an info header with DOUBLED height
+    covering the XOR mask + AND mask, no file header) per the public
+    Windows format."""
+    if data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO stream")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if count == 0:
+        raise ValueError("ICO: no images")
+    best = None
+    for i in range(count):
+        e = data[6 + 16 * i : 6 + 16 * i + 16]
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack_from("<II", e, 8)
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    w, h, off, size = best
+    body = data[off : off + size]
+    if body[:8] == PNG_SIGNATURE:
+        return decode_png(body)
+    # BMP fragment: BITMAPINFOHEADER with height = 2 × image height
+    # (XOR pixels + AND mask); rebuild a plain BMP with the true height
+    hdr_size, bw, bh2, planes, bppx, comp = struct.unpack_from("<IiiHHI", body, 0)
+    patched = bytearray(body)
+    struct.pack_into("<i", patched, 8, bh2 // 2 if bh2 > 0 else bh2)
+    pal_entries = (
+        (struct.unpack_from("<I", body, 32)[0] or 256) if bppx == 8 else 0
+    )
+    pixel_off = 14 + hdr_size + pal_entries * 4
+    full = b"BM" + struct.pack("<IHHI", 14 + len(patched), 0, 0, pixel_off)
+    return decode_bmp(full + bytes(patched))
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +522,7 @@ def _decode_ima_adpcm(payload: bytes, channels: int, block_align: int) -> np.nda
 #: register_audio_decoder. Kept here (not auto-side-effecting) so importing
 #: the codec module has no global effect; multimodal.py installs these as
 #: defaults at its module bottom.
-IMAGE_CODECS = {"image/png": decode_png, "image/bmp": decode_bmp}
+IMAGE_CODECS = {"image/png": decode_png, "image/bmp": decode_bmp, "image/x-icon": decode_ico, "image/vnd.microsoft.icon": decode_ico}
 AUDIO_CODECS = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
 
 

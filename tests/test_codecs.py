@@ -519,3 +519,113 @@ def test_wav_ima_adpcm_mono():
     n = min(len(s), len(sig))
     err = np.abs(s[:n].astype(int) - sig[:n].astype(int))
     assert float(np.mean(err)) < 200
+
+
+# ---------------------------------------------------------------------------
+# BMP 32-bit / paletted / RLE8 + ICO container (round-7)
+
+
+def _bmp_info(w, h, bpp, comp, n_colors=0):
+    return (
+        struct.pack("<IiiHHI", 40, w, h, 1, bpp, comp)
+        + struct.pack("<III", 0, 0, 0)
+        + struct.pack("<II", n_colors, 0)
+    )
+
+
+def test_bmp_32bit_bgra():
+    from odc_stac_spark.operators.codecs import decode_bmp
+
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    body = _bmp_info(5, 4, 32, 0) + rgba[:, :, [2, 1, 0, 3]][::-1].tobytes()
+    bmp = b"BM" + struct.pack("<IHHI", 14 + len(body), 0, 0, 14 + 40) + body
+    np.testing.assert_array_equal(decode_bmp(bmp), rgba)
+
+
+def _paletted_bmp(pal, idx, comp=0, payload=None):
+    h, w = idx.shape
+    quads = np.zeros((len(pal), 4), np.uint8)
+    quads[:, :3] = pal[:, [2, 1, 0]]
+    if payload is None:
+        stride = w + ((-w) % 4)
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = idx
+        payload = rows[::-1].tobytes()
+    body = _bmp_info(w, h, 8, comp, len(pal)) + quads.tobytes() + payload
+    off = 14 + 40 + len(pal) * 4
+    return b"BM" + struct.pack("<IHHI", 14 + len(body), 0, 0, off) + body
+
+
+def test_bmp_8bit_palette_and_rle8():
+    from odc_stac_spark.operators.codecs import decode_bmp
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 7), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(_paletted_bmp(pal, idx)), pal[idx])
+    # RLE8: per-row encoded runs + EOL markers + EOB (spec layout)
+    rle = bytearray()
+    for r in range(6):
+        for v in idx[5 - r]:
+            rle += bytes([1, int(v)])
+        rle += b"\x00\x00"
+    rle += b"\x00\x01"
+    np.testing.assert_array_equal(
+        decode_bmp(_paletted_bmp(pal, idx, comp=1, payload=bytes(rle))), pal[idx]
+    )
+    # absolute-mode + delta: [abs 3 px][delta +2,+0][run]
+    idx2 = np.zeros((2, 8), np.uint8)
+    idx2[1, :3] = [1, 2, 3]
+    idx2[1, 5:8] = 7
+    rle2 = bytes([0, 3, 1, 2, 3, 0]) + bytes([0, 2, 2, 0]) + bytes([3, 7])
+    rle2 += b"\x00\x00" + b"\x00\x00" + b"\x00\x01"
+    pal2 = np.arange(30, dtype=np.uint8).reshape(10, 3)
+    got = decode_bmp(_paletted_bmp(pal2, idx2, comp=1, payload=rle2))
+    np.testing.assert_array_equal(got, pal2[idx2])
+
+
+def test_ico_png_and_bmp_entries():
+    from odc_stac_spark.operators.codecs import decode_ico, encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    png = encode_png(img)
+    ico = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([13, 10, 0, 0]) + struct.pack("<HHII", 1, 32, len(png), 22)
+        + png
+    )
+    np.testing.assert_array_equal(decode_ico(ico)[:, :, :3], img)
+    # BMP-fragment entry: doubled-height info header + AND mask
+    frag_px = img[::-1][:, :, ::-1]
+    pad = (-3 * 13) % 4
+    rows = np.zeros((10, 3 * 13 + pad), np.uint8)
+    rows[:, : 3 * 13] = frag_px.reshape(10, -1)
+    and_stride = ((13 + 31) // 32) * 4
+    frag = (
+        struct.pack("<IiiHHI", 40, 13, 20, 1, 24, 0) + b"\x00" * 20
+        + rows.tobytes() + b"\x00" * (and_stride * 10)
+    )
+    ico2 = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([13, 10, 0, 0]) + struct.pack("<HHII", 1, 24, len(frag), 22)
+        + frag
+    )
+    np.testing.assert_array_equal(decode_ico(ico2), img)
+    with pytest.raises(ValueError, match="ICO"):
+        decode_ico(b"\x00\x00\x02\x00junk")
+
+
+def test_ico_through_decoder_seam():
+    from odc_stac_spark.operators.codecs import encode_png
+    from odc_stac_spark.operators.multimodal import DECODERS
+
+    img = np.random.default_rng(6).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    png = encode_png(img)
+    ico = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([8, 8, 0, 0]) + struct.pack("<HHII", 1, 32, len(png), 22)
+        + png
+    )
+    np.testing.assert_array_equal(DECODERS["image/x-icon"](ico)[:, :, :3], img)
