@@ -1,72 +1,126 @@
-"""Property-based (hypothesis) roundtrip gates for the from-scratch
-codec family — randomized shapes/dtypes/contents beyond the fixed
-fixtures. Each property is a full encode→decode identity, so a single
-shrunk counterexample pinpoints a spec bug."""
+"""Property-based round-trip gates for the round-7 codecs (WebP VP8L,
+GIF, FLAC, progressive JPEG coefficients, TIFF Predictor 3): hypothesis
+drives shapes/content/parameters through the full encode→decode paths,
+asserting exact losslessness everywhere the format is lossless."""
+
+from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
-from hypothesis import strategies as st
+from hypothesis import given, settings, strategies as st
 
-from odc_stac_spark.operators.jp2 import decode_jp2, encode_jp2_codestream
-from odc_stac_spark.operators.jpeg import decode_jpeg, encode_jpeg
-from odc_stac_spark.operators.zstd import decode_zstd
+SHAPE = st.tuples(st.integers(1, 40), st.integers(1, 40))
 
 
-@st.composite
-def small_image(draw, max_side=70, dtypes=("uint8", "uint16")):
-    h = draw(st.integers(1, max_side))
-    w = draw(st.integers(1, max_side))
-    dt = np.dtype(draw(st.sampled_from(dtypes)))
-    seed = draw(st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+@given(shape=SHAPE, channels=st.sampled_from([3, 4]), seed=st.integers(0, 2**31))
+def test_webp_lossless_any_content(shape, channels, seed):
+    from odc_stac_spark.operators.webp import decode_webp, encode_webp
+
     rng = np.random.default_rng(seed)
-    hi = int(min(np.iinfo(dt).max, 4000)) + 1
-    smooth = draw(st.booleans())
-    if smooth:
-        img = ((np.add.outer(np.arange(h), np.arange(w)) * 3) % hi).astype(dt)
-    else:
-        img = rng.integers(0, hi, (h, w)).astype(dt)
-    return img
-
-
-@settings(max_examples=25, deadline=None)
-@given(img=small_image(), levels=st.integers(1, 4), cblk=st.sampled_from([8, 16, 32]))
-def test_jp2_lossless_roundtrip_property(img, levels, cblk):
-    blob = encode_jp2_codestream(img, levels=levels, cblk=cblk)
-    out = decode_jp2(blob)
-    np.testing.assert_array_equal(out[:, :, 0], img)
-
-
-@settings(max_examples=10, deadline=None)
-@given(
-    img=small_image(max_side=90),
-    ty=st.integers(17, 48),
-    tx=st.integers(17, 48),
-)
-def test_jp2_multitile_roundtrip_property(img, ty, tx):
-    blob = encode_jp2_codestream(img, levels=2, cblk=16, tile_size=(ty, tx))
-    np.testing.assert_array_equal(decode_jp2(blob)[:, :, 0], img)
-
-
-@settings(max_examples=25, deadline=None)
-@given(data=st.binary(min_size=0, max_size=20000), level=st.sampled_from([1, 3, 9]))
-def test_zstd_pyarrow_frames_property(data, level):
-    import pyarrow as pa
-
-    blob = bytes(pa.Codec("zstd", compression_level=level).compress(data))
-    assert decode_zstd(blob) == data
+    img = rng.integers(0, 256, shape + (channels,), dtype=np.uint8)
+    out = decode_webp(encode_webp(img))
+    assert out.shape == img.shape
+    assert (out == img).all()
 
 
 @settings(max_examples=15, deadline=None)
 @given(
-    seed=st.integers(0, 2**31 - 1),
-    h8=st.integers(1, 6),
-    w8=st.integers(1, 6),
+    shape=SHAPE,
+    seed=st.integers(0, 2**31),
+    cache_bits=st.sampled_from([0, 3, 8]),
+    predictor=st.one_of(st.none(), st.integers(0, 13)),
 )
-def test_jpeg_dc_exact_roundtrip_property(seed, h8, w8):
-    """Block-constant even-valued grayscale is exactly lossless through
-    baseline JPEG at quality 50 (the property the hash gates rely on)."""
+def test_webp_transform_matrix(shape, seed, cache_bits, predictor):
+    from odc_stac_spark.operators.webp import decode_webp, encode_webp
+
     rng = np.random.default_rng(seed)
-    blocks = (2 * rng.integers(0, 128, (h8, w8))).astype(np.uint8)
-    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-    out = decode_jpeg(encode_jpeg(img, quality=50))
-    np.testing.assert_array_equal(out[:, :, 0], img)
+    img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+    out = decode_webp(
+        encode_webp(img, cache_bits=cache_bits, predictor=predictor)
+    )
+    assert (out == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    shape=SHAPE,
+    ncolors=st.integers(2, 64),
+    seed=st.integers(0, 2**31),
+    interlace=st.booleans(),
+)
+def test_gif_palette_lossless(shape, ncolors, seed, interlace):
+    from odc_stac_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    pal[:, 0] = np.arange(ncolors)  # force distinct colors
+    img = pal[rng.integers(0, ncolors, shape)]
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    seed=st.integers(0, 2**31),
+    block=st.sampled_from([192, 576, 1000, 4096]),
+    amplitude=st.sampled_from([1, 100, 32767]),
+)
+def test_flac_lossless_any_signal(n, seed, block, amplitude):
+    from odc_stac_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-amplitude, amplitude + 1, n).astype(np.int16)
+    out, rate = decode_flac(encode_flac(s, rate=16000, block_size=block))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(shape=SHAPE, seed=st.integers(0, 2**31), q=st.sampled_from([40, 75, 95]))
+def test_progressive_jpeg_always_equals_baseline(shape, seed, q):
+    from odc_stac_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg(img, quality=q))
+    p = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+    np.testing.assert_array_equal(b, p)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    shape=SHAPE,
+    seed=st.integers(0, 2**31),
+    dtype=st.sampled_from(["float32", "float64"]),
+)
+def test_tiff_predictor3_bitexact(shape, seed, dtype, tmp_path_factory):
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.sources.geotiff import read_cog_file, write_cog_file
+
+    rng = np.random.default_rng(seed)
+    pix = rng.standard_normal(shape).astype(dtype)
+    pix[0, 0] = np.float32("nan") if dtype == "float32" else float("nan")
+    ny, nx = shape
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, ny * 10.0), "EPSG:32735")
+    p = str(tmp_path_factory.mktemp("p3") / "x.tif")
+    write_cog_file(p, pix, gbox, tile=32, compression="deflate", predictor=3,
+                   overview_levels=[])
+    got = read_cog_file(p)["data"]
+    # bit-exact incl. the NaN payload
+    np.testing.assert_array_equal(got.view("uint8"), pix.view("uint8"))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    mcs=st.integers(2, 8),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_lzw_roundtrip(n, mcs, seed):
+    from odc_stac_spark.operators.gif import lzw_decode_gif, lzw_encode_gif
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 1 << mcs, n).astype(np.uint8).tobytes()
+    assert lzw_decode_gif(lzw_encode_gif(idx, mcs), mcs) == idx
