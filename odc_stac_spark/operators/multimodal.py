@@ -661,7 +661,7 @@ def install_native_codecs() -> dict:
         engaged["image/jpeg"] = "turbojpeg"
     except Exception:  # noqa: BLE001 - probe only; lib absent or broken
         pass
-    try:  # Pillow: JPEG (if turbojpeg didn't take it) + PNG
+    try:  # Pillow: JPEG (if turbojpeg didn't take it) + the web formats
         import io as _io
 
         import PIL.Image as _PILImage
@@ -671,10 +671,27 @@ def install_native_codecs() -> dict:
             arr = np.asarray(img.convert("RGB" if img.mode not in ("L", "I;16") else "L"))
             return arr[:, :, None] if arr.ndim == 2 else arr
 
-        for mt in ("image/jpeg", "image/png", "image/bmp"):
+        for mt in (
+            "image/jpeg", "image/png", "image/bmp",
+            "image/webp", "image/gif", "image/x-icon",
+        ):
             if mt not in engaged:
                 register_decoder(mt, _pil_decode)
                 engaged[mt] = "pillow"
+    except Exception:  # noqa: BLE001
+        pass
+    try:  # soundfile (libsndfile): native FLAC/WAV decode
+        import io as _io2
+
+        import soundfile as _sf
+
+        def _sf_decode(data: bytes):
+            samples, rate = _sf.read(_io2.BytesIO(data), dtype="int16")
+            return samples, rate
+
+        for mt in ("audio/flac", "audio/wav"):
+            register_audio_decoder(mt, _sf_decode)
+            engaged[mt] = "soundfile"
     except Exception:  # noqa: BLE001
         pass
     return engaged

@@ -283,9 +283,11 @@ def test_install_native_codecs_engages_fake_pillow(monkeypatch):
     try:
         engaged = mm.install_native_codecs()
         assert engaged == {
-            "image/jpeg": "pillow",
-            "image/png": "pillow",
-            "image/bmp": "pillow",
+            mt: "pillow"
+            for mt in (
+                "image/jpeg", "image/png", "image/bmp",
+                "image/webp", "image/gif", "image/x-icon",
+            )
         }
         out = mm.decode_image(b"\xff\xd8fake", "image/jpeg")
         assert out.shape == (4, 6, 1) and out.dtype == np.uint8
