@@ -329,8 +329,7 @@ def encode_gif(
             raise ValueError("transparent_color not present in any frame")
         tr_idx = int(hit[0])
     depth = max(1, int(len(palette) - 1).bit_length())
-    gct_size = max(2, 1 << depth)  # table length must be a power of two ≥ 4? spec: 2^(n+1)
-    # spec stores 2^(n+1) entries, n in 0..7 → minimum table of 2
+    # the table stores 2^(n_field+1) entries, n_field in 0..7
     n_field = max(0, depth - 1)
     gct_size = 2 << n_field
     out = bytearray(b"GIF89a")
