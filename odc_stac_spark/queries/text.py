@@ -471,3 +471,108 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"check": "unique", "column": "doc_id"},
         ],
     )
+
+
+@register(
+    "text_repetition_filter",
+    # Gopher-style repetition rules (Rae et al. 2021, Table A1): fraction
+    # of tokens inside the single most frequent 2-/3-gram, and the
+    # fraction of 5-gram instances whose exact text recurs in the doc.
+    # Windows mirror text_substring_dedup's slice convention.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, n.n,
+             array_to_string(list_slice(t, s.s + 1, s.s + n.n), ' ') AS g
+      FROM toks
+      CROSS JOIN (SELECT UNNEST([2, 3, 5]) AS n) n
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(0, n_tokens - n.n)) AS s
+      ) s
+      WHERE n_tokens >= n.n
+    ),
+    counts AS (
+      SELECT doc_id, n_tokens, n, g, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, n_tokens, n, g
+    ),
+    top AS (
+      SELECT doc_id, n_tokens,
+             MAX(CASE WHEN n = 2 THEN c END) AS top2,
+             MAX(CASE WHEN n = 3 THEN c END) AS top3,
+             CAST(SUM(CASE WHEN n = 5 AND c >= 2 THEN c ELSE 0 END)
+                  AS BIGINT) AS dup5,
+             CAST(SUM(CASE WHEN n = 5 THEN c ELSE 0 END) AS BIGINT)
+                 AS tot5
+      FROM counts GROUP BY doc_id, n_tokens
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(top2 * 2.0 / n_tokens, 6) AS top_bigram_frac,
+           ROUND(top3 * 3.0 / n_tokens, 6) AS top_trigram_frac,
+           ROUND(dup5 * 1.0 / tot5, 6) AS dup_fivegram_frac,
+           CAST(
+             top2 * 2.0 / n_tokens > 0.20
+             OR top3 * 3.0 / n_tokens > 0.18
+             OR dup5 * 1.0 / tot5 > 0.30
+             AS BOOLEAN
+           ) AS would_filter
+    FROM top
+    WHERE tot5 > 0
+    """,
+    doc="Gopher-style REPETITION filters (Rae et al. 2021 — the "
+    "production cleaning rules between exact and fuzzy dedup): per "
+    "document, the token fraction covered by the single most frequent "
+    "2-/3-gram and the fraction of 5-gram instances whose exact text "
+    "recurs, thresholded into a filter verdict. Pure JVM expressions: "
+    "one posexplode per n over the token arrays, two aggregations "
+    "(per-gram counts → per-doc max/sums) — at 100 TB this is the "
+    "text_substring_dedup shuffle shape with per-DOC keys, so "
+    "partial aggregation absorbs almost everything map-side.",
+    tags=("text", "quality", "llm"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("bigint"))
+    grams = None
+    for n in (2, 3, 5):
+        g = toks.where(F.col("n_tokens") >= n).select(
+            "doc_id",
+            "n_tokens",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int")),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+                )
+            ).alias("g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy("doc_id", "n_tokens", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = counts.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+        F.max(F.when(F.col("n") == 3, F.col("c"))).alias("top3"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("c")).otherwise(0)
+        ).cast("bigint").alias("dup5"),
+        F.sum(F.when(F.col("n") == 5, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("tot5"),
+    )
+    top2f = F.col("top2") * 2.0 / F.col("n_tokens")
+    top3f = F.col("top3") * 3.0 / F.col("n_tokens")
+    dup5f = F.col("dup5") * 1.0 / F.col("tot5")
+    return top.where(F.col("tot5") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.round(top2f, 6).alias("top_bigram_frac"),
+        F.round(top3f, 6).alias("top_trigram_frac"),
+        F.round(dup5f, 6).alias("dup_fivegram_frac"),
+        ((top2f > 0.20) | (top3f > 0.18) | (dup5f > 0.30)).alias("would_filter"),
+    )

@@ -75,3 +75,42 @@ def test_substring_dedup_no_python_udfs(spark, sf_dir):
     df = REGISTRY["text_substring_dedup"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_filter_hand_built(spark, tmp_path):
+    """Gopher repetition fractions on a corpus with known structure."""
+    import pandas as pd
+
+    docs = [
+        # doc 0: "a b" repeated 10× → top bigram "a b" ×10 of 19 bigrams,
+        # covering 20/20 tokens; heavy 5-gram repetition too
+        (0, " ".join(["a", "b"] * 10)),
+        # doc 1: 30 distinct tokens → no repetition at all
+        (1, " ".join(f"w{i}" for i in range(30))),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    from odc_stac_spark.queries import load_all
+
+    out = (
+        load_all()["text_repetition_filter"]
+        .spark_fn(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 0: top bigram count 10 → 10*2/20 = 1.0; every 5-gram duplicated
+    assert abs(out.loc[0, "top_bigram_frac"] - 1.0) < 1e-9
+    assert abs(out.loc[0, "dup_fivegram_frac"] - 1.0) < 1e-9
+    assert bool(out.loc[0, "would_filter"])
+    # doc 1: all counts 1 → top fracs = n/n_tokens, no dup 5-grams
+    assert abs(out.loc[1, "top_bigram_frac"] - 2 / 30) < 1e-6  # ROUND(.,6)
+    assert out.loc[1, "dup_fivegram_frac"] == 0.0
+    assert not bool(out.loc[1, "would_filter"])
