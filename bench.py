@@ -109,7 +109,27 @@ def main() -> None:
         sys.path.insert(0, os.path.join(REPO, "tools"))
         from make_sf import make_sf  # noqa: E402
 
-        sf1_dir = os.path.join(tempfile.gettempdir(), "spark_graft_sf1")
+        # cache key = fingerprint of the SOURCE parquet (name/size/mtime)
+        # + make_sf.py itself, so a stale replica from an older source or
+        # generator can never silently skew the scale numbers (ADVICE r7)
+        import glob
+        import hashlib
+        import shutil
+
+        fph = hashlib.sha256()
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                fph.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+        with open(os.path.join(REPO, "tools", "make_sf.py"), "rb") as fh:
+            fph.update(fh.read())
+        fp = fph.hexdigest()[:16]
+        sf1_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_sf1_{fp}")
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), "spark_graft_sf1*")
+        ):
+            if stale != sf1_dir:
+                shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
             make_sf(sf_dir, sf1_dir, 10)
         for name in HEADLINE:

@@ -370,7 +370,9 @@ def decode_ico(data: bytes) -> np.ndarray:
     # (XOR pixels + AND mask); rebuild a plain BMP with the true height
     hdr_size, bw, bh2, planes, bppx, comp = struct.unpack_from("<IiiHHI", body, 0)
     patched = bytearray(body)
-    struct.pack_into("<i", patched, 8, bh2 // 2 if bh2 > 0 else bh2)
+    # height is DOUBLED regardless of sign; a negative (top-down) fragment
+    # must halve the magnitude too or the AND mask decodes as pixel rows
+    struct.pack_into("<i", patched, 8, bh2 // 2 if bh2 > 0 else -((-bh2) // 2))
     pal_entries = (
         (struct.unpack_from("<I", body, 32)[0] or 256) if bppx == 8 else 0
     )

@@ -33,18 +33,52 @@ def partition_local_topk(
     under ``order`` ([(column, ascending), ...]) — stage 1 of a
     two-stage top-k. Schema is unchanged; follow with the usual global
     ranking window (which must use the SAME ordering, with enough
-    tie-break columns to be total, or the subset property fails)."""
+    tie-break columns to be total, or the subset property fails).
+
+    Null semantics (they differ between pandas and Spark, and a silent
+    mismatch breaks the subset property):
+
+    - null GROUP KEYS are kept (``dropna=False``) — a Spark window
+      treats a null key as a real partition, so stage 1 must too;
+    - null ORDER values are placed where Spark's default window ordering
+      puts them (asc → nulls first, desc → nulls last).  pandas can only
+      express one ``na_position`` per sort call, so a MIXED-direction
+      ordering whose order columns contain nulls raises ``ValueError``
+      rather than silently dropping candidates;
+    - float order columns must not contain NaN: Arrow→pandas folds NULL
+      and NaN together there, while Spark orders NaN greatest — the
+      caller must pre-filter (every current call site orders by computed
+      finite distances, so this costs nothing).
+    """
     cols: List[str] = [c for c, _ in order]
     asc: List[bool] = [a for _, a in order]
     keys = list(keys)
     schema = df.schema
+    if all(asc):
+        na_position = "first"  # Spark: ASC NULLS FIRST
+    elif not any(asc):
+        na_position = "last"  # Spark: DESC NULLS LAST
+    else:
+        na_position = None  # mixed: only valid if order cols are null-free
 
     def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
+                if na_position is None:
+                    if pdf[cols].isna().any().any():
+                        raise ValueError(
+                            "partition_local_topk: mixed asc/desc ordering "
+                            f"over {cols} with null order values — pandas "
+                            "cannot reproduce Spark's per-direction null "
+                            "placement; pre-filter nulls or use a "
+                            "homogeneous ordering"
+                        )
+                    pos = "last"
+                else:
+                    pos = na_position
                 yield (
-                    pdf.sort_values(cols, ascending=asc, kind="mergesort")
-                    .groupby(keys, sort=False)
+                    pdf.sort_values(cols, ascending=asc, kind="mergesort", na_position=pos)
+                    .groupby(keys, sort=False, dropna=False)
                     .head(k)
                 )
 

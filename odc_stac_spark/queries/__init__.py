@@ -87,13 +87,17 @@ def load_all() -> dict[str, Query]:
     verified: set = set()
     needs_recheck: set = set()
     hash_passed: set = set()
+    last_pass: dict = {}  # name -> latest round with a passing row
     try:
         import glob as _glob
         import json as _json
         import os as _os
+        import re as _re
 
         root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
         for f in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+            m = _re.search(r"_r(\d+)\.json$", f)
+            rnd = int(m.group(1)) if m else 0
             with open(f) as fh:
                 for name, rec in _json.load(fh).items():
                     if not isinstance(rec, dict):
@@ -104,7 +108,11 @@ def load_all() -> dict[str, Query]:
                     ok = rec.get("hash_match") is True or (
                         rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
                     )
-                    (verified if ok else needs_recheck).add(name)
+                    if ok:
+                        verified.add(name)
+                        last_pass[name] = max(rnd, last_pass.get(name, 0))
+                    else:
+                        needs_recheck.add(name)
         needs_recheck -= verified  # any later passing row supersedes a failure
         # oracle-strengthened: the registration now carries a SQL oracle but
         # every passing row so far was rows-only — re-check to earn the
@@ -138,7 +146,17 @@ def load_all() -> dict[str, Query]:
     recheck = {k: REGISTRY[k] for k in sorted(needs_recheck) if k in REGISTRY}
     fresh = {k: REGISTRY[k] for k in priority if k in REGISTRY and k not in verified and k not in recheck}
     fresh.update({k: v for k, v in REGISTRY.items() if k not in verified and k not in recheck})
-    seen = {k: v for k, v in REGISTRY.items() if k in verified}
+    # STALENESS-ordered tail (VERDICT r7 #5): verified names are re-offered
+    # oldest-pass FIRST, so once the recheck/fresh blocks drain, the
+    # driver's window continuously re-validates the longest-unchecked
+    # queries instead of re-reading the same prefix every round.
+    seen = {
+        k: REGISTRY[k]
+        for k in sorted(
+            (k for k in REGISTRY if k in verified),
+            key=lambda k: (last_pass.get(k, 0), k),
+        )
+    }
     REGISTRY.clear()
     REGISTRY.update(recheck)  # failed/errored rows lead the window
     REGISTRY.update(fresh)

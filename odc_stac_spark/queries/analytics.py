@@ -528,6 +528,23 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
         F.count_distinct("user_id").alias("exact_daily"),
     )
+    # Executable guard for the hash gate's precondition (ADVICE r7): the
+    # estimate==exact identity only holds while every merged sketch stays
+    # in the sparse coupon regime. 300 distinct/group keeps the lgK=14
+    # sketch in coupon SET mode (promotion at k/4 = 4096) with a 26-bit
+    # coupon-collision probability < 0.1%, and sf0.01 peaks at ~150 — so
+    # a scale-factor change fails LOUDLY here instead of surfacing as a
+    # confusing value-hash mismatch. assert_true returns NULL on success,
+    # so the guarded column's value is unchanged.
+    sparse_guard = F.assert_true(
+        F.col("exact_weekly_users") <= F.lit(300),
+        F.lit(
+            "sketch_hll_rollup hash gate ran outside the sparse-exact HLL "
+            "regime (per-group distinct > 300): the estimate is no longer "
+            "SQL-reproducible — gate at a smaller scale factor or relax "
+            "the oracle to the pytest error-bound check"
+        ),
+    )
     return (
         daily.groupBy("event_type", "week")
         .agg(
@@ -545,7 +562,9 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.date_format("week", "yyyy-MM-dd").alias("week_start"),
-            "approx_weekly_users",
+            F.when(sparse_guard.isNull(), F.col("approx_weekly_users")).alias(
+                "approx_weekly_users"
+            ),
             "exact_weekly_users",
             "sum_daily_exact",
         )

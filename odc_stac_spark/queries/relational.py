@@ -4,8 +4,13 @@ The reference has no general relational layer; the engine gets joins, set
 ops, windows, rollups from Spark. Each query here is written the way it
 should run at 100 TB:
 
-- dimension joins carry an explicit ``broadcast()`` hint (region/nation/
-  supplier/part stay tiny at every scale factor);
+- only genuinely scale-invariant dims (region/nation: 5 and 25 rows at
+  every scale factor) and single-row/driver-bounded aggregates carry an
+  explicit ``broadcast()`` hint.  customer/supplier/part GROW with the
+  scale factor, so they get NO hint: an explicit hint overrides
+  ``spark.sql.autoBroadcastJoinThreshold`` and would OOM at 100 TB,
+  whereas AQE still picks a broadcast-hash join on its own whenever the
+  built side is actually small (plan-asserted in tests/test_plans.py);
 - fact-fact joins (orders ⋈ lineitem) are plain equi-joins on the natural
   key so they shuffle-hash/sort-merge on co-partitioned keys and AQE can
   split skew;
@@ -73,8 +78,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # TPC-H Q3 style: selective dim filter → fact join → grouped top-k.
-# customer is small → broadcast into orders; orders⋈lineitem shuffles on
-# orderkey (the join key both sides are naturally clustered by).
+# customer joins unhinted (AQE broadcasts it while it fits, demotes to
+# sort-merge at scale); orders⋈lineitem shuffles on orderkey (the join
+# key both sides are naturally clustered by).
 # --------------------------------------------------------------------------
 @register(
     "q3_shipping_priority",
@@ -105,7 +111,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -119,9 +125,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q5 style: 5-way join through the dimension chain. region→nation→
-# customer/supplier are broadcast; the c_nationkey = s_nationkey "local
-# supplier" condition rides on the lineitem join.
+# TPC-H Q5 style: 5-way join through the dimension chain. region/nation
+# are hint-broadcast (scale-invariant); customer/supplier join unhinted so
+# AQE sizes them; the c_nationkey = s_nationkey "local supplier"
+# condition rides on the lineitem join.
 # --------------------------------------------------------------------------
 @register(
     "q5_local_supplier_volume",
@@ -154,9 +161,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -279,7 +286,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     joined = (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
     )

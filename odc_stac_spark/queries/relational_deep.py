@@ -100,8 +100,8 @@ def q7_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("cust_nation") == "NATION_1")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(broadcast(nc), c.c_nationkey == F.col("nc_key"))
         .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
         .where(pair)
@@ -154,12 +154,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(nc), c.c_nationkey == F.col("nc_key"))
         .join(broadcast(r), F.col("nc_region") == r.r_regionkey)
-        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -201,8 +201,8 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
-        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
@@ -341,7 +341,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(broadcast(best))
         .where(F.col("total_revenue") == F.col("best_rev"))
-        .join(broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -366,7 +366,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
     )
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -394,7 +394,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thresh")
     )
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avgq, li.l_partkey == F.col("ap"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -434,7 +434,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.round(
@@ -471,7 +471,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q20 shape (partsupp-free): suppliers who moved more than "
     "a tenth of the total volume of a filtered part — nested IN subquery over "
     "a grouped HAVING with a correlated scalar aggregate, decorrelated "
-    "into two aggregations + a broadcast semi-join.",
+    "into two aggregations + a semi-join (unhinted; AQE sizes the build side).",
     tags=("relational", "subquery", "join"),
 )
 def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +483,7 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     shipped = (
-        in_window.join(broadcast(p), in_window.l_partkey == p.p_partkey)
+        in_window.join(p, in_window.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -498,7 +498,7 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .distinct()
     )
-    return s.join(broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+    return s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
         "s_suppkey", "s_name"
     )
 
@@ -547,7 +547,7 @@ def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        anti.join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        anti.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

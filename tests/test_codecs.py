@@ -617,6 +617,30 @@ def test_ico_png_and_bmp_entries():
         decode_ico(b"\x00\x00\x02\x00junk")
 
 
+def test_ico_top_down_bmp_fragment():
+    # negative (top-down) fragment height is ALSO doubled; the patch must
+    # halve its magnitude or the AND mask decodes as pixel rows
+    from odc_stac_spark.operators.codecs import decode_ico
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    frag_px = img[:, :, ::-1]  # top-down: rows in natural order, BGR
+    pad = (-3 * 13) % 4
+    rows = np.zeros((10, 3 * 13 + pad), np.uint8)
+    rows[:, : 3 * 13] = frag_px.reshape(10, -1)
+    and_stride = ((13 + 31) // 32) * 4
+    frag = (
+        struct.pack("<IiiHHI", 40, 13, -20, 1, 24, 0) + b"\x00" * 20
+        + rows.tobytes() + b"\x00" * (and_stride * 10)
+    )
+    ico = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([13, 10, 0, 0]) + struct.pack("<HHII", 1, 24, len(frag), 22)
+        + frag
+    )
+    np.testing.assert_array_equal(decode_ico(ico), img)
+
+
 def test_ico_through_decoder_seam():
     from odc_stac_spark.operators.codecs import encode_png
     from odc_stac_spark.operators.multimodal import DECODERS

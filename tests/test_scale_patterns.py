@@ -39,6 +39,42 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
+    """customer/supplier/part grow with the scale factor, so their joins
+    must carry NO explicit broadcast() hint: a hint overrides
+    autoBroadcastJoinThreshold and would OOM at 100 TB, while AQE still
+    broadcasts them on its own at small scale (previous test).
+
+    A forced hint broadcasts even when the threshold forbids it — so with
+    the threshold set to -1, any surviving BroadcastHashJoin must come
+    from a deliberate hint on a scale-invariant dim (nation/region) or a
+    driver-bounded aggregate, never from customer/supplier/part."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # q3 joins lineitem⋈orders⋈customer with no tiny dims at all:
+        # with the threshold off, nothing may broadcast.
+        plan = _executed_plan(REGISTRY["q3_shipping_priority"].spark_fn(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan
+        # q7 hints exactly its two nation aliases; customer/supplier demote.
+        plan = _executed_plan(REGISTRY["q7_nation_pair_volume"].spark_fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == 2
+        # q9 hints nothing but nation; part/supplier/orders demote.
+        plan = _executed_plan(REGISTRY["q9_product_type_profit"].spark_fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     """Co-located fact-fact join: both sides bucketed by the join key →
     SortMergeJoin with NO Exchange (at 100 TB this is the difference

@@ -73,3 +73,65 @@ def test_ties_break_identically(spark):
         .orderBy("rn").collect()
     )
     assert got == want
+
+
+def test_null_group_keys_kept(spark):
+    # pandas groupby default dropna=True would silently discard the null
+    # key's candidates; Spark windows partition nulls as a real key.
+    rows = [(None if i % 3 == 0 else i % 3, i, float(i)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id long, score double"
+    ).repartition(4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    local = partition_local_topk(
+        df, ["query_id"], [("score", False), ("neighbor_id", True)], 5
+    )
+
+    def rank(d):
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 5")
+            .orderBy(F.asc_nulls_first("query_id"), "rn")
+            .collect()
+        )
+
+    assert rank(local) == rank(df)
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_null_order_values_match_spark_default(spark, ascending):
+    # string order column keeps None distinct through Arrow; Spark default
+    # is ASC NULLS FIRST / DESC NULLS LAST and stage 1 must agree.
+    rows = [
+        (i % 4, i, None if i % 7 == 0 else f"s{i:04d}") for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id long, label string"
+    ).repartition(4)
+    direction = F.asc("label") if ascending else F.desc("label")
+    w = Window.partitionBy("query_id").orderBy(direction, F.asc("neighbor_id"))
+    local = partition_local_topk(
+        df, ["query_id"], [("label", ascending), ("neighbor_id", True)], 4
+    )
+
+    def rank(d):
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 4")
+            .orderBy("query_id", "rn")
+            .collect()
+        )
+
+    assert rank(local) == rank(df)
+
+
+def test_mixed_ordering_with_null_order_values_raises(spark):
+    rows = [(i % 2, i, None if i == 5 else f"x{i}", float(i)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id long, label string, score double"
+    ).repartition(2)
+    local = partition_local_topk(
+        df, ["query_id"], [("label", True), ("score", False)], 3
+    )
+    with pytest.raises(Exception, match="mixed asc/desc ordering"):
+        local.collect()
