@@ -2245,8 +2245,12 @@ def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) 
 def read_jp2_header(path: str) -> dict:
     """Seek-based marker walk → decode params + tile byte spans. Tile
     bodies are skipped via Psot, never read — header cost is O(markers),
-    independent of file size."""
-    with open(path, "rb") as f:
+    independent of file size. ``path`` may be any rangeio-supported URL
+    (local/http(s)/s3): the marker walk coalesces into a few ranged
+    GETs through the block-cached RangeFile."""
+    from ..sources.rangeio import range_open
+
+    with range_open(path) as f:
         head = f.read(64 * 1024)
         if head[:2] == b"\xff\x4f":
             cs_off = 0
@@ -2331,9 +2335,9 @@ def read_jp2_tile(
     if span is None:
         raise KeyError(f"tile {isot} not in codestream")
     _, b0, b1 = span
-    with open(path, "rb") as f:
-        f.seek(b0)
-        tdata = f.read(b1 - b0)
+    from ..sources.rangeio import fetch_range
+
+    tdata = fetch_range(path, b0, b1 - b0)
     ty0, tx0, th, tw = _tile_geometry(hdr, isot)
     mr = hdr["levels"] if max_res is None else max_res
     out = _decode_tile_reduced(tdata, th, tw, hdr, mr, t_origin=(ty0, tx0))

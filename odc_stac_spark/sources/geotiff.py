@@ -842,8 +842,12 @@ def read_cog_header(path: str) -> Dict:
     covers typical headers, extended if needed). Handles classic TIFF
     (version 42, 32-bit offsets) and BigTIFF (version 43, 64-bit offsets —
     what GDAL writes for >4 GiB COGs). Returns per-level tile layout + geo
-    tags, no pixel bytes."""
-    with open(path, "rb") as f:
+    tags, no pixel bytes. ``path`` may be a local path or any
+    rangeio-supported URL (http(s)/s3) — the head fetch becomes ranged
+    GETs (reference: GDAL VSI curl reads, loader/_rio.py:374-475)."""
+    from .rangeio import range_open
+
+    with range_open(path) as f:
         buf = f.read(65536)
 
         def ensure(n):
@@ -1028,9 +1032,9 @@ def read_cog_tile(
         return np.stack(planes, axis=-1)
     off = lv["offsets"][tile_idx]
     cnt = lv["bytecounts"][tile_idx]
-    with open(path, "rb") as f:
-        f.seek(off)
-        raw = f.read(cnt)
+    from .rangeio import fetch_range
+
+    raw = fetch_range(path, off, cnt)
     comp = lv.get("compression", 1)
     dt = np.dtype(lv["dtype"])
     th, tw = lv["tile_h"], lv["tile_w"]

@@ -351,8 +351,14 @@ def write_hdf5(
 
 
 class _R:
+    """Positioned-read handle; ``path`` may be a local path or any
+    rangeio URL — the superblock/B-tree walk's many small reads coalesce
+    through the block-cached RangeFile over http(s)/s3."""
+
     def __init__(self, path: str) -> None:
-        self.f = open(path, "rb")
+        from .rangeio import range_open
+
+        self.f = range_open(path)
 
     def read_at(self, off: int, n: int) -> bytes:
         self.f.seek(off)

@@ -264,8 +264,11 @@ def _parse_attrs(c: _Cursor) -> dict:
 
 
 def read_netcdf_header(path: str) -> dict:
-    """Parse the classic header (reads at most the header bytes + slack)."""
-    with open(path, "rb") as f:
+    """Parse the classic header (reads at most the header bytes + slack).
+    ``path`` may be a local path or any rangeio URL (http(s)/s3)."""
+    from .rangeio import range_open
+
+    with range_open(path) as f:
         probe = f.read(8192)
         if probe[:8] == b"\x89HDF\r\n\x1a\n":
             # netCDF-4: dispatch to the in-house HDF5 reader (sources/hdf5.py)
@@ -390,7 +393,9 @@ def read_netcdf_var(path: str, hdr: dict, name: str, sel: Optional[tuple] = None
 
     import itertools
 
-    with open(path, "rb") as f:
+    from .rangeio import range_open
+
+    with range_open(path) as f:
         if not len(shape):  # scalar variable
             f.seek(v["begin"])
             return np.frombuffer(f.read(item), dt)[0]
