@@ -41,13 +41,15 @@ from .plans.load import (
 )
 from .session import get_spark
 from .sources.aws import configure_rio, configure_s3_access
-from .sources.eo3 import stac2ds
+from .sources.eo3 import infer_dc_product, mk_sample_item, stac2ds
 from .sources.stac_items import (
     extract_collection_metadata,
     items_df,
+    parse_item,
     parse_items,
     patch_urls_df,
 )
+from .sources.stac_search import StacSearchClient, search_items
 
 # reference public-API parity (odc/stac/__init__.py:20-36): `load` is also
 # exported as `stac_load`; `output_geobox` (plans/load.py) resolves the
@@ -67,18 +69,23 @@ __all__ = [
     "RasterSource",
     "configure_rio",
     "configure_s3_access",
+    "StacSearchClient",
     "extract_collection_metadata",
     "get_spark",
+    "infer_dc_product",
     "items_df",
     "load",
     "load_from_catalog",
     "load_from_sources",
+    "mk_sample_item",
     "output_geobox",
+    "parse_item",
     "parse_items",
     "patch_urls",
     "patch_urls_df",
     "plan_load",
     "plan_load_df",
+    "search_items",
     "stac2ds",
     "stac_load",
     "__version__",

@@ -144,3 +144,84 @@ def stac2ds(parsed: DataFrame) -> DataFrame:
         F.col("cid").alias("collection"),
         doc.alias("doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product inference (reference eo3/_eo3converter.py:63-122, 328-347)
+
+
+def mk_sample_item(collection: dict) -> dict:
+    """STAC Collection dict → a synthetic sample item carrying the
+    collection's ``item_assets`` definitions (reference ``mk_sample_item``,
+    _mdtools.py:445-468: requires the ItemAssets extension; asset hrefs
+    are empty — only the band metadata matters for product inference)."""
+    item_assets = collection.get("item_assets")
+    if item_assets is None:
+        raise ValueError(
+            "This only works on Collections with ItemAssets extension"
+        )
+    return {
+        "type": "Feature",
+        "stac_version": collection.get("stac_version", "1.0.0"),
+        "stac_extensions": collection.get("stac_extensions", []),
+        "id": "sample",
+        "collection": collection.get("id"),
+        "properties": {"datetime": "2020-01-01T00:00:00Z"},
+        "geometry": None,
+        "links": [],
+        "assets": {
+            name: {"href": "", **asset} for name, asset in item_assets.items()
+        },
+    }
+
+
+def infer_dc_product(spark, doc: dict, cfg=None) -> dict:
+    """Datacube product document inferred from a sample STAC Item dict or
+    a STAC Collection dict (reference ``infer_dc_product``,
+    eo3/_eo3converter.py:102-122 item form, :328-347 collection form via
+    ``mk_sample_item``). Returns the eo3 product doc as a plain dict:
+    ``{name, metadata_type, metadata, measurements:[{name, dtype, nodata,
+    units, aliases?, band?}]}`` — the reference wraps the same doc in a
+    ``datacube`` DatasetType, a dependency this engine doesn't take.
+
+    Runs through the SAME ``extract_collection_metadata`` aggregation as
+    the at-scale path (one code path, no drift)."""
+    from .stac_items import extract_collection_metadata, stac_dicts_to_items
+
+    if doc.get("type") == "Collection" or (
+        "item_assets" in doc and "properties" not in doc
+    ):
+        return infer_dc_product(spark, mk_sample_item(doc), cfg)
+    items = stac_dicts_to_items(spark, [doc])
+    mds = extract_collection_metadata(spark, items, cfg)
+    if not mds:
+        raise ValueError(f"item {doc.get('id')!r} has no raster data assets")
+    (md,) = mds.values()
+
+    # unique alias map: alias → its winning candidate only (the reference
+    # drops ambiguous aliases, band_aliases(unique=True), model.py)
+    band_aliases = {}
+    for alias, candidates in md.aliases.items():
+        if candidates:
+            band_aliases.setdefault(tuple(candidates[0]), []).append(alias)
+
+    measurements = []
+    for (name, idx), band in sorted(md.bands.items()):
+        m = {
+            "name": f"{name}_{idx}" if idx > 1 else name,
+            "dtype": band.data_type,
+            "nodata": band.nodata,
+            "units": band.unit,
+        }
+        aliases = band_aliases.get((name, idx))
+        if aliases:
+            m["aliases"] = sorted(aliases)
+        if idx > 1:
+            m["band"] = idx
+        measurements.append(m)
+    return {
+        "name": md.name,
+        "metadata_type": "eo3",
+        "metadata": {"product": {"name": md.name}},
+        "measurements": measurements,
+    }

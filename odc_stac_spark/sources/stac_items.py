@@ -710,6 +710,22 @@ def patch_urls_df(
     return parsed.withColumn("href", new_href)
 
 
+def parse_item(spark: SparkSession, doc: dict, cfg: Optional[dict] = None):
+    """S2, singular: ONE raw STAC item dict → one ``plans.load.Item``
+    (public-API parity with the reference's ``parse_item``,
+    odc/stac/__init__.py:20-36 / _mdtools.py singular form). Runs the
+    exact same column pipeline as the at-scale path
+    (``stac_dicts_to_items`` → ``parse_items``), so singular and
+    distributed parses can never drift."""
+    parsed = parse_items(spark, stac_dicts_to_items(spark, [doc]), cfg=cfg)
+    items = to_load_items(parsed)
+    if not items:
+        raise ValueError(
+            f"item {doc.get('id')!r} has no raster data assets after filtering"
+        )
+    return items[0]
+
+
 def to_load_items(parsed: DataFrame, band: Optional[Sequence[str]] = None) -> List:
     """Driver-side bridge: parsed rows → plans.load.Item list (small AOIs;
     the pixel pipeline consumes the DataFrame form directly at scale)."""
