@@ -45,8 +45,13 @@ actually need for LOSSLESS data, from the public spec:
   sizes (the common Kakadu emission); COC forms that would change the
   band structure (levels/transform/style/precincts) refuse loudly.
 
-Out-of-profile features are REFUSED loudly, never mis-decoded:
-code-block style flags (bypass/reset/termination/segmentation).
+- **Selective arithmetic bypass** (D.5, code-block style 0x01): SPP/MRP
+  passes from pass 10 raw-coded, terminated codeword segments with
+  multi-length packet headers (B.10.7.2) — the common Kakadu emission.
+
+Out-of-profile features are REFUSED loudly, never mis-decoded: the
+remaining code-block style flags (reset/termall/causal/predictable-
+termination/segmentation-symbols), bypass with >1 quality layer.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -98,15 +103,19 @@ def _init_ctx() -> Tuple[List[int], List[int]]:
 
 
 class MQEncoder:
-    """T.800 C.2 software-conventions encoder."""
+    """T.800 C.2 software-conventions encoder.
 
-    def __init__(self) -> None:
+    ``ctx`` carries (idx, mps) state in from a previous codeword segment:
+    selective-bypass terminations (D.5) end a segment but context states
+    persist across it unless the RESET style bit asks otherwise."""
+
+    def __init__(self, ctx: Optional[Tuple[List[int], List[int]]] = None) -> None:
         self.a = 0x8000
         self.c = 0
         self.ct = 12
         self.b: Optional[int] = None  # pending byte
         self.out = bytearray()
-        self.idx, self.mps = _init_ctx()
+        self.idx, self.mps = ctx if ctx is not None else _init_ctx()
 
     def encode(self, d: int, cx: int) -> None:
         qe, nmps, nlps, switch = _QE[self.idx[cx]]
@@ -182,9 +191,13 @@ class MQEncoder:
 
 
 class MQDecoder:
-    """T.800 C.3 software-conventions decoder."""
+    """T.800 C.3 software-conventions decoder. ``ctx`` carries (idx, mps)
+    in from a previous codeword segment (bypass terminations preserve
+    context state, D.5)."""
 
-    def __init__(self, data: bytes) -> None:
+    def __init__(
+        self, data: bytes, ctx: Optional[Tuple[List[int], List[int]]] = None
+    ) -> None:
         self.data = data
         self.bp = 0
         b0 = data[0] if data else 0xFF
@@ -193,7 +206,7 @@ class MQDecoder:
         self.c <<= 7
         self.ct -= 7
         self.a = 0x8000
-        self.idx, self.mps = _init_ctx()
+        self.idx, self.mps = ctx if ctx is not None else _init_ctx()
 
     def _bytein(self) -> None:
         d = self.data
@@ -454,15 +467,103 @@ class _BlockCoder:
                     yield (y + 1) * W + (x + 1), y, x
 
 
-def encode_block(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
+def _bypass_segment_spans(npasses: int) -> List[Tuple[int, int]]:
+    """Codeword-segment pass spans under SELECTIVE ARITHMETIC BYPASS
+    (T.800 D.5, code-block style bit 0x01, no TERMALL): absolute pass k
+    is CP at k=0 then (SPP, MRP, CP) triples, so k%3 → 1:SPP 2:MRP 0:CP.
+    Raw coding applies to SPP/MRP passes with k ≥ 10 — exactly the SPP
+    of the 5th-significant bitplane — and the coder terminates at every
+    raw↔MQ switch: segments are [0,10), then ([10+3t,12+3t) raw,
+    [12+3t,13+3t) MQ) for t = 0, 1, …"""
+    if npasses <= 10:
+        return [(0, npasses)]
+    spans = [(0, 10)]
+    k = 10
+    while k < npasses:
+        spans.append((k, min(k + 2, npasses)))  # raw: SPP + MRP
+        k += 2
+        if k < npasses:
+            spans.append((k, k + 1))  # MQ: cleanup
+            k += 1
+    return spans
+
+
+class _RawBitWriter:
+    """D.4 raw (bypass) codeword emitter: bits MSB-first; after a 0xFF
+    byte the next byte carries only 7 bits (its MSB is a stuffed 0).
+    ``flush`` zero-pads the final byte and guarantees the terminated
+    segment does not end in 0xFF."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.bits = 0
+        self.cap = 8
+
+    def put(self, bit: int) -> None:
+        self.cur = (self.cur << 1) | (bit & 1)
+        self.bits += 1
+        if self.bits == self.cap:
+            self.out.append(self.cur)
+            self.cap = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.bits = 0
+
+    def flush(self) -> bytes:
+        if self.bits:
+            self.out.append(self.cur << (self.cap - self.bits))
+        elif self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        b = bytes(self.out)
+        self.out = bytearray()
+        self.cur = 0
+        self.bits = 0
+        self.cap = 8
+        return b
+
+
+class _RawBitReader:
+    """Inverse of :class:`_RawBitWriter`; reads 0s past the end."""
+
+    def __init__(self, data: bytes) -> None:
+        self.buf = data
+        self.pos = 0
+        self.cur = 0
+        self.bits = 0
+        self.last = 0
+
+    def get(self) -> int:
+        if self.bits == 0:
+            b = self.buf[self.pos] if self.pos < len(self.buf) else 0
+            self.pos += 1
+            if self.last == 0xFF:  # stuffed MSB
+                self.cur = b & 0x7F
+                self.bits = 7
+            else:
+                self.cur = b
+                self.bits = 8
+            self.last = b
+        self.bits -= 1
+        return (self.cur >> self.bits) & 1
+
+
+def encode_block(
+    coefs: np.ndarray, band: str, bypass: bool = False
+) -> Tuple[object, int, int]:
     """Code one block losslessly → (mq bytes, n_passes, n_bitplanes).
-    ``coefs``: signed int array (h, w). n_bitplanes = magnitude bits."""
+    ``coefs``: signed int array (h, w). n_bitplanes = magnitude bits.
+
+    ``bypass=True`` codes with SELECTIVE ARITHMETIC BYPASS (D.5): SPP and
+    MRP passes from pass 10 onward are raw-coded, the coder terminating
+    at every mode switch; the first return value becomes a list of
+    ``(segment_bytes, n_passes_in_segment)`` terminated codeword
+    segments (span schedule: :func:`_bypass_segment_spans`)."""
     h, w = coefs.shape
     mag = np.abs(coefs).astype(np.int64)
     neg = (coefs < 0).astype(np.int8)
     nbp = int(mag.max()).bit_length()
     if nbp == 0:
-        return b"", 0, 0
+        return ([] if bypass else b""), 0, 0
     bc = _BlockCoder(w, h, band)
     W = bc.W
     for y in range(h):
@@ -479,28 +580,61 @@ def encode_block(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
             magf[base + x] = int(row[x])
 
     enc = MQEncoder()
+    raw: Optional[_RawBitWriter] = None  # active raw writer in bypass mode
+    segs: List[Tuple[bytes, int]] = []
+    seg_p0 = 0
     npasses = 0
+
+    def begin_pass(is_cleanup: bool) -> None:
+        """Bypass mode-switch bookkeeping: terminate + start segments at
+        raw↔MQ boundaries (contexts persist across terminations)."""
+        nonlocal enc, raw, seg_p0
+        if not bypass:
+            return
+        want_raw = npasses >= 10 and not is_cleanup
+        if want_raw and raw is None:
+            segs.append((enc.flush(), npasses - seg_p0))
+            seg_p0 = npasses
+            raw = _RawBitWriter()
+        elif not want_raw and raw is not None:
+            segs.append((raw.flush(), npasses - seg_p0))
+            seg_p0 = npasses
+            enc = MQEncoder(ctx=(enc.idx, enc.mps))
+            raw = None
+
     for p in range(nbp - 1, -1, -1):
         bit = 1 << p
         first = p == nbp - 1
         if not first:
             # significance propagation pass
+            begin_pass(False)
             for i, y, x in bc._positions():
                 if not bc.sig[i] and bc._has_sig_neighbor(i):
                     v = 1 if magf[i] & bit else 0
-                    enc.encode(v, bc._zc_ctx(i))
-                    if v:
-                        ctx, xor = bc._sc_ctx(i)
-                        enc.encode(bc.sgn[i] ^ xor, ctx)
-                        bc.sig[i] = 1
+                    if raw is not None:
+                        raw.put(v)
+                        if v:
+                            raw.put(bc.sgn[i])  # raw sign: no ctx, no xor
+                            bc.sig[i] = 1
+                    else:
+                        enc.encode(v, bc._zc_ctx(i))
+                        if v:
+                            ctx, xor = bc._sc_ctx(i)
+                            enc.encode(bc.sgn[i] ^ xor, ctx)
+                            bc.sig[i] = 1
                     bc.visited[i] = 1
             npasses += 1
             # magnitude refinement pass
+            begin_pass(False)
             for i, y, x in bc._positions():
                 if bc.sig[i] and not bc.visited[i]:
-                    enc.encode(1 if magf[i] & bit else 0, bc._mr_ctx(i))
+                    if raw is not None:
+                        raw.put(1 if magf[i] & bit else 0)
+                    else:
+                        enc.encode(1 if magf[i] & bit else 0, bc._mr_ctx(i))
                     bc.refined[i] = 1
             npasses += 1
+        begin_pass(True)  # cleanup is always MQ-coded
         # cleanup pass
         for y0 in range(0, h, 4):
             for x in range(w):
@@ -553,6 +687,11 @@ def encode_block(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
         npasses += 1
         for k in range(len(bc.visited)):
             bc.visited[k] = 0
+    if bypass:
+        segs.append(
+            (raw.flush() if raw is not None else enc.flush(), npasses - seg_p0)
+        )
+        return segs, npasses, nbp
     return enc.flush(), npasses, nbp
 
 
@@ -803,6 +942,184 @@ def decode_block(
                             )
                             ctx, xor = sc_lut[sk]
                             sgn[i] = mq(ctx) ^ xor
+                            sig[i] = 1
+                            magf[i] |= bit
+                    y += 1
+            done += 1
+        if done < npasses:
+            visited = [0] * n
+        p -= 1
+    for y in range(h):
+        base = (y + 1) * W + 1
+        for x in range(w):
+            m = magf[base + x]
+            if m:
+                out[y, x] = -m if sgn[base + x] else m
+    return out
+
+
+def _decode_block_bypass(
+    segs: List[bytes], w: int, h: int, band: str, nbp: int, npasses: int
+) -> np.ndarray:
+    """Decode one code-block coded with SELECTIVE ARITHMETIC BYPASS
+    (D.5): SPP/MRP passes from pass 10 are raw-coded, cleanup passes stay
+    MQ-coded, and the coder terminates at every mode switch — ``segs``
+    holds one terminated codeword segment per
+    :func:`_bypass_segment_spans` span, each started with its own reader
+    while MQ context state persists across segments. Clarity over speed
+    here: bypass blocks are the rare tail (Kakadu archives), the flat
+    style-0 hot path in :func:`decode_block` is untouched."""
+    out = np.zeros((h, w), np.int32)
+    if nbp == 0 or npasses == 0:
+        return out
+    spans = _bypass_segment_spans(npasses)
+    if len(segs) < len(spans):
+        raise ValueError(
+            f"JPEG2000: bypass block expects {len(spans)} codeword segments, "
+            f"got {len(segs)}"
+        )
+    W = w + 2
+    n = (h + 2) * W
+    sig = [0] * n
+    sgn = [0] * n
+    visited = [0] * n
+    refined = [0] * n
+    magf = [0] * n
+    zc_lut = _ZC_FLAT[band]
+    sc_lut = _SC_FLAT
+    ctx = _init_ctx()
+
+    seg_i = -1
+    mq: Optional[MQDecoder] = None
+    raw: Optional[_RawBitReader] = None
+
+    def begin_pass(k: int) -> None:
+        nonlocal seg_i, mq, raw
+        while seg_i + 1 < len(spans) and spans[seg_i + 1][0] <= k:
+            seg_i += 1
+            start = spans[seg_i][0]
+            if start >= 10 and start % 3 == 1:  # raw run (SPP start)
+                raw = _RawBitReader(segs[seg_i])
+                mq = None
+            else:
+                mq = MQDecoder(segs[seg_i], ctx=ctx)
+                raw = None
+
+    positions: List[int] = []
+    columns: List[Tuple[int, bool]] = []
+    for y0 in range(0, h, 4):
+        ymax = min(y0 + 4, h)
+        full = y0 + 3 < h
+        for x in range(w):
+            top = (y0 + 1) * W + (x + 1)
+            columns.append((top, full))
+            for y in range(y0, ymax):
+                positions.append((y + 1) * W + (x + 1))
+
+    def neighbor_sig(i: int) -> bool:
+        return bool(
+            sig[i - 1] or sig[i + 1] or sig[i - W] or sig[i + W]
+            or sig[i - W - 1] or sig[i - W + 1]
+            or sig[i + W - 1] or sig[i + W + 1]
+        )
+
+    def zc_key(i: int) -> int:
+        return (
+            sig[i - 1] + 2 * sig[i + 1] + 4 * sig[i - W] + 8 * sig[i + W]
+            + 16 * sig[i - W - 1] + 32 * sig[i - W + 1]
+            + 64 * sig[i + W - 1] + 128 * sig[i + W + 1]
+        )
+
+    def mq_sign(i: int) -> int:
+        sk = (
+            sig[i - 1] * (1 + sgn[i - 1])
+            + 3 * sig[i + 1] * (1 + sgn[i + 1])
+            + 9 * sig[i - W] * (1 + sgn[i - W])
+            + 27 * sig[i + W] * (1 + sgn[i + W])
+        )
+        c, xor = sc_lut[sk]
+        return mq.decode(c) ^ xor
+
+    done = 0
+    p = nbp - 1
+    while done < npasses and p >= 0:
+        bit = 1 << p
+        first = p == nbp - 1
+        if not first:
+            if done < npasses:  # significance propagation
+                begin_pass(done)
+                if raw is not None:
+                    for i in positions:
+                        if not sig[i] and neighbor_sig(i):
+                            if raw.get():
+                                sgn[i] = raw.get()  # raw sign: no ctx/xor
+                                sig[i] = 1
+                                magf[i] |= bit
+                            visited[i] = 1
+                else:
+                    for i in positions:
+                        if not sig[i] and neighbor_sig(i):
+                            if mq.decode(zc_lut[zc_key(i)]):
+                                sgn[i] = mq_sign(i)
+                                sig[i] = 1
+                                magf[i] |= bit
+                            visited[i] = 1
+                done += 1
+            if done < npasses:  # magnitude refinement
+                begin_pass(done)
+                if raw is not None:
+                    for i in positions:
+                        if sig[i] and not visited[i]:
+                            if raw.get():
+                                magf[i] |= bit
+                            refined[i] = 1
+                else:
+                    for i in positions:
+                        if sig[i] and not visited[i]:
+                            if refined[i]:
+                                cx = 16
+                            elif neighbor_sig(i):
+                                cx = 15
+                            else:
+                                cx = 14
+                            if mq.decode(cx):
+                                magf[i] |= bit
+                            refined[i] = 1
+                done += 1
+        if done < npasses:  # cleanup (always MQ)
+            begin_pass(done)
+            for top, full in columns:
+                i2, i3, i4 = top + W, top + 2 * W, top + 3 * W
+                y = 0
+                if (
+                    full
+                    and not (
+                        sig[top] or visited[top] or sig[i2] or visited[i2]
+                        or sig[i3] or visited[i3] or sig[i4] or visited[i4]
+                    )
+                    and not (
+                        sig[top - 1] or sig[top + 1] or sig[top - W]
+                        or sig[top - W - 1] or sig[top - W + 1]
+                        or sig[i2 - 1] or sig[i2 + 1]
+                        or sig[i3 - 1] or sig[i3 + 1]
+                        or sig[i4 - 1] or sig[i4 + 1] or sig[i4 + W]
+                        or sig[i4 + W - 1] or sig[i4 + W + 1]
+                    )
+                ):
+                    if not mq.decode(CTX_RL):
+                        continue
+                    r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
+                    i = top + r * W
+                    sgn[i] = mq_sign(i)
+                    sig[i] = 1
+                    magf[i] |= bit
+                    y = r + 1
+                stripe_n = 4 if full else min(4, h - ((top // W - 1)))
+                while y < stripe_n:
+                    i = top + y * W
+                    if not visited[i] and not sig[i]:
+                        if mq.decode(zc_lut[zc_key(i)]):
+                            sgn[i] = mq_sign(i)
                             sig[i] = 1
                             magf[i] |= bit
                     y += 1
@@ -1222,6 +1539,7 @@ def _encode_tile_body(
     eph: bool = False,
     pp=None,
     quant: Optional[Dict[Tuple[int, int, str], float]] = None,
+    bypass: bool = False,
 ) -> bytes:
     """One tile's packet stream (any progression order; ``layers``
     quality layers — pass counts split evenly, codeword bytes split at
@@ -1303,7 +1621,9 @@ def _encode_tile_body(
                     for bi, (y0, x0, bh_, bw2) in enumerate(pblocks):
                         by, bx = bi // gw, bi % gw
                         sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
-                        data, npasses, nbp = encode_block(np.asarray(sub), bname)
+                        data, npasses, nbp = encode_block(
+                            np.asarray(sub), bname, bypass=bypass
+                        )
                         if npasses == 0:
                             incl.set(bx, by, layers)  # never included
                             zbp.set(bx, by, 0)
@@ -1313,6 +1633,15 @@ def _encode_tile_body(
                             raise AssertionError("Mb budget under-sized for block")
                         incl.set(bx, by, 0)
                         zbp.set(bx, by, mb - nbp)
+                        if bypass:
+                            # terminated segments cannot split at arbitrary
+                            # byte cuts → single-layer only (enforced by
+                            # encode_jp2_codestream)
+                            blks.append(
+                                {"np_l": [npasses], "bsegs": data, "nbp": nbp,
+                                 "included": False, "lblock": 3}
+                            )
+                            continue
                         base, rem = divmod(npasses, layers)
                         np_l = [base + (1 if j < rem else 0) for j in range(layers)]
                         # byte cuts follow cumulative pass counts so a layer
@@ -1379,9 +1708,26 @@ def _encode_tile_body(
                         bw.put(0)
                         continue
                     bw.put(1)
-                seg = blk["segs"][l]
                 np_l = blk["np_l"][l]
                 _put_npasses(bw, np_l)
+                if "bsegs" in blk:
+                    # multiple terminated codeword segments (B.10.7.2):
+                    # ONE comma prefix raises Lblock for all lengths,
+                    # then one length per segment, each with
+                    # lblock + ⌊log2(segment passes)⌋ bits
+                    need = max(
+                        len(sd).bit_length() - int(math.log2(sp))
+                        for sd, sp in blk["bsegs"]
+                    )
+                    while blk["lblock"] < need:
+                        bw.put(1)
+                        blk["lblock"] += 1
+                    bw.put(0)
+                    for sd, sp in blk["bsegs"]:
+                        bw.put_bits(len(sd), blk["lblock"] + int(math.log2(sp)))
+                        datas.append(sd)
+                    continue
+                seg = blk["segs"][l]
                 nbits_need = len(seg).bit_length()
                 have = blk["lblock"] + int(math.log2(np_l))
                 while have < nbits_need:
@@ -1418,6 +1764,7 @@ def encode_jp2_codestream(
     subsampling: Optional[List[Tuple[int, int]]] = None,
     size: Optional[Tuple[int, int]] = None,
     comp_cblk: Optional[List[int]] = None,
+    bypass: bool = False,
 ) -> bytes:
     """Part-1 codestream; ``tile_size`` (th, tw) splits the image into
     independently coded tiles (the Sentinel-2 layout), ``layers``
@@ -1508,6 +1855,11 @@ def encode_jp2_codestream(
     xcb = int(math.log2(cblk))
     if not 1 <= layers <= 65535 or not 0 <= prog <= 4:
         raise ValueError("layers must be ≥1 and prog in 0..4")
+    if bypass and layers > 1:
+        raise NotImplementedError(
+            "JPEG2000: selective bypass with multiple quality layers not "
+            "supported (terminated segments cannot split at layer cuts)"
+        )
     pp = None
     if precincts is not None:
         ppx, ppy = precincts
@@ -1523,7 +1875,7 @@ def encode_jp2_codestream(
         levels,
         xcb - 2,
         xcb - 2,
-        0,  # code-block style
+        0x01 if bypass else 0,  # code-block style (0x01: selective bypass)
         0 if irreversible else 1,  # 9/7 irreversible / 5/3 reversible
     )
     if pp is not None:
@@ -1615,7 +1967,9 @@ def encode_jp2_codestream(
             if comp_cblk[ci] != comp_cblk[0]:
                 xcb_c = int(math.log2(comp_cblk[ci]))
                 body = bytes([ci]) if ncomp < 257 else struct.pack(">H", ci)
-                body += bytes([0, levels, xcb_c - 2, xcb_c - 2, 0, tr_byte])
+                body += bytes(
+                    [0, levels, xcb_c - 2, xcb_c - 2, 0x01 if bypass else 0, tr_byte]
+                )
                 out += marker(0xFF53, body)
     out += marker(0xFF5C, qcd)
     for body in qcc_markers:
@@ -1640,6 +1994,7 @@ def encode_jp2_codestream(
             tile, levels, list(comp_cblk) if comp_cblk is not None else cblk,
             mct, signed, depth, mbs,
             layers=layers, prog=prog, sop=sop, eph=eph, pp=pp, quant=quant,
+            bypass=bypass,
         )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
             ">HIBB", ti, 12 + len(body) + 2, 0, 1
@@ -1742,8 +2097,26 @@ def _parse_main_headers(
     if xcb != ycb:
         raise NotImplementedError("JPEG2000: non-square code-blocks not supported")
     cblk = 1 << xcb
-    if cod[8] != 0:
-        raise NotImplementedError("JPEG2000: code-block style flags not supported")
+    # code-block style (A.6.1 table A-19): bit 0x01 selective arithmetic
+    # bypass IS supported (D.5 — the common Kakadu production emission);
+    # the remaining flags refuse loudly toward a documented seam.
+    cblk_style = cod[8]
+    if cblk_style & ~0x01:
+        unsupported = [
+            name
+            for mask, name in (
+                (0x02, "reset-context"),
+                (0x04, "termall"),
+                (0x08, "vertically-causal"),
+                (0x10, "predictable-termination"),
+                (0x20, "segmentation-symbols"),
+            )
+            if cblk_style & mask
+        ]
+        raise NotImplementedError(
+            f"JPEG2000: code-block style flags {'/'.join(unsupported)} not "
+            "supported (selective bypass is)"
+        )
     if cod[9] == 1:
         transform = "5x3"
     elif cod[9] == 0:
@@ -1780,8 +2153,10 @@ def _parse_main_headers(
         xcb_c, ycb_c = (sbody[2] & 0x0F) + 2, (sbody[3] & 0x0F) + 2
         if xcb_c != ycb_c:
             raise NotImplementedError("JPEG2000: non-square code-blocks not supported")
-        if sbody[4] != 0:
-            raise NotImplementedError("JPEG2000: code-block style flags not supported")
+        if sbody[4] != cblk_style:
+            raise NotImplementedError(
+                "JPEG2000: per-component code-block style override not supported"
+            )
         tr_c = "5x3" if sbody[5] == 1 else "9x7"
         if tr_c != transform:
             raise NotImplementedError(
@@ -1815,7 +2190,7 @@ def _parse_main_headers(
         "band_mants_c": band_mants_c, "cblk_c": cblk_c,
         "transform": transform,
         "layers": layers, "prog": prog, "pp": pp,
-        "sop": use_sop, "eph": use_eph,
+        "sop": use_sop, "eph": use_eph, "cblk_style": cblk_style,
         "ntx": (xs + xt - 1) // xt, "nty": (ys + yt - 1) // yt,
     }
 
@@ -1986,6 +2361,12 @@ def _decode_tile_reduced(
     guard_c = params.get("guard_c") or [params["guard"]] * ncomp
     layers, prog = params.get("layers", 1), params.get("prog", 0)
     use_sop, use_eph = params.get("sop", False), params.get("eph", False)
+    bypass = bool(params.get("cblk_style", 0) & 0x01)
+    if bypass and layers > 1:
+        raise NotImplementedError(
+            "JPEG2000: selective bypass with multiple quality layers not "
+            "supported (codeword segments could split across packets)"
+        )
     irrev = params.get("transform", "5x3") == "9x7"
     if max_res >= levels + 1:
         raise ValueError("max_res beyond decomposition levels")
@@ -2072,24 +2453,44 @@ def _decode_tile_reduced(
                 np_l = _get_npasses(br)
                 while br.get():
                     st["lblock"] += 1
-                length = br.get_bits(st["lblock"] + int(math.log2(np_l)))
-                st["npasses"] += np_l
-                contributed.append((st, length))
+                if bypass:
+                    # multiple codeword segments (B.10.7.2): one comma
+                    # prefix raises Lblock, then one length per terminated
+                    # segment, each with lblock + ⌊log2(seg passes)⌋ bits
+                    start = st["npasses"]
+                    lengths = [
+                        br.get_bits(st["lblock"] + int(math.log2(e - s)))
+                        for s, e in _bypass_segment_spans(start + np_l)
+                        if s >= start
+                    ]
+                    st["npasses"] += np_l
+                    contributed.append((st, lengths))
+                else:
+                    length = br.get_bits(st["lblock"] + int(math.log2(np_l)))
+                    st["npasses"] += np_l
+                    contributed.append((st, [length]))
         pos = br.align()
         if use_eph:
             if tdata[pos : pos + 2] != b"\xff\x92":
                 raise ValueError("JPEG2000: missing EPH marker")
             pos += 2
-        for st, length in contributed:
-            st["segs"].append(tdata[pos : pos + length])
-            pos += length
+        for st, lengths in contributed:
+            for length in lengths:
+                st["segs"].append(tdata[pos : pos + length])
+                pos += length
 
     for (ci, r, bname, p, bi), st in blocks.items():
         if r > max_res:
             continue
-        coefs = decode_block(
-            b"".join(st["segs"]), st["w"], st["h"], st["band"], st["nbp"], st["npasses"]
-        )
+        if bypass:
+            coefs = _decode_block_bypass(
+                st["segs"], st["w"], st["h"], st["band"], st["nbp"], st["npasses"]
+            )
+        else:
+            coefs = decode_block(
+                b"".join(st["segs"]), st["w"], st["h"], st["band"], st["nbp"],
+                st["npasses"],
+            )
         if irrev:
             # inverse scalar quantization (E.1): Δb = 2^(Rb−εb)(1+μb/2^11),
             # Rb = component depth + band gain; mid-point reconstruction

@@ -342,11 +342,107 @@ def test_rejects_quant_style_on_reversible():
         decode_jp2(bad)
 
 
-def test_refuses_cblk_style_flags():
+def test_refuses_unsupported_cblk_style_flags():
     cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    bad = _patched(cs, b"\xff\x52", 8, 0x01)  # selective bypass
-    with pytest.raises(NotImplementedError, match="style"):
-        decode_jp2(bad)
+    for flag, name in ((0x02, "reset-context"), (0x04, "termall"),
+                       (0x08, "vertically-causal"),
+                       (0x10, "predictable-termination"),
+                       (0x20, "segmentation-symbols")):
+        bad = _patched(cs, b"\xff\x52", 8, flag)
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jp2(bad)
+
+
+# ---------------------------------------------------------------------------
+# selective arithmetic bypass (D.5, code-block style 0x01)
+
+
+def test_bypass_segment_spans_schedule():
+    from odc_stac_spark.operators.jp2 import _bypass_segment_spans
+
+    assert _bypass_segment_spans(1) == [(0, 1)]
+    assert _bypass_segment_spans(10) == [(0, 10)]
+    # pass k: CP at k=0 then SPP/MRP/CP triples → raw runs [10,12), [13,15)
+    assert _bypass_segment_spans(16) == [
+        (0, 10), (10, 12), (12, 13), (13, 15), (15, 16)
+    ]
+    # a raw run truncated mid-way ends the block
+    assert _bypass_segment_spans(11) == [(0, 10), (10, 11)]
+
+
+def test_raw_bitio_stuffing_roundtrip():
+    from odc_stac_spark.operators.jp2 import _RawBitReader, _RawBitWriter
+
+    # 8 ones → 0xFF → next byte must carry only 7 bits (stuffed MSB)
+    bits = [1] * 8 + [0, 1, 1, 0, 1, 0, 1] + [1, 0, 1]
+    w = _RawBitWriter()
+    for b in bits:
+        w.put(b)
+    seg = w.flush()
+    assert seg[0] == 0xFF and seg[1] & 0x80 == 0  # stuffed zero MSB
+    assert seg[-1] != 0xFF  # terminated segments never end in 0xFF
+    r = _RawBitReader(seg)
+    assert [r.get() for _ in range(len(bits))] == bits
+
+
+def test_bypass_block_matches_style0_decode():
+    """The same coefficients through both entropy paths must reconstruct
+    identically — the bypass decoder (raw SPP/MRP + per-segment MQ) is a
+    fully separate code path from the flat style-0 decoder."""
+    from odc_stac_spark.operators.jp2 import (
+        _bypass_segment_spans,
+        _decode_block_bypass,
+    )
+
+    r = np.random.default_rng(11)
+    for band in ("LL", "HL", "HH"):
+        coefs = r.integers(-5000, 5000, (27, 21)).astype(np.int32)
+        coefs[r.random((27, 21)) < 0.6] = 0
+        data, np0, nbp = encode_block(coefs, band)
+        segs, np1, nbp1 = encode_block(coefs, band, bypass=True)
+        assert (np0, nbp) == (np1, nbp1)
+        assert [sp for _, sp in segs] == [e - s for s, e in _bypass_segment_spans(np1)]
+        ref = decode_block(data, 21, 27, band, nbp, np0)
+        got = _decode_block_bypass([sd for sd, _ in segs], 21, 27, band, nbp, np1)
+        np.testing.assert_array_equal(ref, coefs)
+        np.testing.assert_array_equal(got, coefs)
+
+
+def test_bypass_codestream_roundtrip_shapes():
+    r = np.random.default_rng(5)
+    img = r.integers(0, 60000, (70, 90)).astype(np.uint16)
+    for kw in (
+        dict(levels=3, cblk=32),
+        dict(levels=2, cblk=16, tile_size=(48, 48)),
+        dict(levels=3, cblk=32, precincts=(6, 6), prog=2, sop=True, eph=True),
+    ):
+        cs = encode_jp2_codestream(img, bypass=True, **kw)
+        got = decode_jp2(cs)
+        np.testing.assert_array_equal(got[:, :, 0], img)
+
+
+def test_bypass_cod_style_byte_and_header():
+    cs = encode_jp2_codestream(
+        np.arange(64 * 64, dtype=np.uint16).reshape(64, 64) % 4096, bypass=True
+    )
+    at = cs.index(b"\xff\x52")
+    assert cs[at + 4 + 8] == 0x01  # SPcod code-block style = selective bypass
+
+
+def test_bypass_rgb_mct_and_lossy():
+    r = np.random.default_rng(17)
+    rgb = r.integers(0, 256, (40, 52, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_jp2(encode_jp2(rgb, bypass=True)), rgb)
+    img = r.integers(0, 60000, (48, 48)).astype(np.uint16)
+    a = decode_jp2(encode_jp2_codestream(img, irreversible=True))
+    b = decode_jp2(encode_jp2_codestream(img, irreversible=True, bypass=True))
+    np.testing.assert_array_equal(a, b)  # identical quantized coefficients
+
+
+def test_bypass_refuses_multilayer():
+    img = np.zeros((16, 16), np.uint8)
+    with pytest.raises(NotImplementedError, match="quality layers"):
+        encode_jp2_codestream(img, layers=3, bypass=True)
 
 
 def test_sop_eph_markers_roundtrip():
