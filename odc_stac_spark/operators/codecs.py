@@ -710,6 +710,98 @@ def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
     return ftyp + mdat + moov
 
 
+def encode_mp4_mjpeg_fragmented(
+    frames, fps: int = 10, quality: int = 85, frames_per_fragment: int = 2
+) -> bytes:
+    """Iterable of (h, w[, c]) uint8 arrays → FRAGMENTED MJPEG mp4
+    (ISO 14496-12 §8.8 movie fragments: ftyp + moov[mvex/trex, empty
+    sample tables] + per-fragment moof[mfhd, traf[tfhd/tfdt/trun]] +
+    mdat) — the segmented layout streaming corpora actually contain
+    (DASH/CMAF/HLS-fMP4)."""
+    from .jpeg import encode_jpeg
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("mp4: need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    timescale = 1000
+    delta = timescale // fps
+
+    ftyp = _mp4_box(
+        b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6mp41"
+    )
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, 0)  # duration unknown (fragments)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", 0)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, 0) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"jpeg", entry))
+    # fragmented layout: sample tables are EMPTY, samples live in truns
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
+    minf = _mp4_box(b"minf", vmhd + _mp4_box(b"dinf", dref) + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    trex = _mp4_full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta, 0, 0))
+    moov = _mp4_box(b"moov", mvhd + trak + _mp4_box(b"mvex", trex))
+
+    out = bytearray(ftyp + moov)
+    t = 0
+    for seq, frag0 in enumerate(range(0, len(jpegs), frames_per_fragment), start=1):
+        chunk = jpegs[frag0 : frag0 + frames_per_fragment]
+        k = len(chunk)
+        mfhd = _mp4_full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd flags: 0x020000 default-base-is-moof | 0x08 default-duration
+        tfhd = _mp4_full(b"tfhd", 0, 0x020008, struct.pack(">II", 1, delta))
+        tfdt = _mp4_full(b"tfdt", 1, 0, struct.pack(">Q", t))
+        # trun flags: 0x01 data-offset present | 0x200 sample sizes present.
+        # Box sizes are value-independent, so the moof length (and thus the
+        # mdat-relative data offset) is computable before assembly.
+        trun_payload_len = 8 + 4 * k
+        moof_size = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + (12 + trun_payload_len)
+        trun = _mp4_full(
+            b"trun", 0, 0x000201,
+            struct.pack(">Ii", k, moof_size + 8)
+            + b"".join(struct.pack(">I", len(j)) for j in chunk),
+        )
+        traf = _mp4_box(b"traf", tfhd + tfdt + trun)
+        moof = _mp4_box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out += moof + _mp4_box(b"mdat", b"".join(chunk))
+        t += k * delta
+    return bytes(out)
+
+
 def _mp4_children(data: bytes, pos: int, end: int):
     while pos + 8 <= end:
         (size,) = struct.unpack_from(">I", data, pos)
@@ -748,6 +840,7 @@ def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
     if moov is None:
         raise ValueError("mp4: no moov box")
     stbl = None
+    video_track_id = 1
     for btype, b0, b1 in _mp4_children(data, *moov):
         if btype != b"trak":
             continue
@@ -757,6 +850,11 @@ def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
         hdlr = _mp4_find(data, *mdia, b"hdlr")
         if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
+        tkhd = _mp4_find(data, b0, b1, b"tkhd")
+        if tkhd is not None:
+            # track_ID at +12 (version 0: 32-bit times) or +20 (version 1)
+            off = 12 if data[tkhd[0]] == 0 else 20
+            (video_track_id,) = struct.unpack_from(">I", data, tkhd[0] + off)
         stbl = _mp4_find(data, *mdia, b"minf", b"stbl")
         break
     if stbl is None:
@@ -800,6 +898,77 @@ def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
             spans.append((off, sizes[si]))
             off += sizes[si]
             si += 1
+
+    # movie fragments (ISO 14496-12 §8.8): fMP4/DASH/CMAF segments keep
+    # the moov sample tables empty and describe samples in per-fragment
+    # moof → traf → trun runs
+    trex_size = 0
+    mvex = _mp4_find(data, *moov, b"mvex")
+    if mvex is not None:
+        for t2, t0, _ in _mp4_children(data, *mvex):
+            if t2 == b"trex":
+                tid, _, _, trex_size = struct.unpack_from(">IIII", data, t0 + 4)[:4]
+                if tid != video_track_id:
+                    trex_size = 0
+    for btype, b0, b1 in _mp4_children(data, 0, n):
+        if btype != b"moof":
+            continue
+        moof_start = b0 - 8
+        for t2, t0, t1 in _mp4_children(data, b0, b1):
+            if t2 != b"traf":
+                continue
+            tfhd = _mp4_find(data, t0, t1, b"tfhd")
+            if tfhd is None:
+                raise ValueError("mp4: traf without tfhd")
+            tf_flags = int.from_bytes(data[tfhd[0] : tfhd[0] + 4], "big") & 0xFFFFFF
+            q = tfhd[0] + 4
+            (track_id,) = struct.unpack_from(">I", data, q)
+            q += 4
+            base = moof_start
+            if tf_flags & 0x01:  # explicit base_data_offset
+                (base,) = struct.unpack_from(">Q", data, q)
+                q += 8
+            if tf_flags & 0x02:
+                q += 4  # sample-description-index
+            if tf_flags & 0x08:
+                q += 4  # default-sample-duration
+            def_size = trex_size
+            if tf_flags & 0x10:
+                (def_size,) = struct.unpack_from(">I", data, q)
+                q += 4
+            if track_id != video_track_id:
+                continue
+            cur = None
+            for t3, u0, u1 in _mp4_children(data, t0, t1):
+                if t3 != b"trun":
+                    continue
+                tr_flags = int.from_bytes(data[u0 : u0 + 4], "big") & 0xFFFFFF
+                q2 = u0 + 4
+                (cnt,) = struct.unpack_from(">I", data, q2)
+                q2 += 4
+                if tr_flags & 0x01:
+                    (doff,) = struct.unpack_from(">i", data, q2)
+                    q2 += 4
+                    cur = base + doff
+                elif cur is None:
+                    cur = base  # no offset: data starts at the base
+                if tr_flags & 0x04:
+                    q2 += 4  # first-sample-flags
+                for _ in range(cnt):
+                    if tr_flags & 0x100:
+                        q2 += 4  # duration
+                    size = def_size
+                    if tr_flags & 0x200:
+                        (size,) = struct.unpack_from(">I", data, q2)
+                        q2 += 4
+                    if tr_flags & 0x400:
+                        q2 += 4  # flags
+                    if tr_flags & 0x800:
+                        q2 += 4  # composition offset
+                    if size == 0:
+                        raise ValueError("mp4: fragment sample with no size")
+                    spans.append((cur, size))
+                    cur += size
     frames = []
     for i, (off, sz) in enumerate(spans):
         if i % every == 0 and (not max_frames or len(frames) < max_frames):

@@ -218,6 +218,84 @@ def mm_video_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_fmp4_demux",
+    # same frame derivation as mm_video_mp4_demux — the FRAGMENTED (moof)
+    # container must demux to identical frames, so the oracle is shared
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id, ff.f, 2 * ((d.doc_id * 31 + ff.f * 17) % 128) AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS f) ff
+      WHERE ff.f < 3 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE f % 2 = 0) AS BIGINT) AS kept_frames,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           ROUND(AVG(v) FILTER (WHERE f % 2 = 0), 6) AS kept_mean
+    FROM f GROUP BY doc_id
+    """,
+    doc="HASH-GATED FRAGMENTED mp4 (fMP4/DASH/CMAF) demux: per-doc "
+    "Motion-JPEG movie-fragment files — ftyp + moov with EMPTY sample "
+    "tables + mvex/trex + per-fragment moof[tfhd/tfdt/trun] + mdat "
+    "(operators/codecs.py encode_mp4_mjpeg_fragmented) — demux through "
+    "the trun sample-run walk (ISO 14496-12 §8.8) with every-2nd-frame "
+    "sampling; frames are lossless through the JPEG codec so the hash "
+    "gates the fragment layout end-to-end. Segmented mp4 is what "
+    "streaming corpora actually contain; compressed codecs (avc1/hev1) "
+    "still refuse toward the ffmpeg seam.",
+    tags=("multimodal", "video", "mp4", "fmp4"),
+)
+def mm_video_fmp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.codecs import encode_mp4_mjpeg_fragmented
+    from ..operators.multimodal import video_frame_features
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                frames = [
+                    np.full((16, 24), 2 * ((d * 31 + f * 17) % 128), np.uint8)
+                    for f in range(3 + d % 3)
+                ]
+                media.append(
+                    encode_mp4_mjpeg_fragmented(
+                        frames, fps=5, quality=50,
+                        frames_per_fragment=1 + d % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "media_type": "video/mp4"}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return video_frame_features(docs.mapInPandas(gen, schema), every=2)
+
+
+@register(
     "mm_image_resize_stats",
     # resized pixel (i, j) of channel k samples source pixel
     # (y, x) = (i*16//8, j*w//8) with w = 16 + doc_id % 8 — the same

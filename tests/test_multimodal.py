@@ -330,3 +330,53 @@ def test_mp4_registered_in_video_decoders():
     from odc_stac_spark.operators import multimodal as mm
 
     assert "video/mp4" in mm.VIDEO_DECODERS
+
+
+def test_fmp4_fragment_demux_matches_plain():
+    """Fragmented (moof/trun, ISO 14496-12 §8.8) layout demuxes to the
+    SAME frames as the classic sample-table layout, across fragment
+    sizes, with every-k sampling intact."""
+    from odc_stac_spark.operators.codecs import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+        encode_mp4_mjpeg_fragmented,
+    )
+
+    frames = [
+        np.full((16, 24), 2 * ((7 * 31 + f * 17) % 128), np.uint8) for f in range(5)
+    ]
+    plain = decode_mp4_mjpeg(encode_mp4_mjpeg(frames, fps=5, quality=50))
+    for fpf in (1, 2, 3, 8):
+        blob = encode_mp4_mjpeg_fragmented(
+            frames, fps=5, quality=50, frames_per_fragment=fpf
+        )
+        np.testing.assert_array_equal(decode_mp4_mjpeg(blob), plain)
+    blob = encode_mp4_mjpeg_fragmented(frames, fps=5, quality=50)
+    assert decode_mp4_mjpeg(blob, every=2).shape[0] == 3
+    assert decode_mp4_mjpeg(blob, max_frames=2).shape[0] == 2
+
+
+def test_fmp4_layout_is_really_fragmented():
+    from odc_stac_spark.operators.codecs import encode_mp4_mjpeg_fragmented
+
+    blob = encode_mp4_mjpeg_fragmented(
+        [np.zeros((8, 8), np.uint8)] * 4, frames_per_fragment=2
+    )
+    assert blob.count(b"moof") == 2 and blob.count(b"trun") == 2
+    assert b"mvex" in blob and b"trex" in blob
+
+
+def test_fmp4_h264_refuses_loudly():
+    """The avc1 seam holds for segmented streams too — real streaming
+    corpora are H.264 fMP4, and they must refuse toward ffmpeg, never
+    mis-decode."""
+    from odc_stac_spark.operators.codecs import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg_fragmented,
+    )
+
+    blob = bytearray(encode_mp4_mjpeg_fragmented([np.zeros((16, 16), np.uint8)] * 3))
+    at = blob.index(b"jpeg", blob.index(b"stsd"))
+    blob[at : at + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_mjpeg(bytes(blob))
