@@ -42,9 +42,12 @@ def partition_local_topk(
       treats a null key as a real partition, so stage 1 must too;
     - null ORDER values are placed where Spark's default window ordering
       puts them (asc → nulls first, desc → nulls last).  pandas can only
-      express one ``na_position`` per sort call, so a MIXED-direction
-      ordering whose order columns contain nulls raises ``ValueError``
-      rather than silently dropping candidates;
+      express one ``na_position`` per sort call, so a mixed-direction
+      ordering is fine only while at most ONE direction's columns
+      actually contain nulls (the common case: a nullable sort column
+      plus a non-null tie-break); when null-bearing columns need BOTH
+      placements in one batch this raises ``ValueError`` rather than
+      silently dropping candidates;
     - float order columns must not contain NaN: Arrow→pandas folds NULL
       and NaN together there, while Spark orders NaN greatest — the
       caller must pre-filter (every current call site orders by computed
@@ -65,15 +68,24 @@ def partition_local_topk(
         for pdf in batches:
             if len(pdf):
                 if na_position is None:
-                    if pdf[cols].isna().any().any():
+                    # Spark's placement per direction: asc → first,
+                    # desc → last. One na_position can serve a mixed
+                    # ordering iff the columns that actually HOLD nulls
+                    # all want the same side.
+                    wanted = {
+                        "first" if a else "last"
+                        for c, a in order
+                        if pdf[c].isna().any()
+                    }
+                    if len(wanted) > 1:
                         raise ValueError(
                             "partition_local_topk: mixed asc/desc ordering "
-                            f"over {cols} with null order values — pandas "
-                            "cannot reproduce Spark's per-direction null "
-                            "placement; pre-filter nulls or use a "
-                            "homogeneous ordering"
+                            f"over {cols} with null order values in BOTH "
+                            "directions — pandas cannot reproduce Spark's "
+                            "per-direction null placement; pre-filter nulls "
+                            "or use a homogeneous ordering"
                         )
-                    pos = "last"
+                    pos = wanted.pop() if wanted else "last"
                 else:
                     pos = na_position
                 yield (

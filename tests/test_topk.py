@@ -125,11 +125,38 @@ def test_null_order_values_match_spark_default(spark, ascending):
     assert rank(local) == rank(df)
 
 
-def test_mixed_ordering_with_null_order_values_raises(spark):
-    rows = [(i % 2, i, None if i == 5 else f"x{i}", float(i)) for i in range(40)]
+def test_mixed_ordering_single_null_direction_works(spark):
+    """Nulls confined to ONE direction's columns (here: asc label, the
+    desc tie-break is null-free) are fine under a mixed ordering — the
+    single pandas na_position reproduces Spark's placement."""
+    rows = [(i % 2, i, None if i % 9 == 0 else f"x{i:03d}", float(i)) for i in range(40)]
     df = spark.createDataFrame(
         rows, "query_id int, neighbor_id long, label string, score double"
     ).repartition(2)
+    local = partition_local_topk(
+        df, ["query_id"], [("label", True), ("score", False)], 3
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("label"), F.desc("score"))
+
+    def rank(d):
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 3")
+            .orderBy("query_id", "rn")
+            .collect()
+        )
+
+    assert rank(local) == rank(df)
+
+
+def test_mixed_ordering_with_nulls_in_both_directions_raises(spark):
+    rows = [
+        (i % 2, i, None if i == 5 else f"x{i}", None if i == 7 else float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id long, label string, score double"
+    ).coalesce(1)
     local = partition_local_topk(
         df, ["query_id"], [("label", True), ("score", False)], 3
     )
