@@ -132,11 +132,19 @@ def main() -> None:
                 shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
             make_sf(sf_dir, sf1_dir, 10)
+        # same protocol as the sf0.1 headline: one untimed warmup run,
+        # then the timed run. The first execution against a replica pays
+        # one-time costs that say nothing about scaling — C2 JIT for the
+        # 10×-row codegen paths, file listing, OS page cache for files
+        # written in an earlier bench invocation (measured: q1 5.9 s cold
+        # → 0.8 s warm on identical plans). The ≤10× rehearsal bar is
+        # meaningful only warm-vs-warm.
         for name in HEADLINE:
+            q = registry[name].spark_fn
+            q(spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
-            registry[name].spark_fn(spark, sf1_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            q(spark, sf1_dir).write.mode("overwrite").format("noop").save()
             sf1_spot[name] = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
     except Exception as e:  # noqa: BLE001 - rehearsal must never sink the bench

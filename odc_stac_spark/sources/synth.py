@@ -716,11 +716,14 @@ class SynthReader:
 
 
 class RioReader:
-    """Real COG/GeoTIFF reader driver — requires rasterio (absent here).
+    """GDAL/rasterio reader slot — requires rasterio (absent here).
 
-    The protocol slot is real: plans/load.py dispatches on URI scheme, so
-    dropping rasterio into the image makes s3://... COGs work with no
-    engine change (reference driver: loader/_rio.py:374-475)."""
+    Remote COG/JP2/netCDF/HDF5 URIs (http(s)://, s3://) are served
+    NATIVELY by TiffReader/Jp2Reader/NcReader through the ranged-IO
+    layer (sources/rangeio.py — retrying byte-range GETs, creds from
+    sources/aws.py), so this slot now only matters for formats the
+    in-house codecs refuse (reference driver: loader/_rio.py:374-475);
+    dropping rasterio into the image fills it with no engine change."""
 
     def read(self, src, cfg, dst_geobox):  # pragma: no cover - env lacks rasterio
         raise NotImplementedError(

@@ -87,10 +87,22 @@ def read_webdataset(
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .rangeio import RangeFile, is_remote, open_range
+
+        def open_shard(shard: str) -> tarfile.TarFile:
+            if is_remote(shard):
+                # stream mode ("r|"): strictly sequential reads, which the
+                # RangeFile turns into a few large contiguous ranged GETs —
+                # the object-storage access pattern WebDataset is designed
+                # for (shards ARE the unit of sequential IO)
+                fo = RangeFile(open_range(shard), block_size=4 << 20, max_blocks=4)
+                return tarfile.open(fileobj=fo, mode="r|")
+            return tarfile.open(shard, "r")
+
         for pdf in batches:
             for shard in pdf["path"]:
                 rows: list = []
-                with tarfile.open(shard, "r") as tar:
+                with open_shard(shard) as tar:
                     for member in tar:
                         if not member.isfile():
                             continue
