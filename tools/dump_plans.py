@@ -41,10 +41,14 @@ PICKS = [
     ),
     (
         "dedup_minhash_lsh",
-        "MinHash signatures are computed map-side (no exchange before the "
-        "band explode); candidates come from the salted bucket self-join; "
-        "InMemoryTableScan nodes show the shared shingle/bucket tables are "
-        "cached, not recomputed per consumer.",
+        "MinHash signatures are ONE map-side aggregate fold (md5 per "
+        "shingle evaluated once, no exchange before the band explode); a "
+        "window count on the join key drops singleton buckets before the "
+        "salted self-join, so both join inputs hold only colliding rows; "
+        "the exact-Jaccard verify is array_intersect over the cached "
+        "shingle arrays (InMemoryTableScan) with the tiny candidate set "
+        "broadcast — the full shingle table is never exploded or "
+        "re-shuffled by value.",
     ),
     (
         "j_interval_bucketed",
