@@ -500,8 +500,12 @@ def _write_tiff(path: str, ifds: List[Dict], bigtiff: bool = False) -> None:
     for ifd in ifds:
         for t_bytes in ifd["tiles"]:
             out += t_bytes
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+    # the file is fully assembled in memory (IFD-first COG layout needs
+    # that anyway), so any rangeio-supported destination works: local
+    # path, s3:// put_object, http(s):// PUT
+    from .rangeio import put_bytes
+
+    put_bytes(path, bytes(out))
 
 
 def _box_average(pix: np.ndarray, lv: int, nodata) -> np.ndarray:
@@ -848,12 +852,22 @@ def read_cog_header(path: str) -> Dict:
     from .rangeio import range_open
 
     with range_open(path) as f:
+        f.seek(0, 2)
+        fsize = f.tell()
+        f.seek(0)
         buf = f.read(65536)
 
         def ensure(n):
+            # bounded growth: a corrupt offset/count must raise, never
+            # pre-allocate its claimed size (fuzz finding: a mutated IFD
+            # offset drove one huge f.read into MemoryError)
             nonlocal buf
+            if n > fsize:
+                raise ValueError(
+                    f"TIFF: structure points beyond EOF ({n} > {fsize})"
+                )
             while len(buf) < n:
-                chunk = f.read(max(65536, n - len(buf)))
+                chunk = f.read(min(1 << 20, max(65536, n - len(buf))))
                 if not chunk:
                     break
                 buf += chunk
@@ -878,7 +892,13 @@ def read_cog_header(path: str) -> Dict:
         _ITEM = {_TYPE_SHORT: (2, "H"), _TYPE_LONG: (4, "I"), _TYPE_LONG8: (8, "Q")}
         levels = []
         geo: Dict = {"nodata": None, "epsg": None, "transform": None}
+        seen_ifds = set()
         while ifd_off:
+            if ifd_off in seen_ifds or len(seen_ifds) > 4096:
+                # a corrupt next-IFD pointer cycling back would walk the
+                # chain forever (fuzz finding)
+                raise ValueError("TIFF: cyclic or runaway IFD chain")
+            seen_ifds.add(ifd_off)
             ensure(ifd_off + cnt_sz)
             (n_entries,) = struct.unpack_from(cnt_fmt, buf, ifd_off)
             ensure(ifd_off + cnt_sz + entry_sz * n_entries + (8 if big else 4))

@@ -438,13 +438,74 @@ def range_open(url: str, block_size: int = 256 * 1024, max_blocks: int = 64):
     return RangeFile(open_range(url), block_size=block_size, max_blocks=max_blocks)
 
 
+def put_bytes(url: str, data: bytes) -> None:
+    """Upload one complete object — the write half of the remote story
+    (COG/Zarr-chunk sinks build each object fully in executor memory, so
+    a single PUT per object is the natural shape; S3 multipart only pays
+    off past ~100 MB, far above a tile/chunk). Local paths create parent
+    directories; ``s3://`` uses botocore ``put_object`` with the same
+    cached clients/credentials as the read path; ``http(s)://`` issues a
+    retried PUT (presigned-URL / WebDAV style)."""
+    scheme = urlparse(url).scheme
+    if scheme in ("", "file"):
+        path = urlparse(url).path if scheme == "file" else url
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    if scheme == "s3":
+        src = S3Range(url)
+        c = src._get_client()
+        extra = src._ensure_extra()
+
+        def put():
+            c.put_object(Bucket=src.bucket, Key=src.key, Body=data, **extra)
+
+        _retrying(put, url, "PUT")
+        _SOURCES.pop(url, None)  # cached reads of the old object are stale
+        return
+    if scheme in ("http", "https"):
+
+        def put():
+            req = urllib.request.Request(url, data=data, method="PUT")
+            with urllib.request.urlopen(req, timeout=60.0) as resp:
+                status = getattr(resp, "status", resp.getcode())
+                if status not in (200, 201, 204):
+                    raise RangeIOError(f"PUT {url}: HTTP {status}")
+
+        _retrying(put, url, "PUT")
+        _SOURCES.pop(url, None)
+        return
+    raise RangeIOError(f"unsupported URL scheme {scheme!r}: {url}")
+
+
+# per-executor-process source reuse for the per-tile hot path: repeated
+# fetches against one object share its learned size and 200-fallback body
+# cache instead of re-probing (bounded: small LRU of stateful handles —
+# the reference's session-reuse pattern again)
+_SOURCES: Dict[str, RangeSource] = {}
+_SOURCES_CAP = 32
+
+
 def fetch_range(url: str, offset: int, n: int) -> bytes:
     """One-shot ranged fetch — the per-tile/per-chunk hot path. Local
-    files open/seek/read; remote URLs issue exactly one ranged GET."""
+    files open/seek/read; remote URLs issue one ranged GET against a
+    per-process cached source."""
     scheme = urlparse(url).scheme
     if scheme in ("", "file"):
         u = urlparse(url)
         with open(u.path if scheme == "file" else url, "rb") as f:
             f.seek(offset)
             return f.read(n)
-    return open_range(url).read_range(offset, n)
+    src = _SOURCES.get(url)
+    if src is None:
+        if len(_SOURCES) >= _SOURCES_CAP:
+            _SOURCES.pop(next(iter(_SOURCES)))
+        src = open_range(url)
+        _SOURCES[url] = src
+    else:
+        del _SOURCES[url]
+        _SOURCES[url] = src  # refresh LRU recency
+    return src.read_range(offset, n)

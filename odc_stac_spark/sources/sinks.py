@@ -60,8 +60,11 @@ def write_cog(tiles_df: DataFrame, plan, out_dir: str) -> list:
     :func:`write_zarr`; the driver collects no pixels and only returns the
     manifest of paths. Per-task memory is one full (ny, nx) image — the
     inherent unit of a COG — while the *export as a whole* parallelizes
-    across bands × time groups. On a real cluster ``out_dir`` must be a
-    shared filesystem (or swap ``open`` for an object-store client).
+    across bands × time groups. The per-file writer (``write_cog_file``)
+    accepts any rangeio destination (local / ``s3://`` put_object /
+    ``http(s)://`` PUT); this sink's manifest + backfill pass lists a
+    LOCAL ``out_dir`` — for an object-store export, call
+    ``write_cog_file`` per (band, t) with remote URLs directly.
 
     A (band, t) group with no tiles at all (a time group the band never
     observed) is backfilled driver-side with a nodata-filled image, so

@@ -353,3 +353,82 @@ def test_http_retry_inside_reader(served, tmp_path):
     np.testing.assert_array_equal(
         read_cog_tile(url, hdr, 0, 0), read_cog_tile(str(path), hdr, 0, 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# write half: put_bytes
+
+
+def test_put_bytes_local(tmp_path):
+    from odc_stac_spark.sources.rangeio import put_bytes
+
+    p = tmp_path / "nested" / "dir" / "x.bin"
+    put_bytes(str(p), PAYLOAD[:100])  # parent dirs created
+    assert p.read_bytes() == PAYLOAD[:100]
+
+
+def test_put_bytes_http_roundtrip(served):
+    from odc_stac_spark.sources.rangeio import fetch_range, put_bytes
+
+    srv, root = served
+    put_bytes(srv.url("up.bin"), PAYLOAD[:5000])
+    assert (root / "up.bin").read_bytes() == PAYLOAD[:5000]
+    assert fetch_range(srv.url("up.bin"), 100, 50) == PAYLOAD[100:150]
+
+
+def test_put_bytes_http_retries(served, monkeypatch):
+    from odc_stac_spark.sources.rangeio import put_bytes
+
+    srv, root = served
+    srv.set_fail_next(2)
+    put_bytes(srv.url("retry.bin"), b"abc")
+    assert (root / "retry.bin").read_bytes() == b"abc"
+    assert srv.n_requests == 3
+
+
+def test_put_bytes_s3_fake_client(monkeypatch):
+    from odc_stac_spark.sources import rangeio
+
+    calls = []
+
+    class _Client:
+        def put_object(self, Bucket, Key, Body, **kw):
+            calls.append((Bucket, Key, bytes(Body), kw))
+
+    monkeypatch.setattr(
+        rangeio.S3Range, "_get_client", lambda self: _Client()
+    )
+    rangeio.put_bytes("s3://bkt/some/key.tif", b"\x01\x02")
+    assert calls == [("bkt", "some/key.tif", b"\x01\x02", {})]
+
+
+def test_write_cog_to_http_and_read_back(served):
+    """The full remote round trip: the COG writer PUTs to an http://
+    destination and the reader serves it back with ranged GETs — object
+    storage in, object storage out."""
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.sources.geotiff import (
+        read_cog_header,
+        read_cog_tile,
+        write_cog_file,
+    )
+
+    srv, root = served
+    ny, nx = 48, 64
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    img = ((yy * 13 + xx * 29) % 251).astype(np.int16)
+    gbox = GeoBox((ny, nx), (10.0, 0.0, 0.0, 0.0, -10.0, 480.0), "EPSG:32735")
+    url = srv.url("remote_out.tif")
+    write_cog_file(url, img, gbox, tile=32, compression="deflate", predictor=2,
+                   overview_levels=[])
+    hdr = read_cog_header(url)
+    full = np.zeros((ny, nx), np.int16)
+    lv = hdr["levels"][0]
+    ntx = (lv["nx"] + lv["tile_w"] - 1) // lv["tile_w"]
+    for ti in range(len(lv["offsets"])):
+        t = read_cog_tile(url, hdr, 0, ti)
+        y0, x0 = (ti // ntx) * lv["tile_h"], (ti % ntx) * lv["tile_w"]
+        h = min(lv["tile_h"], ny - y0)
+        w = min(lv["tile_w"], nx - x0)
+        full[y0 : y0 + h, x0 : x0 + w] = t[:h, :w]
+    np.testing.assert_array_equal(full, img)
