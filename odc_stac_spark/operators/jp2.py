@@ -45,13 +45,18 @@ actually need for LOSSLESS data, from the public spec:
   sizes (the common Kakadu emission); COC forms that would change the
   band structure (levels/transform/style/precincts) refuse loudly.
 
-- **Selective arithmetic bypass** (D.5, code-block style 0x01): SPP/MRP
-  passes from pass 10 raw-coded, terminated codeword segments with
-  multi-length packet headers (B.10.7.2) — the common Kakadu emission.
+- **Code-block style flags** (A.6.1/D.4-D.7): selective arithmetic
+  BYPASS (0x01 — raw SPP/MRP from pass 10, terminated segments,
+  multi-length packet headers B.10.7.2 — the common Kakadu emission),
+  RESET context probabilities per pass (0x02), TERMALL (0x04 — every
+  pass its own terminated segment), SEGMENTATION SYMBOLS (0x20 — the
+  UNI-coded 1010 sentinel verified at each cleanup pass, so corruption
+  fails loudly), in any combination, encode AND decode; predictable
+  termination (0x10) decodes as a no-op by design.
 
-Out-of-profile features are REFUSED loudly, never mis-decoded: the
-remaining code-block style flags (reset/termall/causal/predictable-
-termination/segmentation-symbols), bypass with >1 quality layer.
+Out-of-profile features are REFUSED loudly, never mis-decoded:
+vertically-causal contexts (0x08), bypass/termall with >1 quality
+layer.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -488,6 +493,32 @@ def _bypass_segment_spans(npasses: int) -> List[Tuple[int, int]]:
     return spans
 
 
+# code-block style flags (A.6.1 table A-19)
+_CBLK_BYPASS = 0x01  # selective arithmetic bypass (D.5)
+_CBLK_RESET = 0x02  # reset context probabilities on each pass (D.7.1)
+_CBLK_TERMALL = 0x04  # terminate every coding pass (D.4.2)
+_CBLK_VCAUSAL = 0x08  # vertically-causal contexts — NOT supported
+_CBLK_PREDTERM = 0x10  # predictable termination: encoder property, decode no-op
+_CBLK_SEGSYM = 0x20  # segmentation symbols after each cleanup pass (D.7.2)
+
+
+def _segment_spans(npasses: int, style: int) -> List[Tuple[int, int]]:
+    """Codeword-segment pass spans for any supported style combination:
+    TERMALL terminates every pass (one segment each); bypass alone
+    terminates at raw↔MQ switches; otherwise one segment carries all
+    passes. RESET/SEGSYM change in-pass coding, not segmentation."""
+    if style & _CBLK_TERMALL:
+        return [(k, k + 1) for k in range(npasses)]
+    if style & _CBLK_BYPASS:
+        return _bypass_segment_spans(npasses)
+    return [(0, npasses)]
+
+
+def _pass_is_raw(k: int, style: int) -> bool:
+    """Raw (bypass) coding applies to SPP/MRP passes from pass 10 on."""
+    return bool(style & _CBLK_BYPASS) and k >= 10 and k % 3 != 0
+
+
 class _RawBitWriter:
     """D.4 raw (bypass) codeword emitter: bits MSB-first; after a 0xFF
     byte the next byte carries only 7 bits (its MSB is a stuffed 0).
@@ -548,22 +579,30 @@ class _RawBitReader:
 
 
 def encode_block(
-    coefs: np.ndarray, band: str, bypass: bool = False
+    coefs: np.ndarray, band: str, bypass: bool = False, style: int = 0
 ) -> Tuple[object, int, int]:
     """Code one block losslessly → (mq bytes, n_passes, n_bitplanes).
     ``coefs``: signed int array (h, w). n_bitplanes = magnitude bits.
 
-    ``bypass=True`` codes with SELECTIVE ARITHMETIC BYPASS (D.5): SPP and
-    MRP passes from pass 10 onward are raw-coded, the coder terminating
-    at every mode switch; the first return value becomes a list of
-    ``(segment_bytes, n_passes_in_segment)`` terminated codeword
-    segments (span schedule: :func:`_bypass_segment_spans`)."""
+    ``style`` applies code-block style flags (A.6.1): 0x01 SELECTIVE
+    BYPASS (D.5 — raw SPP/MRP from pass 10, terminate at mode switches),
+    0x02 RESET (contexts re-initialized at every pass), 0x04 TERMALL
+    (every pass its own terminated segment), 0x20 SEGMENTATION SYMBOLS
+    (the 1010 UNI-coded sentinel closing each cleanup pass).
+    ``bypass=True`` is shorthand for ``style |= 0x01``. With any
+    segmenting style (bypass/termall) the first return value becomes a
+    list of ``(segment_bytes, n_passes_in_segment)`` terminated codeword
+    segments (span schedule: :func:`_segment_spans`); RESET/SEGSYM alone
+    keep the single continuous codeword."""
+    if bypass:
+        style |= _CBLK_BYPASS
+    segmented = bool(style & (_CBLK_BYPASS | _CBLK_TERMALL))
     h, w = coefs.shape
     mag = np.abs(coefs).astype(np.int64)
     neg = (coefs < 0).astype(np.int8)
     nbp = int(mag.max()).bit_length()
     if nbp == 0:
-        return ([] if bypass else b""), 0, 0
+        return ([] if segmented else b""), 0, 0
     bc = _BlockCoder(w, h, band)
     W = bc.W
     for y in range(h):
@@ -586,21 +625,28 @@ def encode_block(
     npasses = 0
 
     def begin_pass(is_cleanup: bool) -> None:
-        """Bypass mode-switch bookkeeping: terminate + start segments at
-        raw↔MQ boundaries (contexts persist across terminations)."""
+        """Style bookkeeping at a pass boundary: terminate + start
+        segments (TERMALL: every pass; bypass: raw↔MQ switches — contexts
+        persist across terminations) and per-pass context resets."""
         nonlocal enc, raw, seg_p0
-        if not bypass:
+        if not style:
             return
-        want_raw = npasses >= 10 and not is_cleanup
-        if want_raw and raw is None:
-            segs.append((enc.flush(), npasses - seg_p0))
+        want_raw = _pass_is_raw(npasses, style) and not is_cleanup
+        switch = want_raw != (raw is not None)
+        if segmented and npasses > seg_p0 and (switch or style & _CBLK_TERMALL):
+            segs.append(
+                (raw.flush() if raw is not None else enc.flush(), npasses - seg_p0)
+            )
             seg_p0 = npasses
-            raw = _RawBitWriter()
-        elif not want_raw and raw is not None:
-            segs.append((raw.flush(), npasses - seg_p0))
-            seg_p0 = npasses
-            enc = MQEncoder(ctx=(enc.idx, enc.mps))
-            raw = None
+            if want_raw:
+                raw = _RawBitWriter()
+            else:
+                enc = MQEncoder(ctx=(enc.idx, enc.mps))
+                raw = None
+        if style & _CBLK_RESET:
+            fresh_idx, fresh_mps = _init_ctx()
+            enc.idx[:] = fresh_idx
+            enc.mps[:] = fresh_mps
 
     for p in range(nbp - 1, -1, -1):
         bit = 1 << p
@@ -684,10 +730,15 @@ def encode_block(
                             enc.encode(bc.sgn[i] ^ xor, ctx)
                             bc.sig[i] = 1
                     y += 1
+        if style & _CBLK_SEGSYM:
+            # segmentation symbol (D.7.2): UNI-coded 1010 closes every
+            # cleanup pass — the decoder verifies it for error detection
+            for b_ in (1, 0, 1, 0):
+                enc.encode(b_, CTX_UNI)
         npasses += 1
         for k in range(len(bc.visited)):
             bc.visited[k] = 0
-    if bypass:
+    if segmented:
         segs.append(
             (raw.flush() if raw is not None else enc.flush(), npasses - seg_p0)
         )
@@ -959,23 +1010,31 @@ def decode_block(
 
 
 def _decode_block_bypass(
-    segs: List[bytes], w: int, h: int, band: str, nbp: int, npasses: int
+    segs: List[bytes],
+    w: int,
+    h: int,
+    band: str,
+    nbp: int,
+    npasses: int,
+    style: int = _CBLK_BYPASS,
 ) -> np.ndarray:
-    """Decode one code-block coded with SELECTIVE ARITHMETIC BYPASS
-    (D.5): SPP/MRP passes from pass 10 are raw-coded, cleanup passes stay
-    MQ-coded, and the coder terminates at every mode switch — ``segs``
-    holds one terminated codeword segment per
-    :func:`_bypass_segment_spans` span, each started with its own reader
-    while MQ context state persists across segments. Clarity over speed
-    here: bypass blocks are the rare tail (Kakadu archives), the flat
-    style-0 hot path in :func:`decode_block` is untouched."""
+    """Decode one code-block coded with any supported style combination:
+    SELECTIVE BYPASS (D.5: raw SPP/MRP from pass 10, terminate at mode
+    switches), TERMALL (D.4.2: every pass its own segment), RESET
+    (D.7.1: contexts re-initialized per pass), SEGSYM (D.7.2: the
+    UNI-coded 1010 sentinel verified at the end of every cleanup pass).
+    ``segs`` holds one terminated codeword segment per
+    :func:`_segment_spans` span, each started with its own reader while
+    MQ context state persists across segments (unless RESET). Clarity
+    over speed here: styled blocks are the rare tail (Kakadu archives),
+    the flat style-0 hot path in :func:`decode_block` is untouched."""
     out = np.zeros((h, w), np.int32)
     if nbp == 0 or npasses == 0:
         return out
-    spans = _bypass_segment_spans(npasses)
+    spans = _segment_spans(npasses, style)
     if len(segs) < len(spans):
         raise ValueError(
-            f"JPEG2000: bypass block expects {len(spans)} codeword segments, "
+            f"JPEG2000: styled block expects {len(spans)} codeword segments, "
             f"got {len(segs)}"
         )
     W = w + 2
@@ -998,12 +1057,16 @@ def _decode_block_bypass(
         while seg_i + 1 < len(spans) and spans[seg_i + 1][0] <= k:
             seg_i += 1
             start = spans[seg_i][0]
-            if start >= 10 and start % 3 == 1:  # raw run (SPP start)
+            if _pass_is_raw(start, style):
                 raw = _RawBitReader(segs[seg_i])
                 mq = None
             else:
                 mq = MQDecoder(segs[seg_i], ctx=ctx)
                 raw = None
+        if style & _CBLK_RESET:
+            fresh_idx, fresh_mps = _init_ctx()
+            ctx[0][:] = fresh_idx
+            ctx[1][:] = fresh_mps
 
     positions: List[int] = []
     columns: List[Tuple[int, bool]] = []
@@ -1123,6 +1186,15 @@ def _decode_block_bypass(
                             sig[i] = 1
                             magf[i] |= bit
                     y += 1
+            if style & _CBLK_SEGSYM:
+                # verify the 1010 sentinel (D.7.2) — its whole purpose is
+                # error detection, so a mismatch must fail loudly
+                sym = tuple(mq.decode(CTX_UNI) for _ in range(4))
+                if sym != (1, 0, 1, 0):
+                    raise ValueError(
+                        f"JPEG2000: segmentation symbol mismatch {sym} — "
+                        "corrupt cleanup pass"
+                    )
             done += 1
         if done < npasses:
             visited = [0] * n
@@ -1540,6 +1612,7 @@ def _encode_tile_body(
     pp=None,
     quant: Optional[Dict[Tuple[int, int, str], float]] = None,
     bypass: bool = False,
+    cblk_style: int = 0,
 ) -> bytes:
     """One tile's packet stream (any progression order; ``layers``
     quality layers — pass counts split evenly, codeword bytes split at
@@ -1622,7 +1695,8 @@ def _encode_tile_body(
                         by, bx = bi // gw, bi % gw
                         sub = band[y0 : y0 + bh_, x0 : x0 + bw2]
                         data, npasses, nbp = encode_block(
-                            np.asarray(sub), bname, bypass=bypass
+                            np.asarray(sub), bname, bypass=bypass,
+                            style=cblk_style,
                         )
                         if npasses == 0:
                             incl.set(bx, by, layers)  # never included
@@ -1633,9 +1707,10 @@ def _encode_tile_body(
                             raise AssertionError("Mb budget under-sized for block")
                         incl.set(bx, by, 0)
                         zbp.set(bx, by, mb - nbp)
-                        if bypass:
-                            # terminated segments cannot split at arbitrary
-                            # byte cuts → single-layer only (enforced by
+                        if isinstance(data, list):
+                            # segmented styles (bypass/termall): terminated
+                            # segments cannot split at arbitrary byte cuts
+                            # → single-layer only (enforced by
                             # encode_jp2_codestream)
                             blks.append(
                                 {"np_l": [npasses], "bsegs": data, "nbp": nbp,
@@ -1765,6 +1840,7 @@ def encode_jp2_codestream(
     size: Optional[Tuple[int, int]] = None,
     comp_cblk: Optional[List[int]] = None,
     bypass: bool = False,
+    cblk_style: int = 0,
 ) -> bytes:
     """Part-1 codestream; ``tile_size`` (th, tw) splits the image into
     independently coded tiles (the Sentinel-2 layout), ``layers``
@@ -1855,9 +1931,16 @@ def encode_jp2_codestream(
     xcb = int(math.log2(cblk))
     if not 1 <= layers <= 65535 or not 0 <= prog <= 4:
         raise ValueError("layers must be ≥1 and prog in 0..4")
-    if bypass and layers > 1:
+    if bypass:
+        cblk_style |= _CBLK_BYPASS
+    if cblk_style & ~0x27:
         raise NotImplementedError(
-            "JPEG2000: selective bypass with multiple quality layers not "
+            "JPEG2000: encoder supports style flags bypass(0x01)/"
+            "reset(0x02)/termall(0x04)/segsym(0x20) only"
+        )
+    if cblk_style & (_CBLK_BYPASS | _CBLK_TERMALL) and layers > 1:
+        raise NotImplementedError(
+            "JPEG2000: bypass/termall with multiple quality layers not "
             "supported (terminated segments cannot split at layer cuts)"
         )
     pp = None
@@ -1875,7 +1958,7 @@ def encode_jp2_codestream(
         levels,
         xcb - 2,
         xcb - 2,
-        0x01 if bypass else 0,  # code-block style (0x01: selective bypass)
+        cblk_style,  # code-block style flags (A.6.1)
         0 if irreversible else 1,  # 9/7 irreversible / 5/3 reversible
     )
     if pp is not None:
@@ -1968,7 +2051,7 @@ def encode_jp2_codestream(
                 xcb_c = int(math.log2(comp_cblk[ci]))
                 body = bytes([ci]) if ncomp < 257 else struct.pack(">H", ci)
                 body += bytes(
-                    [0, levels, xcb_c - 2, xcb_c - 2, 0x01 if bypass else 0, tr_byte]
+                    [0, levels, xcb_c - 2, xcb_c - 2, cblk_style, tr_byte]
                 )
                 out += marker(0xFF53, body)
     out += marker(0xFF5C, qcd)
@@ -1994,7 +2077,7 @@ def encode_jp2_codestream(
             tile, levels, list(comp_cblk) if comp_cblk is not None else cblk,
             mct, signed, depth, mbs,
             layers=layers, prog=prog, sop=sop, eph=eph, pp=pp, quant=quant,
-            bypass=bypass,
+            cblk_style=cblk_style,
         )
         out += struct.pack(">HH", 0xFF90, 10) + struct.pack(
             ">HIBB", ti, 12 + len(body) + 2, 0, 1
@@ -2097,25 +2180,24 @@ def _parse_main_headers(
     if xcb != ycb:
         raise NotImplementedError("JPEG2000: non-square code-blocks not supported")
     cblk = 1 << xcb
-    # code-block style (A.6.1 table A-19): bit 0x01 selective arithmetic
-    # bypass IS supported (D.5 — the common Kakadu production emission);
-    # the remaining flags refuse loudly toward a documented seam.
+    # code-block style (A.6.1 table A-19): bypass (0x01), reset-context
+    # (0x02), termall (0x04) and segmentation symbols (0x20) decode;
+    # predictable termination (0x10) is an encoder-side property the
+    # decoder may ignore. Vertically-causal contexts (0x08) change
+    # context formation itself and refuse toward the native seam.
     cblk_style = cod[8]
-    if cblk_style & ~0x01:
+    if cblk_style & ~0x37:
         unsupported = [
             name
             for mask, name in (
-                (0x02, "reset-context"),
-                (0x04, "termall"),
                 (0x08, "vertically-causal"),
-                (0x10, "predictable-termination"),
-                (0x20, "segmentation-symbols"),
+                (0xC0, "reserved"),
             )
             if cblk_style & mask
         ]
         raise NotImplementedError(
             f"JPEG2000: code-block style flags {'/'.join(unsupported)} not "
-            "supported (selective bypass is)"
+            "supported (bypass/reset/termall/segsym are)"
         )
     if cod[9] == 1:
         transform = "5x3"
@@ -2361,10 +2443,10 @@ def _decode_tile_reduced(
     guard_c = params.get("guard_c") or [params["guard"]] * ncomp
     layers, prog = params.get("layers", 1), params.get("prog", 0)
     use_sop, use_eph = params.get("sop", False), params.get("eph", False)
-    bypass = bool(params.get("cblk_style", 0) & 0x01)
-    if bypass and layers > 1:
+    style = params.get("cblk_style", 0)
+    if style & (_CBLK_BYPASS | _CBLK_TERMALL) and layers > 1:
         raise NotImplementedError(
-            "JPEG2000: selective bypass with multiple quality layers not "
+            "JPEG2000: bypass/termall with multiple quality layers not "
             "supported (codeword segments could split across packets)"
         )
     irrev = params.get("transform", "5x3") == "9x7"
@@ -2453,14 +2535,14 @@ def _decode_tile_reduced(
                 np_l = _get_npasses(br)
                 while br.get():
                     st["lblock"] += 1
-                if bypass:
+                if style & (_CBLK_BYPASS | _CBLK_TERMALL):
                     # multiple codeword segments (B.10.7.2): one comma
                     # prefix raises Lblock, then one length per terminated
                     # segment, each with lblock + ⌊log2(seg passes)⌋ bits
                     start = st["npasses"]
                     lengths = [
                         br.get_bits(st["lblock"] + int(math.log2(e - s)))
-                        for s, e in _bypass_segment_spans(start + np_l)
+                        for s, e in _segment_spans(start + np_l, style)
                         if s >= start
                     ]
                     st["npasses"] += np_l
@@ -2482,9 +2564,17 @@ def _decode_tile_reduced(
     for (ci, r, bname, p, bi), st in blocks.items():
         if r > max_res:
             continue
-        if bypass:
+        if style:
+            segs = (
+                st["segs"]
+                if style & (_CBLK_BYPASS | _CBLK_TERMALL)
+                # RESET/SEGSYM keep ONE continuous codeword: per-layer
+                # chunks concatenate exactly like style 0
+                else [b"".join(st["segs"])]
+            )
             coefs = _decode_block_bypass(
-                st["segs"], st["w"], st["h"], st["band"], st["nbp"], st["npasses"]
+                segs, st["w"], st["h"], st["band"], st["nbp"],
+                st["npasses"], style=style,
             )
         else:
             coefs = decode_block(
@@ -2664,13 +2754,19 @@ def read_jp2_header(path: str) -> dict:
                 btype = head[p + 4 : p + 8]
                 hdr = 8
                 if size == 1:
+                    if p + 16 > len(head):
+                        raise ValueError("JP2: truncated XLBox header")
                     (size,) = struct.unpack_from(">Q", head, p + 8)
                     hdr = 16
-                if size == 0:
-                    size = 0  # jp2c-to-EOF
                 if btype == b"jp2c":
                     cs_off = p + hdr
                     break
+                if size == 0:
+                    break  # to-EOF box that isn't jp2c: walk is over
+                if size < hdr:
+                    # a box smaller than its own header cannot advance the
+                    # walk (fuzz finding: corrupt size → infinite loop)
+                    raise ValueError(f"JP2: invalid box size {size}")
                 p += size
             if cs_off is None:
                 raise ValueError("no JPEG2000 codestream found")
@@ -2692,6 +2788,8 @@ def read_jp2_header(path: str) -> dict:
             code, ln = struct.unpack_from(">HH", read_at(p, 4), 0)
             if code == 0xFFD9:
                 break
+            if ln < 2:
+                raise ValueError(f"JP2: invalid marker length {ln}")
             body = read_at(p + 4, ln - 2)
             if code == 0xFF51:
                 siz = body
@@ -2714,6 +2812,11 @@ def read_jp2_header(path: str) -> dict:
                 sod_at = p + 2 + ln
                 if read_at(sod_at, 2) != b"\xff\x93":
                     raise ValueError("expected SOD after SOT")
+                if tile_end <= sod_at + 2 or tile_end > fsize:
+                    # Psot must land past this tile-part's SOD and inside
+                    # the file; a corrupt value that moves the scan
+                    # backward would loop forever (fuzz finding)
+                    raise ValueError(f"JP2: invalid Psot {psot}")
                 tiles.append((isot, sod_at + 2, tile_end))
                 p = tile_end
                 continue

@@ -359,8 +359,24 @@ class _R:
         from .rangeio import range_open
 
         self.f = range_open(path)
+        self._size: int | None = None
+
+    def size(self) -> int:
+        if self._size is None:
+            pos = self.f.tell()
+            self.f.seek(0, 2)
+            self._size = self.f.tell()
+            self.f.seek(pos)
+        return self._size
 
     def read_at(self, off: int, n: int) -> bytes:
+        # clamp to the file extent: a corrupt header's size field must
+        # yield a SHORT read (→ typed struct/parse error downstream),
+        # never an n-byte buffer pre-allocation (fuzz finding: a mutated
+        # local-heap segment size drove f.read into MemoryError)
+        if off < 0 or n < 0:
+            raise ValueError(f"hdf5: invalid read [{off}, {off}+{n})")
+        n = min(n, max(0, self.size() - off))
         self.f.seek(off)
         return self.f.read(n)
 

@@ -343,11 +343,9 @@ def test_rejects_quant_style_on_reversible():
 
 
 def test_refuses_unsupported_cblk_style_flags():
+    # bypass/reset/termall/segsym decode now; 0x08 and reserved bits refuse
     cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    for flag, name in ((0x02, "reset-context"), (0x04, "termall"),
-                       (0x08, "vertically-causal"),
-                       (0x10, "predictable-termination"),
-                       (0x20, "segmentation-symbols")):
+    for flag, name in ((0x08, "vertically-causal"), (0x40, "reserved")):
         bad = _patched(cs, b"\xff\x52", 8, flag)
         with pytest.raises(NotImplementedError, match=name):
             decode_jp2(bad)
@@ -738,3 +736,63 @@ def test_coc_unsupported_overrides_refuse():
     coc2 = b"\xff\x53" + struct.pack(">H", 9) + bytes([0, 0, 2, 2, 2, 0, 0])
     with pytest.raises(NotImplementedError, match="transform"):
         decode_jp2(cs[:at] + coc2 + cs[at:])
+
+
+# ---------------------------------------------------------------------------
+# full code-block style matrix (reset 0x02 / termall 0x04 / segsym 0x20)
+
+
+def test_all_style_combos_roundtrip_identically():
+    """Every supported style combination must reconstruct the SAME
+    pixels as style 0 — styles change entropy-coding framing, never
+    coefficients."""
+    r = np.random.default_rng(42)
+    img = r.integers(0, 60000, (70, 90)).astype(np.uint16)
+    base = decode_jp2(encode_jp2_codestream(img))
+    for combo in (0x02, 0x04, 0x05, 0x06, 0x07, 0x20, 0x22, 0x25, 0x27):
+        got = decode_jp2(encode_jp2_codestream(img, cblk_style=combo))
+        np.testing.assert_array_equal(got, base, err_msg=hex(combo))
+
+
+def test_styles_with_tiles_precincts_and_multilayer():
+    r = np.random.default_rng(9)
+    img = r.integers(0, 60000, (70, 90)).astype(np.uint16)
+    cs = encode_jp2_codestream(
+        img, cblk_style=0x27, tile_size=(48, 48), precincts=(6, 6),
+        prog=2, sop=True, eph=True,
+    )
+    np.testing.assert_array_equal(decode_jp2(cs)[:, :, 0], img)
+    # reset/segsym keep ONE continuous codeword → quality layers allowed
+    cs = encode_jp2_codestream(img, cblk_style=0x22, layers=3)
+    np.testing.assert_array_equal(decode_jp2(cs)[:, :, 0], img)
+    # termall cannot split segments across layers → refuses
+    with pytest.raises(NotImplementedError, match="quality layers"):
+        encode_jp2_codestream(img, cblk_style=0x04, layers=2)
+
+
+def test_segsym_detects_corruption():
+    """The segmentation symbol exists FOR error detection: a corrupted
+    cleanup pass must raise, not silently mis-decode."""
+    r = np.random.default_rng(3)
+    img = r.integers(0, 60000, (48, 48)).astype(np.uint16)
+    cs = bytearray(encode_jp2_codestream(img, cblk_style=0x20))
+    at = bytes(cs).index(b"\xff\x93") + 400
+    cs[at] ^= 0xFF
+    with pytest.raises(Exception):
+        decode_jp2(bytes(cs))
+
+
+def test_predictable_termination_flag_is_tolerated():
+    """0x10 is an encoder-side property; a stream labeled with it (and
+    nothing else) decodes exactly like style 0."""
+    img = (np.arange(32 * 32, dtype=np.int64) % 251).reshape(32, 32).astype(np.uint8)
+    cs = encode_jp2_codestream(img, levels=2)
+    patched = _patched(cs, b"\xff\x52", 8, 0x10)
+    np.testing.assert_array_equal(decode_jp2(patched), decode_jp2(cs))
+
+
+def test_vertically_causal_still_refuses():
+    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
+    bad = _patched(cs, b"\xff\x52", 8, 0x08)
+    with pytest.raises(NotImplementedError, match="vertically-causal"):
+        decode_jp2(bad)
