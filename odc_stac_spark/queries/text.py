@@ -576,3 +576,191 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup5f, 6).alias("dup_fivegram_frac"),
         ((top2f > 0.20) | (top3f > 0.18) | (dup5f > 0.30)).alias("would_filter"),
     )
+
+
+# deterministic 32-bit hash shared with the DuckDB oracles (same as
+# queries/dedup._hash32: md5 head → bigint, bit-identical cross-engine)
+def _h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_BLOCKLIST = ["src3", "src7", "src13"]
+_BLOCK_SQL = "(" + ", ".join(f"'{s}'" for s in _BLOCKLIST) + ")"
+
+
+@register(
+    "text_domain_filter",
+    oracle=f"""
+    SELECT source,
+           source IN {_BLOCK_SQL} AS blocked,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="C4-style source/domain filtering: a broadcast blocklist flags "
+    "whole sources for removal; per-source doc/token/char totals feed "
+    "the corpus-composition report. 100 TB shape: the blocklist is a "
+    "driver-resident literal (an IN filter inside codegen), the stats a "
+    "map-side partial aggregation on a low-cardinality key.",
+    tags=("text", "llm", "filter"),
+)
+def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.first(F.col("source").isin(_BLOCKLIST)).alias("blocked"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), " +"))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# per-language keep-rates (percent): the data-mixing knob — downsample
+# the dominant language, keep the rest. Deterministic per-doc hash, so
+# the sample is reproducible across engines, runs and cluster sizes.
+_MIX_RATES = {"en": 30, "de": 80, "zh": 80, "fr": 80, "es": 80}
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    + " ELSE 100 END"
+)
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(SUM(len(string_split_regex(trim(text), ' +')))
+                FILTER (WHERE keep) AS BIGINT) AS kept_tokens
+    FROM (
+        SELECT lang, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 < ({_RATE_SQL}) AS keep
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling (the data-mixing primitive: "
+    "re-weight languages/sources for a training mix): keep a document "
+    "iff md5-hash(doc_id) %% 100 falls under its language's rate. The "
+    "hash makes the sample reproducible and cluster-size-independent — "
+    "rerunning at 100 TB or resuming a failed job selects the SAME "
+    "documents, unlike rand()-based sampling. Pure map-side filter + "
+    "partial agg; rates ship as a literal CASE, no join.",
+    tags=("text", "llm", "sampling"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(100)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = _h32(F.col("doc_id").cast("string")) % 100 < rate
+    return (
+        d.withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.size(F.split(F.trim("text"), " +")))
+            ).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+_PACK_LEN = 512  # context-window token budget per packed sequence
+
+
+@register(
+    "text_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), ' +')) AS n_tok
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix
+        FROM toks
+    )
+    SELECT source,
+           CAST(prefix // {_PACK_LEN} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM placed
+    GROUP BY source, bin
+    """,
+    doc="Sequence packing for pretraining: concatenate documents into "
+    "fixed-budget context windows ({} tokens) by assigning each doc the "
+    "bin of its exclusive running-token prefix. Packing runs PER SOURCE "
+    "(window partitioned by source, ordered by doc_id): at 100 TB a "
+    "single global running sum would serialize on one partition, while "
+    "per-shard packing — what real pipelines do — keeps every executor "
+    "busy and the order deterministic.".format(_PACK_LEN),
+    tags=("text", "llm", "packing"),
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select(
+        "source", "doc_id", F.size(F.split(F.trim("text"), " +")).alias("n_tok")
+    )
+    placed = toks.withColumn(
+        "prefix", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return placed.groupBy(
+        "source", F.floor(F.col("prefix") / _PACK_LEN).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "text_word_freq_topk",
+    oracle="""
+    SELECT tok, n, rank FROM (
+        SELECT tok, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+        FROM (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), ' +')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        )
+    ) WHERE rank <= 25
+    """,
+    doc="Corpus vocabulary statistics: global top-25 tokens with counts "
+    "and a total ordering (count desc, token asc). The expensive half — "
+    "per-token counting over every document — is a map-side partial "
+    "aggregation; only per-token totals reach the shuffle, and the "
+    "final top-k is a driver-bounded sort of the (tiny) vocabulary.",
+    tags=("text", "llm", "stats"),
+)
+def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 25)
+        .select("tok", "n", "rank")
+    )
