@@ -45,18 +45,19 @@ actually need for LOSSLESS data, from the public spec:
   sizes (the common Kakadu emission); COC forms that would change the
   band structure (levels/transform/style/precincts) refuse loudly.
 
-- **Code-block style flags** (A.6.1/D.4-D.7): selective arithmetic
+- **ALL code-block style flags** (A.6.1/D.4-D.7): selective arithmetic
   BYPASS (0x01 — raw SPP/MRP from pass 10, terminated segments,
   multi-length packet headers B.10.7.2 — the common Kakadu emission),
   RESET context probabilities per pass (0x02), TERMALL (0x04 — every
-  pass its own terminated segment), SEGMENTATION SYMBOLS (0x20 — the
-  UNI-coded 1010 sentinel verified at each cleanup pass, so corruption
-  fails loudly), in any combination, encode AND decode; predictable
-  termination (0x10) decodes as a no-op by design.
+  pass its own terminated segment), VERTICALLY STRIPE-CAUSAL contexts
+  (0x08 — next-stripe rows masked out of every context, the low-latency
+  profile), SEGMENTATION SYMBOLS (0x20 — the UNI-coded 1010 sentinel
+  verified at each cleanup pass, so corruption fails loudly), in any
+  combination, encode AND decode; predictable termination (0x10)
+  decodes as a no-op by design.
 
 Out-of-profile features are REFUSED loudly, never mis-decoded:
-vertically-causal contexts (0x08), bypass/termall with >1 quality
-layer.
+reserved style bits, bypass/termall with >1 quality layer.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -414,9 +415,15 @@ for (h_, v_), (c_, x_) in _SC.items():
 
 class _BlockCoder:
     """Shared pass machinery. Grids are padded by 1 on every side so
-    neighbour reads never bounds-check; index i = (y+1)*W + (x+1)."""
+    neighbour reads never bounds-check; index i = (y+1)*W + (x+1).
 
-    def __init__(self, w: int, h: int, band: str) -> None:
+    ``causal=True`` applies VERTICALLY STRIPE-CAUSAL context formation
+    (D.7, code-block style 0x08): for the LAST row of each 4-row stripe,
+    the samples of the next stripe (the row below) are treated as
+    insignificant in every context — zero coding, sign, refinement and
+    the run-length test alike."""
+
+    def __init__(self, w: int, h: int, band: str, causal: bool = False) -> None:
         self.w, self.h = w, h
         self.W = w + 2
         n = (h + 2) * self.W
@@ -425,12 +432,20 @@ class _BlockCoder:
         self.visited = [0] * n
         self.refined = [0] * n
         self.band = band
+        self.causal = causal
+
+    def _lo(self, i: int) -> int:
+        """1 normally; 0 when causal masks the row below (stripe-last)."""
+        if not self.causal:
+            return 1
+        return 0 if (i // self.W - 1) % 4 == 3 else 1
 
     def _zc_ctx(self, i: int) -> int:
         s, W = self.sig, self.W
+        lo = self._lo(i)
         hn = s[i - 1] + s[i + 1]
-        vn = s[i - W] + s[i + W]
-        dn = s[i - W - 1] + s[i - W + 1] + s[i + W - 1] + s[i + W + 1]
+        vn = s[i - W] + lo * s[i + W]
+        dn = s[i - W - 1] + s[i - W + 1] + lo * (s[i + W - 1] + s[i + W + 1])
         b = self.band
         if b == "HL":  # transposed H/V
             return int(_ZC_LL[vn, hn, dn])
@@ -440,8 +455,9 @@ class _BlockCoder:
 
     def _sc_ctx(self, i: int) -> Tuple[int, int]:
         s, g, W = self.sig, self.sgn, self.W
+        lo = self._lo(i)
         hc = (s[i - 1] * (1 - 2 * g[i - 1])) + (s[i + 1] * (1 - 2 * g[i + 1]))
-        vc = (s[i - W] * (1 - 2 * g[i - W])) + (s[i + W] * (1 - 2 * g[i + W]))
+        vc = (s[i - W] * (1 - 2 * g[i - W])) + lo * (s[i + W] * (1 - 2 * g[i + W]))
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         return int(_SC_CTX[hc + 1, vc + 1]), int(_SC_XOR[hc + 1, vc + 1])
@@ -449,18 +465,15 @@ class _BlockCoder:
     def _mr_ctx(self, i: int) -> int:
         if self.refined[i]:
             return 16
-        s, W = self.sig, self.W
-        any_n = (
-            s[i - 1] or s[i + 1] or s[i - W] or s[i + W]
-            or s[i - W - 1] or s[i - W + 1] or s[i + W - 1] or s[i + W + 1]
-        )
-        return 15 if any_n else 14
+        return 15 if self._has_sig_neighbor(i) else 14
 
     def _has_sig_neighbor(self, i: int) -> bool:
         s, W = self.sig, self.W
+        lo = self._lo(i)
         return bool(
-            s[i - 1] or s[i + 1] or s[i - W] or s[i + W]
-            or s[i - W - 1] or s[i - W + 1] or s[i + W - 1] or s[i + W + 1]
+            s[i - 1] or s[i + 1] or s[i - W]
+            or s[i - W - 1] or s[i - W + 1]
+            or (lo and (s[i + W] or s[i + W - 1] or s[i + W + 1]))
         )
 
     def _positions(self):
@@ -597,13 +610,14 @@ def encode_block(
     if bypass:
         style |= _CBLK_BYPASS
     segmented = bool(style & (_CBLK_BYPASS | _CBLK_TERMALL))
+    causal = bool(style & _CBLK_VCAUSAL)
     h, w = coefs.shape
     mag = np.abs(coefs).astype(np.int64)
     neg = (coefs < 0).astype(np.int8)
     nbp = int(mag.max()).bit_length()
     if nbp == 0:
         return ([] if segmented else b""), 0, 0
-    bc = _BlockCoder(w, h, band)
+    bc = _BlockCoder(w, h, band, causal=causal)
     W = bc.W
     for y in range(h):
         base = (y + 1) * W + 1
@@ -1079,18 +1093,26 @@ def _decode_block_bypass(
             for y in range(y0, ymax):
                 positions.append((y + 1) * W + (x + 1))
 
+    causal = bool(style & _CBLK_VCAUSAL)
+
+    def lo(i: int) -> int:
+        """1 normally; 0 when vertically-causal masks the row below
+        (the last row of each 4-row stripe, D.7)."""
+        return 0 if causal and (i // W - 1) % 4 == 3 else 1
+
     def neighbor_sig(i: int) -> bool:
         return bool(
-            sig[i - 1] or sig[i + 1] or sig[i - W] or sig[i + W]
+            sig[i - 1] or sig[i + 1] or sig[i - W]
             or sig[i - W - 1] or sig[i - W + 1]
-            or sig[i + W - 1] or sig[i + W + 1]
+            or (lo(i) and (sig[i + W] or sig[i + W - 1] or sig[i + W + 1]))
         )
 
     def zc_key(i: int) -> int:
+        m = lo(i)
         return (
-            sig[i - 1] + 2 * sig[i + 1] + 4 * sig[i - W] + 8 * sig[i + W]
+            sig[i - 1] + 2 * sig[i + 1] + 4 * sig[i - W] + 8 * m * sig[i + W]
             + 16 * sig[i - W - 1] + 32 * sig[i - W + 1]
-            + 64 * sig[i + W - 1] + 128 * sig[i + W + 1]
+            + 64 * m * sig[i + W - 1] + 128 * m * sig[i + W + 1]
         )
 
     def mq_sign(i: int) -> int:
@@ -1098,7 +1120,7 @@ def _decode_block_bypass(
             sig[i - 1] * (1 + sgn[i - 1])
             + 3 * sig[i + 1] * (1 + sgn[i + 1])
             + 9 * sig[i - W] * (1 + sgn[i - W])
-            + 27 * sig[i + W] * (1 + sgn[i + W])
+            + 27 * lo(i) * sig[i + W] * (1 + sgn[i + W])
         )
         c, xor = sc_lut[sk]
         return mq.decode(c) ^ xor
@@ -1165,8 +1187,15 @@ def _decode_block_bypass(
                         or sig[top - W - 1] or sig[top - W + 1]
                         or sig[i2 - 1] or sig[i2 + 1]
                         or sig[i3 - 1] or sig[i3 + 1]
-                        or sig[i4 - 1] or sig[i4 + 1] or sig[i4 + W]
-                        or sig[i4 + W - 1] or sig[i4 + W + 1]
+                        or sig[i4 - 1] or sig[i4 + 1]
+                        or (
+                            lo(i4)
+                            and (
+                                sig[i4 + W]
+                                or sig[i4 + W - 1]
+                                or sig[i4 + W + 1]
+                            )
+                        )
                     )
                 ):
                     if not mq.decode(CTX_RL):
@@ -1933,10 +1962,11 @@ def encode_jp2_codestream(
         raise ValueError("layers must be ≥1 and prog in 0..4")
     if bypass:
         cblk_style |= _CBLK_BYPASS
-    if cblk_style & ~0x27:
+    if cblk_style & ~0x2F:
         raise NotImplementedError(
             "JPEG2000: encoder supports style flags bypass(0x01)/"
-            "reset(0x02)/termall(0x04)/segsym(0x20) only"
+            "reset(0x02)/termall(0x04)/vcausal(0x08)/segsym(0x20); "
+            "predictable termination is not emitted"
         )
     if cblk_style & (_CBLK_BYPASS | _CBLK_TERMALL) and layers > 1:
         raise NotImplementedError(
@@ -2180,24 +2210,15 @@ def _parse_main_headers(
     if xcb != ycb:
         raise NotImplementedError("JPEG2000: non-square code-blocks not supported")
     cblk = 1 << xcb
-    # code-block style (A.6.1 table A-19): bypass (0x01), reset-context
-    # (0x02), termall (0x04) and segmentation symbols (0x20) decode;
-    # predictable termination (0x10) is an encoder-side property the
-    # decoder may ignore. Vertically-causal contexts (0x08) change
-    # context formation itself and refuse toward the native seam.
+    # code-block style (A.6.1 table A-19): ALL defined flags decode —
+    # bypass (0x01), reset-context (0x02), termall (0x04), vertically-
+    # causal contexts (0x08), segmentation symbols (0x20); predictable
+    # termination (0x10) is an encoder-side property the decoder may
+    # ignore. Only reserved bits refuse.
     cblk_style = cod[8]
-    if cblk_style & ~0x37:
-        unsupported = [
-            name
-            for mask, name in (
-                (0x08, "vertically-causal"),
-                (0xC0, "reserved"),
-            )
-            if cblk_style & mask
-        ]
+    if cblk_style & ~0x3F:
         raise NotImplementedError(
-            f"JPEG2000: code-block style flags {'/'.join(unsupported)} not "
-            "supported (bypass/reset/termall/segsym are)"
+            f"JPEG2000: reserved code-block style bits 0x{cblk_style:02x}"
         )
     if cod[9] == 1:
         transform = "5x3"

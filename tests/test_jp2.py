@@ -342,13 +342,12 @@ def test_rejects_quant_style_on_reversible():
         decode_jp2(bad)
 
 
-def test_refuses_unsupported_cblk_style_flags():
-    # bypass/reset/termall/segsym decode now; 0x08 and reserved bits refuse
+def test_refuses_reserved_cblk_style_bits():
+    # every DEFINED style flag decodes now; only reserved bits refuse
     cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    for flag, name in ((0x08, "vertically-causal"), (0x40, "reserved")):
-        bad = _patched(cs, b"\xff\x52", 8, flag)
-        with pytest.raises(NotImplementedError, match=name):
-            decode_jp2(bad)
+    bad = _patched(cs, b"\xff\x52", 8, 0x40)
+    with pytest.raises(NotImplementedError, match="reserved"):
+        decode_jp2(bad)
 
 
 # ---------------------------------------------------------------------------
@@ -791,8 +790,24 @@ def test_predictable_termination_flag_is_tolerated():
     np.testing.assert_array_equal(decode_jp2(patched), decode_jp2(cs))
 
 
-def test_vertically_causal_still_refuses():
-    cs = encode_jp2_codestream(np.zeros((8, 8), np.uint8), levels=1, cblk=16)
-    bad = _patched(cs, b"\xff\x52", 8, 0x08)
-    with pytest.raises(NotImplementedError, match="vertically-causal"):
-        decode_jp2(bad)
+def test_vertically_causal_full_matrix():
+    """Vertically stripe-causal context formation (D.7, 0x08): every
+    combination with the other flags reconstructs identically to
+    style 0, AND the flag genuinely changes the bitstream (a stream
+    relabeled without it mis-decodes — the masking is exercised, not a
+    no-op)."""
+    r = np.random.default_rng(5)
+    img = r.integers(0, 60000, (64, 64)).astype(np.uint16)
+    base = decode_jp2(encode_jp2_codestream(img))
+    for combo in (0x08, 0x09, 0x0C, 0x0F, 0x28, 0x2F):
+        got = decode_jp2(encode_jp2_codestream(img, cblk_style=combo))
+        np.testing.assert_array_equal(got, base, err_msg=hex(combo))
+    cs = encode_jp2_codestream(img, cblk_style=0x08)
+    assert cs[100:] != encode_jp2_codestream(img)[100:]
+    at = cs.index(b"\xff\x52") + 4 + 8
+    relabeled = cs[:at] + bytes([0x02]) + cs[at + 1 :]
+    try:
+        wrong = decode_jp2(relabeled)
+        assert not np.array_equal(wrong[:, :, 0], img)
+    except Exception:
+        pass  # an error is an equally valid outcome for a mislabeled stream
