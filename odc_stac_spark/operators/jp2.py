@@ -68,10 +68,21 @@ native OpenJPEG can displace this through the same
 from __future__ import annotations
 
 import math
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+
+def _max_decode_pixels() -> int:
+    """Allocation sanity cap for decode (samples = ys·xs·ncomp): a
+    corrupt/adversarial SIZ must raise, not OOM the executor (fuzz
+    finding: a mutated header claimed a 144 GiB output). Legit giant
+    images read through the windowed/tile API; raise the cap via
+    ``ODC_STAC_SPARK_JP2_MAX_PIXELS`` when a full-frame decode beyond
+    268 Mpx (2x a full Sentinel-2 scene) is really intended."""
+    return int(os.environ.get("ODC_STAC_SPARK_JP2_MAX_PIXELS", str(1 << 28)))
 
 # ---------------------------------------------------------------------------
 # MQ arithmetic coder — T.800 Annex C (also ITU-T T.88). Public Qe table:
@@ -2480,6 +2491,11 @@ def _decode_tile_reduced(
             "JPEG2000: non-uniform component subsampling is supported with "
             "LRCP/RLCP progressions only"
         )
+    if th * tw * ncomp > _max_decode_pixels():
+        raise ValueError(
+            f"JPEG2000: tile claims {th}x{tw}x{ncomp} samples — over the "
+            "decode sanity cap (ODC_STAC_SPARK_JP2_MAX_PIXELS)"
+        )
     cdims = _comp_tile_dims(comps, t_origin[0], t_origin[1], th, tw)
     shapes_c = [_band_shapes(ch_, cw_, levels) for ch_, cw_ in cdims]
     band_dt = np.float64 if irrev else np.int32
@@ -2735,6 +2751,14 @@ def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) 
     docstring; anything else raises loudly rather than mis-decoding."""
     cs = _find_codestream(bytes(data))
     params, tiles = _scan_codestream(cs)
+    n_samples = params["ys"] * params["xs"] * params["ncomp"]
+    if n_samples > _max_decode_pixels():
+        raise ValueError(
+            f"JPEG2000: image claims {params['ys']}x{params['xs']}x"
+            f"{params['ncomp']} samples — over the decode sanity cap "
+            "(ODC_STAC_SPARK_JP2_MAX_PIXELS); corrupt header, or use the "
+            "windowed/tile API"
+        )
     out = np.zeros((params["ys"], params["xs"], params["ncomp"]), np.int64)
     for isot, b0, b1 in tiles:
         ty0, tx0, th, tw = _tile_geometry(params, isot)
