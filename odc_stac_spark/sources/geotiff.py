@@ -982,6 +982,18 @@ def read_cog_header(path: str) -> Dict:
                 if _JPEGTABLES in tags
                 else None
             )
+            # allocation sanity (same discipline as the JP2 decode cap):
+            # a corrupt header must raise, never drive a tile-sized
+            # np.full/decompress into executor OOM
+            if not (0 < tile_w and 0 < tile_h and 0 < nx and 0 < ny):
+                raise ValueError(
+                    f"TIFF: invalid dimensions {ny}x{nx} tiles {tile_h}x{tile_w}"
+                )
+            if tile_w * tile_h * max(spp, 1) > (1 << 28):
+                raise ValueError(
+                    f"TIFF: tile claims {tile_h}x{tile_w}x{spp} samples — "
+                    "over the decode sanity cap"
+                )
             levels.append(
                 {
                     "nx": nx,

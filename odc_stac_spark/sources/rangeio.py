@@ -494,9 +494,16 @@ def fetch_range(url: str, offset: int, n: int) -> bytes:
     files open/seek/read; remote URLs issue one ranged GET against a
     per-process cached source."""
     scheme = urlparse(url).scheme
+    if offset < 0 or n < 0:
+        raise ValueError(f"fetch_range: invalid range [{offset}, {offset}+{n})")
     if scheme in ("", "file"):
         u = urlparse(url)
         with open(u.path if scheme == "file" else url, "rb") as f:
+            # clamp to the file extent: a corrupt offset/bytecount from a
+            # parsed header must yield a short read (typed error
+            # downstream), never an n-byte pre-allocation (fuzz finding)
+            f.seek(0, 2)
+            n = min(n, max(0, f.tell() - offset))
             f.seek(offset)
             return f.read(n)
     src = _SOURCES.get(url)
