@@ -1,0 +1,149 @@
+"""Seeded mutation hunts over the DECODE paths (headers AND payloads):
+every failure must be a typed exception with bounded time/allocation —
+never a hang, RecursionError or MemoryError. This is the deterministic
+regression form of the alarm-based hunts that found the round-8 bugs
+(JP2 box-walk/Psot loops + 144 GiB SIZ alloc, TIFF IFD cycle +
+unbounded ensure/fetch reads, HDF5 read_at MemoryError); the hypothesis
+header suite (test_header_fuzz.py) stays as the structured counterpart."""
+
+from __future__ import annotations
+
+import os
+import random
+import signal
+import time
+
+import numpy as np
+import pytest
+
+TRIALS = int(os.environ.get("ODC_STAC_SPARK_FUZZ_TRIALS", "4000"))
+PER_CASE_S = 4
+
+
+class _CaseTimeout(Exception):
+    pass
+
+
+def _hunt(make_blob, decode, seed, n_muts=(1, 6), budget_s=PER_CASE_S):
+    """Mutate `make_blob()` TRIALS times; decode must never hang/OOM."""
+    base = make_blob()
+    rng = random.Random(seed)
+    old = signal.signal(
+        signal.SIGALRM, lambda s, f: (_ for _ in ()).throw(_CaseTimeout())
+    )
+    try:
+        for trial in range(TRIALS):
+            blob = bytearray(base)
+            for _ in range(rng.randint(*n_muts)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+            signal.alarm(budget_s)
+            t0 = time.monotonic()
+            try:
+                decode(bytes(blob))
+            except (_CaseTimeout, MemoryError, RecursionError) as e:
+                raise AssertionError(
+                    f"trial {trial}: {type(e).__name__} after "
+                    f"{time.monotonic() - t0:.1f}s (muts over seed {seed})"
+                ) from e
+            except Exception:
+                pass  # typed failure — the contract
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+
+
+def _via_file(parse, tmp_path, suffix):
+    p = tmp_path / f"fuzz{suffix}"
+
+    def run(blob: bytes):
+        p.write_bytes(blob)
+        return parse(str(p))
+
+    return run
+
+
+def test_fuzz_cog_header_and_tile(tmp_path):
+    from odc_stac_spark.model import GeoBox
+    from odc_stac_spark.sources.geotiff import (
+        read_cog_header,
+        read_cog_tile,
+        write_cog_file,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:80]
+    gbox = GeoBox((64, 80), (10.0, 0.0, 0.0, 0.0, -10.0, 640.0), "EPSG:32735")
+    tif = tmp_path / "g.tif"
+    write_cog_file(str(tif), ((yy * 31 + xx * 7) % 997).astype(np.int16), gbox,
+                   tile=32, compression="deflate", predictor=2, overview_levels=[2])
+
+    def parse(path):
+        hdr = read_cog_header(path)
+        read_cog_tile(path, hdr, 0, 0)
+
+    _hunt(tif.read_bytes, _via_file(parse, tmp_path, ".tif"), seed=77)
+
+
+def test_fuzz_jp2_decode_all_styles():
+    from odc_stac_spark.operators.jp2 import decode_jp2, encode_jp2_codestream
+
+    rng0 = np.random.default_rng(2)
+    img = rng0.integers(0, 60000, (32, 40)).astype(np.uint16)
+    for style in (0, 0x01, 0x2F):
+        # budget covers worst-case LEGAL work: a mutated SIZ may claim up
+        # to the decode cap (268 Mpx) and a bounded full-frame attempt on
+        # that claim costs several seconds, same as a genuine image that
+        # size — only beyond that is a pathology
+        _hunt(
+            lambda s=style: encode_jp2_codestream(img, cblk_style=s, levels=2, cblk=16),
+            decode_jp2,
+            seed=11 + style,
+            budget_s=15,
+        )
+
+
+def test_fuzz_netcdf_hdf5_var_reads(tmp_path):
+    from odc_stac_spark.sources.hdf5 import write_hdf5
+    from odc_stac_spark.sources.netcdf import (
+        read_netcdf_header,
+        read_netcdf_var,
+        write_netcdf,
+    )
+
+    data = ((np.arange(40)[:, None] * 13 + np.arange(50)[None, :]) % 251).astype(
+        np.int16
+    )
+    nc = tmp_path / "g.nc"
+    write_netcdf(str(nc), {"y": 40, "x": 50}, {"v": (("y", "x"), data)})
+    h5 = tmp_path / "g.h5"
+    write_hdf5(str(h5), {"v": {"data": data, "chunks": (16, 16),
+                               "compression": "gzip", "shuffle": True}})
+
+    def parse(path):
+        hdr = read_netcdf_header(path)
+        for name in list(hdr.get("vars", {}))[:2]:
+            read_netcdf_var(path, hdr, name, (slice(0, 8), slice(0, 8)))
+
+    _hunt(nc.read_bytes, _via_file(parse, tmp_path, ".nc"), seed=55)
+    _hunt(h5.read_bytes, _via_file(parse, tmp_path, ".h5"), seed=56)
+
+
+@pytest.mark.parametrize("codec", ["jpeg", "png", "webp", "gif"])
+def test_fuzz_image_codecs(codec):
+    from odc_stac_spark.operators.codecs import decode_png, encode_png
+    from odc_stac_spark.operators.gif import decode_gif, encode_gif
+    from odc_stac_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from odc_stac_spark.operators.webp import decode_webp, encode_webp
+
+    rng0 = np.random.default_rng(4)
+    img = rng0.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    gif_img = np.stack([(img[:, :, 0] // 32) * 32] * 3, axis=-1).astype(np.uint8)
+    enc = {
+        "jpeg": lambda: encode_jpeg(img, quality=80),
+        "png": lambda: encode_png(img),
+        "webp": lambda: encode_webp(img),
+        "gif": lambda: encode_gif([gif_img]),
+    }[codec]
+    dec = {"jpeg": decode_jpeg, "png": decode_png,
+           "webp": decode_webp, "gif": decode_gif}[codec]
+    _hunt(enc, dec, seed=21)
