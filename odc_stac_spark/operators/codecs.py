@@ -907,9 +907,9 @@ def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
     if mvex is not None:
         for t2, t0, _ in _mp4_children(data, *mvex):
             if t2 == b"trex":
-                tid, _, _, trex_size = struct.unpack_from(">IIII", data, t0 + 4)[:4]
-                if tid != video_track_id:
-                    trex_size = 0
+                tid, _, _, tsz = struct.unpack_from(">IIII", data, t0 + 4)[:4]
+                if tid == video_track_id:
+                    trex_size = tsz
     for btype, b0, b1 in _mp4_children(data, 0, n):
         if btype != b"moof":
             continue

@@ -76,13 +76,19 @@ import numpy as np
 
 
 def _max_decode_pixels() -> int:
-    """Allocation sanity cap for decode (samples = ys·xs·ncomp): a
-    corrupt/adversarial SIZ must raise, not OOM the executor (fuzz
-    finding: a mutated header claimed a 144 GiB output). Legit giant
-    images read through the windowed/tile API; raise the cap via
+    """Allocation sanity cap for decode (*per-component* pixels = ys·xs):
+    a corrupt/adversarial SIZ must raise, not OOM the executor (fuzz
+    finding: a mutated header claimed a 144 GiB output). Capping per
+    component (component count is bounded separately by the SIZ spec
+    maximum) keeps a legit 3-band full-frame Sentinel-2 decode
+    (~10980² ≈ 121 Mpx/component) under the default. Legit giant images
+    read through the windowed/tile API; raise the cap via
     ``ODC_STAC_SPARK_JP2_MAX_PIXELS`` when a full-frame decode beyond
-    268 Mpx (2x a full Sentinel-2 scene) is really intended."""
+    268 Mpx per component is really intended."""
     return int(os.environ.get("ODC_STAC_SPARK_JP2_MAX_PIXELS", str(1 << 28)))
+
+
+_MAX_COMPONENTS = 16384  # SIZ Csiz maximum, ISO 15444-1 Table A-10
 
 # ---------------------------------------------------------------------------
 # MQ arithmetic coder — T.800 Annex C (also ITU-T T.88). Public Qe table:
@@ -2491,7 +2497,7 @@ def _decode_tile_reduced(
             "JPEG2000: non-uniform component subsampling is supported with "
             "LRCP/RLCP progressions only"
         )
-    if th * tw * ncomp > _max_decode_pixels():
+    if th * tw > _max_decode_pixels() or ncomp > _MAX_COMPONENTS:
         raise ValueError(
             f"JPEG2000: tile claims {th}x{tw}x{ncomp} samples — over the "
             "decode sanity cap (ODC_STAC_SPARK_JP2_MAX_PIXELS)"
@@ -2751,8 +2757,10 @@ def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) 
     docstring; anything else raises loudly rather than mis-decoding."""
     cs = _find_codestream(bytes(data))
     params, tiles = _scan_codestream(cs)
-    n_samples = params["ys"] * params["xs"] * params["ncomp"]
-    if n_samples > _max_decode_pixels():
+    if (
+        params["ys"] * params["xs"] > _max_decode_pixels()
+        or params["ncomp"] > _MAX_COMPONENTS
+    ):
         raise ValueError(
             f"JPEG2000: image claims {params['ys']}x{params['xs']}x"
             f"{params['ncomp']} samples — over the decode sanity cap "

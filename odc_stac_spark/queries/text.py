@@ -673,6 +673,7 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_LEN = 512  # context-window token budget per packed sequence
+_PACK_SHARDS = 16  # packing-window parallelism per source
 
 
 @register(
@@ -680,49 +681,58 @@ _PACK_LEN = 512  # context-window token budget per packed sequence
     oracle=f"""
     WITH toks AS (
         SELECT source, doc_id,
+               ((doc_id % {_PACK_SHARDS}) + {_PACK_SHARDS}) % {_PACK_SHARDS}
+                   AS shard,
                len(string_split_regex(trim(text), ' +')) AS n_tok
         FROM documents
     ),
     placed AS (
-        SELECT source, doc_id, n_tok,
+        SELECT source, shard, doc_id, n_tok,
                COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY source ORDER BY doc_id
+                   PARTITION BY source, shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS prefix
         FROM toks
     )
     SELECT source,
+           CAST(shard AS BIGINT) AS shard,
            CAST(prefix // {_PACK_LEN} AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc
     FROM placed
-    GROUP BY source, bin
+    GROUP BY source, shard, bin
     """,
     doc="Sequence packing for pretraining: concatenate documents into "
     "fixed-budget context windows ({} tokens) by assigning each doc the "
-    "bin of its exclusive running-token prefix. Packing runs PER SOURCE "
-    "(window partitioned by source, ordered by doc_id): at 100 TB a "
-    "single global running sum would serialize on one partition, while "
-    "per-shard packing — what real pipelines do — keeps every executor "
-    "busy and the order deterministic.".format(_PACK_LEN),
+    "bin of its exclusive running-token prefix. Packing runs PER "
+    "(source, shard) with a deterministic shard key (doc_id mod {}): "
+    "corpora have O(10^2) sources, so a source-only window would still "
+    "drag TBs through one task at 100 TB scale — sharding keeps window "
+    "parallelism proportional to data, not source cardinality, and the "
+    "order within a shard stays deterministic.".format(
+        _PACK_LEN, _PACK_SHARDS
+    ),
     tags=("text", "llm", "packing"),
 )
 def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = d.select(
-        "source", "doc_id", F.size(F.split(F.trim("text"), " +")).alias("n_tok")
+        "source",
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("bigint").alias("shard"),
+        F.size(F.split(F.trim("text"), " +")).alias("n_tok"),
     )
     placed = toks.withColumn(
         "prefix", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     )
     return placed.groupBy(
-        "source", F.floor(F.col("prefix") / _PACK_LEN).alias("bin")
+        "source", "shard", F.floor(F.col("prefix") / _PACK_LEN).alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
@@ -758,9 +768,12 @@ def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # TakeOrderedAndProject first (per-partition top-25 + driver merge —
+    # no global Exchange+Sort over the 10^7-10^8-token web vocabulary),
+    # THEN rank the 25 survivors with a trivially small window.
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(25)
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 25)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("tok", "n", "rank")
     )

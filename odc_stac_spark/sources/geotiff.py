@@ -41,6 +41,7 @@ this writer is the export/interchange sink.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Dict, List, Optional, Tuple
@@ -989,10 +990,16 @@ def read_cog_header(path: str) -> Dict:
                 raise ValueError(
                     f"TIFF: invalid dimensions {ny}x{nx} tiles {tile_h}x{tile_w}"
                 )
-            if tile_w * tile_h * max(spp, 1) > (1 << 28):
+            # Legit large single-strip TIFFs (one strip = whole image)
+            # may exceed the default; the env override mirrors the JP2
+            # cap's escape hatch (ODC_STAC_SPARK_JP2_MAX_PIXELS).
+            tile_cap = int(
+                os.environ.get("ODC_STAC_SPARK_TIFF_MAX_PIXELS", str(1 << 28))
+            )
+            if tile_w * tile_h * max(spp, 1) > tile_cap:
                 raise ValueError(
                     f"TIFF: tile claims {tile_h}x{tile_w}x{spp} samples — "
-                    "over the decode sanity cap"
+                    "over the decode sanity cap (ODC_STAC_SPARK_TIFF_MAX_PIXELS)"
                 )
             levels.append(
                 {

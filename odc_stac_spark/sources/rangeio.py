@@ -39,6 +39,7 @@ ranged GETs instead of hundreds.
 
 from __future__ import annotations
 
+import http.client
 import io
 import os
 import time
@@ -131,7 +132,13 @@ def _retrying(fn, url: str, what: str):
             last = e
             if e.code not in (429, 500, 502, 503, 504):
                 raise RangeIOError(f"{what} {url}: HTTP {e.code} {e.reason}") from e
-        except (urllib.error.URLError, ConnectionError, TimeoutError, OSError) as e:
+        except (
+            urllib.error.URLError,
+            http.client.HTTPException,  # IncompleteRead/RemoteDisconnected mid-body
+            ConnectionError,
+            TimeoutError,
+            OSError,
+        ) as e:
             last = e
     raise RangeIOError(f"{what} {url}: failed after {tries} attempts: {last}") from last
 
@@ -172,8 +179,33 @@ class HttpRange(RangeSource):
                         )
                     return int(cl)
 
-            self._size = _retrying(head, self.url, "HEAD")
+            try:
+                self._size = _retrying(head, self.url, "HEAD")
+            except RangeIOError:
+                # GET-only endpoints (presigned S3/Azure URLs, servers
+                # rejecting HEAD) still support ranged GETs: probe with
+                # bytes=0-0 and learn the size from the Content-Range
+                # total; 200-fallback servers hand us the whole body,
+                # which read_range caches anyway.
+                self._size = _retrying(self._probe_size, self.url, "GET probe")
         return self._size
+
+    def _probe_size(self) -> int:
+        resp = self._request({"Range": "bytes=0-0"})
+        with resp:
+            body = resp.read()
+            status = getattr(resp, "status", resp.getcode())
+            if status == 206:
+                cr = resp.headers.get("Content-Range", "")
+                if "/" in cr and not cr.endswith("/*"):
+                    return int(cr.rsplit("/", 1)[1])
+                raise RangeIOError(
+                    f"GET probe {self.url}: 206 without Content-Range total"
+                )
+            # server ignored Range: full body in hand — cache it
+            self._full_body = body
+            self.n_full_fallbacks += 1
+            return len(body)
 
     def read_range(self, offset: int, n: int) -> bytes:
         if n <= 0:

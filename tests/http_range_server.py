@@ -7,6 +7,8 @@ Supports:
 - ``server.fail_next = N`` → the next N requests answer 503 (retry path)
 - ``server.ignore_range = True`` → Range headers ignored, 200 full body
   (the no-range-support fallback path)
+- ``server.reject_head = True`` → HEAD answers 405 (GET-only endpoints,
+  e.g. presigned S3/Azure URLs — the size-probe fallback path)
 - ``server.n_requests`` counts every request served (including failures)
 """
 
@@ -40,6 +42,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_HEAD(self):
         if self._maybe_fail():
+            return
+        if self.server.reject_head:
+            self.send_response(405)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
             return
         p = self._path()
         if not os.path.isfile(p):
@@ -110,6 +117,7 @@ class RangeHTTPServer:
         self.httpd.root = root
         self.httpd.fail_next = 0
         self.httpd.ignore_range = False
+        self.httpd.reject_head = False
         self.httpd.n_requests = 0
         self.httpd.lock = threading.Lock()
         self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
@@ -132,6 +140,9 @@ class RangeHTTPServer:
 
     def set_ignore_range(self, flag: bool) -> None:
         self.httpd.ignore_range = flag
+
+    def set_reject_head(self, flag: bool) -> None:
+        self.httpd.reject_head = flag
 
     def __enter__(self):
         self.thread.start()

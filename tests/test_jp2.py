@@ -811,3 +811,32 @@ def test_vertically_causal_full_matrix():
         assert not np.array_equal(wrong[:, :, 0], img)
     except Exception:
         pass  # an error is an equally valid outcome for a mislabeled stream
+
+
+def test_decode_cap_is_per_component():
+    """The allocation sanity cap bounds per-component pixels (ys*xs),
+    not total samples — a multi-band image whose per-band frame fits
+    the cap must decode even when bands x pixels exceeds it (a 3-band
+    full Sentinel-2 scene is the real-world case)."""
+    import os
+
+    from odc_stac_spark.operators.jp2 import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+    blob = encode_jp2(img, levels=1)
+    old = os.environ.get("ODC_STAC_SPARK_JP2_MAX_PIXELS")
+    try:
+        # 64 per-component pixels: 3 components x 64 = 192 samples total,
+        # which the old total-samples cap would have refused
+        os.environ["ODC_STAC_SPARK_JP2_MAX_PIXELS"] = "64"
+        np.testing.assert_array_equal(decode_jp2(blob), img)
+        # and the per-component bound still bites
+        os.environ["ODC_STAC_SPARK_JP2_MAX_PIXELS"] = "63"
+        with pytest.raises(ValueError, match="sanity cap"):
+            decode_jp2(blob)
+    finally:
+        if old is None:
+            os.environ.pop("ODC_STAC_SPARK_JP2_MAX_PIXELS", None)
+        else:
+            os.environ["ODC_STAC_SPARK_JP2_MAX_PIXELS"] = old

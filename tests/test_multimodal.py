@@ -380,3 +380,61 @@ def test_fmp4_h264_refuses_loudly():
     blob[at : at + 4] = b"avc1"
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         decode_mp4_mjpeg(bytes(blob))
+
+
+def test_fmp4_trex_default_size_multitrack_order():
+    """trex default_sample_size must survive a LATER trex for another
+    track (ISO 14496-12 §8.8.3: one trex per track; order is arbitrary).
+    Regression: the scan used to overwrite trex_size then zero it when
+    tid != video_track_id, so a video trex followed by an audio trex
+    lost the default and a size-less trun refused a valid stream."""
+    import struct
+
+    from odc_stac_spark.operators.codecs import (
+        _mp4_box,
+        _mp4_full,
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+        encode_mp4_mjpeg_fragmented,
+    )
+    from odc_stac_spark.operators.jpeg import encode_jpeg
+
+    frame = np.full((16, 24), 128, np.uint8)
+    jpg = encode_jpeg(frame, quality=50)
+    expected = decode_mp4_mjpeg(encode_mp4_mjpeg([frame, frame], fps=5, quality=50))
+
+    # start from a real fragmented stream, then rebuild mvex + fragment:
+    # video trex carries default_sample_size (trun omits sizes), and a
+    # second track's trex FOLLOWS it
+    base = encode_mp4_mjpeg_fragmented([frame, frame], fps=5, quality=50,
+                                       frames_per_fragment=2)
+    moof_at = base.index(b"moof") - 4
+    head = bytearray(base[:moof_at])
+
+    old_trex_at = head.index(b"trex") - 4
+    trex_v = _mp4_full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 200, len(jpg), 0))
+    trex_a = _mp4_full(b"trex", 0, 0, struct.pack(">IIIII", 2, 1, 200, 0, 0))
+    mvex = _mp4_box(b"mvex", trex_v + trex_a)
+    # old mvex = 8-byte header + one 32-byte trex, replaced wholesale
+    grown = len(mvex) - (8 + 32)
+    head[old_trex_at - 8 : old_trex_at + 32] = mvex
+    # patch the enclosing moov size
+    moov_at = head.index(b"moov") - 4
+    moov_size = struct.unpack_from(">I", head, moov_at)[0]
+    struct.pack_into(">I", head, moov_at, moov_size + grown)
+
+    # fragment: tfhd with default-base-is-moof only (no default size),
+    # trun with data-offset only — sizes come from the video trex
+    mfhd = _mp4_full(b"mfhd", 0, 0, struct.pack(">I", 1))
+    tfhd = _mp4_full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+    tfdt = _mp4_full(b"tfdt", 1, 0, struct.pack(">Q", 0))
+    trun_len = 12 + 8
+    moof_size = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + trun_len
+    trun = _mp4_full(b"trun", 0, 0x000001,
+                     struct.pack(">Ii", 2, moof_size + 8))
+    moof = _mp4_box(b"moof", mfhd + _mp4_box(b"traf", tfhd + tfdt + trun))
+    assert len(moof) == moof_size
+    mdat = _mp4_box(b"mdat", jpg + jpg)
+
+    out = decode_mp4_mjpeg(bytes(head) + moof + mdat)
+    np.testing.assert_array_equal(out, expected)

@@ -432,3 +432,50 @@ def test_write_cog_to_http_and_read_back(served):
         w = min(lv["tile_w"], nx - x0)
         full[y0 : y0 + h, x0 : x0 + w] = t[:h, :w]
     np.testing.assert_array_equal(full, img)
+
+
+def test_http_head_rejected_falls_back_to_get_probe(served):
+    """GET-only endpoints (presigned S3/Azure URLs, servers answering
+    405 to HEAD) must still learn the size via a ranged GET probe."""
+    srv, _ = served
+    srv.set_reject_head(True)
+    src = HttpRange(srv.url("blob.bin"))
+    assert src.size() == len(PAYLOAD)
+    # and reads still work afterwards
+    assert src.read_range(200, 20) == PAYLOAD[200:220]
+
+
+def test_http_head_rejected_no_range_support(served):
+    """HEAD rejected AND Range ignored → the 0-0 probe gets the full
+    body; it must be cached so size+reads cost exactly one request."""
+    srv, _ = served
+    srv.set_reject_head(True)
+    srv.set_ignore_range(True)
+    src = HttpRange(srv.url("blob.bin"))
+    assert src.size() == len(PAYLOAD)
+    n_after_probe = srv.n_requests
+    assert src.read_range(1234, 56) == PAYLOAD[1234:1290]
+    assert srv.n_requests == n_after_probe  # served from the cached body
+
+
+def test_retrying_catches_http_client_exceptions(monkeypatch):
+    """A connection dropping mid-body raises http.client.IncompleteRead
+    (an HTTPException, not URLError) — it must hit the retry policy,
+    not fail the Spark task on first occurrence."""
+    import http.client
+
+    from odc_stac_spark.sources.rangeio import _retrying
+
+    monkeypatch.setenv("ODC_STAC_SPARK_HTTP_RETRY_DELAY", "0.001")
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise http.client.IncompleteRead(b"partial", expected=100)
+        if calls["n"] == 2:
+            raise http.client.RemoteDisconnected("gone mid-body")
+        return b"ok"
+
+    assert _retrying(flaky, "http://x/", "GET") == b"ok"
+    assert calls["n"] == 3

@@ -320,3 +320,26 @@ def test_load_table_leaves_session_timezone_alone(spark, sf_dir):
         assert adelaide_epochs == utc_epochs
     finally:
         spark.conf.set(tz_key, saved)
+
+
+def test_word_freq_topk_is_takeordered_not_global_sort(spark, sf_dir):
+    """Global top-25 over the token vocabulary must be per-partition
+    top-k + driver merge (TakeOrderedAndProject), never a global
+    single-partition Exchange+Sort — at web scale the vocabulary is
+    10^7-10^8 rows and a rank-then-filter window serializes it through
+    one executor."""
+    plan = _executed_plan(REGISTRY["text_word_freq_topk"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the only Window left runs over the 25 survivors, AFTER the take:
+    # no SinglePartition exchange may feed a Sort before the take
+    before_take = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange SinglePartition" not in before_take
+
+
+def test_sequence_pack_window_is_sharded(spark, sf_dir):
+    """The packing window must partition by (source, shard), not source
+    alone: corpora have O(10^2) sources, so window parallelism has to
+    come from the deterministic shard key, not source cardinality."""
+    plan = _executed_plan(REGISTRY["text_sequence_pack"].spark_fn(spark, sf_dir))
+    win = next(l for l in plan.splitlines() if l.lstrip().startswith(("Window", "+- Window")) or " Window " in l)
+    assert "shard" in win and "source" in win

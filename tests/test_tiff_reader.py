@@ -117,3 +117,21 @@ def test_use_overviews_false_forces_fullres(tmp_path):
     # full-res IFD: no overview read counted
     np.testing.assert_array_equal(rr.pix, arr[::2, ::2])
     assert S.capture_env().get("tif_overview_reads", 0) == 0
+
+
+def test_tile_sanity_cap_env_override(tmp_path, monkeypatch):
+    """The per-tile allocation cap honors ODC_STAC_SPARK_TIFF_MAX_PIXELS
+    (the JP2 escape-hatch pattern) so a legit large single-strip TIFF can
+    be admitted by raising it; lowering it proves the wiring."""
+    from odc_stac_spark.sources.geotiff import read_cog_header
+
+    gbox = GeoBox((32, 32), (10.0, 0.0, 0.0, 0.0, -10.0, 320.0), "EPSG:32735")
+    img = np.arange(32 * 32, dtype=np.int16).reshape(32, 32)
+    p = str(tmp_path / "small.tif")
+    write_cog_file(p, img, gbox, tile=32, overview_levels=[])
+    assert read_cog_header(p)["levels"][0]["tile_w"] == 32
+    monkeypatch.setenv("ODC_STAC_SPARK_TIFF_MAX_PIXELS", "100")
+    with pytest.raises(ValueError, match="ODC_STAC_SPARK_TIFF_MAX_PIXELS"):
+        read_cog_header(p)
+    monkeypatch.setenv("ODC_STAC_SPARK_TIFF_MAX_PIXELS", str(1 << 30))
+    assert read_cog_header(p)["levels"][0]["tile_h"] == 32
