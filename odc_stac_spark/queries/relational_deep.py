@@ -85,25 +85,45 @@ def q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "agg"),
 )
 def q7_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pair disjunction implies BOTH nations ∈ {NATION_1, NATION_2}.
+    # nation is a spec-bounded 25-row dimension, so resolving the two
+    # matching keys driver-side is a scalar-subquery materialization
+    # (same class as scalars.py), not a data-dependent collect. That
+    # lets customer/supplier shrink to ~2/25 as pure filter+project
+    # over their scans — whose statistics Catalyst CAN see — so the
+    # fact joins broadcast on statistics alone (a join-built small
+    # side is never statically broadcast: join-output size estimates
+    # are byte products). Result: zero lineitem shuffles at bench
+    # scale, and at 100 TB the same plan demotes to SMJ by statistics
+    # with the isin filters pushed into the customer/supplier scans.
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    nc = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    pair_rows = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+        .collect()
     )
-    ns = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    key2name = {int(r.n_nationkey): r.n_name for r in pair_rows}
+    keys = sorted(key2name)
+    name_of = F.create_map(
+        *[x for k in keys for x in (F.lit(k), F.lit(key2name[k]))]
+    )
+    c2 = c.where(F.col("c_nationkey").isin(keys)).select(
+        "c_custkey", name_of[F.col("c_nationkey")].alias("cust_nation")
+    )
+    s2 = s.where(F.col("s_nationkey").isin(keys)).select(
+        "s_suppkey", name_of[F.col("s_nationkey")].alias("supp_nation")
     )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(broadcast(nc), c.c_nationkey == F.col("nc_key"))
-        .join(broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        li.join(s2, li.l_suppkey == s2.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(

@@ -61,9 +61,10 @@ def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
         # with the threshold off, nothing may broadcast.
         plan = _executed_plan(REGISTRY["q3_shipping_priority"].spark_fn(spark, sf_dir))
         assert "BroadcastHashJoin" not in plan
-        # q7 hints exactly its two nation aliases; customer/supplier demote.
+        # q7 is entirely hint-free (nation keys resolve driver-side into
+        # scan filters): with the threshold off, every join demotes.
         plan = _executed_plan(REGISTRY["q7_nation_pair_volume"].spark_fn(spark, sf_dir))
-        assert plan.count("BroadcastHashJoin") == 2
+        assert "BroadcastHashJoin" not in plan
         # q9 hints nothing but nation; part/supplier/orders demote.
         plan = _executed_plan(REGISTRY["q9_product_type_profit"].spark_fn(spark, sf_dir))
         assert plan.count("BroadcastHashJoin") == 1
@@ -176,10 +177,16 @@ def test_deep_relational_plan_shapes(spark, sf_dir):
     dimensions broadcast, EXISTS/NOT EXISTS become semi/anti joins, scalar
     thresholds become 1-row broadcast joins — never per-row subqueries."""
     plan = _executed_plan(REGISTRY["q7_nation_pair_volume"].spark_fn(spark, sf_dir))
-    # nation(x2)/customer/supplier all broadcast; at most the fact-fact
-    # join and the final groupBy shuffle
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # nation keys fold into customer/supplier scan filters driver-side,
+    # so the fact table probes three statistics-chosen broadcasts in one
+    # whole-stage pass: the ONLY shuffle left is the final groupBy
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("Exchange hashpartitioning") <= 1
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "c_custkey" in l
+    )
+    assert "In(c_nationkey" in scan  # nation-pair filter pushed to the scan
 
     plan = _executed_plan(
         REGISTRY["q21_exclusive_return_suppliers"].spark_fn(spark, sf_dir)
