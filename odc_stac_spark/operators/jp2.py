@@ -90,6 +90,20 @@ def _max_decode_pixels() -> int:
 
 _MAX_COMPONENTS = 16384  # SIZ Csiz maximum, ISO 15444-1 Table A-10
 
+
+def _max_decode_samples() -> int:
+    """Total-sample (ys·xs·ncomp) allocation bound. The per-component cap
+    alone leaves a hole: a SIZ claiming 2^28 pixels × 16384 components
+    passes both individual checks yet asks ``decode_jp2`` for a ~32 TiB
+    int64 buffer. Default 16× the per-component cap (plenty for any real
+    multispectral stack — e.g. 13-band Sentinel-2 full frame ≈ 1.6 G
+    samples); override via ``ODC_STAC_SPARK_JP2_MAX_SAMPLES``."""
+    return int(
+        os.environ.get(
+            "ODC_STAC_SPARK_JP2_MAX_SAMPLES", str(_max_decode_pixels() * 16)
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # MQ arithmetic coder — T.800 Annex C (also ITU-T T.88). Public Qe table:
 # (Qe, NMPS, NLPS, SWITCH) per state.
@@ -2497,10 +2511,14 @@ def _decode_tile_reduced(
             "JPEG2000: non-uniform component subsampling is supported with "
             "LRCP/RLCP progressions only"
         )
-    if th * tw > _max_decode_pixels() or ncomp > _MAX_COMPONENTS:
+    if (
+        th * tw > _max_decode_pixels()
+        or ncomp > _MAX_COMPONENTS
+        or th * tw * ncomp > _max_decode_samples()
+    ):
         raise ValueError(
             f"JPEG2000: tile claims {th}x{tw}x{ncomp} samples — over the "
-            "decode sanity cap (ODC_STAC_SPARK_JP2_MAX_PIXELS)"
+            "decode sanity cap (ODC_STAC_SPARK_JP2_MAX_PIXELS / _MAX_SAMPLES)"
         )
     cdims = _comp_tile_dims(comps, t_origin[0], t_origin[1], th, tw)
     shapes_c = [_band_shapes(ch_, cw_, levels) for ch_, cw_ in cdims]
@@ -2760,12 +2778,13 @@ def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) 
     if (
         params["ys"] * params["xs"] > _max_decode_pixels()
         or params["ncomp"] > _MAX_COMPONENTS
+        or params["ys"] * params["xs"] * params["ncomp"] > _max_decode_samples()
     ):
         raise ValueError(
             f"JPEG2000: image claims {params['ys']}x{params['xs']}x"
             f"{params['ncomp']} samples — over the decode sanity cap "
-            "(ODC_STAC_SPARK_JP2_MAX_PIXELS); corrupt header, or use the "
-            "windowed/tile API"
+            "(ODC_STAC_SPARK_JP2_MAX_PIXELS / _MAX_SAMPLES); corrupt "
+            "header, or use the windowed/tile API"
         )
     out = np.zeros((params["ys"], params["xs"], params["ncomp"]), np.int64)
     for isot, b0, b1 in tiles:

@@ -96,6 +96,8 @@ def q7_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are byte products). Result: zero lineitem shuffles at bench
     # scale, and at 100 TB the same plan demotes to SMJ by statistics
     # with the isin filters pushed into the customer/supplier scans.
+    # NOTE: the pair-key resolution below runs an eager driver-side job at
+    # DataFrame-construction time (2 rows max out of a 25-row dim).
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -108,6 +110,15 @@ def q7_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key2name = {int(r.n_nationkey): r.n_name for r in pair_rows}
     keys = sorted(key2name)
+    if len(keys) < 2:
+        # Degenerate data: one (or both) pair nations absent — the pair
+        # disjunction can never hold. Short-circuit to an explicitly empty
+        # result with the output schema rather than relying on Spark
+        # accepting zero-arg create_map()/isin([]).
+        return spark.createDataFrame(
+            [],
+            "supp_nation string, cust_nation string, l_year int, revenue double",
+        )
     name_of = F.create_map(
         *[x for k in keys for x in (F.lit(k), F.lit(key2name[k]))]
     )

@@ -131,7 +131,14 @@ def _retrying(fn, url: str, what: str):
         except urllib.error.HTTPError as e:
             last = e
             if e.code not in (429, 500, 502, 503, 504):
-                raise RangeIOError(f"{what} {url}: HTTP {e.code} {e.reason}") from e
+                err = RangeIOError(f"{what} {url}: HTTP {e.code} {e.reason}")
+                err.code = e.code  # definitive status, lets callers skip fallbacks
+                raise err from e
+        except RangeIOError:
+            # Permanent protocol verdicts (no Content-Length, 206 without a
+            # Content-Range total) — RangeIOError subclasses OSError, so
+            # without this clause they'd be retried with full backoff below.
+            raise
         except (
             urllib.error.URLError,
             http.client.HTTPException,  # IncompleteRead/RemoteDisconnected mid-body
@@ -181,12 +188,19 @@ class HttpRange(RangeSource):
 
             try:
                 self._size = _retrying(head, self.url, "HEAD")
-            except RangeIOError:
+            except RangeIOError as e:
                 # GET-only endpoints (presigned S3/Azure URLs, servers
                 # rejecting HEAD) still support ranged GETs: probe with
                 # bytes=0-0 and learn the size from the Content-Range
                 # total; 200-fallback servers hand us the whole body,
-                # which read_range caches anyway.
+                # which read_range caches anyway. A definitive "object
+                # does not exist" verdict is NOT a HEAD-support problem —
+                # a GET would 404 identically, so surface it instead of
+                # probing redundantly. 401/403 stay on the fallback path:
+                # method-scoped auth (URLs presigned for GET only)
+                # legitimately 403s HEAD while the GET succeeds.
+                if getattr(e, "code", None) in (404, 410):
+                    raise
                 self._size = _retrying(self._probe_size, self.url, "GET probe")
         return self._size
 

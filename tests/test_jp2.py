@@ -840,3 +840,25 @@ def test_decode_cap_is_per_component():
             os.environ.pop("ODC_STAC_SPARK_JP2_MAX_PIXELS", None)
         else:
             os.environ["ODC_STAC_SPARK_JP2_MAX_PIXELS"] = old
+
+
+def test_decode_cap_bounds_total_samples(monkeypatch):
+    """Per-component cap alone leaves an OOM hole: a SIZ claiming
+    cap-sized pixels x 16384 components (the Csiz spec max) passes both
+    individual checks while asking for a multi-TiB buffer. The
+    total-samples bound (default 16x the per-component cap,
+    ODC_STAC_SPARK_JP2_MAX_SAMPLES override) closes it."""
+    from odc_stac_spark.operators.jp2 import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+    blob = encode_jp2(img, levels=1)
+    # default: 64 px/component * 16 = 1024 total >= 192 -> decodes
+    monkeypatch.setenv("ODC_STAC_SPARK_JP2_MAX_PIXELS", "64")
+    monkeypatch.delenv("ODC_STAC_SPARK_JP2_MAX_SAMPLES", raising=False)
+    np.testing.assert_array_equal(decode_jp2(blob), img)
+    # explicit total-samples bound below 8*8*3=192 bites even though the
+    # per-component bound (64) is satisfied
+    monkeypatch.setenv("ODC_STAC_SPARK_JP2_MAX_SAMPLES", "100")
+    with pytest.raises(ValueError, match="sanity cap"):
+        decode_jp2(blob)

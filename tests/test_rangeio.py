@@ -479,3 +479,32 @@ def test_retrying_catches_http_client_exceptions(monkeypatch):
 
     assert _retrying(flaky, "http://x/", "GET") == b"ok"
     assert calls["n"] == 3
+
+
+def test_http_head_404_skips_get_probe(served):
+    """A definitive 404 on HEAD means the object does not exist — a GET
+    probe would 404 identically, so size() surfaces the error without a
+    redundant second request."""
+    srv, _ = served
+    src = HttpRange(srv.url("missing.bin"))
+    with pytest.raises(RangeIOError, match="HTTP 404"):
+        src.size()
+    assert srv.n_requests == 1  # HEAD only; no GET probe, no retries
+
+
+def test_retrying_rangeioerror_is_permanent(monkeypatch):
+    """RangeIOError subclasses OSError; protocol verdicts raised inside
+    fn (no Content-Length, 206 without total) must surface immediately,
+    not burn the OSError retry/backoff budget first."""
+    from odc_stac_spark.sources.rangeio import RangeIOError, _retrying
+
+    monkeypatch.setenv("ODC_STAC_SPARK_HTTP_MAX_RETRY", "5")
+    calls = {"n": 0}
+
+    def permanent():
+        calls["n"] += 1
+        raise RangeIOError("206 without Content-Range total")
+
+    with pytest.raises(RangeIOError, match="without Content-Range"):
+        _retrying(permanent, "http://x/", "GET probe")
+    assert calls["n"] == 1

@@ -350,3 +350,30 @@ def test_sequence_pack_window_is_sharded(spark, sf_dir):
     plan = _executed_plan(REGISTRY["text_sequence_pack"].spark_fn(spark, sf_dir))
     win = next(l for l in plan.splitlines() if l.lstrip().startswith(("Window", "+- Window")) or " Window " in l)
     assert "shard" in win and "source" in win
+
+
+def test_q7_degenerate_missing_pair_nations(spark, sf_dir, tmp_path):
+    """If the pair nations are absent from the nation dim the disjunction
+    can never hold: q7 must short-circuit to an empty frame with the
+    output schema (not feed zero-arg create_map/isin into Catalyst)."""
+    import pyspark.sql.functions as F
+
+    from odc_stac_spark.queries.relational_deep import q7_nation_pair
+
+    deg = tmp_path / "deg_sf"
+    deg.mkdir()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(10).write.parquet(
+            str(deg / f"{t}.parquet")
+        )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        ~F.col("n_name").isin("NATION_1", "NATION_2")
+    ).write.parquet(str(deg / "nation.parquet"))
+    out = q7_nation_pair(spark, str(deg))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        "revenue",
+    ]
