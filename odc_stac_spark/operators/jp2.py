@@ -56,8 +56,14 @@ actually need for LOSSLESS data, from the public spec:
   combination, encode AND decode; predictable termination (0x10)
   decodes as a no-op by design.
 
+- **Multiple tile-parts** (A.4.2): a tile's packets split across
+  several SOT..SOD segments (Kakadu's default for large archives) —
+  spans are collected per Isot in TPsot order and concatenated; the
+  windowed/ranged-read APIs fetch one range per part.
+
 Out-of-profile features are REFUSED loudly, never mis-decoded:
-reserved style bits, bypass/termall with >1 quality layer.
+reserved style bits, bypass/termall with >1 quality layer,
+out-of-order TPsot.
 
 Scale notes: decode is per-blob inside Arrow batches (mapInPandas), so
 throughput scales with executors exactly like the JPEG/PNG codecs; a
@@ -2711,16 +2717,20 @@ def _decode_tile_reduced(
     return out
 
 
-def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
-    """Walk markers → (params, [(isot, body_start, body_end)]). Tile
-    bodies are located (via Psot) but NOT decoded here."""
+def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, List[Tuple[int, int]]]]]:
+    """Walk markers → (params, [(isot, [(part_start, part_end), ...])]).
+    Tile bodies are located (via Psot) but NOT decoded here. A tile split
+    across multiple tile-parts (ISO 15444-1 A.4.2 — Kakadu's default for
+    large archives) contributes one span per part, in TPsot order; the
+    tile's bitstream is their concatenation."""
     if cs[:2] != b"\xff\x4f":
         raise ValueError("bad codestream (no SOC)")
     p = 2
     siz = cod = qcd = None
     qccs: List[bytes] = []
     cocs: List[bytes] = []
-    tiles: List[Tuple[int, int, int]] = []
+    order: List[int] = []
+    parts: Dict[int, List[Tuple[int, int]]] = {}
     while p + 4 <= len(cs):
         code, ln = struct.unpack_from(">HH", cs, p)
         if code == 0xFFD9:
@@ -2740,19 +2750,29 @@ def _scan_codestream(cs: bytes) -> Tuple[dict, List[Tuple[int, int, int]]]:
             cocs.append(body)
         elif code == 0xFF90:  # SOT
             isot, psot = struct.unpack_from(">HI", body, 0)
-            tpsot, tnsot = body[6], body[7]
-            if tpsot != 0 or tnsot not in (0, 1):
-                raise NotImplementedError("JPEG2000: multiple tile-parts not supported")
+            tpsot = body[6]
+            # A.4.2: TPsot counts up from 0 in codestream order per tile
+            if tpsot != len(parts.get(isot, ())):
+                raise ValueError(
+                    f"JP2: tile {isot} tile-part {tpsot} out of order "
+                    f"(expected {len(parts.get(isot, ()))})"
+                )
             tile_end = p + psot if psot else len(cs) - 2
             sod_at = p + 2 + ln
             if struct.unpack_from(">H", cs, sod_at)[0] != 0xFF93:
                 raise ValueError("expected SOD after SOT")
-            tiles.append((isot, sod_at + 2, tile_end))
+            if tile_end <= sod_at + 2 or tile_end > len(cs):
+                raise ValueError(f"JP2: invalid Psot {psot}")
+            if isot not in parts:
+                order.append(isot)
+                parts[isot] = []
+            parts[isot].append((sod_at + 2, tile_end))
             p = tile_end
             continue
         p += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("missing SIZ/COD/QCD")
+    tiles = [(isot, parts[isot]) for isot in order]
     return _parse_main_headers(siz, cod, qcd, tuple(qccs), tuple(cocs)), tiles
 
 
@@ -2787,14 +2807,15 @@ def decode_jp2(data: bytes, window: Optional[Tuple[int, int, int, int]] = None) 
             "header, or use the windowed/tile API"
         )
     out = np.zeros((params["ys"], params["xs"], params["ncomp"]), np.int64)
-    for isot, b0, b1 in tiles:
+    for isot, spans in tiles:
         ty0, tx0, th, tw = _tile_geometry(params, isot)
         if window is not None:
             wy0, wy1, wx0, wx1 = window
             if ty0 >= wy1 or ty0 + th <= wy0 or tx0 >= wx1 or tx0 + tw <= wx0:
                 continue
+        payload = b"".join(cs[b0:b1] for b0, b1 in spans)
         out[ty0 : ty0 + th, tx0 : tx0 + tw] = _decode_tile_payload(
-            cs[b0:b1], th, tw, params, t_origin=(ty0, tx0)
+            payload, th, tw, params, t_origin=(ty0, tx0)
         )
     return out.astype(_np_dtype_for(params))
 
@@ -2855,7 +2876,8 @@ def read_jp2_header(path: str) -> dict:
         siz = cod = qcd = None
         qccs = []
         cocs = []
-        tiles = []
+        order = []
+        parts = {}
         while p + 4 <= fsize:
             code, ln = struct.unpack_from(">HH", read_at(p, 4), 0)
             if code == 0xFFD9:
@@ -2875,10 +2897,12 @@ def read_jp2_header(path: str) -> dict:
                 cocs.append(body)
             elif code == 0xFF90:
                 isot, psot = struct.unpack_from(">HI", body, 0)
-                tpsot, tnsot = body[6], body[7]
-                if tpsot != 0 or tnsot not in (0, 1):
-                    raise NotImplementedError(
-                        "JPEG2000: multiple tile-parts not supported"
+                tpsot = body[6]
+                # A.4.2: TPsot counts up from 0 in codestream order
+                if tpsot != len(parts.get(isot, ())):
+                    raise ValueError(
+                        f"JP2: tile {isot} tile-part {tpsot} out of order "
+                        f"(expected {len(parts.get(isot, ()))})"
                     )
                 tile_end = p + psot if psot else fsize - 2
                 sod_at = p + 2 + ln
@@ -2889,14 +2913,17 @@ def read_jp2_header(path: str) -> dict:
                     # the file; a corrupt value that moves the scan
                     # backward would loop forever (fuzz finding)
                     raise ValueError(f"JP2: invalid Psot {psot}")
-                tiles.append((isot, sod_at + 2, tile_end))
+                if isot not in parts:
+                    order.append(isot)
+                    parts[isot] = []
+                parts[isot].append((sod_at + 2, tile_end))
                 p = tile_end
                 continue
             p += 2 + ln
         if siz is None or cod is None or qcd is None:
             raise ValueError("missing SIZ/COD/QCD")
     params = _parse_main_headers(siz, cod, qcd, tuple(qccs), tuple(cocs))
-    params["tiles"] = tiles
+    params["tiles"] = [(isot, parts[isot]) for isot in order]
     params["dtype"] = str(_np_dtype_for(params))
     return params
 
@@ -2910,10 +2937,12 @@ def read_jp2_tile(
     span = next((t for t in hdr["tiles"] if t[0] == isot), None)
     if span is None:
         raise KeyError(f"tile {isot} not in codestream")
-    _, b0, b1 = span
+    _, spans = span
     from ..sources.rangeio import fetch_range
 
-    tdata = fetch_range(path, b0, b1 - b0)
+    # one ranged GET per tile-part; single-part tiles (the common COG
+    # layout) stay a single request
+    tdata = b"".join(fetch_range(path, b0, b1 - b0) for b0, b1 in spans)
     ty0, tx0, th, tw = _tile_geometry(hdr, isot)
     mr = hdr["levels"] if max_res is None else max_res
     out = _decode_tile_reduced(tdata, th, tw, hdr, mr, t_origin=(ty0, tx0))

@@ -116,9 +116,21 @@ def synth_image(seed: int, w: int = 16, h: int = 16, c: int = 3) -> np.ndarray:
     return np.stack(chans, axis=-1)
 
 
+def synth_lattice_gray(seed: int, w: int = 16, h: int = 16, c: int = 1) -> np.ndarray:
+    """Deterministic 4x4-block-constant grayscale image — the exact-
+    reconstruction profile of the lossy VP8 encoder (operators/vp8.py:
+    DC-only residuals at qi=0 hit any per-block constant exactly)."""
+    y, x = np.mgrid[0:h, 0:w]
+    return ((seed * 37 + (y // 4) * 29 + (x // 4) * 13) % 256).astype(np.uint8)
+
+
 #: media_type → encoder for the demo generators; PNG is a REAL codec
 #: (operators/codecs.py), SIMG the deterministic in-house one.
 _DEMO_IMAGE_ENCODERS = {"image/x-simg": encode_simg}
+
+#: media_type → pixel synth for the demo generators (default synth_image);
+#: lossy VP8's exact profile needs lattice content rather than the SIMG ramp
+_DEMO_IMAGE_SYNTH = {}
 
 
 def demo_media_df(
@@ -132,6 +144,7 @@ def demo_media_df(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     encode = _DEMO_IMAGE_ENCODERS[media_type]
+    synth = _DEMO_IMAGE_SYNTH.get(media_type, synth_image)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,7 +152,7 @@ def demo_media_df(
                 {
                     "doc_id": pdf["doc_id"],
                     "media": [
-                        encode(synth_image(int(i), 16 + int(i) % 8, 16, 3))
+                        encode(synth(int(i), 16 + int(i) % 8, 16, 3))
                         for i in pdf["doc_id"]
                     ],
                     "media_type": media_type,
@@ -628,6 +641,18 @@ def _encode_webp_demo(arr):
 
 DECODERS["image/webp"] = _decode_webp_blob
 _DEMO_IMAGE_ENCODERS["image/webp"] = _encode_webp_demo
+
+
+def _encode_webp_lossy_demo(arr):
+    from .vp8 import encode_webp_lossy_gray
+
+    return encode_webp_lossy_gray(arr)
+
+
+#: demo-only media key: same container decoder, lossy (VP8 keyframe) encoder
+DECODERS["image/webp+lossy"] = _decode_webp_blob
+_DEMO_IMAGE_ENCODERS["image/webp+lossy"] = _encode_webp_lossy_demo
+_DEMO_IMAGE_SYNTH["image/webp+lossy"] = synth_lattice_gray
 
 
 def install_native_codecs() -> dict:

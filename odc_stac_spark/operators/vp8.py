@@ -135,6 +135,9 @@ DEFAULT_COEFF_PROBS = [
     1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128,
     246, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128,
     255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
     198, 35, 237, 223, 193, 187, 162, 160, 145, 155, 62,
     131, 45, 198, 221, 172, 176, 220, 157, 252, 221, 1,
     68, 47, 146, 208, 149, 167, 221, 162, 255, 223, 128,
@@ -207,10 +210,26 @@ DEFAULT_COEFF_PROBS = [
     1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128,
     244, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128,
     238, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128,
-    0, 1, 255, 2, 254, 3, 4, 6, 253, 5, 252,
-    251, 250, 7, 249, 8, 248, 247, 79, 75, 0, 110,
-    111, 32, 111, 98, 106, 101, 99, 116, 0, 84, 114,
 ]
+
+
+def _check_coeff_probs() -> None:
+    """Structural self-check of the RFC 6386 §13.5 table: exact size, no
+    invalid probabilities (0 never occurs — the bool coder's split needs
+    p ≥ 1), and the known type-start anchor rows at 0/24/48/72 plus the
+    all-{255,128…} type-0 band-7 rows at 21-23 (a historical transcription
+    bug dropped exactly those three rows, shifting every later type)."""
+    assert len(DEFAULT_COEFF_PROBS) == 4 * 8 * 3 * 11
+    assert all(1 <= p <= 255 for p in DEFAULT_COEFF_PROBS)
+    anchors = {0: 253, 24: 198, 48: 253, 72: 202}
+    for row, first in anchors.items():
+        assert DEFAULT_COEFF_PROBS[row * 11] == first, (row, first)
+    for row in (21, 22, 23):
+        assert DEFAULT_COEFF_PROBS[row * 11 : row * 11 + 11] == [255] + [128] * 10
+
+
+_check_coeff_probs()
+
 
 COEFF_UPDATE_PROBS = [
     255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
@@ -1198,3 +1217,397 @@ def _loop_filter(yb, ub, vb, hdr: Dict, lf_info, mb_w: int, mb_h: int) -> None:
                     _edge_h(Y, y0 + dy, x0, 16, sbE, interior, hev_t, False)
                 _edge_h(U, cy0 + 4, cx0, 8, sbE, interior, hev_t, False)
                 _edge_h(V, cy0 + 4, cx0, 8, sbE, interior, hev_t, False)
+
+# ---------------------------------------------------------------------------
+# Per-MB residual decode — RFC 6386 §13.3/§13.4 block ordering and
+# nonzero-context bookkeeping (Y2 first when present, then 16 Y, 4 U, 4 V).
+
+
+def _mb_residuals(d: BoolDec, hdr: Dict, mb: Dict, dqf: Dict,
+                  mx: int, ctx) -> Tuple[list, list, list, bool]:
+    """Decode one macroblock's residuals from token bool-decoder ``d``.
+    ``ctx`` is the mutable context state dict (above_* arrays sized by the
+    MB row, left_* reset per row). Returns (ycoef, ucoef, vcoef, has_c):
+    16/4/4 per-block dequantized coefficient lists (None = all-zero) and
+    whether ANY coefficient (incl. the Y2 plane) is nonzero."""
+    probs = hdr["coeff_probs"]
+    if mb["skip"]:
+        # RFC §13.1: a skipped MB contributes zero contexts for Y/U/V; the
+        # Y2 context is zeroed only when the MB actually owns a Y2 block
+        # (whole-MB ymode); a skipped B_PRED MB leaves it untouched.
+        ctx["left_y"][:] = [0] * 4
+        ctx["above_y"][mx * 4 : mx * 4 + 4] = [0] * 4
+        ctx["left_u"][:] = [0] * 2
+        ctx["above_u"][mx * 2 : mx * 2 + 2] = [0] * 2
+        ctx["left_v"][:] = [0] * 2
+        ctx["above_v"][mx * 2 : mx * 2 + 2] = [0] * 2
+        if mb["ymode"] != B_PRED:
+            ctx["left_y2"] = ctx["above_y2"][mx] = 0
+        return [None] * 16, [None] * 4, [None] * 4, False
+
+    has_c = False
+    if mb["ymode"] != B_PRED:
+        c = ctx["above_y2"][mx] + ctx["left_y2"]
+        y2, nz2 = _decode_coeffs(d, probs[1], c, 0, dqf["y2dc"], dqf["y2ac"])
+        ctx["above_y2"][mx] = ctx["left_y2"] = nz2
+        dcs = iwht4x4(y2) if nz2 else None
+        has_c = has_c or bool(nz2)
+        first, ptype = 1, 0
+    else:
+        dcs, first, ptype = None, 0, 3
+
+    ycoef: list = []
+    for i in range(4):
+        for j in range(4):
+            c = ctx["above_y"][mx * 4 + j] + ctx["left_y"][i]
+            coeffs, nz = _decode_coeffs(
+                d, probs[ptype], c, first, dqf["y1dc"], dqf["y1ac"]
+            )
+            ctx["above_y"][mx * 4 + j] = ctx["left_y"][i] = nz
+            if dcs is not None:
+                coeffs[0] = dcs[i * 4 + j]
+            if nz or (dcs is not None and dcs[i * 4 + j]):
+                has_c = True
+                ycoef.append(coeffs)
+            else:
+                ycoef.append(None)
+
+    ucoef: list = []
+    vcoef: list = []
+    for plane, out in (("u", ucoef), ("v", vcoef)):
+        above, left = ctx["above_" + plane], ctx["left_" + plane]
+        for i in range(2):
+            for j in range(2):
+                c = above[mx * 2 + j] + left[i]
+                coeffs, nz = _decode_coeffs(
+                    d, probs[2], c, 0, dqf["uvdc"], dqf["uvac"]
+                )
+                above[mx * 2 + j] = left[i] = nz
+                has_c = has_c or bool(nz)
+                out.append(coeffs if nz else None)
+    return ycoef, ucoef, vcoef, has_c
+
+
+def _segment_dqf(hdr: Dict) -> List[Dict]:
+    """Per-segment dequantization factor dicts (4 entries; index by the
+    MB's segment id — all identical when segmentation is off)."""
+    seg, base = hdr["seg"], hdr["yac_qi"]
+    out = []
+    for sid in range(4):
+        if seg["enabled"]:
+            qi = seg["quant"][sid] if seg["abs_delta"] else base + seg["quant"][sid]
+        else:
+            qi = base
+        out.append(dequant_factors(_clamp_q(qi), hdr["q_deltas"]))
+    return out
+
+
+def decode_vp8_planes(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a VP8 keyframe (the payload of a WebP "VP8 " chunk) to its
+    (Y, U, V) uint8 planes — Y is (h, w); U/V are the 4:2:0 chroma planes
+    ((h+1)//2, (w+1)//2). Frame assembly per RFC 6386 §9: uncompressed
+    header, first-partition prologue + per-MB mode records, then 1/2/4/8
+    token partitions (MB row r reads partition r mod n)."""
+    uh = _parse_uncompressed_header(data)
+    w, h = uh["width"], uh["height"]
+    part0_end = 10 + uh["part0_len"]
+    d0 = BoolDec(data, 10, part0_end)
+    hdr = _parse_frame_header(d0)
+
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+
+    # token partition table: (n-1) 3-byte LE sizes, then the partitions;
+    # the last partition runs to the end of the frame (§9.5)
+    n = hdr["n_parts"]
+    off = part0_end + 3 * (n - 1)
+    if off > len(data):
+        raise ValueError("vp8: partition size table overruns frame")
+    starts, pos = [], off
+    for k in range(n - 1):
+        size = int.from_bytes(data[part0_end + 3 * k : part0_end + 3 * k + 3], "little")
+        starts.append((pos, pos + size))
+        pos += size
+        if pos > len(data):
+            raise ValueError("vp8: token partition overruns frame")
+    starts.append((pos, len(data)))
+    if starts[-1][0] > len(data):
+        raise ValueError("vp8: token partition overruns frame")
+    token_decs = [BoolDec(data, s, e) for s, e in starts]
+
+    modes = _decode_modes(d0, hdr, mb_w, mb_h)
+    dqfs = _segment_dqf(hdr)
+
+    # padded reconstruction planes — §12.2 borders: above row 127 (incl.
+    # the corner and the 4-px above-right extension, which stays 127 past
+    # the frame's right edge), left column 129
+    yb = np.full((mb_h * 16 + 1, mb_w * 16 + 1 + 4), 127, np.uint8)
+    ub = np.full((mb_h * 8 + 1, mb_w * 8 + 1), 127, np.uint8)
+    vb = np.full((mb_h * 8 + 1, mb_w * 8 + 1), 127, np.uint8)
+    yb[1:, 0] = 129
+    ub[1:, 0] = 129
+    vb[1:, 0] = 129
+
+    lf_info = []
+    ctx = {
+        "above_y": [0] * (mb_w * 4), "above_u": [0] * (mb_w * 2),
+        "above_v": [0] * (mb_w * 2), "above_y2": [0] * mb_w,
+        "left_y": [0] * 4, "left_u": [0] * 2, "left_v": [0] * 2,
+        "left_y2": 0,
+    }
+    for my in range(mb_h):
+        ctx["left_y"][:] = [0] * 4
+        ctx["left_u"][:] = [0] * 2
+        ctx["left_v"][:] = [0] * 2
+        ctx["left_y2"] = 0
+        d = token_decs[my % n]
+        for mx in range(mb_w):
+            mb = modes[my * mb_w + mx]
+            ycoef, ucoef, vcoef, has_c = _mb_residuals(
+                d, hdr, mb, dqfs[mb["seg"]], mx, ctx
+            )
+            _reconstruct_mb(yb, ub, vb, my, mx, mb, ycoef, ucoef, vcoef)
+            lf_info.append((mb["seg"], mb["ymode"] == B_PRED, has_c))
+
+    if hdr["filter_level"] > 0:
+        _loop_filter(yb, ub, vb, hdr, lf_info, mb_w, mb_h)
+
+    cw, chh = (w + 1) // 2, (h + 1) // 2
+    return (
+        np.ascontiguousarray(yb[1 : h + 1, 1 : w + 1]),
+        np.ascontiguousarray(ub[1 : chh + 1, 1 : cw + 1]),
+        np.ascontiguousarray(vb[1 : chh + 1, 1 : cw + 1]),
+    )
+
+
+def decode_vp8(data: bytes) -> np.ndarray:
+    """VP8 keyframe → (h, w, 3) uint8 RGB. Chroma is upsampled by
+    2x2 replication (sample-and-hold) and converted with the full-range
+    BT.601 integer approximation; grayscale content (U=V=128) is exact
+    under any coefficient choice since the chroma terms vanish. A native
+    decoder registered via install_native_codecs() replaces this path
+    (with libwebp's fancy upsampler) without engine changes."""
+    y, u, v = decode_vp8_planes(data)
+    h, w = y.shape
+    uu = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+    vv = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+    yy = y.astype(np.int32)
+    # BT.601 full-range, 16-bit fixed point (91881/65536 = 1.402 etc.)
+    r = yy + ((91881 * vv + 32768) >> 16)
+    g = yy - ((22554 * uu + 46802 * vv + 32768) >> 16)
+    b = yy + ((116130 * uu + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+# ---------------------------------------------------------------------------
+# Encoder — spec-valid keyframe streams for grayscale 4x4-lattice content.
+
+
+def _emit_block_tokens(e: BoolEnc, probs_t, ctx: int, first: int,
+                       value: int) -> int:
+    """Emit one block's token run: a single coefficient ``value`` at zigzag
+    position ``first`` (0 = none) followed by EOB. Mirrors _decode_coeffs'
+    band/context walk bit for bit. Returns the block's nonzero flag."""
+    p = probs_t[COEFF_BANDS[first]][ctx]
+    if value == 0:
+        e.tree(COEF_TREE, p, DCT_EOB)
+        return 0
+    mag = abs(value)
+    if mag <= 4:
+        tok = mag
+    else:
+        cat = 5
+        for k in range(5, -1, -1):
+            if mag >= CAT_BASE[k]:
+                cat = k
+                break
+        tok = 5 + cat
+    e.tree(COEF_TREE, p, tok)
+    if tok >= 5:
+        extra = mag - CAT_BASE[tok - 5]
+        pbs = CAT_PROBS[tok - 5]
+        for k, pb in enumerate(pbs):
+            e.put((extra >> (len(pbs) - 1 - k)) & 1, pb)
+    e.put(1 if value < 0 else 0, 128)
+    # next position: nonzero token -> tree restarts at 0, ctx 1 or 2
+    c2 = 1 if tok == 1 else 2
+    if first + 1 < 16:
+        e.tree(COEF_TREE, probs_t[COEFF_BANDS[first + 1]][c2], DCT_EOB)
+    return 1
+
+
+def _plan_mb(img: np.ndarray, my: int, mx: int, yb: np.ndarray) -> Dict:
+    """Mode decision for one MB of exact-encodable grayscale content.
+    Preference order exercises every keyframe path the decoder has:
+    16x16 V/H/TM/DC with zero residual (skip=1), DC16 + a single Y2
+    DC token (constant offset, the WHT path), else B_PRED with one
+    DC token per 4x4 subblock (requires 4x4-constant content)."""
+    y0, x0 = my * 16 + 1, mx * 16 + 1
+    tgt = img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].astype(np.int32)
+    above = yb[y0 - 1, x0 : x0 + 16].astype(np.int32)
+    left = yb[y0 : y0 + 16, x0 - 1].astype(np.int32)
+    corner = int(yb[y0 - 1, x0 - 1])
+    for mode in (V_PRED, H_PRED, TM_PRED, DC_PRED):
+        pred = _pred16(mode, above, left, corner, my > 0, mx > 0, 16)
+        if (pred == tgt).all():
+            return {"ymode": mode, "skip": 1, "y2": 0, "btok": None}
+    dc_pred = _pred16(DC_PRED, above, left, corner, my > 0, mx > 0, 16)
+    diff = tgt - dc_pred
+    c0 = int(diff[0, 0])
+    if c0 != 0 and (diff == c0).all():
+        # Y2-only: token t=8c -> WHT DCs all (8c+3)>>3 = c -> residual
+        # (8c+4)>>3 = c exactly (y2dc is 8 at qi=0)
+        return {"ymode": DC_PRED, "skip": 0, "y2": 8 * c0, "btok": None}
+    # B_PRED / B_DC lattice: each 4x4 subblock must be constant
+    btok = []
+    for i in range(4):
+        for j in range(4):
+            blk = tgt[i * 4 : i * 4 + 4, j * 4 : j * 4 + 4]
+            v0 = int(blk[0, 0])
+            if not (blk == v0).all():
+                raise ValueError(
+                    "encode_vp8_gray: content must be constant per 4x4 "
+                    "block (DC-only residuals are the exact-lattice "
+                    "contract; see the module docstring)"
+                )
+            ry, rx = y0 + i * 4, x0 + j * 4
+            A = yb[ry - 1, rx : rx + 4].astype(np.int32)
+            L = yb[ry : ry + 4, rx - 1].astype(np.int32)
+            pred = (int(A.sum()) + int(L.sum()) + 4) >> 3  # B_DC
+            btok.append(2 * (v0 - pred))  # dcq=4: (4*2c+4)>>3 == c
+    return {"ymode": B_PRED, "skip": 0, "y2": 0, "btok": btok}
+
+
+def encode_vp8_gray(img: np.ndarray, log2_parts: int = 0,
+                    filter_level: int = 0, sharpness: int = 0) -> bytes:
+    """Encode a grayscale image whose 4x4 blocks are each constant into a
+    spec-valid VP8 keyframe (raw "VP8 " chunk payload) that reconstructs
+    EXACTLY (chroma is flat 128, filter_level=0 by default so the loop
+    filter never perturbs pixels). qi is pinned to 0 (dcq=4, y2dc=8) so
+    integer tokens can hit any residual constant. ``log2_parts`` selects
+    1/2/4/8 token partitions to exercise the partition table."""
+    if img.ndim == 3:
+        if img.shape[2] != 1:
+            raise ValueError("encode_vp8_gray: grayscale (h, w) input only")
+        img = img[:, :, 0]
+    h, w = img.shape
+    if not (0 < w < 16384 and 0 < h < 16384):
+        raise ValueError("encode_vp8_gray: bad dimensions")
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    # pad to MB multiples by edge replication — keeps 4x4 blocks constant
+    # because a partial lattice cell's visible pixels are all one value
+    pad = np.pad(img.astype(np.uint8),
+                 ((0, mb_h * 16 - h), (0, mb_w * 16 - w)), mode="edge")
+
+    # exact reconstruction == source, so prediction context is just the
+    # padded source behind the §12.2 border convention
+    yb = np.full((mb_h * 16 + 1, mb_w * 16 + 1 + 4), 127, np.uint8)
+    yb[1:, 0] = 129
+    yb[1:, 1 : 1 + mb_w * 16] = pad
+
+    plans = [
+        _plan_mb(pad, my, mx, yb) for my in range(mb_h) for mx in range(mb_w)
+    ]
+
+    # ---- first partition: frame prologue + mode records
+    e0 = BoolEnc()
+    e0.literal(0, 1)  # color_space
+    e0.literal(0, 1)  # clamping
+    e0.literal(0, 1)  # segmentation disabled
+    e0.literal(0, 1)  # filter_simple (normal filter)
+    e0.literal(filter_level, 6)
+    e0.literal(sharpness, 3)
+    e0.literal(0, 1)  # lf deltas disabled
+    e0.literal(log2_parts, 2)
+    e0.literal(0, 7)  # yac_qi = 0
+    for _ in range(5):
+        e0.put(0, 128)  # no quantizer deltas
+    e0.literal(1, 1)  # refresh_entropy
+    for t in range(4):  # no coefficient probability updates
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    e0.put(0, _update_prob(t, b, c, p))
+    e0.literal(1, 1)  # mb_no_skip_coeff: per-MB skip flags present
+    e0.literal(128, 8)  # skip_prob
+
+    above_sub = [[B_DC] * 4 for _ in range(mb_w)]
+    for my in range(mb_h):
+        left_sub = [B_DC] * 4
+        for mx in range(mb_w):
+            plan = plans[my * mb_w + mx]
+            e0.put(plan["skip"], 128)
+            e0.tree(KF_YMODE_TREE, KF_YMODE_PROBS, plan["ymode"])
+            if plan["ymode"] == B_PRED:
+                bmodes = [B_DC] * 16
+                for i in range(4):
+                    for j in range(4):
+                        a = above_sub[mx][j] if i == 0 else bmodes[(i - 1) * 4 + j]
+                        lft = left_sub[i] if j == 0 else bmodes[i * 4 + j - 1]
+                        e0.tree(BMODE_TREE, _kf_bmode_probs(a, lft), B_DC)
+            else:
+                bmodes = [_IMPLIED_BMODE[plan["ymode"]]] * 16
+            above_sub[mx] = bmodes[12:16]
+            left_sub = [bmodes[3], bmodes[7], bmodes[11], bmodes[15]]
+            e0.tree(UV_MODE_TREE, KF_UV_PROBS, DC_PRED)
+
+    # ---- token partitions (MB row r -> partition r mod n); contexts are
+    # global across partitions, mirroring the decoder's single ctx state
+    n = 1 << log2_parts
+    encs = [BoolEnc() for _ in range(n)]
+    probs = _coeff_probs_default()
+    ctx = {
+        "above_y": [0] * (mb_w * 4), "above_u": [0] * (mb_w * 2),
+        "above_v": [0] * (mb_w * 2), "above_y2": [0] * mb_w,
+    }
+    for my in range(mb_h):
+        e = encs[my % n]
+        left_y, left_u, left_v, left_y2 = [0] * 4, [0] * 2, [0] * 2, 0
+        for mx in range(mb_w):
+            plan = plans[my * mb_w + mx]
+            if plan["skip"]:
+                left_y[:] = [0] * 4
+                ctx["above_y"][mx * 4 : mx * 4 + 4] = [0] * 4
+                left_u[:] = [0] * 2
+                ctx["above_u"][mx * 2 : mx * 2 + 2] = [0] * 2
+                left_v[:] = [0] * 2
+                ctx["above_v"][mx * 2 : mx * 2 + 2] = [0] * 2
+                left_y2 = ctx["above_y2"][mx] = 0  # never B_PRED when skip
+                continue
+            if plan["ymode"] != B_PRED:
+                c = ctx["above_y2"][mx] + left_y2
+                nz2 = _emit_block_tokens(e, probs[1], c, 0, plan["y2"])
+                ctx["above_y2"][mx] = left_y2 = nz2
+                first, ptype = 1, 0
+            else:
+                first, ptype = 0, 3
+            for i in range(4):
+                for j in range(4):
+                    c = ctx["above_y"][mx * 4 + j] + left_y[i]
+                    val = plan["btok"][i * 4 + j] if plan["btok"] else 0
+                    nz = _emit_block_tokens(e, probs[ptype], c, first, val)
+                    ctx["above_y"][mx * 4 + j] = left_y[i] = nz
+            for above, left in ((ctx["above_u"], left_u), (ctx["above_v"], left_v)):
+                for i in range(2):
+                    for j in range(2):
+                        c = above[mx * 2 + j] + left[i]
+                        nz = _emit_block_tokens(e, probs[2], c, 0, 0)
+                        above[mx * 2 + j] = left[i] = nz
+
+    part0 = e0.flush()
+    parts = [e.flush() for e in encs]
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+    # size table for all-but-last partition precedes the payloads (§9.5)
+    return (
+        tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w, h) + part0
+        + b"".join(len(p).to_bytes(3, "little") for p in parts[:-1])
+        + b"".join(parts)
+    )
+
+
+def encode_webp_lossy_gray(img: np.ndarray, **kw) -> bytes:
+    """encode_vp8_gray wrapped in a RIFF/WEBP container ("VP8 " chunk)."""
+    frame = encode_vp8_gray(img, **kw)
+    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk

@@ -9,7 +9,8 @@ RFC 9649 §3) entirely from the public spec:
 
 decoder (full profile)
   - RIFF/WEBP container walk (plain ``VP8L`` and extended ``VP8X`` files);
-    lossy ``VP8 `` payloads refuse loudly toward the native-codec seam
+    lossy ``VP8 `` payloads dispatch to the RFC 6386 keyframe decoder in
+    ``operators/vp8.py``
   - canonical prefix codes: "simple" (1-2 symbol) and normal
     (code-length-coded with 16/17/18 repeat codes, limited max_symbol)
   - meta prefix codes (entropy image) selecting per-tile code groups
@@ -639,12 +640,10 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "webp: lossy (VP8) payloads need a native decoder — "
-                "register one via operators.multimodal.register_decoder / "
-                "install_native_codecs(); only lossless (VP8L) is decoded "
-                "in-repo"
-            )
+            # lossy half: RFC 6386 keyframe decoder (operators/vp8.py)
+            from .vp8 import decode_vp8
+
+            return decode_vp8(payload)
         # VP8X / ALPH / ICCP / EXIF / XMP / ANIM: keep walking for VP8L
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk found")

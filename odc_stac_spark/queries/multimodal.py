@@ -436,6 +436,46 @@ def mm_image_webp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_webp_lossy",
+    # per-doc grayscale 4x4-lattice image (h=16, w=16+doc_id%8):
+    # pixel (y, x) = (doc_id*37 + (y//4)*29 + (x//4)*13) % 256. The VP8
+    # profile reconstructs lattice content EXACTLY (DC-only residuals at
+    # qi=0 — operators/vp8.py docstring), and the decoder's RGB output
+    # replicates the gray channel 3x, which leaves mean/std/min/max
+    # unchanged — so the single-channel oracle gates the full lossy
+    # bitstream: bool coder, mode trees, token cats, WHT/DCT, borders.
+    oracle="""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_POP(v), 6) AS std,
+           MIN(v) AS p_min,
+           MAX(v) AS p_max
+    FROM (
+      SELECT d.doc_id,
+             (d.doc_id * 37 + (y.y // 4) * 29 + (x.x // 4) * 13) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS x) x
+      WHERE x.x < 16 + d.doc_id % 8
+    )
+    GROUP BY doc_id
+    """,
+    doc="multimodal with the LOSSY WebP codec (operators/vp8.py — RFC 6386 "
+    "VP8 keyframe from scratch: boolean arithmetic coder, keyframe mode "
+    "trees, per-band/context token probabilities, WHT Y2 plane, all intra "
+    "predictors, in-loop deblocking): per-doc grayscale lattice images are "
+    "encoded as genuine RIFF/WEBP files with a 'VP8 ' chunk on the "
+    "executors and decoded back through the DECODERS seam; the lattice "
+    "profile reconstructs exactly, so a first-principles pixel oracle "
+    "hash-gates the whole lossy bitstream round trip. The reference reads "
+    "lossy WebP via GDAL's libwebp delegation (loader/_rio.py).",
+    tags=("multimodal", "codec", "webp", "lossy"),
+)
+def mm_image_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(demo_media_df(spark, sf_dir, media_type="image/webp+lossy"))
+
+
+@register(
     "mm_audio_wav_codec",
     oracle="""
     WITH samples AS (
@@ -916,14 +956,26 @@ def mm_video_gif_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_features(docs.mapInPandas(gen, schema), every=2)
 
 
+def _spectral_golden_sql() -> str:
+    from ._spectral_golden import SPECTRAL_GOLDEN_SQL
+
+    return SPECTRAL_GOLDEN_SQL
+
+
 @register(
     "mm_audio_spectral",
-    # no SQL oracle: FFT is genuinely non-relational (rows-only check;
-    # exact numpy parity is enforced in tests/test_multimodal.py)
+    # FFT is genuinely non-relational, so the oracle is a GOLDEN table:
+    # expected features for every gated doc_id (0..499 at sf0.001/sf0.01),
+    # computed offline by tools/gen_spectral_golden.py directly from the
+    # synth-clip formula + numpy rFFT — independent of the engine's WAV
+    # codec, AUDIO_DECODERS seam and Arrow transport, all of which the
+    # hash therefore gates end-to-end.
+    oracle=_spectral_golden_sql(),
     doc="multimodal audio frequency-domain features: decode (AUDIO_DECODERS "
     "seam) → numpy rFFT → dominant bin / spectral centroid / band "
-    "energies over Arrow batches. Rows-only for the driver; "
-    "pytest-verified against a direct numpy reference.",
+    "energies over Arrow batches. Hash-gated against a golden FFT table "
+    "(tools/gen_spectral_golden.py) and pytest-verified against a direct "
+    "numpy reference.",
     tags=("multimodal", "audio"),
 )
 def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:

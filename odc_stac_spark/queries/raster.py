@@ -358,13 +358,29 @@ def r_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats_polygons(tiles_df, nodata=-1.0, zones=zones, gbox=plan.gbox)
 
 
+def _warp_golden_sql() -> str:
+    from ._warp_golden import WARP_GOLDEN_SQL
+
+    return WARP_GOLDEN_SQL
+
+
 @register(
     "r_load_warp_crosscrs",
-    oracle=None,
+    # the Krüger transform is not SQL-expressible, so the oracle is a
+    # GOLDEN table computed by an independent per-pixel LOOP reference
+    # (tools/gen_warp_golden.py: bilinear taps, nodata poisoning, ROI
+    # rounding and first-valid mosaic re-derived from first principles;
+    # only functions/proj.py — invariant-tested in tests/test_proj.py —
+    # and the synth pixel formula are shared). checksum is hashed at 9
+    # significant digits by the driver, so the loop-vs-vectorized
+    # accumulation-order ulp noise cannot flake the gate; crc32 (bit-
+    # exact bytes) is intentionally NOT selected for that reason.
+    oracle=_warp_golden_sql(),
     doc="F16 end-to-end: UTM sources loaded into a WGS84 geographic output "
     "grid (Krüger-series cross-CRS warp, bilinear) through the full tile "
-    "pipeline; returns per-tile stats (transform math invariant-tested in "
-    "tests/test_proj.py, sampling in tests/test_warp.py).",
+    "pipeline; returns per-tile stats hash-gated against an independent "
+    "per-pixel loop reference (tools/gen_warp_golden.py); transform math "
+    "invariant-tested in tests/test_proj.py, sampling in tests/test_warp.py.",
     tags=("raster", "warp"),
 )
 def r_load_warp_crosscrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +413,7 @@ def r_load_warp_crosscrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, items, groupby="solar_day", geobox=out, chunks=(64, 64), cfg=cfg, audit=True
     )
     return tiles_df.select(
-        "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum", "crc32"
+        "band", "t", "iy", "ix", "height", "width", "dtype", "valid_count", "checksum"
     ).orderBy("band", "t", "iy", "ix")
 
 

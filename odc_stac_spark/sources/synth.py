@@ -942,7 +942,7 @@ class Jp2Reader(SynthReader):
             oy1 = oy0 + ((py1 - py0) + k - 1) // k
             ox1 = ox0 + ((px1 - px0) + k - 1) // k
             out = np.full((oy1 - oy0, ox1 - ox0), fill, np.dtype(hdr["dtype"]))
-            for isot, _, _ in hdr["tiles"]:
+            for isot, _ in hdr["tiles"]:
                 ty0, tx0, th, tw = _tile_geometry(hdr, isot)
                 # tile extent in reduced coordinates (tiles decimate
                 # independently: ceil splits per tile)
@@ -958,7 +958,7 @@ class Jp2Reader(SynthReader):
                 ]
             return out.astype(dtype, copy=False)
         out = np.full((py1 - py0, px1 - px0), fill, np.dtype(hdr["dtype"]))
-        for isot, _, _ in hdr["tiles"]:
+        for isot, _ in hdr["tiles"]:
             ty0, tx0, th, tw = _tile_geometry(hdr, isot)
             iy0, iy1 = max(ty0, py0), min(ty0 + th, min(py1, ys))
             ix0, ix1 = max(tx0, px0), min(tx0 + tw, min(px1, xs))

@@ -210,7 +210,7 @@ def test_file_header_and_tile_reads(tmp_path):
         f.write(encode_jp2(a, levels=2, cblk=16, tile_size=(32, 40)))
     hdr = read_jp2_header(p)
     assert len(hdr["tiles"]) == 9 and hdr["dtype"] == "uint16"
-    for isot, _, _ in hdr["tiles"]:
+    for isot, _ in hdr["tiles"]:
         ty0, tx0, th, tw = _tile_geometry(hdr, isot)
         t = read_jp2_tile(p, hdr, isot)
         np.testing.assert_array_equal(t[:, :, 0], a[ty0 : ty0 + th, tx0 : tx0 + tw])
@@ -862,3 +862,97 @@ def test_decode_cap_bounds_total_samples(monkeypatch):
     monkeypatch.setenv("ODC_STAC_SPARK_JP2_MAX_SAMPLES", "100")
     with pytest.raises(ValueError, match="sanity cap"):
         decode_jp2(blob)
+
+
+# ---------------------------------------------------------------------------
+# multiple tile-parts (ISO 15444-1 A.4.2 — Kakadu-default archives split
+# each tile's packets across several SOT..SOD segments)
+
+
+def _split_tileparts(cs: bytes, nparts: int = 2) -> bytes:
+    """Rewrite a single-part-per-tile codestream so every tile's payload
+    is carved into ``nparts`` tile-parts (TPsot 0..n-1, correct Psot)."""
+    out = bytearray(cs[:2])
+    p = 2
+    while p + 4 <= len(cs):
+        code, ln = struct.unpack(">HH", cs[p : p + 4])
+        if code == 0xFFD9:
+            out += cs[p : p + 2]
+            break
+        if code == 0xFF90:
+            isot, psot = struct.unpack(">HI", cs[p + 4 : p + 10])
+            tile_end = p + psot
+            payload = cs[p + 2 + ln + 2 : tile_end]  # past SOT body + SOD
+            k = max(1, len(payload) // nparts)
+            chunks = [payload[i : i + k] for i in range(0, len(payload), k)]
+            if len(chunks) > nparts:
+                chunks[nparts - 1 :] = [b"".join(chunks[nparts - 1 :])]
+            for tp, ch in enumerate(chunks):
+                out += struct.pack(
+                    ">HHHIBB", 0xFF90, 10, isot, 12 + 2 + len(ch), tp, len(chunks)
+                )
+                out += b"\xff\x93" + ch
+            p = tile_end
+            continue
+        out += cs[p : p + 2 + ln]
+        p += 2 + ln
+    return bytes(out)
+
+
+def test_multiple_tileparts_decode():
+    a = rng.integers(0, 4096, (75, 90), dtype=np.uint16)
+    base = encode_jp2_codestream(a, levels=2, cblk=16, tile_size=(32, 40))
+    for nparts in (2, 3):
+        split = _split_tileparts(base, nparts)
+        assert split != base
+        np.testing.assert_array_equal(decode_jp2(split)[:, :, 0], a)
+
+
+def test_multiple_tileparts_windowed():
+    a = rng.integers(0, 4096, (75, 90), dtype=np.uint16)
+    split = _split_tileparts(
+        encode_jp2_codestream(a, levels=2, cblk=16, tile_size=(32, 40)), 2
+    )
+    win = decode_jp2(split, window=(35, 70, 45, 90))[:, :, 0]
+    np.testing.assert_array_equal(win[35:70, 45:90], a[35:70, 45:90])
+    assert (win[:32, :40] == 0).all()
+
+
+def test_multiple_tileparts_file_reads(tmp_path):
+    a = rng.integers(0, 255, (64, 80), dtype=np.uint8)
+    split = _split_tileparts(
+        encode_jp2_codestream(a, levels=1, cblk=32, tile_size=(32, 40)), 2
+    )
+    path = tmp_path / "mtp.j2c"
+    path.write_bytes(split)
+    hdr = read_jp2_header(str(path))
+    assert len(hdr["tiles"]) == 4
+    assert all(len(spans) == 2 for _, spans in hdr["tiles"])
+    for isot, _ in hdr["tiles"]:
+        ty0, tx0, th, tw = _tile_geometry(hdr, isot)
+        t = read_jp2_tile(str(path), hdr, isot)
+        np.testing.assert_array_equal(
+            t[:, :, 0], a[ty0 : ty0 + th, tx0 : tx0 + tw]
+        )
+
+
+def test_tilepart_out_of_order_refuses():
+    a = rng.integers(0, 255, (40, 40), dtype=np.uint8)
+    split = bytearray(
+        _split_tileparts(encode_jp2_codestream(a, levels=1, cblk=32), 2)
+    )
+    # find the second SOT and corrupt its TPsot (1 -> 2: a gap)
+    p, seen = 2, 0
+    while p + 4 <= len(split):
+        code, ln = struct.unpack(">HH", split[p : p + 4])
+        if code == 0xFF90:
+            seen += 1
+            if seen == 2:
+                split[p + 10] = 2
+                break
+            psot = struct.unpack(">I", split[p + 6 : p + 10])[0]
+            p += psot
+            continue
+        p += 2 + ln
+    with pytest.raises(ValueError, match="out of order"):
+        decode_jp2(bytes(split))

@@ -298,7 +298,7 @@ def test_jp2_over_http(served, tmp_path):
     hdr_l = read_jp2_header(str(path))
     hdr_h = read_jp2_header(url)
     assert hdr_h["ys"] == hdr_l["ys"] and hdr_h["xs"] == hdr_l["xs"]
-    for isot, _, _ in hdr_l["tiles"]:
+    for isot, _ in hdr_l["tiles"]:
         np.testing.assert_array_equal(
             read_jp2_tile(url, hdr_h, isot), read_jp2_tile(str(path), hdr_l, isot)
         )

@@ -335,12 +335,23 @@ def test_hand_lz77_2d_distance():
 # ---------------------------------------------------------------------------
 
 
-def test_lossy_vp8_refuses_loudly():
+def test_lossy_vp8_dispatches_to_vp8_decoder():
+    # a corrupt VP8 chunk now reaches operators/vp8.py and fails ITS
+    # validation (bad start code), proving the dispatch is wired
     payload = b"\x00" * 10
     riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
     data = b"RIFF" + struct.pack("<I", len(riff)) + riff
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="vp8"):
         decode_webp(data)
+
+
+def test_lossy_vp8_decodes_through_container():
+    from odc_stac_spark.operators.vp8 import encode_webp_lossy_gray
+
+    img = (np.arange(16)[:, None] // 4 * 32 + 16).astype(np.uint8).repeat(16, 1)
+    out = decode_webp(encode_webp_lossy_gray(img))
+    assert out.shape == (16, 16, 3)
+    assert (out == img[:, :, None]).all()
 
 
 def test_bad_signature_and_version():
