@@ -710,6 +710,89 @@ def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
     return ftyp + mdat + moov
 
 
+def encode_mp4_h264(frames, fps: int = 10, pcm_every: int = 0) -> bytes:
+    """Iterable of grayscale 4x4-lattice (h, w) uint8 arrays → AVC
+    (avc1)-in-mp4 bytes. Every sample is its own IDR keyframe encoded by
+    the exact-lattice coder (operators/h264.py); SPS/PPS ride in the
+    avcC decoder-configuration record, samples are 4-byte-length-prefixed
+    slice NALUs — the standard ISO 14496-15 layout."""
+    from .h264 import build_pps_rbsp, build_sps_rbsp, encode_h264_gray, escape_rbsp, split_annexb
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("mp4: need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = []
+    for f in frames:
+        nals = split_annexb(encode_h264_gray(np.asarray(f), pcm_every=pcm_every))
+        idr = next(n for n in nals if (n[0] & 0x1F) == 5)
+        samples.append(struct.pack(">I", len(idr)) + idr)
+    sps_nal = b"\x67" + escape_rbsp(build_sps_rbsp(w, h))
+    pps_nal = b"\x68" + escape_rbsp(build_pps_rbsp())
+    avcc = (
+        bytes([1, 66, 0, 30, 0xFF, 0xE1])  # ver, profile, compat, level, 4-byte lengths, 1 SPS
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+    n = len(samples)
+    timescale = 1000
+    delta = timescale // fps
+    duration = n * delta
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
+    mdat = _mp4_box(b"mdat", b"".join(samples))
+    first_sample_off = len(ftyp) + 8
+
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + _mp4_box(b"avcC", avcc)
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"avc1", entry))
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def encode_mp4_mjpeg_fragmented(
     frames, fps: int = 10, quality: int = 85, frames_per_fragment: int = 2
 ) -> bytes:
@@ -865,10 +948,23 @@ def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
             raise ValueError(f"mp4: missing {need.decode()} box")
     sd0 = boxes[b"stsd"][0]
     codec = data[sd0 + 8 + 4 : sd0 + 8 + 8]  # first sample entry fourcc
-    if codec not in (b"jpeg", b"mjpa", b"MJPG"):
+    avcc = None
+    if codec == b"avc1":
+        # avcC decoder config: child box after the 78-byte
+        # VisualSampleEntry fields (ISO 14496-15 §5.3.4)
+        entry0 = sd0 + 8  # stsd payload: ver/flags(4)+count(4), then entry
+        (entry_size,) = struct.unpack_from(">I", data, entry0)
+        for t2, b0, b1 in _mp4_children(data, entry0 + 8 + 78, entry0 + entry_size):
+            if t2 == b"avcC":
+                avcc = data[b0:b1]
+                break
+        if avcc is None:
+            raise ValueError("mp4: avc1 entry without avcC record")
+    elif codec not in (b"jpeg", b"mjpa", b"MJPG"):
         raise NotImplementedError(
-            f"mp4: codec {codec!r} needs ffmpeg; only MJPEG ('jpeg'/'mjpa') "
-            "demuxes natively (operators/multimodal.py ffmpeg seam)"
+            f"mp4: codec {codec!r} needs ffmpeg; MJPEG ('jpeg'/'mjpa') and "
+            "AVC intra ('avc1' — operators/h264.py) demux+decode natively "
+            "(operators/multimodal.py ffmpeg seam)"
         )
     z0, _ = boxes[b"stsz"]
     fixed, count = struct.unpack_from(">II", data, z0 + 4)
@@ -969,10 +1065,18 @@ def decode_mp4_mjpeg(data: bytes, every: int = 1, max_frames: int = 0) -> "np.nd
                         raise ValueError("mp4: fragment sample with no size")
                     spans.append((cur, size))
                     cur += size
+    if avcc is not None:
+        from .h264 import decode_avcc_frame, yuv420_to_rgb
+
+        def _decode(sample: bytes) -> np.ndarray:
+            return yuv420_to_rgb(*decode_avcc_frame(avcc, sample))
+
+    else:
+        _decode = decode_jpeg
     frames = []
     for i, (off, sz) in enumerate(spans):
         if i % every == 0 and (not max_frames or len(frames) < max_frames):
-            frames.append(decode_jpeg(data[off : off + sz]))
+            frames.append(_decode(data[off : off + sz]))
     if not frames:
         raise ValueError("mp4: no video frames found")
     return np.stack(frames)

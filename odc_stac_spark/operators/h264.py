@@ -845,3 +845,726 @@ def _pred_chroma(mode: int, plane, y0: int, x0: int, avail_up: bool,
     else:
         raise ValueError(f"h264: bad chroma mode {mode}")
     return d
+
+# ---------------------------------------------------------------------------
+# slice decode — I slices, single slice group, frame_mbs_only
+
+
+def parse_slice_header(r: BitReader, sps: Dict, pps: Dict, nal_type: int,
+                       nal_ref_idc: int) -> Dict:
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:  # 2/7 = I (4/9 SI unsupported)
+        raise NotImplementedError(
+            "h264: only I slices decode in-repo (P/B inter prediction is "
+            "the ffmpeg seam)"
+        )
+    pps_id = r.ue()
+    frame_num = r.read(sps["log2_max_frame_num"])
+    if nal_type == 5:  # IDR
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        raise NotImplementedError("h264: poc_type 0 header fields not kept by SPS parse")
+    # dec_ref_pic_marking (IDR only carries two flags)
+    if nal_ref_idc != 0:
+        if nal_type == 5:
+            r.read1()  # no_output_of_prior_pics
+            r.read1()  # long_term_reference_flag
+        else:
+            if r.read1():  # adaptive_ref_pic_marking_mode
+                raise NotImplementedError("h264: adaptive ref marking")
+    slice_qp_delta = r.se()
+    disable_deblock = 0
+    if pps["deblocking_control"]:
+        disable_deblock = r.ue()
+        if disable_deblock != 1:
+            r.se()  # alpha offset
+            r.se()  # beta offset
+    return {
+        "first_mb": first_mb,
+        "qp": pps["pic_init_qp"] + slice_qp_delta,
+        "disable_deblock": disable_deblock,
+        "frame_num": frame_num,
+    }
+
+
+def _nc_context(total_coeffs: Dict[Tuple[int, int], int], by: int, bx: int,
+                min_x: int, min_y: int) -> int:
+    """§9.2.1 nC from left/above neighbor TotalCoeff maps keyed by
+    4x4-block coords (luma or per-component chroma grid)."""
+    a = total_coeffs.get((by, bx - 1)) if bx > min_x else None
+    b = total_coeffs.get((by - 1, bx)) if by > min_y else None
+    if a is not None and b is not None:
+        return (a + b + 1) >> 1
+    if a is not None:
+        return a
+    if b is not None:
+        return b
+    return 0
+
+
+def decode_islice(sps: Dict, pps: Dict, rbsp: bytes, nal_type: int,
+                  nal_ref_idc: int):
+    """Decode one I slice covering the whole frame → (Y, U, V) uint8
+    planes (§7.3.4/§7.3.5 CAVLC syntax, §8.3/§8.5 reconstruction)."""
+    r = BitReader(rbsp)
+    hdr = parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
+    if hdr["first_mb"] != 0:
+        raise NotImplementedError("h264: multi-slice pictures not supported")
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    W, H = mb_w * 16, mb_h * 16
+    # planes padded by 1 on top/left so prediction reads are uniform;
+    # availability flags (not border values) gate edge behavior
+    Y = np.zeros((H + 1, W + 1), np.uint8)
+    U = np.zeros((H // 2 + 1, W // 2 + 1), np.uint8)
+    V = np.zeros((H // 2 + 1, W // 2 + 1), np.uint8)
+
+    qp = hdr["qp"]
+    if not (0 <= qp <= 51):
+        raise ValueError("h264: QP out of range")
+    # per-4x4-block TotalCoeff maps for nC contexts (frame-global coords)
+    tc_luma: Dict[Tuple[int, int], int] = {}
+    tc_u: Dict[Tuple[int, int], int] = {}
+    tc_v: Dict[Tuple[int, int], int] = {}
+    # per-4x4-block intra mode map for Intra_4x4 mode prediction
+    mode4: Dict[Tuple[int, int], int] = {}
+    mb_kinds: List[str] = []
+
+    for mb_idx in range(mb_w * mb_h):
+        my, mx = divmod(mb_idx, mb_w)
+        mb_type = r.ue()
+        if mb_type > 25:
+            raise ValueError(f"h264: bad I-slice mb_type {mb_type}")
+        y0, x0 = my * 16 + 1, mx * 16 + 1
+        cy0, cx0 = my * 8 + 1, mx * 8 + 1
+        up, left = my > 0, mx > 0
+
+        if mb_type == 25:  # I_PCM (§7.3.5: pcm_alignment + raw samples)
+            while not r.byte_aligned():
+                if r.read1():
+                    raise ValueError("h264: nonzero pcm_alignment bit")
+            luma = np.array([r.read(8) for _ in range(256)], np.uint8)
+            Y[y0 : y0 + 16, x0 : x0 + 16] = luma.reshape(16, 16)
+            cb = np.array([r.read(8) for _ in range(64)], np.uint8)
+            cr = np.array([r.read(8) for _ in range(64)], np.uint8)
+            U[cy0 : cy0 + 8, cx0 : cx0 + 8] = cb.reshape(8, 8)
+            V[cy0 : cy0 + 8, cx0 : cx0 + 8] = cr.reshape(8, 8)
+            # PCM blocks count TotalCoeff 16 for neighbor contexts (§9.2.1)
+            for byy in range(4):
+                for bxx in range(4):
+                    tc_luma[(my * 4 + byy, mx * 4 + bxx)] = 16
+                    mode4[(my * 4 + byy, mx * 4 + bxx)] = 2
+            for byy in range(2):
+                for bxx in range(2):
+                    tc_u[(my * 2 + byy, mx * 2 + bxx)] = 16
+                    tc_v[(my * 2 + byy, mx * 2 + bxx)] = 16
+            mb_kinds.append("pcm")
+            continue
+
+        if mb_type == 0:  # I_4x4
+            modes = []
+            for blk in range(16):
+                byy, bxx = BLK_ZSCAN[blk]
+                gby, gbx = my * 4 + byy, mx * 4 + bxx
+                ma = mode4.get((gby, gbx - 1), -1) if gbx > 0 else -1
+                mb_ = mode4.get((gby - 1, gbx), -1) if gby > 0 else -1
+                pred_mode = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+                if r.read1():  # prev_intra4x4_pred_mode_flag
+                    m = pred_mode
+                else:
+                    rem = r.read(3)
+                    m = rem if rem < pred_mode else rem + 1
+                modes.append(m)
+                mode4[(gby, gbx)] = m
+            chroma_mode = r.ue()
+            cbp_code = r.ue()
+            if cbp_code > 47:
+                raise ValueError("h264: coded_block_pattern code out of range")
+            cbp = CBP_INTRA_FROM_CODE[cbp_code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            i16_mode = None
+        else:  # I_16x16
+            i16_mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma = 15 if mb_type - 1 >= 12 else 0
+            chroma_mode = r.ue()
+            modes = None
+
+        if cbp_luma or cbp_chroma or i16_mode is not None:
+            qp = qp + r.se()  # mb_qp_delta
+            if not (0 <= qp <= 51):
+                raise ValueError("h264: QP out of range after delta")
+        ls = _level_scale_4x4(qp % 6)
+        qp_shift = qp // 6
+        qpc = _chroma_qp(qp, pps["chroma_qp_index_offset"])
+        lsc = _level_scale_4x4(qpc % 6)
+        qpc_shift = qpc // 6
+
+        # ---- residual parse (§7.3.5.3.3 CAVLC ordering)
+        dc_plane = None
+        if i16_mode is not None:
+            nc = _nc_context(tc_luma, my * 4, mx * 4, 0, 0)
+            dc_levels = decode_cavlc_block(r, nc, 16)
+            c = np.zeros((4, 4), np.int64)
+            for k, lv in enumerate(dc_levels):
+                c[ZIGZAG_4x4[k] // 4, ZIGZAG_4x4[k] % 4] = lv
+            f = hadamard_4x4(c)
+            if qp >= 12:
+                dc_plane = (f * int(ls[0, 0])) << (qp_shift - 2)
+            else:
+                dc_plane = (f * int(ls[0, 0]) + (1 << (1 - qp_shift))) >> (
+                    2 - qp_shift
+                )
+            # NB: Intra16x16DCLevel does NOT update nC maps (§9.2.1 uses
+            # the AC/luma TotalCoeff of the 4x4 blocks)
+
+        luma_res: List[Optional[np.ndarray]] = [None] * 16
+        for blk8 in range(4):
+            for sub in range(4):
+                blk = blk8 * 4 + sub
+                byy, bxx = BLK_ZSCAN[blk]
+                gby, gbx = my * 4 + byy, mx * 4 + bxx
+                if not (cbp_luma & (1 << blk8)):
+                    tc_luma[(gby, gbx)] = 0
+                    continue
+                nc = _nc_context(tc_luma, gby, gbx, 0, 0)
+                if i16_mode is not None:
+                    levels = decode_cavlc_block(r, nc, 15)
+                    start = 1
+                else:
+                    levels = decode_cavlc_block(r, nc, 16)
+                    start = 0
+                tc_luma[(gby, gbx)] = sum(1 for v in levels if v)
+                d = np.zeros((4, 4), np.int64)
+                for k, lv in enumerate(levels):
+                    if lv:
+                        zz = ZIGZAG_4x4[k + start]
+                        d[zz // 4, zz % 4] = lv * int(ls[zz // 4, zz % 4]) << qp_shift
+                luma_res[blk] = d
+        # chroma DC (2x2 per component) + AC
+        chroma_dc = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
+        if cbp_chroma:
+            for comp in range(2):
+                levels = decode_cavlc_block(r, -1, 4)
+                # 2x2 "Hadamard": raster order c00 c01 c10 c11
+                c = np.array(
+                    [[levels[0], levels[1]], [levels[2], levels[3]]], np.int64
+                )
+                f = np.array(
+                    [
+                        [c[0, 0] + c[0, 1] + c[1, 0] + c[1, 1],
+                         c[0, 0] - c[0, 1] + c[1, 0] - c[1, 1]],
+                        [c[0, 0] + c[0, 1] - c[1, 0] - c[1, 1],
+                         c[0, 0] - c[0, 1] - c[1, 0] + c[1, 1]],
+                    ],
+                    np.int64,
+                )
+                chroma_dc[comp] = (f * int(lsc[0, 0]) << qpc_shift) >> 5
+        chroma_res = {0: [None] * 4, 1: [None] * 4}
+        if cbp_chroma & 2:
+            for comp in range(2):
+                tc_map = tc_u if comp == 0 else tc_v
+                for blk in range(4):
+                    byy, bxx = blk // 2, blk % 2
+                    gby, gbx = my * 2 + byy, mx * 2 + bxx
+                    nc = _nc_context(tc_map, gby, gbx, 0, 0)
+                    levels = decode_cavlc_block(r, nc, 15)
+                    tc_map[(gby, gbx)] = sum(1 for v in levels if v)
+                    d = np.zeros((4, 4), np.int64)
+                    for k, lv in enumerate(levels):
+                        if lv:
+                            zz = ZIGZAG_4x4[k + 1]
+                            d[zz // 4, zz % 4] = (
+                                lv * int(lsc[zz // 4, zz % 4]) << qpc_shift
+                            )
+                    chroma_res[comp][blk] = d
+        else:
+            for comp, tc_map in ((0, tc_u), (1, tc_v)):
+                for blk in range(4):
+                    tc_map[(my * 2 + blk // 2, mx * 2 + blk % 2)] = 0
+
+        # ---- reconstruction
+        if i16_mode is not None:
+            pred = _pred16x16(i16_mode, Y, y0, x0, up, left)
+            out = pred.copy()
+            for blk in range(16):
+                byy, bxx = BLK_ZSCAN[blk]
+                d = luma_res[blk]
+                if d is None:
+                    d = np.zeros((4, 4), np.int64)
+                else:
+                    d = d.copy()
+                d[0, 0] = int(dc_plane[byy, bxx])
+                res = itransform_4x4(d)
+                out[byy * 4 : byy * 4 + 4, bxx * 4 : bxx * 4 + 4] += res.astype(
+                    np.int32
+                )
+            Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+            for byy in range(4):
+                for bxx in range(4):
+                    mode4[(my * 4 + byy, mx * 4 + bxx)] = 2  # DC for neighbors
+            mb_kinds.append("i16")
+        else:
+            # I_4x4: per-block predict+reconstruct in z-scan decode order
+            for blk in range(16):
+                byy, bxx = BLK_ZSCAN[blk]
+                by, bx = y0 + byy * 4, x0 + bxx * 4
+                avail_up = up or byy > 0
+                avail_left = left or bxx > 0
+                # above-right availability (§8.3.1.2): sample row exists
+                # AND is already decoded in raster/z order
+                gby, gbx = my * 4 + byy, mx * 4 + bxx
+                if byy == 0:
+                    avail_ur = up and (gbx + 1 < mb_w * 4)
+                else:
+                    # within the MB: above-right block must precede in z
+                    if bxx == 3:
+                        avail_ur = False
+                    else:
+                        nb = BLK_ZSCAN.index((byy - 1, bxx + 1))
+                        avail_ur = nb < blk
+                pred = _pred4x4(modes[blk], Y, by, bx, avail_up, avail_left,
+                                avail_ur)
+                d = luma_res[blk]
+                if d is not None:
+                    pred = pred + itransform_4x4(d).astype(np.int32)
+                Y[by : by + 4, bx : bx + 4] = np.clip(pred, 0, 255)
+            mb_kinds.append("i4")
+
+        for comp, plane, cdc in ((0, U, chroma_dc[0]), (1, V, chroma_dc[1])):
+            pred = _pred_chroma(chroma_mode, plane, cy0, cx0, up, left)
+            out = pred.copy()
+            for blk in range(4):
+                byy, bxx = blk // 2, blk % 2
+                d = chroma_res[comp][blk]
+                if d is None:
+                    d = np.zeros((4, 4), np.int64)
+                else:
+                    d = d.copy()
+                d[0, 0] = int(cdc[byy, bxx])
+                if d.any():
+                    res = itransform_4x4(d)
+                    out[byy * 4 : byy * 4 + 4, bxx * 4 : bxx * 4 + 4] += (
+                        res.astype(np.int32)
+                    )
+            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(out, 0, 255)
+
+    if hdr["disable_deblock"] != 1:
+        raise NotImplementedError(
+            "h264: in-loop deblocking not yet implemented — streams must "
+            "set disable_deblocking_filter_idc=1 (the in-repo encoder "
+            "does); native decode via the ffmpeg seam otherwise"
+        )
+    w, h = sps["width"], sps["height"]
+    return (
+        np.ascontiguousarray(Y[1 : h + 1, 1 : w + 1]),
+        np.ascontiguousarray(U[1 : h // 2 + 1, 1 : (w + 1) // 2 + 1]),
+        np.ascontiguousarray(V[1 : h // 2 + 1, 1 : (w + 1) // 2 + 1]),
+    )
+
+# ---------------------------------------------------------------------------
+# stream-level decode entry points
+
+
+def split_annexb(data: bytes) -> List[bytes]:
+    """Annex-B byte stream → raw NAL units (3- or 4-byte start codes)."""
+    nals = []
+    i, n = 0, len(data)
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            j = i + 3
+            k = j
+            while k + 3 <= n and not (
+                data[k] == 0 and data[k + 1] == 0 and data[k + 2] == 1
+            ):
+                k += 1
+            end = k if k + 3 <= n else n
+            # trim the optional 0 of a 4-byte start code belonging to next
+            while end > j and data[end - 1] == 0 and end < n:
+                end -= 1
+            nals.append(data[j:end])
+            i = k
+        else:
+            i += 1
+    if not nals:
+        raise ValueError("h264: no NAL start codes found")
+    return nals
+
+
+def decode_h264_planes(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Annex-B stream (SPS + PPS + one IDR/I slice) → (Y, U, V) planes."""
+    sps = pps = None
+    for nal in split_annexb(data):
+        if not nal:
+            continue
+        if nal[0] & 0x80:
+            raise ValueError("h264: forbidden_zero_bit set")
+        ref_idc = (nal[0] >> 5) & 3
+        ntype = nal[0] & 0x1F
+        rbsp = unescape_rbsp(nal[1:])
+        if ntype == 7:
+            sps = parse_sps(rbsp)
+        elif ntype == 8:
+            pps = parse_pps(rbsp)
+        elif ntype in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("h264: slice before SPS/PPS")
+            return decode_islice(sps, pps, rbsp, ntype, ref_idc)
+        # SEI (6), AUD (9) etc.: skipped
+    raise ValueError("h264: no slice NAL found")
+
+
+def decode_avcc_frame(avcc: bytes, sample: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MP4 'avcC' decoder-config + one length-prefixed sample → planes."""
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("h264: bad avcC configuration record")
+    nal_len_size = (avcc[4] & 3) + 1
+    pos = 5
+    n_sps = avcc[pos] & 0x1F
+    pos += 1
+    sps = pps = None
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        pos += 2
+        sps = parse_sps(unescape_rbsp(avcc[pos + 1 : pos + ln]))
+        pos += ln
+    n_pps = avcc[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        pos += 2
+        pps = parse_pps(unescape_rbsp(avcc[pos + 1 : pos + ln]))
+        pos += ln
+    if sps is None or pps is None:
+        raise ValueError("h264: avcC carries no SPS/PPS")
+    i = 0
+    while i + nal_len_size <= len(sample):
+        ln = int.from_bytes(sample[i : i + nal_len_size], "big")
+        i += nal_len_size
+        if ln == 0 or i + ln > len(sample):
+            raise ValueError("h264: bad sample NAL length")
+        nal = sample[i : i + ln]
+        i += ln
+        ntype = nal[0] & 0x1F
+        if ntype in (1, 5):
+            return decode_islice(
+                sps, pps, unescape_rbsp(nal[1:]), ntype, (nal[0] >> 5) & 3
+            )
+    raise ValueError("h264: sample contains no slice NAL")
+
+
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Same sample-and-hold + full-range BT.601 integer conversion as the
+    VP8 path (operators/vp8.py) — gray content is exact by construction."""
+    h, w = y.shape
+    uu = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+    vv = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+    yy = y.astype(np.int32)
+    r = yy + ((91881 * vv + 32768) >> 16)
+    g = yy - ((22554 * uu + 46802 * vv + 32768) >> 16)
+    b = yy + ((116130 * uu + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def decode_h264(data: bytes) -> np.ndarray:
+    """Annex-B IDR stream → (h, w, 3) uint8 RGB."""
+    return yuv420_to_rgb(*decode_h264_planes(data))
+
+
+# ---------------------------------------------------------------------------
+# encoder — spec-valid IDR streams for 4x4-lattice grayscale content.
+
+_COEFF_TOKEN_ENC = {
+    0: {v: k for k, v in COEFF_TOKEN_NC0.items()},
+    2: {v: k for k, v in COEFF_TOKEN_NC2.items()},
+    4: {v: k for k, v in COEFF_TOKEN_NC4.items()},
+    -1: {v: k for k, v in COEFF_TOKEN_CHROMA_DC.items()},
+}
+_TZ_ENC = {k: {v2: k2 for k2, v2 in row.items()} for k, row in TOTAL_ZEROS_4x4.items()}
+
+
+def _coeff_token_str(nc: int, t1s: int, total: int) -> str:
+    if nc == -1:
+        return _COEFF_TOKEN_ENC[-1][(t1s, total)]
+    if nc < 2:
+        return _COEFF_TOKEN_ENC[0][(t1s, total)]
+    if nc < 4:
+        return _COEFF_TOKEN_ENC[2][(t1s, total)]
+    if nc < 8:
+        return _COEFF_TOKEN_ENC[4][(t1s, total)]
+    if total == 0:
+        return "000011"
+    return format(((total - 1) << 2) | t1s, "06b")
+
+
+def _write_dc_only_block(w: BitWriter, nc: int, level: int) -> int:
+    """Emit a CAVLC block whose only coefficient is ``level`` at scan
+    position 0 (or an empty block when level == 0); returns TotalCoeff."""
+    if level == 0:
+        w.write_str(_coeff_token_str(nc, 0, 0))
+        return 0
+    if abs(level) == 1:
+        w.write_str(_coeff_token_str(nc, 1, 1))
+        w.write(1 if level < 0 else 0, 1)  # trailing-one sign
+    else:
+        w.write_str(_coeff_token_str(nc, 0, 1))
+        base = 2 * abs(level) - 2 if level > 0 else 2 * abs(level) - 1
+        tcode = base - 2  # decoder adds 2 for the first coeff (T1s<3)
+        if tcode < 14:
+            w.write(0, tcode)
+            w.write(1, 1)
+        elif tcode < 30:
+            w.write(0, 14)
+            w.write(1, 1)
+            w.write(tcode - 14, 4)
+        elif tcode < 30 + 4096:
+            w.write(0, 15)
+            w.write(1, 1)
+            w.write(tcode - 30, 12)
+        else:
+            raise ValueError("h264: level too large for baseline escape")
+    # total_zeros (TotalCoeff=1 < maxNumCoeff): 0 zeros
+    w.write_str({v: k for k, v in TOTAL_ZEROS_4x4[1].items()}[0])
+    return 1
+
+
+def _nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + escape_rbsp(rbsp)
+
+
+def build_sps_rbsp(w_px: int, h_px: int) -> bytes:
+    if w_px % 2 or h_px % 2:
+        raise ValueError("h264: 4:2:0 requires even dimensions")
+    mb_w, mb_h = (w_px + 15) // 16, (h_px + 15) // 16
+    w = BitWriter()
+    w.write(66, 8)  # profile_idc: baseline
+    w.write(0, 8)  # constraint flags
+    w.write(30, 8)  # level 3.0
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type
+    w.ue(0)  # max_num_ref_frames
+    w.write(0, 1)  # gaps_in_frame_num
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.write(1, 1)  # frame_mbs_only
+    w.write(0, 1)  # direct_8x8_inference
+    crop_r = (mb_w * 16 - w_px) // 2
+    crop_b = (mb_h * 16 - h_px) // 2
+    if crop_r or crop_b:
+        w.write(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)  # vui_parameters_present
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def build_pps_rbsp() -> bytes:
+    w = BitWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.write(0, 1)  # entropy: CAVLC
+    w.write(0, 1)  # bottom_field_pic_order
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0
+    w.ue(0)  # num_ref_idx_l1
+    w.write(0, 1)  # weighted_pred
+    w.write(0, 2)  # weighted_bipred_idc
+    w.se(-26)  # pic_init_qp_minus26 → QP 0
+    w.se(0)  # pic_init_qs
+    w.se(0)  # chroma_qp_index_offset
+    w.write(1, 1)  # deblocking_filter_control_present
+    w.write(0, 1)  # constrained_intra_pred
+    w.write(0, 1)  # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _plan_h264_mb(pad: np.ndarray, my: int, mx: int, mb_w: int, mb_h: int,
+                  pcm: bool) -> Dict:
+    """Mode decision (QP=0, exact lattice contract): I_PCM when forced,
+    16x16 V/H/DC with zero residual, 16x16 DC + single Hadamard level
+    for uniform offsets (|c| ≤ 80 — baseline level escape bound), else
+    I_4x4 DC with one level per 4x4 block."""
+    y0, x0 = my * 16 + 1, mx * 16 + 1
+    tgt = pad[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32)
+    up, left = my > 0, mx > 0
+    if pcm:
+        return {"kind": "pcm", "tgt": tgt}
+    for m in (0, 1, 2):  # V, H, DC — V/H need availability
+        if (m == 0 and not up) or (m == 1 and not left):
+            continue
+        pred = _pred16x16(m, pad, y0, x0, up, left)
+        if (pred == tgt).all():
+            return {"kind": "i16", "mode": m, "dc_level": 0}
+    dc_pred = _pred16x16(2, pad, y0, x0, up, left)
+    diff = tgt - dc_pred
+    c0 = int(diff[0, 0])
+    if c0 != 0 and abs(c0) <= 80 and (diff == c0).all():
+        # single Hadamard DC level L: all 16 luma DCs = (10L+2)>>2, each
+        # block residual = (dcY+32)>>6 — search the |ΔdcY|≈2.5 lattice
+        for L in range(int(25.6 * c0) - 4, int(25.6 * c0) + 5):
+            dcy = (10 * L + 2) >> 2
+            if (dcy + 32) >> 6 == c0 and abs(L) >= 2:
+                return {"kind": "i16", "mode": 2, "dc_level": L}
+    levels = []
+    for blk in range(16):
+        byy, bxx = BLK_ZSCAN[blk]
+        blkv = tgt[byy * 4 : byy * 4 + 4, bxx * 4 : bxx * 4 + 4]
+        v0 = int(blkv[0, 0])
+        if not (blkv == v0).all():
+            raise ValueError(
+                "encode_h264_gray: content must be constant per 4x4 block "
+                "(the DC-only exact-lattice contract; see module docstring)"
+            )
+        levels.append(v0)  # target value; residual resolved at write time
+    return {"kind": "i4", "targets": levels}
+
+
+def encode_h264_gray(img: np.ndarray, pcm_every: int = 0) -> bytes:
+    """Encode grayscale 4x4-lattice content into a spec-valid Annex-B IDR
+    stream that reconstructs EXACTLY (QP=0, deblocking disabled, chroma
+    flat 128). ``pcm_every`` > 0 forces every Nth macroblock to I_PCM
+    (raw samples — also exact) to exercise that path."""
+    if img.ndim == 3:
+        if img.shape[2] != 1:
+            raise ValueError("encode_h264_gray: grayscale input only")
+        img = img[:, :, 0]
+    h_px, w_px = img.shape
+    if w_px % 2 or h_px % 2:
+        raise ValueError("encode_h264_gray: 4:2:0 needs even dimensions")
+    mb_w, mb_h = (w_px + 15) // 16, (h_px + 15) // 16
+    pad = np.pad(img.astype(np.uint8),
+                 ((1, mb_h * 16 - h_px), (1, mb_w * 16 - w_px)), mode="edge")
+    # pad[0,:] / pad[:,0] are never read (availability flags gate edges)
+
+    w = BitWriter()
+    # slice header (IDR, I slice, QP 0, deblocking off)
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pps_id
+    w.write(0, 4)  # frame_num
+    w.ue(0)  # idr_pic_id
+    w.write(0, 1)  # no_output_of_prior_pics
+    w.write(0, 1)  # long_term_reference
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc
+
+    tc_luma: Dict[Tuple[int, int], int] = {}
+    tc_u: Dict[Tuple[int, int], int] = {}
+    tc_v: Dict[Tuple[int, int], int] = {}
+    mode4: Dict[Tuple[int, int], int] = {}
+    for mb_idx in range(mb_w * mb_h):
+        my, mx = divmod(mb_idx, mb_w)
+        pcm = pcm_every > 0 and mb_idx % pcm_every == 0
+        plan = _plan_h264_mb(pad, my, mx, mb_w, mb_h, pcm)
+        if plan["kind"] == "pcm":
+            w.ue(25)
+            while len(w.bits) % 8:
+                w.bits.append(0)  # pcm_alignment_zero_bit
+            for v in plan["tgt"].flatten():
+                w.write(int(v), 8)
+            for _ in range(128):
+                w.write(128, 8)  # flat chroma
+            for byy in range(4):
+                for bxx in range(4):
+                    tc_luma[(my * 4 + byy, mx * 4 + bxx)] = 16
+                    mode4[(my * 4 + byy, mx * 4 + bxx)] = 2
+            for byy in range(2):
+                for bxx in range(2):
+                    tc_u[(my * 2 + byy, mx * 2 + bxx)] = 16
+                    tc_v[(my * 2 + byy, mx * 2 + bxx)] = 16
+            continue
+        if plan["kind"] == "i16":
+            # mb_type 1..24: 1 + mode (+12 would set luma CBP 15 — never
+            # needed: our I16 MBs are AC-free)
+            w.ue(1 + plan["mode"])
+            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.se(0)  # mb_qp_delta (always present for I_16x16)
+            nc = _nc_context(tc_luma, my * 4, mx * 4, 0, 0)
+            _write_dc_only_block(w, nc, plan["dc_level"])
+            for byy in range(4):
+                for bxx in range(4):
+                    tc_luma[(my * 4 + byy, mx * 4 + bxx)] = 0
+                    mode4[(my * 4 + byy, mx * 4 + bxx)] = 2
+            for comp, tc_map in ((0, tc_u), (1, tc_v)):
+                for blk in range(4):
+                    tc_map[(my * 2 + blk // 2, mx * 2 + blk % 2)] = 0
+            continue
+        # ---- I_4x4: resolve residual levels against the exact recon
+        # state (pad IS the reconstruction), writing modes then residuals
+        w.ue(0)  # mb_type I_4x4
+        y0, x0 = my * 16 + 1, mx * 16 + 1
+        up, left = my > 0, mx > 0
+        blk_levels = []
+        for blk in range(16):
+            byy, bxx = BLK_ZSCAN[blk]
+            gby, gbx = my * 4 + byy, mx * 4 + bxx
+            ma = mode4.get((gby, gbx - 1), -1) if gbx > 0 else -1
+            mb_ = mode4.get((gby - 1, gbx), -1) if gby > 0 else -1
+            pred_mode = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+            if pred_mode == 2:
+                w.write(1, 1)  # prev_intra4x4_pred_mode_flag → DC
+            else:
+                w.write(0, 1)
+                rem = 2 if 2 < pred_mode else 1  # rem maps to mode 2
+                w.write(rem, 3)
+            mode4[(gby, gbx)] = 2
+            # DC prediction value from the exact recon state
+            by, bx = y0 + byy * 4, x0 + bxx * 4
+            avail_up = up or byy > 0
+            avail_left = left or bxx > 0
+            A = pad[by - 1, bx : bx + 4].astype(np.int32) if avail_up else None
+            L = pad[by : by + 4, bx - 1].astype(np.int32) if avail_left else None
+            if A is not None and L is not None:
+                dc = (int(A.sum()) + int(L.sum()) + 4) >> 3
+            elif A is not None:
+                dc = (int(A.sum()) + 2) >> 2
+            elif L is not None:
+                dc = (int(L.sum()) + 2) >> 2
+            else:
+                dc = 128
+            c = plan["targets"][blk] - dc
+            if c == 0:
+                blk_levels.append(0)
+            else:
+                # (10L + 32) >> 6 == c  →  10L ∈ [64c-32, 64c+31]
+                L10 = -((32 - 64 * c) // 10) if c > 0 else -((32 - 64 * c) // 10)
+                L10 = (64 * c - 32 + 9) // 10  # ceil
+                assert (10 * L10 + 32) >> 6 == c, (c, L10)
+                blk_levels.append(L10)
+        w.ue(0)  # intra_chroma_pred_mode: DC
+        cbp_luma = 0
+        for blk8 in range(4):
+            if any(blk_levels[blk8 * 4 + s] for s in range(4)):
+                cbp_luma |= 1 << blk8
+        w.ue(CBP_INTRA_TO_CODE[cbp_luma])  # chroma CBP 0
+        if cbp_luma:
+            w.se(0)  # mb_qp_delta
+        for blk8 in range(4):
+            for sub in range(4):
+                blk = blk8 * 4 + sub
+                byy, bxx = BLK_ZSCAN[blk]
+                gby, gbx = my * 4 + byy, mx * 4 + bxx
+                if not (cbp_luma & (1 << blk8)):
+                    tc_luma[(gby, gbx)] = 0
+                    continue
+                nc = _nc_context(tc_luma, gby, gbx, 0, 0)
+                tc_luma[(gby, gbx)] = _write_dc_only_block(
+                    w, nc, blk_levels[blk]
+                )
+        for comp, tc_map in ((0, tc_u), (1, tc_v)):
+            for blk in range(4):
+                tc_map[(my * 2 + blk // 2, mx * 2 + blk % 2)] = 0
+    w.rbsp_trailing()
+    slice_rbsp = w.getvalue()
+    return (
+        _nal(7, 3, build_sps_rbsp(w_px, h_px))
+        + _nal(8, 3, build_pps_rbsp())
+        + _nal(5, 3, slice_rbsp)
+    )
