@@ -321,8 +321,13 @@ def test_mp4_compressed_codec_refuses_loudly():
 
     blob = bytearray(encode_mp4_mjpeg([np.zeros((16, 16), np.uint8)]))
     at = blob.index(b"jpeg", blob.index(b"stsd"))
-    blob[at : at + 4] = b"avc1"  # pretend H.264
+    blob[at : at + 4] = b"hev1"  # HEVC: still the ffmpeg seam
     with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_mjpeg(bytes(blob))
+    # avc1 now decodes in-repo (operators/h264.py) — but an avc1 entry
+    # without its avcC config record is malformed and refuses loudly
+    blob[at : at + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avcC"):
         decode_mp4_mjpeg(bytes(blob))
 
 
@@ -366,10 +371,10 @@ def test_fmp4_layout_is_really_fragmented():
     assert b"mvex" in blob and b"trex" in blob
 
 
-def test_fmp4_h264_refuses_loudly():
-    """The avc1 seam holds for segmented streams too — real streaming
-    corpora are H.264 fMP4, and they must refuse toward ffmpeg, never
-    mis-decode."""
+def test_fmp4_hevc_refuses_loudly():
+    """The compressed-codec seam holds for segmented streams too —
+    codecs beyond MJPEG/avc1 must refuse toward ffmpeg, never
+    mis-decode; a config-less avc1 rename refuses as malformed."""
     from odc_stac_spark.operators.codecs import (
         decode_mp4_mjpeg,
         encode_mp4_mjpeg_fragmented,
@@ -377,8 +382,11 @@ def test_fmp4_h264_refuses_loudly():
 
     blob = bytearray(encode_mp4_mjpeg_fragmented([np.zeros((16, 16), np.uint8)] * 3))
     at = blob.index(b"jpeg", blob.index(b"stsd"))
-    blob[at : at + 4] = b"avc1"
+    blob[at : at + 4] = b"hev1"
     with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_mjpeg(bytes(blob))
+    blob[at : at + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avcC"):
         decode_mp4_mjpeg(bytes(blob))
 
 
