@@ -875,15 +875,18 @@ def parse_slice_header(r: BitReader, sps: Dict, pps: Dict, nal_type: int,
                 raise NotImplementedError("h264: adaptive ref marking")
     slice_qp_delta = r.se()
     disable_deblock = 0
+    off_a = off_b = 0
     if pps["deblocking_control"]:
         disable_deblock = r.ue()
         if disable_deblock != 1:
-            r.se()  # alpha offset
-            r.se()  # beta offset
+            off_a = 2 * r.se()
+            off_b = 2 * r.se()
     return {
         "first_mb": first_mb,
         "qp": pps["pic_init_qp"] + slice_qp_delta,
         "disable_deblock": disable_deblock,
+        "filter_offset_a": off_a,
+        "filter_offset_b": off_b,
         "frame_num": frame_num,
     }
 
@@ -929,6 +932,7 @@ def decode_islice(sps: Dict, pps: Dict, rbsp: bytes, nal_type: int,
     # per-4x4-block intra mode map for Intra_4x4 mode prediction
     mode4: Dict[Tuple[int, int], int] = {}
     mb_kinds: List[str] = []
+    mb_qps: List[int] = []
 
     for mb_idx in range(mb_w * mb_h):
         my, mx = divmod(mb_idx, mb_w)
@@ -959,6 +963,7 @@ def decode_islice(sps: Dict, pps: Dict, rbsp: bytes, nal_type: int,
                     tc_u[(my * 2 + byy, mx * 2 + bxx)] = 16
                     tc_v[(my * 2 + byy, mx * 2 + bxx)] = 16
             mb_kinds.append("pcm")
+            mb_qps.append(0)  # §8.7: I_PCM counts QPy = 0 for deblocking
             continue
 
         if mb_type == 0:  # I_4x4
@@ -1104,6 +1109,7 @@ def decode_islice(sps: Dict, pps: Dict, rbsp: bytes, nal_type: int,
                 for bxx in range(4):
                     mode4[(my * 4 + byy, mx * 4 + bxx)] = 2  # DC for neighbors
             mb_kinds.append("i16")
+            mb_qps.append(qp)
         else:
             # I_4x4: per-block predict+reconstruct in z-scan decode order
             for blk in range(16):
@@ -1130,6 +1136,7 @@ def decode_islice(sps: Dict, pps: Dict, rbsp: bytes, nal_type: int,
                     pred = pred + itransform_4x4(d).astype(np.int32)
                 Y[by : by + 4, bx : bx + 4] = np.clip(pred, 0, 255)
             mb_kinds.append("i4")
+            mb_qps.append(qp)
 
         for comp, plane, cdc in ((0, U, chroma_dc[0]), (1, V, chroma_dc[1])):
             pred = _pred_chroma(chroma_mode, plane, cy0, cx0, up, left)
@@ -1150,10 +1157,11 @@ def decode_islice(sps: Dict, pps: Dict, rbsp: bytes, nal_type: int,
             plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(out, 0, 255)
 
     if hdr["disable_deblock"] != 1:
-        raise NotImplementedError(
-            "h264: in-loop deblocking not yet implemented — streams must "
-            "set disable_deblocking_filter_idc=1 (the in-repo encoder "
-            "does); native decode via the ffmpeg seam otherwise"
+        # idc 0 (and 2 — slice-edge suppression is moot for a
+        # single-slice picture) → §8.7 in-loop filter
+        deblock_intra_frame(
+            Y, U, V, mb_qps, mb_w, mb_h, pps["chroma_qp_index_offset"],
+            hdr["filter_offset_a"], hdr["filter_offset_b"],
         )
     w, h = sps["width"], sps["height"]
     return (
@@ -1426,11 +1434,14 @@ def _plan_h264_mb(pad: np.ndarray, my: int, mx: int, mb_w: int, mb_h: int,
     return {"kind": "i4", "targets": levels}
 
 
-def encode_h264_gray(img: np.ndarray, pcm_every: int = 0) -> bytes:
+def encode_h264_gray(img: np.ndarray, pcm_every: int = 0,
+                     deblock: bool = False) -> bytes:
     """Encode grayscale 4x4-lattice content into a spec-valid Annex-B IDR
-    stream that reconstructs EXACTLY (QP=0, deblocking disabled, chroma
-    flat 128). ``pcm_every`` > 0 forces every Nth macroblock to I_PCM
-    (raw samples — also exact) to exercise that path."""
+    stream that reconstructs EXACTLY (QP=0 — where §8.7's alpha/beta
+    thresholds are both 0, so even an ENABLED deblocking filter is a
+    provable no-op; ``deblock=True`` writes idc 0 to exercise that
+    path). ``pcm_every`` > 0 forces every Nth macroblock to I_PCM
+    (raw samples — also exact)."""
     if img.ndim == 3:
         if img.shape[2] != 1:
             raise ValueError("encode_h264_gray: grayscale input only")
@@ -1453,7 +1464,12 @@ def encode_h264_gray(img: np.ndarray, pcm_every: int = 0) -> bytes:
     w.write(0, 1)  # no_output_of_prior_pics
     w.write(0, 1)  # long_term_reference
     w.se(0)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc
+    if deblock:
+        w.ue(0)  # filter on (a no-op at QP 0: alpha = beta = 0)
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
+    else:
+        w.ue(1)  # disable_deblocking_filter_idc
 
     tc_luma: Dict[Tuple[int, int], int] = {}
     tc_u: Dict[Tuple[int, int], int] = {}
@@ -1568,3 +1584,145 @@ def encode_h264_gray(img: np.ndarray, pcm_every: int = 0) -> bytes:
         + _nal(8, 3, build_pps_rbsp())
         + _nal(5, 3, slice_rbsp)
     )
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter — §8.7 (intra pictures: bS 4 on MB edges,
+# 3 on internal transform edges). Vectorized along each edge.
+
+_DEBLOCK_ALPHA = [0] * 16 + [
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+    226, 255, 255,
+]
+_DEBLOCK_BETA = [0] * 16 + [
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+    11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+]
+# tC0 (Table 8-17) rows for bS 1..3
+_DEBLOCK_TC0 = [
+    [0] * 16 + [0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2,
+                2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
+    [0] * 16 + [0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+                2, 3, 3, 3, 4, 4, 5, 6, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17],
+    [0] * 16 + [0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3,
+                4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25],
+]
+assert all(len(t) == 52 for t in (_DEBLOCK_ALPHA, _DEBLOCK_BETA, *_DEBLOCK_TC0))
+
+
+def _deblock_core(blk: np.ndarray, bS: int, qp: int, chroma: bool,
+                  off_a: int = 0, off_b: int = 0) -> np.ndarray:
+    """Filter one edge. ``blk``: (n, 8) int32 rows [p3..p0 q0..q3] across
+    the edge. Returns the filtered copy (§8.7.2.3/8.7.2.4). indexA/B =
+    Clip3(0, 51, qp + slice filter offset) per §8.7.2.2."""
+    ia = max(0, min(51, qp + off_a))
+    ib = max(0, min(51, qp + off_b))
+    alpha, beta = _DEBLOCK_ALPHA[ia], _DEBLOCK_BETA[ib]
+    p3, p2, p1, p0, q0, q1, q2, q3 = (blk[:, k] for k in range(8))
+    filt = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    out = blk.copy()
+    if not filt.any():
+        return out
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    if bS == 4:
+        deep = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        if chroma:
+            out[:, 3] = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+            out[:, 4] = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+        else:
+            sp = filt & ap & deep
+            sq = filt & aq & deep
+            out[:, 3] = np.where(
+                sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0),
+            )
+            out[:, 2] = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+            out[:, 1] = np.where(
+                sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2
+            )
+            out[:, 4] = np.where(
+                sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0),
+            )
+            out[:, 5] = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+            out[:, 6] = np.where(
+                sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2
+            )
+        return out
+    tc0 = _DEBLOCK_TC0[bS - 1][ia]
+    if chroma:
+        tc = tc0 + 1
+    else:
+        tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    out[:, 3] = np.where(filt, np.clip(p0 + delta, 0, 255), p0)
+    out[:, 4] = np.where(filt, np.clip(q0 - delta, 0, 255), q0)
+    if not chroma:
+        dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+        out[:, 2] = np.where(filt & ap, p1 + dp1, p1)
+        dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+        out[:, 5] = np.where(filt & aq, q1 + dq1, q1)
+    return out
+
+
+def _deblock_edge_v(plane, x, y0, n, bS, qp, chroma, off_a=0, off_b=0):
+    blk = plane[y0 : y0 + n, x - 4 : x + 4].astype(np.int32)
+    plane[y0 : y0 + n, x - 4 : x + 4] = np.clip(
+        _deblock_core(blk, bS, qp, chroma, off_a, off_b), 0, 255
+    )
+
+
+def _deblock_edge_h(plane, y, x0, n, bS, qp, chroma, off_a=0, off_b=0):
+    blk = np.ascontiguousarray(plane[y - 4 : y + 4, x0 : x0 + n].T).astype(np.int32)
+    plane[y - 4 : y + 4, x0 : x0 + n] = np.clip(
+        _deblock_core(blk, bS, qp, chroma, off_a, off_b), 0, 255
+    ).T
+
+
+def deblock_intra_frame(Y, U, V, mb_qps: List[int], mb_w: int, mb_h: int,
+                        chroma_qp_offset: int, off_a: int = 0,
+                        off_b: int = 0) -> None:
+    """Apply §8.7 to a fully-intra picture in MB raster order (vertical
+    edges left→right then horizontal top→bottom, on already-filtered
+    samples). Planes carry the decoder's 1-px top/left pad; the views
+    below strip it (every filtered edge is ≥4 samples from the frame
+    edge, so the p3..p0 gathers stay in-bounds)."""
+    Yv = Y[1:, 1:]
+    Uv, Vv = U[1:, 1:], V[1:, 1:]
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            qp = mb_qps[my * mb_w + mx]
+            y0, x0 = my * 16, mx * 16
+            cy0, cx0 = my * 8, mx * 8
+            if mx > 0:
+                qp_avg = (mb_qps[my * mb_w + mx - 1] + qp + 1) >> 1
+                _deblock_edge_v(Yv, x0, y0, 16, 4, qp_avg, False, off_a, off_b)
+                qpc = (
+                    _chroma_qp(mb_qps[my * mb_w + mx - 1], chroma_qp_offset)
+                    + _chroma_qp(qp, chroma_qp_offset) + 1
+                ) >> 1
+                _deblock_edge_v(Uv, cx0, cy0, 8, 4, qpc, True, off_a, off_b)
+                _deblock_edge_v(Vv, cx0, cy0, 8, 4, qpc, True, off_a, off_b)
+            qpc_own = _chroma_qp(qp, chroma_qp_offset)
+            for dx in (4, 8, 12):
+                _deblock_edge_v(Yv, x0 + dx, y0, 16, 3, qp, False, off_a, off_b)
+            _deblock_edge_v(Uv, cx0 + 4, cy0, 8, 3, qpc_own, True, off_a, off_b)
+            _deblock_edge_v(Vv, cx0 + 4, cy0, 8, 3, qpc_own, True, off_a, off_b)
+            if my > 0:
+                qp_avg = (mb_qps[(my - 1) * mb_w + mx] + qp + 1) >> 1
+                _deblock_edge_h(Yv, y0, x0, 16, 4, qp_avg, False, off_a, off_b)
+                qpc = (
+                    _chroma_qp(mb_qps[(my - 1) * mb_w + mx], chroma_qp_offset)
+                    + _chroma_qp(qp, chroma_qp_offset) + 1
+                ) >> 1
+                _deblock_edge_h(Uv, cy0, cx0, 8, 4, qpc, True, off_a, off_b)
+                _deblock_edge_h(Vv, cy0, cx0, 8, 4, qpc, True, off_a, off_b)
+            for dy in (4, 8, 12):
+                _deblock_edge_h(Yv, y0 + dy, x0, 16, 3, qp, False, off_a, off_b)
+            _deblock_edge_h(Uv, cy0 + 4, cx0, 8, 3, qpc_own, True, off_a, off_b)
+            _deblock_edge_h(Vv, cy0 + 4, cx0, 8, 3, qpc_own, True, off_a, off_b)

@@ -319,3 +319,101 @@ def test_cross_validate_against_native_decoder():
         frame = next(container.decode(video=0))
         native = frame.to_ndarray(format="gray")
     assert (native == img).all()
+
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking (§8.7)
+
+
+def _scalar_deblock_luma_normal(row, bS, qp):
+    """Independent scalar transcription of §8.7.2.3 (bS < 4, luma) used
+    to cross-check the vectorized implementation."""
+    from odc_stac_spark.operators.h264 import (
+        _DEBLOCK_ALPHA,
+        _DEBLOCK_BETA,
+        _DEBLOCK_TC0,
+    )
+
+    p3, p2, p1, p0, q0, q1, q2, q3 = [int(v) for v in row]
+    alpha, beta = _DEBLOCK_ALPHA[qp], _DEBLOCK_BETA[qp]
+    out = list(row)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta and abs(q1 - q0) < beta):
+        return out
+    ap, aq = abs(p2 - p0) < beta, abs(q2 - q0) < beta
+    tc0 = _DEBLOCK_TC0[bS - 1][qp]
+    tc = tc0 + int(ap) + int(aq)
+    delta = max(-tc, min(tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3))
+    out[3] = max(0, min(255, p0 + delta))
+    out[4] = max(0, min(255, q0 - delta))
+    if ap:
+        out[2] = p1 + max(-tc0, min(tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+    if aq:
+        out[5] = q1 + max(-tc0, min(tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+    return out
+
+
+def test_deblock_core_matches_scalar_reference():
+    from odc_stac_spark.operators.h264 import _deblock_core
+
+    rng = np.random.default_rng(9)
+    for qp in (20, 28, 36, 44):
+        for bS in (1, 2, 3):
+            blk = rng.integers(0, 256, (32, 8)).astype(np.int64)
+            # bias half the rows toward small gradients so the filter fires
+            blk[16:] = rng.integers(100, 112, (16, 8))
+            got = _deblock_core(blk.copy(), bS, qp, False)
+            want = np.array(
+                [_scalar_deblock_luma_normal(r, bS, qp) for r in blk], np.int64
+            )
+            np.testing.assert_array_equal(got, want)
+
+
+def test_deblock_strong_filter_properties():
+    from odc_stac_spark.operators.h264 import _deblock_core
+
+    # a hard step edge with small local gradients: bS=4 strong filter
+    # must smooth it; output stays in range and is deterministic
+    blk = np.tile(np.array([[100, 100, 100, 100, 116, 116, 116, 116]]), (16, 1)).astype(np.int64)
+    out = _deblock_core(blk.copy(), 4, 36, False)
+    assert (out != blk).any()
+    assert out.min() >= 0 and out.max() <= 255
+    # monotone across the edge after filtering
+    assert (np.diff(out, axis=1) >= 0).all()
+    np.testing.assert_array_equal(out, _deblock_core(blk.copy(), 4, 36, False))
+
+
+def test_deblock_enabled_stream_is_noop_at_qp0():
+    # QP 0 → alpha = beta = 0 → §8.7 provably never fires: an encoder
+    # stream with the filter ENABLED still reconstructs exactly, while
+    # exercising the full deblock code path
+    img = _lattice(31, 32, 48)
+    y, u, v = decode_h264_planes(encode_h264_gray(img, deblock=True))
+    assert (y == img).all() and (u == 128).all() and (v == 128).all()
+
+
+def test_deblock_frame_modifies_synthetic_high_qp():
+    from odc_stac_spark.operators.h264 import deblock_intra_frame
+
+    rng = np.random.default_rng(5)
+    Y = np.zeros((33, 33), np.uint8)
+    U = np.zeros((17, 17), np.uint8)
+    V = np.zeros((17, 17), np.uint8)
+    # blocky content: constant 16x16 tiles with a step at the MB edge
+    Y[1:17, 1:17] = 100
+    Y[1:17, 17:] = 120
+    Y[17:, 1:17] = 80
+    Y[17:, 17:] = 140
+    U[1:] = 90
+    V[1:] = 160
+    before = Y.copy()
+    deblock_intra_frame(Y, U, V, [30, 30, 30, 30], 2, 2, 0)
+    assert (Y != before).any()
+    deblocked_once = Y.copy()
+    # determinism
+    Y2 = before.copy()
+    U2 = np.full_like(U, 0)
+    U2[1:] = 90
+    V2 = np.full_like(V, 0)
+    V2[1:] = 160
+    deblock_intra_frame(Y2, U2, V2, [30, 30, 30, 30], 2, 2, 0)
+    np.testing.assert_array_equal(deblocked_once, Y2)
