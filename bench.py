@@ -85,17 +85,13 @@ def main() -> None:
         # run 2 above still reuses run 1's cache (plan-equality lookup)
         spark.catalog.clearCache()
 
-    # raster-path throughput (BASELINE sanity anchor: reference does
-    # 4.1-4.8 Mpx/s/thread on the s2-ms-mosaic load)
-    mpx_s, raster_sec, plan_submit_sec = raster_throughput(spark)
-    timings["r_mosaic_load"] = raster_sec
-    warp_mpx_s, warp_sec = warp_throughput(spark)
-    timings["r_warp_load"] = warp_sec
-    # reported as its own metric — NOT in the headline total (the total
-    # tracks the relational/raster suite across rounds; adding a new
-    # stage would break comparability)
-    jpeg_mpx_s, _jpeg_sec = media_decode_throughput(spark)
-
+    # NOTE (r11 root-cause): the sf1 rehearsal runs BEFORE the raster/
+    # warp/jpeg throughput phases. Those phases are mapInPandas-heavy —
+    # 32 resident Python workers + Arrow buffers — and measurements show
+    # the FIRST big JVM shuffle queries after them run 3-5x slow until
+    # the pressure drains (dedup_minhash_lsh sf1: 15.4 s, 14.5 s, then
+    # 3.6 s in a controlled replay; healthy 3-4 s when sf1 runs first).
+    # That pressure was the unexplained r8-r10 minhash sf1 variance.
     # sf1 scale rehearsal (VERDICT r6 #7): one timed run of every
     # headline query at 10× the bench scale, from a generated key-offset
     # replica (tools/make_sf.py; /root/testdata is read-only). Reported
@@ -132,16 +128,50 @@ def main() -> None:
                 shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
             make_sf(sf_dir, sf1_dir, 10)
+        # replica LAYOUT fingerprint (VERDICT r10 #5: the round-7 sf1
+        # lesson was that parquet layout — row-group count/size — moves
+        # these numbers; persisting it makes round-over-round sf1
+        # comparisons like-for-like and lets a variance episode be
+        # attributed to layout vs environment from the artifact alone)
+        sf1_replica = {}
+        try:
+            import pyarrow.parquet as _pq
+
+            for fn in sorted(os.listdir(sf1_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(sf1_dir, fn)
+                # Spark writes a directory of part files
+                parts = (
+                    sorted(glob.glob(os.path.join(path, "*.parquet")))
+                    if os.path.isdir(path)
+                    else [path]
+                )
+                stat = {"bytes": 0, "rows": 0, "row_groups": 0, "files": len(parts)}
+                for p in parts:
+                    pf = _pq.ParquetFile(p)
+                    stat["bytes"] += os.path.getsize(p)
+                    stat["rows"] += pf.metadata.num_rows
+                    stat["row_groups"] += pf.metadata.num_row_groups
+                sf1_replica[fn[:-8]] = stat
+        except Exception as e:  # noqa: BLE001
+            sf1_replica = {"error": str(e)[:120]}
         # same protocol as the sf0.1 headline: one untimed warmup run,
         # then the timed run. The first execution against a replica pays
         # one-time costs that say nothing about scaling — C2 JIT for the
         # 10×-row codegen paths, file listing, OS page cache for files
         # written in an earlier bench invocation (measured: q1 5.9 s cold
         # → 0.8 s warm on identical plans). The ≤10× rehearsal bar is
-        # meaningful only warm-vs-warm.
+        # meaningful only warm-vs-warm. BOTH walls are persisted: the
+        # cold/warm ratio separates page-cache/IO variance (cold swings,
+        # warm stable) from plan/compute variance (both swing) — the
+        # instrumentation VERDICT r10 #5 asked for on dedup_minhash_lsh.
+        sf1_cold: dict[str, float] = {}
         for name in HEADLINE:
             q = registry[name].spark_fn
+            t0 = time.perf_counter()
             q(spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            sf1_cold[name] = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             q(spark, sf1_dir).write.mode("overwrite").format("noop").save()
@@ -149,6 +179,31 @@ def main() -> None:
             spark.catalog.clearCache()
     except Exception as e:  # noqa: BLE001 - rehearsal must never sink the bench
         sf1_spot = {"error": str(e)[:200]}  # type: ignore[dict-item]
+        sf1_cold = {}
+        sf1_replica = {}
+
+
+    # drain the sf1 phase's JVM shuffle/broadcast residue before the
+    # throughput phases — the interference is symmetric (measured:
+    # raster 103 Mpx/s right after the sf1 phase, 146 after one GC +
+    # 2 s; minhash sf1 15 s right after the mapInPandas phases) — so
+    # each section measures its own subject, not its predecessor's heap
+    try:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+    except Exception:  # noqa: BLE001
+        pass
+
+    # raster-path throughput (BASELINE sanity anchor: reference does
+    # 4.1-4.8 Mpx/s/thread on the s2-ms-mosaic load)
+    mpx_s, raster_sec, plan_submit_sec = raster_throughput(spark)
+    timings["r_mosaic_load"] = raster_sec
+    warp_mpx_s, warp_sec = warp_throughput(spark)
+    timings["r_warp_load"] = warp_sec
+    # reported as its own metric — NOT in the headline total (the total
+    # tracks the relational/raster suite across rounds; adding a new
+    # stage would break comparability)
+    jpeg_mpx_s, _jpeg_sec = media_decode_throughput(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -171,6 +226,12 @@ def main() -> None:
                 # single-run wall times at 10× scale (generated replica);
                 # NOT in the headline total — scale-behavior evidence only
                 "sf1_spot": sf1_spot,
+                # first (cold) run walls + replica parquet layout: the
+                # variance-attribution instrumentation (VERDICT r10 #5) —
+                # cold swings with stable warm ⇒ page-cache/IO episode;
+                # both swinging ⇒ plan/compute; layout change ⇒ replica
+                "sf1_cold": sf1_cold,
+                "sf1_replica": sf1_replica,
             }
         )
     )

@@ -26,9 +26,10 @@ A deliberately tiny encoder (``encode_vp8_gray``) emits spec-valid
 keyframe streams for grayscale content that reconstruct EXACTLY
 (DC-only residual lattice + exactly-predictable TM/V/H macroblocks),
 which is what lets lossy-VP8 queries be hash-gated against a
-first-principles pixel oracle; tests additionally cross-validate both
-decoder and encoder bit-exactly against libwebp when the native
-library is importable.
+first-principles pixel oracle; tests additionally cross-validate the
+encoder's streams against a native WebP decoder (PIL built with libwebp)
+when one is importable — gray lattice content must reconstruct to the
+identical RGB there.
 """
 
 from __future__ import annotations
