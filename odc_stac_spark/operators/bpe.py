@@ -144,3 +144,29 @@ def bpe_reference(texts_with_counts, n_merges: int = 20):
             new_hist[key] = new_hist.get(key, 0) + cnt
         hist = new_hist
     return merges
+
+
+def bpe_encode_vocab(
+    vocab: DataFrame, merges: List[Tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Tokenize a (distinct) vocabulary with a FROZEN merge table —
+    the serving half of BPE (production pipelines apply a fixed
+    tokenizer; they do not retrain per corpus).
+
+    Each merge rule is one pure Catalyst ``aggregate`` fold over the
+    symbol array (same left-to-right glue as training), chained in rank
+    order — no UDFs. Intended use at 100 TB: run this over the DISTINCT
+    words (vocabulary-sized, Heaps' law), then broadcast-join the
+    word→tokens map back onto the corpus, so the merge folds never touch
+    corpus-sized data.
+
+    Returns (word, n_toks, tok_str) with tokens joined by '|'.
+    """
+    df = vocab.withColumn("syms", F.split(F.col(word_col), ""))
+    for a, b in merges:
+        df = df.withColumn("syms", _merge_expr(a, b))
+    return df.select(
+        F.col(word_col),
+        F.size("syms").alias("n_toks"),
+        F.array_join("syms", "|").alias("tok_str"),
+    )

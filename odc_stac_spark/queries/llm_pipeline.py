@@ -449,3 +449,69 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(s), a, b, a + b, int(n)) for s, a, b, n in merges],
         "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
     )
+
+
+def _bpe_encode_oracle() -> str:
+    from ._bpe_golden import BPE_GOLDEN_VALUES
+
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(ws) AS word,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    joined AS (
+      SELECT w.doc_id, w.pos, w.word, g.n_toks, g.tok_str
+      FROM (SELECT * FROM words WHERE word <> '') w
+      JOIN {BPE_GOLDEN_VALUES} ON g.word = w.word
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars,
+           ROUND(SUM(LENGTH(word)) / CAST(SUM(n_toks) AS DOUBLE), 6)
+               AS chars_per_token,
+           MAX(CASE WHEN pos = 1 THEN tok_str END) AS first_word_tokens
+    FROM joined GROUP BY doc_id
+    """
+
+
+@register(
+    "text_bpe_encode",
+    # the oracle joins a GOLDEN word→tokens table produced by an
+    # independent sequential apply of the same frozen merge table
+    # (tools/gen_bpe_golden.py), so the Catalyst merge folds are
+    # hash-gated against scalar reference tokenizations
+    oracle=_bpe_encode_oracle(),
+    doc="distributed BPE tokenization with a FROZEN merge table (the "
+    "serving half of Sennrich et al. 2016 — production pipelines apply "
+    "a fixed tokenizer): the corpus-sized pass is split+explode+"
+    "broadcast-join+agg only; the merge folds (pure Catalyst aggregate, "
+    "one per rule, no UDFs) run over the DISTINCT vocabulary, which by "
+    "Heaps' law is millions of rows at 100 TB, not corpus-sized. The "
+    "word→tokens map broadcasts; per-doc token/char counts partial-"
+    "aggregate map-side.",
+    tags=("text", "llm", "tokenizer"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_vocab
+    from ._bpe_golden import BPE_MERGES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    enc = bpe_encode_vocab(vocab, BPE_MERGES)
+    joined = words.join(F.broadcast(enc), "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.round(
+            F.sum(F.length("word")) / F.sum("n_toks").cast("double"), 6
+        ).alias("chars_per_token"),
+        F.max(F.when(F.col("pos") == 0, F.col("tok_str"))).alias(
+            "first_word_tokens"
+        ),
+    )

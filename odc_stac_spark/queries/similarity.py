@@ -175,6 +175,106 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_COS = 0.45  # duplicate threshold (synthetic max-cos ≈ 0.51)
+
+
+@register(
+    "dedup_semantic_clusters",
+    # the oracle recomputes the identical cluster-blocked drop rule, so the
+    # keep/drop decision for every vector is hash-gated exactly
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
+    assigned AS (
+      SELECT vec_id, emb, cent_id, sim AS cent_sim_raw FROM (
+        SELECT vec_id, emb, cent_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT v.vec_id
+      FROM assigned v JOIN assigned u
+        ON u.cent_id = v.cent_id AND u.vec_id <> v.vec_id
+      WHERE list_dot_product(u.emb, v.emb)
+            / (sqrt(list_dot_product(u.emb, u.emb))
+               * sqrt(list_dot_product(v.emb, v.emb))) >= {SEMDEDUP_COS}
+        AND (u.cent_sim_raw < v.cent_sim_raw
+             OR (u.cent_sim_raw = v.cent_sim_raw AND u.vec_id < v.vec_id))
+    )
+    SELECT a.vec_id, a.cent_id, ROUND(a.cent_sim_raw, 6) AS cent_sim,
+           d.vec_id IS NULL AS kept
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540): "
+    "cluster embeddings to their nearest of K fixed centroids, find "
+    "within-cluster pairs with cosine >= eps (equi-join on cent_id — NO "
+    "all-pairs), and per duplicate group keep the example LEAST similar to "
+    "its centroid (the paper's diversity-preserving keep rule; deterministic "
+    "vec_id tie-break). At 100 TB the assignment is a materialized table "
+    "bucketed by cent_id (one-off k-means write), so the self-join is "
+    "co-located and cost is sum of cell-size^2, not n^2; the drop rule is a "
+    "map-side comparison + distinct on vec_id. Reference: the reference "
+    "engine has no semantic dedup — this is a training-pipeline extension.",
+    tags=("similarity", "dedup"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("emb")
+    )
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", "cent_id", F.col("sim").alias("cent_sim_raw"))
+    )
+    v = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("v_id"),
+        F.col("emb").alias("v_emb"),
+        F.col("cent_sim_raw").alias("v_cs"),
+    )
+    u = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("u_id"),
+        F.col("emb").alias("u_emb"),
+        F.col("cent_sim_raw").alias("u_cs"),
+    )
+    cos = _dot(F.col("u_emb"), F.col("v_emb")) / (_norm(F.col("u_emb")) * _norm(F.col("v_emb")))
+    # v is dropped iff some same-cluster duplicate u sits CLOSER to the
+    # centroid boundary (u less centroid-similar wins — SemDeDup keeps the
+    # most diverse member of each duplicate group)
+    dropped = (
+        v.join(u, ["cent_id"])
+        .where(F.col("u_id") != F.col("v_id"))
+        .where(cos >= SEMDEDUP_COS)
+        .where(
+            (F.col("u_cs") < F.col("v_cs"))
+            | ((F.col("u_cs") == F.col("v_cs")) & (F.col("u_id") < F.col("v_id")))
+        )
+        .select(F.col("v_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, ["vec_id"], "left").select(
+        "vec_id",
+        "cent_id",
+        F.round("cent_sim_raw", 6).alias("cent_sim"),
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
 # Every stage is deterministic (fixed centroids, tie-broken windows,
 # sequential float64 folds) — so the whole IVF plan has an exact SQL image,
 # shared by the from-scratch query and the persisted-index query (identical
