@@ -27,10 +27,13 @@ PICKS = [
     ),
     (
         "q7_nation_pair_volume",
-        "Five-way join tree: every dimension join is a BroadcastHashJoin "
-        "(no fact-side shuffle until the final groupBy). At 100 TB the "
-        "64 MB autoBroadcast threshold turns oversized dims into "
-        "sort-merge joins automatically.",
+        "Hint-free statistics-chosen 3-BroadcastHashJoin tree (r9 shape): "
+        "the nation-pair predicate is resolved driver-side from the 25-row "
+        "dimension once per sf_dir (memoized, r11) and pushed as scan-level "
+        "`In(c_nationkey, …)` / `In(s_nationkey, …)` filters — the fact "
+        "side never shuffles until the final groupBy. At 100 TB the 64 MB "
+        "autoBroadcast threshold turns oversized dims into sort-merge "
+        "joins automatically.",
     ),
     (
         "j1_tyx_bins",
@@ -135,6 +138,28 @@ PICKS = [
         "hash; the interval union is one lag-window pass partitioned by "
         "doc_id; two shuffles total (hash groupBy + per-doc window), both "
         "on compact keys, the window-string column never shuffles.",
+    ),
+    (
+        "dedup_semantic_clusters",
+        "SemDeDup (r11): centroid scoring broadcasts the K-row centroid "
+        "table (BroadcastNestedLoopJoin BuildRight — embeddings stream "
+        "through it unshuffled); the per-vector argmax is a rank-1 window "
+        "whose WindowGroupLimit is pushed MAP-SIDE, so the one assignment "
+        "exchange carries ~1 row per vector, not K; the duplicate-pair "
+        "search is a SortMergeJoin equi-join on cent_id (never all-pairs) "
+        "ending in a distinct on vec_id. At 100 TB the assignment is a "
+        "materialized cent_id-bucketed table (one-off k-means write), "
+        "which collapses the recomputed assignment subtrees below and "
+        "co-locates the self-join.",
+    ),
+    (
+        "text_bpe_encode",
+        "Frozen-tokenizer BPE serving (r11): the merge folds (one Catalyst "
+        "aggregate() per rule, no UDFs) run over the DISTINCT vocabulary "
+        "only — the plan shows them above a vocabulary-sized aggregate, "
+        "NOT over the corpus scan; the word→tokens map re-enters via an "
+        "explicit BroadcastHashJoin so corpus rows are tokenized at scan "
+        "speed with one final per-doc exchange.",
     ),
     (
         "mm_image_webp_codec",
