@@ -515,3 +515,125 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_word_tokens"
         ),
     )
+
+
+DSIR_TARGET_SOURCES = ("src0", "src1")  # target-domain proxy corpus
+DSIR_THRESHOLD = 1.0  # applied map-side; production derives it once
+# deterministic per-doc uniform for Gumbel noise: Knuth multiplicative
+# hash over doc_id, exact integer arithmetic in BOTH engines
+_DSIR_A, _DSIR_M = 2654435761, 2147483647
+
+
+def _dsir_oracle() -> str:
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    toks_f AS (SELECT * FROM toks WHERE word <> ''),
+    raw_cnt AS (SELECT word, COUNT(*)::DOUBLE AS rc FROM toks_f GROUP BY word),
+    tgt_cnt AS (
+      SELECT word, COUNT(*)::DOUBLE AS tc FROM toks_f
+      WHERE source IN ({tgt}) GROUP BY word
+    ),
+    tot AS (
+      SELECT SUM(rc) AS rtot, COUNT(*)::DOUBLE AS v FROM raw_cnt
+    ),
+    ttot AS (SELECT COALESCE(SUM(tc), 0) AS ttot FROM tgt_cnt),
+    lr AS (
+      SELECT r.word,
+             ln((COALESCE(t.tc, 0) + 1) / (ttot.ttot + tot.v))
+               - ln((r.rc + 1) / (tot.rtot + tot.v)) AS logratio
+      FROM raw_cnt r LEFT JOIN tgt_cnt t ON t.word = r.word, tot, ttot
+    ),
+    perdoc AS (
+      SELECT tk.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(lr.logratio) AS weight
+      FROM toks_f tk JOIN lr ON lr.word = tk.word
+      GROUP BY tk.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(weight, 6) AS weight,
+           ROUND(weight - ln(-ln(
+             ((doc_id * {_DSIR_A}) % {_DSIR_M} + 1) / {_DSIR_M + 1}.0
+           )), 6) AS score,
+           (weight - ln(-ln(
+             ((doc_id * {_DSIR_A}) % {_DSIR_M} + 1) / {_DSIR_M + 1}.0
+           ))) >= {DSIR_THRESHOLD} AS selected
+    FROM perdoc
+    """
+
+
+@register(
+    "text_dsir_select",
+    # the oracle recomputes the identical smoothed log-ratio weights and
+    # the identical integer-hash Gumbel key, so every per-doc weight,
+    # score and keep/drop decision is hash-gated
+    oracle=_dsir_oracle(),
+    doc="DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — Data "
+    "Selection via Importance Resampling): estimate unigram bag-of-words "
+    "distributions for the raw corpus and a target-domain proxy "
+    "(additive smoothing), score each document by its summed "
+    "log-importance ratio, add deterministic Gumbel noise (integer-hash "
+    "uniform per doc_id — reproducible, no rand()), and select docs "
+    "whose Gumbel-perturbed score clears a threshold (the Gumbel-top-k "
+    "trick as a map-side filter). Scale shape: the distributions are "
+    "vocabulary-sized aggregates (Heaps' law), the log-ratio table "
+    "broadcasts, per-doc weights partial-aggregate map-side, and the "
+    "selection is a stateless filter — production derives the threshold "
+    "once via percentile_approx over a sample, so NOTHING here is "
+    "corpus-global at serve time.",
+    tags=("text", "llm", "selection"),
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).where(F.col("word") != "")
+    # ONE corpus-token pass builds both distributions (raw + target as a
+    # conditional count); the rtot/ttot/V scalars come from an
+    # unpartitioned window over the already-aggregated vocabulary-sized
+    # table, so the corpus is never re-scanned for totals
+    stats = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("rc"),
+        F.sum(
+            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("tc"),
+    )
+    w = Window.partitionBy()
+    lr = stats.select(
+        "word",
+        (
+            F.log(
+                (F.col("tc") + 1)
+                / (F.sum("tc").over(w) + F.count(F.lit(1)).over(w).cast("double"))
+            )
+            - F.log(
+                (F.col("rc") + 1)
+                / (F.sum("rc").over(w) + F.count(F.lit(1)).over(w).cast("double"))
+            )
+        ).alias("logratio"),
+    )
+    perdoc = (
+        toks.join(F.broadcast(lr), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logratio").alias("weight"),
+        )
+    )
+    u = ((F.col("doc_id") * _DSIR_A) % _DSIR_M + 1) / F.lit(float(_DSIR_M + 1))
+    score = F.col("weight") - F.log(-F.log(u))
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        F.round("weight", 6).alias("weight"),
+        F.round(score, 6).alias("score"),
+        (score >= DSIR_THRESHOLD).alias("selected"),
+    )
