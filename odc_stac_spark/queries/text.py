@@ -777,3 +777,167 @@ def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("tok", "n", "rank")
     )
+
+
+MIX_ALPHA = 0.3  # XLM-R / mT5 temperature exponent
+MIX_BUDGET = 0.5  # fraction of the corpus the mixed sample should keep
+
+
+@register(
+    "text_mixture_sample",
+    # the oracle recomputes the alpha-power mixture weights, per-source
+    # acceptance rates, and the md5 acceptance gate exactly, so every
+    # per-source rate and kept-count is hash-gated
+    oracle=f"""
+    WITH docs AS (
+      SELECT source, doc_id,
+             (CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000) / 1000000.0 AS u
+      FROM documents
+    ),
+    counted AS (
+      SELECT source, COUNT(*)::DOUBLE AS n_s FROM docs GROUP BY source
+    ),
+    rated AS (
+      SELECT source, n_s,
+             POW(n_s, {MIX_ALPHA}) / SUM(POW(n_s, {MIX_ALPHA})) OVER () AS p_s,
+             LEAST(1.0,
+                   {MIX_BUDGET} * SUM(n_s) OVER ()
+                   * (POW(n_s, {MIX_ALPHA}) / SUM(POW(n_s, {MIX_ALPHA})) OVER ())
+                   / n_s) AS rate
+      FROM counted
+    )
+    SELECT r.source,
+           CAST(r.n_s AS BIGINT) AS n_total,
+           ROUND(r.p_s, 6) AS mix_p,
+           ROUND(r.rate, 6) AS rate,
+           CAST(COUNT(*) FILTER (WHERE d.u < r.rate) AS BIGINT) AS n_kept
+    FROM rated r JOIN docs d ON d.source = r.source
+    GROUP BY r.source, r.n_s, r.p_s, r.rate
+    """,
+    doc="Temperature-based mixture sampling (the multilingual data-mixing "
+    "rule of XLM-R / mT5: sample source s with probability proportional "
+    "to n_s^alpha, alpha<1 up-weighting low-resource sources): per-source "
+    "counts -> alpha-power mixture weights -> per-source acceptance rate "
+    "min(1, budget*N*p_s/n_s) -> deterministic md5 acceptance gate per "
+    "document (reproducible, resume-safe — no rand()). Scale shape: the "
+    "rate table is source-cardinality-sized (computed via an "
+    "unpartitioned window over the aggregate, corpus never re-scanned "
+    "for totals) and broadcasts back; the accept decision is a map-side "
+    "filter; kept counts partial-aggregate.",
+    tags=("text", "llm", "sampling"),
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = (
+        _h32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000
+    ) / F.lit(1000000.0)
+    docs = d.withColumn("u", u)
+    counted = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_s"), MIX_ALPHA)
+    p_s = pw / F.sum(pw).over(w)
+    rate = F.least(
+        F.lit(1.0), MIX_BUDGET * F.sum("n_s").over(w) * p_s / F.col("n_s")
+    )
+    rated = counted.select("source", "n_s", p_s.alias("p_s"), rate.alias("rate"))
+    # the source-cardinality-sized rate table broadcasts back onto the
+    # corpus; the accept decision is map-side and kept counts
+    # partial-aggregate — per-source state never holds per-doc values
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .groupBy("source", "n_s", "p_s", "rate")
+        .agg(
+            F.count(F.when(F.col("u") < F.col("rate"), 1))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_total"),
+            F.round("p_s", 6).alias("mix_p"),
+            F.round("rate", 6).alias("rate"),
+            "n_kept",
+        )
+    )
+
+
+# Frozen fasttext-style linear quality model: unigram weights + a
+# length feature + bias, shipped with the pipeline exactly like a
+# trained .bin would be (CCNet / GPT-3 quality filtering applies a
+# FROZEN classifier at corpus scale; it never trains in the pipeline).
+# Words missing from the table contribute 0 (OOV bucket).
+QC_WEIGHTS = {
+    "a": -0.05, "the": -0.05, "dup": -0.30, "slow": -0.22,
+    "small": -0.12, "big": -0.08, "data": 0.04, "query": 0.16,
+    "join": 0.14, "hash": 0.11, "merge": 0.12, "sort": 0.09,
+    "filter": 0.10, "agg": 0.13, "window": 0.15, "stream": 0.12,
+    "vector": 0.18, "spark": 0.20, "scan": 0.07, "batch": 0.06,
+}
+QC_BIAS = -0.8
+QC_LEN_WEIGHT = 0.012  # per-token length feature
+
+
+@register(
+    "text_quality_classifier",
+    # the oracle joins the identical frozen VALUES weight table and
+    # recomputes the linear score + sigmoid, so every per-doc score and
+    # label is hash-gated
+    oracle=f"""
+    WITH w(word, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(QC_WEIGHTS.items()))}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    toks_f AS (SELECT * FROM toks WHERE word <> ''),
+    perdoc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(COALESCE(w.wt, 0)) AS wsum
+      FROM toks_f t LEFT JOIN w ON w.word = t.word
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND({QC_BIAS} + wsum + {QC_LEN_WEIGHT} * n_tokens, 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + wsum + {QC_LEN_WEIGHT} * n_tokens))), 6)
+               AS prob,
+           ({QC_BIAS} + wsum + {QC_LEN_WEIGHT} * n_tokens) >= 0 AS keep
+    FROM perdoc
+    """,
+    doc="Quality-classifier inference (the CCNet / GPT-3 filtering step: "
+    "score every document with a FROZEN fasttext-style linear model and "
+    "keep the high-quality side): unigram weights + a length feature + "
+    "bias -> sigmoid -> threshold. Scale shape: the weight table is "
+    "model-sized and broadcasts (at real vocab sizes it is the hashed "
+    "embedding matrix, still MBs); scoring is one token explode + "
+    "broadcast join + per-doc partial aggregate — map-side, no corpus "
+    "shuffle beyond the per-doc groupBy; the keep decision is stateless.",
+    tags=("text", "llm", "quality"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    wdf = F.broadcast(
+        toks.sparkSession.createDataFrame(
+            sorted(QC_WEIGHTS.items()), "word STRING, wt DOUBLE"
+        )
+    )
+    perdoc = (
+        toks.join(wdf, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("wt"), F.lit(0.0))).alias("wsum"),
+        )
+    )
+    raw = QC_BIAS + F.col("wsum") + QC_LEN_WEIGHT * F.col("n_tokens")
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(raw, 6).alias("score"),
+        F.round(1.0 / (1.0 + F.exp(-raw)), 6).alias("prob"),
+        (raw >= 0).alias("keep"),
+    )
