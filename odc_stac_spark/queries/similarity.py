@@ -966,3 +966,79 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_cell, books, centroids, queries, topk=10, nprobe=IVF_NPROBE,
         rank_rounded=True,
     )
+
+
+HARDNEG_K = 5  # hardest negatives retained per query
+
+
+@register(
+    "ann_hard_negatives",
+    # the oracle recomputes the identical label-filtered cosine ranking,
+    # so every mined negative and its rank is hash-gated
+    oracle=f"""
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rn FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               ROUND(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.label <> q.label
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {HARDNEG_K}
+    """,
+    doc="hard-negative mining for retrieval/contrastive training (the DPR "
+    "/ SBERT batch-construction step, Karpukhin et al. 2020): for each "
+    "query vector, the top-k most cosine-similar vectors with a "
+    "DIFFERENT label — examples the model currently confuses, which "
+    "make the strongest contrastive negatives. Scale shape: identical "
+    "to knn_bruteforce_cosine — queries (with labels) broadcast, the "
+    "corpus streams once with the label-mismatch filter applied "
+    "map-side, partition-local top-k bounds the single ranking exchange "
+    "to batches × queries × k rows. At 100 TB the brute-force scan "
+    "swaps for the IVF probe path (ann_ivf_topk) with the same "
+    "label-filter + top-k tail.",
+    tags=("similarity", "llm"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vecd(F.col("embedding")).alias("emb")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("emb").alias("eemb"),
+    )
+    cos = _dot(F.col("qemb"), F.col("eemb")) / (_norm(F.col("qemb")) * _norm(F.col("eemb")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            cos.alias("cos_raw"),
+        )
+    )
+    scored = partition_local_topk(
+        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], HARDNEG_K
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HARDNEG_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            F.round("cos_raw", 6).alias("cos"), "rn",
+        )
+    )
