@@ -19,10 +19,12 @@ runs on that compact table:
 Scale: at 100 TB the word histogram for natural language is millions of
 rows (Heaps' law), so per-iteration work is a small shuffle independent
 of corpus size; the driver holds only K merge rules (like
-operators/kmeans.py holding K centroids). The iterative argmax makes the
-algorithm genuinely non-SQL for the DuckDB gate (rows-only check);
-tests/test_bpe.py enforces EXACT merge-sequence parity against an
-independent sequential reference implementation.
+operators/kmeans.py holding K centroids). The iterative argmax has no
+direct SQL image, but the trainer is exactly deterministic (integer
+counts, lexicographic tie-break), so the DuckDB gate uses a GOLDEN
+merge sequence per oracle corpus (tools/gen_bpe_train_golden.py);
+tests/test_bpe.py additionally enforces EXACT merge-sequence parity
+against the independent sequential reference implementation.
 """
 
 from __future__ import annotations

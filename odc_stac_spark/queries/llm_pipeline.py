@@ -422,12 +422,27 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle() -> str:
+    from ._bpe_train_golden import BPE_TRAIN_GOLDEN_VALUES
+
+    return f"""
+    SELECT step, lft AS left, rgt AS right, merged, pair_count
+    FROM {BPE_TRAIN_GOLDEN_VALUES}
+    WHERE corpus_key = (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+    ORDER BY step
+    """
+
+
 @register(
     "text_bpe_train",
-    # no SQL oracle: the merge loop is genuinely iterative (each step's
-    # argmax depends on the rewritten histogram) — rows-only for the
-    # driver; tests/test_bpe.py enforces EXACT merge-sequence parity
-    # against an independent sequential reference implementation
+    # the merge loop is genuinely iterative (each step's argmax depends
+    # on the rewritten histogram) so it has no direct SQL image — the
+    # oracle is a GOLDEN merge sequence per oracle corpus (keyed by
+    # SUM(n_chars)) from the independent sequential reference trainer
+    # (tools/gen_bpe_train_golden.py); the trainer is exactly
+    # deterministic (integer counts, lexicographic tie-break), and
+    # tests/test_bpe.py additionally pins distributed==sequential parity
+    oracle=_bpe_train_oracle(),
     doc="distributed BPE tokenizer training (Sennrich et al. 2016, the "
     "vocabulary-building step of an LLM pipeline): ONE corpus-sized "
     "shuffle builds the word histogram, then every merge iteration runs "
