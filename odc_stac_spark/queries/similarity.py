@@ -232,12 +232,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    # persist: the assignment feeds BOTH sides of the cent_id self-join
+    # plus the final left join — without it Spark recomputes the
+    # broadcast-score + argmax subtree three times (the 100 TB deployment
+    # materializes this table bucketed by cent_id instead)
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "emb", "cent_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "emb", "cent_id", F.col("sim").alias("cent_sim_raw"))
+        .persist()
     )
     v = assigned.select(
         "cent_id",
