@@ -377,3 +377,18 @@ def test_q7_degenerate_missing_pair_nations(spark, sf_dir, tmp_path):
         "l_year",
         "revenue",
     ]
+
+
+def test_hard_negatives_topk_is_bounded_and_label_filter_mapside(spark, sf_dir):
+    """ann_hard_negatives must keep the knn shape: a partition-local
+    top-k (WindowGroupLimit/rank filter inside the scan stage) bounds
+    the single ranking exchange to batches x queries x k rows, and the
+    label-mismatch filter runs BEFORE any exchange — the scored cross
+    product must never shuffle in full."""
+    plan = _executed_plan(REGISTRY["ann_hard_negatives"].spark_fn(spark, sf_dir))
+    # exactly one row exchange for the final ranking (broadcasts aside)
+    n_exchanges = len(re.findall(r"Exchange (?:hashpartitioning|SinglePartition|rangepartitioning)", plan))
+    assert n_exchanges == 1, plan
+    # the label filter is in the pre-exchange (map) side of the plan
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "NOT (neighbor_label" in plan or "neighbor_label" in pre_exchange
