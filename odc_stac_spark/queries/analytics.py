@@ -569,3 +569,104 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_daily_exact",
         )
     )
+
+
+# Count-Min Sketch: D pairwise-ish hash rows x W counters. All integer
+# arithmetic (md5-prefix base hash, affine row hashes mod a Mersenne
+# prime) so Spark and the DuckDB oracle reproduce the sketch bit-for-bit.
+CMS_D = 4
+CMS_W = 256
+CMS_P = 2147483647
+CMS_ROWS = [  # (row, a, b) — odd multipliers < 2^31, arbitrary offsets
+    (0, 1540483477, 11),
+    (1, 2246822519, 101),
+    (2, 1274126177, 1009),
+    (3, 668265263, 10007),
+]
+
+
+@register(
+    "sketch_cms_heavyhitters",
+    # the oracle rebuilds the IDENTICAL sketch (same base hash, same
+    # affine row hashes, same widths), so every counter and every
+    # estimate is hash-gated — including collision overestimates
+    oracle=f"""
+    WITH params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, a, b in CMS_ROWS)}),
+    ev AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('cms:' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {CMS_P} AS hp
+      FROM events
+    ),
+    cms AS (
+      SELECT p.i, ((e.hp * p.a + p.b) % {CMS_P}) % {CMS_W} AS bucket,
+             COUNT(*) AS cnt
+      FROM ev e, params p GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT user_id, hp, COUNT(*) AS exact_count FROM ev GROUP BY 1, 2
+    )
+    SELECT k.user_id,
+           CAST(k.exact_count AS BIGINT) AS exact_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.cnt) - k.exact_count AS BIGINT) AS overestimate
+    FROM keys k
+    JOIN params p ON TRUE
+    JOIN cms c ON c.i = p.i
+             AND c.bucket = ((k.hp * p.a + p.b) % {CMS_P}) % {CMS_W}
+    GROUP BY k.user_id, k.exact_count
+    """,
+    doc="Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005 — "
+    "the frequency-estimation sibling of the HLL rollup): every event "
+    "increments D={} counters (affine row hashes mod a Mersenne prime, "
+    "W={} buckets); a key's frequency estimate is the MIN of its D "
+    "counters, never an underestimate. Scale shape: the sketch build is "
+    "a map-side partial aggregate onto a FIXED D*W grid (a few KB "
+    "regardless of corpus size — shuffles carry at most D*W rows per "
+    "partition, and sketches for different days/shards merge by cell "
+    "addition); the probe is a broadcast join of the D*W table against "
+    "the key list. Exact counts emitted alongside so collision error is "
+    "visible and the guarantee estimate>=exact is auditable.".format(CMS_D, CMS_W),
+    tags=("analytics", "sketch"),
+)
+def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_P
+        ).alias("hp"),
+    )
+    params = F.broadcast(
+        ev.sparkSession.createDataFrame(CMS_ROWS, "i INT, a BIGINT, b BIGINT")
+    )
+    bucket = ((F.col("hp") * F.col("a") + F.col("b")) % CMS_P) % CMS_W
+    cms = (
+        ev.crossJoin(params)
+        .groupBy(F.col("i"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = ev.groupBy("user_id", "hp").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        keys.crossJoin(params)
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .select(
+            "user_id",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -39,3 +39,20 @@ def test_hll_union_associativity(spark):
         .collect()[0][0]
     )
     assert direct == merged
+
+
+def test_cms_never_underestimates_and_min_is_tight(spark):
+    """Count-Min guarantee: estimate >= exact for EVERY key; with D=4
+    rows over 150 keys in 256 buckets most keys should be estimated
+    exactly (min over rows kills single-row collisions)."""
+    q = load_all()["sketch_cms_heavyhitters"]
+    rows = q.spark_fn(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_estimate == r.exact_count + r.overestimate for r in rows)
+    exact = sum(1 for r in rows if r.overestimate == 0)
+    assert exact >= len(rows) * 0.9, f"{exact}/{len(rows)} exact"
+    # total mass conservation per sketch is implied by construction;
+    # spot-check the heaviest key is estimated exactly or within eps*N
+    n_events = sum(r.exact_count for r in rows)
+    assert all(r.overestimate <= 2.0 * n_events / 256 * 4 for r in rows)
