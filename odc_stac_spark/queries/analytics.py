@@ -670,3 +670,141 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# Bloom filter: M bits as 32-bit words (values stay positive in BIGINT
+# in both engines), K md5-derived bit positions per key.
+BLOOM_M = 512
+BLOOM_K = 3
+BLOOM_FLAGGED_BELOW = 30  # flagged-user key set: user_id < 30
+
+
+def _bloom_bits_sql(expr: str) -> str:
+    """K (word, mask) pairs for a key expression — DuckDB side."""
+    return " UNION ALL ".join(
+        f"""SELECT {expr} AS key,
+                   (CAST(('0x' || substr(md5('bf{j}:' || CAST({expr} AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {BLOOM_M}) // 32 AS word,
+                   (1::BIGINT << ((CAST(('0x' || substr(md5('bf{j}:' || CAST({expr} AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {BLOOM_M}) % 32)) AS mask
+            FROM __SRC__"""
+        for j in range(BLOOM_K)
+    )
+
+
+@register(
+    "sketch_bloom_prefilter",
+    # the oracle rebuilds the IDENTICAL bitmap (same md5 bit positions,
+    # same word layout), so every pass/false-positive count is hash-gated
+    oracle=f"""
+    WITH flagged AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < {BLOOM_FLAGGED_BELOW}
+    ),
+    build_bits AS ({_bloom_bits_sql("user_id").replace("__SRC__", "flagged")}),
+    bloom AS (
+      SELECT word, bit_or(mask) AS bits FROM build_bits GROUP BY word
+    ),
+    probe_bits AS ({_bloom_bits_sql("e.user_id").replace("FROM __SRC__", "FROM events e")}),
+    probe AS (
+      SELECT p.key AS user_id,
+             BOOL_AND((b.bits & p.mask) = p.mask) AS bloom_pass
+      FROM probe_bits p LEFT JOIN bloom b ON b.word = p.word
+      GROUP BY p.key
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE pr.bloom_pass) AS BIGINT) AS bloom_pass,
+           CAST(COUNT(*) FILTER (WHERE e.user_id < {BLOOM_FLAGGED_BELOW}) AS BIGINT)
+               AS exact_match,
+           CAST(COUNT(*) FILTER (WHERE pr.bloom_pass
+                                 AND e.user_id >= {BLOOM_FLAGGED_BELOW}) AS BIGINT)
+               AS false_positives
+    FROM events e JOIN probe pr ON pr.user_id = e.user_id
+    GROUP BY e.event_type
+    """,
+    doc="Bloom-filter pre-filtered join (the explicit runtime-filter "
+    "primitive — what Spark's InjectRuntimeFilter/BloomFilterAggregate "
+    "does implicitly, and the standard 100 TB decontamination/anti-join "
+    "accelerator): build a {m}-bit / {k}-hash Bloom bitmap over the "
+    "flagged key set via bit_or onto 32-bit words (map-side partial "
+    "aggregate; the bitmap is KBs at any key-set size), broadcast it, "
+    "and test membership map-side so only Bloom survivors reach the "
+    "exact join — eliminating the big side's shuffle for the ~never-"
+    "matching majority. Exact matches and false positives are emitted "
+    "side by side, auditing the no-false-negative guarantee.".format(
+        m=BLOOM_M, k=BLOOM_K
+    ),
+    tags=("analytics", "sketch", "join"),
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def bits(df: DataFrame, key: str) -> DataFrame:
+        pos = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{j}:"), F.col(key).cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % BLOOM_M
+            )
+            for j in range(BLOOM_K)
+        ]
+        return df.select(
+            F.col(key).alias("key"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (p / 32).cast("bigint").alias("word"),
+                            # 2^(p%32) exact in float64 (< 2^53), so the
+                            # cast is the integer mask; F.shiftleft only
+                            # takes a literal shift amount
+                            F.pow(F.lit(2.0), (p % 32).cast("double"))
+                            .cast("bigint")
+                            .alias("mask"),
+                        )
+                        for p in pos
+                    ]
+                )
+            ).alias("wb"),
+        ).select("key", F.col("wb.word").alias("word"), F.col("wb.mask").alias("mask"))
+
+    flagged = ev.where(F.col("user_id") < BLOOM_FLAGGED_BELOW).select("user_id").distinct()
+    bloom = (
+        bits(flagged, "user_id").groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = (
+        bits(ev.select("user_id").distinct(), "user_id")
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("key")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")).cast("int")
+            ).cast("boolean").alias("bloom_pass")
+        )
+        .withColumnRenamed("key", "p_user")
+    )
+    return (
+        ev.join(F.broadcast(probe), ev.user_id == F.col("p_user"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("bloom_pass"), 1)).alias("bloom_pass"),
+            F.count(F.when(F.col("user_id") < BLOOM_FLAGGED_BELOW, 1)).alias(
+                "exact_match"
+            ),
+            F.count(
+                F.when(
+                    F.col("bloom_pass")
+                    & (F.col("user_id") >= BLOOM_FLAGGED_BELOW),
+                    1,
+                )
+            ).alias("false_positives"),
+        )
+    )

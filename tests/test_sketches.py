@@ -56,3 +56,16 @@ def test_cms_never_underestimates_and_min_is_tight(spark):
     # spot-check the heaviest key is estimated exactly or within eps*N
     n_events = sum(r.exact_count for r in rows)
     assert all(r.overestimate <= 2.0 * n_events / 256 * 4 for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Bloom guarantee: every exact match passes the filter; false
+    positives exist at this M/K/keyset but stay a small fraction."""
+    q = load_all()["sketch_bloom_prefilter"]
+    rows = q.spark_fn(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.bloom_pass == r.exact_match + r.false_positives
+        assert r.bloom_pass >= r.exact_match
+        assert r.false_positives < r.n_events * 0.1
+    assert sum(r.false_positives for r in rows) > 0, "expected some collisions"
