@@ -102,8 +102,13 @@ def bpe_train(
             if n < 2:
                 break  # nothing left worth merging
             merges.append((step, a, b, n))
-            new_hist = hist.withColumn("syms", _merge_expr(a, b)).persist()
-            new_hist.count()
+            # localCheckpoint (not persist): each iteration's rewrite
+            # nests another aggregate fold into the logical plan, so by
+            # step K an un-truncated plan carries K folds that Catalyst
+            # re-analyzes per job — checkpointing cuts the lineage to a
+            # materialized scan (same pattern as the connected-components
+            # loop in queries/llm_pipeline.py)
+            new_hist = hist.withColumn("syms", _merge_expr(a, b)).localCheckpoint()
             hist.unpersist()
             hist = new_hist
     finally:
