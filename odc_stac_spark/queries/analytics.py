@@ -496,7 +496,17 @@ def spatial_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ev.event_type,
            strftime(ev.week, '%Y-%m-%d') AS week_start,
-           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS approx_weekly_users,
+           -- gate precondition guard (moved here from the Spark query in
+           -- r11): estimate==exact only holds in the sparse coupon
+           -- regime; gating at a denser scale factor must fail LOUDLY in
+           -- the gate context, not refuse in the production query
+           CASE WHEN COUNT(DISTINCT ev.user_id) > 300
+                THEN error('sketch_hll_rollup hash gate ran outside the '
+                           'sparse-exact HLL regime (per-group distinct > '
+                           '300): gate at a smaller scale factor or relax '
+                           'to the pytest error-bound check')
+                ELSE CAST(COUNT(DISTINCT ev.user_id) AS BIGINT)
+           END AS approx_weekly_users,
            CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS exact_weekly_users,
            CAST(d.sum_daily AS BIGINT) AS sum_daily_exact
     FROM ev
@@ -528,23 +538,15 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
         F.count_distinct("user_id").alias("exact_daily"),
     )
-    # Executable guard for the hash gate's precondition (ADVICE r7): the
-    # estimate==exact identity only holds while every merged sketch stays
-    # in the sparse coupon regime. 300 distinct/group keeps the lgK=14
-    # sketch in coupon SET mode (promotion at k/4 = 4096) with a 26-bit
-    # coupon-collision probability < 0.1%, and sf0.01 peaks at ~150 — so
-    # a scale-factor change fails LOUDLY here instead of surfacing as a
-    # confusing value-hash mismatch. assert_true returns NULL on success,
-    # so the guarded column's value is unchanged.
-    sparse_guard = F.assert_true(
-        F.col("exact_weekly_users") <= F.lit(300),
-        F.lit(
-            "sketch_hll_rollup hash gate ran outside the sparse-exact HLL "
-            "regime (per-group distinct > 300): the estimate is no longer "
-            "SQL-reproducible — gate at a smaller scale factor or relax "
-            "the oracle to the pytest error-bound check"
-        ),
-    )
+    # The hash gate's precondition — estimate==exact only while every
+    # merged sketch stays in the sparse coupon regime (≤300 distinct/
+    # group keeps the lgK=14 sketch in coupon SET mode; sf0.01 peaks at
+    # ~150) — is guarded in the ORACLE SQL via DuckDB error(), i.e. in
+    # the gate context where it belongs. The Spark query itself carries
+    # no regime assert and runs at any scale (r11; the r7-r10 in-query
+    # assert_true made the query refuse at sf0.1+, which contradicted
+    # the 100 TB contract — at dense cardinalities the estimate simply
+    # carries the documented ≤2% HLL error, pytest-bounded).
     return (
         daily.groupBy("event_type", "week")
         .agg(
@@ -562,9 +564,7 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.date_format("week", "yyyy-MM-dd").alias("week_start"),
-            F.when(sparse_guard.isNull(), F.col("approx_weekly_users")).alias(
-                "approx_weekly_users"
-            ),
+            "approx_weekly_users",
             "exact_weekly_users",
             "sum_daily_exact",
         )
