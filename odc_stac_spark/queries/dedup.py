@@ -70,10 +70,16 @@ def _shingle_arrays_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — exploded form, for inverted-index joins."""
-    return _shingle_arrays_df(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    """(doc_id, shingle) — exploded form, for inverted-index joins.
+
+    The array stage is persisted BEFORE the explode: CollapseProject
+    otherwise inlines the interpreted HOF chain (transform + concat_ws +
+    array_distinct) into Generate, which re-evaluates it per OUTPUT row —
+    measured 25x slower (11.7 s → 0.5 s for the sf0.1 explode). At 100 TB
+    the same barrier applies (persist with spill, or a materialized
+    shingle table)."""
+    arrays = _shingle_arrays_df(spark, sf_dir).persist()
+    return arrays.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 def _hash32(col):

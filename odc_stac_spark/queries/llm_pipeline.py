@@ -289,7 +289,9 @@ DECON_MIN_FRAC = 0.3  # flag when ≥30% of a train doc's shingles hit a bench d
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _shingles_df
 
-    sh = _shingles_df(spark, sf_dir)
+    # persist: bench, train and the per-doc count all read this (same
+    # call-site pattern as dedup_ngram_jaccard)
+    sh = _shingles_df(spark, sf_dir).persist()
     is_bench = _hash32(F.col("doc_id").cast("string")) % DECON_BENCH_MOD == 0
     bench = sh.where(is_bench).select(
         F.col("doc_id").alias("bench_doc"), "shingle"
