@@ -392,6 +392,9 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).withColumn("c1", F.substring(F.col("bg"), 1, 1))
+    # persist: the bigram stream feeds both model-count aggregations AND
+    # the scoring join — unpersisted, the explode pipeline ran three times
+    bigrams = bigrams.persist()
     bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("nbg"))
     c1_counts = bigrams.groupBy("c1").agg(F.count(F.lit(1)).alias("nc1"))
     # the LM is tiny (≤ 27² rows) — broadcast both sides so scoring never
