@@ -585,12 +585,10 @@ CMS_ROWS = [  # (row, a, b) — odd multipliers < 2^31, arbitrary offsets
 ]
 
 
-@register(
-    "sketch_cms_heavyhitters",
-    # the oracle rebuilds the IDENTICAL sketch (same base hash, same
-    # affine row hashes, same widths), so every counter and every
-    # estimate is hash-gated — including collision overestimates
-    oracle=f"""
+# Shared by the batch query AND the streaming window-merged variant
+# (t_stream_cms_freq): cell-addition merge of per-window sketches is
+# EXACT, so both must reproduce this same direct-build image.
+CMS_ORACLE_SQL = f"""
     WITH params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, a, b in CMS_ROWS)}),
     ev AS (
       SELECT user_id,
@@ -615,7 +613,15 @@ CMS_ROWS = [  # (row, a, b) — odd multipliers < 2^31, arbitrary offsets
     JOIN cms c ON c.i = p.i
              AND c.bucket = ((k.hp * p.a + p.b) % {CMS_P}) % {CMS_W}
     GROUP BY k.user_id, k.exact_count
-    """,
+    """
+
+
+@register(
+    "sketch_cms_heavyhitters",
+    # the oracle rebuilds the IDENTICAL sketch (same base hash, same
+    # affine row hashes, same widths), so every counter and every
+    # estimate is hash-gated — including collision overestimates
+    oracle=CMS_ORACLE_SQL,
     doc="Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005 — "
     "the frequency-estimation sibling of the HLL rollup): every event "
     "increments D={} counters (affine row hashes mod a Mersenne prime, "

@@ -315,3 +315,112 @@ def t_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _cms_oracle() -> str:
+    from .analytics import CMS_ORACLE_SQL
+
+    return CMS_ORACLE_SQL
+
+
+@register(
+    "t_stream_cms_freq",
+    # SAME oracle as the batch sketch_cms_heavyhitters: per-window CMS
+    # cell-addition merge is exact, so the streaming-built sketch must
+    # reproduce the direct-build image bit-for-bit — the hash gate IS
+    # the mergeability proof
+    oracle=_cms_oracle(),
+    doc="STREAMING Count-Min Sketch: per-hour tumbling windows each build "
+    "their own CMS over the event stream (map-side (i,bucket) cells -> "
+    "windowed count, one stateful aggregation), then the hourly sketches "
+    "merge by cell addition into the global counter grid and serve the "
+    "same frequency probes as the batch query. Hash-gated against the "
+    "IDENTICAL oracle as sketch_cms_heavyhitters — merge-exactness is "
+    "what the gate proves. At 100 TB this is the production shape: the "
+    "stream maintains small per-window sketches (D*W cells each, "
+    "mergeable into any coarser rollup), never per-key state.",
+    tags=("temporal", "streaming", "sketch"),
+)
+def t_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import CMS_P, CMS_ROWS, CMS_W
+
+    name = "t_stream_cms_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    hp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_P
+    )
+
+    def cells(df: DataFrame) -> DataFrame:
+        """Map-side (i, bucket) CMS cells — identical hashes to the batch
+        sketch so window sketches merge into the same counter grid."""
+        return df.withColumn("hp", hp).select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (((F.col("hp") * a + b) % CMS_P) % CMS_W).alias("bucket"),
+                        )
+                        for i, a, b in CMS_ROWS
+                    ]
+                )
+            ).alias("c"),
+        ).select(*df.columns, F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+
+    stream = _stage_events_stream(spark, sf_dir, "events_cms_").select("ts", "user_id")
+    win_sketch = (
+        cells(stream)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "i", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("w_us"), "i", "bucket", "n")
+    )
+    q = (
+        win_sketch.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink holds every state revision; counts are monotone per
+    # (window, cell) so the final value is the max — then the hourly
+    # sketches MERGE by cell addition into the global grid
+    merged = (
+        spark.table(name)
+        .groupBy("w_us", "i", "bucket")
+        .agg(F.max("n").alias("n"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .withColumn("hp", hp)
+        .groupBy("user_id", "hp")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        cells(keys)
+        .join(F.broadcast(merged), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .select(
+            "user_id",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
