@@ -162,6 +162,25 @@ PICKS = [
         "speed with one final per-doc exchange.",
     ),
     (
+        "text_dsir_select",
+        "DSIR data selection (r11): ONE corpus-token scan builds both "
+        "unigram distributions (target as a conditional count in the same "
+        "groupBy); the rtot/ttot/V totals come from an unpartitioned "
+        "window over the vocabulary-sized aggregate — the corpus is never "
+        "re-scanned for scalars; the log-ratio table re-enters as a "
+        "BroadcastHashJoin and per-doc weights partial-aggregate into one "
+        "exchange. Two corpus scans total, selection is a stateless "
+        "projection.",
+    ),
+    (
+        "sketch_cms_heavyhitters",
+        "Count-Min Sketch (r11): the sketch build is a partial aggregate "
+        "onto the fixed D×W counter grid (the groupBy(i,bucket) exchange "
+        "carries ≤ D·W rows per map partition at ANY corpus size — that "
+        "IS the mergeable-sketch property); the probe joins the KB-sized "
+        "counter table back as a broadcast and takes MIN over the D rows.",
+    ),
+    (
         "mm_image_webp_codec",
         "Real-codec multimodal path (r7): the WebP encode/decode runs "
         "entirely inside Arrow-batched mapInPandas stages (the deliberate "
