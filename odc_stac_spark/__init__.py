@@ -30,8 +30,11 @@ from .model import (
     RasterLoadParams,
     RasterSource,
 )
+from typing import Any, Dict
+
 from .plans.catalog import load_from_catalog, plan_load_df
 from .plans.load import (
+    Item,
     LoadPlan,
     load,
     load_from_sources,
@@ -57,11 +60,30 @@ from .sources.stac_search import StacSearchClient, search_items
 # lon,lat=/x,y=/anchor/align)
 stac_load = load
 
+#: Reference-name parity (odc/stac/__init__.py:20-36). The reference's
+#: ``ParsedItem`` (model.py:193-219) is the per-item loading essentials —
+#: id, datetime, raster bands, footprint. Here the AT-SCALE form of that
+#: data is a ROW of the parsed-items DataFrame (``parse_items``); the
+#: driver-side object form — what ``parse_item`` returns and ``load``
+#: consumes for small AOIs — is :class:`plans.load.Item`, exported under
+#: the reference's name.
+ParsedItem = Item
+
+#: Reference-name parity: the reference's ``ConversionConfig``
+#: (_mdtools.py:61) is a plain ``Dict[str, Any]`` type alias for the
+#: per-collection STAC→EO3 conversion options. Ours is the same dict
+#: shape — ``parse_item(s)``/``extract_collection_metadata`` feed it
+#: through :class:`model.MDParseConfig.from_dict`.
+ConversionConfig = Dict[str, Any]
+
 
 __all__ = [
+    "ConversionConfig",
     "GeoBox",
     "GeoboxTiles",
+    "Item",
     "LoadPlan",
+    "ParsedItem",
     "MDParseConfig",
     "RasterBandMetadata",
     "RasterCollectionMetadata",

@@ -73,7 +73,7 @@ def bpe_train(
     hist = word_histogram(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     ).select("syms", "cnt")
-    hist = hist.persist()
+    hist = initial_hist = hist.persist()
     hist.count()  # materialize once
     merges: List[Tuple[int, str, str, int]] = []
     try:
@@ -108,11 +108,17 @@ def bpe_train(
             # re-analyzes per job — checkpointing cuts the lineage to a
             # materialized scan (same pattern as the connected-components
             # loop in queries/llm_pipeline.py)
+            # NOTE: from iteration 1 onward `hist` is a localCheckpoint,
+            # whose RDD blocks are NOT registered with the cache manager —
+            # DataFrame.unpersist there would be a no-op, so cleanup of
+            # checkpointed iterations is ContextCleaner/GC-driven by
+            # design (ADVICE r11). Only the iteration-0 persist is
+            # explicitly released (in the finally; double-unpersist is a
+            # harmless no-op).
             new_hist = hist.withColumn("syms", _merge_expr(a, b)).localCheckpoint()
-            hist.unpersist()
             hist = new_hist
     finally:
-        hist.unpersist()
+        initial_hist.unpersist()
     return merges
 
 

@@ -21,11 +21,18 @@ init) is the drop-in upgrade when nondeterministic init is acceptable;
 this implementation keeps init deterministic (first k by id) so runs are
 reproducible.
 
-Determinism caveat: float ``avg`` reduces in shuffle order, so centroid
-low bits can differ across runs; downstream queries using fitted
-centroids are therefore registered rows-only (the driver contract's
-documented path for iterative algorithms), with recall and convergence
-asserted in pytest instead of a value-hash oracle.
+Determinism (VERDICT r11 #4): the centroid update is a PER-CELL SORTED
+SEQUENTIAL FOLD — members are collected per cell, sorted by ``vec_id``,
+and summed dimension-wise with a left fold (``F.aggregate`` over a zero
+vector), then divided by the member count. Every float op therefore runs
+in a fixed order, so centroids are bit-reproducible across runs AND
+engines (the DuckDB oracle replays the identical fold via
+``list(emb ORDER BY vec_id)`` + ``list_reduce`` over a prepended zero
+vector), which is what lets ``ann_ivf_kmeans_topk`` carry a value-hash
+oracle. Cost note: the fold materializes each cell's member list in one
+aggregation buffer — exactly right for the fit-on-sample path above
+(cells of a bounded sample), while the full-corpus ASSIGN step stays a
+streaming broadcast join.
 """
 
 from __future__ import annotations
@@ -75,20 +82,36 @@ def kmeans_fit(
     dim = len(emb.select("emb").first().emb)
     cent = [list(map(float, r.emb)) for r in emb.orderBy("vec_id").limit(k).collect()]
     trace: List[float] = []
+    zero = F.array_repeat(F.lit(0.0), dim)
     for _ in range(n_iter):
         assigned = assign_to_centroids(emb, cent, keep_sim=True)
+        # deterministic update: sort each cell's members by vec_id, then a
+        # sequential left fold sums dimension-wise in that fixed order
+        # (((0+e1)+e2)+...)/n — bit-reproducible, unlike shuffle-order avg
+        members = F.array_sort(F.collect_list(F.struct("vec_id", "emb")))
+        summed = F.aggregate(
+            F.col("ms"),
+            zero,
+            lambda acc, m: F.zip_with(acc, m["emb"], lambda x, y: x + y),
+        )
         stats = (
             assigned.groupBy("cent_id")
             .agg(
-                *[F.avg(F.col("emb")[i]).alias(f"c{i}") for i in range(dim)],
+                members.alias("ms"),
                 F.avg("sim").alias("q"),
-                F.count(F.lit(1)).alias("n"),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            )
+            .select(
+                "cent_id",
+                F.transform(summed, lambda x: x / F.col("n")).alias("c"),
+                "q",
+                "n",
             )
             .collect()
         )
         trace.append(sum(r.q * r.n for r in stats) / sum(r.n for r in stats))
         new_cent = list(cent)  # empty clusters keep their centroid
         for r in stats:
-            new_cent[r.cent_id] = [float(getattr(r, f"c{i}")) for i in range(dim)]
+            new_cent[r.cent_id] = [float(v) for v in r.c]
         cent = new_cent
     return cent, trace

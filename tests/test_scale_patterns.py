@@ -236,12 +236,20 @@ def test_embedding_neardup_is_blocked_not_allpairs(spark, sf_dir):
     outer = plan.split("InMemoryRelation", 1)[0]
     assert "BroadcastNestedLoopJoin" not in outer, outer
     assert "InMemoryRelation" in plan  # the assignment must be persisted
-    # the pair join itself keys on the IVF cell id
+    # the pair join itself keys on the IVF cell id. Any EQUI-join
+    # strategy is acceptable — SMJ/SHJ normally, and AQE may legally
+    # pick a BroadcastHashJoin when cached-relation stats are small
+    # (it is still keyed on cent_id, not an all-pairs theta join).
     pair_join = next(
-        l for l in plan.splitlines()
-        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+        (
+            l
+            for l in plan.splitlines()
+            if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+            and "[cent_id" in l
+        ),
+        None,
     )
-    assert "[cent_id" in pair_join, pair_join
+    assert pair_join is not None, plan
 
 
 def test_embedding_neardup_recall_vs_bruteforce(spark, sf_dir):
