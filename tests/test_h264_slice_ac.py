@@ -1,0 +1,384 @@
+"""Slice-level verification of H.264 AC decode (VERDICT r11 #1, layer 2).
+
+test_h264_entropy.py verifies ``decode_cavlc_block`` in isolation with
+an explicit nC. This file verifies the SLICE plumbing around it that
+DC-only roundtrips exercise only trivially: the §9.2.1 nC neighbor
+context maps across blocks / macroblocks (luma + per-component chroma),
+the §7.3.5.3.3 residual ordering (Intra16x16 DC → luma AC by 8x8 group
+→ chroma DC → chroma AC), CBP gating, running-QP deltas, both
+Intra16x16 DC scaling branches (qp >= 12 and the low-QP rounding form),
+the §8.5.10 inverse Hadamard, the 2x2 chroma DC transform, and AC
+reconstruction through the real §8.5.12.2 inverse transform.
+
+Whole IDR streams are assembled by an independent test-local writer
+(own bit/ue/se writer, own nC bookkeeping, the independent CAVLC block
+encoder from test_h264_entropy), and expected pixels come from an
+independent scalar reconstruction model with its own transcriptions of
+the transforms, scaling tables, and §8.3 DC predictors. Only the SPS /
+PPS payloads reuse the shipped builders (header data, parsed by the
+shipped parser either way).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from odc_stac_spark.operators import h264
+
+from .test_h264_entropy import encode_cavlc_block
+
+# ---------------------------------------------------------------------------
+# independent bit writer + Exp-Golomb
+
+
+class BitW:
+    def __init__(self) -> None:
+        self.bits = ""
+
+    def u(self, v: int, n: int) -> None:
+        self.bits += format(v, f"0{n}b")
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        self.bits += "0" * (k.bit_length() - 1) + format(k, "b")
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def raw(self, bits: str) -> None:
+        self.bits += bits
+
+    def rbsp(self) -> bytes:
+        b = self.bits + "1"
+        b += "0" * (-len(b) % 8)
+        return bytes(int(b[i : i + 8], 2) for i in range(0, len(b), 8))
+
+
+# ---------------------------------------------------------------------------
+# independent scaling / transform / prediction model (§8.5, §8.3)
+
+_V = [(10, 16, 13), (11, 18, 14), (13, 20, 16),
+      (14, 23, 18), (16, 25, 20), (18, 29, 23)]
+
+
+def _ls(qp_rem: int) -> np.ndarray:
+    v0, v1, v2 = _V[qp_rem]
+    m = np.full((4, 4), v2, np.int64)
+    for y, x in ((0, 0), (0, 2), (2, 0), (2, 2)):
+        m[y, x] = v0
+    for y, x in ((1, 1), (1, 3), (3, 1), (3, 3)):
+        m[y, x] = v1
+    return m
+
+
+ZZ = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+ZSCAN = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+         (2, 0), (2, 1), (3, 0), (3, 1), (2, 2), (2, 3), (3, 2), (3, 3)]
+
+_QPC = {30: 29, 31: 30, 32: 31, 33: 32, 34: 32, 35: 33, 36: 34, 37: 34,
+        38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37, 44: 37, 45: 38,
+        46: 38, 47: 38, 48: 39, 49: 39, 50: 39, 51: 39}
+
+
+def _qpc(qp: int) -> int:
+    return _QPC.get(qp, qp)
+
+
+def ref_itransform(d: np.ndarray) -> np.ndarray:
+    e = np.empty((4, 4), np.int64)
+    for i in range(4):
+        a, b = d[i, 0] + d[i, 2], d[i, 0] - d[i, 2]
+        c, f = (d[i, 1] >> 1) - d[i, 3], d[i, 1] + (d[i, 3] >> 1)
+        e[i] = (a + f, b + c, b - c, a - f)
+    out = np.empty((4, 4), np.int64)
+    for j in range(4):
+        a, b = e[0, j] + e[2, j], e[0, j] - e[2, j]
+        c, f = (e[1, j] >> 1) - e[3, j], e[1, j] + (e[3, j] >> 1)
+        out[:, j] = (a + f, b + c, b - c, a - f)
+    return (out + 32) >> 6
+
+
+def ref_hadamard(c: np.ndarray) -> np.ndarray:
+    h = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+                 np.int64)
+    return h.T @ c @ h
+
+
+def _dc4(above, left) -> int:
+    if above is not None and left is not None:
+        return (int(above.sum()) + int(left.sum()) + 4) >> 3
+    if above is not None:
+        return (int(above.sum()) + 2) >> 2
+    if left is not None:
+        return (int(left.sum()) + 2) >> 2
+    return 128
+
+
+# ---------------------------------------------------------------------------
+# MB plan representation: dicts with
+#   kind: "i16" (DC mode) | "i4" (all-DC 4x4 modes)
+#   i16: "dc" list[16] (Intra16x16 DC levels), cbp_luma in {0, 15}
+#   luma AC: "y" list[16] of level lists (len 15 for i16, 16 for i4),
+#   cbp_chroma in {0, 1, 2}; "cdc" {0,1}->list[4]; "cac" {0,1}->list of 4
+#   level lists (len 15); "qp_delta" int
+
+
+def build_stream(mb_w: int, mb_h: int, plans, slice_qp: int) -> bytes:
+    w = BitW()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type I
+    w.ue(0)  # pps_id
+    w.u(0, 4)  # frame_num
+    w.ue(0)  # idr_pic_id
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(slice_qp)  # slice_qp_delta (pic_init_qp is 0)
+    w.ue(1)  # disable_deblocking_filter_idc = 1
+
+    tc_luma, tc_u, tc_v = {}, {}, {}
+
+    def nc_of(tc, by, bx):
+        a = tc.get((by, bx - 1)) if bx > 0 else None
+        b = tc.get((by - 1, bx)) if by > 0 else None
+        if a is not None and b is not None:
+            return (a + b + 1) >> 1
+        return a if a is not None else (b if b is not None else 0)
+
+    for idx, plan in enumerate(plans):
+        my, mx = divmod(idx, mb_w)
+        cbp_luma = plan.get("cbp_luma", 15)
+        cbp_chroma = plan.get("cbp_chroma", 0)
+        if plan["kind"] == "i16":
+            w.ue(1 + 2 + 4 * cbp_chroma + (12 if cbp_luma == 15 else 0))
+            w.ue(0)  # intra_chroma_pred_mode: DC
+        else:
+            w.ue(0)  # I_4x4
+            for _ in range(16):  # all modes DC == predicted (neighbors all DC)
+                w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+            w.ue(0)  # chroma DC
+            w.ue(h264.CBP_INTRA_TO_CODE[cbp_luma | (cbp_chroma << 4)])
+        if cbp_luma or cbp_chroma or plan["kind"] == "i16":
+            w.se(plan.get("qp_delta", 0))
+        # residuals, §7.3.5.3.3 order
+        if plan["kind"] == "i16":
+            nc = nc_of(tc_luma, my * 4, mx * 4)
+            w.raw(encode_cavlc_block(plan["dc"], nc, 16))
+        for blk8 in range(4):
+            for sub in range(4):
+                blk = blk8 * 4 + sub
+                byy, bxx = ZSCAN[blk]
+                gby, gbx = my * 4 + byy, mx * 4 + bxx
+                if not (cbp_luma & (1 << blk8)):
+                    tc_luma[(gby, gbx)] = 0
+                    continue
+                nc = nc_of(tc_luma, gby, gbx)
+                levels = plan["y"][blk]
+                w.raw(encode_cavlc_block(levels, nc, len(levels)))
+                tc_luma[(gby, gbx)] = sum(1 for v in levels if v)
+        if cbp_chroma:
+            for comp in range(2):
+                w.raw(encode_cavlc_block(plan["cdc"][comp], -1, 4))
+        if cbp_chroma & 2:
+            for comp, tc in ((0, tc_u), (1, tc_v)):
+                for blk in range(4):
+                    gby, gbx = my * 2 + blk // 2, mx * 2 + blk % 2
+                    nc = nc_of(tc, gby, gbx)
+                    levels = plan["cac"][comp][blk]
+                    w.raw(encode_cavlc_block(levels, nc, 15))
+                    tc[(gby, gbx)] = sum(1 for v in levels if v)
+        else:
+            for tc in (tc_u, tc_v):
+                for blk in range(4):
+                    tc[(my * 2 + blk // 2, mx * 2 + blk % 2)] = 0
+
+    sps = h264.build_sps_rbsp(mb_w * 16, mb_h * 16)
+    pps = h264.build_pps_rbsp()
+    return h264._nal(7, 1, sps) + h264._nal(8, 1, pps) + h264._nal(5, 1, w.rbsp())
+
+
+def ref_reconstruct(mb_w: int, mb_h: int, plans, slice_qp: int):
+    Y = np.zeros((mb_h * 16 + 1, mb_w * 16 + 1), np.int64)
+    U = np.zeros((mb_h * 8 + 1, mb_w * 8 + 1), np.int64)
+    V = np.zeros((mb_h * 8 + 1, mb_w * 8 + 1), np.int64)
+    qp = slice_qp
+    for idx, plan in enumerate(plans):
+        my, mx = divmod(idx, mb_w)
+        y0, x0 = my * 16 + 1, mx * 16 + 1
+        cy0, cx0 = my * 8 + 1, mx * 8 + 1
+        up, left = my > 0, mx > 0
+        cbp_luma = plan.get("cbp_luma", 15)
+        cbp_chroma = plan.get("cbp_chroma", 0)
+        if cbp_luma or cbp_chroma or plan["kind"] == "i16":
+            qp = qp + plan.get("qp_delta", 0)
+        ls, qsh = _ls(qp % 6), qp // 6
+        qpc = _qpc(qp)
+        lsc, qcsh = _ls(qpc % 6), qpc // 6
+
+        def scaled(levels, start):
+            d = np.zeros((4, 4), np.int64)
+            m, sh = (ls, qsh) if start >= 0 else (lsc, qcsh)  # start<0: chroma
+            for k, lv in enumerate(levels):
+                if lv:
+                    zz = ZZ[k + abs(start)]
+                    d[zz // 4, zz % 4] = lv * int(m[zz // 4, zz % 4]) << sh
+            return d
+
+        if plan["kind"] == "i16":
+            above = Y[y0 - 1, x0 : x0 + 16] if up else None
+            lft = Y[y0 : y0 + 16, x0 - 1] if left else None
+            if above is not None and lft is not None:
+                dc = (int(above.sum()) + int(lft.sum()) + 16) >> 5
+            elif above is not None:
+                dc = (int(above.sum()) + 8) >> 4
+            elif lft is not None:
+                dc = (int(lft.sum()) + 8) >> 4
+            else:
+                dc = 128
+            c = np.zeros((4, 4), np.int64)
+            for k, lv in enumerate(plan["dc"]):
+                c[ZZ[k] // 4, ZZ[k] % 4] = lv
+            f = ref_hadamard(c)
+            if qp >= 12:
+                dcp = (f * int(ls[0, 0])) << (qsh - 2)
+            else:
+                dcp = (f * int(ls[0, 0]) + (1 << (1 - qsh))) >> (2 - qsh)
+            out = np.full((16, 16), dc, np.int64)
+            for blk in range(16):
+                byy, bxx = ZSCAN[blk]
+                d = (scaled(plan["y"][blk], 1)
+                     if cbp_luma & (1 << (blk // 4)) else np.zeros((4, 4), np.int64))
+                d[0, 0] = dcp[byy, bxx]
+                out[byy * 4 : byy * 4 + 4, bxx * 4 : bxx * 4 + 4] += ref_itransform(d)
+            Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+        else:
+            for blk in range(16):
+                byy, bxx = ZSCAN[blk]
+                by, bx = y0 + byy * 4, x0 + bxx * 4
+                a = Y[by - 1, bx : bx + 4] if (up or byy > 0) else None
+                l = Y[by : by + 4, bx - 1] if (left or bxx > 0) else None
+                pred = np.full((4, 4), _dc4(a, l), np.int64)
+                if cbp_luma & (1 << (blk // 4)):
+                    pred = pred + ref_itransform(scaled(plan["y"][blk], 0))
+                Y[by : by + 4, bx : bx + 4] = np.clip(pred, 0, 255)
+        # chroma (mode DC, per-quadrant rules)
+        for comp, plane in ((0, U), (1, V)):
+            A = plane[cy0 - 1, cx0 : cx0 + 8] if up else None
+            L = plane[cy0 : cy0 + 8, cx0 - 1] if left else None
+            out = np.empty((8, 8), np.int64)
+            for qy in range(2):
+                for qx in range(2):
+                    a = A[qx * 4 : qx * 4 + 4] if A is not None else None
+                    l = L[qy * 4 : qy * 4 + 4] if L is not None else None
+                    if (qy, qx) == (0, 1):
+                        dc = ((int(a.sum()) + 2) >> 2 if a is not None
+                              else ((int(l.sum()) + 2) >> 2 if l is not None else 128))
+                    elif (qy, qx) == (1, 0):
+                        dc = ((int(l.sum()) + 2) >> 2 if l is not None
+                              else ((int(a.sum()) + 2) >> 2 if a is not None else 128))
+                    else:
+                        dc = _dc4(a, l)
+                    out[qy * 4 : qy * 4 + 4, qx * 4 : qx * 4 + 4] = dc
+            if cbp_chroma:
+                lv = plan["cdc"][comp]
+                c = np.array([[lv[0], lv[1]], [lv[2], lv[3]]], np.int64)
+                h2 = np.array([[1, 1], [1, -1]], np.int64)
+                cdc = ((h2 @ c @ h2) * int(lsc[0, 0]) << qcsh) >> 5
+            else:
+                cdc = np.zeros((2, 2), np.int64)
+            for blk in range(4):
+                byy, bxx = blk // 2, blk % 2
+                d = (scaled(plan["cac"][comp][blk], -1)
+                     if cbp_chroma & 2 else np.zeros((4, 4), np.int64))
+                d[0, 0] = cdc[byy, bxx]
+                if d.any():
+                    out[byy * 4 : byy * 4 + 4, bxx * 4 : bxx * 4 + 4] += ref_itransform(d)
+            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(out, 0, 255)
+    return (Y[1:, 1:].astype(np.uint8), U[1:, 1:].astype(np.uint8),
+            V[1:, 1:].astype(np.uint8))
+
+
+def _rand_levels(rng, n, p_zero=0.4, max_mag=12):
+    out = [0 if rng.random() < p_zero else rng.randint(1, max_mag) * rng.choice((1, -1))
+           for _ in range(n)]
+    return out
+
+
+def _rand_plans(rng, mb_w, mb_h, kinds=("i16", "i4")):
+    plans = []
+    for _ in range(mb_w * mb_h):
+        kind = rng.choice(kinds)
+        cbp_chroma = rng.choice((0, 1, 2))
+        plan = {
+            "kind": kind,
+            "cbp_chroma": cbp_chroma,
+            "cdc": {c: _rand_levels(rng, 4, max_mag=6) for c in range(2)},
+            "cac": {c: [_rand_levels(rng, 15, max_mag=6) for _ in range(4)]
+                    for c in range(2)},
+        }
+        if kind == "i16":
+            plan["cbp_luma"] = rng.choice((0, 15))
+            plan["dc"] = _rand_levels(rng, 16, p_zero=0.3, max_mag=8)
+            plan["y"] = [_rand_levels(rng, 15) for _ in range(16)]
+        else:
+            plan["cbp_luma"] = rng.choice((0, 5, 10, 15))
+            plan["y"] = [_rand_levels(rng, 16) for _ in range(16)]
+        plans.append(plan)
+    return plans
+
+
+def _assert_stream_matches(mb_w, mb_h, plans, slice_qp):
+    data = build_stream(mb_w, mb_h, plans, slice_qp)
+    got_y, got_u, got_v = h264.decode_h264_planes(data)
+    exp_y, exp_u, exp_v = ref_reconstruct(mb_w, mb_h, plans, slice_qp)
+    np.testing.assert_array_equal(got_y, exp_y)
+    np.testing.assert_array_equal(got_u, exp_u)
+    np.testing.assert_array_equal(got_v, exp_v)
+
+
+def test_i16_dense_ac_qp28():
+    """Every I_16x16 MB fully coded: Intra16x16 DC Hadamard plane, all 16
+    luma AC blocks, chroma DC + AC — qp>=12 DC scaling branch."""
+    rng = random.Random(20)
+    plans = _rand_plans(rng, 3, 2, kinds=("i16",))
+    for p in plans:
+        p["cbp_luma"], p["cbp_chroma"] = 15, 2
+    _assert_stream_matches(3, 2, plans, slice_qp=28)
+
+
+def test_i16_lowqp_dc_rounding_branch():
+    """qp < 12 exercises the (f*ls + (1 << (1-qsh))) >> (2-qsh) DC form."""
+    rng = random.Random(21)
+    plans = _rand_plans(rng, 2, 2, kinds=("i16",))
+    for p in plans:
+        p["cbp_luma"], p["cbp_chroma"] = 15, 2
+    _assert_stream_matches(2, 2, plans, slice_qp=10)
+
+
+def test_i4_ac_with_partial_cbp():
+    """I_4x4 MBs with per-8x8 CBP gating: uncoded groups must zero their
+    nC entries while coded neighbors feed real TotalCoeff contexts."""
+    rng = random.Random(22)
+    plans = _rand_plans(rng, 3, 2, kinds=("i4",))
+    _assert_stream_matches(3, 2, plans, slice_qp=26)
+
+
+def test_mixed_kinds_and_qp_deltas():
+    """I_16x16 and I_4x4 interleaved with nonzero mb_qp_delta: the
+    running-QP bookkeeping changes scaling mid-slice."""
+    rng = random.Random(23)
+    plans = _rand_plans(rng, 3, 3)
+    deltas = [0, 2, -2, 1, 0, -1, 3, -3, 0]
+    for p, d in zip(plans, deltas):
+        if p["cbp_luma"] or p["cbp_chroma"] or p["kind"] == "i16":
+            p["qp_delta"] = d
+    _assert_stream_matches(3, 3, plans, slice_qp=30)
+
+
+def test_fuzz_random_slices():
+    rng = random.Random(24)
+    for trial in range(6):
+        mb_w, mb_h = rng.randint(1, 4), rng.randint(1, 3)
+        plans = _rand_plans(rng, mb_w, mb_h)
+        _assert_stream_matches(mb_w, mb_h, plans, slice_qp=rng.choice((8, 20, 28, 40)))
