@@ -449,6 +449,14 @@ for (h_, v_), (c_, x_) in _SC.items():
     _SC_CTX[h_, v_] = c_
     _SC_XOR[h_, v_] = x_
 
+# nested python-list copies for the ENCODE hot path: numpy scalar
+# indexing costs ~10x a list lookup per call (the decode path already
+# routes through the flat 256-entry LUTs below for the same reason)
+_ZC_LL_PY = _ZC_LL.tolist()
+_ZC_HH_PY = _ZC_HH.tolist()
+_SC_CTX_PY = _SC_CTX.tolist()
+_SC_XOR_PY = _SC_XOR.tolist()
+
 
 class _BlockCoder:
     """Shared pass machinery. Grids are padded by 1 on every side so
@@ -470,6 +478,7 @@ class _BlockCoder:
         self.refined = [0] * n
         self.band = band
         self.causal = causal
+        self._pos_cache: Optional[list] = None
 
     def _lo(self, i: int) -> int:
         """1 normally; 0 when causal masks the row below (stripe-last)."""
@@ -485,10 +494,10 @@ class _BlockCoder:
         dn = s[i - W - 1] + s[i - W + 1] + lo * (s[i + W - 1] + s[i + W + 1])
         b = self.band
         if b == "HL":  # transposed H/V
-            return int(_ZC_LL[vn, hn, dn])
+            return _ZC_LL_PY[vn][hn][dn]
         if b == "HH":
-            return int(_ZC_HH[dn, hn + vn])
-        return int(_ZC_LL[hn, vn, dn])
+            return _ZC_HH_PY[dn][hn + vn]
+        return _ZC_LL_PY[hn][vn][dn]
 
     def _sc_ctx(self, i: int) -> Tuple[int, int]:
         s, g, W = self.sig, self.sgn, self.W
@@ -497,7 +506,7 @@ class _BlockCoder:
         vc = (s[i - W] * (1 - 2 * g[i - W])) + lo * (s[i + W] * (1 - 2 * g[i + W]))
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
-        return int(_SC_CTX[hc + 1, vc + 1]), int(_SC_XOR[hc + 1, vc + 1])
+        return _SC_CTX_PY[hc + 1][vc + 1], _SC_XOR_PY[hc + 1][vc + 1]
 
     def _mr_ctx(self, i: int) -> int:
         if self.refined[i]:
@@ -514,12 +523,18 @@ class _BlockCoder:
         )
 
     def _positions(self):
-        """Stripe-of-4 scan order: (x within stripe-column, padded idx)."""
-        w, h, W = self.w, self.h, self.W
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    yield (y + 1) * W + (x + 1), y, x
+        """Stripe-of-4 scan order: (padded idx, y, x). The order is a
+        pure function of the block shape, so it is computed once and
+        reused — the encoder iterates it twice per bitplane."""
+        if self._pos_cache is None:
+            w, h, W = self.w, self.h, self.W
+            self._pos_cache = [
+                ((y + 1) * W + (x + 1), y, x)
+                for y0 in range(0, h, 4)
+                for x in range(w)
+                for y in range(y0, min(y0 + 4, h))
+            ]
+        return self._pos_cache
 
 
 def _bypass_segment_spans(npasses: int) -> List[Tuple[int, int]]:
@@ -733,23 +748,28 @@ def encode_block(
             npasses += 1
         begin_pass(True)  # cleanup is always MQ-coded
         # cleanup pass
+        sigl, visl = bc.sig, bc.visited
         for y0 in range(0, h, 4):
+            ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
                 y = y0
-                while y < min(y0 + 4, h):
+                i0 = (y0 + 1) * W + (x + 1)
+                i1, i2, i3 = i0 + W, i0 + 2 * W, i0 + 3 * W
+                while y < ylim:
                     i = (y + 1) * W + (x + 1)
                     run_mode = False
                     if (
                         y == y0
                         and y0 + 3 < h
-                        and not any(
-                            bc.sig[(y0 + k + 1) * W + (x + 1)]
-                            or bc.visited[(y0 + k + 1) * W + (x + 1)]
-                            for k in range(4)
+                        and not (
+                            sigl[i0] or sigl[i1] or sigl[i2] or sigl[i3]
+                            or visl[i0] or visl[i1] or visl[i2] or visl[i3]
                         )
-                        and not any(
-                            bc._has_sig_neighbor((y0 + k + 1) * W + (x + 1))
-                            for k in range(4)
+                        and not (
+                            bc._has_sig_neighbor(i0)
+                            or bc._has_sig_neighbor(i1)
+                            or bc._has_sig_neighbor(i2)
+                            or bc._has_sig_neighbor(i3)
                         )
                     ):
                         run_mode = True
