@@ -30,9 +30,10 @@ engines (the DuckDB oracle replays the identical fold via
 ``list(emb ORDER BY vec_id)`` + ``list_reduce`` over a prepended zero
 vector), which is what lets ``ann_ivf_kmeans_topk`` carry a value-hash
 oracle. Cost note: the fold materializes each cell's member list in one
-aggregation buffer — exactly right for the fit-on-sample path above
-(cells of a bounded sample), while the full-corpus ASSIGN step stays a
-streaming broadcast join.
+aggregation buffer — bounded because kmeans_fit ENFORCES a per-cell
+member cap before the fold (see ``DEFAULT_CELL_CAP``; ADVICE r12 made
+the formerly-advisory fit-on-sample discipline a hard gate), while the
+full-corpus ASSIGN step stays a streaming broadcast join.
 """
 
 from __future__ import annotations
@@ -72,19 +73,41 @@ def assign_to_centroids(
     )
 
 
+DEFAULT_CELL_CAP = 4096
+"""Hard per-cell bound on the fold's aggregation buffer (ADVICE r12).
+
+The deterministic update collects each cell's members into ONE
+collect_list buffer — bounded memory requires bounded cells, and the
+"fit on a sample" discipline documented above must be ENFORCED, not
+advisory. kmeans_fit therefore caps every cell at its ``cell_cap``
+lowest-``vec_id`` members before the fold (a row_number window over
+``cent_id`` — spills, never buffers a cell in memory), so a hot cell at
+100 TB contributes at most cap×dim doubles to any task. The cap is
+deterministic and SQL-replayable (``QUALIFY row_number() OVER
+(PARTITION BY cent_id ORDER BY vec_id) <= cap``), so the hash-gated
+oracle mirrors it exactly. At the test scales every cell is far below
+the cap, so capped and uncapped fits are bit-identical there."""
+
+
 def kmeans_fit(
-    emb: DataFrame, k: int, n_iter: int = 4
+    emb: DataFrame, k: int, n_iter: int = 4, cell_cap: int = DEFAULT_CELL_CAP
 ) -> Tuple[List[List[float]], List[float]]:
     """Lloyd iterations; returns (centroids, per-iteration mean cosine of
-    vectors to their assigned centroid — a non-decreasing fit-quality
+    capped-cell members to their assigned centroid — a fit-quality
     trace). ``emb`` columns: (vec_id, emb array<double>). Init = first k
-    vectors by vec_id (deterministic)."""
+    vectors by vec_id (deterministic). Each cell's update uses at most
+    ``cell_cap`` members (lowest vec_id first — see DEFAULT_CELL_CAP)."""
     dim = len(emb.select("emb").first().emb)
     cent = [list(map(float, r.emb)) for r in emb.orderBy("vec_id").limit(k).collect()]
     trace: List[float] = []
     zero = F.array_repeat(F.lit(0.0), dim)
+    w_cap = Window.partitionBy("cent_id").orderBy("vec_id")
     for _ in range(n_iter):
-        assigned = assign_to_centroids(emb, cent, keep_sim=True)
+        assigned = (
+            assign_to_centroids(emb, cent, keep_sim=True)
+            .withColumn("crn", F.row_number().over(w_cap))
+            .where(F.col("crn") <= cell_cap)
+        )
         # deterministic update: sort each cell's members by vec_id, then a
         # sequential left fold sums dimension-wise in that fixed order
         # (((0+e1)+e2)+...)/n — bit-reproducible, unlike shuffle-order avg

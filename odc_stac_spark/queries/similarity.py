@@ -374,7 +374,14 @@ def _ivf_kmeans_oracle(n_iter: int = 3) -> str:
     vector (``list_reduce`` over ``list_prepend(zero, ms)`` — bit-for-bit
     the same op sequence as Spark's ``F.aggregate(ms, zero, zip_with +)``),
     then divided by the member count. Empty cells keep their previous
-    centroid (COALESCE), matching the Spark driver loop."""
+    centroid (COALESCE), matching the Spark driver loop. The per-cell
+    member cap kmeans_fit enforces (operators/kmeans.py
+    DEFAULT_CELL_CAP, ADVICE r12) is mirrored with QUALIFY
+    row_number() — at sf0.01 every cell is far below the cap, so the
+    capped and uncapped fits are bit-identical here, but the oracle
+    replays the capped op sequence so the gate stays exact at ANY
+    cell size."""
+    from ..operators.kmeans import DEFAULT_CELL_CAP
     ctes = [
         f"emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K})",
@@ -393,7 +400,10 @@ def _ivf_kmeans_oracle(n_iter: int = 3) -> str:
              ) AS cemb
       FROM (SELECT cent_id, list(emb ORDER BY vec_id) AS ms,
                    COUNT(*)::DOUBLE AS n
-            FROM assigned{j} GROUP BY cent_id)
+            FROM (SELECT * FROM assigned{j}
+                  QUALIFY row_number() OVER (PARTITION BY cent_id
+                                             ORDER BY vec_id) <= {DEFAULT_CELL_CAP})
+            GROUP BY cent_id)
     )"""
         )
         ctes.append(

@@ -56,6 +56,79 @@ def _recall(spark, sf_dir, result_df):
     return sum(recs) / len(recs)
 
 
+def test_cell_cap_bounds_update_members(emb):
+    """ADVICE r12 (medium): the fold's aggregation buffer must be bounded.
+    With a binding cell_cap, each updated centroid must be the mean of
+    exactly the cap lowest-vec_id members of its cell — verified against
+    an independent numpy replication of the capped update."""
+    import numpy as np
+
+    from odc_stac_spark.operators.kmeans import DEFAULT_CELL_CAP
+
+    assert DEFAULT_CELL_CAP >= 1024  # sane production bound
+    k, cap = 4, 3
+    init = [list(map(float, r.emb)) for r in emb.orderBy("vec_id").limit(k).collect()]
+    cent, _ = kmeans_fit(emb, k=k, n_iter=1, cell_cap=cap)
+    # independent replication: Spark's own assignment to the init
+    # centroids fixes cell membership; the capped update must average the
+    # cap lowest vec_ids per cell (sorted order, like the fold)
+    rows = assign_to_centroids(emb, init).select("vec_id", "cent_id", "emb").collect()
+    cells: dict = {}
+    for r in rows:
+        cells.setdefault(r.cent_id, []).append((r.vec_id, np.array(r.emb)))
+    for cid, members in cells.items():
+        members.sort(key=lambda m: m[0])
+        want = np.mean([m[1] for m in members[:cap]], axis=0)
+        assert np.allclose(np.array(cent[cid]), want, rtol=1e-12), cid
+    # and the capped fit genuinely differs from the uncapped one when the
+    # cap binds (so the gate is live, not vacuous)
+    uncapped, _ = kmeans_fit(emb, k=k, n_iter=1)
+    assert cent != uncapped
+
+
+def test_assignment_margin_guards_the_hash_gate(emb):
+    """ADVICE r12 (low): the hash-gated kmeans oracle assumes Spark and
+    DuckDB agree on every argmax assignment. That is only robust if no
+    vector sits within float-noise of two centroids — assert a minimum
+    top1-vs-top2 similarity margin on the gate's own configuration
+    (IVF_K centroids, 3 Lloyd iterations) so a near-tie that could flip
+    under engine vectorization changes fails loudly here first."""
+    from pyspark.sql import Window
+
+    from odc_stac_spark.queries.similarity import IVF_K
+
+    cent, _ = kmeans_fit(emb, k=IVF_K, n_iter=3)
+    assigned = assign_to_centroids(emb, cent, keep_sim=True)
+    # re-derive top-2 sims per vector (assign_to_centroids keeps top-1)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent)], "cent_id int, cemb array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "cemb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    top2 = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cent_id",
+            (dot / (nrm(F.col("emb")) * nrm(F.col("cemb")))).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg((F.max("sim") - F.min("sim")).alias("gap"))
+    )
+    min_gap = top2.agg(F.min("gap")).first()[0]
+    # double rounding noise is ~1e-16 per op; demand 6+ orders of margin
+    assert min_gap > 1e-9, f"near-tied assignment (gap {min_gap}) — hash gate at risk"
+    assert assigned.count() == emb.count()
+
+
 def test_kmeans_ivf_recall(spark, sf_dir):
     from odc_stac_spark.queries import load_all
 
