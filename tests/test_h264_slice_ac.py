@@ -125,7 +125,8 @@ def _dc4(above, left) -> int:
 #   level lists (len 15); "qp_delta" int
 
 
-def build_stream(mb_w: int, mb_h: int, plans, slice_qp: int) -> bytes:
+def build_stream(mb_w: int, mb_h: int, plans, slice_qp: int,
+                 deblock_idc: int = 1) -> bytes:
     w = BitW()
     w.ue(0)  # first_mb_in_slice
     w.ue(7)  # slice_type I
@@ -135,7 +136,10 @@ def build_stream(mb_w: int, mb_h: int, plans, slice_qp: int) -> bytes:
     w.u(0, 1)
     w.u(0, 1)
     w.se(slice_qp)  # slice_qp_delta (pic_init_qp is 0)
-    w.ue(1)  # disable_deblocking_filter_idc = 1
+    w.ue(deblock_idc)  # disable_deblocking_filter_idc
+    if deblock_idc != 1:  # §7.3.3: offsets present when the filter runs
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
 
     tc_luma, tc_u, tc_v = {}, {}, {}
 
