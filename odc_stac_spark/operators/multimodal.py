@@ -143,6 +143,15 @@ def demo_media_df(
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The encode/decode stages downstream are COMPUTE-bound Python work,
+    # so partition by available cores, not by input bytes: the doc-id
+    # projection of documents.parquet is KB-scale and otherwise collapses
+    # to ONE scan partition (single row group), serializing the whole
+    # codec pipeline on one core (measured: mm_image_jp2_lossy 128 s
+    # serial vs ~5 s at 32-way — the codec was never the bottleneck).
+    # The shuffle moves only the doc ids; at 100 TB a real media column
+    # arrives pre-partitioned and maxPartitionBytes does this job.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     encode = _DEMO_IMAGE_ENCODERS[media_type]
     synth = _DEMO_IMAGE_SYNTH.get(media_type, synth_image)
 

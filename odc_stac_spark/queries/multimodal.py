@@ -191,7 +191,14 @@ def mm_video_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_frame_features
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning for the Python codec stage (the KB-scale
+    # doc-id scan otherwise collapses to one partition and serializes the
+    # encode/decode work — see operators/multimodal.py demo_media_df)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -264,7 +271,14 @@ def mm_video_fmp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_frame_features
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning for the Python codec stage (the KB-scale
+    # doc-id scan otherwise collapses to one partition and serializes the
+    # encode/decode work — see operators/multimodal.py demo_media_df)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -615,7 +629,14 @@ def _jpeg_dc_even_df(
     from ..operators.jpeg import encode_jpeg
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning for the Python codec stage (the KB-scale
+    # doc-id scan otherwise collapses to one partition and serializes the
+    # encode/decode work — see operators/multimodal.py demo_media_df)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by, bx = np.mgrid[0:2, 0:2]
@@ -838,7 +859,14 @@ def mm_video_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_frame_features
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning for the Python codec stage (the KB-scale
+    # doc-id scan otherwise collapses to one partition and serializes the
+    # encode/decode work — see operators/multimodal.py demo_media_df)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by, bx = np.mgrid[0:2, 0:2]
@@ -925,7 +953,14 @@ def mm_video_gif_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_frame_features
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning for the Python codec stage (the KB-scale
+    # doc-id scan otherwise collapses to one partition and serializes the
+    # encode/decode work — see operators/multimodal.py demo_media_df)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         y, x = np.mgrid[0:8, 0:8]
@@ -1017,7 +1052,14 @@ def mm_video_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_frame_features
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning for the Python codec stage (the KB-scale
+    # doc-id scan otherwise collapses to one partition and serializes the
+    # encode/decode work — see operators/multimodal.py demo_media_df)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by, bx = np.mgrid[0:4, 0:6]

@@ -163,14 +163,28 @@ PICKS = [
     ),
     (
         "text_dsir_select",
-        "DSIR data selection (r11): ONE corpus-token scan builds both "
-        "unigram distributions (target as a conditional count in the same "
-        "groupBy); the rtot/ttot/V totals come from an unpartitioned "
-        "window over the vocabulary-sized aggregate — the corpus is never "
-        "re-scanned for scalars; the log-ratio table re-enters as a "
-        "BroadcastHashJoin and per-doc weights partial-aggregate into one "
-        "exchange. Two corpus scans total, selection is a stateless "
-        "projection.",
+        "DSIR data selection (r12 shape): ONE corpus-token scan builds "
+        "both unigram distributions (target as a conditional count in the "
+        "same groupBy); the rtot/ttot/V totals are a SCALAR aggregate of "
+        "the persisted vocabulary table re-entered as a 1-row broadcast "
+        "crossJoin (the r11 unpartitioned window is gone — no "
+        "single-partition funnel anywhere); the log-ratio table re-enters "
+        "as a BroadcastHashJoin and per-doc weights partial-aggregate "
+        "into one exchange. Two corpus scans total, selection is a "
+        "stateless projection.",
+    ),
+    (
+        "ann_ivf_kmeans_topk",
+        "k-means IVF (r12 determinism + r13 bounded cells): each Lloyd "
+        "iteration is a broadcast k-row crossJoin assign, a row_number "
+        "window over cent_id that CAPS every cell at its 4096 "
+        "lowest-vec_id members (the fold's aggregation buffer is bounded "
+        "at any corpus size — ADVICE r12), then one ≤k-group aggregate "
+        "whose sorted sequential fold makes centroids bit-reproducible; "
+        "the serve tail is the standard broadcast-probes + "
+        "partition-local top-k + single ranking exchange. Fit inputs are "
+        "bounded by construction, the full-corpus assign stays a "
+        "streaming broadcast join.",
     ),
     (
         "sketch_cms_heavyhitters",
