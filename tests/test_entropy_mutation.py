@@ -149,6 +149,41 @@ def test_vp8_frame_suite_kills_decoder_mutation(name, monkeypatch):
     assert _killed(_vp8_frame_check), f"mutation {name} survived the suite"
 
 
+def _vp8_loopfilter_check() -> None:
+    from . import test_vp8_loopfilter_ac as tvl
+
+    rng = random.Random(31)
+    plans = tvl._smooth_plans(rng, 3, 2, kinds=("b",))
+    tvl._assert_filtered_matches(3, 2, plans, lvl=20)
+
+
+def test_vp8_loopfilter_suite_kills_hev_mutation(monkeypatch):
+    """Break the §15.2 keyframe hev-threshold row (never flag high edge
+    variance): every hev-gated pixel takes the wrong filter arm and the
+    output diverges from the independent scalar model."""
+    _vp8_loopfilter_check()
+    orig = vp8._lf_limits
+    monkeypatch.setattr(vp8, "_lf_limits", lambda lvl, sharp: (orig(lvl, sharp)[0], 255))
+    assert _killed(_vp8_loopfilter_check), "loop-filter hev mutation survived"
+
+
+def test_h264_deblock_suite_kills_tc0_mutation(monkeypatch):
+    """Bump one §8.7 tC0 row entry: bS<4 clipping widens and the filtered
+    pixels diverge from the independent scalar model."""
+    from . import test_h264_deblock_ac as thd
+
+    def check():
+        rng = random.Random(20)
+        plans = thd._smooth_plans(rng, 3, 2, kinds=("i16",))
+        thd._assert_deblocked_matches(3, 2, plans, slice_qp=28)
+
+    check()
+    row = list(h264._DEBLOCK_TC0[2])
+    row[28] += 1  # indexA for the qp-28 internal edges
+    monkeypatch.setattr(h264, "_DEBLOCK_TC0", [h264._DEBLOCK_TC0[0], h264._DEBLOCK_TC0[1], row])
+    assert _killed(check), "deblock tC0 mutation survived"
+
+
 # ---------------------------------------------------------------------------
 # H.264 decoder mutations
 

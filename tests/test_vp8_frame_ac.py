@@ -52,7 +52,8 @@ def _path(w: IndepBoolWriter, path, probs) -> None:
         w.put(bit, probs[node])
 
 
-def build_frame(mb_w: int, mb_h: int, plans, log2_parts: int = 0) -> bytes:
+def build_frame(mb_w: int, mb_h: int, plans, log2_parts: int = 0,
+                filter_level: int = 0) -> bytes:
     """Assemble a keyframe. ``plans``: per-MB dicts (raster order) with
     "ymode" ("b" = B_PRED all-B_DC, "dc16" = 16x16 DC), "y2" (value list
     for the Y2 block, dc16 only), "y" (16 value lists), "u"/"v" (4 value
@@ -64,7 +65,7 @@ def build_frame(mb_w: int, mb_h: int, plans, log2_parts: int = 0) -> bytes:
     _literal(w0, 0, 1)  # clamping
     _literal(w0, 0, 1)  # segmentation off
     _literal(w0, 0, 1)  # normal (not simple) filter
-    _literal(w0, 0, 6)  # filter_level 0: loop filter off
+    _literal(w0, filter_level, 6)  # 0: loop filter off
     _literal(w0, 0, 3)  # sharpness
     _literal(w0, 0, 1)  # lf deltas off
     _literal(w0, log2_parts, 2)
