@@ -97,9 +97,21 @@ def make_batch_processor(spark: SparkSession, agg_path: str):
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.withColumn("last_batch_id", F.lit(batch_id).cast("long")).withColumn(
-                "bucket_p", F.date_format("bucket", "yyyyMMddHH")
-            ).write.mode("overwrite").partitionBy("bucket_p").parquet(agg_path)
+            (
+                merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+                .withColumn("bucket_p", F.date_format("bucket", "yyyyMMddHH"))
+                # co-locate each hour in ONE task before the partitioned
+                # write: without this, every shuffle partition holds rows
+                # for most touched hours and writes its own file into
+                # every hour dir (~tasks × hours tiny files per batch —
+                # measured 48 s for a 720-hour batch at sf0.1; 23k files).
+                # One file per hour dir is also the 100 TB shape: the
+                # small-files explosion, not the data, was the cost.
+                .repartition(F.col("bucket_p"))
+                .write.mode("overwrite")
+                .partitionBy("bucket_p")
+                .parquet(agg_path)
+            )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         inc0.unpersist()
