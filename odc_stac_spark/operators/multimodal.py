@@ -338,7 +338,14 @@ def demo_audio_df(
     ``media_type="audio/wav"`` routes through the real WAV coder."""
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning (same starvation fix as demo_media_df:
+    # the KB-scale doc-id scan is one row group → one partition → the
+    # whole Python codec stage serializes on one core)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     encode = _DEMO_AUDIO_ENCODERS[media_type]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -469,7 +476,12 @@ def demo_video_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media BINARY, media_type) video demo table."""
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning — see demo_media_df
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
