@@ -405,3 +405,50 @@ def test_hard_negatives_topk_is_bounded_and_label_filter_mapside(spark, sf_dir):
     # the label filter is in the pre-exchange (map) side of the plan
     pre_exchange = plan.split("Exchange", 1)[1]
     assert "NOT (neighbor_label" in plan or "neighbor_label" in pre_exchange
+
+
+def test_media_generators_partition_by_cores(spark, sf_dir):
+    """The Python codec stages must be compute-partitioned (r13): the
+    KB-scale doc-id scan is one row group, and without the explicit
+    repartition the whole encode/decode pipeline serializes on one core
+    (measured: mm_image_jp2_lossy 137 s -> 13 s at sf0.1 when fixed)."""
+    from odc_stac_spark.operators.multimodal import (
+        demo_audio_df,
+        demo_media_df,
+        demo_video_df,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    for df in (
+        demo_media_df(spark, sf_dir),
+        demo_audio_df(spark, sf_dir),
+        demo_video_df(spark, sf_dir),
+    ):
+        assert df.rdd.getNumPartitions() == want
+
+
+def test_continuous_agg_writes_one_file_per_hour(spark, sf_dir, tmp_path):
+    """The foreachBatch rollup write must co-locate each hour partition in
+    one task — without it, every shuffle partition writes its own file
+    into every touched hour dir (~tasks x hours tiny files, the r13
+    48 s -> 14 s finding)."""
+    import glob as _glob
+    import os as _os
+
+    import pyspark.sql.functions as _F
+
+    from odc_stac_spark.sources.tables import load_table
+    from odc_stac_spark.streaming.continuous import make_batch_processor
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .repartition(8)  # simulate a multi-partition micro-batch
+    )
+    agg = str(tmp_path / "agg")
+    make_batch_processor(spark, agg)(ev, 0)
+    hour_dirs = [d for d in _glob.glob(_os.path.join(agg, "bucket_p=*"))]
+    assert hour_dirs, "no hour partitions written"
+    for d in hour_dirs:
+        files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
