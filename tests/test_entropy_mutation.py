@@ -184,6 +184,30 @@ def test_h264_deblock_suite_kills_tc0_mutation(monkeypatch):
     assert _killed(check), "deblock tC0 mutation survived"
 
 
+def _jpeg_entropy_check() -> None:
+    from . import test_jpeg_entropy as tje
+
+    blocks = [
+        {0: 4, 1: 5, 2: -3, 5: 2, 9: -1},
+        {0: -8, 17: 6},
+        {0: 2, **{k: (1 if k % 2 else -1) for k in range(1, 64)}},
+    ]
+    tje._assert_decodes(blocks, len(blocks), 1)
+
+
+def test_jpeg_suite_kills_zigzag_mutation(monkeypatch):
+    """Swap two entries of the decoder's de-zigzag order: AC coefficients
+    land in the wrong raster cells and the independent IDCT model
+    diverges."""
+    from odc_stac_spark.operators import jpeg
+
+    _jpeg_entropy_check()
+    z = jpeg.ZIGZAG.copy()
+    z[5], z[6] = z[6], z[5]
+    monkeypatch.setattr(jpeg, "ZIGZAG", z)
+    assert _killed(_jpeg_entropy_check), "jpeg zigzag mutation survived"
+
+
 # ---------------------------------------------------------------------------
 # H.264 decoder mutations
 
