@@ -54,23 +54,47 @@ def _cos(a, b):
 def assign_to_centroids(
     emb: DataFrame, centroids: List[List[float]], keep_sim: bool = False
 ) -> DataFrame:
-    """(vec_id, emb) → + cent_id: nearest centroid by cosine (broadcast
-    k-row crossJoin, deterministic ties → cent_id asc)."""
-    spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cent_id int, cemb array<double>",
+    """(vec_id, emb) → + cent_id: nearest centroid by cosine, ties →
+    cent_id asc.
+
+    MAP-SIDE (r13): the centroids ship as a plan-literal array of
+    (cent_id, cemb) structs and the argmax is a deterministic left fold —
+    ZERO shuffle. The previous shape (broadcast k-row crossJoin + a
+    row_number window over vec_id) pushed k× the corpus through a window
+    exchange; at 100 TB the full-corpus assign step IS the dominant pass,
+    so it must not shuffle at all. Float semantics are unchanged: the
+    cosine is the identical zip_with/aggregate fold per (vector,
+    centroid) pair, and the strictly-greater fold keeps the FIRST maximum
+    — the same winner as the window's (sim DESC, cent_id ASC) order — so
+    every hash-gated oracle image is preserved bit-for-bit."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("cemb"),
+            )
+            for i, c in enumerate(centroids)
+        ]
     )
-    sim = _cos(F.col("emb"), F.col("cemb"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    cols = ["vec_id", "emb", "cent_id"] + (["sim"] if keep_sim else [])
-    return (
-        emb.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(*cols)
+    cands = F.transform(
+        carr,
+        lambda c: F.struct(
+            c["cent_id"].alias("cent_id"),
+            _cos(F.col("emb"), c["cemb"]).alias("sim"),
+        ),
     )
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(-1).cast("int").alias("cent_id"),
+            F.lit(float("-inf")).alias("sim"),
+        ),
+        lambda acc, c: F.when(c["sim"] > acc["sim"], c).otherwise(acc),
+    )
+    cols = ["vec_id", "emb", F.col("best.cent_id").alias("cent_id")] + (
+        [F.col("best.sim").alias("sim")] if keep_sim else []
+    )
+    return emb.withColumn("best", best).select(*cols)
 
 
 DEFAULT_CELL_CAP = 4096

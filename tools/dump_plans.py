@@ -175,16 +175,17 @@ PICKS = [
     ),
     (
         "ann_ivf_kmeans_topk",
-        "k-means IVF (r12 determinism + r13 bounded cells): each Lloyd "
-        "iteration is a broadcast k-row crossJoin assign, a row_number "
+        "k-means IVF (r12 determinism + r13 bounded cells + r13 map-side "
+        "assign): centroid assignment is a ZERO-shuffle map-side argmax "
+        "fold over a plan-literal centroid array (the pre-r13 broadcast "
+        "crossJoin + row_number window pushed k× the corpus through an "
+        "exchange — fatal at 100 TB where the full-corpus assign is the "
+        "dominant pass); each Lloyd iteration then runs one row_number "
         "window over cent_id that CAPS every cell at its 4096 "
-        "lowest-vec_id members (the fold's aggregation buffer is bounded "
-        "at any corpus size — ADVICE r12), then one ≤k-group aggregate "
-        "whose sorted sequential fold makes centroids bit-reproducible; "
-        "the serve tail is the standard broadcast-probes + "
-        "partition-local top-k + single ranking exchange. Fit inputs are "
-        "bounded by construction, the full-corpus assign stays a "
-        "streaming broadcast join.",
+        "lowest-vec_id members (bounded fold buffers — ADVICE r12) and "
+        "one ≤k-group aggregate whose sorted sequential fold makes "
+        "centroids bit-reproducible; the serve tail is broadcast-probes "
+        "+ partition-local top-k + a single ranking exchange.",
     ),
     (
         "sketch_cms_heavyhitters",
