@@ -100,22 +100,55 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_NPROBE = 4  # multi-assignment width for near-dup blocking
 
 
+def _centroid_literal(emb: DataFrame):
+    """First IVF_K vectors as a plan-literal (cent_id, cemb) struct array
+    (bounded driver collect: K rows). MAP-SIDE assignment (r13): scoring
+    a corpus row against the literal array needs NO join and NO window —
+    the pre-r13 broadcast crossJoin + row_number shape pushed K× the
+    corpus through an exchange, which is the dominant cost at scale
+    (assignment IS the full-corpus pass of every IVF-family operator)."""
+    rows = (
+        emb.where(F.col("vec_id") < IVF_K)
+        .select("vec_id", "emb")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).cast("bigint").alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in r.emb]).alias("cemb"),
+            )
+            for r in rows
+        ]
+    )
+
+
 def _ivf_multi_assign(emb: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, emb) → (vec_id, emb, cent_id) rows, one per the vector's
-    ``nprobe`` nearest of the IVF_K fixed centroids (broadcast K×n;
-    deterministic ties → cent_id asc). Multi-assignment is the standard
-    recall lever for cell-blocked pair generation."""
-    cent = emb.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    ``nprobe`` nearest of the IVF_K fixed centroids (map-side literal
+    scoring, zero shuffle; deterministic ties → cent_id asc — identical
+    winners to the former (sim DESC, cent_id ASC) window). Multi-
+    assignment is the standard recall lever for cell-blocked pair
+    generation."""
+    carr = _centroid_literal(emb)
+    cands = F.transform(
+        carr,
+        lambda c: F.struct(
+            (
+                -(
+                    _dot(F.col("emb"), c["cemb"])
+                    / (_norm(F.col("emb")) * _norm(c["cemb"]))
+                )
+            ).alias("negsim"),
+            c["cent_id"].alias("cent_id"),
+        ),
     )
-    sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .select("vec_id", "emb", "cent_id")
+    top = F.slice(F.array_sort(cands), 1, nprobe)
+    return emb.select(
+        "vec_id",
+        "emb",
+        F.explode(F.transform(top, lambda s: s["cent_id"])).alias("cent_id"),
     )
 
 
@@ -247,21 +280,37 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd(F.col("embedding")).alias("emb")
     )
-    cent = emb.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    # map-side argmax over the literal centroid array (r13: zero-shuffle
+    # assignment — see _centroid_literal); the strictly-greater fold keeps
+    # the FIRST maximum, i.e. the former (sim DESC, cent_id ASC) winner
+    carr = _centroid_literal(emb)
+    cands = F.transform(
+        carr,
+        lambda c: F.struct(
+            c["cent_id"].alias("cent_id"),
+            (
+                _dot(F.col("emb"), c["cemb"])
+                / (_norm(F.col("emb")) * _norm(c["cemb"]))
+            ).alias("sim"),
+        ),
     )
-    sim = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(-1).cast("bigint").alias("cent_id"),
+            F.lit(float("-inf")).alias("sim"),
+        ),
+        lambda acc, c: F.when(c["sim"] > acc["sim"], c).otherwise(acc),
+    )
     # persist: the assignment feeds BOTH sides of the cent_id self-join
     # plus the final left join — without it Spark recomputes the
-    # broadcast-score + argmax subtree three times (the 100 TB deployment
+    # literal-score + argmax subtree three times (the 100 TB deployment
     # materializes this table bucketed by cent_id instead)
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cent_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "emb", "cent_id", F.col("sim").alias("cent_sim_raw"))
+    assigned = emb.withColumn("best", best).select(
+        "vec_id",
+        "emb",
+        F.col("best.cent_id").alias("cent_id"),
+        F.col("best.sim").alias("cent_sim_raw"),
     )
     assigned = scoped_persist(assigned)
     v = assigned.select(
@@ -1055,22 +1104,30 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq(emb, m=_PQ_M, k=_PQ_K, n_iter=0)
     codes = encode_pq(emb, books)
     # distributed cell assignment: broadcast the 16 fixed centroids, L2
-    # argmin via sequential float64 fold (bit-matches DuckDB list_sum)
-    cent = emb.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb")
-    )
-    l2 = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)),
+    # argmin via sequential float64 fold (bit-matches DuckDB list_sum),
+    # map-side over the literal centroid array (r13: zero-shuffle; the
+    # strictly-less fold keeps the FIRST minimum = the former
+    # (d2 ASC, cell_id ASC) window winner)
+    carr = _centroid_literal(emb)
+    l2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("emb"), c["cemb"], lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_id"))
-    cells = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell_id", l2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cell_id").cast("int").alias("cell_id"))
+    cands = F.transform(
+        carr,
+        lambda c: F.struct(c["cent_id"].alias("cell_id"), l2(c).alias("d2")),
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(-1).cast("bigint").alias("cell_id"),
+            F.lit(float("inf")).alias("d2"),
+        ),
+        lambda acc, c: F.when(c["d2"] < acc["d2"], c).otherwise(acc),
+    )
+    cells = emb.select(
+        "vec_id", best["cell_id"].cast("int").alias("cell_id")
     )
     codes_cell = codes.join(cells, "vec_id")
     first = emb.orderBy("vec_id").limit(max(IVF_K, 5)).collect()
