@@ -69,9 +69,7 @@ def _norm(a):
     tags=("similarity",),
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -98,6 +96,23 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_NPROBE = 4  # multi-assignment width for near-dup blocking
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb double[]) with compute-sized partitioning: the
+    embeddings fixture is one row group, so the scan is ONE partition and
+    every interpreted-HOF scoring pass (cosine/L2 folds, LSH signatures)
+    downstream would serialize on one core — the pre-r13 window-based
+    assignment re-parallelized it by accident; the r13 map-side
+    assignment preserves input partitioning, so the input must be
+    partitioned for the COMPUTE. At 100 TB maxPartitionBytes does this
+    naturally and the repartition is a no-op in spirit (it moves raw
+    vectors once, before any scoring)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vecd(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _centroid_literal(emb: DataFrame):
@@ -189,9 +204,7 @@ def _ivf_multi_assign(emb: DataFrame, nprobe: int) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     # norms are computed ONCE per assignment row and carried through the
     # self-join — recomputing _norm per PAIR tripled the per-pair fold
     # work, and the unpersisted multi-assign window subtree ran once per
@@ -277,9 +290,7 @@ SEMDEDUP_COS = 0.45  # duplicate threshold (synthetic max-cos ≈ 0.51)
     tags=("similarity", "dedup"),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     # map-side argmax over the literal centroid array (r13: zero-shuffle
     # assignment — see _centroid_literal); the strictly-greater fold keeps
     # the FIRST maximum, i.e. the former (sim DESC, cent_id ASC) winner
@@ -513,9 +524,7 @@ def _ivf_serve_topk(assigned: DataFrame, cent: DataFrame, q: DataFrame) -> DataF
     tags=("similarity",),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     cent = emb.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
@@ -546,9 +555,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import assign_to_centroids, kmeans_fit
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     emb = scoped_persist(emb)
     cent, _trace = kmeans_fit(emb, IVF_K, n_iter=3)
     assigned = assign_to_centroids(emb, cent)
@@ -674,13 +681,19 @@ def _lsh_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb, embi): float vectors plus the fixed-point copy used
     for the bucket-bit sign decision (see LSH_FIXED_SCALE) — exact bigint
     dot products, engine-independent."""
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        _vecd(F.col("embedding")).alias("emb"),
-        F.transform(
-            _vecd(F.col("embedding")),
-            lambda x: F.round(x * LSH_FIXED_SCALE).cast("bigint"),
-        ).alias("embi"),
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            _vecd(F.col("embedding")).alias("emb"),
+            F.transform(
+                _vecd(F.col("embedding")),
+                lambda x: F.round(x * LSH_FIXED_SCALE).cast("bigint"),
+            ).alias("embi"),
+        )
+        # compute-sized partitioning: 24 interpreted signature folds per
+        # row would otherwise run in the scan's single partition (_emb)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -815,9 +828,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     centroid and write (vec_id, emb, cent_id) partitioned by cent_id.
     At 100 TB this is the only pass over the full corpus; every later
     query touches NPROBE/K of the directories."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     (
         _ivf_multi_assign(emb, 1)
         .write.mode("overwrite")
@@ -989,8 +1000,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.pq import encode_pq, pq_adc_topk, train_pq
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("emb")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)  # see _emb
     )
     # n_iter=0 → deterministic init codebooks (first k vectors' subvectors)
     books = train_pq(emb, m=_PQ_M, k=_PQ_K, n_iter=0)
@@ -1098,9 +1111,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.pq import encode_pq, ivfpq_topk, train_pq
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vecd(F.col("embedding")).alias("emb")
-    )
+    emb = _emb(spark, sf_dir)
     books = train_pq(emb, m=_PQ_M, k=_PQ_K, n_iter=0)
     codes = encode_pq(emb, books)
     # distributed cell assignment: broadcast the 16 fixed centroids, L2
@@ -1178,8 +1189,10 @@ HARDNEG_K = 5  # hardest negatives retained per query
     tags=("similarity", "llm"),
 )
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vecd(F.col("embedding")).alias("emb")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _vecd(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)  # see _emb
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
