@@ -18,6 +18,26 @@ from . import register
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
+def _await_stream(q, timeout: int = 1800) -> None:
+    """Wait for an availableNow query to TERMINATE — loudly.
+
+    The previous ``q.awaitTermination(300)`` treated a TIMEOUT as
+    success: at 10× scale the single batch legitimately exceeded 300 s
+    (7200 hour dirs in the continuous-agg write) and the query then read
+    a half-written/absent sink as if the stream had finished — a silent
+    wrong answer. A timeout now stops the query and raises; a query
+    exception re-raises instead of surfacing as a missing-path error
+    downstream."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"stream {q.name or q.id} still running after {timeout}s — "
+            "raise the timeout rather than reading a partial sink"
+        )
+    if q.exception() is not None:
+        raise q.exception()
+
+
 def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """events.parquet as a file-source stream with ``ts`` normalized to TIMESTAMP.
 
@@ -31,7 +51,18 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataF
     import tempfile
 
     stage = tempfile.mkdtemp(prefix=prefix)
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # Spark-written table (a DIRECTORY of part files — the sf1 scale
+        # replica's layout): the file-source stream does not descend into
+        # a nested dir, so link each part file into the stage root (a dir
+        # symlink streams ZERO files and the query silently terminates
+        # with an empty result — found by the r13 10× scale probe).
+        for fn in sorted(os.listdir(src)):
+            if fn.endswith(".parquet"):
+                os.symlink(os.path.join(src, fn), os.path.join(stage, fn))
+    else:
+        os.symlink(src, os.path.join(stage, "events.parquet"))
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     kind = dict(stream.dtypes)["ts"]
@@ -190,7 +221,7 @@ def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     # update-mode table holds every state update; counts are monotone so
     # the final value per key is the max
     return (
@@ -233,7 +264,7 @@ def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select(
         "click_id", "purchase_id", "user_id", F.round("amount", 2).alias("amount")
     )
@@ -302,7 +333,7 @@ def t_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = continuous_aggregate(
         spark, stream, f"{work}/agg", f"{work}/ckpt"
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     out = (
         read_continuous(spark, f"{work}/agg")
         .select(
@@ -392,7 +423,7 @@ def t_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     # update-mode sink holds every state revision; counts are monotone per
     # (window, cell) so the final value is the max — then the hourly
     # sketches MERGE by cell addition into the global grid

@@ -2,24 +2,30 @@
 real-time serving view (the hypertable/continuous-aggregate pattern of
 time-series stores, expressed as stock Structured Streaming).
 
-State = a parquet table of per-(hour, event_type) partials, partitioned by
-hour. Each micro-batch:
+State = a parquet table of per-(hour, event_type) partials, partitioned
+into DAY directories (r13: hour-level dirs made a backfill-shaped batch
+pay one directory commit per touched HOUR — 7200 dirs for a 10-month
+replay, minutes of filesystem metadata work; day dirs cut that 24× while
+time-range pruning still skips whole days). Each micro-batch:
 
-1. aggregates its rows to the same grain (map-side partials, tiny result),
-2. determines the touched hour partitions,
-3. re-aggregates ONLY those partitions (existing partials ∪ increment) and
-   rewrites them via **dynamic partition overwrite** — untouched hours are
-   never read or written, so maintenance cost follows the batch's time
-   span, not table size.
+1. aggregates its rows to the hour grain (map-side partials, tiny result),
+2. determines the touched hour buckets and their day partitions,
+3. re-aggregates ONLY the touched hour buckets (existing partials ∪
+   increment), carries every other hour row in the touched days through
+   verbatim, and rewrites those day dirs via **dynamic partition
+   overwrite** — untouched days are never read or written, so maintenance
+   cost follows the batch's time span, not table size.
 
 Replay safety: ``foreachBatch`` is at-least-once, so a crash between the
 parquet commit and the checkpoint commit replays the batch. Every written
 row carries ``last_batch_id`` (the id of the most recent batch merged into
-its partition); on replay, partitions whose stored ``last_batch_id`` is
+its hour bucket); on replay, buckets whose stored ``last_batch_id`` is
 already ≥ the incoming batch id have absorbed this batch's contribution
-and are excluded from both the merge and the rewrite — their dirs are left
-untouched, so the replay is exactly-once per partition. (File-source /
-Kafka batches are deterministic per batch_id, which this relies on.)
+and move to the carry set with their ORIGINAL stamp (re-written verbatim,
+never re-merged) — a batch whose touched buckets are ALL absorbed skips
+the write entirely — so the replay is exactly-once per bucket.
+(File-source / Kafka batches are deterministic per batch_id, which this
+relies on.)
 
 Partials are (count, sum) — mergeable — so the rollup composes upward
 (hour → day) without rescanning raw events, and the serving view
@@ -66,47 +72,76 @@ def make_batch_processor(spark: SparkSession, agg_path: str):
         if not touched:
             inc0.unpersist()
             return
+        carry = None
+        existing_cached = None
         merged = inc
         if os.path.exists(agg_path):
-            existing_all = spark.read.parquet(agg_path).where(F.col("bucket").isin(touched))
+            # Day-partitioned dirs (r13) hold many hour buckets, and the
+            # dynamic overwrite rewrites WHOLE dirs — so read back every
+            # row living in a day this batch touches: hours being merged
+            # re-aggregate, all other hours in those days CARRY THROUGH
+            # unchanged (original stamps included). Untouched days are
+            # never read or written.
+            touched_days = sorted({b.strftime("%Y%m%d") for b in touched})
+            existing_all = spark.read.parquet(agg_path).where(
+                F.date_format("bucket", "yyyyMMdd").isin(touched_days)
+            )
             if "last_batch_id" not in existing_all.columns:  # pre-upgrade table
                 existing_all = existing_all.withColumn("last_batch_id", F.lit(-1).cast("long"))
-            # Replay guard: partitions already stamped with this (or a later)
-            # batch id have absorbed this batch — skip them entirely so their
-            # dirs are neither re-merged nor rewritten. Driver-sized collect:
-            # one row per touched hour.
-            done = [
+            existing_all = existing_all.select(
+                "bucket", "event_type", "n", "value_sum", "last_batch_id"
+            ).persist()
+            existing_cached = existing_all
+            existing_all.count()  # materialize BEFORE overwriting the dirs it reads
+            # Replay guard: hour buckets already stamped with this (or a
+            # later) batch id have absorbed this batch — they join the
+            # carry set (rewritten verbatim, original stamp kept) instead
+            # of re-merging. Driver-sized collect: one row per touched hour.
+            done = set(
                 r.bucket
                 for r in existing_all.groupBy("bucket")
                 .agg(F.max("last_batch_id").alias("mb"))
                 .where(F.col("mb") >= batch_id)
                 .collect()
-            ]
-            if done:
-                todo = [b for b in touched if b not in set(done)]
-                if not todo:
-                    inc0.unpersist()
-                    return
-                inc = inc.where(F.col("bucket").isin(todo))
-                existing_all = existing_all.where(F.col("bucket").isin(todo))
-            existing = existing_all.select("bucket", "event_type", "n", "value_sum")
+            )
+            todo = [b for b in touched if b not in done]
+            if not todo:
+                # full replay of an absorbed batch: every touched day dir
+                # already holds the right rows — leave them untouched
+                existing_cached.unpersist()
+                inc0.unpersist()
+                return
+            inc = inc.where(F.col("bucket").isin(todo))
+            existing = existing_all.where(F.col("bucket").isin(todo)).select(
+                "bucket", "event_type", "n", "value_sum"
+            )
+            carry = existing_all.where(~F.col("bucket").isin(todo))
             merged = _merge_partials(existing.unionByName(inc))
-        # dynamic partition overwrite: ONLY the touched hour dirs rewrite.
+        # dynamic partition overwrite: ONLY the touched day dirs rewrite.
         # The conf flip is save-and-restored — safe here because the write
         # is EAGER (unlike the lazy-scan confs load_table documents).
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            out = merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+            if carry is not None:
+                out = out.unionByName(carry)  # original stamps preserved
             (
-                merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
-                .withColumn("bucket_p", F.date_format("bucket", "yyyyMMddHH"))
-                # co-locate each hour in ONE task before the partitioned
+                out
+                # DAY partition dirs holding hourly rows: hour-level dirs
+                # made a backfill-shaped batch pay one dir commit per HOUR
+                # (7200 dirs for a 10-month replay — minutes of pure
+                # filesystem metadata work); day dirs cut that 24× while
+                # time-range pruning still skips whole days and the
+                # replay guard operates on ``bucket`` values, not dirs.
+                .withColumn("bucket_p", F.date_format("bucket", "yyyyMMdd"))
+                # co-locate each day in ONE task before the partitioned
                 # write: without this, every shuffle partition holds rows
-                # for most touched hours and writes its own file into
-                # every hour dir (~tasks × hours tiny files per batch —
-                # measured 48 s for a 720-hour batch at sf0.1; 23k files).
-                # One file per hour dir is also the 100 TB shape: the
-                # small-files explosion, not the data, was the cost.
+                # for most touched days and writes its own file into
+                # every day dir (tasks × dirs tiny files per batch — the
+                # 48 s → 14 s round-13 finding). One file per dir is the
+                # 100 TB shape: the small-files explosion, not the data,
+                # was the cost.
                 .repartition(F.col("bucket_p"))
                 .write.mode("overwrite")
                 .partitionBy("bucket_p")
@@ -114,6 +149,8 @@ def make_batch_processor(spark: SparkSession, agg_path: str):
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            if existing_cached is not None:
+                existing_cached.unpersist()
         inc0.unpersist()
 
     return process

@@ -59,9 +59,12 @@ def test_stream_equals_batch(spark, tmp_path):
     want = _norm(_rollup(ev).collect())
     assert got == want
 
-    # the state table is hour-partitioned on disk (maintenance locality)
+    # the state table is DAY-partitioned on disk (r13: hour dirs made a
+    # backfill batch pay one dir commit per hour; day dirs keep pruning
+    # while cutting the metadata work 24x)
     parts = [d for d in os.listdir(agg) if d.startswith("bucket_p=")]
     assert len(parts) > 1
+    assert all(len(d) == len("bucket_p=YYYYMMDD") for d in parts), parts
 
 
 def test_serving_with_unmaterialized_tail(spark, tmp_path):

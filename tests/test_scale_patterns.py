@@ -447,7 +447,7 @@ def test_continuous_agg_writes_one_file_per_hour(spark, sf_dir, tmp_path):
     )
     agg = str(tmp_path / "agg")
     make_batch_processor(spark, agg)(ev, 0)
-    hour_dirs = [d for d in _glob.glob(_os.path.join(agg, "bucket_p=*"))]
+    hour_dirs = [d for d in _glob.glob(_os.path.join(agg, "bucket_p=*"))]  # day dirs since r13
     assert hour_dirs, "no hour partitions written"
     for d in hour_dirs:
         files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
