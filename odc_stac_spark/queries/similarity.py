@@ -241,6 +241,146 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# production blocking rule (quantified by the r13 10×-scale probe: fixed
+# IVF_K=16 makes neardup pair generation grow quadratically with the
+# corpus — 2.8 s → 74.8 s at 10×): K grows with the corpus so the
+# EXPECTED cell population stays at NEARDUP_TARGET_CELL and verify cost
+# (sum of cell²) stays ~linear in n.
+NEARDUP_TARGET_CELL = 16
+
+
+def _neardup_k(n_vectors: int) -> int:
+    """Smallest centroid count keeping expected cell size at
+    NEARDUP_TARGET_CELL (floor IVF_K) — must match the oracle's
+    GREATEST(IVF_K, CEIL(n / NEARDUP_TARGET_CELL))."""
+    return max(IVF_K, -(-int(n_vectors) // NEARDUP_TARGET_CELL))
+
+
+def _centroid_array_df(emb: DataFrame, k: int) -> DataFrame:
+    """1-row DataFrame holding the first-``k`` coarse-quantizer table as a
+    cent_id-sorted (cent_id, cemb) struct array.
+
+    Unlike :func:`_centroid_literal` (a plan literal, right for small
+    FIXED k), the table ships as DATA — a bounded k-row aggregate joined
+    on via a broadcast 1-row crossJoin — so adaptive k can grow with the
+    corpus without inflating the Catalyst tree or re-collecting to the
+    driver. Corpus-side cost is unchanged: the same zero-shuffle map-side
+    fold scores each row against the array. (At extreme k production
+    switches to a hierarchical/coarse-fine quantizer; docstring rule, not
+    needed at any bench scale.)"""
+    return (
+        emb.where(F.col("vec_id") < int(k))
+        .select(
+            F.struct(
+                F.col("vec_id").cast("bigint").alias("cent_id"),
+                F.col("emb").alias("cemb"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("carr"))
+    )
+
+
+def _ivf_multi_assign_adaptive(emb: DataFrame, nprobe: int, k: int) -> DataFrame:
+    """(vec_id, emb) → (vec_id, emb, cent_id) for the ``nprobe`` nearest of
+    the first-``k`` centroids — identical fold expressions, ordering and
+    tie-break (sim DESC, cent_id ASC) as :func:`_ivf_multi_assign`, with
+    the centroid array delivered as a broadcast column instead of a plan
+    literal so ``k`` may scale with the corpus."""
+    cands = F.transform(
+        F.col("carr"),
+        lambda c: F.struct(
+            (
+                -(
+                    _dot(F.col("emb"), c["cemb"])
+                    / (_norm(F.col("emb")) * _norm(c["cemb"]))
+                )
+            ).alias("negsim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    top = F.slice(F.array_sort(cands), 1, nprobe)
+    return emb.crossJoin(F.broadcast(_centroid_array_df(emb, k))).select(
+        "vec_id",
+        "emb",
+        F.explode(F.transform(top, lambda s: s["cent_id"])).alias("cent_id"),
+    )
+
+
+@register(
+    "embedding_neardup_adaptive",
+    # oracle computes the IDENTICAL adaptive K (scalar COUNT subquery),
+    # blocking and exact-cosine verify, so the gate covers the K-rule too
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    par AS (SELECT GREATEST({IVF_K},
+                   CAST(CEIL(COUNT(*) / {NEARDUP_TARGET_CELL}.0) AS BIGINT)) AS k
+            FROM emb),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb
+             WHERE vec_id < (SELECT k FROM par)),
+    assigned AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT vec_id, emb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn <= {NEARDUP_NPROBE}
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= {NEARDUP_COS}
+    """,
+    doc="embedding near-dup pairs with ADAPTIVE blocking: K = "
+    "max(IVF_K, ceil(n/NEARDUP_TARGET_CELL)) centroids so expected cell "
+    "size — hence pairs-per-cell and total verify cost — stays bounded as "
+    "the corpus grows (the production rule the fixed-K variant documents; "
+    "its 10×-probe grew 26×, this one ~linearly). One bounded scalar "
+    "count picks K; the quantizer ships as a broadcast array column; "
+    "assignment is the same zero-shuffle map-side fold.",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded driver scalar (row count only — parquet-footer cheap); the
+    # raw table is counted so the compute repartition isn't triggered
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = _neardup_k(n)
+    emb = _emb(spark, sf_dir)
+    assigned = _ivf_multi_assign_adaptive(emb, NEARDUP_NPROBE, k).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    assigned = scoped_persist(assigned)
+    a = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["cent_id"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .where(F.col("cos_raw") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+        .distinct()
+    )
+
+
 SEMDEDUP_COS = 0.45  # duplicate threshold (synthetic max-cos ≈ 0.51)
 
 
