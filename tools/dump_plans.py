@@ -188,6 +188,19 @@ PICKS = [
         "+ partition-local top-k + a single ranking exchange.",
     ),
     (
+        "embedding_neardup_adaptive",
+        "Adaptive-K near-dup blocking (r13): K = max(16, ceil(n/16)) from "
+        "one bounded row count, so expected cell size — hence pairs-per-"
+        "cell and verify cost — stays constant as the corpus grows (the "
+        "fixed-K variant's 10× probe grew 26×; this one re-measured 1.18 → "
+        "2.15 s warm on 10× data, with fixed-K at 250 s). The coarse-"
+        "quantizer table ships as a 1-row broadcast struct ARRAY "
+        "(BroadcastNestedLoopJoin of one row — not a plan literal, so the "
+        "Catalyst tree stays flat at any K); assignment is the same "
+        "zero-shuffle map-side fold as the fixed path (no Window, no "
+        "corpus-keyed exchange); the pair join stays cent_id-blocked.",
+    ),
+    (
         "sketch_cms_heavyhitters",
         "Count-Min Sketch (r11): the sketch build is a partial aggregate "
         "onto the fixed D×W counter grid (the groupBy(i,bucket) exchange "
