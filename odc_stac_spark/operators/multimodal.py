@@ -124,6 +124,39 @@ def synth_lattice_gray(seed: int, w: int = 16, h: int = 16, c: int = 1) -> np.nd
     return ((seed * 37 + (y // 4) * 29 + (x // 4) * 13) % 256).astype(np.uint8)
 
 
+def synth_image_neardup(seed: int, w: int = 16, h: int = 16, c: int = 3) -> np.ndarray:
+    """Deterministic image corpus WITH PLANTED NEAR-DUPLICATES for the
+    perceptual-hash dedup path (the default ramp content is too
+    degenerate for dedup work — only ~250 distinct images exist, since
+    the seed enters the pixel formula additively mod 256).
+
+    Cluster structure mirrors the documents table's text dup clusters:
+    seeds with seed%10 < 3 form 3-member clusters sharing a base image
+    (base = seed - seed%10 member = seed%10); members differ by a +40·m
+    bump on every 29th pixel — a few flipped dHash bits, like a
+    re-encoded/slightly-edited copy. Non-cluster seeds are unique.
+    Bilinear seed×position terms decorrelate the bases (455 distinct
+    hashes in 500 at sf0.01). Width is BASE-derived (16 + base%8, like a
+    shared source image), so duplicates exercise the resize-invariance of
+    the hash; the w/h args are part of the synth signature but the
+    content must be cluster-consistent, so they are ignored.
+
+    Pure integer function of (seed, k, y, x) — the DuckDB oracle
+    recomputes expected pixels from first principles, gating the whole
+    binary decode→hash→block→verify path.
+    """
+    b = seed - seed % 10 if seed % 10 < 3 else seed
+    m = seed % 10 if seed % 10 < 3 else 0
+    width = 16 + b % 8
+    y, x = np.mgrid[0:h, 0:width]
+    idx = y * width + x
+    out = np.empty((h, width, c), np.uint8)
+    for k in range(c):
+        v = (b * 73 + k * 11 + idx * 97 + (b % 17) * (idx % 19) * 53 + (b % 29) * (idx % 23) * 89) % 251
+        out[..., k] = np.where(idx % 29 == 0, (v + m * 40) % 251, v).astype(np.uint8)
+    return out
+
+
 #: media_type → encoder for the demo generators; PNG is a REAL codec
 #: (operators/codecs.py), SIMG the deterministic in-house one.
 _DEMO_IMAGE_ENCODERS = {"image/x-simg": encode_simg}
@@ -131,6 +164,12 @@ _DEMO_IMAGE_ENCODERS = {"image/x-simg": encode_simg}
 #: media_type → pixel synth for the demo generators (default synth_image);
 #: lossy VP8's exact profile needs lattice content rather than the SIMG ramp
 _DEMO_IMAGE_SYNTH = {}
+
+# planted-near-dup corpus: SIMG payloads (decode_simg reads them), distinct
+# media_type so demo_media_df swaps ONLY the pixel content
+_DEMO_IMAGE_ENCODERS["image/x-simg+neardup"] = encode_simg
+_DEMO_IMAGE_SYNTH["image/x-simg+neardup"] = synth_image_neardup
+DECODERS["image/x-simg+neardup"] = decode_simg
 
 
 def demo_media_df(
@@ -243,6 +282,49 @@ def image_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(stats, _STATS_SCHEMA)
+
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hash_hi", LongType()),
+        StructField("hash_lo", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode → integer
+    channel-sum gray → 9×8 nearest-neighbor downsample → 64 horizontal
+    brighter-than-left bits, returned as two uint32 halves (hash_hi =
+    bits 0..31 row-major, hash_lo = bits 32..63) so every downstream
+    band/XOR stays in non-negative BIGINT range on both engines.
+
+    All-integer pipeline (sum-gray instead of mean-gray: same ordering,
+    no float ties), so the DuckDB oracle reproduces the hash exactly.
+    Arrow-batched mapInPandas like every codec stage; at 100 TB this is
+    the map-side signature pass of image dedup — one number pair per
+    image crosses the shuffle, never pixels."""
+
+    decoders = dict(DECODERS)  # snapshot: ships registered codecs to workers
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], _batch_types(pdf)):
+                px = _decode_with(decoders, bytes(blob), mt)
+                gray = px.astype(np.int64).sum(axis=2)
+                h, w = gray.shape
+                yi = (np.arange(8) * h // 8).astype(int)
+                xi = (np.arange(9) * w // 9).astype(int)
+                g = gray[np.ix_(yi, xi)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                hi = int(bits[:32].dot(1 << np.arange(31, -1, -1, dtype=np.int64)))
+                lo = int(bits[32:].dot(1 << np.arange(31, -1, -1, dtype=np.int64)))
+                rows.append({"doc_id": doc_id, "hash_hi": hi, "hash_lo": lo})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(dh, _DHASH_SCHEMA)
 
 
 def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:

@@ -13,14 +13,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import pyspark.sql.functions as F
+
 from ..operators.multimodal import (
     audio_features,
     decode_metadata,
     demo_audio_df,
     demo_media_df,
+    image_dhash,
     image_stats,
 )
-from . import register
+from . import register, scoped_persist
 
 
 @register(
@@ -343,6 +346,134 @@ def mm_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_nearest
 
     return image_stats(resize_nearest(demo_media_df(spark, sf_dir), out_w=8, out_h=8))
+
+
+PHASH_HAM_T = 5  # near-dup threshold; planted cluster members land at 0-4
+PHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit dHash
+
+# The oracle recomputes the ENTIRE pipeline from first principles: the
+# planted-near-dup pixel formula (operators/multimodal.py
+# synth_image_neardup), integer channel-sum gray, 9×8 nearest-neighbor
+# sampling (h=16 → ys = yq*2; xs = (xq*w)//9), the 64 brighter-than-left
+# bits packed into two uint32 halves, the 4×16-bit LSH banding AND the
+# Hamming verify — so the hash gate covers decode → hash → block →
+# verify end-to-end, including the banding semantics (a pair at
+# hamming ≤ T that shares NO band is correctly absent on both sides).
+_PHASH_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 3 THEN doc_id - doc_id % 10
+                  ELSE doc_id END AS b,
+             CASE WHEN doc_id % 10 < 3 THEN doc_id % 10 ELSE 0 END AS m
+      FROM documents
+    ),
+    dim AS (SELECT *, 16 + b % 8 AS w FROM d),
+    grid AS (
+      SELECT dim.doc_id, dim.b, dim.m, dim.w, yq.yq, xq.xq,
+             (yq.yq * 2) * dim.w + ((xq.xq * dim.w) // 9) AS idx
+      FROM dim
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS yq) yq
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 8)) AS xq) xq
+    ),
+    gray AS (
+      SELECT doc_id, yq, xq,
+             SUM(((b*73 + k.k*11 + idx*97
+                   + (b % 17) * (idx % 19) * 53
+                   + (b % 29) * (idx % 23) * 89) % 251
+                  + CASE WHEN idx % 29 = 0 THEN m * 40 ELSE 0 END) % 251) AS g
+      FROM grid CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS k) k
+      GROUP BY doc_id, yq, xq
+    ),
+    bits AS (
+      SELECT a.doc_id, a.yq * 8 + a.xq AS pos,
+             CASE WHEN r.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM gray a JOIN gray r
+        ON r.doc_id = a.doc_id AND r.yq = a.yq AND r.xq = a.xq + 1
+      WHERE a.xq < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             SUM(CASE WHEN pos < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - pos))
+                      ELSE 0 END) AS hash_hi,
+             SUM(CASE WHEN pos >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - pos))
+                      ELSE 0 END) AS hash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT h.doc_id, h.hash_hi, h.hash_lo, bi.bi AS band_i,
+             CASE bi.bi WHEN 0 THEN h.hash_hi // 65536
+                        WHEN 1 THEN h.hash_hi % 65536
+                        WHEN 2 THEN h.hash_lo // 65536
+                        ELSE h.hash_lo % 65536 END AS band_v
+      FROM hashes h
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS bi) bi
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_i = b.band_i AND a.band_v = b.band_v
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 5
+"""
+
+
+@register(
+    "mm_image_phash_neardup",
+    oracle=_PHASH_ORACLE,
+    doc="IMAGE near-duplicate detection via perceptual hash — the "
+    "image-side MinHash: decode binary media → 64-bit dHash (integer "
+    "gray, 9×8 nearest downsample, brighter-than-left bits) inside one "
+    "Arrow-batched mapInPandas pass, then 4×16-bit LSH banding "
+    "(candidates share ≥1 band — never all-pairs) and an exact Hamming "
+    "verify ≤ 5. One (hash_hi, hash_lo) pair per image crosses the "
+    "shuffle, never pixels; at 100 TB the band join is the same "
+    "bucketed equi-join shape as dedup_minhash_lsh.",
+    tags=("multimodal", "dedup"),
+)
+def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = demo_media_df(spark, sf_dir, media_type="image/x-simg+neardup")
+    hashed = scoped_persist(image_dhash(media))
+    band_arr = F.array(
+        F.shiftright("hash_hi", 16),
+        F.col("hash_hi").bitwiseAND(F.lit(65535)),
+        F.shiftright("hash_lo", 16),
+        F.col("hash_lo").bitwiseAND(F.lit(65535)),
+    )
+    bands = hashed.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(band_arr).alias("band_i", "band_v"),
+    )
+    a = bands.select(
+        "band_i",
+        "band_v",
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+    )
+    b = bands.select(
+        "band_i",
+        "band_v",
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        a.join(b, ["band_i", "band_v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_HAM_T)
+        # a pair can collide in several bands; hamming is deterministic,
+        # so duplicates are identical rows — dedup after the cheap filter
+        .distinct()
+    )
 
 
 _PX_STATS_ORACLE = """
