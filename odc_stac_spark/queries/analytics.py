@@ -814,3 +814,73 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positives"),
         )
     )
+
+
+# --- mergeable fixed-grid histogram quantile sketch --------------------------
+#
+# Exact percentiles (agg_exact_percentiles) need a full sort per group; at
+# 100 TB the mergeable-sketch form is the production path: a fixed-width
+# bucket histogram is a CRDT (bucket counts add), builds map-side in one
+# pass, and answers any quantile to +-bucket_width. Sketch size is bounded
+# by the VALUE RANGE / width (here ~105 buckets), independent of row count.
+HIST_Q_WIDTH = 1000.0  # bucket width over l_extendedprice (range ~0.9k-105k)
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "agg_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(floor(l_extendedprice / {HIST_Q_WIDTH}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+        FROM hist),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]::DOUBLE[]) AS q)
+    SELECT q,
+           CAST(MIN(bucket) * {HIST_Q_WIDTH} AS DOUBLE) AS est_lo,
+           CAST((MIN(bucket) + 1) * {HIST_Q_WIDTH} AS DOUBLE) AS est_hi,
+           any_value(n_total) AS n_total
+    FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+    GROUP BY q
+    """,
+    doc="mergeable histogram quantile sketch: one map-side pass builds a "
+    "fixed-grid bucket histogram (size bounded by value range / width, "
+    "NOT by rows), cumulative counts over the ~100-bucket sketch locate "
+    "each quantile to +-width. The unpartitioned window runs over the "
+    "bounded sketch, never the data.",
+    tags=("analytics", "sketch"),
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.floor(F.col("l_extendedprice") / HIST_Q_WIDTH).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # both windows run over the BOUNDED sketch (~105 rows), so the single
+    # partition is fine at any data scale
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    qs = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(*[F.lit(float(q)) for q in HIST_QS])).alias("q")
+        )
+    )
+    return (
+        qs.join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy("q")
+        .agg(
+            (F.min("bucket") * HIST_Q_WIDTH).alias("est_lo"),
+            ((F.min("bucket") + 1) * HIST_Q_WIDTH).alias("est_hi"),
+            F.first("n_total").alias("n_total"),
+        )
+    )

@@ -1366,3 +1366,185 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cos"), "rn",
         )
     )
+
+
+# --- matryoshka (MRL) two-pass retrieval -----------------------------------
+#
+# Matryoshka-representation retrieval (Kusupati et al. 2022, public): the
+# first MRL_DIM dims of an MRL-trained embedding are themselves a valid
+# low-rank embedding, so ANN serving scans a short prefix for a cheap
+# coarse pass and re-ranks only the shortlist with the full vector. At
+# 100 TB the prefix lives as its own column (or its own narrow table), so
+# pass 1 reads MRL_DIM/64 of the bytes; pass 2 fetches full vectors for
+# shortlist rows only (queries x MRL_SHORTLIST, a broadcast).
+MRL_DIM = 16
+MRL_SHORTLIST = 20
+
+
+@register(
+    "ann_matryoshka_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    coarse AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_dot_product((q.v)[1:{MRL_DIM}], (e.v)[1:{MRL_DIM}])
+               / (sqrt(list_dot_product((q.v)[1:{MRL_DIM}], (q.v)[1:{MRL_DIM}]))
+                  * sqrt(list_dot_product((e.v)[1:{MRL_DIM}], (e.v)[1:{MRL_DIM}]))) AS cos16,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product((q.v)[1:{MRL_DIM}], (e.v)[1:{MRL_DIM}])
+                            / (sqrt(list_dot_product((q.v)[1:{MRL_DIM}], (q.v)[1:{MRL_DIM}]))
+                               * sqrt(list_dot_product((e.v)[1:{MRL_DIM}], (e.v)[1:{MRL_DIM}]))) DESC,
+                            e.vec_id) AS crn
+        FROM e q JOIN e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    short AS (SELECT query_id, neighbor_id, cos16 FROM coarse WHERE crn <= {MRL_SHORTLIST})
+    SELECT query_id, neighbor_id, cos_coarse, cos, rn FROM (
+        SELECT s.query_id, s.neighbor_id, ROUND(s.cos16, 6) AS cos_coarse,
+               ROUND(list_dot_product(q.v, e.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(e.v, e.v))), 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY list_dot_product(q.v, e.v)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(e.v, e.v))) DESC,
+                            s.neighbor_id) AS rn
+        FROM short s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e   ON e.vec_id = s.neighbor_id)
+    WHERE rn <= {TOP_K}
+    """,
+    doc="matryoshka two-pass ANN: coarse cosine over the first "
+    f"{MRL_DIM}-dim prefix (reads {MRL_DIM}/64 of the vector bytes at "
+    "scale), exact full-dim re-rank over the per-query shortlist only. "
+    "Both cosine folds are sequential left-folds in Spark and DuckDB, so "
+    "the shortlist boundary cannot flip between engines.",
+    tags=("similarity",),
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scoped_persist(_emb(spark, sf_dir))
+    pre = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.slice("emb", 1, MRL_DIM).alias("epre")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.slice("emb", 1, MRL_DIM).alias("qpre")
+    )
+    cos16 = _dot(F.col("qpre"), F.col("epre")) / (_norm(F.col("qpre")) * _norm(F.col("epre")))
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(pre)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos16.alias("cos16"))
+    )
+    coarse = partition_local_topk(
+        coarse, ["query_id"], [("cos16", False), ("neighbor_id", True)], MRL_SHORTLIST
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.desc("cos16"), F.asc("neighbor_id"))
+    short = (
+        coarse.withColumn("crn", F.row_number().over(cw))
+        .where(F.col("crn") <= MRL_SHORTLIST)
+        .drop("crn")
+    )
+    # re-rank: fetch FULL vectors for shortlist rows only (the shortlist is
+    # queries x MRL_SHORTLIST rows -> broadcast side of both fetch joins)
+    qfull = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    efull = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("eemb"))
+    fullcos = _dot(F.col("qemb"), F.col("eemb")) / (_norm(F.col("qemb")) * _norm(F.col("eemb")))
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    return (
+        efull.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select("query_id", "neighbor_id", "cos16", fullcos.alias("cos_full"))
+        .withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos16", 6).alias("cos_coarse"),
+            F.round("cos_full", 6).alias("cos"),
+            "rn",
+        )
+    )
+
+
+# --- int8 scalar-quantized ANN ---------------------------------------------
+#
+# Per-vector symmetric int8 quantization (the faiss SQ8 / public
+# sentence-transformers int8 recipe): scale = max|x| / 127, q_i =
+# round(x_i / scale) in [-127, 127]. Cosine over quantized vectors is
+# scale-free (the per-vector scales cancel), so the score is a pure
+# INTEGER dot product normalized by integer norms — bit-identical across
+# engines with no float fold-order concern at all. At 100 TB the int8
+# codes are 4x smaller than float32 (16x vs float64), so the scan reads
+# a quarter of the bytes and SIMD int8 dot products apply.
+SQ8_SCALE_DEN = 127.0
+
+
+@register(
+    "ann_int8_quantized_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / {SQ8_SCALE_DEN} AS s
+        FROM embeddings),
+    quant AS (
+        SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qi
+        FROM base)
+    SELECT query_id, neighbor_id, qcos, rn FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qi::DOUBLE[], e.qi::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qi::DOUBLE[], q.qi::DOUBLE[]))
+                        * sqrt(list_dot_product(e.qi::DOUBLE[], e.qi::DOUBLE[]))), 6) AS qcos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qi::DOUBLE[], e.qi::DOUBLE[])
+                            / (sqrt(list_dot_product(q.qi::DOUBLE[], q.qi::DOUBLE[]))
+                               * sqrt(list_dot_product(e.qi::DOUBLE[], e.qi::DOUBLE[]))) DESC,
+                            e.vec_id) AS rn
+        FROM quant q JOIN quant e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+    WHERE rn <= {TOP_K}
+    """,
+    doc="int8 scalar-quantized ANN: per-vector max-abs/127 symmetric "
+    "quantization map-side, cosine over the int8 codes (scales cancel -> "
+    "pure integer dot products, bit-exact across engines), two-stage "
+    "top-k. The 4x-smaller codes are the scan at scale.",
+    tags=("similarity",),
+)
+def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scale = F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(SQ8_SCALE_DEN)
+    # transform's lambda needs the scale column in scope: compute it first
+    quant = (
+        emb.withColumn("s", scale)
+        .select(
+            "vec_id",
+            F.transform(F.col("emb"), lambda x: F.round(x / F.col("s")).cast("long")).alias(
+                "qi"
+            ),
+        )
+    )
+    qd = F.transform(F.col("qi"), lambda x: x.cast("double"))
+    q = quant.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), qd.alias("qq")
+    )
+    e = quant.select(F.col("vec_id").alias("neighbor_id"), qd.alias("eq"))
+    qcos = _dot(F.col("qq"), F.col("eq")) / (_norm(F.col("qq")) * _norm(F.col("eq")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qcos.alias("qcos_raw"))
+    )
+    scored = partition_local_topk(
+        scored, ["query_id"], [("qcos_raw", False), ("neighbor_id", True)], TOP_K
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("qcos_raw", 6).alias("qcos"), "rn")
+    )

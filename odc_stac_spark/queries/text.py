@@ -944,3 +944,47 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-raw)), 6).alias("prob"),
         (raw >= 0).alias("keep"),
     )
+
+
+# --- RAG chunking: overlapping token windows --------------------------------
+CHUNK_W = 32  # window (tokens per chunk)
+CHUNK_S = 24  # stride (tokens) -> CHUNK_W - CHUNK_S = 8 tokens of overlap
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    SELECT doc_id, gs AS chunk_start,
+           CAST(least(len(toks) - gs, {CHUNK_W}) AS BIGINT) AS n_tokens,
+           array_to_string(toks[gs+1:gs+{CHUNK_W}], ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(0, len(toks)-1, {CHUNK_S})) AS gs) t
+    """,
+    doc="RAG-prep chunking: overlapping token windows "
+    f"(W={CHUNK_W}, stride={CHUNK_S}) per document, entirely JVM-side "
+    "(split/sequence/posexplode/slice, no Python). Embarrassingly "
+    "map-side: chunking never shuffles — at 100 TB it pipelines straight "
+    "into the embedding/packing stage on the scan partitioning.",
+    tags=("text", "llm"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_S)
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.least(F.size("toks") - F.col("chunk_start"), F.lit(CHUNK_W))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("chunk_start") + 1, F.lit(CHUNK_W))
+            ).alias("chunk_text"),
+        )
+    )
