@@ -1548,3 +1548,55 @@ def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("qcos_raw", 6).alias("qcos"), "rn")
     )
+
+
+@register(
+    "emb_class_centroid_cohesion",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT label, u.idx, u.x
+        FROM e, LATERAL (SELECT unnest(v) AS x,
+                                unnest(generate_series(1, len(v))) AS idx) u),
+    cent AS (
+        SELECT label, list(avgx ORDER BY idx) AS c
+        FROM (SELECT label, idx, AVG(x) AS avgx FROM dims GROUP BY 1, 2)
+        GROUP BY 1)
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+           ROUND(AVG(list_dot_product(e.v, c.c)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.c, c.c)))), 6) AS cohesion
+    FROM e JOIN cent c USING (label)
+    GROUP BY 1
+    """,
+    doc="per-class embedding quality report: distributed elementwise "
+    "centroid (posexplode -> (label, dim) partial-agg AVG — one shuffle "
+    "of dim x labels cells, never vectors to one node) then cohesion = "
+    "mean cosine of members to their centroid via a broadcast of the "
+    "label-count-bounded centroid table. The training-data curation "
+    "signal for class collapse / label noise.",
+    tags=("similarity", "llm"),
+)
+def emb_class_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _vecd(F.col("embedding")).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)  # see _emb
+    )
+    dims = emb.select("label", F.posexplode("v").alias("idx", "x"))
+    cent = (
+        dims.groupBy("label", "idx")
+        .agg(F.avg("x").alias("avgx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "avgx"))), lambda s: s.avgx
+            ).alias("c")
+        )
+    )
+    cos = _dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg(cos), 6).alias("cohesion"))
+    )

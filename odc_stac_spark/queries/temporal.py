@@ -513,3 +513,64 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value_sum", ignorenulls=True).over(w), 4).alias("value_locf"),
         F.col("n").isNull().cast("int").alias("was_gap"),
     )
+
+
+@register(
+    "ts_downsample_m4",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, date_trunc('day', ts) AS bucket, ts, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rl,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY value, event_id) AS rmin,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY value DESC, event_id DESC) AS rmax
+        FROM events)
+    SELECT event_type, epoch_us(bucket) AS bucket_us, epoch_us(ts) AS ts_us,
+           ROUND(value, 4) AS value, event_id,
+           CAST(rf = 1 AS INT) AS is_first, CAST(rl = 1 AS INT) AS is_last,
+           CAST(rmin = 1 AS INT) AS is_min, CAST(rmax = 1 AS INT) AS is_max
+    FROM pts WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+    """,
+    doc="M4 time-series downsampling (Jugel et al., VLDB 2014 — public): "
+    "per (series, day bucket) keep only the first/last/min/max points, "
+    "the error-free reduction for line-chart rendering. One exchange on "
+    "the bucket key feeds all four ranking windows; output is <=4 rows "
+    "per bucket regardless of event volume, so the reduction ratio GROWS "
+    "with scale.",
+    tags=("temporal",),
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("bucket"), "ts", "value", "event_id"
+    )
+    part = ["event_type", "bucket"]
+    wf = Window.partitionBy(*part).orderBy(F.asc("ts"), F.asc("event_id"))
+    wl = Window.partitionBy(*part).orderBy(F.desc("ts"), F.desc("event_id"))
+    wmin = Window.partitionBy(*part).orderBy(F.asc("value"), F.asc("event_id"))
+    wmax = Window.partitionBy(*part).orderBy(F.desc("value"), F.desc("event_id"))
+    ranked = base.select(
+        "event_type", "bucket", "ts", "value", "event_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+        F.row_number().over(wmin).alias("rmin"),
+        F.row_number().over(wmax).alias("rmax"),
+    )
+    keep = (
+        (F.col("rf") == 1) | (F.col("rl") == 1) | (F.col("rmin") == 1) | (F.col("rmax") == 1)
+    )
+    return ranked.where(keep).select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("value"),
+        "event_id",
+        (F.col("rf") == 1).cast("int").alias("is_first"),
+        (F.col("rl") == 1).cast("int").alias("is_last"),
+        (F.col("rmin") == 1).cast("int").alias("is_min"),
+        (F.col("rmax") == 1).cast("int").alias("is_max"),
+    )

@@ -988,3 +988,56 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+@register(
+    "text_chunk_dedup_rate",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, md5(array_to_string(toks[gs+1:gs+{CHUNK_W}], ' ')) AS chunk_key
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(0, len(toks)-1, {CHUNK_S})) AS gs) t),
+    freq AS (SELECT chunk_key, count(*) AS n_occ FROM chunks GROUP BY 1)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           ROUND(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS dup_rate
+    FROM chunks c JOIN freq f USING (chunk_key) JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="chunk-level duplicate-rate report per source: the RAG-corpus "
+    "counterpart of dedup_exact — chunks digest to md5 MAP-SIDE so the "
+    "frequency shuffle and self-join carry 32-byte keys, never chunk "
+    "text. Composes text_chunk_overlap's window spec; at 100 TB this is "
+    "the boilerplate-contamination dashboard per crawl source.",
+    tags=("text", "dedup", "llm"),
+)
+def text_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_S))
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("cs"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("cs") + 1, F.lit(CHUNK_W)))
+            ).alias("chunk_key"),
+        )
+    )
+    chunks = scoped_persist(chunks)
+    freq = chunks.groupBy("chunk_key").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.sum((F.col("n_occ") > 1).cast("long"))
+    return (
+        chunks.join(freq, "chunk_key")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("dup_chunks"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )
