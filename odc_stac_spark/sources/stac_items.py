@@ -277,7 +277,10 @@ def stac_dicts_to_items(spark: SparkSession, docs: Iterable[dict]) -> DataFrame:
     raw = spark.createDataFrame(
         [(_json.dumps(d),) for d in docs], schema="value string"
     )
-    return stac_json_to_items(raw)
+    # driver-side dict lists are small by construction (the at-scale path
+    # is read_stac_json); one partition beats defaultParallelism empty
+    # tasks on every downstream action
+    return stac_json_to_items(raw.coalesce(1))
 
 # media types treated as raster data (reference RASTER_FILE_EXTENSIONS /
 # media-type sets, _mdtools.py:66-91)
