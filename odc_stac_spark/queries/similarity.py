@@ -31,6 +31,7 @@ TOP_K = 5
 NEARDUP_COS = 0.45  # synthetic data max-cos ≈ 0.51; real corpora use ~0.95
 IVF_K = 16
 IVF_NPROBE = 4
+KM_FIT_STRIDE = 4  # kmeans fit sees vec_id % 4 == 0 only (fit-on-sample gate)
 
 
 def _vecd(col):
@@ -507,9 +508,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests.
 
 
-def _ivf_assign_sql(cent_cte: str) -> str:
+def _ivf_assign_sql(cent_cte: str, src: str = "emb") -> str:
     """SQL image of operators/kmeans.assign_to_centroids: nearest centroid
-    by cosine, ties broken by cent_id asc."""
+    by cosine, ties broken by cent_id asc. ``src`` picks the vector CTE —
+    the kmeans oracle assigns the FIT SAMPLE during iterations and the
+    full corpus only once at the end, mirroring the Spark side."""
     return f"""
       SELECT vec_id, emb, cent_id FROM (
         SELECT vec_id, emb, cent_id,
@@ -519,7 +522,7 @@ def _ivf_assign_sql(cent_cte: str) -> str:
                      list_dot_product(e.emb, c.cemb)
                      / (sqrt(list_dot_product(e.emb, e.emb))
                         * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
-              FROM emb e CROSS JOIN {cent_cte} c)
+              FROM {src} e CROSS JOIN {cent_cte} c)
       ) WHERE rn = 1
     """
 
@@ -583,11 +586,19 @@ def _ivf_kmeans_oracle(n_iter: int = 3) -> str:
     cell size."""
     from ..operators.kmeans import DEFAULT_CELL_CAP
     ctes = [
-        f"emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K})",
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        # fit-on-sample gate (ADVICE r12, second half): Lloyd iterations
+        # only ever see the deterministic 1/KM_FIT_STRIDE sample, so fit
+        # cost is bounded at any corpus size; init = first K sample
+        # members by vec_id, cent_id = rank (matches Python enumerate)
+        f"fit AS (SELECT vec_id, emb FROM emb WHERE vec_id % {KM_FIT_STRIDE} = 0)",
+        f"""cent0 AS (
+      SELECT rn - 1 AS cent_id, cemb FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) AS rn, emb AS cemb FROM fit
+      ) WHERE rn <= {IVF_K})""",
     ]
     for j in range(n_iter):
-        ctes.append(f"assigned{j} AS ({_ivf_assign_sql(f'cent{j}')})")
+        ctes.append(f"assigned{j} AS ({_ivf_assign_sql(f'cent{j}', src='fit')})")
         ctes.append(
             f"""upd{j} AS (
       SELECT cent_id,
@@ -697,7 +708,15 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     emb = scoped_persist(emb)
-    cent, _trace = kmeans_fit(emb, IVF_K, n_iter=3)
+    # fit on the deterministic 1/KM_FIT_STRIDE sample (ADVICE r12: the
+    # fit-on-sample discipline must be enforced by the query, not just
+    # documented) — centroid quality saturates long before the full
+    # corpus, and the full data only flows through the single final
+    # assign. The gate is `vec_id % stride` so the DuckDB oracle can
+    # replay it exactly; with non-uniform production ids, hash first
+    # (pmod(xxhash64(id), stride)) — same shape, same cost.
+    fit = emb.where(F.col("vec_id") % KM_FIT_STRIDE == 0)
+    cent, _trace = kmeans_fit(fit, IVF_K, n_iter=3)
     assigned = assign_to_centroids(emb, cent)
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cent)], "cent_id int, cemb array<double>"
