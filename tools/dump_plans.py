@@ -216,6 +216,32 @@ PICKS = [
         "plain JVM exchange afterwards — pixels cross the Arrow boundary "
         "once per direction and never shuffle.",
     ),
+    (
+        "ann_matryoshka_rerank",
+        "Matryoshka two-pass retrieval (r13 continuation): pass 1 scores "
+        "the 16-dim prefix only (a quarter of the vector bytes at scale), "
+        "the per-query shortlist is bounded (queries × 20 rows) and "
+        "BROADCASTS into both full-vector fetch joins — the full corpus "
+        "is scanned once for the coarse pass and never shuffles; only "
+        "shortlist rows reach the exact re-rank.",
+    ),
+    (
+        "agg_histogram_quantiles",
+        "Mergeable histogram quantile sketch (r13 continuation): the "
+        "groupBy(bucket) partial-aggregates map-side onto a fixed grid "
+        "bounded by value-range/width (~105 buckets here), so the "
+        "single-partition cumulative window that locates each quantile "
+        "runs over the SKETCH, never the data — the exact-percentile "
+        "full-sort alternative is the thing this replaces at 100 TB.",
+    ),
+    (
+        "ts_gap_fill_locf",
+        "Gap fill + LOCF (r13 continuation): the dense hour spine is "
+        "sequence()/explode over per-series (min,max) — bounded by "
+        "series-count × span-hours, independent of event volume; the "
+        "carry-forward window partitions by series, so no global sort "
+        "exists anywhere in the plan.",
+    ),
 ]
 
 
