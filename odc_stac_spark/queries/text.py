@@ -1041,3 +1041,39 @@ def text_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup / F.count(F.lit(1)), 6).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle="""
+    WITH wmax AS (SELECT MAX(n_chars) AS wm FROM documents),
+    scored AS (
+        SELECT doc_id, source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS u32,
+               n_chars * 1.0 / wm AS p
+        FROM documents, wmax)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, ROUND(p, 6) AS p
+    FROM scored WHERE u32 < floor(p * 4294967296.0)
+    """,
+    doc="deterministic weighted Bernoulli subsampling: keep each document "
+    "with probability proportional to its weight (here n_chars / max) "
+    "using an md5-derived 32-bit uniform — reproducible across runs AND "
+    "engines because the accept test is one IEEE multiply + floor + "
+    "integer compare (no libm). Entirely map-side after a 1-row scalar "
+    "broadcast of the weight normalizer (the DSIR totals pattern); the "
+    "quality-weighted corpus-thinning op of a training-data pipeline.",
+    tags=("text", "llm", "sampling"),
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wm = d.agg(F.max("n_chars").alias("wm"))
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    p = F.col("n_chars") * F.lit(1.0) / F.col("wm")
+    return (
+        d.crossJoin(F.broadcast(wm))
+        .where(u32 < F.floor(p * F.lit(4294967296.0)))
+        .select("doc_id", "source", "n_chars", F.round(p, 6).alias("p"))
+    )
