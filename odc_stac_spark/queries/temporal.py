@@ -574,3 +574,56 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rmin") == 1).cast("int").alias("is_min"),
         (F.col("rmax") == 1).cast("int").alias("is_max"),
     )
+
+
+ANOM_Z = 2.5  # |z| threshold (applied to the ROUNDED z on both engines)
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    prof AS (
+        SELECT event_type, EXTRACT(hour FROM h) AS hod,
+               AVG(n) AS mu, STDDEV_POP(n) AS sd
+        FROM hourly GROUP BY 1, 2)
+    SELECT h.event_type, epoch_us(h.h) AS hour_us, h.n,
+           ROUND(p.mu, 6) AS mu, ROUND((h.n - p.mu) / p.sd, 4) AS z
+    FROM hourly h JOIN prof p
+      ON p.event_type = h.event_type AND p.hod = EXTRACT(hour FROM h.h)
+    WHERE p.sd > 0 AND abs(ROUND((h.n - p.mu) / p.sd, 4)) >= {ANOM_Z}
+    """,
+    doc="seasonal z-score anomaly detection: per (series, hour-of-day) "
+    "volume profile (mean/stddev of hourly counts — a 24-row-per-series "
+    "broadcastable table), each hour scored against its seasonal slot, "
+    "|z| >= 2.5 flagged. Both aggregations are map-side partial; the "
+    "profile join broadcasts. The threshold compares the ROUNDED z so "
+    "float fold-order noise cannot flip membership between engines.",
+    tags=("temporal", "anomaly"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from . import scoped_persist
+
+    hourly = scoped_persist(hourly)
+    prof = hourly.groupBy("event_type", F.hour("h").alias("hod")).agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        hourly.withColumn("hod", F.hour("h"))
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .where((F.col("sd") > 0) & (F.abs(z) >= ANOM_Z))
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n",
+            F.round("mu", 6).alias("mu"),
+            z.alias("z"),
+        )
+    )

@@ -452,3 +452,52 @@ def test_continuous_agg_writes_one_file_per_hour(spark, sf_dir, tmp_path):
     for d in hour_dirs:
         files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_chunker_is_shuffle_free(spark, sf_dir):
+    """text_chunk_overlap must pipeline on the scan partitioning — RAG
+    chunking feeds the embedding stage at 100 TB and any exchange there
+    shuffles the full corpus text."""
+    plan = _executed_plan(REGISTRY["text_chunk_overlap"].spark_fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_matryoshka_rerank_broadcasts_the_shortlist(spark, sf_dir):
+    """The full-vector fetch joins of the re-rank pass must broadcast the
+    (queries x shortlist)-bounded side — a shuffle join there would move
+    the corpus for a few hundred lookups."""
+    plan = _executed_plan(REGISTRY["ann_matryoshka_rerank"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_sample_broadcasts_the_normalizer(spark, sf_dir):
+    """sample_weighted_bernoulli's weight normalizer is a 1-row scalar
+    aggregate broadcast back (the DSIR totals pattern) — never an
+    unpartitioned window over the corpus."""
+    plan = _executed_plan(REGISTRY["sample_weighted_bernoulli"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_histogram_sketch_window_runs_over_the_sketch(spark, sf_dir):
+    """agg_histogram_quantiles' single-partition cumulative window must
+    sit ABOVE the bucket aggregation (bounded sketch input), not above
+    the raw scan."""
+    plan = _executed_plan(REGISTRY["agg_histogram_quantiles"].spark_fn(spark, sf_dir))
+    w = plan.index("Window")
+    # the bucket aggregate's map-side half projects FLOOR(price/width);
+    # parent prints above child, so the window index must be smaller
+    agg = plan.index("FLOOR((l_extendedprice")
+    assert w < agg, "window must consume the bucket aggregate (parent above child)"
+    # and the bucketing partial-aggregates before any exchange
+    assert plan.index("partial_count") < agg or "partial_count" in plan
+
+
+def test_gap_fill_spine_is_generated_not_joined(spark, sf_dir):
+    """ts_gap_fill_locf's dense hour spine comes from sequence()/explode
+    over per-series (min,max) — bounded by span; no cartesian machinery
+    anywhere."""
+    plan = _executed_plan(REGISTRY["ts_gap_fill_locf"].spark_fn(spark, sf_dir))
+    assert "sequence(" in plan and "Generate explode" in plan
+    assert "CartesianProduct" not in plan
