@@ -627,3 +627,68 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+@register(
+    "t_stream_anomaly_zscore",
+    # gate: identical SQL image as the batch ts_anomaly_zscore — the
+    # stream-maintained rollup must reproduce the batch hourly counts
+    # exactly (exactly-once per bucket), so the derived anomaly set is
+    # bit-identical.
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    prof AS (
+        SELECT event_type, EXTRACT(hour FROM h) AS hod,
+               AVG(n) AS mu, STDDEV_POP(n) AS sd
+        FROM hourly GROUP BY 1, 2)
+    SELECT h.event_type, epoch_us(h.h) AS hour_us, h.n,
+           ROUND(p.mu, 6) AS mu, ROUND((h.n - p.mu) / p.sd, 4) AS z
+    FROM hourly h JOIN prof p
+      ON p.event_type = h.event_type AND p.hod = EXTRACT(hour FROM h.h)
+    WHERE p.sd > 0 AND abs(ROUND((h.n - p.mu) / p.sd, 4)) >= {ANOM_Z}
+    """,
+    doc="REAL streaming anomaly detection: the continuous aggregate "
+    "(streaming/continuous.py) maintains the per-(hour, series) rollup "
+    "incrementally via foreachBatch + dynamic partition overwrite; the "
+    "seasonal profile and z-flags derive from the MAINTAINED state — "
+    "raw events are never re-scanned. At 100 TB the profile input is "
+    "the rollup (series x span rows), so detection cost is independent "
+    "of event volume; stream==batch parity of the flag set IS the gate.",
+    tags=("temporal", "streaming", "anomaly"),
+)
+def t_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: F401  (parity with t_stream_continuous_agg's imports)
+    import tempfile
+
+    from ..streaming.continuous import continuous_aggregate, read_continuous
+
+    work = tempfile.mkdtemp(prefix="canom_")
+    stream = _stage_events_stream(spark, sf_dir, "canom_events_").select(
+        "ts", "event_type", "value"
+    )
+    q = continuous_aggregate(spark, stream, f"{work}/agg", f"{work}/ckpt")
+    _await_stream(q)
+    hourly = read_continuous(spark, f"{work}/agg").select(
+        "event_type", F.col("bucket").alias("h"), "n"
+    )
+    from . import scoped_persist
+
+    hourly = scoped_persist(hourly)
+    prof = hourly.groupBy("event_type", F.hour("h").alias("hod")).agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        hourly.withColumn("hod", F.hour("h"))
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .where((F.col("sd") > 0) & (F.abs(z) >= ANOM_Z))
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n",
+            F.round("mu", 6).alias("mu"),
+            z.alias("z"),
+        )
+    )
