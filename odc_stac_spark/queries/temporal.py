@@ -692,3 +692,42 @@ def t_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    trans AS (
+        SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM trans
+    """,
+    doc="behavioral Markov transition matrix: per-user event sequences "
+    "(one lead window on the session key — the same exchange "
+    "sessionization uses) reduce to a types x types transition count "
+    "table; row-normalized probabilities come from a window over that "
+    "BOUNDED matrix, never the events. The user-journey fingerprint of "
+    "product analytics.",
+    tags=("temporal", "analytics"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w_seq).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w_row), 6).alias("p"),
+    )

@@ -1077,3 +1077,47 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u32 < F.floor(p * F.lit(4294967296.0)))
         .select("doc_id", "source", "n_chars", F.round(p, 6).alias("p"))
     )
+
+
+@register(
+    "text_entropy_filter",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+        FROM documents),
+    freq AS (
+        SELECT doc_id, ch, count(*) AS k FROM chars WHERE ch <> '' GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(k) AS n FROM freq GROUP BY 1)
+    SELECT f.doc_id,
+           ROUND(-SUM((k * 1.0 / n) * ln(k * 1.0 / n) / ln(2)), 6) AS entropy_bits,
+           CAST(any_value(n) AS BIGINT) AS n_chars,
+           CAST(-SUM((k * 1.0 / n) * ln(k * 1.0 / n) / ln(2)) >= 3.0 AS INT) AS keep
+    FROM freq f JOIN tot USING (doc_id) GROUP BY 1
+    """,
+    doc="character-entropy quality filter (the Gopher/C4-style gibberish "
+    "and repetition screen): per-document Shannon entropy over the "
+    "character distribution — two partial-aggregation passes, both "
+    "map-side combinable (per-doc char histogram is bounded by the "
+    "alphabet); low-entropy docs (repetition) and pathological "
+    "high-entropy byte soup both separate from prose. keep gates at "
+    ">= 3.0 bits.",
+    tags=("text", "llm", "quality"),
+)
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("k"))
+    tot = freq.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    pk = F.col("k") * F.lit(1.0) / F.col("n")
+    ent = -F.sum(pk * F.log(pk) / F.log(F.lit(2.0)))
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(ent, 6).alias("entropy_bits"),
+            F.first("n").alias("n_chars"),
+            (ent >= 3.0).cast("int").alias("keep"),
+        )
+    )
