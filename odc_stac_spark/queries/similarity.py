@@ -1720,3 +1720,52 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("qcos_raw", 6).alias("qcos"), "rn")
     )
+
+
+from . import REGISTRY as _REG  # noqa: E402  (oracle composition below)
+
+
+@register(
+    "ann_recall_report",
+    # the oracle composes the two gated oracles verbatim, so this query's
+    # gate is only ever as good as theirs — exactly the semantics of a
+    # recall evaluation.
+    oracle=f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id
+        FROM ({_REG["knn_bruteforce_cosine"].oracle})),
+    approx AS (
+        SELECT query_id, neighbor_id
+        FROM ({_REG["ann_ivf_topk"].oracle}))
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {TOP_K}, 6) AS recall
+    FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY 1
+    """,
+    doc="ANN index-quality report: recall@k of the IVF index against the "
+    "brute-force ground truth, per query — the evaluation every "
+    "production ANN deployment runs before flipping traffic. Composes "
+    "the two gated operators (raw functions, so the cache lifecycle is "
+    "untouched); at scale ground truth comes from a query SAMPLE, which "
+    "is exactly what the broadcast-bounded query side already is.",
+    tags=("similarity", "evaluation"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hits.cast("bigint").alias("hits"),
+            F.round(hits * F.lit(1.0) / TOP_K, 6).alias("recall"),
+        )
+    )
