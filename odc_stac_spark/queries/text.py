@@ -1121,3 +1121,45 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ent >= 3.0).cast("int").alias("keep"),
         )
     )
+
+
+SPLIT_SALT = "split:"  # keyspace-separates the split hash from other md5 uses
+
+
+@register(
+    "docs_train_val_split",
+    oracle=f"""
+    SELECT doc_id, source, split FROM (
+        SELECT doc_id, source,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, source,
+                     CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 100 AS bucket
+              FROM documents))
+    """,
+    doc="deterministic train/val/test split (90/5/5): each document's "
+    "fate is a pure function of a salted md5 of its id — reproducible "
+    "across runs, engines and reshuffles, immune to input order, and "
+    "map-side with zero shuffles. The salt keyspace-separates this hash "
+    "from every other md5 use so adding a new hash-gated op can never "
+    "correlate with the split.",
+    tags=("text", "llm", "sampling"),
+)
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "source", split.alias("split"))
