@@ -884,3 +884,76 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_total").alias("n_total"),
         )
     )
+
+
+DECILE_W = 2000.0  # sketch bucket width over o_totalprice (range ~1k-500k)
+
+
+@register(
+    "orders_decile_by_sketch",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(floor(o_totalprice / {DECILE_W}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM hist),
+    ds AS (SELECT unnest(generate_series(1, 9)) AS d),
+    thr AS (
+        SELECT d, MIN(bucket) AS tb
+        FROM ds JOIN cum ON cum.cum >= ceil(d * n / 10.0)
+        GROUP BY d)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o.o_totalprice,
+               1 + (SELECT CAST(count(*) AS BIGINT) FROM thr
+                    WHERE thr.tb < CAST(floor(o.o_totalprice / {DECILE_W}) AS BIGINT))
+                   AS decile
+        FROM orders o)
+    GROUP BY 1
+    """,
+    doc="scale-safe decile bucketing: a global ntile() would sort the "
+    "corpus on one reducer; instead the histogram sketch (bounded by "
+    "value range / width) yields the nine decile thresholds from one "
+    "map-side pass, the 9-row threshold table ships as a plan literal, "
+    "and assignment is a map-side array filter — the fact side never "
+    "shuffles for the bucketing (only the final per-decile rollup "
+    "exchanges 10 groups).",
+    tags=("analytics", "sketch"),
+)
+def orders_decile_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / DECILE_W)
+    hist = o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    thr_rows = (
+        F.broadcast(ds)
+        .join(cum, F.col("cum") >= F.ceil(F.col("d") * F.col("n") / 10.0))
+        .groupBy("d")
+        .agg(F.min("bucket").alias("tb"))
+        .collect()  # bounded: exactly 9 rows, the broadcast-threshold pattern
+    )
+    thr_arr = F.array(*[F.lit(int(r.tb)) for r in sorted(thr_rows, key=lambda r: r.d)])
+    decile = (F.lit(1) + F.size(F.filter(thr_arr, lambda t: t < bucket))).alias("decile")
+    return (
+        o.select(decile, "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
