@@ -731,3 +731,82 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w_row), 6).alias("p"),
     )
+
+
+@register(
+    "t_stream_gap_fill",
+    # gate: identical SQL image as the batch ts_gap_fill_locf — the
+    # stream-maintained rollup's (n, value_sum) partials must reproduce
+    # the batch hourly aggregate (exactly-once merges; the 4-decimal
+    # rounding absorbs partial-merge float reassociation, the same
+    # tolerance the continuous-agg gate already proves sufficient).
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS value_sum
+        FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    spine AS (
+        SELECT s.event_type, t.h
+        FROM spans s,
+             LATERAL (SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h) t)
+    SELECT sp.event_type, epoch_us(sp.h) AS hour_us,
+           COALESCE(hy.n, 0) AS n,
+           ROUND(last_value(hy.value_sum IGNORE NULLS) OVER (
+               PARTITION BY sp.event_type ORDER BY sp.h ROWS UNBOUNDED PRECEDING), 4)
+               AS value_locf,
+           CAST(hy.n IS NULL AS INT) AS was_gap
+    FROM spine sp LEFT JOIN hourly hy
+      ON hy.event_type = sp.event_type AND hy.h = sp.h
+    """,
+    doc="REAL streaming gap fill: the continuous aggregate maintains the "
+    "hourly rollup incrementally; the dense spine + LOCF derive from the "
+    "MAINTAINED state, so serving a complete (gap-free) series costs "
+    "series x span rows regardless of event volume — the real-time "
+    "dashboard-feed pattern. Gate: hash-parity with the batch gap-fill "
+    "SQL oracle.",
+    tags=("temporal", "streaming"),
+)
+def t_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.continuous import continuous_aggregate, read_continuous
+
+    work = tempfile.mkdtemp(prefix="cgap_")
+    stream = _stage_events_stream(spark, sf_dir, "cgap_events_").select(
+        "ts", "event_type", "value"
+    )
+    q = continuous_aggregate(spark, stream, f"{work}/agg", f"{work}/ckpt")
+    _await_stream(q)
+    from . import scoped_persist
+
+    hourly = scoped_persist(
+        read_continuous(spark, f"{work}/agg").select(
+            "event_type",
+            F.col("bucket").alias("h"),
+            "n",
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.last("value_sum", ignorenulls=True).over(w), 4).alias("value_locf"),
+            F.col("n").isNull().cast("int").alias("was_gap"),
+        )
+    )
