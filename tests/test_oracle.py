@@ -54,3 +54,29 @@ def test_q22_nonvacuous_at_sf01(spark):
         compare(got, want, name="q22@sf0.1")
     finally:
         c.close()
+
+
+def test_compare_detects_value_perturbation(spark, sf_dir, con):
+    """Guard the gate itself: a single perturbed value must fail the
+    compare (if this ever passes silently, every green above is
+    meaningless)."""
+    import pyspark.sql.functions as F
+
+    q = REGISTRY["q1_pricing_summary"]
+    good = q.spark_fn(spark, sf_dir)
+    bad = good.withColumn(
+        "sum_qty", F.col("sum_qty") + F.when(F.col("l_returnflag") == "A", 1).otherwise(0)
+    )
+    want = con.sql(q.oracle).df()
+    compare(good, want, name="sanity-good")
+    with pytest.raises(AssertionError):
+        compare(bad, want, name="must-fail")
+
+
+def test_compare_detects_dropped_row(spark, sf_dir, con):
+    """Row-count mismatches must fail too (truncation is not success)."""
+    q = REGISTRY["q1_pricing_summary"]
+    good = q.spark_fn(spark, sf_dir)
+    want = con.sql(q.oracle).df()
+    with pytest.raises(AssertionError):
+        compare(good.limit(2), want, name="must-fail-rows")
