@@ -1769,3 +1769,50 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hits * F.lit(1.0) / TOP_K, 6).alias("recall"),
         )
     )
+
+
+@register(
+    "emb_quality_report",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+               len(embedding) AS dim
+        FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(dim) AS BIGINT) AS dim_min, CAST(max(dim) AS BIGINT) AS dim_max,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
+           CAST(SUM(CASE WHEN isnan(list_aggregate(v, 'sum')) THEN 1 ELSE 0 END)
+                AS BIGINT) AS nan_vectors,
+           ROUND(AVG(nrm), 6) AS norm_mean,
+           ROUND(STDDEV_POP(nrm), 6) AS norm_std,
+           ROUND(MIN(nrm), 6) AS norm_min, ROUND(MAX(nrm), 6) AS norm_max
+    FROM e
+    """,
+    doc="embedding ingestion QC: one map-side pass computes dimension "
+    "consistency, zero/NaN vector counts and the norm distribution — the "
+    "checks that catch a broken encoder or a bad batch BEFORE an index "
+    "build spends a corpus scan on garbage. Single-row mergeable "
+    "aggregate; no shuffle beyond the final 1-group reduction.",
+    tags=("similarity", "quality"),
+)
+def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("v")
+    )
+    nrm = _norm(F.col("v"))
+    vsum = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x)
+    base = emb.select(
+        nrm.alias("nrm"), F.size("v").alias("dim"), F.isnan(vsum).alias("has_nan")
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("dim").cast("bigint").alias("dim_min"),
+        F.max("dim").cast("bigint").alias("dim_max"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("zero_vectors"),
+        F.sum(F.col("has_nan").cast("long")).alias("nan_vectors"),
+        F.round(F.avg("nrm"), 6).alias("norm_mean"),
+        F.round(F.stddev_pop("nrm"), 6).alias("norm_std"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+    )

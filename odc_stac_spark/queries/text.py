@@ -1163,3 +1163,51 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return d.select("doc_id", "source", split.alias("split"))
+
+
+@register(
+    "text_idf_rarity_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), ' +'))) AS tok
+        FROM documents),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    idf AS (
+        SELECT tok, ln((SELECT nd FROM ndocs) * 1.0 / count(DISTINCT doc_id)) AS idf
+        FROM toks GROUP BY 1)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           ROUND(AVG(i.idf), 6) AS rarity
+    FROM toks t JOIN idf i USING (tok) GROUP BY 1
+    """,
+    doc="document rarity score: mean idf of each document's distinct "
+    "tokens — boilerplate scores low, rare-term documents high; the "
+    "typicality axis of corpus curation (complements tf-idf's per-term "
+    "view). One token-level shuffle builds the idf table (vocabulary-"
+    "bounded); the doc-count normalizer is a 1-row broadcast.",
+    tags=("text", "llm", "quality"),
+)
+def text_idf_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        ).alias("tok"),
+    )
+    toks = scoped_persist(toks)
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    idf = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select("tok", F.log(F.col("nd") * F.lit(1.0) / F.col("df")).alias("idf"))
+    )
+    return (
+        toks.join(idf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.avg("idf"), 6).alias("rarity"),
+        )
+    )
