@@ -957,3 +957,66 @@ def orders_decile_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_grouped_sketch_median",
+    oracle=f"""
+    WITH hist AS (
+        SELECT n.n_name, CAST(floor(o.o_totalprice / {DECILE_W}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT n_name, bucket,
+               CAST(SUM(cnt) OVER (PARTITION BY n_name ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS n FROM hist)
+    SELECT n_name,
+           CAST(MIN(bucket) * {DECILE_W} AS DOUBLE) AS median_lo,
+           CAST((MIN(bucket) + 1) * {DECILE_W} AS DOUBLE) AS median_hi,
+           any_value(n) AS n_orders
+    FROM cum WHERE cum >= ceil(0.5 * n) GROUP BY 1
+    """,
+    doc="grouped approximate median via per-group histogram sketches: the "
+    "exact grouped median sorts every group; here each group's sketch is "
+    "bounded by value-range/width, the group-partitioned cumulative "
+    "window runs over sketch rows only, and the dims broadcast. The "
+    "grouped form of agg_histogram_quantiles — the shape a 100 TB "
+    "GROUP-BY-median actually ships with.",
+    tags=("analytics", "sketch"),
+)
+def agg_grouped_sketch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    hist = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.floor(F.col("o_totalprice") / DECILE_W).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("n_name")
+    cum = hist.select(
+        "n_name",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        cum.where(F.col("cum") >= F.ceil(0.5 * F.col("n")))
+        .groupBy("n_name")
+        .agg(
+            (F.min("bucket") * DECILE_W).alias("median_lo"),
+            ((F.min("bucket") + 1) * DECILE_W).alias("median_hi"),
+            F.first("n").alias("n_orders"),
+        )
+    )
