@@ -955,3 +955,44 @@ def audio_resample_features(media: DataFrame, dst_rate: int = 8000) -> DataFrame
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(feats, _RESAMPLE_SCHEMA)
+
+
+_SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_from", IntegerType()),
+        StructField("mad", DoubleType()),
+        StructField("is_cut", IntegerType()),
+    ]
+)
+
+
+def video_scene_cuts(media: DataFrame, threshold: float = 40.0) -> DataFrame:
+    """Scene-cut detection: per consecutive frame pair, the mean absolute
+    pixel difference; pairs above ``threshold`` are cut boundaries — the
+    clip-segmentation pass of a video training pipeline (each segment
+    then becomes a training sample). Arrow-batched mapInPandas like
+    every codec stage; one row per frame PAIR crosses the boundary,
+    never pixels. Integer pixel math (int16 diff of uint8 frames), so
+    the MAD is exact and the oracle replays it bit-for-bit."""
+
+    decoders = dict(VIDEO_DECODERS)
+
+    def sc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                frames = decoders[mt](bytes(blob)).astype(np.int16)
+                for f in range(frames.shape[0] - 1):
+                    mad = float(np.abs(frames[f + 1] - frames[f]).mean())
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_from": f,
+                            "mad": round(mad, 6),
+                            "is_cut": int(mad > threshold),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(sc, _SCENE_CUT_SCHEMA)

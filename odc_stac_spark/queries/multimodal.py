@@ -1297,3 +1297,40 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_resample_features(
         demo_audio_df(spark, sf_dir, media_type="audio/wav"), dst_rate=8000
     )
+
+
+SCENE_CUT_T = 40.0  # MAD threshold; synth clips spread 17-113
+
+
+@register(
+    "mm_video_scene_cuts",
+    # the oracle recomputes every frame-pair mean-abs-diff from the SVID
+    # pixel formula — all-integer until the final mean, so the gate is
+    # exact (mad spread on the synth corpus: 17..112.6)
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, f.f, y.y, x.x,
+             (d.doc_id * 37 + f.f * 17 + y.y * 5 + x.x * 3) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS f) f
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS y) y
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 11)) AS x) x
+      WHERE f.f < 4 + d.doc_id % 4 AND x.x < 8 + d.doc_id % 4)
+    SELECT a.doc_id, CAST(a.f AS INT) AS frame_from,
+           ROUND(AVG(abs(b.v - a.v)), 6) AS mad,
+           CAST(AVG(abs(b.v - a.v)) > {SCENE_CUT_T} AS INT) AS is_cut
+    FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                       AND b.y = a.y AND b.x = a.x
+    GROUP BY 1, 2
+    """,
+    doc="multimodal video scene-cut detection: decode → per-consecutive-"
+    "frame-pair mean absolute difference → threshold, inside Arrow "
+    "batches (the clip-segmentation pass that turns raw video into "
+    "training samples). One row per frame pair leaves the Python "
+    "island; integer pixel math makes the gate exact.",
+    tags=("multimodal", "video"),
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import demo_video_df, video_scene_cuts
+
+    return video_scene_cuts(demo_video_df(spark, sf_dir), threshold=SCENE_CUT_T)
