@@ -392,3 +392,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = bit if simhash is None else simhash + bit
     return d.select("doc_id", simhash.alias("simhash32"))
+
+
+@register(
+    "text_source_overlap_matrix",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT source, g FROM (
+            SELECT d.source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+            FROM (SELECT doc_id, source,
+                         string_split_regex(trim(lower(text)), ' +') AS ts
+                  FROM documents) d,
+                 LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) s
+            WHERE len(ts) >= 3)),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT src_a, src_b, inter,
+           ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    doc="cross-source corpus-overlap matrix: distinct 3-gram sets per "
+    "source, pairwise Jaccard via an inverted-index self-join — the "
+    "'how redundant are my crawls' curation dashboard. Output and the "
+    "per-gram join fan-out are bounded by SOURCE-count squared (not "
+    "documents), so the matrix stays a few hundred rows at any corpus "
+    "size; the gram sets dedupe map-side before the join.",
+    tags=("dedup", "text", "llm"),
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    grams = scoped_persist(
+        _shingles_df(spark, sf_dir)
+        .join(src, "doc_id")
+        .select("source", F.col("shingle").alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.round(
+                F.col("inter") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

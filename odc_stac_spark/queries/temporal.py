@@ -810,3 +810,48 @@ def t_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().cast("int").alias("was_gap"),
         )
     )
+
+
+PATH_TOP_K = 5
+
+
+@register(
+    "events_path_topk",
+    oracle=f"""
+    SELECT path, n, rn FROM (
+        SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn FROM (
+            SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT event_type AS e1,
+                       LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS e2,
+                       LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS e3
+                FROM events)
+            WHERE e3 IS NOT NULL GROUP BY 1))
+    WHERE rn <= {PATH_TOP_K}
+    """,
+    doc="top-k 3-step behavioral paths: per-user lead windows build the "
+    "path trigrams (the sessionization exchange), counts partial-agg "
+    "map-side onto the types^3-bounded path space, and the final "
+    "ranking window runs over that bounded table — product analytics' "
+    "'common journeys' view.",
+    tags=("temporal", "analytics"),
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        paths.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= PATH_TOP_K)
+        .select("path", "n", "rn")
+    )
