@@ -1816,3 +1816,35 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("norm_min"),
         F.round(F.max("nrm"), 6).alias("norm_max"),
     )
+
+
+@register(
+    "emb_ivf_cell_balance",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb WHERE vec_id < {IVF_K}),
+    assigned AS ({_ivf_assign_sql("cent")}),
+    cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1)
+    SELECT c.cent_id, c.n,
+           ROUND(c.n * 1.0 / t.total, 6) AS share,
+           ROUND(c.n * {IVF_K}.0 / t.total, 6) AS balance
+    FROM cells c CROSS JOIN (SELECT SUM(n) AS total FROM cells) t
+    """,
+    doc="IVF index health: per-cell population, share and balance factor "
+    "(n x K / total — 1.0 is perfectly even; a hot cell's factor is its "
+    "probe-latency multiplier). The production dashboard that decides "
+    "when to re-fit centroids or raise K. Map-side assignment, one "
+    "K-group aggregate, a 1-row total broadcast.",
+    tags=("similarity", "ivf", "quality"),
+)
+def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    assigned = _ivf_multi_assign(emb, 1)
+    cells = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    total = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "cent_id",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        F.round(F.col("n") * F.lit(float(IVF_K)) / F.col("total"), 6).alias("balance"),
+    )

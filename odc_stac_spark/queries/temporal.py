@@ -855,3 +855,68 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= PATH_TOP_K)
         .select("path", "n", "rn")
     )
+
+
+@register(
+    "ts_seasonal_naive_error",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    spine AS (
+        SELECT s.event_type, t.h
+        FROM spans s,
+             LATERAL (SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h) t),
+    dense AS (
+        SELECT sp.event_type, sp.h, COALESCE(hy.n, 0) AS n
+        FROM spine sp LEFT JOIN hourly hy
+          ON hy.event_type = sp.event_type AND hy.h = sp.h),
+    fc AS (
+        SELECT event_type, n,
+               LAG(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS pred
+        FROM dense)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+           ROUND(AVG(abs(n - pred)), 6) AS mae,
+           ROUND(AVG(CASE WHEN n > 0 THEN abs(n - pred) * 1.0 / n END), 6) AS mape
+    FROM fc WHERE pred IS NOT NULL GROUP BY 1
+    """,
+    doc="seasonal-naive forecast baseline (predict = the value 24 REAL "
+    "hours earlier, over the gap-filled dense series so row-lag equals "
+    "hour-lag) with per-series MAE/MAPE — the accuracy floor every "
+    "forecasting deployment reports against. Spine and lag window are "
+    "span-bounded; the hourly rollup partial-aggregates map-side.",
+    tags=("temporal", "forecast"),
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    fc = dense.select(
+        "event_type", "n", F.lag("n", 24).over(w).alias("pred")
+    ).where(F.col("pred").isNotNull())
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("pred"))), 6).alias("mae"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("n") > 0,
+                    F.abs(F.col("n") - F.col("pred")) * F.lit(1.0) / F.col("n"),
+                )
+            ),
+            6,
+        ).alias("mape"),
+    )
