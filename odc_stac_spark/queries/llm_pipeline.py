@@ -663,3 +663,47 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= DSIR_THRESHOLD).alias("selected"),
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_pairs_sql()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id, d.source, comp.component,
+           CAST(comp.component IS NULL OR d.doc_id = comp.component AS INT) AS keep
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    """,
+    doc="the dedup pipeline's FINAL VERDICT: connected components over "
+    "near-dup pairs, canonical survivor = the component's min doc_id "
+    "(which IS the min-propagation label, so selection is a map-side "
+    "equality — no extra aggregation), singletons keep themselves. One "
+    "left join of the corpus against the component table (dup-cluster-"
+    "bounded, broadcastable at real dup rates) produces the keep/drop "
+    "column a training run consumes.",
+    tags=("dedup", "llm", "iterative"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "component",
+        (
+            F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
