@@ -1020,3 +1020,79 @@ def agg_grouped_sketch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n").alias("n_orders"),
         )
     )
+
+
+BASKET_TOP_K = 15
+
+
+@register(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM items),
+    freq AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b ON a.okey = b.okey AND a.item < b.item
+        GROUP BY 1, 2)
+    SELECT item_a, item_b, n_ab, lift, rn FROM (
+        SELECT item_a, item_b, n_ab,
+               ROUND(n_ab * 1.0 * nb.n_baskets / (fa.n * fb.n), 6) AS lift,
+               ROW_NUMBER() OVER (ORDER BY n_ab DESC, item_a, item_b) AS rn
+        FROM pairs
+        JOIN freq fa ON fa.item = item_a
+        JOIN freq fb ON fb.item = item_b
+        CROSS JOIN nb)
+    WHERE rn <= {BASKET_TOP_K}
+    """,
+    doc="market-basket co-occurrence with lift: baskets are orders, items "
+    "the (broadcast-joined) part brand; the pair self-join fans out by "
+    "basket-size squared PER BASKET (bounded by order width, never by "
+    "order count), pair counts partial-agg onto the brand-pair-bounded "
+    "space, and item frequencies + the basket total broadcast back. "
+    "The frequent-itemset primitive of recommendation pipelines.",
+    tags=("analytics", "recommendation"),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    from . import scoped_persist
+
+    items = scoped_persist(items)
+    nb = items.agg(F.count_distinct("okey").alias("n_baskets"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("okey", F.col("item").alias("item_a"))
+    b = items.select("okey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    w = Window.orderBy(F.desc("n_ab"), F.asc("item_a"), F.asc("item_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.lit(1.0) * F.col("n_baskets") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BASKET_TOP_K)
+        .select("item_a", "item_b", "n_ab", "lift", "rn")
+    )
