@@ -920,3 +920,56 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    wau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days JOIN ud u ON u.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1)
+    SELECT epoch_us(dau.d) AS day_us, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+    doc="DAU/WAU stickiness: the raw stream reduces ONCE to the distinct "
+    "(day, user) table (map-side partial distinct); DAU is a count per "
+    "day, WAU joins each day against its trailing 7-day slice of that "
+    "same reduced table (7x fan-out of user-DAYS, bounded — never raw "
+    "events). At extreme user counts the WAU distinct swaps for the "
+    "mergeable HLL sketch (sketch_hll_rollup) with the same plan shape.",
+    tags=("temporal", "analytics"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from . import scoped_persist
+
+    ud = scoped_persist(
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("dy")
+        .join(
+            ud.alias("u"),
+            F.col("u.d").between(
+                F.col("dy.d") - F.expr("INTERVAL 6 DAY"), F.col("dy.d")
+            ),
+        )
+        .groupBy(F.col("dy.d").alias("d"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.unix_micros("d").alias("day_us"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * F.lit(1.0) / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
