@@ -973,3 +973,74 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") * F.lit(1.0) / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+AB_CONV_MIN = 14  # converted = made >= 14 purchases (median-split threshold)
+
+
+@register(
+    "ab_test_conversion_ztest",
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         >= {AB_CONV_MIN}
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY 1),
+    g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv,
+               AVG(converted * 1.0) AS rate
+        FROM assign GROUP BY 1),
+    w AS (
+        SELECT a.n AS n_a, a.conv AS conv_a, a.rate AS rate_a,
+               b.n AS n_b, b.conv AS conv_b, b.rate AS rate_b,
+               (a.conv + b.conv) * 1.0 / (a.n + b.n) AS pool
+        FROM g a, g b WHERE a.grp = 0 AND b.grp = 1)
+    SELECT n_a, conv_a, ROUND(rate_a, 6) AS rate_a,
+           n_b, conv_b, ROUND(rate_b, 6) AS rate_b,
+           ROUND((rate_a - rate_b)
+                 / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+    FROM w
+    """,
+    doc="A/B experiment readout: deterministic hash assignment (user_id "
+    "parity stands in for pmod(xxhash64(id), 2)), per-user conversion "
+    "reduced map-side, then the two-proportion pooled z-statistic from "
+    "the 2-row group table — the experimentation primitive. Everything "
+    "after the per-user reduction is driver-trivial; the z is computed "
+    "on the bounded group table, never the events.",
+    tags=("temporal", "analytics", "experimentation"),
+)
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= AB_CONV_MIN
+        )
+        .cast("int")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+        F.avg(F.col("converted") * F.lit(1.0)).alias("rate"),
+    )
+    a = g.where(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"), F.col("rate").alias("rate_a")
+    )
+    b = g.where(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"), F.col("rate").alias("rate_b")
+    )
+    pool = (F.col("conv_a") + F.col("conv_b")) * F.lit(1.0) / (F.col("n_a") + F.col("n_b"))
+    z = (F.col("rate_a") - F.col("rate_b")) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "conv_a",
+        F.round("rate_a", 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+    )
