@@ -1211,3 +1211,91 @@ def text_idf_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("idf"), 6).alias("rarity"),
         )
     )
+
+
+PACK_SEQ_LEN = 512  # packing target for the RAG-prep summary
+
+
+@register(
+    "pipeline_rag_prep",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, gs AS chunk_start,
+               CAST(least(len(toks) - gs, {CHUNK_W}) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[gs+1:gs+{CHUNK_W}], ' ')) AS chunk_key
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(0, len(toks)-1, {CHUNK_S})) AS gs) t),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('{SPLIT_SALT}'
+                                              || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM documents)),
+    keep AS (
+        SELECT c.n_tokens, s.split,
+               ROW_NUMBER() OVER (PARTITION BY c.chunk_key, s.split
+                                  ORDER BY c.doc_id, c.chunk_start) AS occ
+        FROM chunks c JOIN split s USING (doc_id))
+    SELECT split, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN occ = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           CAST(ceil(SUM(CASE WHEN occ = 1 THEN n_tokens ELSE 0 END)
+                     / {PACK_SEQ_LEN}.0) AS BIGINT) AS packed_seqs
+    FROM keep GROUP BY 1
+    """,
+    doc="the RAG data path end-to-end as ONE plan: overlapping-window "
+    "chunking (map-side) -> deterministic train/val/test hash split "
+    "(map-side) -> per-split first-occurrence chunk dedup (one shuffle "
+    "on the 32-byte chunk digest; dedup is split-scoped so eval sets "
+    "never leak training text) -> packed-sequence budget summary. "
+    "Composes the gated chunker/split/dedup semantics verbatim.",
+    tags=("text", "llm", "pipeline"),
+)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_S))
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("cs"))
+        .select(
+            "doc_id",
+            F.col("cs").alias("chunk_start"),
+            F.least(F.size("toks") - F.col("cs"), F.lit(CHUNK_W))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("cs") + 1, F.lit(CHUNK_W)))
+            ).alias("chunk_key"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = d.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    w_occ = Window.partitionBy("chunk_key", "split").orderBy("doc_id", "chunk_start")
+    keep = chunks.join(split, "doc_id").withColumn("occ", F.row_number().over(w_occ))
+    kept = F.sum((F.col("occ") == 1).cast("long"))
+    kept_toks = F.sum(F.when(F.col("occ") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+    return keep.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        kept.alias("kept_chunks"),
+        kept_toks.alias("kept_tokens"),
+        F.ceil(kept_toks / F.lit(float(PACK_SEQ_LEN))).alias("packed_seqs"),
+    )
