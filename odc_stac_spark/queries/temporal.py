@@ -257,10 +257,15 @@ def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     stream = _stage_events_stream(spark, sf_dir, "events_attr_")
     out = stream_click_attribution(stream)
+    # complete mode: append-mode session finalization requires the
+    # watermark to pass each session's window END (last event + gap), so
+    # the trailing <gap+delay> of history would never emit in a bounded
+    # replay — complete mode emits the full maintained session state,
+    # which for availableNow equals the batch session set exactly
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
@@ -1044,3 +1049,72 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_b", 6).alias("rate_b"),
         F.round(z, 4).alias("z"),
     )
+
+
+@register(
+    "t_stream_session_windows",
+    # gate: the batch sessionization oracle with session_id projected out.
+    # session_window() merges on gap < 30 min (half-open window end);
+    # the batch rule is gap <= 30 min — identical unless a gap is EXACTLY
+    # 1800000000 us, which the microsecond-granular fixture never hits
+    # (and the hash gate would catch it loudly if a fixture ever did).
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us
+    FROM (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_GAP_US} OR
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                   THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+    doc="REAL streaming sessionization via Spark's native session_window() "
+    "— merging event-time session state per user with a watermark "
+    "bounding it (the applyInPandasWithState-free form). availableNow "
+    "replay must emit the exact batch session set: stream==batch parity "
+    "against the gap-rule oracle IS the gate.",
+    tags=("temporal", "streaming", "window"),
+)
+def t_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "t_stream_sess_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = _stage_events_stream(spark, sf_dir, "sess_events_")
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .select("user_id", "n_events", "session_start_us", "session_end_us")
+    )
+    # complete mode: append-mode session finalization requires the
+    # watermark to pass each session's window END (last event + gap), so
+    # the trailing <gap+delay> of history would never emit in a bounded
+    # replay — complete mode emits the full maintained session state,
+    # which for availableNow equals the batch session set exactly
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name)
