@@ -1334,3 +1334,42 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import demo_video_df, video_scene_cuts
 
     return video_scene_cuts(demo_video_df(spark, sf_dir), threshold=SCENE_CUT_T)
+
+
+@register(
+    "mm_image_aspect_buckets",
+    # header-only parse: width = 16 + doc_id % 8, height = 16 — the
+    # oracle recomputes the bucket assignment from the formula
+    oracle="""
+    SELECT ratio_bucket, CAST(count(*) AS BIGINT) AS n_images,
+           CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_batches,
+           ROUND(AVG((16 + doc_id % 8) * 1.0 / 16), 6) AS mean_ratio
+    FROM (SELECT doc_id,
+                 CAST(round((16 + doc_id % 8) * 8.0 / 16) AS BIGINT) AS ratio_bucket
+          FROM documents)
+    GROUP BY 1
+    """,
+    doc="aspect-ratio bucketing for variable-resolution image training "
+    "(the SDXL-style batching prep): HEADER-ONLY metadata parse (no "
+    "pixel decode) -> quantized w/h ratio bucket -> per-bucket batch "
+    "budget. The metadata pass reads bytes proportional to image COUNT "
+    "not image SIZE, and bucketing is map-side; only the bucket "
+    "histogram (bounded by the ratio grid) aggregates.",
+    tags=("multimodal", "image"),
+)
+def mm_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_metadata, demo_media_df
+
+    meta = decode_metadata(demo_media_df(spark, sf_dir))
+    ratio = F.col("width") * F.lit(1.0) / F.col("height")
+    return (
+        meta.select(
+            "doc_id", F.round(ratio * 8).cast("bigint").alias("ratio_bucket"), ratio.alias("r")
+        )
+        .groupBy("ratio_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.ceil(F.count(F.lit(1)) / 64.0).alias("n_batches"),
+            F.round(F.avg("r"), 6).alias("mean_ratio"),
+        )
+    )
