@@ -257,15 +257,10 @@ def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     stream = _stage_events_stream(spark, sf_dir, "events_attr_")
     out = stream_click_attribution(stream)
-    # complete mode: append-mode session finalization requires the
-    # watermark to pass each session's window END (last event + gap), so
-    # the trailing <gap+delay> of history would never emit in a bounded
-    # replay — complete mode emits the full maintained session state,
-    # which for availableNow equals the batch session set exactly
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
