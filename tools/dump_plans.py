@@ -242,6 +242,22 @@ PICKS = [
         "carry-forward window partitions by series, so no global sort "
         "exists anywhere in the plan.",
     ),
+    (
+        "pipeline_rag_prep",
+        "The RAG data path as ONE plan (r13 continuation): chunking and "
+        "the salted-hash split are map-side projections fused into the "
+        "scan stage; the only exchange is the per-split first-occurrence "
+        "dedup window keyed on the 32-byte chunk digest — text never "
+        "shuffles, and the final rollup reduces to 3 rows.",
+    ),
+    (
+        "basket_pair_lift",
+        "Frequent-itemset primitive (r13 continuation): the brand dim "
+        "broadcasts into the scan, the pair self-join keys on the order "
+        "(fan-out bounded by basket width per basket), counts partial-"
+        "aggregate onto the brand-pair space, and the frequency/total "
+        "tables broadcast back for the lift arithmetic.",
+    ),
 ]
 
 
