@@ -996,3 +996,49 @@ def video_scene_cuts(media: DataFrame, threshold: float = 40.0) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(sc, _SCENE_CUT_SCHEMA)
+
+
+_AUDIO_SEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame", IntegerType()),
+        StructField("flen", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("active", IntegerType()),
+    ]
+)
+
+
+def audio_energy_frames(media: DataFrame, frame_len: int = 100, mean_sq: int = 3350) -> DataFrame:
+    """Energy-based VAD framing: split each clip into ``frame_len``-sample
+    frames (last frame may be short), per-frame energy = sum of squared
+    samples (EXACT int64 — the oracle replays it bit-for-bit), frame
+    active iff energy > mean_sq x frame-length (the integer cross-multiply
+    form of mean-square > mean_sq). One row per FRAME leaves the Arrow
+    island, never samples — the segmentation pass that turns raw audio
+    into training windows."""
+
+    decoders = dict(AUDIO_DECODERS)
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                samples, _rate = decoders[mt](bytes(blob))
+                s = samples.astype(np.int64)
+                n = s.shape[0]
+                for f in range((n + frame_len - 1) // frame_len):
+                    fr = s[f * frame_len : (f + 1) * frame_len]
+                    e = int((fr * fr).sum())
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame": f,
+                            "flen": int(fr.shape[0]),
+                            "energy": e,
+                            "active": int(e > mean_sq * fr.shape[0]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(seg, _AUDIO_SEG_SCHEMA)

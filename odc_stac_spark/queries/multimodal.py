@@ -1373,3 +1373,33 @@ def mm_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("r"), 6).alias("mean_ratio"),
         )
     )
+
+
+@register(
+    "mm_audio_vad_frames",
+    # oracle: samples from the SAUD synth formula s(d,i) = ((d*31 + i*7)
+    # % 201) - 100 over i < 1000 + d % 500; all-integer energies
+    oracle="""
+    SELECT doc_id, CAST(frame AS INT) AS frame,
+           CAST(count(*) AS INT) AS flen,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(s * s) > 3350 * count(*) AS INT) AS active
+    FROM (
+        SELECT d.doc_id, i.i // 100 AS frame,
+               ((d.doc_id * 31 + i.i * 7) % 201) - 100 AS s
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 1499)) AS i) i
+        WHERE i.i < 1000 + d.doc_id % 500)
+    GROUP BY 1, 2
+    """,
+    doc="multimodal audio VAD framing: decode -> 100-sample frames -> "
+    "exact int64 energy -> active/silent label inside Arrow batches; "
+    "one row per frame leaves the Python island, never samples. The "
+    "segmentation pass that turns raw audio into training windows "
+    "(real speech VAD drops into the same frame loop).",
+    tags=("multimodal", "audio"),
+)
+def mm_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_energy_frames, demo_audio_df
+
+    return audio_energy_frames(demo_audio_df(spark, sf_dir))
