@@ -1848,3 +1848,65 @@ def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
         F.round(F.col("n") * F.lit(float(IVF_K)) / F.col("total"), 6).alias("balance"),
     )
+
+
+KNN_PROBE_STRIDE = 10  # label-consistency probes = vec_id % 10 == 0 sample
+
+
+@register(
+    "emb_knn_label_consistency",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % {KNN_PROBE_STRIDE} = 0),
+    nn AS (
+        SELECT q.vec_id, q.label AS qlabel, n.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.v, n.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(n.v, n.v))) DESC,
+                   n.vec_id) AS rn
+        FROM q JOIN e n ON n.vec_id <> q.vec_id)
+    SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS label_matches,
+           ROUND(AVG(CASE WHEN nlabel = qlabel THEN 1.0 ELSE 0.0 END), 6)
+               AS knn1_accuracy
+    FROM nn WHERE rn = 1 GROUP BY 1
+    """,
+    doc="embedding label-consistency probe: 1-NN label agreement over a "
+    "deterministic probe sample (the classic does-my-embedding-space-"
+    "respect-my-labels diagnostic; low accuracy = label noise or space "
+    "collapse). The probe side is sample-bounded and broadcasts; the "
+    "corpus streams once through the two-stage top-1.",
+    tags=("similarity", "quality", "llm"),
+)
+def emb_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _vecd(F.col("embedding")).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)  # see _emb
+    )
+    q = emb.where(F.col("vec_id") % KNN_PROBE_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), F.col("v").alias("qv")
+    )
+    n = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"), F.col("v").alias("nv")
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "qlabel", "nlabel", cos.alias("cos_raw"), "nid")
+    )
+    scored = partition_local_topk(
+        scored, ["qid"], [("cos_raw", False), ("nid", True)], 1
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("nid"))
+    top1 = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    match = (F.col("nlabel") == F.col("qlabel")).cast("long")
+    return top1.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(match).alias("label_matches"),
+        F.round(F.avg(match.cast("double")), 6).alias("knn1_accuracy"),
+    )
