@@ -135,3 +135,78 @@ def test_stream_anomaly_equals_batch_anomaly(spark, sf_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    m = REGISTRY["events_markov_transitions"].spark_fn(spark, sf_dir)
+    sums = m.groupBy("event_type").agg(F.sum("p").alias("s"), F.sum("n").alias("n"))
+    bad = sums.where((F.abs(F.col("s") - 1.0) > 1e-4) | (F.col("n") <= 0))
+    assert bad.count() == 0
+
+
+def test_dau_never_exceeds_wau(spark, sf_dir):
+    s = REGISTRY["events_dau_wau_stickiness"].spark_fn(spark, sf_dir)
+    assert s.where(F.col("dau") > F.col("wau")).count() == 0
+    assert s.where((F.col("stickiness") <= 0) | (F.col("stickiness") > 1)).count() == 0
+
+
+def test_sketch_deciles_are_even_and_ordered(spark, sf_dir):
+    d = REGISTRY["orders_decile_by_sketch"].spark_fn(spark, sf_dir)
+    rows = {r.decile: r for r in d.collect()}
+    assert set(rows) == set(range(1, 11))
+    total = sum(r.n_orders for r in rows.values())
+    for k, r in rows.items():
+        assert 0.5 * total / 10 <= r.n_orders <= 1.5 * total / 10, (k, r)
+        if k > 1:
+            assert rows[k - 1].hi <= r.hi and rows[k - 1].lo <= r.lo
+
+
+def test_topk_rankings_are_monotone(spark, sf_dir):
+    for name, count_col in (("basket_pair_lift", "n_ab"), ("events_path_topk", "n")):
+        rows = sorted(
+            REGISTRY[name].spark_fn(spark, sf_dir).collect(), key=lambda r: r.rn
+        )
+        counts = [getattr(r, count_col) for r in rows]
+        assert counts == sorted(counts, reverse=True), name
+
+
+def test_recall_and_entropy_are_bounded(spark, sf_dir):
+    r = REGISTRY["ann_recall_report"].spark_fn(spark, sf_dir)
+    assert r.where((F.col("recall") < 0) | (F.col("recall") > 1)).count() == 0
+    e = REGISTRY["text_entropy_filter"].spark_fn(spark, sf_dir)
+    assert e.where(F.col("entropy_bits") < 0).count() == 0
+    assert e.where(
+        (F.col("keep") == 1) != (F.col("entropy_bits") >= 3.0)
+    ).count() == 0
+
+
+def test_vad_and_scene_frame_counts_match_the_synth_geometry(spark, sf_dir):
+    vad = REGISTRY["mm_audio_vad_frames"].spark_fn(spark, sf_dir)
+    per = vad.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
+    expect = (
+        (F.lit(1000) + F.col("doc_id") % 500 + F.lit(99)) / F.lit(100)
+    ).cast("long")
+    assert per.where(F.col("k") != F.floor(expect)).count() == 0
+    sc = REGISTRY["mm_video_scene_cuts"].spark_fn(spark, sf_dir)
+    per_sc = sc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
+    assert per_sc.where(
+        F.col("k") != (F.lit(4) + F.col("doc_id") % 4 - 1)
+    ).count() == 0
+
+
+def test_split_proportions(spark, sf_dir):
+    s = REGISTRY["docs_train_val_split"].spark_fn(spark, sf_dir)
+    by = {r.split: r.n for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(by.values())
+    assert 0.80 <= by.get("train", 0) / total <= 0.97
+    assert by.get("val", 0) > 0 and by.get("test", 0) > 0
+
+
+def test_stream_sessions_equal_batch_sessions(spark, sf_dir):
+    batch = REGISTRY["t_session_windows"].spark_fn(spark, sf_dir).select(
+        "user_id", "n_events", "session_start_us", "session_end_us"
+    )
+    stream = REGISTRY["t_stream_session_windows"].spark_fn(spark, sf_dir)
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s
