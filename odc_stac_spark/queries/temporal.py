@@ -1113,3 +1113,41 @@ def t_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_stream(q)
     return spark.table(name)
+
+
+@register(
+    "events_error_rate_sli",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS errors
+        FROM events GROUP BY 1)
+    SELECT epoch_us(h) AS hour_us, total, errors,
+           ROUND(errors * 1.0 / total, 6) AS error_rate,
+           CAST(errors * 4 > total AS INT) AS burn
+    FROM hourly
+    """,
+    doc="SLI/error-budget reporting: per-hour error rate with a burn flag "
+    "at the 25% threshold — the flag is the integer cross-multiply "
+    "errors x 4 > total, so membership is exact on both engines (no "
+    "float boundary). One map-side partial aggregation; the natural "
+    "serving form is the continuous aggregate's maintained rollup "
+    "(t_stream_continuous_agg), which carries the same (n, sum) "
+    "partials this derives from.",
+    tags=("temporal", "analytics", "sli"),
+)
+def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+    )
+    return hourly.select(
+        F.unix_micros("h").alias("hour_us"),
+        "total",
+        "errors",
+        F.round(F.col("errors") * F.lit(1.0) / F.col("total"), 6).alias("error_rate"),
+        (F.col("errors") * 4 > F.col("total")).cast("int").alias("burn"),
+    )
