@@ -1910,3 +1910,65 @@ def emb_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(match).alias("label_matches"),
         F.round(F.avg(match.cast("double")), 6).alias("knn1_accuracy"),
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT u.idx AS dim, u.x
+        FROM e, LATERAL (SELECT unnest(v) AS x,
+                                unnest(generate_series(1, len(v))) AS idx) u),
+    s AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(x * x) AS sxx,
+               MIN(x) AS vmin, MAX(x) AS vmax,
+               CAST(SUM(CAST(x = 0 AS INT)) AS BIGINT) AS n_zero
+        FROM dims GROUP BY 1)
+    SELECT dim, n,
+           ROUND(sx / n, 6) AS mean,
+           ROUND((sxx - sx * sx / n) / n, 6) AS variance,
+           ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax,
+           ROUND(n_zero * 1.0 / n, 6) AS zero_frac,
+           CAST((sxx - sx * sx / n) / n < 1e-6 AS INT) AS is_dead
+    FROM s
+    """,
+    doc="per-dimension embedding health report: mean/variance/min/max/"
+    "zero-fraction for every coordinate, flagging dead (near-constant) "
+    "dimensions — the space-collapse signal a 100 TB ingest checks before "
+    "training spends on it. posexplode fans each vector into dim rows but "
+    "the partial aggregation combines map-side, so the shuffle carries "
+    "only dim-count cells per partition regardless of corpus size; the "
+    "final table is dim rows. Variance via the exact sum-of-squares "
+    "identity over double sums (round 6 absorbs fold-order noise). "
+    "Complements emb_quality_report (per-vector) and "
+    "emb_class_centroid_cohesion (per-class).",
+    tags=("similarity", "embeddings"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd(F.col("embedding")).alias("v")
+    )
+    dims = e.select(F.posexplode("v").alias("i", "x")).select(
+        (F.col("i") + 1).alias("dim"), "x"
+    )
+    s = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+        F.sum((F.col("x") == 0).cast("int")).cast("long").alias("n_zero"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    return s.select(
+        "dim",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round(F.col("n_zero") * F.lit(1.0) / F.col("n"), 6).alias("zero_frac"),
+        (var < 1e-6).cast("int").alias("is_dead"),
+    )

@@ -1151,3 +1151,182 @@ def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("errors") * F.lit(1.0) / F.col("total"), 6).alias("error_rate"),
         (F.col("errors") * 4 > F.col("total")).cast("int").alias("burn"),
     )
+
+
+@register(
+    "ts_linear_trend_forecast",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, h, y,
+               CAST(date_diff('hour', MIN(h) OVER (PARTITION BY event_type), h)
+                    AS BIGINT) AS x
+        FROM hourly),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+               MAX(x) AS xmax
+        FROM idx GROUP BY 1)
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy * 1.0 / n)
+                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (sx * 1.0 / n), 6) AS intercept,
+           ROUND(((sy * 1.0 / n)
+                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (sx * 1.0 / n))
+                 + ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (xmax + 1), 6) AS forecast_next
+    FROM sums
+    """,
+    doc="per-series linear trend + one-step forecast: hourly count series "
+    "per event_type, OLS slope/intercept via the closed-form normal "
+    "equations computed from EXACT BIGINT sums (n, Sx, Sy, Sxy, Sxx) — the "
+    "only floating ops are the final two divisions, so the hash gate is "
+    "bit-stable across engines and partitionings. One shuffle (hourly "
+    "rollup, map-side combine), then a series-count-bounded aggregate; the "
+    "min-hour origin comes from the same aggregate, no second scan. At "
+    "100 TB the rollup output is series x span-hours regardless of event "
+    "volume. Mirrors regr_slope/regr_intercept semantics without relying "
+    "on engine-specific incremental covariance kernels.",
+    tags=("temporal", "analytics"),
+)
+def ts_linear_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w0 = Window.partitionBy("event_type")
+    idx = hourly.withColumn(
+        "x",
+        ((F.unix_timestamp("h") - F.unix_timestamp(F.min("h").over(w0))) / 3600)
+        .cast("long"),
+    )
+    sums = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("xmax"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") * F.lit(1.0) / F.col("n")) - slope * (
+        F.col("sx") * F.lit(1.0) / F.col("n")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(intercept + slope * (F.col("xmax") + 1), 6).alias("forecast_next"),
+    )
+
+
+@register(
+    "ts_cross_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (
+        SELECT t.event_type, s.h
+        FROM (SELECT DISTINCT event_type FROM hourly) t,
+             (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM span) s),
+    dense AS (
+        SELECT sp.event_type,
+               CAST(date_diff('hour', (SELECT h0 FROM span), sp.h) AS BIGINT) AS x,
+               COALESCE(hy.y, 0) AS y
+        FROM spine sp LEFT JOIN hourly hy
+          ON hy.event_type = sp.event_type AND hy.h = sp.h),
+    lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(a.y) AS sa, SUM(b.y) AS sb,
+               SUM(a.y * b.y) AS sab,
+               SUM(a.y * a.y) AS saa, SUM(b.y * b.y) AS sbb
+        FROM dense a
+        JOIN lags l ON TRUE
+        JOIN dense b ON b.event_type > a.event_type AND b.x = a.x + l.lag
+        GROUP BY 1, 2, 3)
+    SELECT type_a, type_b, lag, n,
+           ROUND((n * sab - sa * sb)
+                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS xcorr
+    FROM pairs
+    """,
+    doc="lagged cross-correlation between event-type series: zero-filled "
+    "dense hourly counts per type (spine generated from the span, bounded "
+    "by types x hours, never joined against raw events), then Pearson r "
+    "at lags -2..+2 via a shifted self-join. All moments are EXACT BIGINT "
+    "sums; the only floating ops are the final divide and sqrt, so both "
+    "engines agree bit-for-bit before the round. The self-join fan-out is "
+    "types^2/2 x lags x span-hours — independent of event volume; at "
+    "100 TB only the first rollup touches the raw table. The dense series "
+    "is reused for both join sides from one cached rollup.",
+    tags=("temporal", "analytics"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        "h0",
+    )
+    dense = scoped_persist(
+        spine.join(hourly, ["event_type", "h"], "left").select(
+            "event_type",
+            ((F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600)
+            .cast("long")
+            .alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(-2, 3).select(F.col("id").alias("lag"))
+    a = dense.select(
+        F.col("event_type").alias("type_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("xb") == F.col("xa") + F.col("lag")),
+        )
+    )
+    sums = joined.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+    return sums.select(
+        "type_a", "type_b", "lag", "n", F.round(num / den, 6).alias("xcorr")
+    )
