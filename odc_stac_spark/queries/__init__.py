@@ -135,6 +135,7 @@ def load_all() -> dict[str, Query]:
     from . import metadata_plane  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import graph  # noqa: F401
 
     # SELF-MAINTAINING rotation: external verification samples a window
     # from the FRONT of this registry, so queries that already have a

@@ -1096,3 +1096,321 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= BASKET_TOP_K)
         .select("item_a", "item_b", "n_ab", "lift", "rn")
     )
+
+
+RFM_M_W = 1000.0  # monetary sketch bucket width over per-customer spend
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate),
+                    (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               SUM(o_totalprice) AS mon
+        FROM orders GROUP BY 1),
+    qs AS (SELECT unnest(generate_series(1, 3)) AS q),
+    rthr AS (
+        SELECT q, MIN(bucket) AS tb FROM qs JOIN (
+            SELECT bucket,
+                   CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM (SELECT rec AS bucket, CAST(count(*) AS BIGINT) AS cnt
+                  FROM cust GROUP BY 1)) c
+        ON c.cum >= ceil(q * n / 4.0) GROUP BY q),
+    fthr AS (
+        SELECT q, MIN(bucket) AS tb FROM qs JOIN (
+            SELECT bucket,
+                   CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM (SELECT freq AS bucket, CAST(count(*) AS BIGINT) AS cnt
+                  FROM cust GROUP BY 1)) c
+        ON c.cum >= ceil(q * n / 4.0) GROUP BY q),
+    mthr AS (
+        SELECT q, MIN(bucket) AS tb FROM qs JOIN (
+            SELECT bucket,
+                   CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM (SELECT CAST(floor(mon / {RFM_M_W}) AS BIGINT) AS bucket,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM cust GROUP BY 1)) c
+        ON c.cum >= ceil(q * n / 4.0) GROUP BY q),
+    scored AS (
+        SELECT o_custkey,
+               1 + (SELECT CAST(count(*) AS INT) FROM rthr WHERE tb < rec) AS r_q,
+               1 + (SELECT CAST(count(*) AS INT) FROM fthr WHERE tb < freq) AS f_q,
+               1 + (SELECT CAST(count(*) AS INT) FROM mthr
+                    WHERE tb < CAST(floor(mon / {RFM_M_W}) AS BIGINT)) AS m_q,
+               mon
+        FROM cust)
+    SELECT r_q, f_q, m_q,
+           CASE WHEN r_q <= 2 AND f_q >= 3 AND m_q >= 3 THEN 'champion'
+                WHEN r_q >= 3 AND f_q <= 2 THEN 'at_risk'
+                WHEN f_q >= 3 THEN 'loyal'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(mon), 2) AS total_spend
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+    doc="RFM customer segmentation, the sketch-threshold way: per-customer "
+    "recency/frequency/monetary in ONE custkey shuffle, then quartile "
+    "thresholds for each metric from bounded histogram sketches (recency "
+    "and frequency are already integers; monetary buckets on a fixed "
+    "grid) — NEVER a global ntile sort of the customer table, which at "
+    "100 TB would funnel every customer through one reducer. The 3x3 "
+    "threshold rows ship as plan literals; score assignment and the "
+    "segment CASE are map-side; the final rollup exchanges <=64 "
+    "(r,f,m)-cells. Thresholds and scores are integer-exact, so the "
+    "hash gate has no float boundary (spend totals round to 2dp).",
+    tags=("analytics", "llm-pipeline"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("mon"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("gmax"), F.col("last_order")).cast("long").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    from . import scoped_persist
+
+    cust = scoped_persist(cust)
+
+    def quartile_thresholds(bucket_col):
+        hist = cust.groupBy(bucket_col.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = hist.select(
+            "bucket",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        qs = spark.range(1, 4).select(F.col("id").alias("q"))
+        rows = (
+            F.broadcast(qs)
+            .join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n") / 4.0))
+            .groupBy("q")
+            .agg(F.min("bucket").alias("tb"))
+            .collect()  # bounded: exactly 3 rows (the plan-literal pattern)
+        )
+        return F.array(
+            *[F.lit(int(r.tb)) for r in sorted(rows, key=lambda r: r.q)]
+        )
+
+    mon_bucket = F.floor(F.col("mon") / RFM_M_W)
+    r_thr = quartile_thresholds(F.col("rec"))
+    f_thr = quartile_thresholds(F.col("freq"))
+    m_thr = quartile_thresholds(mon_bucket)
+    r_q = (F.lit(1) + F.size(F.filter(r_thr, lambda t: t < F.col("rec")))).cast("int")
+    f_q = (F.lit(1) + F.size(F.filter(f_thr, lambda t: t < F.col("freq")))).cast("int")
+    m_q = (F.lit(1) + F.size(F.filter(m_thr, lambda t: t < mon_bucket))).cast("int")
+    scored = cust.select(
+        "o_custkey", r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"), "mon"
+    )
+    segment = (
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") >= 3) & (F.col("m_q") >= 3),
+               "champion")
+        .when((F.col("r_q") >= 3) & (F.col("f_q") <= 2), "at_risk")
+        .when(F.col("f_q") >= 3, "loyal")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("r_q", "f_q", "m_q", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("mon"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "agg_skewed_distinct_twophase",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(count(*) * 1.0 / COUNT(DISTINCT user_id)) AS BIGINT)
+               AS events_per_user_floor
+    FROM events GROUP BY 1
+    """,
+    doc="skew-proof distinct counting: event_type has single-digit "
+    "cardinality, so a naive COUNT(DISTINCT user_id) GROUP BY event_type "
+    "hashes the whole corpus onto a handful of reducers — the classic "
+    "hot-key funnel. The two-phase form first reduces on the COMPOSITE "
+    "key (event_type, user_id), which spreads across all partitions "
+    "(Spark plans this as two exchanges, the second one tiny), then "
+    "counts rows per type. Emits exact counts identical to the naive "
+    "plan; at 100 TB phase 1 is the only full-data shuffle and it is "
+    "uniform by construction. The same rewrite is what Spark's own "
+    "distinct-aggregate planning does internally — expressed explicitly "
+    "here so the shape is pinned and plan-testable.",
+    tags=("analytics", "scale"),
+)
+def agg_skewed_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return phase1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").alias("n_events"),
+        F.floor(F.sum("cnt") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "events_per_user_floor"
+        ),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH first_click AS (
+        SELECT user_id, MIN(ts) AS c_ts FROM events
+        WHERE event_type = 'click' GROUP BY 1),
+    conv AS (
+        SELECT f.user_id,
+               CAST(floor(date_diff('second', f.c_ts, MIN(p.ts)) / 60.0)
+                    AS BIGINT) AS mins
+        FROM first_click f
+        JOIN events p ON p.user_id = f.user_id
+                     AND p.event_type = 'purchase' AND p.ts >= f.c_ts
+        GROUP BY 1, f.c_ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           ROUND(quantile_cont(mins, 0.25), 4) AS p25_mins,
+           ROUND(quantile_cont(mins, 0.50), 4) AS p50_mins,
+           ROUND(quantile_cont(mins, 0.75), 4) AS p75_mins,
+           ROUND(quantile_cont(mins, 0.90), 4) AS p90_mins,
+           ROUND(AVG(mins), 4) AS avg_mins
+    FROM conv
+    """,
+    doc="funnel latency: minutes from a user's FIRST click to their first "
+    "subsequent purchase, summarized as exact interpolated percentiles. "
+    "Two user-keyed reductions (first click, then earliest qualifying "
+    "purchase via an equi-join on user_id with the time predicate as a "
+    "residual filter) — never an event x event range join; percentile() "
+    "is Spark's one-pass typed aggregate, map-side partials, no global "
+    "sort. Deltas are floored to integer minutes before the quantile so "
+    "interpolation happens over identical integer multisets in both "
+    "engines. Complements funnel_stages (conversion counts) with the "
+    "WHEN of conversion.",
+    tags=("analytics", "funnel"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        first_click.join(purchases, "user_id")
+        .where(F.col("p_ts") >= F.col("c_ts"))
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+        .select(
+            F.floor(
+                (F.unix_timestamp("first_p") - F.unix_timestamp("c_ts")) / 60.0
+            ).alias("mins")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(mins, 0.25)"), 4).alias("p25_mins"),
+        F.round(F.expr("percentile(mins, 0.50)"), 4).alias("p50_mins"),
+        F.round(F.expr("percentile(mins, 0.75)"), 4).alias("p75_mins"),
+        F.round(F.expr("percentile(mins, 0.90)"), 4).alias("p90_mins"),
+        F.round(F.avg("mins"), 4).alias("avg_mins"),
+    )
+
+
+@register(
+    "orders_pareto_curve",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS spend
+        FROM orders GROUP BY 1),
+    hist AS (
+        SELECT CAST(floor(spend / {RFM_M_W}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               SUM(spend) AS rev
+        FROM cust GROUP BY 1),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(n_cust) OVER (ORDER BY bucket DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cust,
+               SUM(rev) OVER (ORDER BY bucket DESC
+                    ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               CAST(SUM(n_cust) OVER () AS BIGINT) AS n,
+               SUM(rev) OVER () AS total_rev
+        FROM hist),
+    ds AS (SELECT unnest(generate_series(1, 9)) AS d)
+    SELECT CAST(d * 10 AS INT) AS top_pct,
+           MIN(cum_cust) AS n_top_customers,
+           ROUND(MIN(cum_rev / total_rev), 4) AS rev_share
+    FROM ds JOIN cum ON cum.cum_cust >= ceil(d * n / 10.0)
+    GROUP BY 1
+    """,
+    doc="revenue concentration (Pareto) curve: for the top 10%..90% of "
+    "customers by spend, the fraction of total revenue they carry — "
+    "computed ENTIRELY from the bounded per-spend-bucket histogram "
+    "(per-customer reduction, then a fixed-grid rollup), never a global "
+    "sort of customers. The descending cumulative window runs over the "
+    "bucket table (bounded by spend-range/width); joining the 9 decile "
+    "probes against it is a broadcast of 9 rows. Granularity is the "
+    "bucket grid — deterministic and identical in both engines because "
+    "the curve is a pure function of the integer histogram.",
+    tags=("analytics",),
+)
+def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    hist = cust.groupBy(
+        F.floor(F.col("spend") / RFM_M_W).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_cust"), F.sum("spend").alias("rev"))
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("n_cust").over(w_cum).alias("cum_cust"),
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("n_cust").over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    return (
+        F.broadcast(ds)
+        .join(cum, F.col("cum_cust") >= F.ceil(F.col("d") * F.col("n") / 10.0))
+        .groupBy((F.col("d") * 10).cast("int").alias("top_pct"))
+        .agg(
+            F.min("cum_cust").alias("n_top_customers"),
+            F.round(F.min(F.col("cum_rev") / F.col("total_rev")), 4).alias(
+                "rev_share"
+            ),
+        )
+    )

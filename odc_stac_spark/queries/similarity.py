@@ -1972,3 +1972,117 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_zero") * F.lit(1.0) / F.col("n"), 6).alias("zero_frac"),
         (var < 1e-6).cast("int").alias("is_dead"),
     )
+
+
+GRAM_TOPK = 20
+
+
+@register(
+    "emb_gram_topcorr",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT vec_id, u.idx AS i, u.x
+        FROM e, LATERAL (SELECT unnest(v) AS x,
+                                unnest(generate_series(1, len(v))) AS idx) u),
+    s AS (SELECT i, SUM(x) AS si, SUM(x * x) AS sii,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM dims GROUP BY 1),
+    p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sij
+          FROM dims a JOIN dims b
+            ON b.vec_id = a.vec_id AND b.i > a.i
+          GROUP BY 1, 2),
+    c AS (SELECT p.i, p.j,
+                 (sa.n * p.sij - sa.si * sb.si)
+                 / sqrt((sa.n * sa.sii - sa.si * sa.si)
+                        * (sb.n * sb.sii - sb.si * sb.si)) AS corr
+          FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j),
+    ranked AS (SELECT i AS dim_i, j AS dim_j, ROUND(corr, 5) AS corr,
+                      ROW_NUMBER() OVER (ORDER BY ROUND(abs(corr), 5) DESC,
+                                         i ASC, j ASC) AS rk
+               FROM c)
+    SELECT CAST(rk AS INT) AS rk, dim_i, dim_j, corr
+    FROM ranked WHERE rk <= {GRAM_TOPK}
+    """,
+    doc="distributed gram matrix (X^T X) with top-correlated dimension "
+    "pairs — the primitive under whitening/PCA/redundant-feature "
+    "detection. Each Arrow batch contributes ONE upper-triangle partial "
+    "(dim x (dim+1)/2 products + the column-sum vector + a row count) "
+    "via mapInPandas, so the shuffle carries dim^2-bounded partials per "
+    "batch, NEVER the corpus x dim^2 fan-out a posexplode self-join "
+    "would produce; the final reduce is a (i, j)-keyed sum over a few "
+    "thousand cells. Pearson corr per pair from the exact moment sums; "
+    "top-20 |corr| off-diagonal pairs with (rounded-|corr|, i, j) "
+    "tie-break. numpy fp64 batch partials vs DuckDB's exact fold differ "
+    "by ~1e-13 relative — round 5 leaves 8 orders of margin.",
+    tags=("similarity", "embeddings"),
+)
+def emb_gram_topcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (signature clarity)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n, d = X.shape
+            G = X.T @ X
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]).astype("int32"),
+                    "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]).astype("int32"),
+                    "v": np.concatenate([G[iu, ju], X.sum(axis=0), [float(n)]]),
+                }
+            )
+
+    parts = emb.mapInPandas(gram, "i int, j int, v double")
+    sums = scoped_persist(parts.groupBy("i", "j").agg(F.sum("v").alias("v")))
+    n_row = sums.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    dsum = sums.where((F.col("j") == -1) & (F.col("i") > 0)).select(
+        F.col("i").alias("k"), F.col("v").alias("sk")
+    )
+    diag = sums.where((F.col("i") > 0) & (F.col("j") == F.col("i"))).select(
+        F.col("i").alias("k"), F.col("v").alias("skk")
+    )
+    moments = dsum.join(diag, "k")
+    ma = moments.select(
+        F.col("k").alias("i"), F.col("sk").alias("si"), F.col("skk").alias("sii")
+    )
+    mb = moments.select(
+        F.col("k").alias("j"), F.col("sk").alias("sj"), F.col("skk").alias("sjj")
+    )
+    pairs = (
+        sums.where((F.col("i") > 0) & (F.col("j") > F.col("i")))
+        .withColumnRenamed("v", "sij")
+        .join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n_row))
+    )
+    corr = (F.col("n") * F.col("sij") - F.col("si") * F.col("sj")) / F.sqrt(
+        (F.col("n") * F.col("sii") - F.col("si") * F.col("si"))
+        * (F.col("n") * F.col("sjj") - F.col("sj") * F.col("sj"))
+    )
+    from pyspark.sql import Window
+
+    scored = pairs.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.round(corr, 5).alias("corr"),
+        F.round(F.abs(corr), 5).alias("acorr"),
+    )
+    w = Window.orderBy(F.desc("acorr"), F.asc("dim_i"), F.asc("dim_j"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= GRAM_TOPK)
+        .select("rk", "dim_i", "dim_j", "corr")
+    )

@@ -1330,3 +1330,196 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "type_a", "type_b", "lag", "n", F.round(num / den, 6).alias("xcorr")
     )
+
+
+@register(
+    "t_stream_exact_dedup",
+    oracle="""
+    SELECT event_type, epoch_us(date_trunc('hour', m)) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+          FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="REAL Structured Streaming exact dedup: events stream "
+    "(availableNow) -> watermarked dropDuplicates on the idempotency key "
+    "(user_id, event_type, minute) -> append-mode memory sink; the sink "
+    "rows (key columns ONLY — which physical event survives is "
+    "arrival-order dependent, the key set is not) roll up to unique-key "
+    "counts per (type, hour) that must hash-match the batch DISTINCT. "
+    "The dedup state store holds one entry per key inside the watermark "
+    "horizon, so state is bounded by key cardinality per 30-minute "
+    "window, not stream length — the production shape for at-least-once "
+    "ingestion into an exactly-once table.",
+    tags=("temporal", "streaming", "dedup"),
+)
+def t_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "t_stream_exact_dedup_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = _stage_events_stream(spark, sf_dir, "events_dedup_stream_")
+    keys = (
+        stream.withColumn("m", F.date_trunc("minute", "ts"))
+        .withWatermark("m", "30 minutes")
+        .dropDuplicates(["user_id", "event_type", "m"])
+        .select("user_id", "event_type", "m")
+    )
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return (
+        spark.table(name)
+        .groupBy("event_type", F.unix_micros(F.date_trunc("hour", "m")).alias("hour_us"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+LAT_W = 5.0  # latency histogram bucket width over events.value
+
+
+@register(
+    "events_latency_p95_sli",
+    oracle=f"""
+    WITH hist AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(floor(value / {LAT_W}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT h, bucket,
+               CAST(SUM(cnt) OVER (PARTITION BY h ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY h) AS BIGINT) AS n
+        FROM hist)
+    SELECT epoch_us(h) AS hour_us, MIN(n) AS n_views,
+           CAST(MIN(bucket + 1) * {LAT_W} AS DOUBLE) AS p95_le
+    FROM cum WHERE cum >= ceil(n * 95 / 100.0)
+    GROUP BY 1
+    """,
+    doc="per-hour p95 latency SLI from a fixed-grid histogram sketch: "
+    "view-event values bucket on a constant grid map-side, the p95 "
+    "threshold is the first bucket whose cumulative count crosses "
+    "ceil(0.95 n) (reported as the bucket's inclusive upper edge — a "
+    "deterministic integer selection, no interpolation, no float "
+    "boundary). The per-hour cumulative window runs over the BOUNDED "
+    "bucket table (value-range/width x hours), so at 100 TB the only "
+    "full-data work is the map-side histogram; this is how a latency "
+    "SLI dashboard actually ships. Complements events_error_rate_sli "
+    "(rate axis) with the latency axis.",
+    tags=("temporal", "analytics", "sli"),
+)
+def events_latency_p95_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    hist = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.floor(F.col("value") / LAT_W).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("h").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("h")
+    cum = hist.select(
+        "h",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        cum.where(F.col("cum") >= F.ceil(F.col("n") * 95 / 100.0))
+        .groupBy(F.unix_micros("h").alias("hour_us"))
+        .agg(
+            F.min("n").alias("n_views"),
+            (F.min(F.col("bucket") + 1) * LAT_W).cast("double").alias("p95_le"),
+        )
+    )
+
+
+@register(
+    "t_stream_latency_p95",
+    # gate: identical SQL image as the batch events_latency_p95_sli —
+    # the stream-maintained (hour, bucket) histogram must reproduce the
+    # batch histogram exactly, so the derived p95 per hour is identical.
+    oracle=f"""
+    WITH hist AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(floor(value / {LAT_W}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT h, bucket,
+               CAST(SUM(cnt) OVER (PARTITION BY h ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY h) AS BIGINT) AS n
+        FROM hist)
+    SELECT epoch_us(h) AS hour_us, MIN(n) AS n_views,
+           CAST(MIN(bucket + 1) * {LAT_W} AS DOUBLE) AS p95_le
+    FROM cum WHERE cum >= ceil(n * 95 / 100.0)
+    GROUP BY 1
+    """,
+    doc="REAL streaming latency SLI: view events stream (availableNow) "
+    "-> watermarked tumbling-hour x fixed-grid value-bucket counts "
+    "(update-mode memory sink; counts are monotone so the final state "
+    "per key is the max) -> the p95 threshold derives from the "
+    "MAINTAINED histogram, never a raw re-scan. State is bounded by "
+    "hours-in-watermark x bucket-range — the streaming image of "
+    "events_latency_p95_sli, sharing its batch SQL gate so "
+    "stream==batch parity of the whole dashboard row is the check.",
+    tags=("temporal", "streaming", "sli"),
+)
+def t_stream_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "t_stream_latency_p95_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = _stage_events_stream(spark, sf_dir, "events_lat_stream_")
+    hist = (
+        stream.where(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.floor(F.col("value") / LAT_W).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"), "bucket", "cnt"
+        )
+    )
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    final = (
+        spark.table(name)
+        .groupBy("hour_us", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    w_cum = Window.partitionBy("hour_us").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("hour_us")
+    cum = final.select(
+        "hour_us",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return (
+        cum.where(F.col("cum") >= F.ceil(F.col("n") * 95 / 100.0))
+        .groupBy("hour_us")
+        .agg(
+            F.min("n").alias("n_views"),
+            (F.min(F.col("bucket") + 1) * LAT_W).cast("double").alias("p95_le"),
+        )
+    )

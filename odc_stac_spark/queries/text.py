@@ -1299,3 +1299,181 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_toks.alias("kept_tokens"),
         F.ceil(kept_toks / F.lit(float(PACK_SEQ_LEN))).alias("packed_seqs"),
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), ' +') AS t
+        FROM documents),
+    m AS (
+        SELECT doc_id, source,
+               len(t) AS n_words,
+               ROUND(length(array_to_string(t, '')) * 1.0 / len(t), 4)
+                   AS mean_word_len,
+               len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                   AS n_alpha_words,
+               len(list_intersect(t, {_STOP_SQL})) AS n_stop
+        FROM toks)
+    SELECT doc_id, source, n_words, mean_word_len,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_word_count,
+           CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS INT) AS ok_mean_len,
+           CAST(n_alpha_words * 10 >= n_words * 8 AS INT) AS ok_alpha_ratio,
+           CAST(n_stop >= 2 AS INT) AS ok_stopwords,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND n_alpha_words * 10 >= n_words * 8
+                AND n_stop >= 2 AS INT) AS gopher_pass
+    FROM m
+    """,
+    doc="Gopher quality-filter rule set (Rae et al. 2021, public spec): "
+    "word-count bounds [50, 100k], mean word length in [3, 10], >=80% of "
+    "words containing an alphabetic character, and >=2 distinct-position "
+    "DISTINCT stop words from the fixed list — each rule surfaced as its own flag plus the composite "
+    "pass verdict, so downstream can audit WHICH rule rejected a "
+    "document. Entirely map-side JVM expressions (split + array lambdas, "
+    "no shuffle, no Python); the alpha-ratio test is the integer "
+    "cross-multiply n_alpha*10 >= n_words*8 so the gate has no float "
+    "boundary. At 100 TB this is one narrow projection over the corpus "
+    "scan. Complements text_quality_score (soft score) and "
+    "text_repetition_filter / text_entropy_filter (other reject axes).",
+    tags=("text", "llm-pipeline"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), " +")
+    toks = d.select("doc_id", "source", t.alias("t"))
+    n_words = F.size("t")
+    mean_len = F.round(
+        F.length(F.array_join("t", "")) * F.lit(1.0) / F.size("t"), 4
+    )
+    n_alpha = F.size(F.filter(F.col("t"), lambda w: w.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.col("t"), stop_arr))
+    m = toks.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop"),
+    )
+    ok_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    ok_ml = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ok_ar = F.col("n_alpha_words") * 10 >= F.col("n_words") * 8
+    ok_sw = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_ml.cast("int").alias("ok_mean_len"),
+        ok_ar.cast("int").alias("ok_alpha_ratio"),
+        ok_sw.cast("int").alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_ar & ok_sw).cast("int").alias("gopher_pass"),
+    )
+
+
+WIN_K = 3  # k-gram size (tokens) for winnowing
+WIN_W = 4  # window of consecutive k-grams per fingerprint selection
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+        FROM documents),
+    kg AS (
+        SELECT doc_id, u.pos,
+               md5(array_to_string(t[u.pos : u.pos + {WIN_K} - 1], ' ')) AS h,
+               len(t) - {WIN_K} + 1 AS maxpos
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - {WIN_K} + 1))
+                      AS pos) u
+        WHERE len(t) >= {WIN_K}),
+    win AS (
+        SELECT kg.doc_id, w.j, kg.pos, kg.h,
+               ROW_NUMBER() OVER (PARTITION BY kg.doc_id, w.j
+                                  ORDER BY kg.h ASC, kg.pos DESC) AS rn
+        FROM kg JOIN LATERAL (SELECT unnest(generate_series(
+                 GREATEST(1, kg.pos - {WIN_W} + 1), kg.pos)) AS j) w ON TRUE
+        WHERE w.j + {WIN_W} - 1 <= kg.maxpos),
+    sel AS (
+        SELECT DISTINCT doc_id, pos, h FROM win WHERE rn = 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           MIN(h) AS min_fp,
+           md5(string_agg(h, '' ORDER BY pos)) AS fp_digest
+    FROM sel GROUP BY 1
+    """,
+    doc="winnowing document fingerprints (Schleimer, Wilkerson, Aiken "
+    f"2003 — the MOSS algorithm, public): {WIN_K}-token k-gram md5 "
+    f"hashes, then every window of {WIN_W} consecutive k-grams selects "
+    "its minimum hash (rightmost on ties); the union of selections is "
+    "the fingerprint set, which guarantees any match of length >= "
+    f"{WIN_W + WIN_K - 1} tokens shares a fingerprint. Expressed as a "
+    f"bounded {WIN_W}x explode of k-gram rows onto the windows covering "
+    "them + one (doc, window) argmin shuffle — all map-side JVM "
+    "expressions (split/slice/md5), hashes compared as hex strings so "
+    "both engines order identically. Per-doc output: fingerprint count, "
+    "min fingerprint, and a digest of the position-ordered fingerprint "
+    "sequence (so the gate pins the exact selected SET, not just its "
+    "size). At 100 TB the fan-out is w x token-count, linear in corpus "
+    "size with a small constant.",
+    tags=("text", "llm-pipeline", "dedup"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("t")
+    ).where(F.size("t") >= WIN_K)
+    # k-gram rows: pos is 1-based start token index
+    kg = toks.select(
+        "doc_id",
+        F.size("t").alias("nt"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - WIN_K + 1),
+                lambda p: F.md5(F.array_join(F.slice("t", p, WIN_K), " ")),
+            )
+        ).alias("p0", "h"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        "h",
+        (F.col("nt") - WIN_K + 1).alias("maxpos"),
+    )
+    # each k-gram participates in windows j = pos-w+1 .. pos (clamped to
+    # fully-inside-doc windows), a bounded w-way explode
+    win = kg.select(
+        "doc_id",
+        "pos",
+        "h",
+        "maxpos",
+        F.explode(
+            F.sequence(F.greatest(F.lit(1), F.col("pos") - WIN_W + 1), F.col("pos"))
+        ).alias("j"),
+    ).where(F.col("j") + WIN_W - 1 <= F.col("maxpos"))
+    w = Window.partitionBy("doc_id", "j").orderBy(F.asc("h"), F.desc("pos"))
+    sel = (
+        win.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("h").alias("min_fp"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("h")))
+                ).getField("h"),
+                "",
+            )
+        ).alias("fp_digest"),
+    )

@@ -104,3 +104,246 @@ def test_emb_dim_stats_envelope(spark, sf_dir):
         assert r["vmin"] - 1e-6 <= r["mean"] <= r["vmax"] + 1e-6
         assert 0.0 <= r["zero_frac"] <= 1.0
         assert r["is_dead"] in (0, 1)
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """On a symmetric graph with no dangling nodes, total PageRank mass
+    stays 1.0; top-20 ppm values must be positive and rank-ordered."""
+    from odc_stac_spark.queries.graph import _undirected_edges, PR_DAMP, PR_ITERS
+
+    out = REGISTRY["graph_pagerank_topk"].spark_fn(spark, sf_dir).collect()
+    assert [r["rk"] for r in out] == list(range(1, 21))
+    ppm = [r["pagerank_ppm"] for r in out]
+    assert all(p > 0 for p in ppm)
+    assert ppm == sorted(ppm, reverse=True)
+    # recompute full final vector mass (independent of the query's top-k cut)
+    edges = _undirected_edges(spark, sf_dir)
+    deg = edges.groupBy("src").count().withColumnRenamed("count", "outdeg")
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("r"))
+    ew = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    for _ in range(PR_ITERS):
+        ranks = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy("dst")
+            .agg(((1 - PR_DAMP) / n + PR_DAMP * F.sum(F.col("r") * F.col("w"))).alias("r"))
+            .withColumnRenamed("dst", "node")
+        )
+        mass = ranks.agg(F.sum("r")).collect()[0][0]
+        assert abs(mass - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """Two overlapping baskets {1,2,3} and {2,3,4} form exactly two
+    triangles; shared edge nodes 2,3 participate in both."""
+    import os
+    from odc_stac_spark.queries.graph import graph_triangle_count
+
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (2, 3, 4)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["node"]: r for r in graph_triangle_count(spark, str(tmp_path)).collect()}
+    assert out[1]["total_triangles"] == 2
+    assert out[1]["tri_count"] == 1 and out[4]["tri_count"] == 1
+    assert out[2]["tri_count"] == 2 and out[3]["tri_count"] == 2
+
+
+def test_rfm_covers_all_customers_with_valid_scores(spark, sf_dir):
+    out = REGISTRY["events_rfm_segmentation"].spark_fn(spark, sf_dir)
+    rows = out.collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4
+        if r["segment"] == "champion":
+            assert r["r_q"] <= 2 and r["f_q"] >= 3 and r["m_q"] >= 3
+        elif r["segment"] == "at_risk":
+            assert r["r_q"] >= 3 and r["f_q"] <= 2
+        elif r["segment"] == "loyal":
+            assert r["f_q"] >= 3
+        else:
+            assert r["segment"] == "regular"
+
+
+def test_twophase_distinct_equals_naive(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_skewed_distinct_twophase"].spark_fn(spark, sf_dir).collect()
+    }
+    naive = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in naive:
+        assert out[r["event_type"]]["n_users"] == r["u"]
+        assert out[r["event_type"]]["n_events"] == r["n"]
+
+
+def test_gopher_pass_is_conjunction(spark, sf_dir):
+    out = REGISTRY["text_gopher_quality_rules"].spark_fn(spark, sf_dir)
+    bad = out.where(
+        F.col("gopher_pass")
+        != (
+            F.col("ok_word_count")
+            * F.col("ok_mean_len")
+            * F.col("ok_alpha_ratio")
+            * F.col("ok_stopwords")
+        )
+    ).count()
+    assert bad == 0
+    assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, sf_dir):
+    out = REGISTRY["t_stream_exact_dedup"].spark_fn(spark, sf_dir)
+    total_stream = out.agg(F.sum("n_unique")).collect()[0][0]
+    total_batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.date_trunc("minute", "ts"))
+        .distinct()
+        .count()
+    )
+    assert total_stream == total_batch
+
+
+def test_time_to_convert_percentiles_ordered(spark, sf_dir):
+    r = REGISTRY["funnel_time_to_convert"].spark_fn(spark, sf_dir).collect()[0]
+    assert r["n_conversions"] > 0
+    assert 0 <= r["p25_mins"] <= r["p50_mins"] <= r["p75_mins"] <= r["p90_mins"]
+    n_clickers = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_conversions"] <= n_clickers
+
+
+def test_pareto_curve_monotone_and_concentrated(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["orders_pareto_curve"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["top_pct"],
+    )
+    assert [r["top_pct"] for r in rows] == [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    shares = [r["rev_share"] for r in rows]
+    ncust = [r["n_top_customers"] for r in rows]
+    assert shares == sorted(shares) and ncust == sorted(ncust)
+    for r in rows:
+        # top spenders carry at least their proportional share (allow the
+        # bucket-granularity overshoot of n_top_customers to cover it)
+        assert r["rev_share"] >= r["top_pct"] / 100.0 - 1e-9
+
+
+def test_latency_p95_is_exact_bucket_threshold(spark, sf_dir):
+    from odc_stac_spark.queries.temporal import LAT_W
+    import math
+
+    out = {
+        r["hour_us"]: r
+        for r in REGISTRY["events_latency_p95_sli"].spark_fn(spark, sf_dir).collect()
+    }
+    views = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+            F.floor(F.col("value") / LAT_W).alias("bucket"),
+        )
+    )
+    per_hour = views.groupBy("hour_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list("bucket").alias("buckets"),
+    )
+    for r in per_hour.collect():
+        got = out[r["hour_us"]]
+        assert got["n_views"] == r["n"]
+        b = int(got["p95_le"] / LAT_W) - 1  # inclusive threshold bucket
+        need = math.ceil(r["n"] * 95 / 100.0)
+        assert sum(1 for x in r["buckets"] if x <= b) >= need
+        assert sum(1 for x in r["buckets"] if x <= b - 1) < need
+
+
+def test_stream_latency_p95_equals_batch(spark, sf_dir):
+    batch = REGISTRY["events_latency_p95_sli"].spark_fn(spark, sf_dir)
+    stream = REGISTRY["t_stream_latency_p95"].spark_fn(spark, sf_dir)
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_winnowing_single_window_doc(spark, tmp_path):
+    """A 6-token doc with K=3, W=4 has exactly one valid window (4
+    k-grams); the selected fingerprint must be the md5-minimum of the
+    four k-gram hashes."""
+    import hashlib
+    import os
+    from odc_stac_spark.queries.text import text_winnowing_fingerprint
+
+    words = ["delta", "alpha", "echo", "bravo", "charlie", "foxtrot"]
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text, "en", "src0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = text_winnowing_fingerprint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    kgrams = [" ".join(words[i : i + 3]) for i in range(4)]
+    hashes = [hashlib.md5(k.encode()).hexdigest() for k in kgrams]
+    r = out[0]
+    assert r["n_fingerprints"] == 1
+    assert r["min_fp"] == min(hashes)
+    assert r["fp_digest"] == hashlib.md5(min(hashes).encode()).hexdigest()
+
+
+def test_winnowing_guarantee_density(spark, sf_dir):
+    """Winnowing guarantees >=1 fingerprint per window of W k-grams, so
+    each doc must select at least ceil(n_windows / W) fingerprints (one
+    selection can cover at most W windows)."""
+    import math
+    from odc_stac_spark.queries.text import WIN_K, WIN_W
+
+    out = REGISTRY["text_winnowing_fingerprint"].spark_fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(F.split(F.trim(F.lower(F.col("text"))), " +")) - WIN_K + 1).alias(
+            "n_kgrams"
+        ),
+    )
+    j = {r["doc_id"]: r for r in out.join(docs, "doc_id").collect()}
+    for r in j.values():
+        n_windows = r["n_kgrams"] - WIN_W + 1
+        if n_windows >= 1:
+            assert r["n_fingerprints"] >= math.ceil(n_windows / WIN_W)
+            assert r["n_fingerprints"] <= r["n_kgrams"]
+
+
+def test_gram_topcorr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = REGISTRY["emb_gram_topcorr"].spark_fn(spark, sf_dir).collect()
+    assert [r["rk"] for r in out] == list(range(1, 21))
+    for r in out:
+        assert abs(r["corr"]) <= 1.0 + 1e-9
+        assert 1 <= r["dim_i"] < r["dim_j"]
+    X = np.asarray(
+        [
+            row["embedding"]
+            for row in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.corrcoef(X, rowvar=False)
+    for r in out[:5]:
+        assert abs(C[r["dim_i"] - 1, r["dim_j"] - 1] - r["corr"]) < 1e-4
