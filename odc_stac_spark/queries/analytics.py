@@ -1414,3 +1414,163 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BKT_N = 8  # bucket count for the co-located join demo tables
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """One-off build of orders+lineitem bucketed by the join key.
+
+    Mirrors the LSH-index persist pattern (similarity.py): cache keyed by
+    the source fingerprint so a replica or refreshed fixture rebuilds.
+    At 100 TB this is the ETL step a warehouse does ONCE so every later
+    join on the key is exchange-free."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    t_orders, t_lineitem = f"bkt_orders_{key}", f"bkt_lineitem_{key}"
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_bkt", key)
+    if not spark.catalog.tableExists(t_orders):
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(BKT_N, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(root, "orders"))
+            .saveAsTable(t_orders)
+        )
+    if not spark.catalog.tableExists(t_lineitem):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(BKT_N, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(root, "lineitem"))
+            .saveAsTable(t_lineitem)
+        )
+    return t_orders, t_lineitem
+
+
+@register(
+    "j_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="co-located join via bucketing — the 100 TB fact-to-fact join "
+    "pattern: orders and lineitem are materialized ONCE as parquet "
+    "tables bucketed (and sorted) by the join key, so the join reads "
+    "bucket i of each side into the same task and Catalyst plans a "
+    "SortMergeJoin with NO shuffle exchange on either side "
+    "(plan-asserted in tests/test_scale_patterns.py). The per-query "
+    "cost at scale drops from two full-table exchanges to zero; the "
+    "one-off bucketed write is the amortized ETL step. Result is gated "
+    "against the plain oracle join, proving the physical rewrite "
+    "changes nothing semantically.",
+    tags=("analytics", "scale", "join"),
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "cdc_merge_latest_wins",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer
+        WHERE c_custkey % 3 != 0),
+    latest AS (
+        SELECT o_custkey, ROUND(o_totalprice, 2) AS new_bal
+        FROM (SELECT o_custkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+              WHERE o_orderdate >= (SELECT MAX(o_orderdate)
+                                    FROM orders) - INTERVAL 90 DAY)
+        WHERE rn = 1),
+    merged AS (
+        SELECT COALESCE(b.c_custkey, l.o_custkey) AS custkey,
+               CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                    WHEN l.o_custkey IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS action,
+               COALESCE(l.new_bal, b.bal) AS final_bal
+        FROM base b FULL OUTER JOIN latest l ON l.o_custkey = b.c_custkey)
+    SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(final_bal), 2) AS total_balance
+    FROM merged GROUP BY 1
+    """,
+    doc="MERGE INTO / CDC upsert semantics without a table format: the "
+    "change set is reduced to ONE winning row per key map-side-first "
+    "(latest order by (date, orderkey) — the at-least-once CDC "
+    "compaction), then a single keyed full-outer join against the base "
+    "classifies every key as insert / update / unchanged and applies "
+    "latest-wins. The change set is the last 90 days of orders (a real "
+    "CDC window; the horizon is a 1-row broadcast scalar) and the base "
+    "filter (custkey % 3 != 0) simulates keys missing from the base, so "
+    "all three MERGE branches are exercised and gated. At 100 TB: one exchange for the change compaction, one "
+    "co-partitioned join — exactly what Delta/Iceberg MERGE plans do "
+    "under the hood, expressed in stock DataFrame ops.",
+    tags=("analytics", "cdc"),
+)
+def cdc_merge_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    # the CDC batch = the last 90 days of orders (customers quiet in the
+    # window fall through as 'unchanged'); the horizon is a 1-row scalar
+    # aggregate broadcast back, never a driver collect
+    horizon = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("h0")
+    )
+    recent = o.crossJoin(F.broadcast(horizon)).where(
+        F.col("o_orderdate") >= F.col("h0")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        recent.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.round("o_totalprice", 2).alias("new_bal"))
+    )
+    merged = base.join(
+        latest, base.c_custkey == latest.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("o_custkey").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce("new_bal", "bal").alias("final_bal"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("final_bal"), 2).alias("total_balance"),
+    )

@@ -120,11 +120,13 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ranks.select(
         "node", F.round(F.col("r") * 1e6, 2).alias("pagerank_ppm")
     )
+    # global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no single-partition sort of the N-row rank vector); the rank
+    # window then runs over the bounded k survivors only
+    top = ranked.orderBy(F.desc("pagerank_ppm"), F.asc("node")).limit(PR_TOPK)
     w = Window.orderBy(F.desc("pagerank_ppm"), F.asc("node"))
-    return (
-        ranked.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= PR_TOPK)
-        .select("rk", "node", "pagerank_ppm")
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "rk", "node", "pagerank_ppm"
     )
 
 
@@ -210,10 +212,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
     from pyspark.sql import Window
 
+    # same TakeOrderedAndProject shape as the PageRank top-k: never a
+    # single-partition window over the full per-node table
+    top = pernode.orderBy(F.desc("tri_count"), F.asc("node")).limit(PR_TOPK)
     w = Window.orderBy(F.desc("tri_count"), F.asc("node"))
     return (
-        pernode.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= PR_TOPK)
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
         .crossJoin(F.broadcast(total))
         .select("rk", "node", "tri_count", "total_triangles")
     )

@@ -707,3 +707,46 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+SAMPLE_K_PER_GROUP = 10
+
+
+@register(
+    "sample_k_per_group_by_hash",
+    oracle=f"""
+    SELECT source, CAST(rk AS INT) AS rk, doc_id
+    FROM (SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                     AS rk
+          FROM documents)
+    WHERE rk <= {SAMPLE_K_PER_GROUP}
+    """,
+    doc=f"deterministic fixed-size sample: exactly {SAMPLE_K_PER_GROUP} "
+    "documents per source, selected by smallest md5(doc_id) — a "
+    "reproducible 'reservoir' (the hash IS the uniform random draw, so "
+    "the sample is stable across runs, partitionings and engines, "
+    "unlike rand()-based reservoirs). Physically a TWO-STAGE top-k: "
+    "partition_local_topk keeps each Arrow batch's k smallest hashes "
+    "per source BEFORE the exchange, so the shuffle carries <= "
+    "batches x sources x k rows instead of the corpus — the eyeball-"
+    "sample / golden-set export every 100 TB pipeline needs.",
+    tags=("text", "sampling"),
+)
+def sample_k_per_group_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import partition_local_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    local = partition_local_topk(
+        d, ["source"], [("hk", True), ("doc_id", True)], SAMPLE_K_PER_GROUP
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("hk"), F.asc("doc_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
+        .select("source", "rk", "doc_id")
+    )

@@ -1977,6 +1977,38 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAM_TOPK = 20
 
 
+def _gram_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped-persisted (i, j, v) moment sums of the embedding matrix:
+    upper-triangle X^T X cells at (i, j), column sums at (i, -1), and the
+    row count at (-1, -1) — ONE Arrow-batched pass, dim^2-bounded partial
+    per batch (shared by emb_gram_topcorr and emb_pca_power_iteration)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n, d = X.shape
+            G = X.T @ X
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]).astype("int32"),
+                    "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]).astype("int32"),
+                    "v": np.concatenate([G[iu, ju], X.sum(axis=0), [float(n)]]),
+                }
+            )
+
+    parts = emb.mapInPandas(gram, "i int, j int, v double")
+    return scoped_persist(parts.groupBy("i", "j").agg(F.sum("v").alias("v")))
+
+
 @register(
     "emb_gram_topcorr",
     oracle=f"""
@@ -2018,33 +2050,7 @@ GRAM_TOPK = 20
     tags=("similarity", "embeddings"),
 )
 def emb_gram_topcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd  # noqa: F401 (signature clarity)
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
-    )
-
-    def gram(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            n, d = X.shape
-            G = X.T @ X
-            iu, ju = np.triu_indices(d)
-            yield pd.DataFrame(
-                {
-                    "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]).astype("int32"),
-                    "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]).astype("int32"),
-                    "v": np.concatenate([G[iu, ju], X.sum(axis=0), [float(n)]]),
-                }
-            )
-
-    parts = emb.mapInPandas(gram, "i int, j int, v double")
-    sums = scoped_persist(parts.groupBy("i", "j").agg(F.sum("v").alias("v")))
+    sums = _gram_sums(spark, sf_dir)
     n_row = sums.where((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("v").alias("n")
     )
@@ -2080,9 +2086,149 @@ def emb_gram_topcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 5).alias("corr"),
         F.round(F.abs(corr), 5).alias("acorr"),
     )
+    # pair table is dim^2-bounded, but keep the same top-k shape as the
+    # graph queries: orderBy+limit first, rank window over k rows only
+    top = scored.orderBy(F.desc("acorr"), F.asc("dim_i"), F.asc("dim_j")).limit(
+        GRAM_TOPK
+    )
     w = Window.orderBy(F.desc("acorr"), F.asc("dim_i"), F.asc("dim_j"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "rk", "dim_i", "dim_j", "corr"
+    )
+
+
+PCA_ITERS = 8
+
+# every u_k is referenced TWICE by v_k (FROM + the norm scalar), so the
+# CTEs must be MATERIALIZED or DuckDB's inlining expands the unrolled
+# chain 2^K times — the SQL image of the same lineage doubling the Spark
+# side truncates with localCheckpoint
+_PCA_ITER_CTES = "".join(
+    f"""
+    u{k} AS MATERIALIZED (SELECT c.i AS k, SUM(c.c * v.x) AS x FROM cells c
+           JOIN v{k - 1} v ON v.k = c.j GROUP BY 1),
+    v{k} AS MATERIALIZED (SELECT k, x / (SELECT sqrt(SUM(x * x)) FROM u{k})
+           AS x FROM u{k}),"""
+    for k in range(1, PCA_ITERS + 1)
+)
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT vec_id, u.idx AS i, u.x
+        FROM e, LATERAL (SELECT unnest(v) AS x,
+                                unnest(generate_series(1, len(v))) AS idx) u),
+    s AS (SELECT i, SUM(x) AS si, CAST(count(*) AS BIGINT) AS n
+          FROM dims GROUP BY 1),
+    p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sij
+          FROM dims a JOIN dims b ON b.vec_id = a.vec_id AND b.i >= a.i
+          GROUP BY 1, 2),
+    cells AS MATERIALIZED (
+        SELECT p.i, p.j, (p.sij - sa.si * sb.si / sa.n) / sa.n AS c
+        FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+        UNION ALL
+        SELECT p.j, p.i, (p.sij - sa.si * sb.si / sa.n) / sa.n
+        FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+        WHERE p.j > p.i),
+    v0 AS (SELECT i AS k, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS x
+           FROM s),{_PCA_ITER_CTES}
+    lam AS (SELECT SUM(c.c * va.x * vb.x) AS l
+            FROM cells c JOIN v{PCA_ITERS} va ON va.k = c.i
+                         JOIN v{PCA_ITERS} vb ON vb.k = c.j),
+    tr AS (SELECT SUM(c) AS t FROM cells WHERE i = j)
+    SELECT v{PCA_ITERS}.k AS dim, ROUND(v{PCA_ITERS}.x, 5) AS loading,
+           ROUND((SELECT l FROM lam), 4) AS eigenvalue,
+           ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 5)
+               AS explained_var_ratio
+    FROM v{PCA_ITERS}
+    """,
+    doc=f"top principal component via {PCA_ITERS} unrolled distributed "
+    "power iterations over the covariance matrix — built from the SAME "
+    "one-pass Arrow-batched gram moments as emb_gram_topcorr (shared "
+    "scoped-persisted sums, the corpus is scanned exactly once for both "
+    "queries in a session). Every iteration is a (cells join vector) "
+    "keyed aggregation over dim^2 cells + a 1-row norm broadcast — the "
+    "formulation that scales to dims far beyond driver memory, with the "
+    "iteration count FIXED so the DuckDB oracle replays the identical "
+    "unrolled computation (the kmeans/PageRank gate pattern). Output: "
+    "64 loadings + Rayleigh-quotient eigenvalue + explained-variance "
+    "ratio; deterministic sign because v0 = e1 is fixed. Convergence to "
+    "the true top component depends on the eigengap — on this corpus "
+    "the spectrum is nearly flat, so the test asserts the EXACT iterate "
+    "(numpy replication) plus a spectrum bracket on the Rayleigh "
+    "quotient rather than eigenvector identity; production raises the "
+    "iteration count for flat spectra. Fold-order noise ~1e-12 vs "
+    "round 5.",
+    tags=("similarity", "embeddings"),
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sums = _gram_sums(spark, sf_dir)
+    n_row = sums.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    dsum = sums.where((F.col("j") == -1) & (F.col("i") > 0)).select(
+        F.col("i").alias("k"), F.col("v").alias("sk")
+    )
+    da = dsum.select(F.col("k").alias("i"), F.col("sk").alias("si"))
+    db = dsum.select(F.col("k").alias("j"), F.col("sk").alias("sj"))
+    upper = (
+        sums.where((F.col("i") > 0) & (F.col("j") >= F.col("i")))
+        .withColumnRenamed("v", "sij")
+        .join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            ((F.col("sij") - F.col("si") * F.col("sj") / F.col("n")) / F.col("n")).alias(
+                "c"
+            ),
+        )
+    )
+    cells = scoped_persist(
+        upper.unionAll(
+            upper.where(F.col("j") > F.col("i")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        )
+    )
+    v = dsum.select("k", F.when(F.col("k") == 1, 1.0).otherwise(0.0).alias("x"))
+    for _ in range(PCA_ITERS):
+        u = (
+            cells.join(v, cells.j == v.k)
+            .groupBy(cells.i.alias("k2"))
+            .agg(F.sum(F.col("c") * F.col("x")).alias("x"))
+            .withColumnRenamed("k2", "k")
+        )
+        norm = u.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        v = u.crossJoin(F.broadcast(norm)).select(
+            "k", (F.col("x") / F.col("nrm")).alias("x")
+        )
+        # u feeds v TWICE (directly and through the norm scalar), so the
+        # unrolled lineage would DOUBLE per iteration — 2^K plan copies
+        # OOM the driver during analysis long before any data moves.
+        # localCheckpoint (64 rows) truncates the lineage each step, the
+        # same fix the kmeans/BPE iterations use.
+        v = v.localCheckpoint()
+    v = scoped_persist(v)
+    va = v.select(F.col("k").alias("i"), F.col("x").alias("xa"))
+    vb = v.select(F.col("k").alias("j"), F.col("x").alias("xb"))
+    lam = (
+        cells.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(F.sum(F.col("c") * F.col("xa") * F.col("xb")).alias("l"))
+    )
+    tr = cells.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("t"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= GRAM_TOPK)
-        .select("rk", "dim_i", "dim_j", "corr")
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("k").alias("dim"),
+            F.round("x", 5).alias("loading"),
+            F.round("l", 4).alias("eigenvalue"),
+            F.round(F.col("l") / F.col("t"), 5).alias("explained_var_ratio"),
+        )
     )

@@ -1523,3 +1523,149 @@ def t_stream_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min(F.col("bucket") + 1) * LAT_W).cast("double").alias("p95_le"),
         )
     )
+
+
+ANOM_MAD_K = 3.5  # |robust z| threshold (modified z-score, Iglewicz-Hoaglin)
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS m
+        FROM hourly GROUP BY 1),
+    mad AS (
+        SELECT h.event_type, quantile_cont(abs(h.n - med.m), 0.5) AS d
+        FROM hourly h JOIN med ON med.event_type = h.event_type
+        GROUP BY 1)
+    SELECT h.event_type, epoch_us(h.h) AS hour_us, h.n,
+           ROUND(med.m, 4) AS median_n,
+           ROUND(0.6745 * (h.n - med.m) / mad.d, 4) AS robust_z
+    FROM hourly h
+    JOIN med ON med.event_type = h.event_type
+    JOIN mad ON mad.event_type = h.event_type
+    WHERE mad.d > 0
+      AND abs(ROUND(0.6745 * (h.n - med.m) / mad.d, 4)) >= {ANOM_MAD_K}
+    """,
+    doc="robust (median/MAD) anomaly detection on the hourly series — "
+    "the Iglewicz-Hoaglin modified z-score 0.6745(x - median)/MAD with "
+    f"|z| >= {ANOM_MAD_K}, which a single extreme outlier cannot mask "
+    "(unlike the mean/stddev z of ts_anomaly_zscore, whose profile an "
+    "outlier inflates). Two exact-median aggregates over the BOUNDED "
+    "hourly rollup (series x span rows — medians never see raw events), "
+    "profile broadcast back for the map-side flag; threshold applied to "
+    "the ROUNDED score on both engines so fold noise cannot flip "
+    "membership. At 100 TB only the first rollup touches the corpus.",
+    tags=("temporal", "anomaly"),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = scoped_persist(
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("m")
+    )
+    mad = (
+        hourly.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(n - m), 0.5)").alias("d"))
+    )
+    z = F.round(0.6745 * (F.col("n") - F.col("m")) / F.col("d"), 4)
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where((F.col("d") > 0) & (F.abs(z) >= ANOM_MAD_K))
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n",
+            F.round("m", 4).alias("median_n"),
+            z.alias("robust_z"),
+        )
+    )
+
+
+ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+               ROUND(value, 2) AS amount
+        FROM events WHERE event_type = 'purchase'),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, p.amount, c.event_id AS click_id
+        FROM purchases p
+        JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+                     AND c.ts <= p.p_ts
+                     AND c.ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY),
+    credited AS (
+        SELECT click_id, purchase_id, amount,
+               CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                   AS n_touches
+        FROM touches)
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(amount / n_touches), 4) AS credited_revenue
+    FROM credited GROUP BY 1
+    """,
+    doc="multi-touch LINEAR attribution: every click in the "
+    f"{ATTR_WINDOW_DAYS}-day lookback before a purchase shares the "
+    "purchase amount equally (credit = amount / n_touches). One "
+    "user-keyed equi-join with the time window as a residual predicate "
+    "(the j_interval_bucketed pattern applies unchanged if the per-user "
+    "event density ever makes the residual scan hot), then a "
+    "purchase-keyed count window over the BOUNDED touch set and a "
+    "click-keyed rollup. Fan-out is clicks-per-user-week x purchases — "
+    "behavioral density, not corpus size. Complements "
+    "t_stream_click_attribution (last-touch) with the multi-touch "
+    "model; amounts rounded before the division so both engines divide "
+    "identical numbers.",
+    tags=("temporal", "analytics", "attribution"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("amount"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "click_id",
+        "purchase_id",
+        "amount",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("amount") / F.col("n_touches")), 4).alias(
+            "credited_revenue"
+        ),
+    )

@@ -347,3 +347,161 @@ def test_gram_topcorr_matches_numpy(spark, sf_dir):
     C = np.corrcoef(X, rowvar=False)
     for r in out[:5]:
         assert abs(C[r["dim_i"] - 1, r["dim_j"] - 1] - r["corr"]) < 1e-4
+
+
+def test_pca_matches_numpy_top_component(spark, sf_dir):
+    import numpy as np
+
+    rows = REGISTRY["emb_pca_power_iteration"].spark_fn(spark, sf_dir).collect()
+    v = np.zeros(len(rows))
+    for r in rows:
+        v[r["dim"] - 1] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    lam = rows[0]["eigenvalue"]
+    evr = rows[0]["explained_var_ratio"]
+    assert lam > 0 and 0 < evr <= 1
+    X = np.asarray(
+        [
+            row["embedding"]
+            for row in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    # the gate pins the EXACT K-step iterate: replicate it in numpy
+    # (full precision, raw data — independent of the distributed
+    # moments/join path) and demand near-identity
+    from odc_stac_spark.queries.similarity import PCA_ITERS
+
+    ref = np.zeros(len(C))
+    ref[0] = 1.0
+    for _ in range(PCA_ITERS):
+        ref = C @ ref
+        ref /= np.linalg.norm(ref)
+    assert abs(float(ref @ v)) > 0.9999, float(ref @ v)
+    # Rayleigh quotient of any unit iterate lies in the spectrum; after
+    # K ascent steps it must sit in the top of it (above lambda_2 is not
+    # guaranteed on a flat spectrum, but above the spectral MEDIAN is)
+    assert lam <= w[-1] * 1.001
+    assert lam >= float(np.median(w))
+
+
+def test_cdc_merge_exercises_all_three_actions(spark, sf_dir):
+    rows = {
+        r["action"]: r
+        for r in REGISTRY["cdc_merge_latest_wins"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"insert", "update", "unchanged"}
+    for r in rows.values():
+        assert r["n_rows"] > 0
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    out = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["j_bucketed_colocated"].spark_fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .collect()
+    )
+    for r in plain:
+        assert out[r["o_orderpriority"]]["n_lines"] == r["n_lines"]
+
+
+def test_mad_anomaly_stats_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = REGISTRY["ts_anomaly_mad"].spark_fn(spark, sf_dir).collect()
+    from odc_stac_spark.queries.temporal import ANOM_MAD_K
+
+    for r in out:
+        assert abs(r["robust_z"]) >= ANOM_MAD_K
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .count()
+        .collect()
+    )
+    by_type: dict = {}
+    for r in hourly:
+        by_type.setdefault(r["event_type"], []).append(r["count"])
+    flagged = {(r["event_type"], r["hour_us"]) for r in out}
+    n_expected = 0
+    for t, ns in by_type.items():
+        arr = np.array(ns, dtype=float)
+        med = np.median(arr)
+        mad = np.median(np.abs(arr - med))
+        if mad > 0:
+            z = np.round(0.6745 * (arr - med) / mad, 4)
+            n_expected += int((np.abs(z) >= ANOM_MAD_K).sum())
+    assert len(flagged) == n_expected
+
+
+def test_linear_attribution_conserves_revenue(spark, sf_dir):
+    out = REGISTRY["events_attribution_linear"].spark_fn(spark, sf_dir)
+    total_credited = out.agg(F.sum("credited_revenue")).collect()[0][0]
+    ev = load_table(spark, sf_dir, "events")
+    from odc_stac_spark.queries.temporal import ATTR_WINDOW_DAYS
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("amount"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    attributed = (
+        p.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .agg(F.sum("amount"))
+        .collect()[0][0]
+    )
+    # linear attribution must conserve the attributed purchase value
+    # (amount / n_touches summed over touches == amount per purchase)
+    assert abs(total_credited - attributed) < 0.05
+
+
+def test_sample_k_per_group_exact(spark, sf_dir):
+    from odc_stac_spark.queries.llm_pipeline import SAMPLE_K_PER_GROUP
+
+    out = REGISTRY["sample_k_per_group_by_hash"].spark_fn(spark, sf_dir)
+    rows = out.collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    d = load_table(spark, sf_dir, "documents")
+    sizes = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, got in per_src.items():
+        assert len(got) == min(SAMPLE_K_PER_GROUP, sizes[src])
+        assert sorted(r["rk"] for r in got) == list(range(1, len(got) + 1))
+    # deterministic: equals the direct single-stage window computation
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    direct = (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
+        .select("source", "rk", "doc_id")
+    )
+    assert out.exceptAll(direct).count() == 0
+    assert direct.exceptAll(out).count() == 0

@@ -501,3 +501,37 @@ def test_gap_fill_spine_is_generated_not_joined(spark, sf_dir):
     plan = _executed_plan(REGISTRY["ts_gap_fill_locf"].spark_fn(spark, sf_dir))
     assert "sequence(" in plan and "Generate explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """j_bucketed_colocated's physical win: joining the two tables
+    bucketed+sorted by the join key must plan a SortMergeJoin with NO
+    shuffle exchange on either side — bucket i of each table reads into
+    the same task. (The registry query adds a distinct-agg above the
+    join, which legitimately exchanges; this pins the join subtree.)"""
+    from odc_stac_spark.queries.analytics import _bucketed_tables
+
+    t_o, t_l = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_o)
+    li = spark.table(t_l)
+    # at test scale stats pick a broadcast join (also exchange-free but
+    # not the property under test); the MERGE hint forces the SMJ path a
+    # 100 TB fact-to-fact join would take, where bucketing must elide
+    # BOTH shuffle exchanges
+    plan = _executed_plan(
+        o.hint("merge")
+        .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "l_extendedprice")
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pagerank_iteration_joins_are_keyed(spark, sf_dir):
+    """Each PageRank iteration must be an equi-join + keyed aggregation —
+    no cartesian/BNLJ anywhere in the unrolled plan (the only broadcast
+    is the 1-row node-count scalar)."""
+    plan = _executed_plan(REGISTRY["graph_pagerank_topk"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the lone BNLJ is the bounded 1-row N crossJoin (the DSIR pattern)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
