@@ -1574,3 +1574,149 @@ def cdc_merge_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("final_bal"), 2).alias("total_balance"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        FROM orders GROUP BY 1),
+    spend AS (
+        SELECT f.cohort,
+               CAST(date_diff('month', f.cohort,
+                    date_trunc('month', o.o_orderdate)) AS BIGINT) AS offset_m,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    sized AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM firsts GROUP BY 1)
+    SELECT epoch_us(s.cohort) AS cohort_us, s.offset_m, s.n_active,
+           z.cohort_size,
+           ROUND(s.rev_cents / 100.0, 2) AS revenue,
+           (CAST(SUM(s.rev_cents) OVER (PARTITION BY s.cohort
+                 ORDER BY s.offset_m ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 // z.cohort_size) / 100.0 AS cum_ltv_per_customer
+    FROM spend s JOIN sized z ON z.cohort = s.cohort
+    """,
+    doc="cohort LTV curve: customers cohorted by first-order month, then "
+    "revenue per (cohort, month offset) and the running "
+    "LTV-per-customer — the curve a growth team reads retention "
+    "economics from. One custkey reduction for cohorts, one "
+    "(cohort, offset) rollup of the fact join, and the cumulative "
+    "window runs over the BOUNDED months^2/2 cohort matrix, never raw "
+    "orders. Complements cohort_retention (activity) with the revenue "
+    "axis; distinct-active counts are exact.",
+    tags=("analytics",),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    from . import scoped_persist
+
+    firsts = scoped_persist(firsts)
+    spend = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+                + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("offset_m"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            # integer cents: the cumulative window then sums EXACT
+            # BIGINTs, so no fold-order penny flip can split the gate
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    sized = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = Window.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spend.join(F.broadcast(sized), "cohort")
+        .select(
+            F.unix_micros("cohort").alias("cohort_us"),
+            "offset_m",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            ((F.sum("rev_cents").over(w).cast("long") / F.col("cohort_size"))
+             .cast("long") / 100.0).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS orphans,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS child_keys
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT),
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+           CAST(count(DISTINCT c.c_nationkey) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+    doc="referential-integrity audit across the star schema: for each FK "
+    "edge, child row count, orphan count (child keys with no parent) "
+    "and distinct child keys — the contract check a warehouse runs "
+    "after every load. Each edge is ONE left join + counting aggregate; "
+    "parent dims (nation/supplier/part/customer) broadcast when small, "
+    "the two fact-fact edges shuffle on the key like any q-series join. "
+    "All-integer output, exact gate. Complements data_quality_report "
+    "(intra-table nulls/ranges) with the INTER-table axis.",
+    tags=("analytics", "quality"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ck, parent, pk):
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.sum(parent[pk].isNull().cast("long")).alias("orphans"),
+            F.countDistinct(child[ck]).alias("child_keys"),
+        ).select("fk", "child_rows", "orphans", "child_keys")
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"))
+        .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )

@@ -1669,3 +1669,161 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credited_revenue"
         ),
     )
+
+
+BOT_HOURLY_MAX = 2  # events/hour threshold (fixture-scaled config)
+BOT_BURST_MAX = 1    # events/minute threshold (fixture-scaled config)
+
+
+@register(
+    "events_bot_detection_rules",
+    oracle=f"""
+    WITH per_hour AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    per_min AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS nm
+        FROM events GROUP BY user_id, date_trunc('minute', ts)),
+    flags AS (
+        SELECT hm.user_id, hm.max_hourly, bm.max_burst
+        FROM (SELECT user_id, MAX(n) AS max_hourly
+              FROM per_hour GROUP BY 1) hm
+        JOIN (SELECT user_id, MAX(nm) AS max_burst
+              FROM per_min GROUP BY 1) bm USING (user_id))
+    SELECT user_id, max_hourly, max_burst,
+           CAST(max_hourly > {BOT_HOURLY_MAX} AS INT) AS flag_sustained,
+           CAST(max_burst > {BOT_BURST_MAX} AS INT) AS flag_burst
+    FROM flags
+    WHERE max_hourly > {BOT_HOURLY_MAX} OR max_burst > {BOT_BURST_MAX}
+    """,
+    doc="rate-based bot/abuse detection — the crawl-hygiene filter every "
+    f"ingestion pipeline runs: flag users exceeding {BOT_HOURLY_MAX} "
+    f"events/hour (sustained) or {BOT_BURST_MAX} events/minute (burst; "
+    "thresholds are deployment config, here scaled to the fixture's "
+    "uniform rates so the flag path is exercised). "
+    "Two keyed rollups with map-side partials (user x hour, user x "
+    "minute), MAX-reduced per user, integer thresholds so the gate is "
+    "exact. At 100 TB both rollups are single exchanges over composite "
+    "keys that spread uniformly; the flagged set is tiny by "
+    "construction. Feeds dedup/decontamination the same way "
+    "text_pii_scrub feeds the text plane.",
+    tags=("temporal", "analytics", "quality"),
+)
+def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("nm"))
+    hourly_max = per_hour.groupBy("user_id").agg(F.max("n").alias("max_hourly"))
+    burst_max = per_min.groupBy("user_id").agg(F.max("nm").alias("max_burst"))
+    return (
+        hourly_max.join(burst_max, "user_id")
+        .where(
+            (F.col("max_hourly") > BOT_HOURLY_MAX)
+            | (F.col("max_burst") > BOT_BURST_MAX)
+        )
+        .select(
+            "user_id",
+            "max_hourly",
+            "max_burst",
+            (F.col("max_hourly") > BOT_HOURLY_MAX).cast("int").alias("flag_sustained"),
+            (F.col("max_burst") > BOT_BURST_MAX).cast("int").alias("flag_burst"),
+        )
+    )
+
+
+@register(
+    "t_stream_bot_detection",
+    # gate: identical SQL image as events_bot_detection_rules — the
+    # stream maintains the (user, minute) rollup; hourly maxima derive
+    # from the MAINTAINED state by exact minute->hour summation.
+    oracle=f"""
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS m,
+               CAST(count(*) AS BIGINT) AS nm
+        FROM events GROUP BY 1, 2),
+    per_hour AS (
+        SELECT user_id, date_trunc('hour', m) AS h,
+               CAST(SUM(nm) AS BIGINT) AS n
+        FROM per_min GROUP BY 1, 2),
+    flags AS (
+        SELECT hm.user_id, hm.max_hourly, bm.max_burst
+        FROM (SELECT user_id, MAX(n) AS max_hourly
+              FROM per_hour GROUP BY 1) hm
+        JOIN (SELECT user_id, MAX(nm) AS max_burst
+              FROM per_min GROUP BY 1) bm USING (user_id))
+    SELECT user_id, max_hourly, max_burst,
+           CAST(max_hourly > {BOT_HOURLY_MAX} AS INT) AS flag_sustained,
+           CAST(max_burst > {BOT_BURST_MAX} AS INT) AS flag_burst
+    FROM flags
+    WHERE max_hourly > {BOT_HOURLY_MAX} OR max_burst > {BOT_BURST_MAX}
+    """,
+    doc="REAL streaming bot detection: the finest-grain rollup "
+    "(user x minute counts, watermarked tumbling windows, update-mode "
+    "memory sink) is the ONLY stateful stream; hourly rates derive from "
+    "the maintained minute state by exact summation, so one state store "
+    "serves both the burst and sustained rules — the production shape "
+    "where abuse thresholds at several granularities read one "
+    "maintained aggregate. Batch-oracle hash parity of the flagged set "
+    "is the gate (stream==batch).",
+    tags=("temporal", "streaming", "quality"),
+)
+def t_stream_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "t_stream_bot_detection_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = _stage_events_stream(spark, sf_dir, "events_bot_stream_")
+    per_min = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("m"),
+            "nm",
+        )
+    )
+    q = (
+        per_min.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "m")
+        .agg(F.max("nm").alias("nm"))
+    )
+    per_hour = final.groupBy(
+        "user_id", F.date_trunc("hour", "m").alias("h")
+    ).agg(F.sum("nm").alias("n"))
+    hm = per_hour.groupBy("user_id").agg(F.max("n").alias("max_hourly"))
+    # rename before the self-derived join: hm and bm share `final`'s
+    # lineage, and identical attribute ids trip Catalyst's conflicting-
+    # references check
+    bm = (
+        final.select(F.col("user_id").alias("u2"), "nm")
+        .groupBy("u2")
+        .agg(F.max("nm").alias("max_burst"))
+    )
+    return (
+        hm.join(bm, hm.user_id == bm.u2)
+        .where(
+            (F.col("max_hourly") > BOT_HOURLY_MAX)
+            | (F.col("max_burst") > BOT_BURST_MAX)
+        )
+        .select(
+            "user_id",
+            "max_hourly",
+            "max_burst",
+            (F.col("max_hourly") > BOT_HOURLY_MAX).cast("int").alias("flag_sustained"),
+            (F.col("max_burst") > BOT_BURST_MAX).cast("int").alias("flag_burst"),
+        )
+    )

@@ -1477,3 +1477,62 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_digest"),
     )
+
+
+@register(
+    "text_langclass_contingency",
+    oracle="""
+    WITH pred AS (
+        SELECT lang,
+               CASE WHEN vr < 0.34 THEN 'consonantal'
+                    WHEN vr < 0.38 THEN 'balanced'
+                    ELSE 'vocalic' END AS char_class
+        FROM (SELECT lang,
+                     ROUND(len(regexp_extract_all(lower(text), '[aeiou]')) * 1.0
+                           / GREATEST(len(regexp_extract_all(lower(text), '[a-z]')),
+                                      1), 4) AS vr
+              FROM documents)),
+    cells AS (
+        SELECT lang, char_class, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2)
+    SELECT lang, char_class, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang), 4) AS frac,
+           CAST(n = MAX(n) OVER (PARTITION BY lang) AS INT) AS is_majority
+    FROM cells
+    """,
+    doc="classifier-evaluation contingency table: the text_lang_id "
+    "char-class heuristic crossed with the labeled lang column — per "
+    "(lang, predicted class) counts, within-lang fractions and the "
+    "majority flag, i.e. the confusion/purity readout that decides "
+    "whether a cheap heuristic can gate a 100 TB corpus before the "
+    "expensive model runs. Map-side classification, one shuffle of "
+    "langs x classes cells; the fraction windows run over the bounded "
+    "contingency table. Integer counts make the gate exact.",
+    tags=("text", "llm-pipeline", "eval"),
+)
+def text_langclass_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    vowels = F.size(F.regexp_extract_all(low, F.lit("[aeiou]"), 0))
+    letters = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("[a-z]"), 0)), F.lit(1)
+    )
+    vr = F.round(vowels * F.lit(1.0) / letters, 4)
+    pred = d.select(
+        "lang",
+        F.when(vr < 0.34, "consonantal")
+        .when(vr < 0.38, "balanced")
+        .otherwise("vocalic")
+        .alias("char_class"),
+    )
+    cells = pred.groupBy("lang", "char_class").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "char_class",
+        "n",
+        F.sum("n").over(w).alias("lang_total"),
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w), 4).alias("frac"),
+        (F.col("n") == F.max("n").over(w)).cast("int").alias("is_majority"),
+    )

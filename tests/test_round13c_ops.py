@@ -505,3 +505,70 @@ def test_sample_k_per_group_exact(spark, sf_dir):
     )
     assert out.exceptAll(direct).count() == 0
     assert direct.exceptAll(out).count() == 0
+
+
+def test_bot_flags_match_direct_recomputation(spark, sf_dir):
+    from odc_stac_spark.queries.temporal import BOT_HOURLY_MAX, BOT_BURST_MAX
+
+    out = {r["user_id"]: r for r in
+           REGISTRY["events_bot_detection_rules"].spark_fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    hm = {r["user_id"]: r["mh"] for r in
+          ev.groupBy("user_id", F.date_trunc("hour", "ts")).count()
+          .groupBy("user_id").agg(F.max("count").alias("mh")).collect()}
+    bm = {r["user_id"]: r["mb"] for r in
+          ev.groupBy("user_id", F.date_trunc("minute", "ts")).count()
+          .groupBy("user_id").agg(F.max("count").alias("mb")).collect()}
+    expected = {u for u in hm
+                if hm[u] > BOT_HOURLY_MAX or bm[u] > BOT_BURST_MAX}
+    assert set(out) == expected
+    for u, r in out.items():
+        assert r["max_hourly"] == hm[u] and r["max_burst"] == bm[u]
+        assert r["flag_sustained"] == int(hm[u] > BOT_HOURLY_MAX)
+        assert r["flag_burst"] == int(bm[u] > BOT_BURST_MAX)
+
+
+def test_cohort_ltv_monotone_and_bounded(spark, sf_dir):
+    rows = REGISTRY["orders_cohort_ltv"].spark_fn(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_us"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["offset_m"])
+        assert rs[0]["offset_m"] == 0  # the first-order month is offset 0
+        ltv = [r["cum_ltv_per_customer"] for r in rs]
+        assert ltv == sorted(ltv)  # cumulative spend never decreases
+        for r in rs:
+            assert 1 <= r["n_active"] <= r["cohort_size"]
+
+
+def test_langclass_fracs_and_majority(spark, sf_dir):
+    rows = REGISTRY["text_langclass_contingency"].spark_fn(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(r["frac"] for r in rs) - 1.0) < 1e-2
+        assert sum(r["n"] for r in rs) == rs[0]["lang_total"]
+        mx = max(r["n"] for r in rs)
+        for r in rs:
+            assert r["is_majority"] == int(r["n"] == mx)
+
+
+def test_referential_integrity_clean_fixture(spark, sf_dir):
+    rows = {r["fk"]: r for r in
+            REGISTRY["dq_referential_integrity"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "lineitem->orders", "orders->customer", "lineitem->part",
+        "lineitem->supplier", "customer->nation",
+    }
+    for r in rows.values():
+        assert r["orphans"] == 0  # the TPC-H fixture is referentially clean
+        assert 0 < r["child_keys"] <= r["child_rows"]
+
+
+def test_stream_bot_detection_equals_batch(spark, sf_dir):
+    batch = REGISTRY["events_bot_detection_rules"].spark_fn(spark, sf_dir)
+    stream = REGISTRY["t_stream_bot_detection"].spark_fn(spark, sf_dir)
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0

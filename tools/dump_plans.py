@@ -258,6 +258,50 @@ PICKS = [
         "aggregate onto the brand-pair space, and the frequency/total "
         "tables broadcast back for the lift arithmetic.",
     ),
+    (
+        "graph_pagerank_topk",
+        "Iterative graph algorithm (r13 third wave): three unrolled power "
+        "iterations, each ONE equi-join of the N-row rank vector with the "
+        "scoped-persisted out-weighted edge list (InMemoryTableScan) plus "
+        "one dst-key partial-agg exchange; the node-count scalar rides a "
+        "1-row BroadcastNestedLoopJoin (the DSIR pattern), and the final "
+        "top-k is TakeOrderedAndProject — no single-partition sort of the "
+        "rank vector anywhere.",
+    ),
+    (
+        "emb_pca_power_iteration",
+        "Distributed X^T X + unrolled power iteration: the corpus is read "
+        "ONCE by an Arrow-batched mapInPandas emitting dim^2-bounded "
+        "upper-triangle partials; every iteration is a covariance-cell "
+        "join + keyed sum + 1-row norm broadcast, with localCheckpoint "
+        "truncating the lineage (u feeds v twice, so the unrolled plan "
+        "would otherwise double per iteration — 2^K copies).",
+    ),
+    (
+        "j_bucketed_colocated",
+        "Fact-to-fact join with ZERO exchanges: both tables bucketed+sorted "
+        "by the join key at write time, so the SortMergeJoin consumes "
+        "bucket-aligned scans directly (plan-asserted under the merge "
+        "hint in tests/test_scale_patterns.py). The aggregation above it "
+        "is the only exchange in the query.",
+    ),
+    (
+        "events_rfm_segmentation",
+        "Sketch-thresholded segmentation: ONE custkey exchange builds the "
+        "per-customer RFM row; quartile thresholds come from bounded "
+        "histogram sketches whose cumulative windows run over bucket "
+        "tables, and the 3x3 thresholds return as plan literals — no "
+        "global ntile sort of the customer table in any stage.",
+    ),
+    (
+        "text_winnowing_fingerprint",
+        "MOSS winnowing: k-gram hashes are computed ONCE per position "
+        "inside the scan stage (transform over sequence — map-side), the "
+        "bounded W-way explode assigns each k-gram to its covering "
+        "windows, and the single exchange is the (doc, window) argmin "
+        "row_number; fingerprint digests aggregate per doc in the same "
+        "keyed shuffle.",
+    ),
 ]
 
 
