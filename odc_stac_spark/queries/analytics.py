@@ -1720,3 +1720,45 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"))
         .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
     )
+
+
+@register(
+    "orders_ship_delay_percentiles",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                 0.50), 4) AS p50_days,
+           ROUND(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                 0.90), 4) AS p90_days,
+           ROUND(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                 0.99), 4) AS p99_days,
+           CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS max_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc="order-to-ship latency distribution per priority class — the "
+    "fulfillment SLA readout: integer day deltas through the "
+    "fact-to-fact orderkey join (the same join j_bucketed_colocated "
+    "materializes exchange-free), exact interpolated percentiles as "
+    "one-pass typed aggregates. Day deltas are integers on both "
+    "engines, so interpolation runs over identical multisets.",
+    tags=("analytics",),
+)
+def orders_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("d"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(d, 0.50)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(d, 0.90)"), 4).alias("p90_days"),
+        F.round(F.expr("percentile(d, 0.99)"), 4).alias("p99_days"),
+        F.max("d").alias("max_days"),
+    )

@@ -1536,3 +1536,78 @@ def text_langclass_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w), 4).alias("frac"),
         (F.col("n") == F.max("n").over(w)).cast("int").alias("is_majority"),
     )
+
+
+OOV_VOCAB_SIZES = [100, 500, 1000, 5000]
+
+
+@register(
+    "text_oov_rate_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS t
+        FROM documents),
+    freq AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, t ASC) AS rk
+        FROM tok GROUP BY 1),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM freq),
+    vs AS (SELECT unnest({OOV_VOCAB_SIZES}) AS vocab_size)
+    SELECT v.vocab_size,
+           CAST(LEAST(v.vocab_size, (SELECT count(*) FROM freq)) AS BIGINT)
+               AS vocab_used,
+           CAST((SELECT tot FROM total)
+                - COALESCE(SUM(f.n) FILTER (WHERE f.rk <= v.vocab_size), 0)
+                AS BIGINT) AS oov_tokens,
+           ROUND(((SELECT tot FROM total)
+                - COALESCE(SUM(f.n) FILTER (WHERE f.rk <= v.vocab_size), 0))
+                * 1.0 / (SELECT tot FROM total), 6) AS oov_rate
+    FROM vs v LEFT JOIN freq f ON TRUE
+    GROUP BY 1
+    """,
+    doc="out-of-vocabulary rate curve: for candidate vocabulary sizes "
+    f"{OOV_VOCAB_SIZES}, the fraction of corpus tokens NOT covered by "
+    "the top-V most frequent words (ties broken by token) — the "
+    "coverage readout that sizes a tokenizer/embedding table before "
+    "training. One token-frequency shuffle (map-side combine, "
+    "vocabulary-bounded output); the ranking window and the V-probe "
+    "join run over the BOUNDED frequency table, so corpus volume only "
+    "touches the first rollup. Integer token counts make the gate "
+    "exact (rate rounds at 6dp from an integer ratio).",
+    tags=("text", "llm-pipeline"),
+)
+def text_oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    from . import scoped_persist
+
+    ranked = scoped_persist(freq.withColumn("rk", F.row_number().over(w)))
+    total = ranked.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    vs = spark.createDataFrame(
+        [(v,) for v in OOV_VOCAB_SIZES], "vocab_size int"
+    )
+    covered = (
+        F.broadcast(vs)
+        .join(ranked, F.col("rk") <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("cov"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size").cast("long"), F.col("n_vocab")).alias(
+                "vocab_used"
+            ),
+            (F.col("tot") - F.col("cov")).alias("oov_tokens"),
+            F.round(
+                (F.col("tot") - F.col("cov")) * F.lit(1.0) / F.col("tot"), 6
+            ).alias("oov_rate"),
+        )
+    )

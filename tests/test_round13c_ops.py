@@ -572,3 +572,34 @@ def test_stream_bot_detection_equals_batch(spark, sf_dir):
     stream = REGISTRY["t_stream_bot_detection"].spark_fn(spark, sf_dir)
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_ship_delay_percentiles_ordered(spark, sf_dir):
+    rows = REGISTRY["orders_ship_delay_percentiles"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["p99_days"] <= r["max_days"]
+
+
+def test_oov_rate_curve_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["text_oov_rate_curve"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    from odc_stac_spark.queries.text import OOV_VOCAB_SIZES
+
+    assert [r["vocab_size"] for r in rows] == OOV_VOCAB_SIZES
+    rates = [r["oov_rate"] for r in rows]
+    # bigger vocabulary never covers less
+    assert rates == sorted(rates, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["vocab_used"] <= r["vocab_size"]
+    # total token conservation at the largest probe
+    d = load_table(spark, sf_dir, "documents")
+    total = d.select(
+        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), " +")))
+    ).collect()[0][0]
+    biggest = rows[-1]
+    covered = total - biggest["oov_tokens"]
+    assert 0 < covered <= total
