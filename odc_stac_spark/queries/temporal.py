@@ -1602,22 +1602,24 @@ ATTR_WINDOW_DAYS = 7
     oracle=f"""
     WITH purchases AS (
         SELECT event_id AS purchase_id, user_id, ts AS p_ts,
-               ROUND(value, 2) AS amount
+               CAST(round(value * 100) AS BIGINT) AS amount_cents
         FROM events WHERE event_type = 'purchase'),
     touches AS (
-        SELECT p.purchase_id, p.user_id, p.amount, c.event_id AS click_id
+        SELECT p.purchase_id, p.user_id, p.amount_cents,
+               c.event_id AS click_id
         FROM purchases p
         JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
                      AND c.ts <= p.p_ts
                      AND c.ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY),
     credited AS (
-        SELECT click_id, purchase_id, amount,
-               CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
-                   AS n_touches
+        SELECT click_id, purchase_id,
+               CAST(amount_cents * 10000
+                    // (count(*) OVER (PARTITION BY purchase_id))
+                    AS BIGINT) AS credit_micro
         FROM touches)
     SELECT click_id,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           ROUND(SUM(amount / n_touches), 4) AS credited_revenue
+           CAST(SUM(credit_micro) AS BIGINT) / 1000000.0 AS credited_revenue
     FROM credited GROUP BY 1
     """,
     doc="multi-touch LINEAR attribution: every click in the "
@@ -1630,8 +1632,9 @@ ATTR_WINDOW_DAYS = 7
     "click-keyed rollup. Fan-out is clicks-per-user-week x purchases — "
     "behavioral density, not corpus size. Complements "
     "t_stream_click_attribution (last-touch) with the multi-touch "
-    "model; amounts rounded before the division so both engines divide "
-    "identical numbers.",
+    "model; credits are exact integer micro-units (cents x 1e4 DIV "
+    "touch count), so the per-click rollup is an integer sum with no "
+    "float boundary anywhere in the gate.",
     tags=("temporal", "analytics", "attribution"),
 )
 def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,7 +1643,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("p_ts"),
-        F.round("value", 2).alias("amount"),
+        F.round(F.col("value") * 100).cast("long").alias("amount_cents"),
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
@@ -1657,15 +1660,21 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("purchase_id")
+    # credit in EXACT integer micro-units (cents x 1e4, integer-divided
+    # by the touch count): the full sweep caught the double-sum form
+    # flipping a 4dp rounding boundary with partition order — integer
+    # sums cannot
     credited = touches.select(
         "click_id",
         "purchase_id",
-        "amount",
+        (F.col("amount_cents") * 10000).alias("amount_micro"),
         F.count(F.lit(1)).over(w).alias("n_touches"),
+    ).selectExpr(
+        "click_id", "purchase_id", "amount_micro div n_touches as credit_micro"
     )
     return credited.groupBy("click_id").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.round(F.sum(F.col("amount") / F.col("n_touches")), 4).alias(
+        (F.sum("credit_micro").cast("long") / 1000000.0).alias(
             "credited_revenue"
         ),
     )
