@@ -1762,3 +1762,95 @@ def orders_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.expr("percentile(d, 0.99)"), 4).alias("p99_days"),
         F.max("d").alias("max_days"),
     )
+
+
+@register(
+    "orders_seasonality_decomposition",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1),
+    trended AS (
+        SELECT m, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY m
+                    ROWS 11 PRECEDING) AS BIGINT)
+                 // CAST(COUNT(*) OVER (ORDER BY m ROWS 11 PRECEDING)
+                    AS BIGINT) AS trend_cents
+        FROM monthly),
+    dev AS (
+        SELECT m, rev_cents, trend_cents,
+               rev_cents - trend_cents AS dev_cents,
+               EXTRACT(month FROM m) AS moy
+        FROM trended),
+    seasonal AS (
+        -- dev_cents is signed and DuckDB integer // truncates toward
+        -- zero: floor-divide via the pmod identity so it matches the
+        -- Spark side exactly (numerator is an exact multiple of nd)
+        SELECT moy,
+               (sd - ((sd % nd) + nd) % nd) // nd AS seasonal_cents
+        FROM (SELECT moy, CAST(SUM(dev_cents) AS BIGINT) AS sd,
+                     CAST(count(*) AS BIGINT) AS nd
+              FROM dev GROUP BY 1))
+    SELECT epoch_us(d.m) AS month_us,
+           d.rev_cents / 100.0 AS revenue,
+           d.trend_cents / 100.0 AS trend,
+           s.seasonal_cents / 100.0 AS seasonal,
+           (d.dev_cents - s.seasonal_cents) / 100.0 AS residual
+    FROM dev d JOIN seasonal s ON s.moy = d.moy
+    """,
+    doc="classical additive seasonality decomposition of monthly revenue: "
+    "trend = trailing-12 moving average, seasonal index = mean "
+    "month-of-year deviation from trend, residual = the rest. ALL "
+    "arithmetic in integer cents with integer division (the "
+    "orders_cohort_ltv lesson: double sums and ROUND half-cases both "
+    "split cross-engine gates; integer DIV cannot), floats appear only "
+    "as the final /100.0 of identical BIGINTs. Every window runs over "
+    "the BOUNDED monthly series — one fact exchange builds it, the "
+    "decomposition is span-bounded like ts_gap_fill_locf. Complements "
+    "ts_seasonal_naive_error (forecast) with the structural readout.",
+    tags=("analytics", "temporal"),
+)
+def orders_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    w12 = Window.orderBy("m").rowsBetween(-11, 0)
+    trended = monthly.select(
+        "m",
+        "rev_cents",
+        F.sum("rev_cents").over(w12).alias("s12"),
+        F.count(F.lit(1)).over(w12).alias("n12"),
+    ).selectExpr("m", "rev_cents", "s12 div n12 as trend_cents")
+    dev = trended.select(
+        "m",
+        "rev_cents",
+        "trend_cents",
+        (F.col("rev_cents") - F.col("trend_cents")).alias("dev_cents"),
+        F.month("m").alias("moy"),
+    )
+    from . import scoped_persist
+
+    dev = scoped_persist(dev)
+    # dev_cents is signed: DuckDB // FLOORS while Spark div TRUNCATES,
+    # so floor-divide explicitly via pmod (exact: sd - pmod(sd, nd) is a
+    # whole multiple of nd)
+    seasonal = (
+        dev.groupBy("moy")
+        .agg(F.sum("dev_cents").alias("sd"), F.count(F.lit(1)).alias("nd"))
+        .selectExpr("moy", "(sd - pmod(sd, nd)) div nd as seasonal_cents")
+    )
+    return (
+        dev.join(F.broadcast(seasonal), "moy")
+        .select(
+            F.unix_micros("m").alias("month_us"),
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            (F.col("trend_cents") / 100.0).alias("trend"),
+            (F.col("seasonal_cents") / 100.0).alias("seasonal"),
+            ((F.col("dev_cents") - F.col("seasonal_cents")) / 100.0).alias(
+                "residual"
+            ),
+        )
+    )

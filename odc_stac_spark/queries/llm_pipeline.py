@@ -750,3 +750,56 @@ def sample_k_per_group_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
         .select("source", "rk", "doc_id")
     )
+
+
+def _cc_histogram_oracle() -> str:
+    """Wrap the gated connected-components oracle's final SELECT as a CTE
+    and roll it up to the cluster-size histogram — the composed oracle
+    replays the EXACT gated computation (the ann_recall_report pattern)."""
+    from . import REGISTRY
+
+    cc = REGISTRY["dedup_connected_components"].oracle
+    final = "SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a"
+    assert final in cc
+    return cc.replace(
+        final,
+        """, comp AS (SELECT a AS doc_id, MIN(b) AS component
+                    FROM reach GROUP BY a),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1""",
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=None,  # set right below (needs the CC oracle registered first)
+    doc="near-duplicate cluster-size distribution: the dedup planning "
+    "readout (how many pairs/triples/large families, how many docs the "
+    "keep-one policy removes). Composes the GATED connected-components "
+    "labels — sizes per component, then a histogram over the bounded "
+    "size domain; the oracle replays the identical recursive-CTE "
+    "computation with the rollup appended, so the gate covers the whole "
+    "composition. Singleton docs (no near-dup edge) are by construction "
+    "absent: every cluster here has >= 2 members. Two bounded exchanges "
+    "above the iterative CC pass.",
+    tags=("dedup", "analytics"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_connected_components(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+# late-bind the composed oracle now that the CC query is registered
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_cluster_size_histogram"].oracle = _cc_histogram_oracle()

@@ -1836,3 +1836,46 @@ def t_stream_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_burst") > BOT_BURST_MAX).cast("int").alias("flag_burst"),
         )
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY 1),
+    daily AS (
+        SELECT date_trunc('day', e.ts) AS d, e.user_id,
+               MIN(CAST(date_trunc('day', e.ts) = f.first_day AS INT)) AS is_new
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        GROUP BY 1, 2)
+    SELECT epoch_us(d) AS day_us,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(SUM(is_new) AS BIGINT) AS new_users,
+           CAST(count(*) - SUM(is_new) AS BIGINT) AS returning_users
+    FROM daily GROUP BY 1
+    """,
+    doc="new-vs-returning daily active users — the first product metric "
+    "every growth dashboard carries: first-seen day per user (one "
+    "user-keyed reduction), then a (day, user) distinct rollup "
+    "classified by whether the day IS the user's first. Two uniform "
+    "keyed exchanges, all-integer output, exact gate. Complements "
+    "events_dau_wau_stickiness (intensity) with the acquisition split.",
+    tags=("temporal", "analytics"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .join(firsts, "user_id")
+        .groupBy("d", "user_id")
+        .agg(F.min((F.col("d") == F.col("first_day")).cast("int")).alias("is_new"))
+    )
+    return daily.groupBy(F.unix_micros("d").alias("day_us")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("is_new").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
+    )

@@ -603,3 +603,37 @@ def test_oov_rate_curve_monotone(spark, sf_dir):
     biggest = rows[-1]
     covered = total - biggest["oov_tokens"]
     assert 0 < covered <= total
+
+
+def test_seasonality_decomposition_identity(spark, sf_dir):
+    rows = REGISTRY["orders_seasonality_decomposition"].spark_fn(spark, sf_dir).collect()
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == months
+    for r in rows:
+        # additive identity holds exactly (everything derives from ints)
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-6
+
+
+def test_new_vs_returning_conservation(spark, sf_dir):
+    rows = REGISTRY["events_new_vs_returning"].spark_fn(spark, sf_dir).collect()
+    total_new = sum(r["new_users"] for r in rows)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert total_new == n_users  # every user is new exactly once
+    for r in rows:
+        assert r["active_users"] == r["new_users"] + r["returning_users"]
+
+
+def test_cluster_histogram_accounts_all_labeled_docs(spark, sf_dir):
+    rows = REGISTRY["dedup_cluster_size_histogram"].spark_fn(spark, sf_dir).collect()
+    from odc_stac_spark.queries.llm_pipeline import dedup_connected_components
+
+    labeled = dedup_connected_components(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == labeled
+    for r in rows:
+        assert r["cluster_size"] >= 2  # every component has an edge
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
