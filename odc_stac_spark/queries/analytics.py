@@ -1854,3 +1854,116 @@ def orders_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         )
     )
+
+
+ABC_W = 100000  # part-revenue histogram bucket width (cents)
+
+
+@register(
+    "orders_abc_classification",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1),
+    hist AS (
+        SELECT rev_cents // {ABC_W} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev_cents) AS BIGINT) AS rev
+        FROM part_rev GROUP BY 1),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(rev) OVER (ORDER BY bucket DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev,
+               CAST(SUM(rev) OVER () AS BIGINT) AS total_rev
+        FROM hist),
+    thr AS (
+        -- descending accumulation: cum grows as bucket FALLS, so the
+        -- crossing point is the HIGHEST bucket already over the target
+        SELECT MAX(bucket) FILTER (WHERE cum_rev * 100 >= 80 * total_rev)
+                   AS tb_a,
+               MAX(bucket) FILTER (WHERE cum_rev * 100 >= 95 * total_rev)
+                   AS tb_b
+        FROM cum)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) / 100.0 AS revenue,
+           ROUND(CAST(SUM(rev_cents) AS BIGINT) * 1.0 /
+                 (SELECT CAST(SUM(rev_cents) AS BIGINT) FROM part_rev), 6)
+               AS rev_share
+    FROM (
+        SELECT p.rev_cents,
+               CASE WHEN p.rev_cents // {ABC_W} >= t.tb_a THEN 'A'
+                    WHEN p.rev_cents // {ABC_W} >= t.tb_b THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM part_rev p, thr t)
+    GROUP BY 1
+    """,
+    doc="ABC (80/15/5) inventory classification of parts by revenue — "
+    "the sketch-threshold pattern a third time (deciles, Pareto, now "
+    "classification): per-part revenue in integer cents (ONE partkey "
+    "exchange), a fixed-grid histogram bounds the descending cumulative "
+    "window, the two class-boundary buckets come from integer "
+    "cross-multiplies (cum*100 >= 80*total — no float thresholds), and "
+    "class assignment is map-side against the 2-value literal. Never a "
+    "global revenue sort of the part table.",
+    tags=("analytics",),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("rev_cents")
+    )
+    from . import scoped_persist
+
+    part_rev = scoped_persist(part_rev)
+    hist = part_rev.selectExpr(f"rev_cents div {ABC_W} as bucket", "rev_cents").groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_parts"), F.sum("rev_cents").alias("rev"))
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    # descending accumulation: the crossing point is the HIGHEST bucket
+    # whose cumulative (from the top) is already over the target
+    thr = cum.agg(
+        F.max(
+            F.when(F.col("cum_rev") * 100 >= 80 * F.col("total_rev"), F.col("bucket"))
+        ).alias("tb_a"),
+        F.max(
+            F.when(F.col("cum_rev") * 100 >= 95 * F.col("total_rev"), F.col("bucket"))
+        ).alias("tb_b"),
+    )
+    total = part_rev.agg(F.sum("rev_cents").alias("tot"))
+    classed = (
+        part_rev.crossJoin(F.broadcast(thr))
+        .selectExpr(
+            "rev_cents",
+            f"CASE WHEN rev_cents div {ABC_W} >= tb_a THEN 'A' "
+            f"WHEN rev_cents div {ABC_W} >= tb_b THEN 'B' "
+            "ELSE 'C' END AS abc_class",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("rev_cents").alias("rc"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc_class",
+            "n_parts",
+            (F.col("rc") / 100.0).alias("revenue"),
+            F.round(F.col("rc") * F.lit(1.0) / F.col("tot"), 6).alias("rev_share"),
+        )
+    )

@@ -1879,3 +1879,85 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").alias("new_users"),
         (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
     )
+
+
+@register(
+    "t_stream_new_vs_returning",
+    # gate: identical SQL image as events_new_vs_returning — both
+    # maintained states (per-user first day, per-(day, user) presence)
+    # must reproduce the batch classification exactly.
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY 1),
+    daily AS (
+        SELECT date_trunc('day', e.ts) AS d, e.user_id,
+               MIN(CAST(date_trunc('day', e.ts) = f.first_day AS INT)) AS is_new
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        GROUP BY 1, 2)
+    SELECT epoch_us(d) AS day_us,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(SUM(is_new) AS BIGINT) AS new_users,
+           CAST(count(*) - SUM(is_new) AS BIGINT) AS returning_users
+    FROM daily GROUP BY 1
+    """,
+    doc="REAL streaming new-vs-returning: TWO coordinated maintained "
+    "states from one staged stream — a per-user MIN(first-day) "
+    "aggregate (complete-mode: the running minimum is the state) and a "
+    "per-(day, user) presence rollup (update-mode) — joined in batch to "
+    "classify each active day. This is the production shape where the "
+    "identity store (first-seen) and the activity rollup are separate "
+    "continuously-maintained tables; stream==batch hash parity of the "
+    "daily split is the gate.",
+    tags=("temporal", "streaming"),
+)
+def t_stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name_first = "t_stream_nvr_firsts_sink"
+    name_daily = "t_stream_nvr_daily_sink"
+    for q in spark.streams.active:
+        if q.name in (name_first, name_daily):
+            q.stop()
+    stream = _stage_events_stream(spark, sf_dir, "events_nvr_stream_")
+    days = stream.select(
+        "user_id", F.date_trunc("day", "ts").alias("d"), "ts"
+    )
+    q1 = (
+        days.groupBy("user_id")
+        .agg(F.min("d").alias("first_day"))
+        .writeStream.format("memory")
+        .queryName(name_first)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q1)
+    q2 = (
+        days.withWatermark("ts", "30 minutes")
+        .groupBy("d", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(name_daily)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q2)
+    firsts = spark.table(name_first).groupBy("user_id").agg(
+        F.min("first_day").alias("first_day")
+    )
+    daily = (
+        spark.table(name_daily)
+        .select("d", "user_id")
+        .distinct()
+        .join(firsts, "user_id")
+        .select(
+            "d",
+            "user_id",
+            (F.col("d") == F.col("first_day")).cast("int").alias("is_new"),
+        )
+    )
+    return daily.groupBy(F.unix_micros("d").alias("day_us")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("is_new").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
+    )

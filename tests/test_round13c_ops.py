@@ -637,3 +637,25 @@ def test_cluster_histogram_accounts_all_labeled_docs(spark, sf_dir):
     for r in rows:
         assert r["cluster_size"] >= 2  # every component has an edge
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_abc_classes_partition_parts(spark, sf_dir):
+    rows = {r["abc_class"]: r for r in
+            REGISTRY["orders_abc_classification"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert abs(sum(r["rev_share"] for r in rows.values()) - 1.0) < 1e-3
+    # A carries at least the 80% target minus one bucket of slack
+    assert rows["A"]["rev_share"] >= 0.75
+    # class revenue ordering follows the construction
+    assert rows["A"]["rev_share"] > rows["B"]["rev_share"] > rows["C"]["rev_share"]
+
+
+def test_stream_new_vs_returning_equals_batch(spark, sf_dir):
+    batch = REGISTRY["events_new_vs_returning"].spark_fn(spark, sf_dir)
+    stream = REGISTRY["t_stream_new_vs_returning"].spark_fn(spark, sf_dir)
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
