@@ -1961,3 +1961,116 @@ def t_stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").alias("new_users"),
         (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
     )
+
+
+DRIFT_W = 10.0  # value-histogram bucket width for the drift monitor
+
+
+@register(
+    "events_distribution_drift_tv",
+    oracle=f"""
+    WITH span AS (
+        SELECT epoch_us(MIN(ts))
+               + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid_us
+        FROM events),
+    hist AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) >= (SELECT mid_us FROM span) AS INT) AS half,
+               CAST(floor(value / {DRIFT_W}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3),
+    tot AS (
+        SELECT event_type, half, CAST(SUM(n) AS BIGINT) AS tot
+        FROM hist GROUP BY 1, 2),
+    joined AS (
+        SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+               COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb
+        FROM (SELECT * FROM hist WHERE half = 0) a
+        FULL OUTER JOIN (SELECT * FROM hist WHERE half = 1) b
+          ON b.event_type = a.event_type AND b.bucket = a.bucket)
+    SELECT j.event_type,
+           ta.tot AS n_first_half, tb.tot AS n_second_half,
+           ROUND(0.5 * SUM(abs(j.na * 1.0 / ta.tot - j.nb * 1.0 / tb.tot)), 6)
+               AS tv_distance,
+           CAST(ROUND(0.5 * SUM(abs(j.na * 1.0 / ta.tot
+                - j.nb * 1.0 / tb.tot)), 6) >= 0.1 AS INT) AS drift_flag
+    FROM joined j
+    JOIN (SELECT * FROM tot WHERE half = 0) ta ON ta.event_type = j.event_type
+    JOIN (SELECT * FROM tot WHERE half = 1) tb ON tb.event_type = j.event_type
+    GROUP BY 1, 2, 3
+    """,
+    doc="data-drift monitor: total-variation distance between each event "
+    "type's value distribution in the first vs second half of the time "
+    "span (fixed-grid histograms, the same sketch that serves the p95 "
+    "SLI). TV = 0.5 * sum |p_a - p_b| over the BOUNDED bucket domain — "
+    "counts are exact integers, the probabilities are single divisions "
+    "of identical integers, and the flag applies to the ROUNDED "
+    "distance, so the gate has no fold-order exposure. The production "
+    "use is training-data drift detection between ingestion windows; "
+    "at 100 TB only the two histogram rollups touch raw events.",
+    tags=("temporal", "analytics", "quality"),
+)
+def events_distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # midpoint in integer MICROSECONDS on both engines (a seconds-cast
+    # midpoint truncates differently than DuckDB's interval halving)
+    span = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+            ).cast("long")
+        ).alias("mid_us")
+    )
+    base = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        (F.unix_micros("ts") >= F.col("mid_us")).cast("int").alias("half"),
+        F.floor(F.col("value") / DRIFT_W).alias("bucket"),
+    )
+    from . import scoped_persist
+
+    hist = scoped_persist(
+        base.groupBy("event_type", "half", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    tot = hist.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    a = hist.where(F.col("half") == 0).select(
+        F.col("event_type").alias("et_a"), F.col("bucket").alias("bk_a"),
+        F.col("n").alias("na"),
+    )
+    b = hist.where(F.col("half") == 1).select(
+        F.col("event_type").alias("et_b"), F.col("bucket").alias("bk_b"),
+        F.col("n").alias("nb"),
+    )
+    joined = a.join(
+        b, (F.col("et_b") == F.col("et_a")) & (F.col("bk_b") == F.col("bk_a")),
+        "full_outer",
+    ).select(
+        F.coalesce("et_a", "et_b").alias("event_type"),
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    ta = tot.where(F.col("half") == 0).select(
+        F.col("event_type").alias("et"), F.col("tot").alias("tot_a")
+    )
+    tb = tot.where(F.col("half") == 1).select(
+        F.col("event_type").alias("et2"), F.col("tot").alias("tot_b")
+    )
+    tv = F.round(
+        0.5
+        * F.sum(
+            F.abs(
+                F.col("na") * F.lit(1.0) / F.col("tot_a")
+                - F.col("nb") * F.lit(1.0) / F.col("tot_b")
+            )
+        ),
+        6,
+    )
+    return (
+        joined.join(F.broadcast(ta), joined.event_type == F.col("et"))
+        .join(F.broadcast(tb), joined.event_type == F.col("et2"))
+        .groupBy("event_type", F.col("tot_a").alias("n_first_half"),
+                 F.col("tot_b").alias("n_second_half"))
+        .agg(tv.alias("tv_distance"), (tv >= 0.1).cast("int").alias("drift_flag"))
+    )

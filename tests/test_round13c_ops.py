@@ -659,3 +659,14 @@ def test_stream_new_vs_returning_equals_batch(spark, sf_dir):
     stream = REGISTRY["t_stream_new_vs_returning"].spark_fn(spark, sf_dir)
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_drift_tv_bounds_and_halves(spark, sf_dir):
+    rows = REGISTRY["events_distribution_drift_tv"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event type
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_first_half"] + r["n_second_half"] for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r["tv_distance"] <= 1.0
+        assert r["drift_flag"] == int(r["tv_distance"] >= 0.1)
+        assert r["n_first_half"] > 0 and r["n_second_half"] > 0
