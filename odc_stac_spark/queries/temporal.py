@@ -2074,3 +2074,62 @@ def events_distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("tot_b").alias("n_second_half"))
         .agg(tv.alias("tv_distance"), (tv >= 0.1).cast("int").alias("drift_flag"))
     )
+
+
+ENTROPY_LOW = 0.5  # bits; below this a user's behavior is suspiciously uniform
+
+
+@register(
+    "events_behavior_entropy",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(count(*)) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS tot
+        FROM events GROUP BY 1, 2),
+    ent AS (
+        SELECT user_id,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               ROUND(-SUM((n * 1.0 / tot) * log2(n * 1.0 / tot)), 5)
+                   AS entropy_bits
+        FROM per GROUP BY user_id)
+    SELECT n_types,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(entropy_bits < {ENTROPY_LOW} AS INT)) AS BIGINT)
+               AS low_entropy_users,
+           ROUND(AVG(entropy_bits), 5) AS avg_entropy_bits
+    FROM ent GROUP BY 1
+    """,
+    doc="behavioral-entropy profile: Shannon entropy (bits) of each "
+    "user's event-type distribution, rolled up by distinct-type count — "
+    "single-type or near-uniform-repetition users (low entropy) are the "
+    "behavioral complement of the rate-based bot rules. One (user, "
+    "type) reduction (types-bounded fan-in per user), the per-user "
+    "entropy window runs over <= types rows, and the final rollup is "
+    "types-bounded. The p*log2(p) inputs are divisions of identical "
+    "exact integers, so both engines log the same doubles; the per-user "
+    "SUM is over <= 5 terms (round 5 absorbs the reassociation).",
+    tags=("temporal", "analytics", "quality"),
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    p = F.col("n") * F.lit(1.0) / F.sum("n").over(w)
+    ent = (
+        per.select("user_id", "n", (p * F.log2(p)).alias("plogp"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum("plogp"), 5).alias("entropy_bits"),
+        )
+    )
+    return ent.groupBy("n_types").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("entropy_bits") < ENTROPY_LOW).cast("int"))
+        .cast("long")
+        .alias("low_entropy_users"),
+        F.round(F.avg("entropy_bits"), 5).alias("avg_entropy_bits"),
+    )

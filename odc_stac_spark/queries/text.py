@@ -1611,3 +1611,172 @@ def text_oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+PMI_MIN_COUNT = 20
+PMI_TOPK = 25
+
+
+@register(
+    "text_ngram_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+        FROM documents),
+    bigrams AS (
+        SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                            AS i) u),
+    bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM bigrams GROUP BY 1, 2),
+    ug AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT w1 AS w FROM bigrams
+               UNION ALL SELECT w2 FROM bigrams) GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bigrams),
+    scored AS (
+        SELECT bg.w1, bg.w2, bg.c_xy,
+               ROUND(ln(2.0 * bg.c_xy * (SELECT total FROM n)
+                     / (ua.c * 1.0 * ub.c)), 5) AS pmi
+        FROM bg JOIN ug ua ON ua.w = bg.w1 JOIN ug ub ON ub.w = bg.w2
+        WHERE bg.c_xy >= {PMI_MIN_COUNT}),
+    ranked AS (
+        SELECT w1, w2, c_xy, pmi,
+               ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+        FROM scored)
+    SELECT CAST(rk AS INT) AS rk, w1, w2, c_xy, pmi
+    FROM ranked WHERE rk <= {PMI_TOPK}
+    """,
+    doc="PMI collocation mining (phrase detection, the word2vec-phrases/"
+    "NLTK recipe): bigram and unigram counts from one pass over the "
+    "corpus (map-side combine on both rollups), PMI = ln(2 N c_xy / "
+    f"(c_x c_y)) for bigrams seen >= {PMI_MIN_COUNT} times, top-"
+    f"{PMI_TOPK} by (rounded PMI, w1, w2). Unigram counts are "
+    "bigram-endpoint counts so the numerator/denominator use one "
+    "consistent sample space; all inputs to ln() are identical exact "
+    "integers on both engines, so the only float is the final log of "
+    "the same double — deterministic. The unigram join sides are "
+    "vocabulary-bounded broadcasts at scale.",
+    tags=("text", "llm-pipeline"),
+)
+def text_ngram_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim(F.lower(F.col("text"))), " +").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    from . import scoped_persist
+
+    bigrams = scoped_persist(bigrams)
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    ug = (
+        bigrams.select(F.col("w1").alias("w"))
+        .unionAll(bigrams.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = bigrams.agg(F.count(F.lit(1)).alias("total"))
+    ua = ug.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = ug.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bg.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    2.0
+                    * F.col("c_xy")
+                    * F.col("total")
+                    / (F.col("ca") * F.lit(1.0) * F.col("cb"))
+                ),
+                5,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOPK)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "rk", "w1", "w2", "c_xy", "pmi"
+    )
+
+
+ZIPF_TOPN = 500
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS t
+        FROM documents),
+    freq AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, t ASC) AS rk
+        FROM tok GROUP BY 1),
+    pts AS (
+        SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        FROM freq WHERE rk <= {ZIPF_TOPN}),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts)
+    SELECT m AS n_points,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 5) AS zipf_slope,
+           ROUND((sy / m) - ((m * sxy - sx * sy) / (m * sxx - sx * sx))
+                 * (sx / m), 5) AS log_intercept
+    FROM sums
+    """,
+    doc="Zipf's-law fit of the word-frequency distribution: OLS slope of "
+    f"ln(freq) on ln(rank) over the top-{ZIPF_TOPN} vocabulary — the "
+    "corpus-health readout (natural text sits near slope -1; synthetic "
+    "or template-heavy corpora flatten). The frequency table and "
+    "ranking are vocabulary-bounded; the log-log points are identical "
+    "doubles on both engines (logs of the same exact integers), so the "
+    "closed-form sums differ only by fold order (~1e-13) against a "
+    "5dp round. One corpus-scan rollup, everything after is bounded.",
+    tags=("text", "llm-pipeline"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    pts = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ZIPF_TOPN)
+        .select(
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("m").alias("n_points"),
+        F.round(slope, 5).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") / F.col("m")) - slope * (F.col("sx") / F.col("m")), 5
+        ).alias("log_intercept"),
+    )

@@ -670,3 +670,51 @@ def test_drift_tv_bounds_and_halves(spark, sf_dir):
         assert 0.0 <= r["tv_distance"] <= 1.0
         assert r["drift_flag"] == int(r["tv_distance"] >= 0.1)
         assert r["n_first_half"] > 0 and r["n_second_half"] > 0
+
+
+def test_pmi_collocations_ranked_and_thresholded(spark, sf_dir):
+    from odc_stac_spark.queries.text import PMI_MIN_COUNT, PMI_TOPK
+
+    rows = REGISTRY["text_ngram_collocations_pmi"].spark_fn(spark, sf_dir).collect()
+    assert [r["rk"] for r in rows] == list(range(1, min(PMI_TOPK, len(rows)) + 1))
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r["c_xy"] >= PMI_MIN_COUNT
+        assert r["w1"] and r["w2"]
+
+
+def test_zipf_fit_negative_slope(spark, sf_dir):
+    from odc_stac_spark.queries.text import ZIPF_TOPN
+
+    r = REGISTRY["text_zipf_fit"].spark_fn(spark, sf_dir).collect()[0]
+    assert r["n_points"] <= ZIPF_TOPN
+    # frequencies fall with rank, so the log-log slope is negative
+    assert r["zipf_slope"] < 0
+    assert r["log_intercept"] > 0
+
+
+def test_behavior_entropy_bounds_and_degenerate_user(spark, sf_dir, tmp_path):
+    import math
+    import os
+    from odc_stac_spark.queries.temporal import events_behavior_entropy
+
+    rows = REGISTRY["events_behavior_entropy"].spark_fn(spark, sf_dir).collect()
+    for r in rows:
+        # Shannon entropy over k types is bounded by log2(k)
+        assert 0 <= r["avg_entropy_bits"] <= math.log2(max(r["n_types"], 2)) + 1e-6
+    # a synthetic single-type user has exactly zero entropy and is low
+    df = spark.range(0, 10).selectExpr(
+        "id as event_id",
+        "timestamp('2024-01-01 00:00:00') + make_interval(0,0,0,0,0,cast(id as int),0) as ts",
+        "1 as user_id",
+        "'click' as event_type",
+        "0.0 as value",
+        "'{}' as props",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = events_behavior_entropy(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_types"] == 1
+    assert out[0]["avg_entropy_bits"] == 0.0
+    assert out[0]["low_entropy_users"] == 1
