@@ -1967,3 +1967,116 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rc") * F.lit(1.0) / F.col("tot"), 6).alias("rev_share"),
         )
     )
+
+
+@register(
+    "returns_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_returnflag = 'R' AS INT)) AS BIGINT)
+               AS n_returned,
+           ROUND(SUM(CAST(l.l_returnflag = 'R' AS INT)) * 1.0 / count(*), 6)
+               AS return_rate,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0
+               AS returned_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+    doc="return-rate analysis by brand — the merchandising quality "
+    "readout: returned-line share and returned revenue per brand. The "
+    "part dimension broadcasts into the fact scan; counts are exact "
+    "integers, revenue is integer cents, the rate is an integer ratio "
+    "rounded at 6dp — no float boundary anywhere. One fact exchange on "
+    "the brand rollup.",
+    tags=("analytics",),
+)
+def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = (F.col("l_returnflag") == "R").cast("int")
+    rev_cents = F.when(
+        F.col("l_returnflag") == "R",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret).cast("long").alias("n_returned"),
+            F.round(F.sum(ret) * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "return_rate"
+            ),
+            (F.sum(rev_cents) / 100.0).alias("returned_revenue"),
+        )
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH sup AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                    * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2),
+    tot AS (SELECT nationkey, CAST(SUM(rev_cents) AS BIGINT) AS tot
+            FROM sup GROUP BY 1)
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM((s.rev_cents * 1.0 / t.tot)
+                     * (s.rev_cents * 1.0 / t.tot)) * 10000, 4) AS hhi,
+           CAST(ROUND(SUM((s.rev_cents * 1.0 / t.tot)
+                     * (s.rev_cents * 1.0 / t.tot)) * 10000, 4) > 2500 AS INT)
+               AS concentrated
+    FROM sup s JOIN tot t ON t.nationkey = s.nationkey
+    JOIN nation n ON n.n_nationkey = s.nationkey
+    GROUP BY 1
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per nation "
+    "(HHI = sum of squared revenue shares x 10000; > 2500 flags a "
+    "concentrated market — the antitrust/sourcing-risk readout). One "
+    "(nation, supplier) revenue reduction in integer cents, per-nation "
+    "totals broadcast back, squared shares summed over the bounded "
+    "supplier-per-nation domain. Share inputs are divisions of "
+    "identical exact integers; round 4 absorbs the sub-1e-10 "
+    "summation noise over <= suppliers-per-nation terms.",
+    tags=("analytics",),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    from . import scoped_persist
+
+    sup = scoped_persist(sup)
+    tot = sup.groupBy("nationkey").agg(F.sum("rev_cents").alias("tot"))
+    share = F.col("rev_cents") * F.lit(1.0) / F.col("tot")
+    hhi = F.round(F.sum(share * share) * 10000, 4)
+    return (
+        sup.join(F.broadcast(tot), "nationkey")
+        .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            hhi.alias("hhi"),
+            (hhi > 2500).cast("int").alias("concentrated"),
+        )
+    )

@@ -2133,3 +2133,84 @@ def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("low_entropy_users"),
         F.round(F.avg("entropy_bits"), 5).alias("avg_entropy_bits"),
     )
+
+
+SESSDUR_W_MIN = 10  # session-duration histogram bucket width (minutes)
+
+
+@register(
+    "events_session_duration_histogram",
+    oracle=f"""
+    WITH sess AS (
+        SELECT user_id, session_id,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                            > {SESSION_GAP_US} OR
+                            LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events))
+        GROUP BY 1, 2)
+    SELECT CAST(dur_us // ({SESSDUR_W_MIN} * 60000000) AS BIGINT)
+               AS duration_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(n_events = 1 AS INT)) AS BIGINT) AS bounce_sessions
+    FROM sess GROUP BY 1
+    """,
+    doc="session-duration distribution: the gap-rule sessions (same "
+    "construction as t_session_windows, 30-min inactivity) rolled up "
+    f"into {SESSDUR_W_MIN}-minute duration buckets with per-bucket "
+    "session/event counts and single-event 'bounce' sessions — the "
+    "engagement-shape readout next to DAU/stickiness. Duration is "
+    "integer microseconds, bucketing is integer division, so the gate "
+    "is exact; the histogram domain is bounded by max-session-length / "
+    "width regardless of event volume.",
+    tags=("temporal", "analytics"),
+)
+def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_seq)
+    is_new = (
+        gap.isNull() | (gap > SESSION_GAP_US)
+    ).cast("int")
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "dur_us"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bucket_us = SESSDUR_W_MIN * 60_000_000
+    return (
+        sess.selectExpr(
+            f"dur_us div {bucket_us} as duration_bucket", "n_events"
+        )
+        .groupBy("duration_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("long")
+            .alias("bounce_sessions"),
+        )
+    )

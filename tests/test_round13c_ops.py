@@ -718,3 +718,36 @@ def test_behavior_entropy_bounds_and_degenerate_user(spark, sf_dir, tmp_path):
     assert out[0]["n_types"] == 1
     assert out[0]["avg_entropy_bits"] == 0.0
     assert out[0]["low_entropy_users"] == 1
+
+
+def test_returns_rate_bounds(spark, sf_dir):
+    rows = REGISTRY["returns_rate_by_brand"].spark_fn(spark, sf_dir).collect()
+    total_lines = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == total_lines
+    for r in rows:
+        assert 0.0 <= r["return_rate"] <= 1.0
+        assert r["n_returned"] <= r["n_lines"]
+        assert r["returned_revenue"] >= 0
+
+
+def test_hhi_bounds_and_supplier_conservation(spark, sf_dir):
+    rows = REGISTRY["supplier_concentration_hhi"].spark_fn(spark, sf_dir).collect()
+    n_sup = (
+        load_table(spark, sf_dir, "lineitem").select("l_suppkey").distinct().count()
+    )
+    assert sum(r["n_suppliers"] for r in rows) == n_sup
+    for r in rows:
+        # HHI in (0, 10000]; 10000/n is the perfectly-even lower bound
+        assert 10000.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
+        assert r["concentrated"] == int(r["hhi"] > 2500)
+
+
+def test_session_duration_histogram_conserves_sessions(spark, sf_dir):
+    rows = REGISTRY["events_session_duration_histogram"].spark_fn(spark, sf_dir).collect()
+    sessions = REGISTRY["t_session_windows"].spark_fn(spark, sf_dir)
+    n_sessions = sessions.count()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_sessions"] for r in rows) == n_sessions
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["bounce_sessions"] <= r["n_sessions"]
