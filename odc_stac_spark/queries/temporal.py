@@ -2214,3 +2214,144 @@ def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataF
             .alias("bounce_sessions"),
         )
     )
+
+
+RETENTION_DAYS = [1, 3, 7, 14]
+
+
+@register(
+    "events_retention_day_n_curve",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+        FROM events GROUP BY 1),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    cohort AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM firsts),
+    ds AS (SELECT unnest({RETENTION_DAYS}) AS day_n)
+    SELECT ds.day_n,
+           (SELECT n_users FROM cohort) AS n_users,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS retained,
+           ROUND(count(DISTINCT f.user_id) * 1.0
+                 / (SELECT n_users FROM cohort), 6) AS retention_rate
+    FROM ds
+    LEFT JOIN firsts f ON TRUE
+    LEFT JOIN activity a
+      ON a.user_id = f.user_id
+     AND a.d >= f.d0 + INTERVAL (ds.day_n) DAY
+    WHERE a.user_id IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="day-N retention curve (N in "
+    f"{RETENTION_DAYS}): the fraction of all users active again N or "
+    "more days after their first-seen day — the standard growth "
+    "retention readout at day granularity (cohort_retention is the "
+    "month-cohort matrix). Physically: a first-seen reduction, a "
+    "distinct (user, day) rollup, and a membership semi-join per probe "
+    "N — each probe is one keyed join whose right side is the bounded "
+    "distinct-day table, never raw events. Counts exact, rate is an "
+    "integer ratio at 6dp.",
+    tags=("temporal", "analytics"),
+)
+def events_retention_day_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    activity = ev.select(
+        F.col("user_id").alias("au"), F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    from . import scoped_persist
+
+    firsts = scoped_persist(firsts)
+    activity = scoped_persist(activity)
+    cohort = firsts.agg(F.count(F.lit(1)).alias("n_users"))
+    ds = spark.createDataFrame([(n,) for n in RETENTION_DAYS], "day_n int")
+    probes = F.broadcast(ds).crossJoin(firsts)
+    retained = (
+        probes.join(
+            activity,
+            (F.col("au") == F.col("user_id"))
+            & (
+                F.col("d")
+                >= F.col("d0") + F.col("day_n") * F.expr("INTERVAL 1 DAY")
+            ),
+            "left_semi",
+        )
+        .groupBy("day_n")
+        .agg(F.countDistinct("user_id").alias("retained"))
+    )
+    return retained.crossJoin(F.broadcast(cohort)).select(
+        "day_n",
+        "n_users",
+        "retained",
+        F.round(F.col("retained") * F.lit(1.0) / F.col("n_users"), 6).alias(
+            "retention_rate"
+        ),
+    )
+
+
+ACT_TOPN = 500
+
+
+@register(
+    "events_user_activity_powerlaw",
+    oracle=f"""
+    WITH act AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rk
+        FROM act),
+    pts AS (
+        SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        FROM ranked WHERE rk <= {ACT_TOPN}),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts)
+    SELECT m AS n_points,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 5)
+               AS powerlaw_slope,
+           ROUND((sy / m) - ((m * sxy - sx * sy) / (m * sxx - sx * sx))
+                 * (sx / m), 5) AS log_intercept
+    FROM sums
+    """,
+    doc="power-law fit of the user-activity distribution (the "
+    "text_zipf_fit machinery pointed at the behavioral axis): OLS slope "
+    f"of ln(events) on ln(rank) over the top-{ACT_TOPN} most active "
+    "users. A steep slope means traffic concentrates in few accounts "
+    "(skew the partitioner must survive and the bot rules should "
+    "inspect); a flat slope means organic spread. One user reduction, "
+    "everything after is bounded; identical log inputs on both engines.",
+    tags=("temporal", "analytics", "scale"),
+)
+def events_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    pts = (
+        act.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ACT_TOPN)
+        .select(
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("m").alias("n_points"),
+        F.round(slope, 5).alias("powerlaw_slope"),
+        F.round(
+            (F.col("sy") / F.col("m")) - slope * (F.col("sx") / F.col("m")), 5
+        ).alias("log_intercept"),
+    )

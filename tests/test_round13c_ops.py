@@ -751,3 +751,28 @@ def test_session_duration_histogram_conserves_sessions(spark, sf_dir):
     assert sum(r["n_events"] for r in rows) == n_events
     for r in rows:
         assert 0 <= r["bounce_sessions"] <= r["n_sessions"]
+
+
+def test_retention_curve_monotone_decreasing(spark, sf_dir):
+    from odc_stac_spark.queries.temporal import RETENTION_DAYS
+
+    rows = sorted(
+        REGISTRY["events_retention_day_n_curve"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["day_n"],
+    )
+    assert [r["day_n"] for r in rows] == RETENTION_DAYS
+    rates = [r["retention_rate"] for r in rows]
+    # "active >= N days later" shrinks as N grows
+    assert rates == sorted(rates, reverse=True)
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert r["n_users"] == n_users
+        assert 0 <= r["retained"] <= n_users
+
+
+def test_user_activity_powerlaw_slope_nonpositive(spark, sf_dir):
+    r = REGISTRY["events_user_activity_powerlaw"].spark_fn(spark, sf_dir).collect()[0]
+    assert r["n_points"] >= 2
+    assert r["powerlaw_slope"] <= 0  # counts fall (or tie) with rank
