@@ -2080,3 +2080,32 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hhi > 2500).cast("int").alias("concentrated"),
         )
     )
+
+
+@register(
+    "orders_weekday_profile",
+    oracle="""
+    -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — shim +1
+    SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS gmv,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+    doc="weekday demand profile: orders, GMV (integer cents) and distinct "
+    "customers by day-of-week — the staffing/capacity baseline every "
+    "commerce dashboard carries. One map-side-combined rollup onto 7 "
+    "groups; DuckDB dayofweek is 0-based Sunday while Spark's is "
+    "1-based, so the oracle carries the +1 shim (caught by the gate).",
+    tags=("analytics",),
+)
+def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.dayofweek("o_orderdate").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+        ).alias("gmv"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -2355,3 +2355,81 @@ def events_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("sy") / F.col("m")) - slope * (F.col("sx") / F.col("m")), 5
         ).alias("log_intercept"),
     )
+
+
+@register(
+    "events_type_cooccurrence_jaccard",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type
+        FROM events),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ud GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ud a JOIN ud b
+          ON b.user_id = a.user_id AND b.d = a.d
+         AND b.event_type > a.event_type
+        GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           ROUND(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc="feature co-usage matrix: Jaccard similarity between event types "
+    "over (user, day) incidence sets — which behaviors travel together, "
+    "the input to engagement-loop and cross-sell analyses. One distinct "
+    "(user, day, type) rollup; the self-join keys on (user, day) so the "
+    "fan-out per key is bounded by types-per-user-day (<= 5 here, <= "
+    "catalog size generally), and the output is the types^2/2 matrix. "
+    "Set sizes and intersections are exact integers; jaccard is an "
+    "integer ratio at 6dp.",
+    tags=("temporal", "analytics"),
+)
+def events_type_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from . import scoped_persist
+
+    ud = scoped_persist(
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("d"), "event_type"
+        ).distinct()
+    )
+    sizes = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ud.select("user_id", "d", F.col("event_type").alias("type_a"))
+    b = ud.select(
+        F.col("user_id").alias("u2"), F.col("d").alias("d2"),
+        F.col("event_type").alias("type_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("d2") == F.col("d"))
+            & (F.col("type_b") > F.col("type_a")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

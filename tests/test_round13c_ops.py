@@ -776,3 +776,22 @@ def test_user_activity_powerlaw_slope_nonpositive(spark, sf_dir):
     r = REGISTRY["events_user_activity_powerlaw"].spark_fn(spark, sf_dir).collect()[0]
     assert r["n_points"] >= 2
     assert r["powerlaw_slope"] <= 0  # counts fall (or tie) with rank
+
+
+def test_type_cooccurrence_matrix_shape(spark, sf_dir):
+    rows = REGISTRY["events_type_cooccurrence_jaccard"].spark_fn(spark, sf_dir).collect()
+    types = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        types.update([r["type_a"], r["type_b"]])
+    k = len(types)
+    assert len(rows) <= k * (k - 1) // 2
+
+
+def test_weekday_profile_conserves_orders(spark, sf_dir):
+    rows = REGISTRY["orders_weekday_profile"].spark_fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    assert {r["dow"] for r in rows} <= set(range(1, 8))
