@@ -1098,7 +1098,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RFM_M_W = 1000.0  # monetary sketch bucket width over per-customer spend
+RFM_M_W_C = 100000  # monetary sketch bucket width in integer cents ($1000)
 
 
 @register(
@@ -1109,7 +1109,7 @@ RFM_M_W = 1000.0  # monetary sketch bucket width over per-customer spend
                CAST(date_diff('day', MAX(o_orderdate),
                     (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS rec,
                CAST(count(*) AS BIGINT) AS freq,
-               SUM(o_totalprice) AS mon
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_c
         FROM orders GROUP BY 1),
     qs AS (SELECT unnest(generate_series(1, 3)) AS q),
     rthr AS (
@@ -1136,7 +1136,7 @@ RFM_M_W = 1000.0  # monetary sketch bucket width over per-customer spend
                    CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS cum,
                    CAST(SUM(cnt) OVER () AS BIGINT) AS n
-            FROM (SELECT CAST(floor(mon / {RFM_M_W}) AS BIGINT) AS bucket,
+            FROM (SELECT mon_c // {RFM_M_W_C} AS bucket,
                          CAST(count(*) AS BIGINT) AS cnt
                   FROM cust GROUP BY 1)) c
         ON c.cum >= ceil(q * n / 4.0) GROUP BY q),
@@ -1145,8 +1145,8 @@ RFM_M_W = 1000.0  # monetary sketch bucket width over per-customer spend
                1 + (SELECT CAST(count(*) AS INT) FROM rthr WHERE tb < rec) AS r_q,
                1 + (SELECT CAST(count(*) AS INT) FROM fthr WHERE tb < freq) AS f_q,
                1 + (SELECT CAST(count(*) AS INT) FROM mthr
-                    WHERE tb < CAST(floor(mon / {RFM_M_W}) AS BIGINT)) AS m_q,
-               mon
+                    WHERE tb < mon_c // {RFM_M_W_C}) AS m_q,
+               mon_c
         FROM cust)
     SELECT r_q, f_q, m_q,
            CASE WHEN r_q <= 2 AND f_q >= 3 AND m_q >= 3 THEN 'champion'
@@ -1154,7 +1154,7 @@ RFM_M_W = 1000.0  # monetary sketch bucket width over per-customer spend
                 WHEN f_q >= 3 THEN 'loyal'
                 ELSE 'regular' END AS segment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(mon), 2) AS total_spend
+           ROUND(SUM(mon_c) / 100.0, 2) AS total_spend
     FROM scored GROUP BY 1, 2, 3, 4
     """,
     doc="RFM customer segmentation, the sketch-threshold way: per-customer "
@@ -1177,14 +1177,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("freq"),
-            F.sum("o_totalprice").alias("mon"),
+            # monetary in integer cents: fold-order noise on a double SUM
+            # can flip a bucket/quartile across engines; integer sums
+            # cannot (the repo-wide revenue convention)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon_c"),
         )
         .crossJoin(F.broadcast(maxd))
         .select(
             "o_custkey",
             F.datediff(F.col("gmax"), F.col("last_order")).cast("long").alias("rec"),
             "freq",
-            "mon",
+            "mon_c",
         )
     )
     from . import scoped_persist
@@ -1216,7 +1219,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.lit(int(r.tb)) for r in sorted(rows, key=lambda r: r.q)]
         )
 
-    mon_bucket = F.floor(F.col("mon") / RFM_M_W)
+    mon_bucket = F.floor(F.col("mon_c") / F.lit(RFM_M_W_C)).cast("long")
     r_thr = quartile_thresholds(F.col("rec"))
     f_thr = quartile_thresholds(F.col("freq"))
     m_thr = quartile_thresholds(mon_bucket)
@@ -1224,7 +1227,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_q = (F.lit(1) + F.size(F.filter(f_thr, lambda t: t < F.col("freq")))).cast("int")
     m_q = (F.lit(1) + F.size(F.filter(m_thr, lambda t: t < mon_bucket))).cast("int")
     scored = cust.select(
-        "o_custkey", r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"), "mon"
+        "o_custkey", r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"), "mon_c"
     )
     segment = (
         F.when((F.col("r_q") <= 2) & (F.col("f_q") >= 3) & (F.col("m_q") >= 3),
@@ -1238,7 +1241,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_q", "f_q", "m_q", "segment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("mon"), 2).alias("total_spend"),
+            F.round(F.sum("mon_c") / 100.0, 2).alias("total_spend"),
         )
     )
 
@@ -1349,26 +1352,27 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_pareto_curve",
     oracle=f"""
     WITH cust AS (
-        SELECT o_custkey, SUM(o_totalprice) AS spend
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
         FROM orders GROUP BY 1),
     hist AS (
-        SELECT CAST(floor(spend / {RFM_M_W}) AS BIGINT) AS bucket,
+        SELECT spend_c // {RFM_M_W_C} AS bucket,
                CAST(count(*) AS BIGINT) AS n_cust,
-               SUM(spend) AS rev
+               SUM(spend_c) AS rev_c
         FROM cust GROUP BY 1),
     cum AS (
         SELECT bucket,
                CAST(SUM(n_cust) OVER (ORDER BY bucket DESC
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cust,
-               SUM(rev) OVER (ORDER BY bucket DESC
-                    ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(rev_c) OVER (ORDER BY bucket DESC
+                    ROWS UNBOUNDED PRECEDING) AS cum_rev_c,
                CAST(SUM(n_cust) OVER () AS BIGINT) AS n,
-               SUM(rev) OVER () AS total_rev
+               SUM(rev_c) OVER () AS total_rev_c
         FROM hist),
     ds AS (SELECT unnest(generate_series(1, 9)) AS d)
     SELECT CAST(d * 10 AS INT) AS top_pct,
            MIN(cum_cust) AS n_top_customers,
-           ROUND(MIN(cum_rev / total_rev), 4) AS rev_share
+           ROUND(MIN(cum_rev_c * 1.0 / total_rev_c), 4) AS rev_share
     FROM ds JOIN cum ON cum.cum_cust >= ceil(d * n / 10.0)
     GROUP BY 1
     """,
@@ -1385,10 +1389,15 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    # spend in integer cents so the bucket boundary and the rev_share
+    # ratio are pure functions of exact integers (no double fold-order
+    # sensitivity) — same convention as events_rfm_segmentation
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c")
+    )
     hist = cust.groupBy(
-        F.floor(F.col("spend") / RFM_M_W).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n_cust"), F.sum("spend").alias("rev"))
+        F.floor(F.col("spend_c") / F.lit(RFM_M_W_C)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_cust"), F.sum("spend_c").alias("rev_c"))
     w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -1398,9 +1407,9 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.select(
         "bucket",
         F.sum("n_cust").over(w_cum).alias("cum_cust"),
-        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev_c").over(w_cum).alias("cum_rev_c"),
         F.sum("n_cust").over(w_all).alias("n"),
-        F.sum("rev").over(w_all).alias("total_rev"),
+        F.sum("rev_c").over(w_all).alias("total_rev_c"),
     )
     ds = spark.range(1, 10).select(F.col("id").alias("d"))
     return (
@@ -1409,9 +1418,9 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("d") * 10).cast("int").alias("top_pct"))
         .agg(
             F.min("cum_cust").alias("n_top_customers"),
-            F.round(F.min(F.col("cum_rev") / F.col("total_rev")), 4).alias(
-                "rev_share"
-            ),
+            F.round(
+                F.min(F.col("cum_rev_c") * F.lit(1.0) / F.col("total_rev_c")), 4
+            ).alias("rev_share"),
         )
     )
 

@@ -142,13 +142,21 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
                     THEN u ELSE v END AS s,
                CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
-                    THEN v ELSE u END AS t
+                    THEN v ELSE u END AS t,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
+                    THEN db.d ELSE da.d END AS td
         FROM und JOIN deg da ON da.node = und.u
                  JOIN deg db ON db.node = und.v),
     tri AS (
+        -- wedge endpoints are ordered by the SAME (degree, id) total
+        -- order as the edge orientation, so the closing edge b->c is
+        -- guaranteed to exist in `orient` whenever {{a,b,c}} is a
+        -- triangle (a raw-id t2 > t1 filter silently drops triangles
+        -- whose endpoint degree order disagrees with id order)
         SELECT e1.s AS a, e1.t AS b, e2.t AS c
         FROM orient e1
-        JOIN orient e2 ON e2.s = e1.s AND e2.t > e1.t
+        JOIN orient e2 ON e2.s = e1.s
+             AND (e2.td > e1.td OR (e2.td = e1.td AND e2.t > e1.t))
         JOIN orient e3 ON e3.s = e1.t AND e3.t = e2.t),
     pernode AS (
         SELECT node, CAST(count(*) AS BIGINT) AS tri_count FROM (
@@ -165,7 +173,8 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="triangle counting on the co-purchase graph via degree-ordered "
     "orientation: each undirected edge points from its (degree, id)-"
     "smaller endpoint to the larger, so every triangle is enumerated "
-    "exactly once as a wedge s->t1, s->t2 (t1<t2) closed by t1->t2, and "
+    "exactly once as a wedge s->t1, s->t2 (t1 before t2 in the same "
+    "(degree, id) order) closed by t1->t2, and "
     "the wedge fan-out per node is bounded by its ORIENTED out-degree "
     "(<= sqrt of edge count) rather than the raw hub degree — the "
     "standard skew-proof formulation for massive graphs. Output: top-20 "
@@ -195,11 +204,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
         )
     )
-    e1 = orient.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = orient.select(F.col("s").alias("a"), F.col("t").alias("c"))
-    wedges = e1.join(e2, "a").where(F.col("c") > F.col("b"))
+    e1 = orient.select(F.col("s").alias("a"), F.col("t").alias("b"), F.col("td").alias("db_"))
+    e2 = orient.select(F.col("s").alias("a"), F.col("t").alias("c"), F.col("td").alias("dc_"))
+    # order the wedge endpoints by the SAME (degree, id) total order used
+    # to orient the edges; a raw-id c > b filter drops every triangle
+    # whose non-pivot endpoints have id order opposite to degree order,
+    # because the closing edge then only exists as c->b in `orient`
+    wedges = e1.join(e2, "a").where(
+        (F.col("dc_") > F.col("db_"))
+        | ((F.col("dc_") == F.col("db_")) & (F.col("c") > F.col("b")))
+    )
     closing = orient.select(F.col("s").alias("b"), F.col("t").alias("c"))
     tri = scoped_persist(wedges.join(closing, ["b", "c"]).select("a", "b", "c"))
     pernode = (

@@ -1661,6 +1661,11 @@ PMI_TOPK = 25
 def text_ngram_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.split(F.trim(F.lower(F.col("text"))), " +").alias("t"))
+    # a 1-token doc makes sequence(1, 0) DESCENDING ([1, 0]) and
+    # element_at(t, 0) a runtime error, where DuckDB's generate_series(1,0)
+    # is simply empty — filter the degenerate docs out before the
+    # transform (same guard shape as text_winnowing_fingerprint)
+    toks = toks.where(F.size("t") >= 2)
     bigrams = toks.select(
         F.explode(
             F.transform(

@@ -150,6 +150,30 @@ def test_triangle_count_known_graph(spark, tmp_path):
     assert out[2]["tri_count"] == 2 and out[3]["tri_count"] == 2
 
 
+def test_triangle_count_degree_order_vs_id_order(spark, tmp_path):
+    """Triangle {1, 5, 10} where deg(5) is inflated by pendant edges, so
+    the two non-pivot wedge endpoints have id order (5 < 10) OPPOSITE to
+    degree order (deg(10)=2 < deg(5)=5).  The degree-ordered orientation
+    makes the closing edge 10->5; a raw-id c > b wedge filter pairs
+    (b=5, c=10), never finds 5->10 in the oriented edge list, and drops
+    the triangle entirely (the r13 ADVICE bug).  The wedge filter must
+    use the same (degree, id) total order as the orientation."""
+    import os
+    from odc_stac_spark.queries.graph import graph_triangle_count
+
+    rows = [(100, p) for p in (1, 5, 10)]  # the single triangle
+    # pendant 2-item orders inflating deg(5): edges {5,20},{5,21},{5,22}
+    rows += [(201, 5), (201, 20), (202, 5), (202, 21), (203, 5), (203, 22)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["node"]: r for r in graph_triangle_count(spark, str(tmp_path)).collect()}
+    assert out, "triangle {1,5,10} was dropped by the wedge filter"
+    assert out[1]["total_triangles"] == 1
+    assert out[1]["tri_count"] == 1
+    assert out[5]["tri_count"] == 1
+    assert out[10]["tri_count"] == 1
+
+
 def test_rfm_covers_all_customers_with_valid_scores(spark, sf_dir):
     out = REGISTRY["events_rfm_segmentation"].spark_fn(spark, sf_dir)
     rows = out.collect()
