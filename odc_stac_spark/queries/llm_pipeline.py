@@ -112,6 +112,114 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "component")
 
 
+def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — rounds grow with log(diameter), NOT diameter.
+
+    Plain min-label propagation needs one join round per hop of the
+    longest shortest path, so a 10k-hop chain (pathological but possible
+    in a transitively-linked near-dup graph) needs 10k shuffles. Star
+    contraction rewires the graph toward a star forest each round:
+
+    - large-star: every node u sends its strictly-LARGER neighbors to
+      m(u) = min(N(u) ∪ {u})  — halves the height of tall subtrees;
+    - small-star: every node u rewires its ≤-neighbors and itself to
+      m(u) — flattens what large-star left.
+
+    At the fixpoint the edge set IS the answer: a star forest where every
+    node neighbors its component minimum. Each phase is one groupBy(min)
+    + one self-join on the (deduped) edge list — all JVM-side, lineage
+    cut per round with an eager localCheckpoint.
+
+    `edges` must be directed-symmetric distinct (u, v) pairs, u != v.
+    Returns (doc_id, component) for every endpoint.
+    """
+    E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    for _ in range(max_rounds):
+        # m(u) = min over the closed neighborhood (u itself included)
+        mins = E.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # large-star: (v, m(u)) for v > u; keeps every component
+        # connected while halving tall-tree height (paper, Lemma 1)
+        large = (
+            E.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        E1 = (
+            large.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(large.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+        # small-star on the large-star output: (v, m(u)) for v <= u plus
+        # (u, m(u)) — after enough alternations E is a star forest
+        mins1 = E1.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = (
+            E1.join(mins1, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins1.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+        )
+        E2 = (
+            small.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(small.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)  # lineage does not grow with rounds
+        )
+        converged = E2.exceptAll(E).isEmpty() and E.exceptAll(E2).isEmpty()
+        E = E2
+        if converged:
+            break
+    # star forest → labels: component(u) = min(u, min neighbor)
+    return E.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    ).select(F.col("u").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_cc_star_contraction",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_pairs_sql()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    )
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+    doc="connected components over the near-dup pair graph via "
+    "large-star/small-star contraction (Kiveris et al. 2014): the "
+    "100 TB-safe CC — round count grows with log(component diameter) "
+    "instead of the diameter itself, so a pathological transitive "
+    "near-dup chain cannot turn the driver loop into thousands of "
+    "shuffle rounds the way plain min-label propagation "
+    "(dedup_connected_components) can. Identical labels by "
+    "construction — both converge to min-reachable-id — so the same "
+    "recursive-CTE oracle gates both.",
+    tags=("dedup", "iterative", "scale"),
+)
+def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    return cc_star_contraction(edges)
+
+
 @register(
     "pipeline_training_prep",
     oracle="""
