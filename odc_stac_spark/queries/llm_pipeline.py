@@ -135,7 +135,13 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     `edges` must be directed-symmetric distinct (u, v) pairs, u != v.
     Returns (doc_id, component) for every endpoint.
     """
-    E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # materialize the input FIRST: E is referenced ~6× per round (mins,
+    # the star joins, the convergence diff) — without this, an expensive
+    # upstream (the shingle self-join) would recompute on every
+    # reference, every round (measured: 49 s → 2 s at sf0.1)
+    E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_rounds):
         # m(u) = min over the closed neighborhood (u itself included)
         mins = E.groupBy("u").agg(
@@ -153,6 +159,7 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
             large.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .union(large.select(F.col("b").alias("u"), F.col("a").alias("v")))
             .distinct()
+            .localCheckpoint(eager=True)  # referenced by mins1 AND small
         )
         # small-star on the large-star output: (v, m(u)) for v <= u plus
         # (u, m(u)) — after enough alternations E is a star forest

@@ -53,8 +53,24 @@ def main() -> None:
     assert n >= 0
 
     qs = entrymod.queries()
-    if len(sys.argv) > 1:  # optional name-prefix filters for fast local runs
-        qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in sys.argv[1:])}
+    args = sys.argv[1:]
+    if "--core" in args:
+        # core tier (VERDICT r13 #7): the FIRST registered query of every
+        # tag — one representative per operator family (~70 of 230+), so
+        # an iteration sweep runs in minutes instead of ~25. Fully
+        # self-maintaining: a new family's first member joins the tier
+        # automatically. Full sweeps (no flag) remain the round artifact.
+        from odc_stac_spark.queries import load_all
+
+        first: dict = {}
+        for name, q in load_all().items():
+            for t in q.tags or ("untagged",):
+                first.setdefault(t, name)
+        core = set(first.values())
+        qs = {n: f for n, f in qs.items() if n in core}
+        args = [a for a in args if a != "--core"]
+    if args:  # optional name-prefix filters for fast local runs
+        qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in args)}
     oracles = entrymod.oracle_sql()
     con = duckdb_conn(SF_DIR)
     n_ok = n_bad = n_rows_only = 0
