@@ -2118,3 +2118,114 @@ def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gmv"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "dq_key_skew_report",
+    oracle="""
+    WITH perkey AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+    hist AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS k FROM perkey GROUP BY 1),
+    cum AS (
+        SELECT c, k,
+               CAST(SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumk,
+               CAST(SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) - k AS prevk
+        FROM hist),
+    tot AS (
+        SELECT CAST(SUM(c * k) AS BIGINT) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS n_keys,
+               MAX(c) AS max_per_key,
+               -- sum of rank*value over ascending per-key counts, exactly
+               -- from the histogram: a block of k keys at value c holds
+               -- ranks prevk+1 .. prevk+k, so sum(i*x_i) over the block is
+               -- c * (prevk*k + k*(k+1)/2) — all integer-exact
+               SUM(CAST(c AS HUGEINT)
+                   * (CAST(prevk AS HUGEINT) * k + k * (k + 1) // 2)) AS s
+        FROM cum),
+    pct AS (
+        SELECT MIN(CASE WHEN cumk * 100 >= 50 * (SELECT n_keys FROM tot)
+                        THEN c END) AS p50_per_key,
+               MIN(CASE WHEN cumk * 100 >= 99 * (SELECT n_keys FROM tot)
+                        THEN c END) AS p99_per_key
+        FROM cum)
+    SELECT n_events, n_keys, max_per_key, p50_per_key, p99_per_key,
+           CAST(max_per_key * 1000000 // n_events AS BIGINT)
+               AS top_share_ppm,
+           ROUND(CAST(2 * s - (n_keys + 1) * CAST(n_events AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(CAST(n_keys AS HUGEINT) * n_events AS DOUBLE), 6)
+               AS gini
+    FROM tot, pct
+    """,
+    doc="key-skew diagnostic report — the measurement you run BEFORE "
+    "choosing a salting / AQE-skew-join / two-phase-agg strategy for a "
+    "shuffle key. Per-key counts reduce once on the key (uniform by "
+    "construction), then EVERYTHING else — max, p50/p99, top-key share, "
+    "and the Gini concentration coefficient — derives from the bounded "
+    "count-of-counts histogram: Gini's sum-of-rank-times-value is "
+    "computed exactly per histogram block (a block of k keys at count c "
+    "holds ranks prevk+1..prevk+k), so no global sort of keys ever "
+    "happens — the same sketch-threshold discipline as the RFM/Pareto "
+    "rollups, and the cumulative window runs over the count-value grid, "
+    "not the key table. All inputs integer-exact (HUGEINT/decimal for "
+    "the rank sum); the single final division is of identical integers "
+    "on both engines.",
+    tags=("analytics", "quality", "scale"),
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    perkey = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # the bounded count-of-counts histogram feeds tot AND the percentile
+    # probe — materialize it so the key reduction runs once
+    hist = scoped_persist(perkey.groupBy("c").agg(F.count(F.lit(1)).alias("k")))
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "c",
+        "k",
+        F.sum("k").over(w_cum).alias("cumk"),
+        (F.sum("k").over(w_cum) - F.col("k")).alias("prevk"),
+    )
+    dec = "decimal(38,0)"
+    tot = cum.agg(
+        F.sum(F.col("c") * F.col("k")).alias("n_events"),
+        F.sum("k").alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+        F.sum(
+            F.col("c").cast(dec)
+            * (
+                F.col("prevk") * F.col("k") + F.expr("k * (k + 1) div 2")
+            ).cast(dec)
+        ).alias("s"),
+    )
+    pct = cum.crossJoin(F.broadcast(tot.select("n_keys"))).agg(
+        F.min(
+            F.when(F.col("cumk") * 100 >= 50 * F.col("n_keys"), F.col("c"))
+        ).alias("p50_per_key"),
+        F.min(
+            F.when(F.col("cumk") * 100 >= 99 * F.col("n_keys"), F.col("c"))
+        ).alias("p99_per_key"),
+    )
+    return tot.crossJoin(F.broadcast(pct)).select(
+        "n_events",
+        "n_keys",
+        "max_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        F.expr("max_per_key * 1000000 div n_events").alias("top_share_ppm"),
+        F.round(
+            (
+                F.lit(2).cast(dec) * F.col("s")
+                - (F.col("n_keys") + 1).cast(dec) * F.col("n_events").cast(dec)
+            ).cast("double")
+            / (F.col("n_keys").cast(dec) * F.col("n_events").cast(dec)).cast(
+                "double"
+            ),
+            6,
+        ).alias("gini"),
+    )

@@ -167,6 +167,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "text_containment_dedup",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CASE WHEN ca.n <= cb.n THEN doc_a ELSE doc_b END AS doc_contained,
+           CASE WHEN ca.n <= cb.n THEN doc_b ELSE doc_a END AS doc_container,
+           CAST(shared AS BIGINT) AS n_shared,
+           ROUND(shared * 1.0 / LEAST(ca.n, cb.n), 4) AS containment,
+           ROUND(shared * 1.0 / (ca.n + cb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE shared * 1.0 / LEAST(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="shingle CONTAINMENT dedup (Broder's resemblance-vs-containment "
+    "distinction): C = |S(A) ∩ S(B)| / |S(smaller)| flags a small "
+    "document embedded inside a larger one — quote farms, boilerplate "
+    "wrappers, excerpt pages — which symmetric Jaccard structurally "
+    "misses (a 50-shingle doc inside a 5000-shingle doc has J ≈ 0.01 "
+    "but C = 1.0). Same inverted-index self-join and materialized "
+    "shingle/count tables as dedup_ngram_jaccard (one extra projection, "
+    "no new shuffle); the contained/container roles are deterministic "
+    "(fewer shingles, tie → smaller id via the a<b pair enumeration). "
+    "Both ratios are divisions of identical exact integers, so the gate "
+    "has no fold-order exposure.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = scoped_persist(_shingles_df(spark, sf_dir))
+    cnt = scoped_persist(sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("shared") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    a_small = F.col("na") <= F.col("nb")
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.when(a_small, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_contained"),
+            F.when(a_small, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_container"),
+            F.col("shared").alias("n_shared"),
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 def _minhash_sig(sharr: DataFrame) -> DataFrame:
     """(doc_id, m0..m15) MinHash signature — computed MAP-SIDE from the
     per-doc shingle array via higher-order functions: a signature is a pure

@@ -914,6 +914,91 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_SPLIT_SQL = """
+    SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 100 AS bucket
+          FROM documents)
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_pairs_sql()}),
+    splits AS ({_SPLIT_SQL}),
+    sym AS (SELECT doc_a AS d, doc_b AS o FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    j AS (SELECT sd.doc_id, sd.split, so.split AS osplit
+          FROM sym JOIN splits sd ON sd.doc_id = sym.d
+                   JOIN splits so ON so.doc_id = sym.o),
+    perdoc AS (
+        SELECT doc_id, split,
+               MAX(CASE WHEN osplit <> split THEN 1 ELSE 0 END) AS crossed,
+               MAX(CASE WHEN split <> 'train' AND osplit = 'train'
+                        THEN 1 ELSE 0 END) AS from_train
+        FROM j GROUP BY 1, 2),
+    base AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+             FROM splits GROUP BY 1)
+    SELECT base.split, n_docs,
+           CAST(COALESCE(SUM(crossed), 0) AS BIGINT) AS n_crosssplit_neardup,
+           CAST(COALESCE(SUM(from_train), 0) AS BIGINT) AS n_contaminated_by_train,
+           ROUND(CAST(COALESCE(SUM(from_train), 0) AS BIGINT) * 100.0 / n_docs, 4)
+               AS contamination_pct
+    FROM base LEFT JOIN perdoc USING (split)
+    GROUP BY 1, 2
+    """,
+    doc="train/eval leakage audit — the step every serious training-data "
+    "pipeline runs after splitting: a val/test document with a near-dup "
+    "twin in train inflates eval scores without the model generalizing. "
+    "Composes the gated near-dup pair generator with the deterministic "
+    "salted-hash split (docs_train_val_split): per split, how many "
+    "documents have a near-dup in ANY other split and specifically in "
+    "train, plus the contamination rate. The pair graph is the same "
+    "materialized intermediate the dedup family shares; the split label "
+    "is a map-side pure function (zero extra shuffles beyond the two "
+    "bounded per-doc rollups). Counts are exact integers; the one "
+    "percentage is a division of identical integers on both engines.",
+    tags=("llm-pipeline", "dedup", "eval"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import docs_train_val_split
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    splits = scoped_persist(
+        docs_train_val_split(spark, sf_dir).select("doc_id", "split")
+    )
+    sym = pairs.select(F.col("doc_a").alias("d"), F.col("doc_b").alias("o")).unionAll(
+        pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("o"))
+    )
+    sd = splits.select(F.col("doc_id").alias("d"), F.col("split").alias("split"))
+    so = splits.select(F.col("doc_id").alias("o"), F.col("split").alias("osplit"))
+    j = sym.join(sd, "d").join(so, "o")
+    perdoc = j.groupBy("d", "split").agg(
+        F.max((F.col("osplit") != F.col("split")).cast("int")).alias("crossed"),
+        F.max(
+            ((F.col("split") != "train") & (F.col("osplit") == "train")).cast("int")
+        ).alias("from_train"),
+    )
+    base = splits.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(perdoc, "split", "left")
+        .groupBy("split", "n_docs")
+        .agg(
+            F.coalesce(F.sum("crossed"), F.lit(0)).alias("n_crosssplit_neardup"),
+            F.coalesce(F.sum("from_train"), F.lit(0)).alias("n_contaminated_by_train"),
+            F.round(
+                F.coalesce(F.sum("from_train"), F.lit(0)) * 100.0 / F.col("n_docs"), 4
+            ).alias("contamination_pct"),
+        )
+    )
+
+
 # late-bind the composed oracle now that the CC query is registered
 from . import REGISTRY as _REG  # noqa: E402
 

@@ -72,3 +72,85 @@ def test_cc_star_high_degree_hub(spark):
     out = {r["doc_id"]: r["component"] for r in cc_star_contraction(_sym_edges(spark, pairs)).collect()}
     assert len(out) == 56
     assert set(out.values()) == {0}
+
+
+def test_containment_catches_what_jaccard_misses(spark, sf_dir):
+    """Every emitted pair has containment >= 0.8; roles are deterministic
+    (contained doc has <= shingles of the container); and containment is
+    always >= jaccard (they agree only when shingle sets are equal-sized)."""
+    out = REGISTRY["text_containment_dedup"].spark_fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["containment"] >= 0.8
+        assert r["containment"] >= r["jaccard"] - 1e-9
+        assert r["doc_contained"] != r["doc_container"]
+
+
+def test_containment_subdocument_synthetic(spark, tmp_path):
+    """A short doc fully embedded in a much longer one: Jaccard is far
+    below the 0.5 near-dup threshold, containment is exactly 1.0 — the
+    case the operator exists for."""
+    import os
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small, "en", "web"), (2, big, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from odc_stac_spark.queries.dedup import text_containment_dedup, dedup_ngram_jaccard
+
+    pairs = {(r["doc_contained"], r["doc_container"]): r
+             for r in text_containment_dedup(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["containment"] == 1.0
+    assert pairs[(1, 2)]["jaccard"] < 0.5  # symmetric Jaccard misses it
+    assert dedup_ngram_jaccard(spark, str(tmp_path)).count() == 0
+
+
+def test_split_leakage_consistency(spark, sf_dir):
+    """The audit's totals must agree with independently recomputed split
+    sizes, and contaminated counts can never exceed cross-split counts."""
+    out = {r["split"]: r for r in REGISTRY["split_leakage_audit"].spark_fn(spark, sf_dir).collect()}
+    assert set(out) == {"train", "val", "test"}
+    splits = REGISTRY["docs_train_val_split"].spark_fn(spark, sf_dir)
+    sizes = {r["split"]: r["count"] for r in splits.groupBy("split").count().collect()}
+    for s, r in out.items():
+        assert r["n_docs"] == sizes[s]
+        assert 0 <= r["n_contaminated_by_train"] <= r["n_crosssplit_neardup"] <= r["n_docs"]
+    assert out["train"]["n_contaminated_by_train"] == 0  # by definition
+
+
+def test_key_skew_report_vs_naive(spark, sf_dir):
+    """The histogram-derived report must equal a naive full-sort
+    computation of the same statistics (including exact Gini)."""
+    from odc_stac_spark.sources.tables import load_table
+
+    out = REGISTRY["dq_key_skew_report"].spark_fn(spark, sf_dir).collect()[0]
+    counts = sorted(
+        r["count"]
+        for r in load_table(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    )
+    n = len(counts)
+    total = sum(counts)
+    assert out["n_keys"] == n
+    assert out["n_events"] == total
+    assert out["max_per_key"] == counts[-1]
+    # percentile definition: smallest c with cum-keys*100 >= q*n,
+    # recomputed via histogram semantics
+    import collections
+    hist = collections.Counter(counts)
+    cum = 0
+    p50 = p99 = None
+    for c in sorted(hist):
+        cum += hist[c]
+        if p50 is None and cum * 100 >= 50 * n:
+            p50 = c
+        if p99 is None and cum * 100 >= 99 * n:
+            p99 = c
+    assert out["p50_per_key"] == p50 and out["p99_per_key"] == p99
+    assert out["top_share_ppm"] == counts[-1] * 1000000 // total
+    s = sum((i + 1) * c for i, c in enumerate(counts))
+    gini = (2 * s - (n + 1) * total) / (n * total)
+    assert abs(out["gini"] - round(gini, 6)) < 2e-6

@@ -535,3 +535,19 @@ def test_pagerank_iteration_joins_are_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the lone BNLJ is the bounded 1-row N crossJoin (the DSIR pattern)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_key_skew_report_window_runs_over_the_histogram(spark, sf_dir):
+    """dq_key_skew_report's single-partition cumulative window must sit
+    ABOVE both aggregations (per-key reduce, then count-of-counts) — it
+    consumes the bounded count-value grid, never the key table or the
+    raw scan."""
+    plan = _executed_plan(REGISTRY["dq_key_skew_report"].spark_fn(spark, sf_dir))
+    w = plan.index("Window")
+    # parent prints above child: the window index must be smaller than
+    # the scan's and both aggregation layers must sit below it
+    assert w < plan.rindex("FileScan"), "window above the scan"
+    # both grouping layers exist below the window
+    below = plan[w:]
+    assert "user_id" in below, "per-key reduce must be below the window"
+    assert plan.count("HashAggregate") >= 4  # 2 two-phase aggs minimum
