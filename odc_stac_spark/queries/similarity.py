@@ -2232,3 +2232,138 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l") / F.col("t"), 5).alias("explained_var_ratio"),
         )
     )
+
+
+MKNN_K = 5  # mutual-kNN width for embedding clustering
+
+
+@register(
+    "emb_mutual_knn_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    par AS (SELECT GREATEST({IVF_K},
+                   CAST(CEIL(COUNT(*) / {NEARDUP_TARGET_CELL}.0) AS BIGINT)) AS k
+            FROM emb),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb
+             WHERE vec_id < (SELECT k FROM par)),
+    assigned AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT vec_id, emb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn <= {NEARDUP_NPROBE}
+    ),
+    prs AS (
+      SELECT DISTINCT a.vec_id AS u, b.vec_id AS v,
+             list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+    sym AS (SELECT u AS s, v AS d, cos FROM prs
+            UNION ALL SELECT v, u, cos FROM prs),
+    knn AS (SELECT s, d FROM (
+              SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                           ORDER BY cos DESC, d) AS rn FROM sym)
+            WHERE rn <= {MKNN_K}),
+    mutual AS (SELECT k1.s AS u, k1.d AS v
+               FROM knn k1 JOIN knn k2 ON k2.s = k1.d AND k2.d = k1.s
+               WHERE k1.s < k1.d),
+    edges AS (SELECT u AS src, v AS dst FROM mutual
+              UNION SELECT v, u FROM mutual),
+    verts AS (SELECT DISTINCT src AS vec_id FROM edges),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+    labels AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a),
+    final AS (SELECT emb.vec_id, COALESCE(l.component, emb.vec_id) AS component
+              FROM emb LEFT JOIN labels l ON l.vec_id = emb.vec_id)
+    SELECT vec_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size
+    FROM final
+    """,
+    doc="embedding clustering via mutual-kNN graph + star-contraction "
+    "connected components — the standard unsupervised grouping pass of "
+    "a corpus curation pipeline (mutual-kNN prunes hub edges that plain "
+    "kNN graphs accumulate, so clusters follow local density). Fully "
+    "composed from gated parts: the ADAPTIVE IVF blocking of "
+    "embedding_neardup_adaptive bounds candidate generation (cells "
+    "sized to NEARDUP_TARGET_CELL — never an n² cartesian), per-vector "
+    "top-5 within candidates is a two-stage partition_local_topk, the "
+    "mutual filter is one self-join of the bounded kNN edge list, and "
+    "the components come from cc_star_contraction (O(log diameter) "
+    "rounds). Singleton vectors keep their own id as component. The "
+    "oracle replays blocking, kNN, mutuality and a recursive-CTE CC; "
+    "cosines are the same double arithmetic both sides, so ordering "
+    "ties cannot diverge.",
+    tags=("similarity", "dedup", "graph", "llm-pipeline"),
+)
+def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_pipeline import cc_star_contraction
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = _neardup_k(n)
+    emb = _emb(spark, sf_dir)
+    assigned = scoped_persist(
+        _ivf_multi_assign_adaptive(emb, NEARDUP_NPROBE, k).withColumn(
+            "nrm", _norm(F.col("emb"))
+        )
+    )
+    a = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("u"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("v"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    prs = scoped_persist(
+        a.join(b, ["cent_id"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", cos.alias("cos"))
+        .distinct()
+    )
+    sym = prs.select(F.col("u").alias("s"), F.col("v").alias("d"), "cos").unionAll(
+        prs.select(F.col("v").alias("s"), F.col("u").alias("d"), "cos")
+    )
+    w = Window.partitionBy("s").orderBy(F.desc("cos"), F.asc("d"))
+    knn = (
+        partition_local_topk(sym, ["s"], [("cos", False), ("d", True)], MKNN_K)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MKNN_K)
+        .select("s", "d")
+    )
+    knn = scoped_persist(knn)
+    rev = knn.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    mutual = knn.join(rev, ["s", "d"]).where(F.col("s") < F.col("d"))
+    edges = mutual.select(F.col("s").alias("src"), F.col("d").alias("dst")).unionAll(
+        mutual.select(F.col("d").alias("src"), F.col("s").alias("dst"))
+    ).distinct()
+    labels = cc_star_contraction(edges).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    final = (
+        emb.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+    )
+    wc = Window.partitionBy("component")
+    return final.select(
+        "vec_id", "component", F.count(F.lit(1)).over(wc).alias("cluster_size")
+    )

@@ -154,3 +154,26 @@ def test_key_skew_report_vs_naive(spark, sf_dir):
     s = sum((i + 1) * c for i, c in enumerate(counts))
     gini = (2 * s - (n + 1) * total) / (n * total)
     assert abs(out["gini"] - round(gini, 6)) < 2e-6
+
+
+def test_mutual_knn_cc_invariants(spark, sf_dir):
+    """Every vector appears exactly once; cluster_size equals the actual
+    component population; components are labeled by their min member;
+    and clusters are mutuality-connected (size>1 components only arise
+    from mutual top-k edges, so no component may exceed the corpus)."""
+    import collections
+
+    rows = REGISTRY["emb_mutual_knn_cc"].spark_fn(spark, sf_dir).collect()
+    n = (
+        REGISTRY["emb_dim_stats"].spark_fn(spark, sf_dir)
+        .limit(1)
+        .collect()[0]["n"]
+    )
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    sizes = collections.Counter(r["component"] for r in rows)
+    for r in rows:
+        assert r["cluster_size"] == sizes[r["component"]]
+        assert r["component"] <= r["vec_id"] or sizes[r["component"]] > 1
+    for comp, members in sizes.items():
+        assert comp == min(r["vec_id"] for r in rows if r["component"] == comp)

@@ -294,6 +294,26 @@ PICKS = [
         "global ntile sort of the customer table in any stage.",
     ),
     (
+        "dq_key_skew_report",
+        "Key-skew diagnostics with no key sort anywhere: per-key counts "
+        "reduce once on the (uniform) key, collapse to the bounded "
+        "count-of-counts histogram, and max/percentiles/top-share/Gini "
+        "all derive from cumulative windows OVER THE HISTOGRAM — the "
+        "exact Gini rank-sum is computed per histogram block in integer "
+        "arithmetic, so the plan contains two two-phase aggregations and "
+        "one bounded window, never a global ordering of keys.",
+    ),
+    (
+        "emb_mutual_knn_cc",
+        "Composed clustering pipeline: adaptive IVF blocking (broadcast "
+        "quantizer array + map-side fold assignment — zero shuffles to "
+        "assign), cell-equi-join candidate generation (never an n² "
+        "cartesian), two-stage partition_local_topk kNN, one self-join "
+        "mutuality filter on the k-bounded edge list, then star-"
+        "contraction CC whose per-round joins run on eagerly "
+        "checkpointed edge sets (lineage constant in rounds).",
+    ),
+    (
         "text_winnowing_fingerprint",
         "MOSS winnowing: k-gram hashes are computed ONCE per position "
         "inside the scan stage (transform over sequence — map-side), the "
