@@ -2229,3 +2229,91 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               LAG(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+    flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                    THEN 1 ELSE 0 END AS chg
+        FROM ordered),
+    runs AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        FROM flagged),
+    versions AS (
+        SELECT o_custkey, version, o_orderpriority AS priority,
+               MIN(o_orderdate) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_orders_in_version
+        FROM runs GROUP BY 1, 2, 3)
+    SELECT o_custkey, version, priority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                ORDER BY version) AS valid_to,
+           n_orders_in_version
+    FROM versions
+    """,
+    doc="SCD Type-2 dimension history build — the warehouse operator that "
+    "turns an append-only change log into versioned validity intervals: "
+    "treat each customer's order stream (totally ordered by date, "
+    "orderkey) as attribute changes, start a NEW version only when the "
+    "tracked attribute actually changes (change-aware compaction via "
+    "LAG), then close each version with the next version's start via "
+    "LEAD (open tail → NULL valid_to, the is-current marker; the "
+    "9999-12-31 sentinel convention would overflow pandas/Arrow ns "
+    "timestamps in the comparison harness). All three "
+    "windows are keyed by custkey — ONE hash exchange total, then "
+    "map-side window evaluation per key; at 100 TB the plan is one "
+    "shuffle of the change log, identical shape to any sessionization. "
+    "Version numbers are exact running integers; no floats anywhere.",
+    tags=("analytics", "cdc", "window"),
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("version"),
+    )
+    versions = runs.groupBy(
+        "o_custkey", "version", F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders_in_version"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return versions.select(
+        "o_custkey",
+        "version",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_orders_in_version",
+    )

@@ -177,3 +177,28 @@ def test_mutual_knn_cc_invariants(spark, sf_dir):
         assert r["component"] <= r["vec_id"] or sizes[r["component"]] > 1
     for comp, members in sizes.items():
         assert comp == min(r["vec_id"] for r in rows if r["component"] == comp)
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    """Per customer: versions are 1..N contiguous, intervals chain exactly
+    (valid_to == next valid_from), only the last is open, and consecutive
+    versions always change the tracked attribute (change-aware
+    compaction: no two adjacent versions share a priority)."""
+    from collections import defaultdict
+
+    rows = REGISTRY["cdc_scd2_intervals"].spark_fn(spark, sf_dir).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    assert by_cust
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["priority"] != b["priority"]
+            # same-day changes give zero-length intervals at DATE
+            # granularity — monotone, not strictly increasing
+            assert a["valid_from"] <= b["valid_from"]
+        assert vs[-1]["valid_to"] is None  # open current version
+        assert all(v["valid_to"] is not None for v in vs[:-1])
