@@ -2120,9 +2120,7 @@ def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dq_key_skew_report",
-    oracle="""
+KEY_SKEW_ORACLE = """
     WITH perkey AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS c
         FROM events GROUP BY 1),
@@ -2160,7 +2158,12 @@ def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(CAST(n_keys AS HUGEINT) * n_events AS DOUBLE), 6)
                AS gini
     FROM tot, pct
-    """,
+    """
+
+
+@register(
+    "dq_key_skew_report",
+    oracle=KEY_SKEW_ORACLE,
     doc="key-skew diagnostic report — the measurement you run BEFORE "
     "choosing a salting / AQE-skew-join / two-phase-agg strategy for a "
     "shuffle key. Per-key counts reduce once on the key (uniform by "
@@ -2177,12 +2180,17 @@ def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "quality", "scale"),
 )
 def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import scoped_persist
-
     ev = load_table(spark, sf_dir, "events")
     perkey = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    # the bounded count-of-counts histogram feeds tot AND the percentile
-    # probe — materialize it so the key reduction runs once
+    return _key_skew_from_perkey(spark, perkey)
+
+
+def _key_skew_from_perkey(spark, perkey: DataFrame) -> DataFrame:
+    """(key, c) counts -> the one-row skew report. Shared by the batch
+    query and its streaming image; see dq_key_skew_report's doc for the
+    blockwise exact-Gini derivation."""
+    from . import scoped_persist
+
     hist = scoped_persist(perkey.groupBy("c").agg(F.count(F.lit(1)).alias("k")))
     w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
@@ -2229,6 +2237,47 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "t_stream_key_skew",
+    # gate: the IDENTICAL SQL image as the batch dq_key_skew_report —
+    # the stream-maintained per-key counts must reproduce the batch
+    # counts exactly, so every derived statistic (max, percentiles,
+    # top-share, exact Gini) is identical.
+    oracle=KEY_SKEW_ORACLE,
+    doc="REAL streaming image of the key-skew diagnostic: events stream "
+    "(availableNow) -> running groupBy(user_id) counts in update mode "
+    "(memory sink; counts are monotone so the final state per key is "
+    "the max across updates) -> the bounded count-of-counts histogram, "
+    "percentile probes and exact blockwise Gini derive from the "
+    "MAINTAINED state, never a raw re-scan. This is how a shuffle-key "
+    "health monitor actually runs in production: per-key state is the "
+    "same size as the batch reduction's output, and the report stays "
+    "current per micro-batch. Shares the batch query's SQL gate, so "
+    "stream==batch parity of the WHOLE report is the check.",
+    tags=("analytics", "streaming", "quality", "scale"),
+)
+def t_stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scoped_persist
+    from .temporal import _await_stream, _stage_events_stream
+
+    name = "t_stream_key_skew_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = _stage_events_stream(spark, sf_dir, "events_skew_stream_")
+    counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    perkey = spark.table(name).groupBy("user_id").agg(F.max("c").alias("c"))
+    return _key_skew_from_perkey(spark, perkey)
 
 
 @register(

@@ -202,3 +202,11 @@ def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
             assert a["valid_from"] <= b["valid_from"]
         assert vs[-1]["valid_to"] is None  # open current version
         assert all(v["valid_to"] is not None for v in vs[:-1])
+
+
+def test_stream_key_skew_equals_batch(spark, sf_dir):
+    """The streaming image must reproduce the batch report row exactly
+    (same maintained counts → same histogram → same Gini)."""
+    batch = REGISTRY["dq_key_skew_report"].spark_fn(spark, sf_dir).collect()[0]
+    stream = REGISTRY["t_stream_key_skew"].spark_fn(spark, sf_dir).collect()[0]
+    assert batch.asDict() == stream.asDict()
