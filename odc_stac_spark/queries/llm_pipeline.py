@@ -147,10 +147,15 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         mins = E.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # `mins` is NODE-sized — it grows with the graph, so the E⋈mins
+        # joins are pinned to shuffle-hash: at sf10 AQE underestimated
+        # the checkpointed aggregate and tried to BROADCAST it, dying in
+        # notEnoughMemoryToBuildAndBroadcastTable (rule 2: never
+        # broadcast what grows with the data)
         # large-star: (v, m(u)) for v > u; keeps every component
         # connected while halving tall-tree height (paper, Lemma 1)
         large = (
-            E.join(mins, "u")
+            E.join(mins.hint("shuffle_hash"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
@@ -167,7 +172,7 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         small = (
-            E1.join(mins1, "u")
+            E1.join(mins1.hint("shuffle_hash"), "u")
             .where(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(mins1.select(F.col("u").alias("a"), F.col("m").alias("b")))
