@@ -112,7 +112,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "component")
 
 
-def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+def cc_star_contraction(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014) — rounds grow with log(diameter), NOT diameter.
@@ -133,7 +133,10 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     cut per round with an eager localCheckpoint.
 
     `edges` must be directed-symmetric distinct (u, v) pairs, u != v.
-    Returns (doc_id, component) for every endpoint.
+    Returns (doc_id, component) for every endpoint. Raises (never returns
+    partial labels) if the fixpoint is not reached within ``max_rounds``
+    — the alternation needs ~log2(diameter) rounds, so the default 32
+    covers any physically possible graph.
     """
     # materialize the input FIRST: E is referenced ~6× per round (mins,
     # the star joins, the convergence diff) — without this, an expensive
@@ -188,6 +191,14 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
         E = E2
         if converged:
             break
+    else:
+        # never return silently-wrong labels: convergence needs
+        # ~log2(diameter) rounds, so 32 covers any graph with diameter
+        # < 2^32 — hitting this means the input is malformed (e.g.
+        # non-symmetric edges), not that more rounds would help
+        raise RuntimeError(
+            f"cc_star_contraction did not converge in {max_rounds} rounds"
+        )
     # star forest → labels: component(u) = min(u, min neighbor)
     return E.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("component")

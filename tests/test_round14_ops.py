@@ -19,7 +19,7 @@ def _sym_edges(spark, pairs):
 
 def test_cc_star_path_graph_diameter_independent(spark):
     """A 64-hop chain: plain min-label propagation needs 64 rounds; star
-    contraction must finish inside its 16-round cap AND label every node
+    contraction must converge in ~log2(64) rounds AND label every node
     with the chain minimum."""
     edges = _sym_edges(spark, [(i, i + 1) for i in range(64)])
     out = {r["doc_id"]: r["component"] for r in cc_star_contraction(edges).collect()}
