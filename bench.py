@@ -56,6 +56,54 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _machine_probe() -> dict:
+    """Direct machine-health micro-probe (~0.3 s): loadavg only shows OUR
+    runnable threads; on a shared host the memory BUS is the contended
+    resource the raster/jpeg (numpy, bandwidth-bound) phases feel.
+    Measured r14: copy bandwidth swung 0.4 → 6 GB/s across the day with
+    the repo unchanged, moving raster throughput 40 → 136 Mpx/s — this
+    probe makes that attributable from the artifact alone."""
+    out: dict = {}
+    try:
+        import numpy as np
+
+        # steady-state bus bandwidth: pre-fault BOTH buffers and time the
+        # third copy into the same destination — timing a copy into a
+        # fresh allocation measures page-fault/zeroing latency instead
+        # (first version read 0.07 GB/s while the bench itself was fast)
+        a = np.ones(100_000_000 // 8)
+        b = np.empty_like(a)
+        np.copyto(b, a)
+        np.copyto(b, a)
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        out["mem_copy_gbps"] = round(2 * 100e6 / (time.perf_counter() - t0) / 1e9, 2)
+        # allocation-INCLUSIVE copy: fresh destination each time, like a
+        # tile pipeline allocating per tile — under host memory pressure
+        # this swings 15× (page faults + hypervisor zeroing) while the
+        # steady-state number barely moves, and it is what the
+        # bandwidth-bound raster/jpeg phases actually correlate with
+        a.copy()  # discard the very first allocation (THP warmup noise)
+        t0 = time.perf_counter()
+        a.copy()
+        out["alloc_copy_gbps"] = round(2 * 100e6 / (time.perf_counter() - t0) / 1e9, 2)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            f0 = [int(v) for v in fh.readline().split()[1:9]]
+        time.sleep(0.25)
+        with open("/proc/stat") as fh:
+            f1 = [int(v) for v in fh.readline().split()[1:9]]
+        d = [b - a_ for a_, b in zip(f0, f1)]
+        tot = sum(d) or 1
+        out["steal_pct"] = round(100 * d[7] / tot, 2)
+        out["idle_pct"] = round(100 * d[3] / tot, 2)
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -63,6 +111,7 @@ def main() -> None:
     # per-phase loadavg trace: snapshot (1m, 5m, 15m) at every phase
     # boundary so each section's numbers carry their own noise context
     phase_load: list[list] = [["start", *_loadavg()]]
+    machine_start = _machine_probe()
     spark = get_spark(app_name="odc-stac-spark-bench")
     registry = load_all()
 
@@ -280,6 +329,9 @@ def main() -> None:
         # the full per-phase trace is in the BENCH_local artifact
         "loadavg_start": phase_load[0][1:],
         "loadavg_end": _loadavg(),
+        # direct host-health probe (memory-bus bandwidth + steal): the
+        # co-tenant signal loadavg cannot see — see _machine_probe
+        "machine_end": _machine_probe(),
     }
     detail = {
         "metric": "bench_scale_detail",
@@ -299,6 +351,7 @@ def main() -> None:
         # >15% per-query delta to co-tenant load vs a real regression
         # from the artifact alone (VERDICT r13 #2)
         "loadavg_trace": phase_load,
+        "machine_start": machine_start,
     }
     # Loss-proof output contract (VERDICT r11 #3: the r11 sf1 detail made
     # the single JSON line longer than the driver's tail-capture window,
