@@ -2367,3 +2367,108 @@ def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "vec_id", "component", F.count(F.lit(1)).over(wc).alias("cluster_size")
     )
+
+
+@register(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    par AS (SELECT GREATEST({IVF_K},
+                   CAST(CEIL(COUNT(*) / {NEARDUP_TARGET_CELL}.0) AS BIGINT)) AS k
+            FROM emb),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb
+             WHERE vec_id < (SELECT k FROM par)),
+    assigned AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT vec_id, emb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn <= {NEARDUP_NPROBE}
+    ),
+    prs AS (
+      SELECT DISTINCT a.vec_id AS u, b.vec_id AS v,
+             list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+    sym AS (SELECT u AS s, v AS d, cos FROM prs
+            UNION ALL SELECT v, u, cos FROM prs),
+    knn AS (SELECT s, d FROM (
+              SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                           ORDER BY cos DESC, d) AS rn FROM sym)
+            WHERE rn <= {MKNN_K}),
+    mutual AS (SELECT k1.s AS u, k1.d AS v
+               FROM knn k1 JOIN knn k2 ON k2.s = k1.d AND k2.d = k1.s
+               WHERE k1.s < k1.d),
+    edges AS (SELECT u AS src, v AS dst FROM mutual
+              UNION SELECT v, u FROM mutual),
+    verts AS (SELECT DISTINCT src AS vec_id FROM edges),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+    lbl AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a),
+    mem AS (SELECT l.component, e.label
+            FROM lbl l JOIN emb e ON e.vec_id = l.vec_id),
+    cl AS (SELECT component, label, CAST(count(*) AS BIGINT) AS n
+           FROM mem GROUP BY 1, 2),
+    ranked AS (SELECT component, label, n,
+                      ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY n DESC, label) AS rn,
+                      CAST(SUM(n) OVER (PARTITION BY component) AS BIGINT)
+                          AS n_members
+               FROM cl),
+    tops AS (SELECT component, label AS majority_label, n AS n_majority,
+                    n_members
+             FROM ranked WHERE rn = 1)
+    SELECT component, n_members, majority_label, n_majority,
+           ROUND(n_majority * 1.0 / n_members, 4) AS purity
+    FROM tops WHERE n_members >= 2
+    """,
+    doc="cluster-quality evaluation for the mutual-kNN clustering: per "
+    "multi-member cluster, the majority ground-truth label and its "
+    "share (purity) — the standard external-validity check before a "
+    "clustering is trusted for curation decisions (complements "
+    "emb_knn_label_consistency, which scores the raw kNN graph). "
+    "Reuses the gated clustering end to end (blocked candidates → "
+    "mutual top-5 → star CC), joins the bounded label dimension, and "
+    "rolls up per (cluster, label) — the argmax window is partitioned "
+    "by component, never global. Counts exact; purity is one division "
+    "of identical integers (deterministic tie-break: larger count, "
+    "then smaller label).",
+    tags=("similarity", "quality", "evaluation", "llm"),
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    comps = emb_mutual_knn_cc(spark, sf_dir).select("vec_id", "component")
+    cl = (
+        comps.join(labels, "vec_id")
+        .groupBy("component", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.partitionBy("component").orderBy(F.desc("n"), F.asc("label"))
+    w_all = Window.partitionBy("component")
+    return (
+        cl.select(
+            "component",
+            "label",
+            "n",
+            F.row_number().over(w_rank).alias("rn"),
+            F.sum("n").over(w_all).alias("n_members"),
+        )
+        .where((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "component",
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            F.round(F.col("n") * 1.0 / F.col("n_members"), 4).alias("purity"),
+        )
+    )

@@ -210,3 +210,34 @@ def test_stream_key_skew_equals_batch(spark, sf_dir):
     batch = REGISTRY["dq_key_skew_report"].spark_fn(spark, sf_dir).collect()[0]
     stream = REGISTRY["t_stream_key_skew"].spark_fn(spark, sf_dir).collect()[0]
     assert batch.asDict() == stream.asDict()
+
+
+def test_cluster_purity_consistency(spark, sf_dir):
+    """Purity rows must agree with an independent recomputation from the
+    clustering + labels (majority by (count desc, label asc), n_members
+    from ALL members, singletons excluded)."""
+    import collections
+
+    from odc_stac_spark.sources.tables import load_table
+
+    comps = {
+        r["vec_id"]: r["component"]
+        for r in REGISTRY["emb_mutual_knn_cc"].spark_fn(spark, sf_dir).collect()
+    }
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    by_comp = collections.defaultdict(list)
+    for v, c in comps.items():
+        by_comp[c].append(labels[v])
+    out = {r["component"]: r for r in REGISTRY["emb_cluster_purity"].spark_fn(spark, sf_dir).collect()}
+    expect = {c: ls for c, ls in by_comp.items() if len(ls) >= 2}
+    assert set(out) == set(expect)
+    for c, ls in expect.items():
+        cnt = collections.Counter(ls)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = out[c]
+        assert r["n_members"] == len(ls)
+        assert (r["majority_label"], r["n_majority"]) == best
+        assert abs(r["purity"] - round(best[1] / len(ls), 4)) < 1e-9
