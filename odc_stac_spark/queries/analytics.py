@@ -2366,3 +2366,56 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_orders_in_version",
     )
+
+
+_PK_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@register(
+    "dq_pk_uniqueness_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {k}) AS BIGINT) AS n_keys,
+           CAST(count(*) FILTER (WHERE {k} IS NULL) AS BIGINT) AS null_keys,
+           CAST(count(*) AS BIGINT) - CAST(count(DISTINCT {k}) AS BIGINT)
+               AS dup_rows
+    FROM {t}"""
+        for t, k in _PK_TABLES
+    ),
+    doc="primary-key uniqueness audit across every keyed table — the "
+    "complement of dq_referential_integrity (that one proves children "
+    "point at existing parents; this one proves the parents themselves "
+    "are unique and non-null). One map-side-combined count + distinct "
+    "per table, each a single uniform-key exchange; output is one row "
+    "per table so a warehouse health dashboard reads it directly. All "
+    "counts exact integers.",
+    tags=("analytics", "quality"),
+)
+def dq_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, k in _PK_TABLES:
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(k)).alias("n_keys"),
+            F.count(F.when(F.col(k).isNull(), 1)).alias("null_keys"),
+        ).select(
+            F.lit(t).alias("tbl"),
+            "n_rows",
+            "n_keys",
+            "null_keys",
+            (F.col("n_rows") - F.col("n_keys")).alias("dup_rows"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

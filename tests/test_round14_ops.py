@@ -241,3 +241,39 @@ def test_cluster_purity_consistency(spark, sf_dir):
         assert r["n_members"] == len(ls)
         assert (r["majority_label"], r["n_majority"]) == best
         assert abs(r["purity"] - round(best[1] / len(ls), 4)) < 1e-9
+
+
+def test_pk_audit_detects_duplicates_and_nulls(spark, tmp_path, sf_dir):
+    """On the real fixtures every PK is clean (dup_rows=0, null_keys=0,
+    n_rows=n_keys); on a corrupted copy the audit must count the
+    injected duplicate and null."""
+    import os
+    import shutil
+
+    rows = REGISTRY["dq_pk_uniqueness_audit"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r["dup_rows"] == 0 and r["null_keys"] == 0
+        assert r["n_rows"] == r["n_keys"] > 0
+    # corrupted copy: duplicate one region key, null another
+    bad = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(bad, f"{t}.parquet")
+        (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    from odc_stac_spark.sources.tables import load_table
+
+    reg = load_table(spark, sf_dir, "region")
+    corrupted = reg.unionAll(reg.limit(1)).unionAll(
+        reg.limit(1).select(
+            F.lit(None).cast("long").alias("r_regionkey"),
+            *[F.col(c) for c in reg.columns if c != "r_regionkey"],
+        ).select(reg.columns)
+    )
+    corrupted.write.mode("overwrite").parquet(os.path.join(bad, "region.parquet"))
+    out = {r["tbl"]: r for r in REGISTRY["dq_pk_uniqueness_audit"].spark_fn(spark, bad).collect()}
+    r = out["region"]
+    assert r["n_rows"] == reg.count() + 2
+    assert r["dup_rows"] == 2  # the duplicate AND the null row (distinct skips null)
+    assert r["null_keys"] == 1
