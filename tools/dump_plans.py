@@ -314,6 +314,13 @@ PICKS = [
         "checkpointed edge sets (lineage constant in rounds).",
     ),
     (
+        "cdc_scd2_intervals",
+        "SCD Type-2 history build: ONE custkey hash exchange feeds all "
+        "three keyed windows (LAG change detection, running version "
+        "sum, LEAD interval close) — the same single-shuffle shape as "
+        "sessionization; no global sort, no second exchange.",
+    ),
+    (
         "text_winnowing_fingerprint",
         "MOSS winnowing: k-gram hashes are computed ONCE per position "
         "inside the scan stage (transform over sequence — map-side), the "
