@@ -363,22 +363,31 @@ def main() -> None:
     # pattern as CORRECTNESS_local_r{N}.json).
     print(json.dumps(detail))
     try:
-        import glob as _glob
+        # Artifact hygiene (VERDICT r14 "wrong" #1): every run writes the
+        # GITIGNORED BENCH_local_latest.json, so driver re-runs never
+        # dirty the tree or overwrite a committed healthy-host artifact.
+        # The committed round artifact BENCH_local_r{N}.json is written
+        # only on explicit promotion (SPARK_GRAFT_BENCH_COMMIT=1) — the
+        # builder runs that on a quiet box and commits the result.
+        doc = {**headline, **{k: v for k, v in detail.items() if k != "metric"}}
+        dsts = [os.path.join(REPO, "BENCH_local_latest.json")]
+        if os.environ.get("SPARK_GRAFT_BENCH_COMMIT"):
+            import glob as _glob
 
-        rounds = [
-            int(m.group(1))
-            for f in _glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", f))
-        ]
-        nxt = max(rounds, default=0) + 1
-        # write-then-rename (ADVICE r12): a crash mid-dump can never leave
-        # a truncated artifact shadowing a prior good one — the rename is
-        # atomic and only happens after a complete dump
-        dst = os.path.join(REPO, f"BENCH_local_r{nxt:02d}.json")
-        tmp = dst + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({**headline, **{k: v for k, v in detail.items() if k != "metric"}}, fh, indent=1)
-        os.replace(tmp, dst)
+            rounds = [
+                int(m.group(1))
+                for f in _glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+                if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            nxt = max(rounds, default=0) + 1
+            dsts.append(os.path.join(REPO, f"BENCH_local_r{nxt:02d}.json"))
+        for dst in dsts:
+            # write-then-rename (ADVICE r12): a crash mid-dump can never
+            # leave a truncated artifact shadowing a prior good one
+            tmp = dst + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh, indent=1)
+            os.replace(tmp, dst)
     except Exception as e:  # noqa: BLE001 - the local artifact must never sink the bench
         print(f"WARNING: BENCH_local artifact write failed: {e!r}", file=sys.stderr)
     print(json.dumps(headline))

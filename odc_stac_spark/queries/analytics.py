@@ -1219,7 +1219,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.lit(int(r.tb)) for r in sorted(rows, key=lambda r: r.q)]
         )
 
-    mon_bucket = F.floor(F.col("mon_c") / F.lit(RFM_M_W_C)).cast("long")
+    mon_bucket = F.expr(f"mon_c div {RFM_M_W_C}")
     r_thr = quartile_thresholds(F.col("rec"))
     f_thr = quartile_thresholds(F.col("freq"))
     m_thr = quartile_thresholds(mon_bucket)
@@ -1396,7 +1396,7 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c")
     )
     hist = cust.groupBy(
-        F.floor(F.col("spend_c") / F.lit(RFM_M_W_C)).cast("long").alias("bucket")
+        F.expr(f"spend_c div {RFM_M_W_C}").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_cust"), F.sum("spend_c").alias("rev_c"))
     w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, 0
@@ -2207,8 +2207,12 @@ def _key_skew_from_perkey(spark, perkey: DataFrame) -> DataFrame:
         F.sum(
             F.col("c").cast(dec)
             * (
-                F.col("prevk") * F.col("k") + F.expr("k * (k + 1) div 2")
-            ).cast(dec)
+                F.col("prevk").cast(dec) * F.col("k").cast(dec)
+                + F.expr(
+                    "cast(k as decimal(38,0))"
+                    " * (cast(k as decimal(38,0)) + 1) div 2"
+                ).cast(dec)
+            )
         ).alias("s"),
     )
     pct = cum.crossJoin(F.broadcast(tot.select("n_keys"))).agg(

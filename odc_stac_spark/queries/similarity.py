@@ -2235,17 +2235,31 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MKNN_K = 5  # mutual-kNN width for embedding clustering
+MKNN_TAU = 0.35  # cosine threshold for the curation-grade thresholded
+# variant — the knee of the purity-vs-tau sweep in COVERAGE.md: the
+# giant component (491/500 members, purity 0.118) breaks into 82
+# clusters (max 21, purity 0.383) while ~55% of vectors stay clustered;
+# by tau=0.5 nothing survives on this corpus (max pairwise cos 0.513)
 
 
-@register(
-    "emb_mutual_knn_cc",
-    oracle=f"""
-    WITH RECURSIVE
-    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+def _mknn_oracle_ctes(tau=None) -> str:
+    """Shared DuckDB CTE chain for the mutual-kNN clustering family:
+    adaptive-IVF blocking -> candidate cosines (NaN-guarded, optionally
+    tau-thresholded) -> top-{MKNN_K} -> mutual filter -> recursive-CTE
+    connected components -> `final(vec_id, label, component)` with
+    singletons keeping their own id. The tau filter sits BEFORE top-k
+    selection, which is equivalent to post-filtering mutual edges
+    because ranking is cos-descending."""
+    tau_sql = f" AND cos >= {tau!r}" if tau is not None else ""
+    return f"""
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+            FROM embeddings),
     par AS (SELECT GREATEST({IVF_K},
                    CAST(CEIL(COUNT(*) / {NEARDUP_TARGET_CELL}.0) AS BIGINT)) AS k
             FROM emb),
-    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb
+    nz AS (SELECT vec_id, emb FROM emb
+           WHERE list_dot_product(emb, emb) > 0),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM nz
              WHERE vec_id < (SELECT k FROM par)),
     assigned AS (
       SELECT vec_id, emb, cent_id FROM (
@@ -2256,16 +2270,18 @@ MKNN_K = 5  # mutual-kNN width for embedding clustering
                      list_dot_product(e.emb, c.cemb)
                      / (sqrt(list_dot_product(e.emb, e.emb))
                         * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
-              FROM emb e CROSS JOIN cent c)
+              FROM nz e CROSS JOIN cent c)
       ) WHERE rn <= {NEARDUP_NPROBE}
     ),
     prs AS (
-      SELECT DISTINCT a.vec_id AS u, b.vec_id AS v,
-             list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      FROM assigned a JOIN assigned b
-        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+      SELECT u, v, cos FROM (
+        SELECT DISTINCT a.vec_id AS u, b.vec_id AS v,
+               list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+      WHERE NOT isnan(cos){tau_sql}),
     sym AS (SELECT u AS s, v AS d, cos FROM prs
             UNION ALL SELECT v, u, cos FROM prs),
     knn AS (SELECT s, d FROM (
@@ -2282,14 +2298,40 @@ MKNN_K = 5  # mutual-kNN width for embedding clustering
         SELECT vec_id, vec_id FROM verts
         UNION
         SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-    labels AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a),
-    final AS (SELECT emb.vec_id, COALESCE(l.component, emb.vec_id) AS component
-              FROM emb LEFT JOIN labels l ON l.vec_id = emb.vec_id)
+    lbl AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a),
+    final AS (SELECT emb.vec_id, emb.label,
+                     COALESCE(l.component, emb.vec_id) AS component
+              FROM emb LEFT JOIN lbl l ON l.vec_id = emb.vec_id)"""
+
+
+_MKNN_CLUSTER_SELECT = """
     SELECT vec_id, component,
            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
                AS cluster_size
     FROM final
-    """,
+    """
+
+_MKNN_PURITY_TAIL = """,
+    cl AS (SELECT component, label, CAST(count(*) AS BIGINT) AS n
+           FROM final GROUP BY 1, 2),
+    ranked AS (SELECT component, label, n,
+                      ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY n DESC, label) AS rn,
+                      CAST(SUM(n) OVER (PARTITION BY component) AS BIGINT)
+                          AS n_members
+               FROM cl),
+    tops AS (SELECT component, label AS majority_label, n AS n_majority,
+                    n_members
+             FROM ranked WHERE rn = 1)
+    SELECT component, n_members, majority_label, n_majority,
+           ROUND(n_majority * 1.0 / n_members, 4) AS purity
+    FROM tops WHERE n_members >= 2
+    """
+
+
+@register(
+    "emb_mutual_knn_cc",
+    oracle="WITH RECURSIVE " + _mknn_oracle_ctes() + _MKNN_CLUSTER_SELECT,
     doc="embedding clustering via mutual-kNN graph + star-contraction "
     "connected components — the standard unsupervised grouping pass of "
     "a corpus curation pipeline (mutual-kNN prunes hub edges that plain "
@@ -2307,13 +2349,35 @@ MKNN_K = 5  # mutual-kNN width for embedding clustering
     tags=("similarity", "dedup", "graph", "llm-pipeline"),
 )
 def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = _mutual_knn_components(spark, sf_dir, tau=None)
+    wc = Window.partitionBy("component")
+    return final.select(
+        "vec_id", "component", F.count(F.lit(1)).over(wc).alias("cluster_size")
+    )
+
+
+def _mutual_knn_components(spark, sf_dir, tau=None) -> DataFrame:
+    """(vec_id, component) for the mutual-kNN clustering; singletons keep
+    their own id. ``tau`` (None = off) drops candidate pairs with cosine
+    below the threshold BEFORE top-k selection — equivalent to dropping
+    sub-threshold mutual edges after, because ranking is cos-descending,
+    but it also shrinks everything downstream. Non-finite cosines
+    (zero-norm embeddings yield 0/0 = NaN) are always filtered: Spark
+    orders NaN greatest while pandas folds it, which would break the
+    partition_local_topk subset contract. Zero-norm vectors themselves
+    are excluded from the pairing pipeline up front — they have no
+    cosine direction, and under ANSI mode the IVF assignment's division
+    would throw — and come out as singletons via the final left-join
+    (the oracle's `nz` CTE mirrors the exclusion; the adaptive k still
+    derives from the FULL count, matching the oracle's COUNT(*))."""
     from .llm_pipeline import cc_star_contraction
 
     n = load_table(spark, sf_dir, "embeddings").count()
     k = _neardup_k(n)
     emb = _emb(spark, sf_dir)
+    nz = emb.where(_norm(F.col("emb")) > 0)
     assigned = scoped_persist(
-        _ivf_multi_assign_adaptive(emb, NEARDUP_NPROBE, k).withColumn(
+        _ivf_multi_assign_adaptive(nz, NEARDUP_NPROBE, k).withColumn(
             "nrm", _norm(F.col("emb"))
         )
     )
@@ -2330,10 +2394,14 @@ def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    keep = ~F.isnan(F.col("cos"))
+    if tau is not None:
+        keep = keep & (F.col("cos") >= F.lit(tau))
     prs = scoped_persist(
         a.join(b, ["cent_id"])
         .where(F.col("u") < F.col("v"))
         .select("u", "v", cos.alias("cos"))
+        .where(keep)
         .distinct()
     )
     sym = prs.select(F.col("u").alias("s"), F.col("v").alias("d"), "cos").unionAll(
@@ -2355,7 +2423,7 @@ def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = cc_star_contraction(edges).select(
         F.col("doc_id").alias("vec_id"), "component"
     )
-    final = (
+    return (
         emb.select("vec_id")
         .join(labels, "vec_id", "left")
         .select(
@@ -2363,75 +2431,11 @@ def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
         )
     )
-    wc = Window.partitionBy("component")
-    return final.select(
-        "vec_id", "component", F.count(F.lit(1)).over(wc).alias("cluster_size")
-    )
 
 
 @register(
     "emb_cluster_purity",
-    oracle=f"""
-    WITH RECURSIVE
-    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
-    par AS (SELECT GREATEST({IVF_K},
-                   CAST(CEIL(COUNT(*) / {NEARDUP_TARGET_CELL}.0) AS BIGINT)) AS k
-            FROM emb),
-    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb
-             WHERE vec_id < (SELECT k FROM par)),
-    assigned AS (
-      SELECT vec_id, emb, cent_id FROM (
-        SELECT vec_id, emb, cent_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, cent_id) AS rn
-        FROM (SELECT e.vec_id, e.emb, c.cent_id,
-                     list_dot_product(e.emb, c.cemb)
-                     / (sqrt(list_dot_product(e.emb, e.emb))
-                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
-              FROM emb e CROSS JOIN cent c)
-      ) WHERE rn <= {NEARDUP_NPROBE}
-    ),
-    prs AS (
-      SELECT DISTINCT a.vec_id AS u, b.vec_id AS v,
-             list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      FROM assigned a JOIN assigned b
-        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
-    sym AS (SELECT u AS s, v AS d, cos FROM prs
-            UNION ALL SELECT v, u, cos FROM prs),
-    knn AS (SELECT s, d FROM (
-              SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
-                           ORDER BY cos DESC, d) AS rn FROM sym)
-            WHERE rn <= {MKNN_K}),
-    mutual AS (SELECT k1.s AS u, k1.d AS v
-               FROM knn k1 JOIN knn k2 ON k2.s = k1.d AND k2.d = k1.s
-               WHERE k1.s < k1.d),
-    edges AS (SELECT u AS src, v AS dst FROM mutual
-              UNION SELECT v, u FROM mutual),
-    verts AS (SELECT DISTINCT src AS vec_id FROM edges),
-    reach(a, b) AS (
-        SELECT vec_id, vec_id FROM verts
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-    lbl AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a),
-    mem AS (SELECT l.component, e.label
-            FROM lbl l JOIN emb e ON e.vec_id = l.vec_id),
-    cl AS (SELECT component, label, CAST(count(*) AS BIGINT) AS n
-           FROM mem GROUP BY 1, 2),
-    ranked AS (SELECT component, label, n,
-                      ROW_NUMBER() OVER (PARTITION BY component
-                          ORDER BY n DESC, label) AS rn,
-                      CAST(SUM(n) OVER (PARTITION BY component) AS BIGINT)
-                          AS n_members
-               FROM cl),
-    tops AS (SELECT component, label AS majority_label, n AS n_majority,
-                    n_members
-             FROM ranked WHERE rn = 1)
-    SELECT component, n_members, majority_label, n_majority,
-           ROUND(n_majority * 1.0 / n_members, 4) AS purity
-    FROM tops WHERE n_members >= 2
-    """,
+    oracle="WITH RECURSIVE " + _mknn_oracle_ctes() + _MKNN_PURITY_TAIL,
     doc="cluster-quality evaluation for the mutual-kNN clustering: per "
     "multi-member cluster, the majority ground-truth label and its "
     "share (purity) — the standard external-validity check before a "
@@ -2446,8 +2450,12 @@ def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "quality", "evaluation", "llm"),
 )
 def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_purity(spark, sf_dir, tau=None)
+
+
+def _cluster_purity(spark, sf_dir, tau=None) -> DataFrame:
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    comps = emb_mutual_knn_cc(spark, sf_dir).select("vec_id", "component")
+    comps = _mutual_knn_components(spark, sf_dir, tau=tau)
     cl = (
         comps.join(labels, "vec_id")
         .groupBy("component", "label")
@@ -2472,3 +2480,42 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("n_members"), 4).alias("purity"),
         )
     )
+
+
+@register(
+    "emb_mutual_knn_cc_thresh",
+    oracle="WITH RECURSIVE " + _mknn_oracle_ctes(MKNN_TAU) + _MKNN_CLUSTER_SELECT,
+    doc="curation-grade variant of emb_mutual_knn_cc: mutual-kNN edges "
+    f"additionally require cosine >= {MKNN_TAU} (MKNN_TAU). The "
+    "unthresholded clustering transitively chains weak mutual edges — "
+    "round 14's emb_cluster_purity measured 491/500 vectors collapsing "
+    "into one cluster at purity 0.118 on the synthetic corpus. The "
+    "threshold is applied to candidate pairs BEFORE top-k selection "
+    "(equivalent to post-filtering mutual edges, since ranking is "
+    "cos-descending) so every downstream stage shrinks too. Same "
+    "composed scale shape as the parent: adaptive-IVF blocked pairs, "
+    "two-stage partition-local top-k, k-bounded mutual self-join, "
+    "star-contraction CC. Purity-vs-tau curve in COVERAGE.md.",
+    tags=("similarity", "dedup", "graph", "llm-pipeline"),
+)
+def emb_mutual_knn_cc_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = _mutual_knn_components(spark, sf_dir, tau=MKNN_TAU)
+    wc = Window.partitionBy("component")
+    return final.select(
+        "vec_id", "component", F.count(F.lit(1)).over(wc).alias("cluster_size")
+    )
+
+
+@register(
+    "emb_cluster_purity_thresh",
+    oracle="WITH RECURSIVE " + _mknn_oracle_ctes(MKNN_TAU) + _MKNN_PURITY_TAIL,
+    doc="external-validity check for the thresholded clustering "
+    "(emb_mutual_knn_cc_thresh): per multi-member cluster the majority "
+    "ground-truth label and its share. This is the receipt that the "
+    f"tau={MKNN_TAU} threshold makes the clustering curation-grade — "
+    "the unthresholded emb_cluster_purity stays registered as the "
+    "negative result on the record.",
+    tags=("similarity", "quality", "evaluation", "llm"),
+)
+def emb_cluster_purity_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_purity(spark, sf_dir, tau=MKNN_TAU)
