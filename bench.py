@@ -305,6 +305,24 @@ def main() -> None:
     spark.catalog.clearCache()
     phase_load.append(["after_jp2", *_loadavg()])
 
+    # composed production dedup pipeline number of record (round 15):
+    # exact-collapse → LSH → star-CC → keep-canonical in one query.
+    # NOT in the headline total (added r15 — keeping the headline set
+    # stable preserves cross-round comparability); tracked here so the
+    # flagship 100 TB operator has a per-round wall beside its sf10
+    # probe (COVERAGE.md: 178.7 s for the 500k-doc replica).
+    try:
+        t0 = time.perf_counter()
+        registry["dedup_pipeline_e2e"].spark_fn(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dedup_e2e_sec = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001 - must not sink the bench
+        print(f"WARNING: dedup_pipeline_e2e bench failed: {e!r}", file=sys.stderr)
+        dedup_e2e_sec = None
+    spark.catalog.clearCache()
+    phase_load.append(["after_dedup_e2e", *_loadavg()])
+
     total = round(sum(timings.values()), 3)
     headline = {
         "metric": "headline_queries_total_wall",
@@ -322,6 +340,8 @@ def main() -> None:
         # (see the comment at its timing site: correctness-oracle path;
         # production decode routes through the native DECODERS seam)
         "jp2_lossy_sec": jp2_lossy_sec,
+        # composed dedup pipeline (exact→LSH→CC→canonical), sf0.1 wall
+        "dedup_pipeline_e2e_sec": dedup_e2e_sec,
         # plan-construction time for the 9-item mosaic load (the
         # reference's "graph submit" ≲0.25 s, docs/benchmarking.rst:230)
         "plan_submit_sec": plan_submit_sec,

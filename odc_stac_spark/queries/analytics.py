@@ -2264,7 +2264,7 @@ def _key_skew_from_perkey(spark, perkey: DataFrame) -> DataFrame:
 )
 def t_stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import scoped_persist
-    from .temporal import _await_stream, _stage_events_stream
+    from .temporal import _run_stream, _stage_events_stream
 
     name = "t_stream_key_skew_sink"
     for q in spark.streams.active:
@@ -2272,14 +2272,12 @@ def t_stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     stream = _stage_events_stream(spark, sf_dir, "events_skew_stream_")
     counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    q = (
+    _run_stream(spark, (
         counts.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     perkey = spark.table(name).groupBy("user_id").agg(F.max("c").alias("c"))
     return _key_skew_from_perkey(spark, perkey)
 

@@ -101,6 +101,14 @@ _SHINGLES_SQL = """
 """
 
 
+def _shingles_sql_from(table: str) -> str:
+    """The shingle CTE body over an arbitrary (doc_id, text) relation —
+    dedup_pipeline_e2e shingles only the exact-collapse representatives,
+    not the raw corpus."""
+    assert _SHINGLES_SQL.count("FROM documents") == 1
+    return _SHINGLES_SQL.replace("FROM documents", f"FROM {table}")
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -347,6 +355,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle-array materialization feeds the (map-side) signature
     # and the verify stage
     sharr = scoped_persist(_shingle_arrays_df(spark, sf_dir))
+    return _lsh_verified_pairs(sharr)
+
+
+def _lsh_verified_pairs(sharr: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → verified near-dup pairs (doc_a, doc_b,
+    jaccard >= JACCARD_THRESHOLD) via MinHash signatures → LSH band
+    bucket join (singleton-bucket skip + hot-bucket salting) → exact
+    array-intersect Jaccard verify. The body of dedup_minhash_lsh,
+    shared with the composed dedup_pipeline_e2e so the production chain
+    runs the EXACT gated candidate generator. ``sharr`` should already
+    be persisted (it feeds both the signature and the verify stage)."""
     sig = _minhash_sig(sharr)
     bands = minhash_bands(sig)
     # singleton-bucket skip: a (band, bh) bucket with one doc can't

@@ -9,6 +9,9 @@ the reference's lazy iterator pipeline (_mdtools.py:705-723).
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -36,6 +39,60 @@ def _await_stream(q, timeout: int = 1800) -> None:
         )
     if q.exception() is not None:
         raise q.exception()
+
+
+# Streaming state partitions for the gated availableNow streams. The
+# round-14 time sweep showed the t_stream_* family walls dominated by
+# state-store machinery, not data: every micro-batch commits one state
+# delta + checkpoint file PER STATE PARTITION, so a 32-partition session
+# pays 32 commits/batch to maintain kilobytes of state. The partition
+# count is fixed at query start from spark.sql.shuffle.partitions and
+# results are partition-count independent (the hash gates have passed at
+# both 8 and 32), so the stream runner pins it low for the stream's
+# lifetime and restores the session value after. At real scale an
+# operator sizes this to state volume / executor count — the point is
+# it's a STREAM-level knob, not the session's batch-shuffle width.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+# Optional state-store provider override (e.g. org.apache.spark.sql.
+# execution.streaming.state.RocksDBStateStoreProvider). The r15 cost
+# pass measured RocksDB vs the default HDFS-backed provider at this
+# state scale (kilobytes/partition) — see COVERAGE.md; default stays
+# the HDFS-backed store, the env knob exists for A/B and for real
+# deployments whose state exceeds executor heap.
+STREAM_STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER", "")
+
+
+@contextmanager
+def _stream_conf(spark):
+    """Session conf pinned for a stream's lifetime (see
+    STREAM_SHUFFLE_PARTITIONS / STREAM_STATE_PROVIDER); restores the
+    batch values on exit."""
+    key = "spark.sql.shuffle.partitions"
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    old_p = spark.conf.get(pkey, None)
+    spark.conf.set(key, str(STREAM_SHUFFLE_PARTITIONS))
+    if STREAM_STATE_PROVIDER:
+        spark.conf.set(pkey, STREAM_STATE_PROVIDER)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+        if STREAM_STATE_PROVIDER:
+            if old_p is None:
+                spark.conf.unset(pkey)
+            else:
+                spark.conf.set(pkey, old_p)
+
+
+def _run_stream(spark, writer, timeout: int = 1800):
+    """Start ``writer`` (a DataStreamWriter) with streaming-tuned session
+    conf and await termination (loudly, via _await_stream). Returns the
+    terminated query handle."""
+    with _stream_conf(spark):
+        q = writer.start()
+        _await_stream(q, timeout)
+        return q
 
 
 def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
@@ -214,14 +271,12 @@ def t_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
+    _run_stream(spark, (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     # update-mode table holds every state update; counts are monotone so
     # the final value per key is the max
     return (
@@ -257,14 +312,12 @@ def t_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     stream = _stage_events_stream(spark, sf_dir, "events_attr_")
     out = stream_click_attribution(stream)
-    q = (
+    _run_stream(spark, (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     return spark.table(name).select(
         "click_id", "purchase_id", "user_id", F.round("amount", 2).alias("amount")
     )
@@ -330,10 +383,11 @@ def t_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stage_events_stream(spark, sf_dir, "cagg_events_").select(
         "ts", "event_type", "value"
     )
-    q = continuous_aggregate(
-        spark, stream, f"{work}/agg", f"{work}/ckpt"
-    )
-    _await_stream(q)
+    with _stream_conf(spark):
+        q = continuous_aggregate(
+            spark, stream, f"{work}/agg", f"{work}/ckpt"
+        )
+        _await_stream(q)
     out = (
         read_continuous(spark, f"{work}/agg")
         .select(
@@ -416,14 +470,12 @@ def t_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_micros(F.col("w.start")).alias("w_us"), "i", "bucket", "n")
     )
-    q = (
+    _run_stream(spark, (
         win_sketch.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     # update-mode sink holds every state revision; counts are monotone per
     # (window, cell) so the final value is the max — then the hourly
     # sketches MERGE by cell addition into the global grid
@@ -668,8 +720,9 @@ def t_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stage_events_stream(spark, sf_dir, "canom_events_").select(
         "ts", "event_type", "value"
     )
-    q = continuous_aggregate(spark, stream, f"{work}/agg", f"{work}/ckpt")
-    _await_stream(q)
+    with _stream_conf(spark):
+        q = continuous_aggregate(spark, stream, f"{work}/agg", f"{work}/ckpt")
+        _await_stream(q)
     hourly = read_continuous(spark, f"{work}/agg").select(
         "event_type", F.col("bucket").alias("h"), "n"
     )
@@ -776,8 +829,9 @@ def t_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stage_events_stream(spark, sf_dir, "cgap_events_").select(
         "ts", "event_type", "value"
     )
-    q = continuous_aggregate(spark, stream, f"{work}/agg", f"{work}/ckpt")
-    _await_stream(q)
+    with _stream_conf(spark):
+        q = continuous_aggregate(spark, stream, f"{work}/agg", f"{work}/ckpt")
+        _await_stream(q)
     from . import scoped_persist
 
     hourly = scoped_persist(
@@ -1104,14 +1158,12 @@ def t_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trailing <gap+delay> of history would never emit in a bounded
     # replay — complete mode emits the full maintained session state,
     # which for availableNow equals the batch session set exactly
-    q = (
+    _run_stream(spark, (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     return spark.table(name)
 
 
@@ -1365,14 +1417,12 @@ def t_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "m"])
         .select("user_id", "event_type", "m")
     )
-    q = (
+    _run_stream(spark, (
         keys.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     return (
         spark.table(name)
         .groupBy("event_type", F.unix_micros(F.date_trunc("hour", "m")).alias("hour_us"))
@@ -1492,14 +1542,12 @@ def t_stream_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("w.start")).alias("hour_us"), "bucket", "cnt"
         )
     )
-    q = (
+    _run_stream(spark, (
         hist.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     final = (
         spark.table(name)
         .groupBy("hour_us", "bucket")
@@ -1782,6 +1830,8 @@ def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("temporal", "streaming", "quality"),
 )
 def t_stream_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     name = "t_stream_bot_detection_sink"
     for q in spark.streams.active:
         if q.name == name:
@@ -1797,16 +1847,26 @@ def t_stream_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nm",
         )
     )
-    q = (
-        per_min.writeStream.format("memory")
+    # the state image here is user x minute — the LARGEST of the gated
+    # streams (~events-sized at this fixture's sparsity). A memory sink
+    # would collect every update to the DRIVER and scan it from one
+    # partition; appending each micro-batch's updates to parquet keeps
+    # the sink executor-side and the downstream reduction distributed
+    # (the r15 streaming cost pass measured the memory-sink collect as
+    # this query's actual wall, not the state store)
+    work = tempfile.mkdtemp(prefix="bot_sink_")
+
+    def _sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(work)
+
+    _run_stream(spark, (
+        per_min.writeStream.foreachBatch(_sink)
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    ))
     final = (
-        spark.table(name)
+        spark.read.parquet(work)
         .groupBy("user_id", "m")
         .agg(F.max("nm").alias("nm"))
     )
@@ -1921,17 +1981,15 @@ def t_stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = stream.select(
         "user_id", F.date_trunc("day", "ts").alias("d"), "ts"
     )
-    q1 = (
+    _run_stream(spark, (
         days.groupBy("user_id")
         .agg(F.min("d").alias("first_day"))
         .writeStream.format("memory")
         .queryName(name_first)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q1)
-    q2 = (
+    ))
+    _run_stream(spark, (
         days.withWatermark("ts", "30 minutes")
         .groupBy("d", "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1939,9 +1997,7 @@ def t_stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name_daily)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q2)
+    ))
     firsts = spark.table(name_first).groupBy("user_id").agg(
         F.min("first_day").alias("first_day")
     )

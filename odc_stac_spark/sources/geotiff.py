@@ -462,6 +462,63 @@ def write_cog_file(
     _write_tiff(path, ifds, bigtiff=bigtiff)
 
 
+def write_cog_file_from_tiles(
+    path: str,
+    shape,
+    dtype,
+    geobox: GeoBox,
+    level_tiles: List[List[bytes]],
+    nodata: Optional[float] = None,
+    tile: int = 256,
+    overview_levels: Optional[List[int]] = None,
+    compression: str = "deflate",
+    predictor: int = 1,
+    bigtiff: Optional[bool] = None,
+) -> None:
+    """Assemble and write a COG from ALREADY-COMPRESSED tile streams —
+    the writer stage of the distributed tile-parallel export
+    (sinks.write_cog): blocks are cut by cut_cog_blocks on the assembly
+    stage, deflate/lzw/... compressed in parallel Spark tasks, and only
+    the compressed bytes reach this single writer per output file.
+
+    ``level_tiles[0]`` is the full-resolution row-major tile list;
+    ``level_tiles[1:]`` correspond to ``overview_levels`` (default: the
+    cog_overview_levels rule). IFD planning depends only on
+    shape/dtype/geobox, so no pixels are needed here. Byte-identical to
+    write_cog_file for the same inputs (single-sample, planar=1)."""
+    ny, nx = int(shape[0]), int(shape[1])
+    dt = np.dtype(dtype)
+    if geobox.transform[4] > 0:
+        raise ValueError(
+            "write_cog_file_from_tiles requires a north-up geobox (sy<0)"
+        )
+    if overview_levels is None:
+        overview_levels = cog_overview_levels((ny, nx), tile)
+    if len(level_tiles) != 1 + len(overview_levels):
+        raise ValueError(
+            f"level_tiles has {len(level_tiles)} levels, expected "
+            f"{1 + len(overview_levels)} (full + overviews)"
+        )
+    shapes = [(ny, nx)] + [
+        ((ny + lv - 1) // lv, (nx + lv - 1) // lv) for lv in overview_levels
+    ]
+    if bigtiff is None:
+        payload = sum(h * w * dt.itemsize for h, w in shapes)
+        bigtiff = payload >= 2**32 - (1 << 20)
+    ifds = []
+    for lv_idx, ((h, w), tiles) in enumerate(zip(shapes, level_tiles)):
+        # zero-copy stand-in: _plan_ifd only reads shape/dtype/ndim when
+        # tiles_override is given
+        ph = np.broadcast_to(np.zeros(1, dt), (h, w))
+        ifds.append(
+            _plan_ifd(
+                ph, geobox, nodata, tile, lv_idx, overview_levels,
+                compression, predictor, 90, 1, tiles_override=tiles,
+            )
+        )
+    _write_tiff(path, ifds, bigtiff=bigtiff)
+
+
 def _write_tiff(path: str, ifds: List[Dict], bigtiff: bool = False) -> None:
     """Layout + render planned IFDs: header (8, or 16 for BigTIFF) | IFD
     blocks (each: entries + next ptr + aux data) | block data.
@@ -684,9 +741,47 @@ def write_tiff_striped(
     )
 
 
+def cog_overview_levels(shape, tile: int = 256) -> List[int]:
+    """Default COG overview decimation levels for an image shape — the
+    same rule write_cog_file applies when overview_levels is None
+    (halve until the image fits one tile). Exposed so the distributed
+    tile-parallel encode path (sinks.write_cog) can derive the identical
+    level plan on the assembly AND writer stages without shipping it."""
+    overview_levels: List[int] = []
+    level = 2
+    while max(shape[:2]) // level >= tile:
+        overview_levels.append(level)
+        level *= 2
+    return overview_levels
+
+
+def cut_cog_blocks(arr, tile: int = 256, predictor: int = 1):
+    """Yield (tile_idx, block) for ONE level in the exact row-major order
+    _plan_ifd compresses them (chunky/planar=1): zero-padded to
+    tile×tile, predictor pre-applied. The distributed COG sink cuts
+    blocks with this on the assembly stage and compresses them in
+    parallel elsewhere — sharing the loop guarantees byte-identical
+    output vs the in-process writer."""
+    ny, nx = arr.shape[:2]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
+    idx = 0
+    for ty in range(0, ny, tile):
+        for tx in range(0, nx, tile):
+            shape = (tile, tile, spp) if arr.ndim == 3 else (tile, tile)
+            block = np.zeros(shape, dtype=arr.dtype)
+            sub = arr[ty : ty + tile, tx : tx + tile]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            if predictor == 2:
+                block = _apply_predictor2(block)
+            elif predictor == 3:
+                block = _apply_predictor3(block)
+            yield idx, block
+            idx += 1
+
+
 def _plan_ifd(
     arr, geobox, nodata, tile, lv_idx, overview_levels, compression="none",
-    predictor=1, jpeg_quality=90, planar=1,
+    predictor=1, jpeg_quality=90, planar=1, tiles_override=None,
 ):
     ny, nx = arr.shape[:2]
     spp = arr.shape[2] if arr.ndim == 3 else 1
@@ -694,7 +789,18 @@ def _plan_ifd(
     bits = dt.itemsize * 8
     fmt = _SAMPLEFORMAT_FOR_KIND[dt.kind]
     tiles: List[bytes] = []
+    n_expect = ((ny + tile - 1) // tile) * ((nx + tile - 1) // tile)
     if planar == 2 and spp > 1:
+        n_expect *= spp
+    if tiles_override is not None:
+        # precompressed tile streams (the distributed encode path);
+        # entries below depend only on shape/dtype/geobox, never pixels
+        tiles = list(tiles_override)
+        if len(tiles) != n_expect:
+            raise ValueError(
+                f"tiles_override has {len(tiles)} tiles, expected {n_expect}"
+            )
+    elif planar == 2 and spp > 1:
         # separate planes (spec §14): all of sample 0's tiles, then 1's, …
         for s in range(spp):
             for ty in range(0, ny, tile):
@@ -708,17 +814,8 @@ def _plan_ifd(
                         block = _apply_predictor3(block)
                     tiles.append(_compress_block(block, compression, jpeg_quality))
     else:
-        for ty in range(0, ny, tile):
-            for tx in range(0, nx, tile):
-                shape = (tile, tile, spp) if arr.ndim == 3 else (tile, tile)
-                block = np.zeros(shape, dtype=dt)
-                sub = arr[ty : ty + tile, tx : tx + tile]
-                block[: sub.shape[0], : sub.shape[1]] = sub
-                if predictor == 2:
-                    block = _apply_predictor2(block)
-                elif predictor == 3:
-                    block = _apply_predictor3(block)
-                tiles.append(_compress_block(block, compression, jpeg_quality))
+        for _, block in cut_cog_blocks(arr, tile, predictor):
+            tiles.append(_compress_block(block, compression, jpeg_quality))
 
     entries: List[Tuple[int, int, int, object]] = []
     aux: List[bytes] = []

@@ -47,7 +47,9 @@ def read_tiles_parquet(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def write_cog(tiles_df: DataFrame, plan, out_dir: str) -> list:
+def write_cog(
+    tiles_df: DataFrame, plan, out_dir: str, parallel_encode: bool | None = None
+) -> list:
     """S14 sink: one cloud-optimized GeoTIFF per (band, time group),
     written by the in-house pure-Python writer (sources/geotiff.py —
     COG IFD-first layout, tiled, GeoTIFF keys, overview IFDs, GDAL_NODATA).
@@ -104,13 +106,23 @@ def write_cog(tiles_df: DataFrame, plan, out_dir: str) -> list:
                 os.path.join(out_dir, f"{band}_t{t}.tif"), img, gbox, nodata=nodata
             )
 
-    (
-        tiles_df.repartition("band", "t")
-        .sortWithinPartitions("band", "t", "iy", "ix")
-        .foreachPartition(_write_partition)
-    )
+    if parallel_encode is None:
+        parallel_encode = os.environ.get("SPARK_GRAFT_COG_PARALLEL", "1") != "0"
+    # the map-side cut requires input tiles aligned to the 256-px COG
+    # block grid (any multiple-of-256 chunking); otherwise fall back to
+    # the serial one-task-per-file writer
+    tile_shape = plan.tiles.tile_shape
+    if parallel_encode and tile_shape[0] % 256 == 0 and tile_shape[1] % 256 == 0:
+        _write_cog_parallel(tiles_df, gbox, out_dir, ny, nx, _fills)
+    else:
+        (
+            tiles_df.repartition("band", "t")
+            .sortWithinPartitions("band", "t", "iy", "ix")
+            .foreachPartition(_write_partition)
+        )
 
     # manifest + rare backfill of all-empty time groups for present bands
+    # (shared by both encode paths)
     present = {
         f.rsplit("_t", 1)[0] for f in os.listdir(out_dir) if f.endswith(".tif")
     }
@@ -129,6 +141,144 @@ def write_cog(tiles_df: DataFrame, plan, out_dir: str) -> list:
                 )
             paths.append(p)
     return paths
+
+
+def _write_cog_parallel(tiles_df: DataFrame, gbox, out_dir: str, ny, nx, fills) -> None:
+    """Tile-parallel COG encode (VERDICT r14 #4): the serial path's wall
+    is one task per output file doing ALL of that file's deflate, so a
+    10-file export uses 10 of 32 cores. Here the full-resolution encode
+    happens MAP-SIDE in the load tasks themselves:
+
+    1. cut+encode — mapInPandas over the incoming tile rows (no shuffle,
+       no image assembly): because load tiles are aligned to the 256-px
+       COG block grid (checked by the caller), every output block lies
+       entirely inside one input tile — each task cuts its tiles into
+       the exact zero-padded blocks cut_cog_blocks defines, deflates
+       them in place, and emits (a) compressed full-res blocks keyed by
+       global row-major index and (b) a RAW half-res decimation patch
+       per tile (arr[::2, ::2], 1/4 the bytes) for overview building.
+       Deflate parallelism = load parallelism, and only compressed
+       blocks + quarter-size patches ever reach a shuffle.
+    2. write — groupBy(band, t).applyInPandas: synthesize any missing
+       full-res blocks (regions with no tile = nodata fill, truncated
+       at the image edge exactly like the serial path's filled canvas),
+       assemble the half-res image from the patches (fill-initialized),
+       derive every overview by further decimation (img2[::lv//2] ==
+       pix[::lv] because tile origins are even multiples of the chunk),
+       deflate the overview levels (≤ 1/3 of the pixels), and write the
+       file via write_cog_file_from_tiles. IFD planning needs only
+       shape/dtype/geobox, so no full-res pixels are reassembled —
+       per-file payload into this stage is compressed blocks + a
+       quarter-res patch set.
+
+    An earlier draft assembled full images and shuffled RAW blocks to a
+    dedicated encode stage; the double Arrow crossing + raw-payload
+    shuffle cost more than it saved (59.8 s vs 21.5 s serial at the 10×
+    rehearsal). This shape moves strictly less data than the serial
+    path itself. Byte-identical output (same block order, zlib level,
+    IFD planning — asserted in tests/test_sinks.py)."""
+    import pandas as pd
+
+    from .geotiff import (
+        _compress_block,
+        cog_overview_levels,
+        cut_cog_blocks,
+        write_cog_file_from_tiles,
+    )
+
+    TILE = 256
+    ovl = cog_overview_levels((ny, nx))
+    nby, nbx = (ny + TILE - 1) // TILE, (nx + TILE - 1) // TILE
+
+    def _cut_encode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                )
+                t = int(r.t)
+                for by in range(0, r.height, TILE):
+                    for bx in range(0, r.width, TILE):
+                        block = np.zeros((TILE, TILE), arr.dtype)
+                        sub = arr[by : by + TILE, bx : bx + TILE]
+                        block[: sub.shape[0], : sub.shape[1]] = sub
+                        gidx = ((r.y0 + by) // TILE) * nbx + (r.x0 + bx) // TILE
+                        rows.append(
+                            (r.band, t, 0, gidx, 0, 0, str(arr.dtype), 0, 0,
+                             _compress_block(block, "deflate"))
+                        )
+                if ovl:
+                    patch = np.ascontiguousarray(arr[::2, ::2])
+                    rows.append(
+                        (r.band, t, 1, 0, r.y0 // 2, r.x0 // 2, str(arr.dtype),
+                         patch.shape[0], patch.shape[1], patch.tobytes())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["band", "t", "kind", "idx", "py", "px", "dt", "h", "w",
+                         "payload"],
+            )
+
+    enc = tiles_df.mapInPandas(
+        _cut_encode,
+        "band string, t long, kind int, idx long, py int, px int, dt string, "
+        "h int, w int, payload binary",
+    )
+
+    def _write(key, pdf):
+        band, t = key[0], int(key[1])
+        dst_dtype = np.dtype(pdf["dt"].iloc[0])
+        fill, nodata = fills(band, dst_dtype)
+        blocks = pdf[pdf["kind"] == 0]
+        comp0 = dict(zip(blocks["idx"].astype(int), blocks["payload"]))
+        fill_cache: dict = {}
+
+        def fill_block(h_in, w_in):
+            # a missing tile's region is nodata fill inside the image,
+            # zero beyond it — same bytes the serial filled canvas cuts
+            if (h_in, w_in) not in fill_cache:
+                b = np.zeros((TILE, TILE), dst_dtype)
+                b[:h_in, :w_in] = fill
+                fill_cache[(h_in, w_in)] = _compress_block(b, "deflate")
+            return fill_cache[(h_in, w_in)]
+
+        tiles0 = []
+        for ty in range(nby):
+            for tx in range(nbx):
+                idx = ty * nbx + tx
+                got = comp0.get(idx)
+                if got is None:
+                    got = fill_block(
+                        min(TILE, ny - ty * TILE), min(TILE, nx - tx * TILE)
+                    )
+                tiles0.append(bytes(got))
+        level_tiles = [tiles0]
+        if ovl:
+            h2, w2 = (ny + 1) // 2, (nx + 1) // 2
+            img2 = np.full((h2, w2), fill, dst_dtype)
+            for r in pdf[pdf["kind"] == 1].itertuples():
+                img2[r.py : r.py + r.h, r.px : r.px + r.w] = np.frombuffer(
+                    r.payload, dtype=np.dtype(r.dt)
+                ).reshape(r.h, r.w)
+            for lv in ovl:
+                arrlv = img2[:: lv // 2, :: lv // 2]
+                level_tiles.append(
+                    [_compress_block(b, "deflate")
+                     for _, b in cut_cog_blocks(arrlv)]
+                )
+        path = os.path.join(out_dir, f"{band}_t{t}.tif")
+        write_cog_file_from_tiles(
+            path, (ny, nx), dst_dtype, gbox, level_tiles,
+            nodata=nodata, overview_levels=ovl,
+        )
+        return pd.DataFrame([{"band": band, "t": t, "path": path}])
+
+    # one manifest row per output file — the collect is bounded and
+    # forces the distributed writes
+    enc.groupBy("band", "t").applyInPandas(
+        _write, "band string, t long, path string"
+    ).collect()
 
 
 def _zarr_dtype(np_dtype: str) -> str:

@@ -79,6 +79,71 @@ def test_cog_sink_is_executor_side_and_byte_identical(spark, tmp_path):
             assert got == open(ref, "rb").read(), (band, t)
 
 
+def test_cog_parallel_encode_matches_serial(spark, tmp_path, monkeypatch):
+    """Round-15 (VERDICT r14 #4): the tile-parallel encode path (map-side
+    block cut + deflate in the load tasks, overview build from half-res
+    patches + assemble-from-compressed in one writer task per file) must
+    produce byte-identical files to the serial one-task-per-COG path.
+    chunks=(256, 256) aligns tiles to the COG block grid so the parallel
+    path is actually taken (asserted via a call spy); unaligned chunks
+    must fall back to serial."""
+    import odc_stac_spark.sources.sinks as sinks
+
+    from .test_load_pipeline import mk_item
+
+    calls = []
+    real = sinks._write_cog_parallel
+    monkeypatch.setattr(
+        sinks, "_write_cog_parallel",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+    items = [
+        mk_item(0, nodata=-1, nodata_every=5),
+        mk_item(1, origin=(300.0, 1000.0), nodata=-1),
+        mk_item(2, band="nir", nodata=-1, nodata_every=7),
+    ]
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(256, 256))
+    par = write_cog(tiles_df, plan, str(tmp_path / "par"), parallel_encode=True)
+    assert calls, "aligned chunks must take the parallel encode path"
+    ser = write_cog(tiles_df, plan, str(tmp_path / "ser"), parallel_encode=False)
+    assert [p.split("/")[-1] for p in par] == [p.split("/")[-1] for p in ser]
+    assert par  # at least one file written
+    for p, s in zip(par, ser):
+        assert open(p, "rb").read() == open(s, "rb").read(), p
+    # unaligned chunking cannot cut blocks map-side -> serial fallback
+    calls.clear()
+    tiles48, plan48 = load(spark, items, groupby="solar_day", chunks=(48, 48))
+    fb = write_cog(tiles48, plan48, str(tmp_path / "fb"), parallel_encode=True)
+    assert not calls, "unaligned chunks must fall back to the serial writer"
+    for p, s in zip(fb, ser):
+        assert open(p, "rb").read() == open(s, "rb").read(), p
+
+
+def test_cog_parallel_encode_overviews_and_missing_tiles(spark, tmp_path):
+    """The parallel path's overview pyramid (built from half-res patches
+    + further decimation) and its fill synthesis for tile-less regions
+    (two items far apart -> the union grid has large empty areas) must
+    be byte-identical to the serial path on an image big enough to carry
+    overview levels (1600x1200 -> levels 2, 4)."""
+    from .test_load_pipeline import mk_item
+
+    items = [
+        mk_item(0, shape=(600, 1200), nodata=-1, nodata_every=5),
+        # offset item: union grid 1600 rows; rows 600..1000 have no tiles
+        mk_item(1, origin=(0.0, -9000.0), shape=(600, 1200), nodata=-1),
+    ]
+    tiles_df, plan = load(spark, items, groupby="solar_day", chunks=(512, 512))
+    assert plan.gbox.shape == (1600, 1200)
+    from odc_stac_spark.sources.geotiff import cog_overview_levels
+
+    assert cog_overview_levels(plan.gbox.shape) == [2, 4]
+    par = write_cog(tiles_df, plan, str(tmp_path / "par"), parallel_encode=True)
+    ser = write_cog(tiles_df, plan, str(tmp_path / "ser"), parallel_encode=False)
+    assert par
+    for p, s in zip(par, ser):
+        assert open(p, "rb").read() == open(s, "rb").read(), p
+
+
 def test_zarr_sink_roundtrip(spark, tmp_path):
     """Zarr v2 sink: executor-written chunks + driver metadata parse back
     to the same pixels via the independent minimal reader; edge chunks are
