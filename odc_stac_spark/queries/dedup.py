@@ -540,3 +540,67 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    allp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b
+        FROM allp JOIN cnt ca ON ca.doc_id = doc_a
+                  JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_THRESHOLD}
+    ),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_band_cols_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                     AND a.doc_id < b.doc_id
+    ),
+    lsh AS (SELECT e.doc_a, e.doc_b
+            FROM exact e JOIN cand c
+              ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exact),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lsh)
+    SELECT ne.n AS n_exact, nl.n AS n_lsh, ne.n - nl.n AS n_missed,
+           CASE WHEN ne.n = 0 THEN 1000000
+                ELSE nl.n * 1000000 // ne.n END AS recall_ppm
+    FROM ne, nl
+    """,
+    doc="LSH completeness critic (round 15): how much of the EXACT "
+    "near-dup pair set (inverted-index n-gram Jaccard, the ground "
+    "truth dedup_ngram_jaccard computes) does the production MinHash-"
+    "LSH path recover? LSH's verify stage already guarantees precision "
+    "1.0 (candidates are exact-Jaccard checked), so the one number that "
+    "can silently rot is RECALL — a banding scheme mis-sized for the "
+    "corpus' similarity distribution quietly drops true duplicates, "
+    "and nothing downstream ever notices. One row: exact pairs, LSH "
+    "pairs, missed pairs, integer-exact recall_ppm. The Spark side "
+    "composes the two GATED queries (shared shingle/signature code "
+    "paths) with a left-anti count; the oracle replays both chains. "
+    "At 100 TB the exact side is the audit's cost bound (quadratic in "
+    "dup-cluster size) — production runs it on a sampled stratum, the "
+    "same composition at a WHERE-sampled input.",
+    tags=("dedup", "quality", "evaluation"),
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = scoped_persist(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
+    recall_ppm = 1_000_000 if n_exact == 0 else n_lsh * 1_000_000 // n_exact
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_exact - n_lsh, recall_ppm)],
+        "n_exact long, n_lsh long, n_missed long, recall_ppm long",
+    )

@@ -125,6 +125,46 @@ def test_gini_rank_sum_is_decimal_exact(spark):
     assert int(term) == expect
 
 
+def test_lsh_recall_report_consistency(spark, sf_dir, tmp_path):
+    """The recall report's counts must be internally consistent and agree
+    with the two gated queries it composes: n_lsh = |LSH ∩ exact|,
+    LSH ⊆ exact (the verify stage guarantees precision 1), and the
+    integer recall. Also run it on a corpus with one engineered
+    boundary near-dup pair to pin that n_exact counts it."""
+    r = REGISTRY["dedup_lsh_recall_report"].spark_fn(spark, sf_dir).collect()[0]
+    exact = {
+        (x["doc_a"], x["doc_b"])
+        for x in REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir)
+        .select("doc_a", "doc_b").collect()
+    }
+    lsh = {
+        (x["doc_a"], x["doc_b"])
+        for x in REGISTRY["dedup_minhash_lsh"].spark_fn(spark, sf_dir)
+        .select("doc_a", "doc_b").collect()
+    }
+    assert lsh <= exact  # precision 1.0 by construction
+    assert r["n_exact"] == len(exact)
+    assert r["n_lsh"] == len(lsh & exact) == len(lsh)
+    assert r["n_missed"] == r["n_exact"] - r["n_lsh"]
+    assert r["recall_ppm"] == r["n_lsh"] * 1_000_000 // r["n_exact"]
+
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "a"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz", "a"),  # jaccard 7/9 > 0.5
+            (3, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    r2 = REGISTRY["dedup_lsh_recall_report"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert r2["n_exact"] == 1
+    assert r2["n_lsh"] in (0, 1)
+    assert r2["recall_ppm"] == r2["n_lsh"] * 1_000_000
+
+
 def test_rfm_monetary_bucket_integer_division(spark, sf_dir):
     """ADVICE r14: the monetary bucket must be exact integer division
     (mon_c div W), not floor(double/W). The two agree on all reachable

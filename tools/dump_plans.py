@@ -329,6 +329,29 @@ PICKS = [
         "row_number; fingerprint digests aggregate per doc in the same "
         "keyed shuffle.",
     ),
+    (
+        "dedup_pipeline_e2e",
+        "The composed production dedup chain (r15): ONE fingerprint "
+        "window exchange collapses exact duplicates and yields both the "
+        "per-doc rep mapping and the representative stream; shingling, "
+        "MinHash signatures and LSH banding are map-side over the "
+        "(persisted) rep arrays; the bucket self-join carries only "
+        "colliding rows (singleton-bucket skip + salting); exact-Jaccard "
+        "verify broadcasts the candidate side against the persisted "
+        "shingle arrays; star-contraction CC runs on checkpointed edges; "
+        "the final verdict is one rep_id-keyed join fanning components "
+        "back to every document.",
+    ),
+    (
+        "emb_mutual_knn_cc_thresh",
+        "Same composed plan as emb_mutual_knn_cc with the cosine "
+        "threshold applied to candidate pairs BEFORE top-k selection "
+        "(equivalent to post-filtering mutual edges under cos-descending "
+        "ranking) — every downstream stage (sym union, local top-k, "
+        "mutual self-join, CC) shrinks with the filter; the NaN guard "
+        "and zero-norm exclusion sit in the same candidate filter, so "
+        "no extra pass.",
+    ),
 ]
 
 
