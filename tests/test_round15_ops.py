@@ -89,6 +89,30 @@ def test_mknn_zero_norm_embedding_is_nan_guarded(spark, sf_dir, tmp_path):
     assert {k: v for k, v in out.items() if k != zid} == clean
 
 
+def test_stream_conf_scoped_and_restored(spark, sf_dir):
+    """The streaming cost pass pins spark.sql.shuffle.partitions low for
+    a stream's LIFETIME only: after any t_stream_* query the session's
+    batch value must be back, and it must restore even when the stream
+    body raises."""
+    import pytest
+
+    from odc_stac_spark.queries.temporal import (
+        STREAM_SHUFFLE_PARTITIONS,
+        _stream_conf,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    assert int(before) != STREAM_SHUFFLE_PARTITIONS  # the test is meaningful
+    REGISTRY["t_stream_tumbling"].spark_fn(spark, sf_dir).count()
+    assert spark.conf.get(key) == before
+    with pytest.raises(RuntimeError, match="boom"):
+        with _stream_conf(spark):
+            assert spark.conf.get(key) == str(STREAM_SHUFFLE_PARTITIONS)
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+
 def test_gini_rank_sum_is_decimal_exact(spark):
     """ADVICE r14: prevk*k at ~3e9 keys overflows int64. The skew report
     must compute the rank-sum term in decimal(38,0). Direct check on a
