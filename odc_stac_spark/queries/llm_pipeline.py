@@ -1015,6 +1015,78 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_assign_by_component",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_pairs_sql()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    alldocs AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+             FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, component,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component,
+                 CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 100 AS bucket
+          FROM alldocs)
+    """,
+    doc="leakage-FREE train/val/test split (round 15) — the fix for what "
+    "split_leakage_audit measures: hashing the salted split bucket from "
+    "the near-dup COMPONENT label instead of the doc_id puts every "
+    "near-duplicate cluster wholly inside one split, so cross-split "
+    "contamination is zero BY CONSTRUCTION (group-aware splitting, the "
+    "standard remedy once an audit finds eval twins in train). Same "
+    "deterministic md5 bucket rule as docs_train_val_split (90/5/5) — "
+    "singleton documents hash exactly as before via component = "
+    "doc_id, so only clustered docs move. Composed from the gated star-"
+    "contraction CC; the split label is a map-side pure function of the "
+    "component, and the only join beyond the CC is the one left join "
+    "fanning labels back to the corpus. The zero-leakage property is "
+    "pinned executably by tests/test_round15_ops.py (the audit's "
+    "cross-split counter reads 0 on this assignment).",
+    tags=("llm-pipeline", "dedup", "eval"),
+)
+def split_assign_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import SPLIT_SALT
+
+    comp = dedup_cc_star_contraction(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SALT), F.col("component").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return full.select("doc_id", "component", split.alias("split"))
+
+
 def _pipeline_e2e_oracle() -> str:
     """The composed production-dedup oracle: exact-collapse first, then
     the EXACT gated MinHash-LSH chain (same signature/band/verify SQL

@@ -89,6 +89,42 @@ def test_mknn_zero_norm_embedding_is_nan_guarded(spark, sf_dir, tmp_path):
     assert {k: v for k, v in out.items() if k != zid} == clean
 
 
+def test_split_by_component_has_zero_leakage(spark, sf_dir):
+    """split_assign_by_component hashes the split bucket from the
+    near-dup COMPONENT, so no near-dup pair may ever cross splits
+    (the property split_leakage_audit measures as contamination).
+    Run the audit's cross-split counter on the component split: 0.
+    Also pin that singleton docs keep the identical split the plain
+    doc_id hash gives (only clustered docs move)."""
+    splits = REGISTRY["split_assign_by_component"].spark_fn(spark, sf_dir)
+    pairs = REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    assert pairs.count() > 0  # the property is non-vacuous on the fixture
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("s_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("s_b"))
+    crossed = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(F.col("s_a") != F.col("s_b"))
+        .count()
+    )
+    assert crossed == 0
+    # singleton parity with the doc_id-hashed split
+    from odc_stac_spark.queries.text import docs_train_val_split
+
+    plain = docs_train_val_split(spark, sf_dir).select("doc_id", "split")
+    singles = splits.where(F.col("component") == F.col("doc_id")).select(
+        "doc_id", F.col("split").alias("csplit")
+    )
+    # docs that are their own component AND in no pair keep their split
+    in_pairs = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    lone = singles.join(in_pairs, "doc_id", "left_anti")
+    moved = lone.join(plain, "doc_id").where(F.col("csplit") != F.col("split")).count()
+    assert moved == 0
+
+
 def test_stream_conf_scoped_and_restored(spark, sf_dir):
     """The streaming cost pass pins spark.sql.shuffle.partitions low for
     a stream's LIFETIME only: after any t_stream_* query the session's
