@@ -604,3 +604,94 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_lsh, n_exact - n_lsh, recall_ppm)],
         "n_exact long, n_lsh long, n_missed long, recall_ppm long",
     )
+
+
+INCREMENTAL_NEW_MOD = 20  # doc_id % 20 == 0 -> the 5% "new batch" slice
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_band_cols_sql()}),
+    cls AS (SELECT doc_id,
+                   CAST(doc_id % {INCREMENTAL_NEW_MOD} = 0 AS INT) AS is_new
+            FROM documents),
+    newb AS (SELECT b.doc_id, b.band_idx, b.bh
+             FROM bands b JOIN cls ON cls.doc_id = b.doc_id
+             WHERE cls.is_new = 1),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, b.doc_id AS doc_old
+        FROM newb n
+        JOIN bands b ON b.band_idx = n.band_idx AND b.bh = n.bh
+        JOIN cls c ON c.doc_id = b.doc_id
+        WHERE c.is_new = 0 OR b.doc_id < n.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.doc_new, c.doc_old, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_new
+        JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT s.doc_new, s.doc_old
+        FROM shared s
+        JOIN cnt ca ON ca.doc_id = s.doc_new
+        JOIN cnt cb ON cb.doc_id = s.doc_old
+        WHERE s.shared * 1.0 / (ca.n + cb.n - s.shared) >= {JACCARD_THRESHOLD}
+    ),
+    verdict AS (SELECT doc_new, MIN(doc_old) AS dup_of FROM dups GROUP BY 1)
+    SELECT cls.doc_id, v.dup_of,
+           CAST(v.dup_of IS NULL AS INT) AS keep
+    FROM cls LEFT JOIN verdict v ON v.doc_new = cls.doc_id
+    WHERE cls.is_new = 1
+    """,
+    doc="INCREMENTAL dedup — the daily-increment production shape: a "
+    f"delta batch (doc_id % {INCREMENTAL_NEW_MOD} == 0, a deterministic "
+    "~5% slice standing in for today's crawl) is deduplicated against "
+    "the EXISTING corpus plus earlier arrivals in the same batch, "
+    "WITHOUT ever pairing existing docs with each other — at 100 TB "
+    "the corpus side contributes only its (persisted) LSH band index "
+    "and the candidate join is delta × colliding-buckets, so daily "
+    "cost follows the delta, not the corpus. Candidates from the "
+    "gated MinHash band machinery, exact-Jaccard verify on the shingle "
+    "arrays, verdict per new doc: keep, or dup_of = the smallest "
+    "matching partner (deterministic). Per-batch arrival order is "
+    "doc_id; existing docs always count as earlier.",
+    tags=("dedup", "lsh", "llm-pipeline", "scale"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_new = (F.col("doc_id") % INCREMENTAL_NEW_MOD == 0).cast("int")
+    sharr = scoped_persist(_shingle_arrays_df(spark, sf_dir))
+    bands = minhash_bands(_minhash_sig(sharr)).withColumn("is_new", is_new)
+    bands = scoped_persist(bands)
+    newb = bands.where(F.col("is_new") == 1).select(
+        F.col("doc_id").alias("doc_new"), "band_idx", "bh"
+    )
+    allb = bands.select(
+        F.col("doc_id").alias("doc_old"), "band_idx", "bh",
+        F.col("is_new").alias("old_is_new"),
+    )
+    cand = (
+        newb.join(allb, ["band_idx", "bh"])
+        .where((F.col("old_is_new") == 0) | (F.col("doc_old") < F.col("doc_new")))
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    A = sharr.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a"))
+    B = sharr.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b"))
+    ver = cand.join(A, "doc_new").join(B, "doc_old")
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = shared * 1.0 / (F.size("sh_a") + F.size("sh_b") - shared)
+    verdict = (
+        ver.where(jac >= JACCARD_THRESHOLD)
+        .groupBy("doc_new")
+        .agg(F.min("doc_old").alias("dup_of"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(is_new == 1)
+    return d.join(verdict, d.doc_id == verdict.doc_new, "left").select(
+        "doc_id", "dup_of", F.col("dup_of").isNull().cast("int").alias("keep")
+    )

@@ -89,6 +89,43 @@ def test_mknn_zero_norm_embedding_is_nan_guarded(spark, sf_dir, tmp_path):
     assert {k: v for k, v in out.items() if k != zid} == clean
 
 
+def test_incremental_dedup_precision_and_coverage(spark, sf_dir):
+    """dedup_incremental_lsh verdicts must be PRECISE — every (doc,
+    dup_of) it emits must be a true >=threshold near-dup pair per the
+    exact generator — and its keep column must be the complement of
+    having a dup_of. A kept doc may still have an exact-pair partner
+    only if LSH banding missed it (recall<1 is possible in general;
+    dedup_lsh_recall_report tracks it), so coverage here is checked
+    against LSH's own pair set, which it must fully agree with."""
+    from odc_stac_spark.queries.dedup import INCREMENTAL_NEW_MOD
+
+    out = {r["doc_id"]: r for r in
+           REGISTRY["dedup_incremental_lsh"].spark_fn(spark, sf_dir).collect()}
+    exact = {
+        frozenset((x["doc_a"], x["doc_b"]))
+        for x in REGISTRY["dedup_ngram_jaccard"].spark_fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        frozenset((x["doc_a"], x["doc_b"]))
+        for x in REGISTRY["dedup_minhash_lsh"].spark_fn(spark, sf_dir).collect()
+    }
+    assert out, "delta slice is empty on the fixture"
+    n_dup = 0
+    for doc_id, r in out.items():
+        assert doc_id % INCREMENTAL_NEW_MOD == 0
+        assert r["keep"] == (0 if r["dup_of"] is not None else 1)
+        if r["dup_of"] is not None:
+            n_dup += 1
+            assert frozenset((doc_id, r["dup_of"])) in exact  # precision
+    # full agreement with LSH's pair set on the delta's eligible pairs:
+    # a new doc with an LSH pair to an earlier partner must be dropped
+    for p in lsh:
+        a, b = sorted(p)
+        if b % INCREMENTAL_NEW_MOD == 0 and (a % INCREMENTAL_NEW_MOD != 0 or a < b):
+            assert out[b]["dup_of"] is not None, (a, b)
+    assert n_dup > 0, "fixture has no duplicate in the delta slice — vacuous test"
+
+
 def test_split_by_component_has_zero_leakage(spark, sf_dir):
     """split_assign_by_component hashes the split bucket from the
     near-dup COMPONENT, so no near-dup pair may ever cross splits
