@@ -2519,3 +2519,95 @@ def emb_mutual_knn_cc_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_cluster_purity_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_purity(spark, sf_dir, tau=MKNN_TAU)
+
+
+EMB_INCREMENTAL_NEW_MOD = 20  # vec_id % 20 == 0 -> the 5% "new batch"
+
+
+@register(
+    "emb_incremental_neardup",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    par AS (SELECT GREATEST({IVF_K},
+                   CAST(CEIL(COUNT(*) / {NEARDUP_TARGET_CELL}.0) AS BIGINT)) AS k
+            FROM emb),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM emb
+             WHERE vec_id < (SELECT k FROM par)),
+    assigned AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT vec_id, emb, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     list_dot_product(e.emb, c.cemb)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+              FROM emb e CROSS JOIN cent c)
+      ) WHERE rn <= {NEARDUP_NPROBE}
+    ),
+    dups AS (
+      SELECT DISTINCT n.vec_id AS vec_new, o.vec_id AS vec_old
+      FROM assigned n JOIN assigned o
+        ON o.cent_id = n.cent_id AND o.vec_id <> n.vec_id
+      WHERE n.vec_id % {EMB_INCREMENTAL_NEW_MOD} = 0
+        AND (o.vec_id % {EMB_INCREMENTAL_NEW_MOD} <> 0 OR o.vec_id < n.vec_id)
+        AND list_dot_product(n.emb, o.emb)
+            / (sqrt(list_dot_product(n.emb, n.emb))
+               * sqrt(list_dot_product(o.emb, o.emb))) >= {NEARDUP_COS}
+    ),
+    verdict AS (SELECT vec_new, MIN(vec_old) AS dup_of FROM dups GROUP BY 1)
+    SELECT e.vec_id, v.dup_of,
+           CAST(v.dup_of IS NULL AS INT) AS keep
+    FROM emb e LEFT JOIN verdict v ON v.vec_new = e.vec_id
+    WHERE e.vec_id % {EMB_INCREMENTAL_NEW_MOD} = 0
+    """,
+    doc="INCREMENTAL embedding near-dup — the vector twin of "
+    f"dedup_incremental_lsh: a delta batch (vec_id % "
+    f"{EMB_INCREMENTAL_NEW_MOD} == 0, ~5%) is checked against the "
+    "existing corpus plus earlier same-batch arrivals through the "
+    "SHARED adaptive-IVF blocking (the corpus-trained quantizer a "
+    "production system persists — new vectors are assigned map-side "
+    "against the broadcast centroid array, zero shuffles to assign), "
+    "never pairing existing vectors with each other: daily cost is "
+    "delta × cell-mates, not corpus². Verdict per new vector: keep, "
+    "or dup_of = the smallest earlier cell-mate with cosine >= "
+    f"{NEARDUP_COS}. Blocking recall is the IVF nprobe recall the "
+    "ann_recall_report family quantifies.",
+    tags=("similarity", "dedup", "llm-pipeline", "scale"),
+)
+def emb_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = _neardup_k(n)
+    emb = _emb(spark, sf_dir)
+    assigned = scoped_persist(
+        _ivf_multi_assign_adaptive(emb, NEARDUP_NPROBE, k).withColumn(
+            "nrm", _norm(F.col("emb"))
+        )
+    )
+    is_new = F.col("vec_id") % EMB_INCREMENTAL_NEW_MOD == 0
+    new = assigned.where(is_new).select(
+        "cent_id",
+        F.col("vec_id").alias("vec_new"),
+        F.col("emb").alias("en"),
+        F.col("nrm").alias("nn"),
+    )
+    old = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_old"),
+        F.col("emb").alias("eo"),
+        F.col("nrm").alias("no"),
+        (F.col("vec_id") % EMB_INCREMENTAL_NEW_MOD == 0).alias("old_is_new"),
+    )
+    cos = _dot(F.col("en"), F.col("eo")) / (F.col("nn") * F.col("no"))
+    verdict = (
+        new.join(old, ["cent_id"])
+        .where(F.col("vec_old") != F.col("vec_new"))
+        .where(~F.col("old_is_new") | (F.col("vec_old") < F.col("vec_new")))
+        .where(cos >= NEARDUP_COS)
+        .groupBy("vec_new")
+        .agg(F.min("vec_old").alias("dup_of"))
+    )
+    d = emb.select("vec_id").where(is_new)
+    return d.join(verdict, d.vec_id == verdict.vec_new, "left").select(
+        "vec_id", "dup_of", F.col("dup_of").isNull().cast("int").alias("keep")
+    )

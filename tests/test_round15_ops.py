@@ -126,6 +126,26 @@ def test_incremental_dedup_precision_and_coverage(spark, sf_dir):
     assert n_dup > 0, "fixture has no duplicate in the delta slice — vacuous test"
 
 
+def test_emb_incremental_agrees_with_pair_generator(spark, sf_dir):
+    """emb_incremental_neardup must agree EXACTLY with the gated
+    embedding_neardup_adaptive pair set (same blocking, same threshold):
+    for every delta vector, dup_of = min eligible partner (existing, or
+    earlier in-batch) from that pair set, keep otherwise."""
+    from odc_stac_spark.queries.similarity import EMB_INCREMENTAL_NEW_MOD as M
+
+    pairs = REGISTRY["embedding_neardup_adaptive"].spark_fn(spark, sf_dir).collect()
+    out = {r["vec_id"]: r["dup_of"] for r in
+           REGISTRY["emb_incremental_neardup"].spark_fn(spark, sf_dir).collect()}
+    expect: dict = {v: None for v in out}
+    for p in pairs:
+        for new, old in ((p["vec_a"], p["vec_b"]), (p["vec_b"], p["vec_a"])):
+            if new % M == 0 and (old % M != 0 or old < new):
+                if expect[new] is None or old < expect[new]:
+                    expect[new] = old
+    assert out == expect
+    assert len(out) > 0
+
+
 def test_split_by_component_has_zero_leakage(spark, sf_dir):
     """split_assign_by_component hashes the split bucket from the
     near-dup COMPONENT, so no near-dup pair may ever cross splits
