@@ -483,20 +483,61 @@ def media_decode_throughput(spark, n_images: int = 1536, side: int = 256):
     pays. 1536 images ≈ 100 Mpx keeps decode >80% of the wall."""
     import time as _time
 
-    import numpy as np
-
-    from odc_stac_spark.operators.jpeg import encode_jpeg
     from odc_stac_spark.operators.multimodal import image_stats
 
-    y, x = np.mgrid[0:side, 0:side]
-    payloads = []
-    for i in range(n_images):
-        img = ((y * 5 + x * 3 + i * 37) % 256).astype(np.uint8)
-        payloads.append((i, bytearray(encode_jpeg(img, quality=85)), "image/jpeg"))
-    df = spark.createDataFrame(
-        payloads, "doc_id long, media binary, media_type string"
-    ).repartition(32).persist()
+    # Fixture prep, EXCLUDED from timing (unchanged metric definition):
+    # r16 moves the JFIF encode onto the executors — the old driver-side
+    # loop serialized 1536 encodes on one core (~40 s of bench wall and
+    # a loadavg spike that bled into the timed phase). Payload bytes are
+    # identical (deterministic synth + encoder); the persisted/counted
+    # binary rows are materialized before the timer starts, exactly as
+    # before.
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from odc_stac_spark.operators.jpeg import encode_jpeg
+
+        y, x = np.mgrid[0:side, 0:side]
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        bytearray(
+                            encode_jpeg(
+                                ((y * 5 + x * 3 + int(i) * 37) % 256).astype(
+                                    np.uint8
+                                ),
+                                quality=85,
+                            )
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    ids = (
+        spark.range(n_images)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    df = ids.mapInPandas(
+        _gen, "doc_id long, media binary, media_type string"
+    ).persist()
     df.count()  # materialize inputs before timing
+    # Warm the decode path before the timed run — the SAME protocol the
+    # raster/warp phases use (one untimed pass so Python workers, module
+    # imports and Arrow streams exist before the timer; the reference
+    # likewise reports its warm run, docs/benchmarking.rst:234-237).
+    # r15 and earlier timed this phase cold; on the r16 sandbox the
+    # 32-worker cold start alone is ~10 s (slow page faults), which
+    # measured worker spawn, not decode throughput. Old-protocol (cold)
+    # numbers remain in BENCH_r15 artifacts for comparison.
+    image_stats(df).write.mode("overwrite").format("noop").save()
     t0 = _time.perf_counter()
     image_stats(df).write.mode("overwrite").format("noop").save()
     sec = _time.perf_counter() - t0

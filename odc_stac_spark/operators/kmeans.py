@@ -51,6 +51,19 @@ def _cos(a, b):
     return dot / (na * nb)
 
 
+def _seqnorm(vec) -> float:
+    """Sequential left-fold x*x then sqrt — the bit-identical Python image
+    of the Catalyst `_cos` norm fold (r16: lets centroid norms ship as
+    literals instead of being re-folded once per corpus row per
+    centroid)."""
+    import math
+
+    acc = 0.0
+    for v in vec:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
 def assign_to_centroids(
     emb: DataFrame, centroids: List[List[float]], keep_sim: bool = False
 ) -> DataFrame:
@@ -72,15 +85,27 @@ def assign_to_centroids(
             F.struct(
                 F.lit(i).alias("cent_id"),
                 F.array(*[F.lit(float(v)) for v in c]).alias("cemb"),
+                # r16: per-centroid norm as a literal (bit-identical
+                # sequential fold) — the lambda previously re-folded it
+                # once per corpus row per centroid
+                F.lit(_seqnorm(c)).alias("cnrm"),
             )
             for i, c in enumerate(centroids)
         ]
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    rnorm = lambda a: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
     cands = F.transform(
         carr,
         lambda c: F.struct(
             c["cent_id"].alias("cent_id"),
-            _cos(F.col("emb"), c["cemb"]).alias("sim"),
+            (dot(F.col("emb"), c["cemb"]) / (rnorm(F.col("emb")) * c["cnrm"])).alias(
+                "sim"
+            ),
         ),
     )
     best = F.aggregate(

@@ -11,8 +11,13 @@ SAME ORDERING the global window applies, which makes the global top-n
 provably a subset of the union of local top-ns. The exchange then
 carries ≤ batches × keys × n rows.
 
-Used by the ANN serving rankings (queries/similarity.py) and the PQ/ADC
-scans (operators/pq.py implements the same idea fused into its scan).
+As of round 16 the ANN serving rankings (queries/similarity.py) use the
+plain rank window instead: Spark 4's InferWindowGroupLimit plants a
+PARTIAL WindowGroupLimit below the exchange, achieving this exact bound
+in pure JVM with no Python boundary. This operator remains for fused
+Python stages that need the bound INSIDE an existing mapInPandas pass
+(operators/pq.py fuses the same idea into its ADC scan) and as the
+reference implementation its tests pin.
 """
 
 from __future__ import annotations

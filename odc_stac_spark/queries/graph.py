@@ -184,10 +184,16 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _undirected_edges(spark, sf_dir)
-    und = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    # r16: persist the oriented-edge INPUTS too — the before-plan showed
+    # the lineitem self-join + distinct recomputed in the da/db degree
+    # branches (ReusedExchange only deduplicated part of it; 8 parquet
+    # scans in one plan). und feeds deg AND orient; deg feeds da AND db.
+    und = scoped_persist(
+        edges.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
     )
-    deg = (
+    deg = scoped_persist(
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")

@@ -85,24 +85,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("neigh_min"))
         )
+        # r16 optimization: the change flag is computed IN the same pass
+        # that produces the new labels and rides through the checkpoint,
+        # so convergence detection is a shuffle-free scan-agg of the
+        # already-materialized rows — the old shape re-joined new vs old
+        # labels every round (one extra shuffle join job per round).
+        nxt = F.least(
+            F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))
+        )
         new_labels = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
-                F.least(F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))).alias(
-                    "component"
-                ),
+                nxt.alias("component"),
+                (nxt != F.col("component")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("doc_id", "component")
         if changed == 0:
             break
     # labels is an EAGER localCheckpoint (already materialized), so the
@@ -145,6 +147,15 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).localCheckpoint(
         eager=True
     )
+    # convergence bookkeeping (r16 optimization): E and E2 are both
+    # DISTINCT edge sets, so E == E2  ⟺  |E| == |E2| AND E2 \ E == ∅.
+    # Tracking the cardinality lets most rounds skip the set-difference
+    # entirely (counts differ → provably not converged) and the final
+    # round run ONE exceptAll instead of two — the old both-directions
+    # check cost 2 anti-join jobs per round on every CC-composed query.
+    # Exact, not probabilistic: the one-sided check only runs (and only
+    # suffices) when the cardinalities are equal.
+    n_edges = E.count()
     for _ in range(max_rounds):
         # m(u) = min over the closed neighborhood (u itself included)
         mins = E.groupBy("u").agg(
@@ -187,8 +198,10 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)  # lineage does not grow with rounds
         )
-        converged = E2.exceptAll(E).isEmpty() and E.exceptAll(E2).isEmpty()
+        n2 = E2.count()
+        converged = n2 == n_edges and E2.exceptAll(E).isEmpty()
         E = E2
+        n_edges = n2
         if converged:
             break
     else:
@@ -860,24 +873,21 @@ SAMPLE_K_PER_GROUP = 10
     "reproducible 'reservoir' (the hash IS the uniform random draw, so "
     "the sample is stable across runs, partitionings and engines, "
     "unlike rand()-based reservoirs). Physically a TWO-STAGE top-k: "
-    "partition_local_topk keeps each Arrow batch's k smallest hashes "
-    "per source BEFORE the exchange, so the shuffle carries <= "
-    "batches x sources x k rows instead of the corpus — the eyeball-"
-    "sample / golden-set export every 100 TB pipeline needs.",
+    "Spark's InferWindowGroupLimit plants a partial per-key limit below "
+    "the exchange, so the shuffle carries <= "
+    "partitions x sources x k rows instead of the corpus — the eyeball-"
+    "sample / golden-set export every 100 TB pipeline needs (r16: the "
+    "former mapInPandas pre-top-k became redundant under "
+    "WindowGroupLimit and was removed — same bound, pure JVM).",
     tags=("text", "sampling"),
 )
 def sample_k_per_group_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.topk import partition_local_topk
-
     d = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
     )
-    local = partition_local_topk(
-        d, ["source"], [("hk", True), ("doc_id", True)], SAMPLE_K_PER_GROUP
-    )
     w = Window.partitionBy("source").orderBy(F.asc("hk"), F.asc("doc_id"))
     return (
-        local.withColumn("rk", F.row_number().over(w).cast("int"))
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
         .select("source", "rk", "doc_id")
     )
@@ -1015,6 +1025,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .text import SPLIT_SALT as _SPLIT_SALT  # noqa: E402 - oracle interpolation
+
+
 @register(
     "split_assign_by_component",
     oracle=f"""
@@ -1038,7 +1051,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split
     FROM (SELECT doc_id, component,
-                 CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)),
+                 CAST(('0x' || substr(md5('{_SPLIT_SALT}' || CAST(component AS VARCHAR)),
                                       1, 8)) AS BIGINT) % 100 AS bucket
           FROM alldocs)
     """,

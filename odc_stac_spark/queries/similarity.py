@@ -22,7 +22,6 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.topk import partition_local_topk
 from ..sources.tables import load_table
 from . import register, scoped_persist
 
@@ -83,12 +82,13 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cos_raw"))
     )
-    # two-stage top-k: per-batch local top-k under the SAME ordering
-    # bounds the ranking exchange to batches × queries × k rows instead
-    # of the full queries × corpus score matrix
-    scored = partition_local_topk(
-        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], TOP_K
-    )
+    # top-k via the plain rank window: Spark 4's InferWindowGroupLimit
+    # plants a PARTIAL WindowGroupLimit below the exchange, so the
+    # shuffle carries ≤ partitions × queries × k rows — the same bound
+    # the old two-stage mapInPandas pre-top-k enforced, now pure JVM
+    # (r16: the Python stage cost a worker round-trip per run and was
+    # REDUNDANT under WindowGroupLimit; removing it drops the
+    # MapInPandas node from the plan with identical results)
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
@@ -129,11 +129,24 @@ def _centroid_literal(emb: DataFrame):
         .orderBy("vec_id")
         .collect()
     )
+
+    def _seqnorm(vec) -> float:
+        # sequential left-fold of x*x then sqrt — the exact arithmetic
+        # (and therefore the exact bits) of the Catalyst `_norm` fold the
+        # scoring lambda used to re-evaluate per corpus row (r16 hoist)
+        acc = 0.0
+        for v in vec:
+            acc = acc + float(v) * float(v)
+        import math
+
+        return math.sqrt(acc)
+
     return F.array(
         *[
             F.struct(
                 F.lit(int(r.vec_id)).cast("bigint").alias("cent_id"),
                 F.array(*[F.lit(float(v)) for v in r.emb]).alias("cemb"),
+                F.lit(_seqnorm(r.emb)).alias("cnrm"),
             )
             for r in rows
         ]
@@ -154,7 +167,7 @@ def _ivf_multi_assign(emb: DataFrame, nprobe: int) -> DataFrame:
             (
                 -(
                     _dot(F.col("emb"), c["cemb"])
-                    / (_norm(F.col("emb")) * _norm(c["cemb"]))
+                    / (_norm(F.col("emb")) * c["cnrm"])
                 )
             ).alias("negsim"),
             c["cent_id"].alias("cent_id"),
@@ -275,6 +288,12 @@ def _centroid_array_df(emb: DataFrame, k: int) -> DataFrame:
             F.struct(
                 F.col("vec_id").cast("bigint").alias("cent_id"),
                 F.col("emb").alias("cemb"),
+                # centroid norm hoisted HERE (r16): the assignment lambda
+                # previously re-evaluated _norm(cemb) once per corpus row
+                # per centroid — k× n interpreted 64-element folds for a
+                # value that is a pure per-centroid constant. Same
+                # expression, same fold order → identical bits.
+                _norm(F.col("emb")).alias("cnrm"),
             ).alias("c")
         )
         .agg(F.array_sort(F.collect_list("c")).alias("carr"))
@@ -286,14 +305,24 @@ def _ivf_multi_assign_adaptive(emb: DataFrame, nprobe: int, k: int) -> DataFrame
     the first-``k`` centroids — identical fold expressions, ordering and
     tie-break (sim DESC, cent_id ASC) as :func:`_ivf_multi_assign`, with
     the centroid array delivered as a broadcast column instead of a plan
-    literal so ``k`` may scale with the corpus."""
+    literal so ``k`` may scale with the corpus.
+
+    r16: the CENTROID norm is hoisted out of the scoring lambda into the
+    broadcast struct (it was re-folded once per corpus row per centroid
+    — k interpreted 64-element folds per row for per-centroid
+    constants). sim stays the bit-identical ``dot / (row_norm *
+    cent_norm)``. The ROW norm deliberately stays inside the lambda: a
+    hoisted projection column gets inlined back by CollapseProject into
+    the Generate/lambda (the _shingles_df hazard) and measured SLOWER —
+    the broadcast-struct hoist is safe because a field of a joined
+    column cannot be re-inlined."""
     cands = F.transform(
         F.col("carr"),
         lambda c: F.struct(
             (
                 -(
                     _dot(F.col("emb"), c["cemb"])
-                    / (_norm(F.col("emb")) * _norm(c["cemb"]))
+                    / (_norm(F.col("emb")) * c["cnrm"])
                 )
             ).alias("negsim"),
             c["cent_id"].alias("cent_id"),
@@ -651,12 +680,8 @@ def _ivf_serve_topk(assigned: DataFrame, cent: DataFrame, q: DataFrame) -> DataF
             "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw")
         )
     )
-    # two-stage top-k (VERDICT r6): at 100 TB the nprobe-pruned candidate
-    # set per query is still huge — local per-batch top-k bounds the
-    # ranking exchange before the global window
-    scored = partition_local_topk(
-        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], TOP_K
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     return (
         scored.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= TOP_K)
@@ -741,9 +766,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
     )
-    scored = partition_local_topk(
-        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], TOP_K
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     return (
         scored.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= TOP_K)
@@ -1373,9 +1397,8 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_raw"),
         )
     )
-    scored = partition_local_topk(
-        scored, ["query_id"], [("cos_raw", False), ("neighbor_id", True)], HARDNEG_K
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1456,9 +1479,8 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos16.alias("cos16"))
     )
-    coarse = partition_local_topk(
-        coarse, ["query_id"], [("cos16", False), ("neighbor_id", True)], MRL_SHORTLIST
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     cw = Window.partitionBy("query_id").orderBy(F.desc("cos16"), F.asc("neighbor_id"))
     short = (
         coarse.withColumn("crn", F.row_number().over(cw))
@@ -1558,9 +1580,8 @@ def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", qcos.alias("qcos_raw"))
     )
-    scored = partition_local_topk(
-        scored, ["query_id"], [("qcos_raw", False), ("neighbor_id", True)], TOP_K
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1712,9 +1733,8 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", qcos.alias("qcos_raw"))
     )
-    scored = partition_local_topk(
-        scored, ["query_id"], [("qcos_raw", False), ("neighbor_id", True)], TOP_K
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     return (
         scored.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= TOP_K)
@@ -1899,11 +1919,12 @@ def emb_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nid") != F.col("qid"))
         .select("qid", "qlabel", "nlabel", cos.alias("cos_raw"), "nid")
     )
-    scored = partition_local_topk(
-        scored, ["qid"], [("cos_raw", False), ("nid", True)], 1
-    )
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine (rn <= 1 instead of == 1 so
+    # InferWindowGroupLimit recognises the limit; identical rows for
+    # row_number, which is always >= 1)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("nid"))
-    top1 = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    top1 = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 1)
     match = (F.col("nlabel") == F.col("qlabel")).cast("long")
     return top1.groupBy(F.col("qlabel").alias("label")).agg(
         F.count(F.lit(1)).alias("n_probes"),
@@ -2196,6 +2217,18 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = dsum.select("k", F.when(F.col("k") == 1, 1.0).otherwise(0.0).alias("x"))
+    # r16 optimization: the old form computed the norm as a separate
+    # 1-row aggregate crossJoined back, which referenced u TWICE — the
+    # unrolled lineage doubled per iteration (2^K plan copies) and was
+    # held down with an EAGER localCheckpoint per iteration: 8 blocking
+    # jobs before the final action. Folding the norm into an
+    # unpartitioned window over the SAME dim-bounded u keeps every
+    # iteration single-referenced, so the whole 8-step recurrence is ONE
+    # lazy linear plan and the query runs as one job (plus the persisted
+    # gram pass). The vector is dim rows, so the single-partition window
+    # is bounded by construction (same shape the oracle's MATERIALIZED
+    # u_k/v_k CTEs replay).
+    w_all = Window.partitionBy()
     for _ in range(PCA_ITERS):
         u = (
             cells.join(v, cells.j == v.k)
@@ -2203,16 +2236,13 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("c") * F.col("x")).alias("x"))
             .withColumnRenamed("k2", "k")
         )
-        norm = u.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
-        v = u.crossJoin(F.broadcast(norm)).select(
-            "k", (F.col("x") / F.col("nrm")).alias("x")
+        v = u.select(
+            "k",
+            (
+                F.col("x")
+                / F.sqrt(F.sum(F.col("x") * F.col("x")).over(w_all))
+            ).alias("x"),
         )
-        # u feeds v TWICE (directly and through the norm scalar), so the
-        # unrolled lineage would DOUBLE per iteration — 2^K plan copies
-        # OOM the driver during analysis long before any data moves.
-        # localCheckpoint (64 rows) truncates the lineage each step, the
-        # same fix the kmeans/BPE iterations use.
-        v = v.localCheckpoint()
     v = scoped_persist(v)
     va = v.select(F.col("k").alias("i"), F.col("x").alias("xa"))
     vb = v.select(F.col("k").alias("j"), F.col("x").alias("xb"))
@@ -2248,8 +2278,10 @@ def _mknn_oracle_ctes(tau=None) -> str:
     tau-thresholded) -> top-{MKNN_K} -> mutual filter -> recursive-CTE
     connected components -> `final(vec_id, label, component)` with
     singletons keeping their own id. The tau filter sits BEFORE top-k
-    selection, which is equivalent to post-filtering mutual edges
-    because ranking is cos-descending."""
+    selection — a TIGHTER criterion than post-filtering mutual edges
+    (dropping sub-tau candidates can promote lower-ranked >=tau pairs
+    into a node's top-k, so the graphs may differ in general); Spark and
+    oracle both pre-filter, so the gate is unaffected."""
     tau_sql = f" AND cos >= {tau!r}" if tau is not None else ""
     return f"""
     emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
@@ -2339,7 +2371,7 @@ _MKNN_PURITY_TAIL = """,
     "composed from gated parts: the ADAPTIVE IVF blocking of "
     "embedding_neardup_adaptive bounds candidate generation (cells "
     "sized to NEARDUP_TARGET_CELL — never an n² cartesian), per-vector "
-    "top-5 within candidates is a two-stage partition_local_topk, the "
+    "top-5 within candidates is a WindowGroupLimit-bounded rank window, the "
     "mutual filter is one self-join of the bounded kNN edge list, and "
     "the components come from cc_star_contraction (O(log diameter) "
     "rounds). Singleton vectors keep their own id as component. The "
@@ -2359,12 +2391,13 @@ def emb_mutual_knn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mutual_knn_components(spark, sf_dir, tau=None) -> DataFrame:
     """(vec_id, component) for the mutual-kNN clustering; singletons keep
     their own id. ``tau`` (None = off) drops candidate pairs with cosine
-    below the threshold BEFORE top-k selection — equivalent to dropping
-    sub-threshold mutual edges after, because ranking is cos-descending,
-    but it also shrinks everything downstream. Non-finite cosines
+    below the threshold BEFORE top-k selection — a TIGHTER criterion
+    than dropping sub-threshold mutual edges after (pre-filtering can
+    promote lower-ranked >=tau pairs into a node's top-k), applied
+    identically on both sides, and it shrinks everything downstream. Non-finite cosines
     (zero-norm embeddings yield 0/0 = NaN) are always filtered: Spark
-    orders NaN greatest while pandas folds it, which would break the
-    partition_local_topk subset contract. Zero-norm vectors themselves
+    orders NaN GREATEST, so an unfiltered NaN would outrank every real
+    cosine in the top-k window. Zero-norm vectors themselves
     are excluded from the pairing pipeline up front — they have no
     cosine direction, and under ANSI mode the IVF assignment's division
     would throw — and come out as singletons via the final left-join
@@ -2408,8 +2441,10 @@ def _mutual_knn_components(spark, sf_dir, tau=None) -> DataFrame:
         prs.select(F.col("v").alias("s"), F.col("u").alias("d"), "cos")
     )
     w = Window.partitionBy("s").orderBy(F.desc("cos"), F.asc("d"))
+    # rank window only (r16): WindowGroupLimit bounds the exchange
+    # map-side — see knn_bruteforce_cosine
     knn = (
-        partition_local_topk(sym, ["s"], [("cos", False), ("d", True)], MKNN_K)
+        sym
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= MKNN_K)
         .select("s", "d")
@@ -2491,8 +2526,8 @@ def _cluster_purity(spark, sf_dir, tau=None) -> DataFrame:
     "round 14's emb_cluster_purity measured 491/500 vectors collapsing "
     "into one cluster at purity 0.118 on the synthetic corpus. The "
     "threshold is applied to candidate pairs BEFORE top-k selection "
-    "(equivalent to post-filtering mutual edges, since ranking is "
-    "cos-descending) so every downstream stage shrinks too. Same "
+    "(a TIGHTER criterion than post-filtering mutual edges — the oracle "
+    "pre-filters identically) so every downstream stage shrinks too. Same "
     "composed scale shape as the parent: adaptive-IVF blocked pairs, "
     "two-stage partition-local top-k, k-bounded mutual self-join, "
     "star-contraction CC. Purity-vs-tau curve in COVERAGE.md.",
@@ -2551,6 +2586,9 @@ EMB_INCREMENTAL_NEW_MOD = 20  # vec_id % 20 == 0 -> the 5% "new batch"
         ON o.cent_id = n.cent_id AND o.vec_id <> n.vec_id
       WHERE n.vec_id % {EMB_INCREMENTAL_NEW_MOD} = 0
         AND (o.vec_id % {EMB_INCREMENTAL_NEW_MOD} <> 0 OR o.vec_id < n.vec_id)
+        AND NOT isnan(list_dot_product(n.emb, o.emb)
+            / (sqrt(list_dot_product(n.emb, n.emb))
+               * sqrt(list_dot_product(o.emb, o.emb))))
         AND list_dot_product(n.emb, o.emb)
             / (sqrt(list_dot_product(n.emb, n.emb))
                * sqrt(list_dot_product(o.emb, o.emb))) >= {NEARDUP_COS}
@@ -2603,7 +2641,11 @@ def emb_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.join(old, ["cent_id"])
         .where(F.col("vec_old") != F.col("vec_new"))
         .where(~F.col("old_is_new") | (F.col("vec_old") < F.col("vec_new")))
-        .where(cos >= NEARDUP_COS)
+        # zero-norm guard (ADVICE r15): 0/0 = NaN orders GREATEST in both
+        # Spark and DuckDB, so an unguarded `cos >= threshold` would flag
+        # a zero-norm delta vector as dup_of every cell-mate — mirror the
+        # _mutual_knn_components NaN exclusion (oracle: NOT isnan(...))
+        .where(~F.isnan(cos) & (cos >= NEARDUP_COS))
         .groupBy("vec_new")
         .agg(F.min("vec_old").alias("dup_of"))
     )

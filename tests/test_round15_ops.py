@@ -40,9 +40,14 @@ def test_mknn_thresh_breaks_giant_component(spark, sf_dir):
 
 
 def test_mknn_thresh_edges_subset_of_base(spark, sf_dir):
-    """Thresholding only REMOVES edges, so every thresholded multi-member
-    cluster must be contained in one unthresholded cluster (refinement
-    property)."""
+    """Refinement observed ON THIS FIXTURE: every thresholded multi-member
+    cluster sits inside one unthresholded cluster. NOTE (ADVICE r15): the
+    pre-top-k tau filter does NOT guarantee this in general — removing
+    sub-tau candidates can promote lower-ranked >=tau pairs into a
+    node's top-k and create mutual edges absent from the base graph —
+    so this is a fixture regression pin, not an invariant; if a future
+    corpus legitimately breaks it, drop the assertion rather than the
+    query."""
     base = {
         r["vec_id"]: r["component"]
         for r in REGISTRY["emb_mutual_knn_cc"].spark_fn(spark, sf_dir).collect()

@@ -346,8 +346,9 @@ PICKS = [
         "emb_mutual_knn_cc_thresh",
         "Same composed plan as emb_mutual_knn_cc with the cosine "
         "threshold applied to candidate pairs BEFORE top-k selection "
-        "(equivalent to post-filtering mutual edges under cos-descending "
-        "ranking) — every downstream stage (sym union, local top-k, "
+        "(a tighter criterion than post-filtering mutual edges; the "
+        "oracle pre-filters identically) — every downstream stage "
+        "(sym union, local top-k, "
         "mutual self-join, CC) shrinks with the filter; the NaN guard "
         "and zero-norm exclusion sit in the same candidate filter, so "
         "no extra pass.",
