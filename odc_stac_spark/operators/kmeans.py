@@ -70,29 +70,36 @@ def assign_to_centroids(
     """(vec_id, emb) → + cent_id: nearest centroid by cosine, ties →
     cent_id asc.
 
-    MAP-SIDE (r13): the centroids ship as a plan-literal array of
-    (cent_id, cemb) structs and the argmax is a deterministic left fold —
-    ZERO shuffle. The previous shape (broadcast k-row crossJoin + a
-    row_number window over vec_id) pushed k× the corpus through a window
-    exchange; at 100 TB the full-corpus assign step IS the dominant pass,
-    so it must not shuffle at all. Float semantics are unchanged: the
-    cosine is the identical zip_with/aggregate fold per (vector,
-    centroid) pair, and the strictly-greater fold keeps the FIRST maximum
-    — the same winner as the window's (sim DESC, cent_id ASC) order — so
-    every hash-gated oracle image is preserved bit-for-bit."""
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cent_id"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cemb"),
-                # r16: per-centroid norm as a literal (bit-identical
-                # sequential fold) — the lambda previously re-folded it
-                # once per corpus row per centroid
-                F.lit(_seqnorm(c)).alias("cnrm"),
-            )
+    MAP-SIDE (r13): the centroids arrive as ONE broadcast row holding a
+    cent_id-sorted (cent_id, cemb, cnrm) struct array and the argmax is a
+    deterministic left fold over that array — ZERO shuffle of the corpus.
+    The pre-r13 shape (broadcast k-row crossJoin + a row_number window
+    over vec_id) pushed k× the corpus through a window exchange; at
+    100 TB the full-corpus assign step IS the dominant pass, so it must
+    not shuffle at all. r16 moved the array from a PLAN LITERAL to a
+    broadcast 1-row table: every Lloyd iteration previously embedded
+    k×dim fresh literals, which made each iteration's plan textually
+    unique — full Catalyst analysis + whole-stage codegen compile per
+    iteration (driver-side, serial). With the centroids as data the plan
+    is structurally identical across iterations, so codegen is compiled
+    once and cached; the per-centroid norm ships precomputed (cnrm, the
+    bit-identical sequential fold) instead of being re-folded per corpus
+    row. Float semantics are unchanged: the cosine is the identical
+    fold arithmetic per (vector, centroid) pair, and the strictly-
+    greater fold keeps the FIRST maximum over the cent_id-ascending
+    array — the same winner as the window's (sim DESC, cent_id ASC)
+    order — so every hash-gated oracle image is preserved bit-for-bit."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], _seqnorm(c))
             for i, c in enumerate(centroids)
-        ]
+        ],
+        "cent_id int, cemb array<double>, cnrm double",
     )
+    carr_df = cdf.select(
+        F.struct("cent_id", "cemb", "cnrm").alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("carr"))
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
@@ -100,7 +107,7 @@ def assign_to_centroids(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
     cands = F.transform(
-        carr,
+        F.col("carr"),
         lambda c: F.struct(
             c["cent_id"].alias("cent_id"),
             (dot(F.col("emb"), c["cemb"]) / (rnorm(F.col("emb")) * c["cnrm"])).alias(
@@ -119,7 +126,11 @@ def assign_to_centroids(
     cols = ["vec_id", "emb", F.col("best.cent_id").alias("cent_id")] + (
         [F.col("best.sim").alias("sim")] if keep_sim else []
     )
-    return emb.withColumn("best", best).select(*cols)
+    return (
+        emb.crossJoin(F.broadcast(carr_df))
+        .withColumn("best", best)
+        .select(*cols)
+    )
 
 
 DEFAULT_CELL_CAP = 4096

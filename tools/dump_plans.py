@@ -64,9 +64,11 @@ PICKS = [
         "knn_bruteforce_cosine",
         "Broadcast queries × scan: the only row exchange is the broadcast "
         "of the 10 query vectors; dot products are JVM higher-order "
-        "aggregates inside the scan stage, and (r7) a partition-local "
-        "top-k mapInPandas stage BOUNDS the ranking window's input to "
-        "batches × queries × k rows instead of the scored cross product.",
+        "aggregates inside the scan stage, and (r16) a PARTIAL "
+        "WindowGroupLimit below the exchange BOUNDS the ranking window's "
+        "input to partitions × queries × k rows instead of the scored "
+        "cross product — pure JVM, the former mapInPandas pre-top-k "
+        "stage removed.",
     ),
     (
         "funnel_stages",
@@ -185,7 +187,7 @@ PICKS = [
         "lowest-vec_id members (bounded fold buffers — ADVICE r12) and "
         "one ≤k-group aggregate whose sorted sequential fold makes "
         "centroids bit-reproducible; the serve tail is broadcast-probes "
-        "+ partition-local top-k + a single ranking exchange.",
+        "+ a WindowGroupLimit-bounded rank window (one exchange, r16).",
     ),
     (
         "embedding_neardup_adaptive",
@@ -308,7 +310,7 @@ PICKS = [
         "Composed clustering pipeline: adaptive IVF blocking (broadcast "
         "quantizer array + map-side fold assignment — zero shuffles to "
         "assign), cell-equi-join candidate generation (never an n² "
-        "cartesian), two-stage partition_local_topk kNN, one self-join "
+        "cartesian), WindowGroupLimit-bounded rank-window kNN (r16), one self-join "
         "mutuality filter on the k-bounded edge list, then star-"
         "contraction CC whose per-round joins run on eagerly "
         "checkpointed edge sets (lineage constant in rounds).",

@@ -35,6 +35,14 @@ from odc_stac_spark.queries import load_all  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # r16: embed the bench's machine probe so a sweep artifact is
+    # weather-attributable on its own (the r15/r16 sweeps measured 3-20×
+    # inflation on untouched queries under memory-bus contention; a
+    # sweep whose probes read degraded should not be compared
+    # round-over-round) — VERDICT r15 #3.
+    from bench import _loadavg, _machine_probe
+
+    probe_start = {"machine": _machine_probe(), "loadavg": _loadavg()}
     spark = get_spark(app_name="time-sweep")
     reg = load_all()
     times: dict = {}
@@ -50,6 +58,8 @@ def main() -> None:
     for k, v in sorted(num.items(), key=lambda kv: -kv[1])[:20]:
         print(f"{v:8.2f}  {k}", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "total_sec": round(sum(num.values()), 1),
+                      "probe_start": probe_start,
+                      "probe_end": {"machine": _machine_probe(), "loadavg": _loadavg()},
                       "times": times}))
     spark.stop()
 
