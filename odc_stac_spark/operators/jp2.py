@@ -129,6 +129,8 @@ _QE = [
     (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
 ]
 
+_QE_Q = [q[0] for q in _QE]  # Qe-only flat table for inline fast paths
+
 # context count and initial (state, mps) per T.800 D.2: UNIFORM→46,
 # RUN-LENGTH→3, the all-zero-neighbour ZC context→4, everything else 0.
 N_CTX = 19
@@ -643,6 +645,268 @@ class _RawBitReader:
         return (self.cur >> self.bits) & 1
 
 
+def _encode_block_flat(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
+    """Style-0 hot path of :func:`encode_block`, rewritten flat the same
+    way :func:`decode_block` is (everything in locals, context lookups
+    through flat python-list LUTs, the MQ coder state inlined into a
+    closure, scan order and stripe columns precomputed once). Byte
+    output is identical to the general path: same symbol sequence into
+    the same T.800 C.2 coder, and the final FLUSH is delegated to
+    :meth:`MQEncoder.flush` on the carried-over register state."""
+    h, w = coefs.shape
+    mag = np.abs(coefs.astype(np.int64, copy=False))
+    nbp = int(mag.max()).bit_length()
+    if nbp == 0:
+        return b"", 0, 0
+    W = w + 2
+    n = (h + 2) * W
+    pad = np.zeros((h + 2, W), np.int64)
+    pad[1:-1, 1:-1] = mag
+    magf = pad.ravel().tolist()
+    spad = np.zeros((h + 2, W), np.int8)
+    spad[1:-1, 1:-1] = coefs < 0
+    sgn = spad.ravel().tolist()
+    sig = [0] * n
+    visited = [0] * n
+    refined = [0] * n
+
+    # zck[i]: the 8-bit ZC neighbourhood key (l+2r+4u+8d+16ul+32ur+
+    # 64dl+128dr), maintained incrementally at the rare become-
+    # significant events — nonzero ⟺ has a significant neighbour, so it
+    # also replaces the 8-term neighbour test. sck[i]: the SC key
+    # (tl+3tr+9tu+27td, t = sig·(1+sgn)), maintained the same way.
+    zck = [0] * n
+    sck = [0] * n
+    sig_ranks: List[int] = []  # scan ranks of significant cells, for MRP
+
+    zc_lut = _ZC_FLAT[band]
+    sc_lut = _SC_FLAT
+    qe_tab = _QE
+    qe_t = _QE_Q
+    idx, mps = _init_ctx()
+
+    # --- inlined MQ encoder state (C.2 software conventions);
+    # b == -1 stands for MQEncoder's "no pending byte" (None)
+    a = 0x8000
+    c = 0
+    ct = 12
+    b = -1
+    out = bytearray()
+
+    def enc(d: int, cx: int) -> None:
+        nonlocal a, c, ct, b
+        qe, nmps, nlps, switch = qe_tab[idx[cx]]
+        if d == mps[cx]:
+            a -= qe
+            if a & 0x8000:
+                c += qe
+                return
+            if a < qe:
+                a = qe
+            else:
+                c += qe
+            idx[cx] = nmps
+        else:
+            a -= qe
+            if a < qe:
+                c += qe
+            else:
+                a = qe
+            if switch:
+                mps[cx] ^= 1
+            idx[cx] = nlps
+        while not a & 0x8000:
+            a = (a << 1) & 0xFFFF
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                # C.2.6 BYTEOUT (MQEncoder._byteout, inlined)
+                if b == 0xFF:
+                    out.append(0xFF)
+                    b = (c >> 20) & 0xFF
+                    c &= 0xFFFFF
+                    ct = 7
+                    continue
+                if c >= 0x8000000:
+                    if b >= 0:
+                        b += 1
+                    c &= 0x7FFFFFF
+                    if b == 0xFF:
+                        out.append(0xFF)
+                        b = (c >> 20) & 0xFF
+                        c &= 0xFFFFF
+                        ct = 7
+                        continue
+                if b >= 0:
+                    out.append(b)
+                b = (c >> 19) & 0xFF
+                c &= 0x7FFFF
+                ct = 8
+
+    # scan-order positions + per-stripe columns, built once; rankf maps
+    # a padded index back to its scan rank (for the MRP sig-cell list)
+    positions: List[int] = []
+    columns: List[Tuple[int, bool]] = []  # (top index, full 4-stripe)
+    rankf = [0] * n
+    for y0 in range(0, h, 4):
+        ymax = min(y0 + 4, h)
+        full = y0 + 3 < h
+        for x in range(w):
+            top = (y0 + 1) * W + (x + 1)
+            columns.append((top, full))
+            for y in range(y0, ymax):
+                i = (y + 1) * W + (x + 1)
+                rankf[i] = len(positions)
+                positions.append(i)
+
+    npasses = 0
+    for p in range(nbp - 1, -1, -1):
+        bit = 1 << p
+        if p != nbp - 1:
+            # significance propagation pass
+            for i in positions:
+                if zck[i] and not sig[i]:
+                    v = 1 if magf[i] & bit else 0
+                    cx = zc_lut[zck[i]]
+                    # inline C.2.5 fast path: MPS without renormalization
+                    qe = qe_t[idx[cx]]
+                    if v == mps[cx] and (a - qe) & 0x8000:
+                        a -= qe
+                        c += qe
+                    else:
+                        enc(v, cx)
+                    if v:
+                        ctx, xor = sc_lut[sck[i]]
+                        s_ = sgn[i]
+                        enc(s_ ^ xor, ctx)
+                        sig[i] = 1
+                        sig_ranks.append(rankf[i])
+                        zck[i + 1] |= 1
+                        zck[i - 1] |= 2
+                        zck[i + W] |= 4
+                        zck[i - W] |= 8
+                        zck[i + W + 1] |= 16
+                        zck[i + W - 1] |= 32
+                        zck[i - W + 1] |= 64
+                        zck[i - W - 1] |= 128
+                        t_ = 1 + s_
+                        sck[i + 1] += t_
+                        sck[i - 1] += 3 * t_
+                        sck[i + W] += 9 * t_
+                        sck[i - W] += 27 * t_
+                    visited[i] = 1
+            npasses += 1
+            # magnitude refinement pass: only significant cells, in scan
+            # order (sig never un-sets, so the rank list only grows)
+            sig_ranks.sort()
+            for r_ in sig_ranks:
+                i = positions[r_]
+                if not visited[i]:
+                    if refined[i]:
+                        cx = 16
+                    else:
+                        cx = 15 if zck[i] else 14
+                    v = 1 if magf[i] & bit else 0
+                    qe = qe_t[idx[cx]]
+                    if v == mps[cx] and (a - qe) & 0x8000:
+                        a -= qe
+                        c += qe
+                    else:
+                        enc(v, cx)
+                    refined[i] = 1
+            npasses += 1
+        # cleanup pass
+        for top, full in columns:
+            i2, i3, i4 = top + W, top + 2 * W, top + 3 * W
+            y = 0
+            if (
+                full
+                and not (
+                    sig[top] or visited[top] or sig[i2] or visited[i2]
+                    or sig[i3] or visited[i3] or sig[i4] or visited[i4]
+                )
+                and not (zck[top] or zck[i2] or zck[i3] or zck[i4])
+            ):
+                r = -1
+                for k in range(4):
+                    if magf[top + k * W] & bit:
+                        r = k
+                        break
+                if r < 0:
+                    qe = qe_t[idx[CTX_RL]]
+                    if 0 == mps[CTX_RL] and (a - qe) & 0x8000:
+                        a -= qe
+                        c += qe
+                    else:
+                        enc(0, CTX_RL)
+                    continue
+                enc(1, CTX_RL)
+                enc((r >> 1) & 1, CTX_UNI)
+                enc(r & 1, CTX_UNI)
+                i = top + r * W
+                ctx, xor = sc_lut[sck[i]]
+                s_ = sgn[i]
+                enc(s_ ^ xor, ctx)
+                sig[i] = 1
+                sig_ranks.append(rankf[i])
+                zck[i + 1] |= 1
+                zck[i - 1] |= 2
+                zck[i + W] |= 4
+                zck[i - W] |= 8
+                zck[i + W + 1] |= 16
+                zck[i + W - 1] |= 32
+                zck[i - W + 1] |= 64
+                zck[i - W - 1] |= 128
+                t_ = 1 + s_
+                sck[i + 1] += t_
+                sck[i - 1] += 3 * t_
+                sck[i + W] += 9 * t_
+                sck[i - W] += 27 * t_
+                y = r + 1
+            stripe_n = 4 if full else min(4, h - (top // W - 1))
+            while y < stripe_n:
+                i = top + y * W
+                if not visited[i] and not sig[i]:
+                    v = 1 if magf[i] & bit else 0
+                    cx = zc_lut[zck[i]]
+                    qe = qe_t[idx[cx]]
+                    if v == mps[cx] and (a - qe) & 0x8000:
+                        a -= qe
+                        c += qe
+                    else:
+                        enc(v, cx)
+                    if v:
+                        ctx, xor = sc_lut[sck[i]]
+                        s_ = sgn[i]
+                        enc(s_ ^ xor, ctx)
+                        sig[i] = 1
+                        sig_ranks.append(rankf[i])
+                        zck[i + 1] |= 1
+                        zck[i - 1] |= 2
+                        zck[i + W] |= 4
+                        zck[i - W] |= 8
+                        zck[i + W + 1] |= 16
+                        zck[i + W - 1] |= 32
+                        zck[i - W + 1] |= 64
+                        zck[i - W - 1] |= 128
+                        t_ = 1 + s_
+                        sck[i + 1] += t_
+                        sck[i - 1] += 3 * t_
+                        sck[i + W] += 9 * t_
+                        sck[i - W] += 27 * t_
+                y += 1
+        npasses += 1
+        if p:
+            visited = [0] * n
+
+    tail = MQEncoder.__new__(MQEncoder)
+    tail.a, tail.c, tail.ct = a, c, ct
+    tail.b = None if b < 0 else b
+    tail.out = out
+    tail.idx, tail.mps = idx, mps
+    return tail.flush(), npasses, nbp
+
+
 def encode_block(
     coefs: np.ndarray, band: str, bypass: bool = False, style: int = 0
 ) -> Tuple[object, int, int]:
@@ -661,6 +925,8 @@ def encode_block(
     keep the single continuous codeword."""
     if bypass:
         style |= _CBLK_BYPASS
+    if not style:
+        return _encode_block_flat(coefs, band)
     segmented = bool(style & (_CBLK_BYPASS | _CBLK_TERMALL))
     causal = bool(style & _CBLK_VCAUSAL)
     h, w = coefs.shape
@@ -878,6 +1144,7 @@ def decode_block(
     zc_lut = _ZC_FLAT[band]
     sc_lut = _SC_FLAT
     qe_tab = _QE
+    qe_t = _QE_Q
     idx, mps = _init_ctx()
 
     # --- inlined MQ decoder state (C.3 software conventions)
@@ -947,9 +1214,19 @@ def decode_block(
             ct -= 1
         return d
 
-    # scan-order positions, built once; cleanup uses per-stripe columns
+    # scan-order positions, built once; cleanup uses per-stripe columns.
+    # rankf maps a padded index back to its scan rank; zck/sck carry the
+    # ZC/SC context keys incrementally (updated only at the rare
+    # become-significant events, so per-symbol key recomputation and the
+    # 8-term neighbour test collapse to one list lookup); the MRP
+    # iterates the scan-sorted significant-cell rank list instead of
+    # scanning every position each bitplane.
     positions: List[int] = []
     columns: List[Tuple[int, bool]] = []  # (top index, full 4-stripe)
+    rankf = [0] * n
+    zck = [0] * n  # incremental ZC key; nonzero ⟺ has sig neighbour
+    sck = [0] * n  # incremental SC key
+    sig_ranks: List[int] = []
     for y0 in range(0, h, 4):
         ymax = min(y0 + 4, h)
         full = y0 + 3 < h
@@ -957,7 +1234,9 @@ def decode_block(
             top = (y0 + 1) * W + (x + 1)
             columns.append((top, full))
             for y in range(y0, ymax):
-                positions.append((y + 1) * W + (x + 1))
+                i = (y + 1) * W + (x + 1)
+                rankf[i] = len(positions)
+                positions.append(i)
 
     done = 0
     p = nbp - 1
@@ -968,45 +1247,55 @@ def decode_block(
             if done < npasses:
                 # significance propagation pass
                 for i in positions:
-                    if not sig[i] and (
-                        sig[i - 1] or sig[i + 1] or sig[i - W] or sig[i + W]
-                        or sig[i - W - 1] or sig[i - W + 1]
-                        or sig[i + W - 1] or sig[i + W + 1]
-                    ):
-                        key = (
-                            sig[i - 1] + 2 * sig[i + 1] + 4 * sig[i - W]
-                            + 8 * sig[i + W] + 16 * sig[i - W - 1]
-                            + 32 * sig[i - W + 1] + 64 * sig[i + W - 1]
-                            + 128 * sig[i + W + 1]
-                        )
-                        if mq(zc_lut[key]):
-                            sk = (
-                                sig[i - 1] * (1 + sgn[i - 1])
-                                + 3 * sig[i + 1] * (1 + sgn[i + 1])
-                                + 9 * sig[i - W] * (1 + sgn[i - W])
-                                + 27 * sig[i + W] * (1 + sgn[i + W])
-                            )
-                            ctx, xor = sc_lut[sk]
+                    if zck[i] and not sig[i]:
+                        cx = zc_lut[zck[i]]
+                        # inline C.3.2 fast path: MPS without renorm
+                        qe = qe_t[idx[cx]]
+                        if ((c >> 16) & 0xFFFF) >= qe and (a - qe) & 0x8000:
+                            a -= qe
+                            c -= qe << 16
+                            v = mps[cx]
+                        else:
+                            v = mq(cx)
+                        if v:
+                            ctx, xor = sc_lut[sck[i]]
                             sgn[i] = mq(ctx) ^ xor
                             sig[i] = 1
+                            sig_ranks.append(rankf[i])
+                            zck[i + 1] |= 1
+                            zck[i - 1] |= 2
+                            zck[i + W] |= 4
+                            zck[i - W] |= 8
+                            zck[i + W + 1] |= 16
+                            zck[i + W - 1] |= 32
+                            zck[i - W + 1] |= 64
+                            zck[i - W - 1] |= 128
+                            t_ = 1 + sgn[i]
+                            sck[i + 1] += t_
+                            sck[i - 1] += 3 * t_
+                            sck[i + W] += 9 * t_
+                            sck[i - W] += 27 * t_
                             magf[i] |= bit
                         visited[i] = 1
                 done += 1
             if done < npasses:
                 # magnitude refinement pass
-                for i in positions:
-                    if sig[i] and not visited[i]:
+                sig_ranks.sort()
+                for r_ in sig_ranks:
+                    i = positions[r_]
+                    if not visited[i]:
                         if refined[i]:
                             cx = 16
-                        elif (
-                            sig[i - 1] or sig[i + 1] or sig[i - W] or sig[i + W]
-                            or sig[i - W - 1] or sig[i - W + 1]
-                            or sig[i + W - 1] or sig[i + W + 1]
-                        ):
-                            cx = 15
                         else:
-                            cx = 14
-                        if mq(cx):
+                            cx = 15 if zck[i] else 14
+                        qe = qe_t[idx[cx]]
+                        if ((c >> 16) & 0xFFFF) >= qe and (a - qe) & 0x8000:
+                            a -= qe
+                            c -= qe << 16
+                            v = mps[cx]
+                        else:
+                            v = mq(cx)
+                        if v:
                             magf[i] |= bit
                         refined[i] = 1
                 done += 1
@@ -1021,50 +1310,68 @@ def decode_block(
                         sig[top] or visited[top] or sig[i2] or visited[i2]
                         or sig[i3] or visited[i3] or sig[i4] or visited[i4]
                     )
-                    and not (
-                        sig[top - 1] or sig[top + 1] or sig[top - W]
-                        or sig[top - W - 1] or sig[top - W + 1]
-                        or sig[i2 - 1] or sig[i2 + 1]
-                        or sig[i3 - 1] or sig[i3 + 1]
-                        or sig[i4 - 1] or sig[i4 + 1] or sig[i4 + W]
-                        or sig[i4 + W - 1] or sig[i4 + W + 1]
-                    )
+                    and not (zck[top] or zck[i2] or zck[i3] or zck[i4])
                 ):
-                    if not mq(CTX_RL):
+                    qe = qe_t[idx[CTX_RL]]
+                    if ((c >> 16) & 0xFFFF) >= qe and (a - qe) & 0x8000:
+                        a -= qe
+                        c -= qe << 16
+                        v = mps[CTX_RL]
+                    else:
+                        v = mq(CTX_RL)
+                    if not v:
                         continue
                     r = (mq(CTX_UNI) << 1) | mq(CTX_UNI)
                     i = top + r * W
-                    sk = (
-                        sig[i - 1] * (1 + sgn[i - 1])
-                        + 3 * sig[i + 1] * (1 + sgn[i + 1])
-                        + 9 * sig[i - W] * (1 + sgn[i - W])
-                        + 27 * sig[i + W] * (1 + sgn[i + W])
-                    )
-                    ctx, xor = sc_lut[sk]
+                    ctx, xor = sc_lut[sck[i]]
                     sgn[i] = mq(ctx) ^ xor
                     sig[i] = 1
+                    sig_ranks.append(rankf[i])
+                    zck[i + 1] |= 1
+                    zck[i - 1] |= 2
+                    zck[i + W] |= 4
+                    zck[i - W] |= 8
+                    zck[i + W + 1] |= 16
+                    zck[i + W - 1] |= 32
+                    zck[i - W + 1] |= 64
+                    zck[i - W - 1] |= 128
+                    t_ = 1 + sgn[i]
+                    sck[i + 1] += t_
+                    sck[i - 1] += 3 * t_
+                    sck[i + W] += 9 * t_
+                    sck[i - W] += 27 * t_
                     magf[i] |= bit
                     y = r + 1
                 stripe_n = 4 if full else min(4, h - ((top // W - 1)))
                 while y < stripe_n:
                     i = top + y * W
                     if not visited[i] and not sig[i]:
-                        key = (
-                            sig[i - 1] + 2 * sig[i + 1] + 4 * sig[i - W]
-                            + 8 * sig[i + W] + 16 * sig[i - W - 1]
-                            + 32 * sig[i - W + 1] + 64 * sig[i + W - 1]
-                            + 128 * sig[i + W + 1]
-                        )
-                        if mq(zc_lut[key]):
-                            sk = (
-                                sig[i - 1] * (1 + sgn[i - 1])
-                                + 3 * sig[i + 1] * (1 + sgn[i + 1])
-                                + 9 * sig[i - W] * (1 + sgn[i - W])
-                                + 27 * sig[i + W] * (1 + sgn[i + W])
-                            )
-                            ctx, xor = sc_lut[sk]
+                        cx = zc_lut[zck[i]]
+                        qe = qe_t[idx[cx]]
+                        if ((c >> 16) & 0xFFFF) >= qe and (a - qe) & 0x8000:
+                            a -= qe
+                            c -= qe << 16
+                            v = mps[cx]
+                        else:
+                            v = mq(cx)
+                        if v:
+                            ctx, xor = sc_lut[sck[i]]
                             sgn[i] = mq(ctx) ^ xor
                             sig[i] = 1
+                            sig_ranks.append(rankf[i])
+                            zck[i + 1] |= 1
+                            zck[i - 1] |= 2
+                            zck[i + W] |= 4
+                            zck[i - W] |= 8
+                            zck[i + W + 1] |= 16
+                            zck[i + W - 1] |= 32
+                            zck[i - W + 1] |= 64
+                            zck[i - W - 1] |= 128
+                            t_ = 1 + sgn[i]
+                            sck[i + 1] += t_
+                            sck[i - 1] += 3 * t_
+                            sck[i + W] += 9 * t_
+                            sck[i - W] += 27 * t_
                             magf[i] |= bit
                     y += 1
             done += 1
