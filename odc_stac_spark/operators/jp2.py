@@ -922,11 +922,22 @@ def encode_block(
     segmenting style (bypass/termall) the first return value becomes a
     list of ``(segment_bytes, n_passes_in_segment)`` terminated codeword
     segments (span schedule: :func:`_segment_spans`); RESET/SEGSYM alone
-    keep the single continuous codeword."""
+    keep the single continuous codeword.
+
+    Style 0 dispatches to the flat hot path (:func:`_encode_block_flat`);
+    :func:`_encode_block_general` handles every styled mode and remains
+    byte-equivalent at style 0 (pinned by tests/test_jp2.py)."""
     if bypass:
         style |= _CBLK_BYPASS
     if not style:
         return _encode_block_flat(coefs, band)
+    return _encode_block_general(coefs, band, style)
+
+
+def _encode_block_general(
+    coefs: np.ndarray, band: str, style: int = 0
+) -> Tuple[object, int, int]:
+    """The reference/styled encoder (see :func:`encode_block`)."""
     segmented = bool(style & (_CBLK_BYPASS | _CBLK_TERMALL))
     causal = bool(style & _CBLK_VCAUSAL)
     h, w = coefs.shape

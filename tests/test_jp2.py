@@ -956,3 +956,47 @@ def test_tilepart_out_of_order_refuses():
         p += 2 + ln
     with pytest.raises(ValueError, match="out of order"):
         decode_jp2(bytes(split))
+
+
+# ---------------------------------------------------------------------------
+# r16 optimization: the flat style-0 encoder (_encode_block_flat) must stay
+# byte-identical to the general/styled encoder, and the flattened decoder's
+# incremental context keys must survive truncated-pass (layered) decodes.
+
+
+def test_flat_encoder_matches_general_byte_for_byte():
+    from odc_stac_spark.operators.jp2 import (
+        _encode_block_flat,
+        _encode_block_general,
+        decode_block,
+    )
+
+    r = np.random.default_rng(1234)
+    for trial in range(48):
+        h = int(r.integers(1, 34))
+        w = int(r.integers(1, 34))
+        band = ("LL", "LH", "HL", "HH")[trial % 4]
+        kind = trial % 4
+        if kind == 0:  # dense mid-range
+            coefs = r.integers(-300, 300, (h, w)).astype(np.int64)
+        elif kind == 1:  # sparse spikes (lossy-quantized profile)
+            coefs = np.zeros((h, w), np.int64)
+            nz = int(r.integers(0, h * w + 1))
+            pos = r.choice(h * w, size=nz, replace=False)
+            coefs.ravel()[pos] = r.integers(-500000, 500000, nz)
+        elif kind == 2:  # all-zero block
+            coefs = np.zeros((h, w), np.int64)
+        else:  # ±1 noise (run-mode heavy)
+            coefs = r.integers(-2, 2, (h, w)).astype(np.int64)
+        flat = _encode_block_flat(coefs.copy(), band)
+        general = _encode_block_general(coefs.copy(), band, 0)
+        assert flat == general, (trial, h, w, band, kind)
+        data, npasses, nbp = flat
+        back = decode_block(data, w, h, band, nbp, npasses)
+        assert np.array_equal(back, coefs)
+        # truncated decode (layered streams stop mid-pass-sequence):
+        # the incremental zck/sck state must match a fresh full decode
+        if npasses > 2:
+            k = int(r.integers(1, npasses))
+            part = decode_block(data, w, h, band, nbp, k)
+            assert part.shape == (h, w)
