@@ -34,6 +34,12 @@ from typing import List, Tuple
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Target histogram rows per partition for the merge-iteration loop; the
+# loop re-layouts the vocab-sized histogram to ceil(rows/this), capped
+# at the session's parallelism (scale-adaptive: 1 partition at test
+# scales, fans out on real Heaps'-law vocabularies).
+_HIST_ROWS_PER_PARTITION = 65536
+
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → (word, count) — the one corpus-sized pass."""
@@ -68,13 +74,30 @@ def bpe_train(
 ) -> List[Tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merge rules → [(step, left, right, count)].
 
-    Driver holds only the rules; every iteration is two narrow jobs over
-    the persisted word histogram (pair count + merge rewrite)."""
+    Driver holds only the rules; every iteration is ONE narrow job over
+    the checkpointed word histogram (the previous step's merge rewrite
+    rides lazily under the next pair-count/argmax job)."""
     hist = word_histogram(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     ).select("syms", "cnt")
-    hist = initial_hist = hist.persist()
-    hist.count()  # materialize once
+    initial_hist = hist.persist()
+    n_words = initial_hist.count()  # materialize the corpus pass once
+    # Size the iteration-loop partitioning from the HISTOGRAM, not the
+    # corpus: the loop's working set is vocabulary-sized (Heaps' law),
+    # and inheriting the corpus pass's partitioning schedules a full
+    # task wave per job for what is usually a much smaller table. One
+    # cheap re-layout job here makes all 2×n_merges downstream jobs
+    # npart-task jobs (npart=1 at the bench scales; grows with the
+    # vocabulary, capped at the session's parallelism, on real corpora).
+    npart = max(
+        1,
+        min(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            (n_words + _HIST_ROWS_PER_PARTITION - 1)
+            // _HIST_ROWS_PER_PARTITION,
+        ),
+    )
+    hist = initial_hist.coalesce(npart).localCheckpoint()
     merges: List[Tuple[int, str, str, int]] = []
     try:
         for step in range(n_merges):
@@ -107,15 +130,19 @@ def bpe_train(
             # step K an un-truncated plan carries K folds that Catalyst
             # re-analyzes per job — checkpointing cuts the lineage to a
             # materialized scan (same pattern as the connected-components
-            # loop in queries/llm_pipeline.py)
-            # NOTE: from iteration 1 onward `hist` is a localCheckpoint,
-            # whose RDD blocks are NOT registered with the cache manager —
-            # DataFrame.unpersist there would be a no-op, so cleanup of
-            # checkpointed iterations is ContextCleaner/GC-driven by
-            # design (ADVICE r11). Only the iteration-0 persist is
-            # explicitly released (in the finally; double-unpersist is a
-            # harmless no-op).
-            new_hist = hist.withColumn("syms", _merge_expr(a, b)).localCheckpoint()
+            # loop in queries/llm_pipeline.py). eager=False fuses the
+            # rewrite under the NEXT iteration's argmax job (one driver
+            # round-trip per merge instead of two); lineage still
+            # truncates at that job because the blocks materialize there.
+            # NOTE: `hist` is a localCheckpoint, whose RDD blocks are NOT
+            # registered with the cache manager — DataFrame.unpersist
+            # there would be a no-op, so cleanup of checkpointed
+            # iterations is ContextCleaner/GC-driven by design (ADVICE
+            # r11). Only the corpus-pass persist is explicitly released
+            # (in the finally; double-unpersist is a harmless no-op).
+            new_hist = hist.withColumn("syms", _merge_expr(a, b)).localCheckpoint(
+                eager=False
+            )
             hist = new_hist
     finally:
         initial_hist.unpersist()

@@ -595,14 +595,14 @@ def _bpe_train_oracle() -> str:
     oracle=_bpe_train_oracle(),
     doc="distributed BPE tokenizer training (Sennrich et al. 2016, the "
     "vocabulary-building step of an LLM pipeline): ONE corpus-sized "
-    "shuffle builds the word histogram, then every merge iteration runs "
-    "two narrow Catalyst jobs over that compact table — adjacent-pair "
-    "posexplode + weighted groupBy for the argmax (deterministic "
-    "count/lexicographic tie-break), and a pure `aggregate` fold "
-    "rewriting the symbol arrays (no UDFs). The driver holds only the "
-    "K merge rules, exactly the operators/kmeans.py shape; at 100 TB "
-    "per-iteration cost follows vocabulary size (Heaps' law), not "
-    "corpus size.",
+    "shuffle builds the word histogram (re-laid-out to vocab-derived "
+    "partitioning), then every merge iteration is ONE narrow Catalyst "
+    "job over that compact table — the previous step's pure `aggregate` "
+    "merge fold (no UDFs) riding lazily under the adjacent-pair "
+    "posexplode + weighted groupBy argmax (deterministic count/"
+    "lexicographic tie-break). The driver holds only the K merge rules, "
+    "exactly the operators/kmeans.py shape; at 100 TB per-iteration "
+    "cost follows vocabulary size (Heaps' law), not corpus size.",
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
