@@ -76,6 +76,7 @@ from __future__ import annotations
 import math
 import os
 import struct
+from bisect import insort
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -312,6 +313,11 @@ class MQDecoder:
 
 
 class TagTree:
+    """T.800 B.10.2 tag tree over flat python lists (leaf level first).
+    The trees here are precinct-sized — a handful of nodes per level —
+    so plain list indexing beats numpy scalar access several-fold while
+    the emitted bit sequence is unchanged."""
+
     def __init__(self, w: int, h: int) -> None:
         self.levels: List[Tuple[int, int]] = []
         lw, lh = w, h
@@ -320,79 +326,106 @@ class TagTree:
             if lw == 1 and lh == 1:
                 break
             lw, lh = (lw + 1) // 2, (lh + 1) // 2
-        self.value = [np.zeros((lh_, lw_), np.int32) for lw_, lh_ in self.levels]
-        self.low = [np.zeros((lh_, lw_), np.int32) for lw_, lh_ in self.levels]
-        self.known = [np.zeros((lh_, lw_), bool) for lw_, lh_ in self.levels]
+        self._w = [lw_ for lw_, _ in self.levels]
+        self.value = [[0] * (lw_ * lh_) for lw_, lh_ in self.levels]
+        self.low = [[0] * (lw_ * lh_) for lw_, lh_ in self.levels]
+        self.known = [[False] * (lw_ * lh_) for lw_, lh_ in self.levels]
 
     def set(self, x: int, y: int, v: int) -> None:
-        self.value[0][y, x] = v
+        ws = self._w
+        self.value[0][y * ws[0] + x] = v
         # parents hold min over children
         for lv in range(1, len(self.levels)):
-            px, py = x >> lv, y >> lv
-            prev = self.value[lv][py, px]
-            self.value[lv][py, px] = v if prev == 0 and not self.known[lv][py, px] else min(prev, v)
-            self.known[lv][py, px] = True  # reused as "has a value" during build
+            j = (y >> lv) * ws[lv] + (x >> lv)
+            prev = self.value[lv][j]
+            self.value[lv][j] = (
+                v if prev == 0 and not self.known[lv][j] else min(prev, v)
+            )
+            self.known[lv][j] = True  # reused as "has a value" during build
         # leaf marker
-        self.known[0][y, x] = True
+        self.known[0][y * ws[0] + x] = True
 
     def finalize(self) -> None:
         """Recompute parents as true minima (set() order-independent),
         then clear coder state."""
         for lv in range(1, len(self.levels)):
+            cw, ch = self.levels[lv - 1]
+            pw, ph = self.levels[lv]
             child = self.value[lv - 1]
-            ch, cw = child.shape
-            ph, pw = self.value[lv].shape
-            pad = np.full((ph * 2, pw * 2), np.iinfo(np.int32).max, np.int32)
-            pad[:ch, :cw] = child
-            self.value[lv] = np.minimum.reduce(
-                [pad[0::2, 0::2], pad[0::2, 1::2], pad[1::2, 0::2], pad[1::2, 1::2]]
-            )
+            par = self.value[lv]
+            for py in range(ph):
+                for px in range(pw):
+                    m = None
+                    for cy in (2 * py, 2 * py + 1):
+                        if cy >= ch:
+                            continue
+                        base = cy * cw
+                        for cx in (2 * px, 2 * px + 1):
+                            if cx >= cw:
+                                continue
+                            v = child[base + cx]
+                            if m is None or v < m:
+                                m = v
+                    par[py * pw + px] = m
         for lv in range(len(self.levels)):
-            self.low[lv][:] = 0
-            self.known[lv][:] = False
-
-    def _path(self, x: int, y: int):
-        out = []
-        for lv in range(len(self.levels) - 1, -1, -1):
-            out.append((lv, x >> lv, y >> lv))
-        return out
+            low = self.low[lv]
+            known = self.known[lv]
+            for j in range(len(low)):
+                low[j] = 0
+                known[j] = False
 
     def encode(self, x: int, y: int, threshold: int, putbit) -> None:
         low = 0
-        for lv, px, py in self._path(x, y):
-            if self.low[lv][py, px] < low:
-                self.low[lv][py, px] = low
-            v = int(self.value[lv][py, px])
-            while self.low[lv][py, px] < threshold and not self.known[lv][py, px]:
-                if self.low[lv][py, px] == v:
-                    self.known[lv][py, px] = True
+        ws = self._w
+        for lv in range(len(self.levels) - 1, -1, -1):
+            j = (y >> lv) * ws[lv] + (x >> lv)
+            lo_l = self.low[lv]
+            kn_l = self.known[lv]
+            cur = lo_l[j]
+            if cur < low:
+                cur = low
+            v = self.value[lv][j]
+            while cur < threshold and not kn_l[j]:
+                if cur == v:
+                    kn_l[j] = True
                     putbit(1)
                 else:
-                    self.low[lv][py, px] += 1
+                    cur += 1
                     putbit(0)
-            low = int(self.low[lv][py, px])
+            lo_l[j] = cur
+            low = cur
 
     def decode(self, x: int, y: int, threshold: int, getbit) -> bool:
         """Advance knowledge up to ``threshold``; True iff the leaf value
         is known and < threshold."""
         low = 0
-        for lv, px, py in self._path(x, y):
-            if self.low[lv][py, px] < low:
-                self.low[lv][py, px] = low
-            while self.low[lv][py, px] < threshold and not self.known[lv][py, px]:
+        ws = self._w
+        for lv in range(len(self.levels) - 1, -1, -1):
+            j = (y >> lv) * ws[lv] + (x >> lv)
+            lo_l = self.low[lv]
+            kn_l = self.known[lv]
+            cur = lo_l[j]
+            if cur < low:
+                cur = low
+            while cur < threshold and not kn_l[j]:
                 if getbit():
-                    self.known[lv][py, px] = True
+                    kn_l[j] = True
                 else:
-                    self.low[lv][py, px] += 1
-            low = int(self.low[lv][py, px])
-        return bool(self.known[0][y, x]) and int(self.low[0][y, x]) < threshold
+                    cur += 1
+            lo_l[j] = cur
+            low = cur
+        j0 = y * ws[0] + x
+        return self.known[0][j0] and self.low[0][j0] < threshold
 
     def decode_value(self, x: int, y: int, getbit) -> int:
         t = 1
-        while not (self.known[0][y, x] and self.low[0][y, x] < t):
+        k0 = self.known[0]
+        l0 = self.low[0]
+        j0 = y * self._w[0] + x
+        while not (k0[j0] and l0[j0] < t):
             self.decode(x, y, t, getbit)
             t += 1
-        return int(self.low[0][y, x])
+        return l0[j0]
 
 
 # ---------------------------------------------------------------------------
@@ -645,6 +678,36 @@ class _RawBitReader:
         return (self.cur >> self.bits) & 1
 
 
+#: (h, w) → (positions, columns, rankf) stripe-scan layout, shared by the
+#: flat encoder and decoder (read-only in the coding loops). Code blocks
+#: are ≤ 4096 cells (T.800 B.7), so the cache is naturally bounded; the
+#: guard keeps a hostile decode from growing it past that.
+_SCAN_CACHE: Dict[Tuple[int, int], tuple] = {}
+
+
+def _scan_layout(h: int, w: int) -> tuple:
+    got = _SCAN_CACHE.get((h, w))
+    if got is None:
+        W = w + 2
+        positions: List[int] = []
+        columns: List[Tuple[int, bool]] = []  # (top index, full 4-stripe)
+        rankf = [-1] * ((h + 2) * W)  # padded index → scan rank (-1: pad)
+        for y0 in range(0, h, 4):
+            ymax = min(y0 + 4, h)
+            full = y0 + 3 < h
+            for x in range(w):
+                top = (y0 + 1) * W + (x + 1)
+                columns.append((top, full))
+                for y in range(y0, ymax):
+                    i = (y + 1) * W + (x + 1)
+                    rankf[i] = len(positions)
+                    positions.append(i)
+        got = (positions, columns, rankf)
+        if h * w <= 4096 and len(_SCAN_CACHE) < 8192:
+            _SCAN_CACHE[(h, w)] = got
+    return got
+
+
 def _encode_block_flat(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
     """Style-0 hot path of :func:`encode_block`, rewritten flat the same
     way :func:`decode_block` is (everything in locals, context lookups
@@ -678,6 +741,46 @@ def _encode_block_flat(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
     zck = [0] * n
     sck = [0] * n
     sig_ranks: List[int] = []  # scan ranks of significant cells, for MRP
+    # cand: scan ranks of SPP-eligible cells (zck != 0, not yet
+    # significant), appended exactly once at the cell's zck 0→nonzero
+    # transition; may hold dead (since-significant) entries, skipped on
+    # visit. The SPP iterates THIS list instead of scanning every
+    # position each bitplane. During an SPP pass, `work` is the sorted
+    # list being consumed and `spp_r` the current scan rank: a cell
+    # whose key transitions mid-pass is insort-ed into `work` when its
+    # rank is still ahead of the scan (same-pass propagation, exactly
+    # like the full scan) and deferred to `cand` otherwise.
+    cand: List[int] = []
+    work: Optional[List[int]] = None
+    spp_r = -1
+
+    def make_sig(i: int, s_: int) -> None:
+        sig[i] = 1
+        sig_ranks.append(rankf[i])
+        for j in (
+            i + 1, i - 1, i + W, i - W, i + W + 1, i + W - 1,
+            i - W + 1, i - W - 1,
+        ):
+            if not zck[j]:
+                r2 = rankf[j]
+                if r2 >= 0 and not sig[j]:
+                    if work is not None and r2 > spp_r:
+                        insort(work, r2)
+                    else:
+                        cand.append(r2)
+        zck[i + 1] |= 1
+        zck[i - 1] |= 2
+        zck[i + W] |= 4
+        zck[i - W] |= 8
+        zck[i + W + 1] |= 16
+        zck[i + W - 1] |= 32
+        zck[i - W + 1] |= 64
+        zck[i - W - 1] |= 128
+        t_ = 1 + s_
+        sck[i + 1] += t_
+        sck[i - 1] += 3 * t_
+        sck[i + W] += 9 * t_
+        sck[i - W] += 27 * t_
 
     zc_lut = _ZC_FLAT[band]
     sc_lut = _SC_FLAT
@@ -743,58 +846,49 @@ def _encode_block_flat(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
                 c &= 0x7FFFF
                 ct = 8
 
-    # scan-order positions + per-stripe columns, built once; rankf maps
-    # a padded index back to its scan rank (for the MRP sig-cell list)
-    positions: List[int] = []
-    columns: List[Tuple[int, bool]] = []  # (top index, full 4-stripe)
-    rankf = [0] * n
-    for y0 in range(0, h, 4):
-        ymax = min(y0 + 4, h)
-        full = y0 + 3 < h
-        for x in range(w):
-            top = (y0 + 1) * W + (x + 1)
-            columns.append((top, full))
-            for y in range(y0, ymax):
-                i = (y + 1) * W + (x + 1)
-                rankf[i] = len(positions)
-                positions.append(i)
+    # scan-order positions + per-stripe columns + rank map, cached per
+    # shape (read-only here); rankf maps a padded index back to its scan
+    # rank (for the MRP sig-cell list)
+    positions, columns, rankf = _scan_layout(h, w)
 
     npasses = 0
     for p in range(nbp - 1, -1, -1):
         bit = 1 << p
         if p != nbp - 1:
-            # significance propagation pass
-            for i in positions:
-                if zck[i] and not sig[i]:
-                    v = 1 if magf[i] & bit else 0
-                    cx = zc_lut[zck[i]]
-                    # inline C.2.5 fast path: MPS without renormalization
-                    qe = qe_t[idx[cx]]
-                    if v == mps[cx] and (a - qe) & 0x8000:
-                        a -= qe
-                        c += qe
-                    else:
-                        enc(v, cx)
-                    if v:
-                        ctx, xor = sc_lut[sck[i]]
-                        s_ = sgn[i]
-                        enc(s_ ^ xor, ctx)
-                        sig[i] = 1
-                        sig_ranks.append(rankf[i])
-                        zck[i + 1] |= 1
-                        zck[i - 1] |= 2
-                        zck[i + W] |= 4
-                        zck[i - W] |= 8
-                        zck[i + W + 1] |= 16
-                        zck[i + W - 1] |= 32
-                        zck[i - W + 1] |= 64
-                        zck[i - W - 1] |= 128
-                        t_ = 1 + s_
-                        sck[i + 1] += t_
-                        sck[i - 1] += 3 * t_
-                        sck[i + W] += 9 * t_
-                        sck[i - W] += 27 * t_
-                    visited[i] = 1
+            # significance propagation pass over the candidate ranks
+            # only — identical visit sequence to the full position scan,
+            # because candidates are exactly the (zck != 0, not sig)
+            # cells in rank order and mid-pass transitions ahead of the
+            # scan are insort-ed into the worklist
+            work = cand
+            work.sort()
+            cand = []
+            k = 0
+            while k < len(work):
+                r_ = work[k]
+                k += 1
+                i = positions[r_]
+                if sig[i]:
+                    continue
+                spp_r = r_
+                v = 1 if magf[i] & bit else 0
+                cx = zc_lut[zck[i]]
+                # inline C.2.5 fast path: MPS without renormalization
+                qe = qe_t[idx[cx]]
+                if v == mps[cx] and (a - qe) & 0x8000:
+                    a -= qe
+                    c += qe
+                else:
+                    enc(v, cx)
+                if v:
+                    ctx, xor = sc_lut[sck[i]]
+                    s_ = sgn[i]
+                    enc(s_ ^ xor, ctx)
+                    make_sig(i, s_)
+                else:
+                    cand.append(r_)
+                visited[i] = 1
+            work = None
             npasses += 1
             # magnitude refinement pass: only significant cells, in scan
             # order (sig never un-sets, so the rank list only grows)
@@ -847,21 +941,7 @@ def _encode_block_flat(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
                 ctx, xor = sc_lut[sck[i]]
                 s_ = sgn[i]
                 enc(s_ ^ xor, ctx)
-                sig[i] = 1
-                sig_ranks.append(rankf[i])
-                zck[i + 1] |= 1
-                zck[i - 1] |= 2
-                zck[i + W] |= 4
-                zck[i - W] |= 8
-                zck[i + W + 1] |= 16
-                zck[i + W - 1] |= 32
-                zck[i - W + 1] |= 64
-                zck[i - W - 1] |= 128
-                t_ = 1 + s_
-                sck[i + 1] += t_
-                sck[i - 1] += 3 * t_
-                sck[i + W] += 9 * t_
-                sck[i - W] += 27 * t_
+                make_sig(i, s_)
                 y = r + 1
             stripe_n = 4 if full else min(4, h - (top // W - 1))
             while y < stripe_n:
@@ -879,21 +959,7 @@ def _encode_block_flat(coefs: np.ndarray, band: str) -> Tuple[bytes, int, int]:
                         ctx, xor = sc_lut[sck[i]]
                         s_ = sgn[i]
                         enc(s_ ^ xor, ctx)
-                        sig[i] = 1
-                        sig_ranks.append(rankf[i])
-                        zck[i + 1] |= 1
-                        zck[i - 1] |= 2
-                        zck[i + W] |= 4
-                        zck[i - W] |= 8
-                        zck[i + W + 1] |= 16
-                        zck[i + W - 1] |= 32
-                        zck[i - W + 1] |= 64
-                        zck[i - W - 1] |= 128
-                        t_ = 1 + s_
-                        sck[i + 1] += t_
-                        sck[i - 1] += 3 * t_
-                        sck[i + W] += 9 * t_
-                        sck[i - W] += 27 * t_
+                        make_sig(i, s_)
                 y += 1
         npasses += 1
         if p:
@@ -1225,29 +1291,53 @@ def decode_block(
             ct -= 1
         return d
 
-    # scan-order positions, built once; cleanup uses per-stripe columns.
-    # rankf maps a padded index back to its scan rank; zck/sck carry the
-    # ZC/SC context keys incrementally (updated only at the rare
-    # become-significant events, so per-symbol key recomputation and the
-    # 8-term neighbour test collapse to one list lookup); the MRP
-    # iterates the scan-sorted significant-cell rank list instead of
-    # scanning every position each bitplane.
-    positions: List[int] = []
-    columns: List[Tuple[int, bool]] = []  # (top index, full 4-stripe)
-    rankf = [0] * n
+    # scan-order positions / per-stripe columns / rank map, cached per
+    # shape (read-only here). zck/sck carry the ZC/SC context keys
+    # incrementally (updated only at the rare become-significant events,
+    # so per-symbol key recomputation and the 8-term neighbour test
+    # collapse to one list lookup); the MRP iterates the scan-sorted
+    # significant-cell rank list instead of scanning every position each
+    # bitplane.
+    positions, columns, rankf = _scan_layout(h, w)
     zck = [0] * n  # incremental ZC key; nonzero ⟺ has sig neighbour
     sck = [0] * n  # incremental SC key
     sig_ranks: List[int] = []
-    for y0 in range(0, h, 4):
-        ymax = min(y0 + 4, h)
-        full = y0 + 3 < h
-        for x in range(w):
-            top = (y0 + 1) * W + (x + 1)
-            columns.append((top, full))
-            for y in range(y0, ymax):
-                i = (y + 1) * W + (x + 1)
-                rankf[i] = len(positions)
-                positions.append(i)
+    # SPP candidate ranks (zck != 0, not yet significant) — same
+    # frontier bookkeeping as _encode_block_flat: appended exactly once
+    # at the zck 0→nonzero transition, insort-ed into the live worklist
+    # when the transition lands ahead of the current SPP scan rank.
+    cand: List[int] = []
+    work: Optional[List[int]] = None
+    spp_r = -1
+
+    def make_sig(i: int) -> None:
+        sig[i] = 1
+        sig_ranks.append(rankf[i])
+        for j in (
+            i + 1, i - 1, i + W, i - W, i + W + 1, i + W - 1,
+            i - W + 1, i - W - 1,
+        ):
+            if not zck[j]:
+                r2 = rankf[j]
+                if r2 >= 0 and not sig[j]:
+                    if work is not None and r2 > spp_r:
+                        insort(work, r2)
+                    else:
+                        cand.append(r2)
+        zck[i + 1] |= 1
+        zck[i - 1] |= 2
+        zck[i + W] |= 4
+        zck[i - W] |= 8
+        zck[i + W + 1] |= 16
+        zck[i + W - 1] |= 32
+        zck[i - W + 1] |= 64
+        zck[i - W - 1] |= 128
+        t_ = 1 + sgn[i]
+        sck[i + 1] += t_
+        sck[i - 1] += 3 * t_
+        sck[i + W] += 9 * t_
+        sck[i - W] += 27 * t_
+        magf[i] |= bit
 
     done = 0
     p = nbp - 1
@@ -1256,38 +1346,37 @@ def decode_block(
         first = p == nbp - 1
         if not first:
             if done < npasses:
-                # significance propagation pass
-                for i in positions:
-                    if zck[i] and not sig[i]:
-                        cx = zc_lut[zck[i]]
-                        # inline C.3.2 fast path: MPS without renorm
-                        qe = qe_t[idx[cx]]
-                        if ((c >> 16) & 0xFFFF) >= qe and (a - qe) & 0x8000:
-                            a -= qe
-                            c -= qe << 16
-                            v = mps[cx]
-                        else:
-                            v = mq(cx)
-                        if v:
-                            ctx, xor = sc_lut[sck[i]]
-                            sgn[i] = mq(ctx) ^ xor
-                            sig[i] = 1
-                            sig_ranks.append(rankf[i])
-                            zck[i + 1] |= 1
-                            zck[i - 1] |= 2
-                            zck[i + W] |= 4
-                            zck[i - W] |= 8
-                            zck[i + W + 1] |= 16
-                            zck[i + W - 1] |= 32
-                            zck[i - W + 1] |= 64
-                            zck[i - W - 1] |= 128
-                            t_ = 1 + sgn[i]
-                            sck[i + 1] += t_
-                            sck[i - 1] += 3 * t_
-                            sck[i + W] += 9 * t_
-                            sck[i - W] += 27 * t_
-                            magf[i] |= bit
-                        visited[i] = 1
+                # significance propagation pass over the candidate
+                # ranks only (identical visit sequence to the full
+                # position scan — see _encode_block_flat)
+                work = cand
+                work.sort()
+                cand = []
+                k = 0
+                while k < len(work):
+                    r_ = work[k]
+                    k += 1
+                    i = positions[r_]
+                    if sig[i]:
+                        continue
+                    spp_r = r_
+                    cx = zc_lut[zck[i]]
+                    # inline C.3.2 fast path: MPS without renorm
+                    qe = qe_t[idx[cx]]
+                    if ((c >> 16) & 0xFFFF) >= qe and (a - qe) & 0x8000:
+                        a -= qe
+                        c -= qe << 16
+                        v = mps[cx]
+                    else:
+                        v = mq(cx)
+                    if v:
+                        ctx, xor = sc_lut[sck[i]]
+                        sgn[i] = mq(ctx) ^ xor
+                        make_sig(i)
+                    else:
+                        cand.append(r_)
+                    visited[i] = 1
+                work = None
                 done += 1
             if done < npasses:
                 # magnitude refinement pass
@@ -1336,22 +1425,7 @@ def decode_block(
                     i = top + r * W
                     ctx, xor = sc_lut[sck[i]]
                     sgn[i] = mq(ctx) ^ xor
-                    sig[i] = 1
-                    sig_ranks.append(rankf[i])
-                    zck[i + 1] |= 1
-                    zck[i - 1] |= 2
-                    zck[i + W] |= 4
-                    zck[i - W] |= 8
-                    zck[i + W + 1] |= 16
-                    zck[i + W - 1] |= 32
-                    zck[i - W + 1] |= 64
-                    zck[i - W - 1] |= 128
-                    t_ = 1 + sgn[i]
-                    sck[i + 1] += t_
-                    sck[i - 1] += 3 * t_
-                    sck[i + W] += 9 * t_
-                    sck[i - W] += 27 * t_
-                    magf[i] |= bit
+                    make_sig(i)
                     y = r + 1
                 stripe_n = 4 if full else min(4, h - ((top // W - 1)))
                 while y < stripe_n:
@@ -1368,22 +1442,7 @@ def decode_block(
                         if v:
                             ctx, xor = sc_lut[sck[i]]
                             sgn[i] = mq(ctx) ^ xor
-                            sig[i] = 1
-                            sig_ranks.append(rankf[i])
-                            zck[i + 1] |= 1
-                            zck[i - 1] |= 2
-                            zck[i + W] |= 4
-                            zck[i - W] |= 8
-                            zck[i + W + 1] |= 16
-                            zck[i + W - 1] |= 32
-                            zck[i - W + 1] |= 64
-                            zck[i - W - 1] |= 128
-                            t_ = 1 + sgn[i]
-                            sck[i + 1] += t_
-                            sck[i - 1] += 3 * t_
-                            sck[i + W] += 9 * t_
-                            sck[i - W] += 27 * t_
-                            magf[i] |= bit
+                            make_sig(i)
                     y += 1
             done += 1
         if done < npasses:
@@ -1664,15 +1723,31 @@ _DELTA97 = 0.443506852043971
 _K97 = 1.230174104914001
 
 
+_REFLECT4_IDX: Dict[int, np.ndarray] = {}
+
+
+def _reflect4_idx(n: int) -> np.ndarray:
+    """Source indices of a whole-sample symmetric (np.pad mode="reflect")
+    (4, 4) extension of a length-n axis: period 2n-2, folded — exact for
+    any n >= 2 including the multi-bounce n < 5 cases."""
+    idx = _REFLECT4_IDX.get(n)
+    if idx is None:
+        p = np.arange(-4, n + 4) % (2 * n - 2)
+        idx = np.where(p >= n, 2 * n - 2 - p, p)
+        _REFLECT4_IDX[n] = idx
+    return idx
+
+
 def _fdwt97_1d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Forward CDF 9/7 lifting on the last axis with whole-sample
     symmetric extension (the interleaved signal is mirrored about its
-    boundary samples, so a reflect pad of 4 covers every lifting step)."""
+    boundary samples, so a reflect pad of 4 covers every lifting step —
+    realized as one cached-index gather instead of np.pad, which is all
+    per-call machinery at these axis lengths)."""
     n = x.shape[-1]
     if n == 1:
         return x.astype(np.float64).copy(), x[..., :0].astype(np.float64)
-    pad = [(0, 0)] * (x.ndim - 1) + [(4, 4)]
-    y = np.pad(x.astype(np.float64), pad, mode="reflect")
+    y = x[..., _reflect4_idx(n)].astype(np.float64)
     y[..., 1:-1:2] += _ALPHA97 * (y[..., 0:-2:2] + y[..., 2::2])
     y[..., 2:-2:2] += _BETA97 * (y[..., 1:-3:2] + y[..., 3:-1:2])
     y[..., 3:-3:2] += _GAMMA97 * (y[..., 2:-4:2] + y[..., 4:-2:2])

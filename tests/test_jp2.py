@@ -1000,3 +1000,43 @@ def test_flat_encoder_matches_general_byte_for_byte():
             k = int(r.integers(1, npasses))
             part = decode_block(data, w, h, band, nbp, k)
             assert part.shape == (h, w)
+
+
+def test_reflect4_idx_matches_np_pad():
+    # r16 change 15: the 9/7 lifting's whole-sample symmetric extension
+    # is a cached-index gather; it must equal np.pad(mode="reflect")
+    # for every axis length, including the multi-bounce n < 5 cases.
+    from odc_stac_spark.operators.jp2 import _reflect4_idx
+
+    for n in range(2, 48):
+        a = np.arange(n) * 1.5 - 7
+        assert np.array_equal(
+            a[_reflect4_idx(n)], np.pad(a, (4, 4), mode="reflect")
+        ), n
+
+
+def test_partial_decode_every_truncation_point():
+    # r16 change 15: the decoder's SPP frontier must leave layered
+    # (truncated-pass) decodes bit-identical at EVERY cut, not just the
+    # full-pass roundtrip the other tests pin.
+    from odc_stac_spark.operators.jp2 import decode_block, encode_block
+
+    r = np.random.default_rng(31337)
+    for trial in range(24):
+        h = int(r.integers(2, 34))
+        w = int(r.integers(2, 34))
+        band = ("LL", "LH", "HL", "HH")[trial % 4]
+        coefs = np.zeros((h, w), np.int64)
+        nz = int(r.integers(1, h * w + 1))
+        pos = r.choice(h * w, size=nz, replace=False)
+        coefs.ravel()[pos] = r.integers(-500000, 500000, nz)
+        data, npasses, nbp = encode_block(coefs, band)
+        prev_err = None
+        for k in range(npasses + 1):
+            part = decode_block(data, w, h, band, nbp, k)
+            # refinement must be monotone: error never grows with passes
+            err = int(np.abs(part.astype(np.int64) - coefs).sum())
+            if prev_err is not None:
+                assert err <= prev_err, (trial, k)
+            prev_err = err
+        assert prev_err == 0  # full decode exact
