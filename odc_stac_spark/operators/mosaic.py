@@ -49,13 +49,36 @@ def fill_tile(
     (first write wins per pixel) — tile-size-independent, and equal to the
     reference wherever any nodata is declared."""
     fill = empty_fill(dst_dtype, dst_nodata)
-    dst = np.full(shape, fill, dtype=dst_dtype)
-    written = np.zeros(shape, dtype=bool) if dst_nodata is None else None
+    track = dst_nodata is None
+    dst = None
+    written = None
     for rr in reads:
         if rr is None:
             continue
         ys = slice(rr.roi_y[0], rr.roi_y[1])
         xs = slice(rr.roi_x[0], rr.roi_x[1])
+        if dst is None:
+            # first source: its window region of dst is untouched fill,
+            # so "still missing" is all-True by construction — write
+            # directly (no mask pass), and when the read covers the
+            # whole tile in the destination dtype, adopt its buffer
+            # outright (the read already applied dst nodata, and every
+            # reader returns a task-private buffer). The paste path is
+            # memory-bandwidth bound at 32 workers; this removes a full
+            # fill + copy + compare of the tile's largest arrays.
+            if (
+                tuple(rr.roi_y) == (0, shape[0])
+                and tuple(rr.roi_x) == (0, shape[1])
+                and rr.pix.dtype == np.dtype(dst_dtype)
+            ):
+                dst = rr.pix
+            else:
+                dst = np.full(shape, fill, dtype=dst_dtype)
+                dst[ys, xs] = rr.pix
+            if track:
+                written = np.zeros(shape, dtype=bool)
+                written[ys, xs] = True
+            continue
         window = dst[ys, xs]
         if written is None:
             still_missing = nodata_mask(window, dst_nodata)
@@ -63,4 +86,6 @@ def fill_tile(
             still_missing = ~written[ys, xs]
             written[ys, xs] = True
         np.copyto(window, rr.pix, where=still_missing)
+    if dst is None:
+        dst = np.full(shape, fill, dtype=dst_dtype)
     return dst

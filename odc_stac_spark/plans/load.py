@@ -640,8 +640,15 @@ def _tile_result(
     arr = fill_tile(tgb.shape, dst_dtype, dst_nodata, reads)
     from ..model import nodata_mask as _mask
 
-    valid = ~_mask(arr, dst_nodata)
+    miss = _mask(arr, dst_nodata)
+    n_valid = int(arr.size - miss.sum())
     data = arr.tobytes()
+    if audit:
+        valid = ~miss
+        checksum = float(arr[valid].astype("float64").sum()) if n_valid else 0.0
+        crc = zlib.crc32(data)
+    else:
+        checksum, crc = 0.0, 0
     ty, tx = tile_shape
     return {
         "band": band,
@@ -654,11 +661,9 @@ def _tile_result(
         "width": tgb.shape[1],
         "dtype": str(arr.dtype),
         "data": data,
-        "valid_count": int(valid.sum()),
-        "checksum": (
-            float(arr[valid].astype("float64").sum()) if valid.any() else 0.0
-        ) if audit else 0.0,
-        "crc32": zlib.crc32(data) if audit else 0,
+        "valid_count": n_valid,
+        "checksum": checksum,
+        "crc32": crc,
     }
 
 

@@ -214,7 +214,11 @@ class SynthReader:
         if nodata_every > 0 and src_nodata is not None:
             hy = (ys % nodata_every).astype(np.int32)[:, None]
             hx = (xs % nodata_every).astype(np.int32)[None, :]
-            hole = hy + hx + seed % nodata_every
+            # reuse the finished int32 `vals` buffer for the hole
+            # pattern: a second full-window int32 allocation here paid
+            # page-fault cost on every tile of a loaded 32-worker bus
+            hole = np.add(hy, hx, out=vals)
+            hole += seed % nodata_every
             hole %= nodata_every
             out[hole == 0] = np.asarray(src_nodata, dtype=out.dtype)
         return out
@@ -336,11 +340,16 @@ class SynthReader:
         )
         raw = raw[:n_y, :n_x]
 
-        # dtype cast with nodata remap (reference loader/_rio.py:350-355)
+        # dtype cast with nodata remap (reference loader/_rio.py:350-355).
+        # copy=False: a same-dtype cast aliases `raw` (every _window
+        # returns a task-private fresh buffer, so the in-place remap
+        # below cannot corrupt shared state) — two fewer full-window
+        # allocations on the paste hot path, which is memory-bandwidth
+        # bound at 32 concurrent workers
         missing = nodata_mask(raw, src_nodata)
-        pix = raw.astype(dst_dtype)
+        pix = raw.astype(dst_dtype, copy=False)
         if dst_nodata is not None:
-            pix = np.where(missing, np.asarray(dst_nodata, dtype=dst_dtype), pix)
+            np.copyto(pix, np.asarray(dst_nodata, dtype=dst_dtype), where=missing)
         return ReadResult((ry0, ry1), (rx0, rx1), pix)
 
     def _warp(
