@@ -269,7 +269,13 @@ def image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], _batch_types(pdf)):
-                px = _decode_with(decoders, bytes(blob), mt).astype(np.float64)
+                # no float64 astype: numpy computes integer mean/std in a
+                # float64 accumulator over the same element sequence, so
+                # the values are bit-identical and the 8x-wider temporary
+                # copy (the largest allocation of this stage) disappears
+                px = _decode_with(decoders, bytes(blob), mt)
+                if px.dtype.kind == "f":  # float decoders keep the old
+                    px = px.astype(np.float64)  # float64 accumulation
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -767,17 +767,21 @@ class SynthReader:
                         # kernel mass
                         vals /= wtot
 
+        # in-place round + masked fill: `vals` is task-private in every
+        # path (fresh accumulator / fancy-index result) and `pix` is the
+        # astype copy, so neither write can corrupt shared state — two
+        # fewer full-tile allocations on the bandwidth-bound warp tail
         if np.issubdtype(np.dtype(dst_dtype), np.integer):
-            vals = np.rint(vals)
+            np.rint(vals, out=vals)
         pix = vals.astype(dst_dtype)
         if dst_nodata is not None:
-            pix = np.where(out, np.asarray(dst_nodata, dtype=dst_dtype), pix)
+            np.copyto(pix, np.asarray(dst_nodata, dtype=dst_dtype), where=out)
         elif out.any():
             # no explicit nodata: NaN for float dst, 0 for int dst —
             # the reference's empty-fill rule (loader/_builder.py:188-194,
             # resolve_dst_nodata loader/_reader.py:84-101)
             fill = 0 if np.issubdtype(np.dtype(dst_dtype), np.integer) else np.nan
-            pix = np.where(out, np.asarray(fill, dtype=dst_dtype), pix)
+            np.copyto(pix, np.asarray(fill, dtype=dst_dtype), where=out)
         return ReadResult((ry0, ry1), (rx0, rx1), pix)
 
 
