@@ -319,7 +319,9 @@ def image_dhash(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], _batch_types(pdf)):
                 px = _decode_with(decoders, bytes(blob), mt)
-                gray = px.astype(np.int64).sum(axis=2)
+                # sum with an int64 accumulator instead of widening the
+                # whole frame first — identical values, no 8x temporary
+                gray = px.sum(axis=2, dtype=np.int64)
                 h, w = gray.shape
                 yi = (np.arange(8) * h // 8).astype(int)
                 xi = (np.arange(9) * w // 9).astype(int)
@@ -633,7 +635,7 @@ def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
                         "kept_frames": kept.shape[0],
                         "width": fr.shape[2],
                         "height": fr.shape[1],
-                        "kept_mean": round(float(kept.astype(np.float64).mean()), 6),
+                        "kept_mean": round(float(kept.mean(dtype=np.float64)), 6),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -70,7 +70,9 @@ def zonal_stats(
                 flat = ((zy - zy0) * nzx + (zx - zx0)).astype(np.int64)
                 flat2 = np.broadcast_to(flat, pix.shape)
                 sums = np.bincount(
-                    flat2[valid], weights=pix.astype(np.float64)[valid], minlength=nzy * nzx
+                    # select first, widen after: same elements, without
+                    # the full-tile float64 temporary
+                    flat2[valid], weights=pix[valid].astype(np.float64), minlength=nzy * nzx
                 )
                 cnts = np.bincount(flat2[valid], minlength=nzy * nzx)
                 for zi in np.nonzero(cnts)[0]:
