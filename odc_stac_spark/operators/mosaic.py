@@ -62,14 +62,21 @@ def fill_tile(
             # so "still missing" is all-True by construction — write
             # directly (no mask pass), and when the read covers the
             # whole tile in the destination dtype, adopt its buffer
-            # outright (the read already applied dst nodata, and every
-            # reader returns a task-private buffer). The paste path is
+            # outright (the read already applied dst nodata; ReadResult
+            # requires a fresh task-private buffer). The paste path is
             # memory-bandwidth bound at 32 workers; this removes a full
             # fill + copy + compare of the tile's largest arrays.
+            # Adoption gates (ADVICE r16): writeable — a reader returning
+            # a cached/frombuffer-backed array must fall to the copy path
+            # rather than be mutated by later sources; base is None — a
+            # view would keep its (possibly much larger) parent window
+            # alive in worker RSS until the tile serializes.
             if (
                 tuple(rr.roi_y) == (0, shape[0])
                 and tuple(rr.roi_x) == (0, shape[1])
                 and rr.pix.dtype == np.dtype(dst_dtype)
+                and rr.pix.flags.writeable
+                and rr.pix.base is None
             ):
                 dst = rr.pix
             else:

@@ -354,6 +354,74 @@ def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(rz, media.schema)
 
 
+def demo_image_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    media_type: str = "image/x-simg",
+    out_w: int | None = None,
+    out_h: int | None = None,
+) -> DataFrame:
+    """The demo encode → decode [→ nearest resize → re-encode → decode]
+    → stats chain in ONE Arrow pass.
+
+    Composing the stages as separate operators
+    (``image_stats(resize_nearest(demo_media_df(...)))``) plans one
+    ``MapInPandas`` node per stage: each node runs its own Python worker
+    set and the binary media crosses the JVM↔Arrow boundary between every
+    pair of stages (3 nodes → 4 boundary crossings of the payload for the
+    resize chain). The per-image work is identical here — same encoder,
+    same ``DECODERS`` dispatch, same index math and the same SIMG
+    re-encode round trip, so results are bit-for-bit equal — but the
+    pixels never leave the worker, and the plan carries a single Python
+    eval node. At 100 TB the media column arrives from parquet and the
+    fused stage is ``decode → preprocess → featurize`` over that column;
+    the demo synth+encode stands in for the scan."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # compute-sized partitioning, same rationale as demo_media_df above
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    encode = _DEMO_IMAGE_ENCODERS[media_type]
+    synth = _DEMO_IMAGE_SYNTH.get(media_type, synth_image)
+    decoders = dict(DECODERS)  # snapshot: ships registered codecs to workers
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                # demo_media_df stage: synth + media encode
+                blob = encode(synth(d, 16 + d % 8, 16, 3))
+                # decode through the registered-codec seam (identical
+                # dispatch to image_stats/resize_nearest)
+                px = _decode_with(decoders, blob, media_type)
+                if out_w is not None and out_h is not None:
+                    # resize_nearest stage, including its SIMG re-encode
+                    # round trip (lossless for uint8, kept so the fused
+                    # path computes exactly what the composed one did)
+                    h, w, _ = px.shape
+                    yi = (np.arange(out_h) * h // out_h).astype(int)
+                    xi = (np.arange(out_w) * w // out_w).astype(int)
+                    px = _decode_with(
+                        decoders, encode_simg(px[np.ix_(yi, xi)]), "image/x-simg"
+                    )
+                # image_stats stage (same accumulator notes as image_stats)
+                if px.dtype.kind == "f":
+                    px = px.astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "mean": round(float(px.mean()), 6),
+                        "std": round(float(px.std()), 6),
+                        "p_min": int(px.min()),
+                        "p_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(run, _STATS_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """Video-style frame sampling: treat each image row as a 'frame' strip
     and keep every k-th row — the plumbing a real video pipeline uses

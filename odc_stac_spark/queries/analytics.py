@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
-from . import register
+from . import register, scoped_persist
 
 INTERVAL_MIN = 30
 INTERVAL_US = INTERVAL_MIN * 60 * 1_000_000
@@ -636,9 +636,22 @@ CMS_ORACLE_SQL = f"""
     tags=("analytics", "sketch"),
 )
 def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        (
+    # r17 (§2.3 aggregate before you shuffle): ONE events-wide aggregation
+    # (count per user) instead of two. The old shape scanned events twice
+    # — once 4×-replicated through the params crossJoin into the (i,
+    # bucket) grid, once into the per-user exact counts — and computed
+    # the md5 base hash per EVENT ROW on both scans. Every CMS cell is a
+    # pure function of user_id, so cnt(i, bucket) = Σ exact_count over
+    # the users hashing there: build the sketch by cell-ADDITION from the
+    # per-user counts (the same mergeability the streaming variant's
+    # oracle gate proves), with md5 evaluated once per DISTINCT user.
+    # Identical counters, estimates and output rows.
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumn(
+            "hp",
             F.conv(
                 F.substring(
                     F.md5(F.concat(F.lit("cms:"), F.col("user_id").cast("string"))),
@@ -648,19 +661,20 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("bigint")
-            % CMS_P
-        ).alias("hp"),
+            % CMS_P,
+        )
     )
+    # both the sketch build and the probe read the per-user counts
+    keys = scoped_persist(keys)
     params = F.broadcast(
-        ev.sparkSession.createDataFrame(CMS_ROWS, "i INT, a BIGINT, b BIGINT")
+        spark.createDataFrame(CMS_ROWS, "i INT, a BIGINT, b BIGINT")
     )
     bucket = ((F.col("hp") * F.col("a") + F.col("b")) % CMS_P) % CMS_W
     cms = (
-        ev.crossJoin(params)
+        keys.crossJoin(params)
         .groupBy(F.col("i"), bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact_count").alias("cnt"))
     )
-    keys = ev.groupBy("user_id", "hp").agg(F.count(F.lit(1)).alias("exact_count"))
     return (
         keys.crossJoin(params)
         .withColumn("bucket", bucket)

@@ -100,7 +100,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nxt.alias("component"),
                 (nxt != F.col("component")).cast("int").alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False (r17): the checkpoint materializes under the
+            # convergence agg's job below — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("chg")).collect()[0][0]
         labels.unpersist()
@@ -143,9 +145,13 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     # materialize the input FIRST: E is referenced ~6× per round (mins,
     # the star joins, the convergence diff) — without this, an expensive
     # upstream (the shingle self-join) would recompute on every
-    # reference, every round (measured: 49 s → 2 s at sf0.1)
+    # reference, every round (measured: 49 s → 2 s at sf0.1).
+    # eager=False (r17): the checkpoint RDD materializes (and caches)
+    # under the count() job below instead of a dedicated job — same
+    # blocks, one fewer job round trip (the bpe_train r16 lesson; each
+    # job costs ~0.1-0.5 s of scheduler floor on the composed pipeline)
     E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # convergence bookkeeping (r16 optimization): E and E2 are both
     # DISTINCT edge sets, so E == E2  ⟺  |E| == |E2| AND E2 \ E == ∅.
@@ -178,7 +184,11 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
             large.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .union(large.select(F.col("b").alias("u"), F.col("a").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)  # referenced by mins1 AND small
+            # referenced by mins1 AND small; eager=False fuses its
+            # materialization under E2's job — both references share one
+            # checkpointed RDD, so within that job the large-star subtree
+            # still runs once (r17: 2 checkpoint jobs/round → 1)
+            .localCheckpoint(eager=False)
         )
         # small-star on the large-star output: (v, m(u)) for v <= u plus
         # (u, m(u)) — after enough alternations E is a star forest
@@ -196,7 +206,9 @@ def cc_star_contraction(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
             small.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .union(small.select(F.col("b").alias("u"), F.col("a").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)  # lineage does not grow with rounds
+            # lineage does not grow with rounds; eager=False lets the
+            # count() below do the materialization in the same job
+            .localCheckpoint(eager=False)
         )
         n2 = E2.count()
         converged = n2 == n_edges and E2.exceptAll(E).isEmpty()

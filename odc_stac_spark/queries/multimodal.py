@@ -19,6 +19,7 @@ from ..operators.multimodal import (
     audio_features,
     decode_metadata,
     demo_audio_df,
+    demo_image_stats,
     demo_media_df,
     image_dhash,
     image_stats,
@@ -67,7 +68,7 @@ def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir))
+    return demo_image_stats(spark, sf_dir)
 
 
 @register(
@@ -336,16 +337,16 @@ def mm_video_fmp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     doc="multimodal: decode → nearest-neighbor resize to 8×8 → re-encode "
-    "→ stats, all inside Arrow batches (two chained mapInPandas stages, "
-    "the thumbnail/preprocess slot); the oracle recomputes every resized "
+    "→ stats, fused into ONE Arrow mapInPandas pass (the "
+    "thumbnail/preprocess slot; r17 — the composed 3-stage chain planned "
+    "three Python eval nodes and shipped the pixels across the JVM "
+    "boundary between each pair); the oracle recomputes every resized "
     "pixel from the SIMG formula, so the hash gates the full "
     "decode-resize-encode-decode chain.",
     tags=("multimodal",),
 )
 def mm_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import resize_nearest
-
-    return image_stats(resize_nearest(demo_media_df(spark, sf_dir), out_w=8, out_h=8))
+    return demo_image_stats(spark, sf_dir, out_w=8, out_h=8)
 
 
 PHASH_HAM_T = 5  # near-dup threshold; planted cluster members land at 0-4
@@ -506,7 +507,7 @@ _PX_STATS_ORACLE = """
     tags=("multimodal", "codec"),
 )
 def mm_image_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir, media_type="image/png"))
+    return demo_image_stats(spark, sf_dir, media_type="image/png")
 
 
 @register(
@@ -523,7 +524,7 @@ def mm_image_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec", "jp2"),
 )
 def mm_image_jp2_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir, media_type="image/jp2"))
+    return demo_image_stats(spark, sf_dir, media_type="image/jp2")
 
 
 @register(
@@ -541,7 +542,7 @@ def mm_image_jp2_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec", "gif"),
 )
 def mm_image_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir, media_type="image/gif"))
+    return demo_image_stats(spark, sf_dir, media_type="image/gif")
 
 
 @register(
@@ -560,7 +561,7 @@ def mm_image_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec", "jp2", "lossy"),
 )
 def mm_image_jp2_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir, media_type="image/jp2+lossy"))
+    return demo_image_stats(spark, sf_dir, media_type="image/jp2+lossy")
 
 
 @register(
@@ -577,7 +578,7 @@ def mm_image_jp2_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec", "webp"),
 )
 def mm_image_webp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir, media_type="image/webp"))
+    return demo_image_stats(spark, sf_dir, media_type="image/webp")
 
 
 @register(
@@ -617,7 +618,7 @@ def mm_image_webp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec", "webp", "lossy"),
 )
 def mm_image_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_stats(demo_media_df(spark, sf_dir, media_type="image/webp+lossy"))
+    return demo_image_stats(spark, sf_dir, media_type="image/webp+lossy")
 
 
 @register(

@@ -274,13 +274,25 @@ def stac_dicts_to_items(spark: SparkSession, docs: Iterable[dict]) -> DataFrame:
     SAME column pipeline as the at-scale JSON path (one code path)."""
     import json as _json
 
-    raw = spark.createDataFrame(
-        [(_json.dumps(d),) for d in docs], schema="value string"
-    )
-    # driver-side dict lists are small by construction (the at-scale path
-    # is read_stac_json); one partition beats defaultParallelism empty
-    # tasks on every downstream action
-    return stac_json_to_items(raw.coalesce(1))
+    strs = [_json.dumps(d) for d in docs]
+    # JVM-side literal relation instead of createDataFrame(list): the list
+    # path materializes a PYTHON-RDD-backed scan (pickled rows), so EVERY
+    # action re-pays a Python-worker round trip per partition — and the
+    # old coalesce(1) serialized those round trips into one task
+    # (measured: ~4-6 s per action for a 2-document parse on a loaded
+    # sandbox; explode(array(literals)) folds to a JVM LocalRelation and
+    # the same action runs in ~0.5 s). Driver-side dict lists are small
+    # by construction (the at-scale path is read_stac_json); the guard
+    # keeps a pathological huge list off the literal plan.
+    if strs and len(strs) <= 1024:
+        raw = spark.range(0, 1, 1, 1).select(
+            F.explode(F.array(*[F.lit(s) for s in strs])).alias("value")
+        )
+    else:
+        raw = spark.createDataFrame(
+            [(s,) for s in strs], schema="value string"
+        ).coalesce(1)
+    return stac_json_to_items(raw)
 
 # media types treated as raster data (reference RASTER_FILE_EXTENSIONS /
 # media-type sets, _mdtools.py:66-91)

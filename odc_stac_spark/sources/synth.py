@@ -146,7 +146,12 @@ _CONV_KERNELS = {
 class ReadResult:
     roi_y: Tuple[int, int]
     roi_x: Tuple[int, int]
-    pix: np.ndarray  # already in dst dtype with dst nodata applied
+    # pix: already in dst dtype with dst nodata applied. Contract: a FRESH,
+    # task-private, writable buffer — fill_tile may adopt and mutate it in
+    # place when a single read covers the whole tile (it gates adoption on
+    # writeable/owns-data, but a reader handing out cached or shared
+    # arrays still forfeits the zero-copy path).
+    pix: np.ndarray
 
 
 class SynthReader:
@@ -240,7 +245,14 @@ class SynthReader:
         ``read``/``_warp`` is format-agnostic (same split as the reference
         protocol, loader/types.py:142-157). ``use_overviews=False`` forces
         full-resolution reads (RasterLoadParams.use_overviews — matters
-        for files whose overviews were built with non-nearest resampling)."""
+        for files whose overviews were built with non-nearest resampling).
+
+        Buffer contract (ADVICE r16): the returned array must be a FRESH,
+        writable, task-private buffer — ``read`` converts it in place
+        (``astype(copy=False)`` + in-place nodata ``copyto``) and
+        ``fill_tile`` may adopt it as the destination tile. A driver that
+        returns cached, memory-mapped or otherwise shared storage must
+        copy before returning."""
         return SynthReader.gen_window(
             uri, src_nodata, dtype, py0, py1, px0, px1, decimation
         )

@@ -54,6 +54,33 @@ def test_resize_and_frame_sample(spark, sf_dir):
         np.testing.assert_array_equal(decode_simg(fs[doc_id]), img[::4])
 
 
+def test_demo_image_stats_fusion_matches_composed_chain(spark, sf_dir):
+    """The r17 fused single-pass operator must be row-for-row identical to
+    the composed 3-stage chain it replaced (decode → resize → re-encode →
+    decode → stats) and to the 2-stage chain (decode → stats), for both
+    the SIMG default and a real-codec media type."""
+    from odc_stac_spark.operators.multimodal import demo_image_stats
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    media = demo_media_df(spark, sf_dir).where("doc_id < 32")
+    want_rz = rows(image_stats(resize_nearest(media, 8, 8)))
+    got_rz = rows(demo_image_stats(spark, sf_dir, out_w=8, out_h=8).where("doc_id < 32"))
+    assert got_rz == want_rz
+
+    want_plain = rows(image_stats(media))
+    got_plain = rows(demo_image_stats(spark, sf_dir).where("doc_id < 32"))
+    assert got_plain == want_plain
+
+    png = demo_media_df(spark, sf_dir, media_type="image/png").where("doc_id < 8")
+    want_png = rows(image_stats(png))
+    got_png = rows(
+        demo_image_stats(spark, sf_dir, media_type="image/png").where("doc_id < 8")
+    )
+    assert got_png == want_png
+
+
 def test_real_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_real_image(b"\x89PNG...")
