@@ -41,10 +41,21 @@ _EDGES_SQL = """
 
 
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct symmetric (src, dst) co-purchase pairs, src != dst."""
+    """Distinct symmetric (src, dst) co-purchase pairs, src != dst.
+
+    r17: the self-join reads ONE user-pinned hash repartition of lineitem
+    by order key instead of two AQE-coalesced exchanges. Two wins,
+    event-log verified: (a) the pair-explosion stage is CPU-bound, not
+    byte-bound, but AQE's coalescing sized it by shuffle bytes — 3 tasks
+    on 32 cores (2.2-2.8 s serialized; a user-specified repartition count
+    is exempt from coalescing, and defaultParallelism tracks the cluster,
+    not this box); (b) both join sides are the SAME co-partitioned
+    relation, so the plan keeps one Exchange + ReusedExchange instead of
+    shuffling lineitem twice."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    lik = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    a = lik.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = lik.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     return (
         a.join(b, "k")
         .where(F.col("src") != F.col("dst"))

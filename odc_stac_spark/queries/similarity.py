@@ -109,10 +109,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned for the COMPUTE. At 100 TB maxPartitionBytes does this
     naturally and the repartition is a no-op in spirit (it moves raw
     vectors once, before any scoring)."""
+    # repartition the RAW column first, project after (r17): a projection
+    # below the exchange runs in the scan stage — ONE task for the
+    # single-row-group fixture — so the interpreted HOF cast serialized
+    # there (event-log: 1-task stages of 1.4-2.0 s on the LSH variant);
+    # above the exchange it runs 32-way, and the shuffle carries the same
+    # raw vectors either way
     return (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _vecd(F.col("embedding")).alias("emb"))
+        .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _vecd(F.col("embedding")).alias("emb"))
     )
 
 
@@ -790,24 +797,61 @@ LSH_COS_MIN = 0.3
 LSH_FIXED_SCALE = 1_000_000
 
 
-def _lsh_weight_expr(prefix: str):
+def _lsh_weights(prefix: str) -> list[int]:
     """Deterministic pseudo-random integer hyperplane weights in
-    [-1000, 1000]: w = md5_32(prefix || d) % 2001 - 1000 — identical
-    integer arithmetic in Spark and DuckDB, so bucket assignments match
-    bit-for-bit (scaling w by 1/1000 would not change the sign, so the
-    raw integer is used directly)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
-        lambda d: (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2001
-            - 1000
-        ),
+    [-1000, 1000]: w = md5_32(prefix || d) % 2001 - 1000 (same arithmetic
+    the DuckDB oracle replays in SQL; scaling w by 1/1000 would not
+    change the sign, so the raw integer is used directly).
+
+    r17: computed DRIVER-SIDE. The weights are constants of (l, h, d),
+    but the old expression form — md5/conv/substring inside a transform
+    lambda — is not constant-folded by Catalyst (HOFs are interpreted,
+    lambdas aren't foldable), so every ROW re-derived all
+    LSH_TABLES·LSH_BITS·LSH_DIM = 1536 md5 hashes. hashlib here is
+    bit-identical to Spark's md5/conv on the same UTF-8 bytes (verified
+    by the unchanged oracle gate), and the plan now carries plain
+    integer literals."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{prefix}{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for d in range(LSH_DIM)
+    ]
+
+
+def _lsh_weight_expr(prefix: str):
+    """Literal-array column of the ``_lsh_weights`` hyperplane."""
+    return F.array(
+        *[F.lit(w).cast("bigint") for w in _lsh_weights(prefix)]
     )
+
+
+def _lsh_signature_expr() -> str:
+    """The full 24-hyperplane signature as ONE SQL expression string:
+    ``array(named_struct('l', 0, 'b', …), …)`` where each bucket b sums
+    CASE terms over explicit fixed-point dot products
+    ``embi[0]*w0 + embi[1]*w1 + …``.
+
+    Two r17 wins over the per-plane Column-API folds:
+
+    - plan CONSTRUCTION: the Column form issued one py4j round trip per
+      operator — 24 planes × 64 dims ≈ thousands of driver↔JVM calls,
+      measured ~3 s of the warm wall per run; one `F.expr` string is a
+      single parser call.
+    - plan EXECUTION: `aggregate`/`zip_with` lambdas are interpreted
+      (never whole-stage-codegen'd); the expanded multiply-add chain
+      compiles. Integer sums are associativity-exact, so bucket bits are
+      bit-identical to the folds (and to the DuckDB oracle's SUM).
+    """
+    structs = []
+    for l in range(LSH_TABLES):
+        bits = []
+        for h in range(LSH_BITS):
+            ws = _lsh_weights(f"{l}_{h}_")
+            dot = " + ".join(f"embi[{d}] * {w}L" for d, w in enumerate(ws))
+            bits.append(f"(CASE WHEN {dot} > 0L THEN {1 << h}L ELSE 0L END)")
+        structs.append(f"named_struct('l', {l}, 'b', {' + '.join(bits)})")
+    return f"array({', '.join(structs)})"
 
 
 # Shared by ann_lsh_hyperplane (from-scratch) and ann_lsh_from_index
@@ -864,8 +908,15 @@ def _lsh_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb, embi): float vectors plus the fixed-point copy used
     for the bucket-bit sign decision (see LSH_FIXED_SCALE) — exact bigint
     dot products, engine-independent."""
+    # compute-sized partitioning: the signature arithmetic would
+    # otherwise run in the scan's single partition (_emb). r17: the
+    # repartition moved BELOW the projection — expressions below the
+    # exchange execute in the 1-task scan stage (measured 1.4-2.0 s
+    # serialized there); the shuffle moves the raw vectors either way
     return (
         load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id",
             _vecd(F.col("embedding")).alias("emb"),
@@ -874,34 +925,15 @@ def _lsh_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.round(x * LSH_FIXED_SCALE).cast("bigint"),
             ).alias("embi"),
         )
-        # compute-sized partitioning: 24 interpreted signature folds per
-        # row would otherwise run in the scan's single partition (_emb)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
 def _lsh_signatures(emb: DataFrame) -> DataFrame:
     """(vec_id, embi, ...) → (vec_id, l, b): map-side (table, bucket)
-    signatures via higher-order folds — zero shuffles to signatures."""
-    bucket_structs = []
-    for l in range(LSH_TABLES):
-        bucket = None
-        for h in range(LSH_BITS):
-            w = _lsh_weight_expr(f"{l}_{h}_")
-            dot = F.aggregate(
-                F.zip_with(F.col("embi"), w, lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(dot > 0, F.lit(1 << h).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-            bucket = bit if bucket is None else bucket + bit
-        bucket_structs.append(
-            F.struct(F.lit(l).alias("l"), bucket.alias("b"))
-        )
+    signatures — zero shuffles to signatures. One codegen-friendly SQL
+    expression per row (see ``_lsh_signature_expr``)."""
     return emb.select(
-        "vec_id", F.explode(F.array(*bucket_structs)).alias("s")
+        "vec_id", F.explode(F.expr(_lsh_signature_expr())).alias("s")
     ).select("vec_id", F.col("s.l").alias("l"), F.col("s.b").alias("b"))
 
 
@@ -1374,8 +1406,9 @@ HARDNEG_K = 5  # hardest negatives retained per query
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", _vecd(F.col("embedding")).alias("emb"))
+        .select("vec_id", "label", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)  # see _emb
+        .select("vec_id", "label", _vecd(F.col("embedding")).alias("emb"))
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1620,8 +1653,9 @@ def ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_class_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scoped_persist(
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", _vecd(F.col("embedding")).alias("v"))
+        .select("vec_id", "label", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)  # see _emb
+        .select("vec_id", "label", _vecd(F.col("embedding")).alias("v"))
     )
     dims = emb.select("label", F.posexplode("v").alias("idx", "x"))
     cent = (
@@ -1903,8 +1937,9 @@ KNN_PROBE_STRIDE = 10  # label-consistency probes = vec_id % 10 == 0 sample
 def emb_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scoped_persist(
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", _vecd(F.col("embedding")).alias("v"))
+        .select("vec_id", "label", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)  # see _emb
+        .select("vec_id", "label", _vecd(F.col("embedding")).alias("v"))
     )
     q = emb.where(F.col("vec_id") % KNN_PROBE_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), F.col("v").alias("qv")

@@ -84,3 +84,75 @@ def test_lsh_index_bucket_join_is_colocated(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_lsh_weights_and_sql_signature_match_expression_forms(spark, sf_dir):
+    """r17 pins: (a) the driver-side hashlib hyperplane weights equal the
+    Spark md5/conv expression they replaced, for all 24 planes; (b) the
+    single-SQL-expression signature equals the per-plane HOF-fold
+    formulation it replaced, row for row (integer dots are
+    associativity-exact, so this must be bit-identical, not just
+    approximately equal)."""
+    import pyspark.sql.functions as F
+
+    from odc_stac_spark.queries.similarity import (
+        LSH_BITS,
+        LSH_DIM,
+        LSH_TABLES,
+        _lsh_emb,
+        _lsh_signatures,
+        _lsh_weight_expr,
+        _lsh_weights,
+    )
+
+    # (a) weight identity vs the original Spark expression arithmetic
+    for l in range(LSH_TABLES):
+        for h in range(LSH_BITS):
+            prefix = f"{l}_{h}_"
+            spark_w = list(
+                spark.range(1)
+                .select(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
+                        lambda d: (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(prefix), d.cast("string"))),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % 2001
+                            - 1000
+                        ),
+                    ).alias("w")
+                )
+                .collect()[0]["w"]
+            )
+            assert spark_w == _lsh_weights(prefix), prefix
+
+    # (b) signature identity vs the old interpreted-fold formulation
+    emb = _lsh_emb(spark, sf_dir).localCheckpoint(eager=True)
+    bucket_structs = []
+    for l in range(LSH_TABLES):
+        bucket = None
+        for h in range(LSH_BITS):
+            w = _lsh_weight_expr(f"{l}_{h}_")
+            dot = F.aggregate(
+                F.zip_with(F.col("embi"), w, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << h).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            bucket = bit if bucket is None else bucket + bit
+        bucket_structs.append(F.struct(F.lit(l).alias("l"), bucket.alias("b")))
+    old = emb.select("vec_id", F.explode(F.array(*bucket_structs)).alias("s")).select(
+        "vec_id", F.col("s.l").alias("l"), F.col("s.b").alias("b")
+    )
+    new = _lsh_signatures(emb)
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
